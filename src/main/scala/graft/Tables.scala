@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fixture table loaders (see TESTDATA.md / FIXTURES.md).
+  *
+  * Every query reads fixtures ONLY through these helpers, with the scale
+  * directory passed in by the harness (Verify.scala / Bench.scala). Schemas
+  * are fixed (FIXTURES.md) and asserted at load so drift fails fast instead
+  * of silently corrupting oracle comparisons.
+  *
+  * Scale notes (100 TB design point): loaders return plain parquet scans —
+  * no caching, no collect — so Catalyst keeps full pushdown/pruning freedom
+  * and the same code runs unchanged when `dir` points at a partitioned
+  * multi-file dataset on distributed storage.
+  */
+object Tables {
+  private def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  private def load(spark: SparkSession, dir: String, name: String, expectedCols: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(path(dir, name))
+    val got = df.columns.toSeq
+    require(got == expectedCols, s"fixture $name schema drift: expected $expectedCols got $got")
+    df
+  }
+
+  def region(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "region", Seq("r_regionkey", "r_name"))
+  def nation(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "nation", Seq("n_nationkey", "n_name", "n_regionkey"))
+  def customer(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "customer", Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+  def supplier(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "supplier", Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+  def part(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "part", Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
+  def orders(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders", Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+  def lineitem(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
+  def documents(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents", Seq("doc_id", "text", "lang", "source", "n_chars"))
+  def embeddings(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings", Seq("vec_id", "embedding", "label"))
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Public escape hatch: read
+    * nanos as raw long (spark.sql.legacy.parquet.nanosAsLong), then convert
+    * to a micro-precision TIMESTAMP_NTZ (matches DuckDB's TIMESTAMP cast,
+    * which also truncates ns → us). Conversion uses integer `div`, never
+    * double division — epoch-nanos (~1.7e18) exceeds double's 2^53 exact
+    * range.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(s, dir, "events", Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    require(df.schema("ts").dataType == LongType, s"events.ts expected nanos-as-long, got ${df.schema("ts").dataType}")
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+  }
+
+  /** Raw events with ts kept as epoch-nanos long (streaming + tests that
+    * want exact nanos). */
+  def eventsRawNanos(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, dir, "events", Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
+}
