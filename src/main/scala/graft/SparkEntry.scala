@@ -11,7 +11,7 @@ import graft.operators._
   */
 object SparkEntry {
   private def allDefs: Seq[QueryDef] =
-    AggQueries.defs
+    AggQueries.defs ++ RelationalQueries.defs ++ JoinQueries.defs ++ WindowQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

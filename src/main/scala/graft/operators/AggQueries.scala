@@ -61,5 +61,147 @@ object AggQueries {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(aggGroupBy)
+  /** Exact distinct aggregate — two-phase shuffle (distinct then count). */
+  val aggDistinct = QueryDef(
+    "q_agg_distinct",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      FROM events GROUP BY event_type ORDER BY event_type
+    """.trim),
+  )
+
+  /** Rollup over region→nation with exact decimal revenue. Subtotal rows
+    * carry NULL keys — sorted NULLS FIRST on both sides.
+    */
+  val aggRollup = QueryDef(
+    "q_agg_rollup",
+    (s, dir) => {
+      val joined = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("region"), col("n_name").as("nation"), col("o_totalprice").cast(D).as("price"))
+      // rollup via the SQL path: the DataFrame rollup+orderBy trips the
+      // ambiguous-self-join detector on the Expand-duplicated grouping cols.
+      joined.createOrReplaceTempView("graft_rollup_in")
+      s.sql("""
+        SELECT region, nation,
+               CAST(SUM(price) AS DECIMAL(38,4)) AS revenue, COUNT(*) AS n_orders
+        FROM graft_rollup_in
+        GROUP BY ROLLUP (region, nation)
+        ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST
+      """)
+    },
+    Some("""
+      SELECT region, nation,
+             CAST(SUM(price) AS DECIMAL(38,4)) AS revenue,
+             COUNT(*) AS n_orders
+      FROM (SELECT r_name AS region, n_name AS nation,
+                   CAST(o_totalprice AS DECIMAL(12,4)) AS price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey)
+      GROUP BY ROLLUP (region, nation)
+      ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST
+    """.trim),
+  )
+
+  /** Cube over order status × priority. */
+  val aggCube = QueryDef(
+    "q_agg_cube",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D)).cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS revenue
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """.trim),
+  )
+
+  /** Explicit grouping sets with grouping_id, via the SQL path (ANTLR →
+    * same Catalyst pipeline).
+    */
+  val aggGroupingSets = QueryDef(
+    "q_agg_gsets",
+    (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("graft_documents_gsets")
+      s.sql("""
+        SELECT lang, source, grouping__id AS gid, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        FROM graft_documents_gsets
+        GROUP BY lang, source GROUPING SETS ((lang), (source), (lang, source))
+        ORDER BY gid, lang ASC NULLS FIRST, source ASC NULLS FIRST
+      """)
+    },
+    Some("""
+      SELECT lang, source, GROUPING(lang, source) AS gid, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+      ORDER BY gid, lang ASC NULLS FIRST, source ASC NULLS FIRST
+    """.trim),
+  )
+
+  /** Approximate distinct (HyperLogLog++). Sketches are impl-specific so no
+    * DuckDB oracle; a property spec bounds it against the exact count.
+    */
+  val aggHll = QueryDef(
+    "q_agg_hll",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type"),
+    None,
+  )
+
+  /** Statistical aggregates. stddev is computed from exact decimal sums with
+    * the same double formula on both sides (bit-identical); the median uses
+    * exact interpolation rounded to 6dp.
+    */
+  val aggStats = QueryDef(
+    "q_agg_stats",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"), col("value"),
+        col("value").cast(DecimalType(9, 2)).as("v"))
+      e.groupBy("event_type")
+        .agg(
+          min("value").as("min_value"),
+          max("value").as("max_value"),
+          count(lit(1)).as("n"),
+          sum("v").cast(DecimalType(38, 2)).cast(DoubleType).as("sum_v"),
+          sum(col("v") * col("v")).cast(DecimalType(38, 4)).cast(DoubleType).as("sum_v2"),
+          round(expr("percentile(value, 0.5)"), 6).as("median_value"))
+        .withColumn("stddev_v",
+          round(sqrt((col("sum_v2") - col("sum_v") * col("sum_v") / col("n")) / (col("n") - 1)), 6))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_type,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_v,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_v2,
+               ROUND(quantile_cont(value, 0.5), 6) AS median_value
+        FROM events GROUP BY event_type)
+      SELECT event_type, min_value, max_value, n, sum_v, sum_v2, median_value,
+             ROUND(sqrt((sum_v2 - sum_v * sum_v / n) / (n - 1)), 6) AS stddev_v
+      FROM g ORDER BY event_type
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(
+    aggGroupBy, aggDistinct, aggRollup, aggCube, aggGroupingSets, aggHll, aggStats)
 }

@@ -1,0 +1,243 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group D — joins (SURVEY.md §2.B Group D).
+  *
+  * Scale design: equi-joins shuffle on their keys (or broadcast the small
+  * side — `broadcast(part)` / dimension tables); the planner picks
+  * shuffled-hash vs sort-merge via stats + AQE. The theta/interval joins are
+  * deliberately blocked on an equi-key (nationkey / user_id) so Spark plans
+  * a hash join with a residual condition instead of a cartesian product —
+  * that's the property that survives a 100× scale-up. The as-of join avoids
+  * any join blowup entirely: it's a single shuffle on user_id + one ordered
+  * window pass (last non-null click carried forward), linear in events.
+  */
+object JoinQueries {
+
+  /** Inner equi-join. */
+  val joinInner = QueryDef(
+    "q_join_inner",
+    (s, dir) =>
+      Tables.orders(s, dir).join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "inner")
+        .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey, c_custkey, c_name, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey
+    """.trim),
+  )
+
+  /** Broadcast hash join — small side explicitly broadcast (plan-asserted). */
+  val joinBroadcast = QueryDef(
+    "q_join_broadcast",
+    (s, dir) =>
+      Tables.lineitem(s, dir).join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .select("l_orderkey", "l_linenumber", "p_brand", "p_type")
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber, p_brand, p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      ORDER BY l_orderkey, l_linenumber
+    """.trim),
+  )
+
+  /** Sort-merge join — forced via hint (plan-asserted). */
+  val joinSortMerge = QueryDef(
+    "q_join_sortmerge",
+    (s, dir) =>
+      Tables.lineitem(s, dir).hint("merge")
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus")
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ORDER BY l_orderkey, l_linenumber
+    """.trim),
+  )
+
+  /** Left outer join — customers without orders kept (null orderkeys sort
+    * first in both engines: Spark asc default, DuckDB `NULLS FIRST`).
+    */
+  val joinLeft = QueryDef(
+    "q_join_left",
+    (s, dir) =>
+      Tables.customer(s, dir).join(
+          Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(asc("c_custkey"), asc("o_orderkey")),
+    Some("""
+      SELECT c_custkey, o_orderkey, o_totalprice
+      FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+        ON c_custkey = o_custkey
+      ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST
+    """.trim),
+  )
+
+  /** Full outer join of per-nation aggregates (exercises unmatched keys on
+    * both sides without an m×n blowup).
+    */
+  val joinFull = QueryDef(
+    "q_join_full",
+    (s, dir) => {
+      val sup = Tables.supplier(s, dir).groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_suppliers"))
+      val cus = Tables.customer(s, dir).groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+      sup.join(cus, col("s_nationkey") === col("c_nationkey"), "full")
+        .select(
+          coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+        .orderBy("nationkey")
+    },
+    Some("""
+      SELECT COALESCE(s.s_nationkey, c.c_nationkey) AS nationkey,
+             COALESCE(s.n_suppliers, 0) AS n_suppliers,
+             COALESCE(c.n_customers, 0) AS n_customers
+      FROM (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+      FULL JOIN (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey) c
+        ON s.s_nationkey = c.c_nationkey
+      ORDER BY nationkey
+    """.trim),
+  )
+
+  /** Left semi join (EXISTS). */
+  val joinSemi = QueryDef(
+    "q_join_semi",
+    (s, dir) =>
+      Tables.customer(s, dir).join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      ORDER BY c_custkey
+    """.trim),
+  )
+
+  /** Left anti join (NOT EXISTS). */
+  /** Left anti join (NOT EXISTS). Right side filtered to high-value orders
+    * so the anti set is non-empty at every fixture scale.
+    */
+  val joinAnti = QueryDef(
+    "q_join_anti",
+    (s, dir) =>
+      Tables.customer(s, dir).join(
+          Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+      ORDER BY c_custkey
+    """.trim),
+  )
+
+  /** Cross join (5 × 25 — intentionally tiny; a cartesian product is never
+    * a scale path).
+    */
+  val joinCross = QueryDef(
+    "q_join_cross",
+    (s, dir) =>
+      Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+        .orderBy("r_regionkey", "n_nationkey"),
+    Some("""
+      SELECT r_regionkey, r_name, n_nationkey, n_name
+      FROM region CROSS JOIN nation
+      ORDER BY r_regionkey, n_nationkey
+    """.trim),
+  )
+
+  /** Theta join: equi-key on nationkey + inequality residual — plans as a
+    * hash join with a post-join filter, not a nested loop.
+    */
+  val joinTheta = QueryDef(
+    "q_join_theta",
+    (s, dir) =>
+      Tables.supplier(s, dir).join(
+          Tables.customer(s, dir),
+          col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))
+        .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+        .orderBy("s_suppkey", "c_custkey"),
+    Some("""
+      SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+      FROM supplier JOIN customer
+        ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+      ORDER BY s_suppkey, c_custkey
+    """.trim),
+  )
+
+  /** Interval join: purchase within 10 minutes after a click, same user.
+    * Blocked on user_id (equi) with a ts-range residual.
+    */
+  val joinInterval = QueryDef(
+    "q_join_interval",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      clicks.join(purchases,
+          col("cu") === col("pu")
+            && col("purchase_ts") > col("click_ts")
+            && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("click_id"), col("purchase_id"), col("cu").as("user_id"))
+        .orderBy("click_id", "purchase_id")
+    },
+    Some("""
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id AS user_id
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND CAST(p.ts AS TIMESTAMP) > CAST(c.ts AS TIMESTAMP)
+       AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+      ORDER BY click_id, purchase_id
+    """.trim),
+  )
+
+  /** As-of join: each purchase matched to the latest click at-or-before it,
+    * per user. Spark has no native as-of join; formulated as one window pass
+    * over the tagged union — O(n log n) per user partition, no pair blowup.
+    * Oracle is DuckDB's native ASOF JOIN. Output carries click_ts (epoch
+    * micros) rather than click_id so same-ts tie rows are deterministic.
+    */
+  val joinAsof = QueryDef(
+    "q_join_asof",
+    (s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_type").isin("click", "purchase"))
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          // clicks sort before purchases at equal ts so an equal-ts click is
+          // visible to the purchase (DuckDB ASOF uses <=).
+          when(col("event_type") === "click", lit(0)).otherwise(lit(1)).as("kind"),
+          when(col("event_type") === "click", expr("unix_micros(cast(ts as timestamp))")).as("click_us"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("click_ts_us", last(col("click_us"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1 && col("click_ts_us").isNotNull)
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("click_ts_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""
+      SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+             epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+      ORDER BY purchase_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(
+    joinInner, joinBroadcast, joinSortMerge, joinLeft, joinFull,
+    joinSemi, joinAnti, joinCross, joinTheta, joinInterval, joinAsof)
+}

@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Groups B (scans), C (project/filter), G (sort/limit), H (set ops) —
+  * SURVEY.md §2.B.
+  *
+  * Scale design notes:
+  *  - scans stay declarative so Catalyst pushes predicates + prunes columns
+  *    into the parquet reader (asserted by PlanShapeSpec);
+  *  - q_limit_topk relies on TakeOrderedAndProject (no global sort);
+  *  - set ops are shuffle hash-based distincts — at 100 TB they partition by
+  *    the full row hash, no driver involvement.
+  */
+object RelationalQueries {
+  private val D = DecimalType(12, 4)
+
+  /** Parquet scan + projection, total order. */
+  val scanParquet = QueryDef(
+    "q_scan_parquet",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """.trim),
+  )
+
+  /** Column-pruned, predicate-pushed scan (pushdown asserted in unit test). */
+  val scanPruned = QueryDef(
+    "q_scan_pruned",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 49)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem WHERE l_quantity > 49
+      ORDER BY l_orderkey, l_linenumber
+    """.trim),
+  )
+
+  /** Computed columns: revenue as exact decimal (Spark (25,8) / DuckDB
+    * (24,8) products, widened to a common (30,8) — never narrowed).
+    */
+  val projectExpr = QueryDef(
+    "q_project_expr",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice").cast(D) * (lit(BigDecimal(1)).cast(D) - col("l_discount").cast(D)))
+            .cast(DecimalType(30, 8)).as("revenue"),
+          (col("l_quantity").cast(D) * col("l_extendedprice").cast(D))
+            .cast(DecimalType(30, 8)).as("gross"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(30,8)) AS revenue,
+             CAST(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_extendedprice AS DECIMAL(12,4)) AS DECIMAL(30,8)) AS gross
+      FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """.trim),
+  )
+
+  /** Conjunctive/disjunctive predicates, BETWEEN, IN, IS NOT NULL. */
+  val filterPred = QueryDef(
+    "q_filter_pred",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(
+          col("o_orderdate").between(lit("1995-01-01").cast(TimestampNTZType), lit("1996-12-31").cast(TimestampNTZType))
+            && col("o_orderstatus").isin("O", "F")
+            && (col("o_totalprice") > 100000.0 || col("o_orderpriority") === "1-URGENT")
+            && col("o_custkey").isNotNull)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders
+      WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+        AND o_orderstatus IN ('O', 'F')
+        AND (o_totalprice > 100000.0 OR o_orderpriority = '1-URGENT')
+        AND o_custkey IS NOT NULL
+      ORDER BY o_orderkey
+    """.trim),
+  )
+
+  /** Multi-key sort: desc / asc with unique tiebreaker. */
+  val sortMulti = QueryDef(
+    "q_sort_multi",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(desc("o_totalprice"), asc("o_orderdate"), asc("o_orderkey")),
+    Some("""
+      SELECT o_orderkey, o_totalprice, o_orderdate
+      FROM orders ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+    """.trim),
+  )
+
+  /** Global top-k without full sort (TakeOrderedAndProject; plan-asserted).
+    * Revenue is exact decimal so the ordering is identical in both engines.
+    */
+  val limitTopk = QueryDef(
+    "q_limit_topk",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice").cast(D) * (lit(BigDecimal(1)).cast(D) - col("l_discount").cast(D)))
+            .cast(DecimalType(30, 8)).as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"), asc("l_linenumber"))
+        .limit(10),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(30,8)) AS revenue
+      FROM lineitem
+      ORDER BY revenue DESC, l_orderkey ASC, l_linenumber ASC
+      LIMIT 10
+    """.trim),
+  )
+
+  // Set-op inputs: custkeys in the BUILDING segment vs custkeys with >5
+  // orders. Both reproduce as plain subqueries in DuckDB.
+  private def buildingKeys(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey"))
+  private def busyKeys(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.orders(s, dir).groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 5).select(col("o_custkey").as("custkey"))
+  val setUnionAll = QueryDef(
+    "q_set_union_all",
+    (s, dir) => buildingKeys(s, dir).unionAll(busyKeys(s, dir)).orderBy("custkey"),
+    Some("""
+      SELECT custkey FROM (
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT o_custkey AS custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5
+      ) ORDER BY custkey
+    """.trim),
+  )
+
+  val setUnion = QueryDef(
+    "q_set_union",
+    (s, dir) => buildingKeys(s, dir).union(busyKeys(s, dir)).distinct().orderBy("custkey"),
+    Some("""
+      SELECT custkey FROM (
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT o_custkey AS custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5
+      ) ORDER BY custkey
+    """.trim),
+  )
+
+  val setIntersect = QueryDef(
+    "q_set_intersect",
+    (s, dir) => buildingKeys(s, dir).intersect(busyKeys(s, dir)).orderBy("custkey"),
+    Some("""
+      SELECT custkey FROM (
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5
+      ) ORDER BY custkey
+    """.trim),
+  )
+
+  val setExcept = QueryDef(
+    "q_set_except",
+    (s, dir) => buildingKeys(s, dir).except(busyKeys(s, dir)).orderBy("custkey"),
+    Some("""
+      SELECT custkey FROM (
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5
+      ) ORDER BY custkey
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(
+    scanParquet, scanPruned, projectExpr, filterPred,
+    sortMulti, limitTopk,
+    setUnionAll, setUnion, setIntersect, setExcept)
+}

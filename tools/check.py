@@ -48,10 +48,14 @@ def main():
             dv, sv = duck[c].tolist(), spark[c].tolist()
             for i, (a, b) in enumerate(zip(dv, sv)):
                 if a is None and b is None: continue
-                if isinstance(a, float) and isinstance(b, float):
-                    if math.isnan(a) and math.isnan(b): continue
-                    if a != b:
-                        bad.append((c, i, a, b, f"ulp-ish diff {abs(a-b):.3e}"))
+                if isinstance(a, float) or isinstance(b, float):
+                    try:
+                        fa, fb = float(a), float(b)
+                        if math.isnan(fa) and math.isnan(fb): continue
+                        if fa != fb:
+                            bad.append((c, i, a, b, f"ulp-ish diff {abs(fa-fb):.3e}"))
+                    except (TypeError, ValueError):
+                        bad.append((c, i, a, b, "type"))
                 elif str(a) != str(b):
                     bad.append((c, i, a, b, "value"))
                 if len(bad) > 3: break
