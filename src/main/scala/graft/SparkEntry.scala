@@ -11,7 +11,8 @@ import graft.operators._
   */
 object SparkEntry {
   private def allDefs: Seq[QueryDef] =
-    AggQueries.defs ++ RelationalQueries.defs ++ JoinQueries.defs ++ WindowQueries.defs
+    AggQueries.defs ++ RelationalQueries.defs ++ JoinQueries.defs ++ WindowQueries.defs ++
+      FunctionQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++ VectorQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

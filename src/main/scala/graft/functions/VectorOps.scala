@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column builders for vector math over ArrayType(FloatType) embeddings.
+  *
+  * All arithmetic is promoted to double and accumulated sequentially in
+  * index order (Spark's `aggregate` higher-order function), which makes the
+  * result bit-identical to DuckDB's list_inner_product/list_sum over
+  * double-cast lists — the property the oracle compare relies on.
+  * These are pure Catalyst expressions (no UDFs), so they stay inside
+  * whole-stage codegen. A native Expression with doGenCode
+  * (graft.functions.CosineSimilarity) supersedes these in hot paths; these
+  * remain the correctness reference.
+  */
+object VectorOps {
+  /** Sequential-order double dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Squared L2 norm. */
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity: dot / sqrt(|a|² · |b|²) — single sqrt, mirrored
+    * exactly in oracle SQL.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(normSq(a) * normSq(b))
+}

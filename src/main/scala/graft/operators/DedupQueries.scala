@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Group K (dedup) — exact and near-duplicate detection
+  * (SURVEY.md §2.B Group K + builder-prompt dedup ops).
+  *
+  * Scale design: exact dedup is one hash shuffle on the full text. The
+  * similarity joins are *blocked* — by language for token-Jaccard, by LSH
+  * band signature for MinHash, by 16-bit chunk for SimHash — so candidate
+  * generation stays near-linear; only candidates pay the exact-verification
+  * cost. The unblocked exact-Jaccard query exists as the correctness oracle
+  * for the blocked variants and is the one deliberately quadratic (per-lang)
+  * operator.
+  */
+object DedupQueries {
+
+  private def docTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+
+  /** Exact dedup: canonical representative = min(doc_id) per identical text. */
+  val dedupExact = QueryDef(
+    "q_dedup_exact",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("text")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), length(col("text")).as("text_len"))
+        .orderBy("keep_id"),
+    Some("""
+      SELECT keep_id, n_copies, CAST(length(text) AS INTEGER) AS text_len
+      FROM (SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY text)
+      ORDER BY keep_id
+    """.trim),
+  )
+
+  /** Exact token-set Jaccard similarity join, blocked by language.
+    * Intersection/union sizes are ints so the score double is exact.
+    */
+  val simJaccard = QueryDef(
+    "q_sim_jaccard",
+    (s, dir) => {
+      val a = docTokens(s, dir).select(col("lang"), col("doc_id").as("doc_id1"), col("toks").as("toks1"))
+      val b = docTokens(s, dir).select(col("lang").as("lang2"), col("doc_id").as("doc_id2"), col("toks").as("toks2"))
+      a.join(b, col("lang") === col("lang2") && col("doc_id1") < col("doc_id2"))
+        .withColumn("inter", size(array_intersect(col("toks1"), col("toks2"))))
+        .withColumn("uni", size(col("toks1")) + size(col("toks2")) - col("inter"))
+        .withColumn("jaccard", round(col("inter").cast(DoubleType) / col("uni"), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_id1", "doc_id2", "jaccard")
+        .orderBy("doc_id1", "doc_id2")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+      SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+             ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+      ORDER BY doc_id1, doc_id2
+    """.trim),
+  )
+
+  /** MinHash + banded LSH near-dedup. 32 seeded murmur3 min-hashes per doc,
+    * 8 bands × 4 rows; candidate pairs share (lang, band, signature) and are
+    * then verified with exact Jaccard ≥ 0.5. Candidate generation is
+    * near-linear (shuffle on band signature) — this is the 100 TB path the
+    * quadratic q_sim_jaccard validates. Non-oracle (candidate sets are
+    * hash-family-specific); MinHashSpec asserts candidates ⊇ exact pairs.
+    */
+  val dedupNear = QueryDef(
+    "q_dedup_near",
+    (s, dir) => {
+      val nHashes = 32
+      val bands = 8
+      val rows = nHashes / bands
+      val toks = docTokens(s, dir)
+      val exploded = toks.select(col("doc_id"), col("lang"), explode(col("toks")).as("token"))
+      val minhashAggs = (0 until nHashes).map(i => min(hash(col("token"), lit(i))).as(s"mh$i"))
+      val sigs = exploded.groupBy("doc_id", "lang").agg(minhashAggs.head, minhashAggs.tail: _*)
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          hash((b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*).as("sig"))
+      }
+      val banded = sigs.select(col("doc_id"), col("lang"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("doc_id"), col("lang"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val l = banded.select(col("lang"), col("band"), col("sig"), col("doc_id").as("doc_id1"))
+      val r = banded.select(col("lang").as("lang2"), col("band").as("band2"), col("sig").as("sig2"),
+        col("doc_id").as("doc_id2"))
+      val candidates = l.join(r,
+          col("lang") === col("lang2") && col("band") === col("band2")
+            && col("sig") === col("sig2") && col("doc_id1") < col("doc_id2"))
+        .select("lang", "doc_id1", "doc_id2").distinct()
+      val t1 = toks.select(col("doc_id").as("doc_id1"), col("toks").as("toks1"))
+      val t2 = toks.select(col("doc_id").as("doc_id2"), col("toks").as("toks2"))
+      candidates.join(t1, "doc_id1").join(t2, "doc_id2")
+        .withColumn("inter", size(array_intersect(col("toks1"), col("toks2"))))
+        .withColumn("uni", size(col("toks1")) + size(col("toks2")) - col("inter"))
+        .withColumn("jaccard", round(col("inter").cast(DoubleType) / col("uni"), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_id1", "doc_id2", "jaccard")
+        .orderBy("doc_id1", "doc_id2")
+    },
+    None,
+  )
+
+  /** SimHash near-dedup: 64-bit fingerprint from token hashes; candidates
+    * share one of four 16-bit chunks (pigeonhole covers hamming ≤ 3);
+    * verified by bit_count(xor) ≤ 3. Non-oracle; SimHashSpec covers it.
+    */
+  val dedupSimhash = QueryDef(
+    "q_dedup_simhash",
+    (s, dir) => {
+      val toks = docTokens(s, dir)
+      val exploded = toks.select(col("doc_id"), col("lang"), explode(col("toks")).as("token"))
+        .withColumn("h", xxhash64(col("token")))
+      val bitSums = (0 until 64).map { i =>
+        sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
+      }
+      val summed = exploded.groupBy("doc_id", "lang").agg(bitSums.head, bitSums.tail: _*)
+      val fp = (0 until 64).map { i =>
+        when(col(s"b$i") > 0, expr(s"CAST(1 AS BIGINT) << $i")).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val fps = summed.select(col("doc_id"), col("lang"), fp.as("fp"))
+      val chunked = fps.select(col("doc_id"), col("lang"), col("fp"),
+          explode(array((0 until 4).map(c =>
+            struct(lit(c).as("chunk"), expr(s"(fp >> ${c * 16}) & 65535").as("ck"))): _*)).as("cc"))
+        .select(col("doc_id"), col("lang"), col("fp"), col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
+      val l = chunked.select(col("lang"), col("chunk"), col("ck"),
+        col("doc_id").as("doc_id1"), col("fp").as("fp1"))
+      val r = chunked.select(col("lang").as("lang2"), col("chunk").as("chunk2"), col("ck").as("ck2"),
+        col("doc_id").as("doc_id2"), col("fp").as("fp2"))
+      l.join(r, col("lang") === col("lang2") && col("chunk") === col("chunk2")
+          && col("ck") === col("ck2") && col("doc_id1") < col("doc_id2"))
+        .select(col("doc_id1"), col("doc_id2"),
+          expr("bit_count(fp1 ^ fp2)").as("hamming")).distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_id1", "doc_id2")
+    },
+    None,
+  )
+
+  /** Token-bigram (n-gram) Jaccard similarity join, blocked by language —
+    * order-sensitive shingles catch near-dups that bag-of-words misses.
+    */
+  val dedupNgram = QueryDef(
+    "q_dedup_ngram",
+    (s, dir) => {
+      val grams = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        array_distinct(expr(
+          """transform(sequence(0, size(split(text, ' ')) - 2),
+             i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1]))""")).as("grams"))
+      val a = grams.select(col("lang"), col("doc_id").as("doc_id1"), col("grams").as("g1"))
+      val b = grams.select(col("lang").as("lang2"), col("doc_id").as("doc_id2"), col("grams").as("g2"))
+      a.join(b, col("lang") === col("lang2") && col("doc_id1") < col("doc_id2"))
+        .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
+        .withColumn("uni", size(col("g1")) + size(col("g2")) - col("inter"))
+        .withColumn("jaccard", round(col("inter").cast(DoubleType) / col("uni"), 6))
+        .filter(col("jaccard") >= 0.3)
+        .select("doc_id1", "doc_id2", "jaccard")
+        .orderBy("doc_id1", "doc_id2")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(range(len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS grams
+        FROM documents)
+      SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+             ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.3
+      ORDER BY doc_id1, doc_id2
+    """.trim),
+  )
+
+  /** Embedding-cosine near-duplicate pairs (≥ 0.95 on the 6dp-rounded
+    * score). Deliberately brute-force as the oracle-checked baseline; the
+    * LSH-bucketed q_ann_lsh is the 100 TB candidate-generation path.
+    */
+  val dedupEmbed = QueryDef(
+    "q_dedup_embed",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("vec_id1"), col("embedding").as("e1"))
+      val b = e.select(col("vec_id").as("vec_id2"), col("embedding").as("e2"))
+      a.join(b, col("vec_id1") < col("vec_id2"))
+        .withColumn("cos", round(VectorOps.cosine(col("e1"), col("e2")), 6))
+        .filter(col("cos") >= 0.95)
+        .select("vec_id1", "vec_id2", "cos")
+        .orderBy("vec_id1", "vec_id2")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)
+      SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+             ROUND(list_inner_product(a.emb, b.emb)
+                   / sqrt(list_inner_product(a.emb, a.emb) * list_inner_product(b.emb, b.emb)), 6) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_inner_product(a.emb, b.emb)
+                  / sqrt(list_inner_product(a.emb, a.emb) * list_inner_product(b.emb, b.emb)), 6) >= 0.95
+      ORDER BY vec_id1, vec_id2
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(
+    dedupExact, simJaccard, dedupNear, dedupSimhash, dedupNgram, dedupEmbed)
+}

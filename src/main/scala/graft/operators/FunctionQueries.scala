@@ -1,0 +1,222 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Group I — scalar function families (SURVEY.md §2.B Group I).
+  *
+  * All functions are Spark built-ins (whole-stage-codegen'd) — no UDFs in
+  * any hot path. Floating-point caveats handled per-query: sqrt is IEEE
+  * correctly-rounded (identical across engines); pow is restricted to exact
+  * small-integer cases; round on a 2dp-stored double never sees a true
+  * binary .x5 tie at 1dp.
+  */
+object FunctionQueries {
+  private val D = DecimalType(12, 4)
+
+  /** String family: upper/lower/substring/concat/trim/length/LIKE/regexp. */
+  val fnString = QueryDef(
+    "q_fn_string",
+    (s, dir) =>
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          lower(col("p_brand")).as("brand_lower"),
+          substring(col("p_name"), 1, 5).as("name_pfx"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("name_trim"),
+          length(col("p_name")).as("name_len"),
+          col("p_name").like("%red%").as("is_red"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"))
+        .orderBy("p_partkey"),
+    Some("""
+      SELECT p_partkey,
+             UPPER(p_name) AS name_upper,
+             LOWER(p_brand) AS brand_lower,
+             SUBSTRING(p_name, 1, 5) AS name_pfx,
+             CONCAT_WS('/', p_brand, p_type) AS brand_type,
+             TRIM(CONCAT('  ', p_name, '  ')) AS name_trim,
+             LENGTH(p_name) AS name_len,
+             p_name LIKE '%red%' AS is_red,
+             REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS brand_num
+      FROM part ORDER BY p_partkey
+    """.trim),
+  )
+
+  /** Date/time family over o_orderdate (timestamp_ntz). */
+  val fnDate = QueryDef(
+    "q_fn_date",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"),
+          dayofmonth(col("o_orderdate")).as("o_day"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast(DateType)).as("days_since_95"),
+          date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+          quarter(col("o_orderdate")).as("o_quarter"),
+          dayofweek(col("o_orderdate")).as("o_dow"))
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(month(o_orderdate) AS INTEGER) AS o_month,
+             CAST(day(o_orderdate) AS INTEGER) AS o_day,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95,
+             CAST(o_orderdate AS DATE) + 30 AS due_date,
+             CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+             CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS o_dow
+      FROM orders ORDER BY o_orderkey
+    """.trim),
+  )
+
+  /** Math family. sqrt on integral quantities (IEEE exact-rounded both
+    * engines); pow kept to exact integer squares; mod on ints.
+    */
+  val fnMath = QueryDef(
+    "q_fn_math",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 1).as("price_r1"),
+          abs(col("l_discount") - 0.05).as("disc_dev"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          sqrt(col("l_quantity")).as("qty_sqrt"),
+          pow(col("l_quantity"), 2).as("qty_sq"),
+          (col("l_linenumber") % 3).as("ln_mod3"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             ROUND(l_extendedprice, 1) AS price_r1,
+             ABS(l_discount - 0.05) AS disc_dev,
+             CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+             CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+             SQRT(l_quantity) AS qty_sqrt,
+             POWER(l_quantity, 2) AS qty_sq,
+             l_linenumber % 3 AS ln_mod3
+      FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """.trim),
+  )
+
+  /** Conditional family: CASE tiers, coalesce, nullif. */
+  val fnCond = QueryDef(
+    "q_fn_cond",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 300000.0, "high")
+            .when(col("o_totalprice") > 100000.0, "mid")
+            .otherwise("low").as("price_tier"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"),
+          nullif(col("o_orderpriority"), lit("1-URGENT")).as("prio_nullable"))
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice > 300000.0 THEN 'high'
+                  WHEN o_totalprice > 100000.0 THEN 'mid'
+                  ELSE 'low' END AS price_tier,
+             COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+             NULLIF(o_orderpriority, '1-URGENT') AS prio_nullable
+      FROM orders ORDER BY o_orderkey
+    """.trim),
+  )
+
+  /** JSON family: extract int from events.props, aggregate by it. */
+  val fnJson = QueryDef(
+    "q_fn_json",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
+          col("value").cast(DecimalType(9, 2)).as("v"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("v").cast(DecimalType(38, 2)).as("sum_value"))
+        .orderBy("k"),
+    Some("""
+      SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DECIMAL(38,2)) AS sum_value
+      FROM events GROUP BY 1 ORDER BY k
+    """.trim),
+  )
+
+  /** Array family (higher-order functions) over the embedding vector.
+    * Array-typed outputs are reduced to scalars so the oracle compare stays
+    * type-simple; the double fold is sequential in index order on both
+    * engines.
+    */
+  val fnArray = QueryDef(
+    "q_fn_array",
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).as("first_elem"),
+          element_at(col("embedding"), -1).as("last_elem"),
+          element_at(sort_array(col("embedding")), 1).as("min_elem"),
+          element_at(sort_array(col("embedding"), asc = false), 1).as("max_elem"),
+          element_at(slice(col("embedding"), 1, 8), 8).as("eighth"),
+          array_contains(col("embedding"), 0.0f).as("has_zero"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast(DoubleType)), 6).as("sum_elems"))
+        .orderBy("vec_id"),
+    Some("""
+      SELECT vec_id,
+             CAST(len(embedding) AS INTEGER) AS dim,
+             embedding[1] AS first_elem,
+             embedding[-1] AS last_elem,
+             list_sort(embedding)[1] AS min_elem,
+             list_reverse_sort(embedding)[1] AS max_elem,
+             embedding[1:8][8] AS eighth,
+             list_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero,
+             ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS sum_elems
+      FROM embeddings ORDER BY vec_id
+    """.trim),
+  )
+
+  /** Map family — no DuckDB oracle (map literal/ordering parity is fragile);
+    * golden-tested in MapFunctionSpec. Outputs scalars from map ops.
+    */
+  val fnMap = QueryDef(
+    "q_fn_map",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        // props {"k": 69} → "k=69,type=<event_type>" → str_to_map
+        .withColumn("kv",
+          concat(lit("k="), get_json_object(col("props"), "$.k"), lit(",type="), col("event_type")))
+        .withColumn("m", expr("str_to_map(kv, ',', '=')"))
+      e.select(
+          col("event_id"),
+          map_keys(col("m")).getItem(0).as("first_key"),
+          map_values(col("m")).getItem(0).as("first_val"),
+          element_at(col("m"), "type").as("type_val"),
+          size(col("m")).as("map_size"))
+        .orderBy("event_id")
+    },
+    None,
+  )
+
+  /** Table-generating (UDTF / Catalyst Generator): tokenize + explode. */
+  val fnExplode = QueryDef(
+    "q_fn_explode",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .orderBy("doc_id", "token"),
+    Some("""
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents ORDER BY doc_id, token
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(
+    fnString, fnDate, fnMath, fnCond, fnJson, fnArray, fnMap, fnExplode)
+}

@@ -1,0 +1,249 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Group K (text) — corpus analytics for an LLM-data pipeline
+  * (SURVEY.md §2.B Group K + builder-prompt text-analysis ops).
+  *
+  * Scale design: everything is explode → shuffle-on-token/doc aggregates;
+  * token-level intermediates never materialize per-document state on the
+  * driver. The tf-idf corpus size N rides along as a broadcast single-row
+  * join, not a collected scalar.
+  */
+object TextQueries {
+
+  private def tokens(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("token"))
+
+  /** Top-20 tokens per language by frequency. */
+  val wordcount = QueryDef(
+    "q_text_wordcount",
+    (s, dir) => {
+      val counts = tokens(s, dir).groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(desc("n"), asc("token"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select("lang", "rn", "token", "n")
+        .orderBy("lang", "rn")
+    },
+    Some("""
+      WITH counts AS (
+        SELECT lang, token, COUNT(*) AS n
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY lang, token)
+      SELECT lang, rn, token, n FROM (
+        SELECT lang, token, n,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rn
+        FROM counts)
+      WHERE rn <= 20
+      ORDER BY lang, rn
+    """.trim),
+  )
+
+  /** tf-idf, top-1 token per document. idf = ln(N/df) in double on both
+    * engines; ranking is on the 6dp-rounded score so a last-ulp libm
+    * difference cannot flip ranks.
+    */
+  val tfidf = QueryDef(
+    "q_text_tfidf",
+    (s, dir) => {
+      val toks = tokens(s, dir)
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "token").crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "token", "score")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+      df AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.token,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+      SELECT doc_id, token, score FROM (
+        SELECT doc_id, token, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rn
+        FROM scored) WHERE rn = 1
+      ORDER BY doc_id
+    """.trim),
+  )
+
+  /** Corpus stats per (lang, source). */
+  val textStats = QueryDef(
+    "q_text_stats",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum("n_chars").cast(DecimalType(38, 0)).cast(DoubleType) / count(lit(1))).as("avg_chars"))
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang", "source").agg(countDistinct("token").as("n_distinct_tokens"))
+      docs.join(toks, Seq("lang", "source"))
+        .orderBy("lang", "source")
+    },
+    Some("""
+      WITH d AS (
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(CAST(SUM(n_chars) AS DECIMAL(38,0)) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM documents GROUP BY lang, source),
+      t AS (
+        SELECT lang, source, COUNT(DISTINCT token) AS n_distinct_tokens
+        FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY lang, source)
+      SELECT d.lang AS lang, d.source AS source, n_docs, avg_chars, n_distinct_tokens
+      FROM d JOIN t ON d.lang = t.lang AND d.source = t.source
+      ORDER BY lang, source
+    """.trim),
+  )
+
+  /** Language identification via per-language token profiles (n-gram-style
+    * heuristic): profile = top-20 tokens per lang; prediction = lang with
+    * most profile hits among the doc's distinct tokens (tiebreak lang asc).
+    */
+  val langId = QueryDef(
+    "q_text_langid",
+    (s, dir) => {
+      val toks = tokens(s, dir)
+      val counts = toks.groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      val wProf = Window.partitionBy("lang").orderBy(desc("n"), asc("token"))
+      val profile = counts.withColumn("rn", row_number().over(wProf))
+        .filter(col("rn") <= 20)
+        .select(col("lang").as("profile_lang"), col("token"))
+      val docToks = toks.select("doc_id", "lang", "token").distinct()
+      val hits = docToks.join(broadcast(profile), "token")
+        .groupBy("doc_id", "lang", "profile_lang").agg(count(lit(1)).as("hits"))
+      val wPred = Window.partitionBy("doc_id").orderBy(desc("hits"), asc("profile_lang"))
+      hits.withColumn("rn", row_number().over(wPred))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("profile_lang").as("pred_lang"),
+          (col("lang") === col("profile_lang")).as("is_correct"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      counts AS (SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY lang, token),
+      profile AS (
+        SELECT lang AS profile_lang, token FROM (
+          SELECT lang, token,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rn
+          FROM counts) WHERE rn <= 20),
+      doctoks AS (SELECT DISTINCT doc_id, lang, token FROM toks),
+      hits AS (
+        SELECT doc_id, lang, profile_lang, COUNT(*) AS hits
+        FROM doctoks JOIN profile USING (token)
+        GROUP BY doc_id, lang, profile_lang)
+      SELECT doc_id, lang, profile_lang AS pred_lang, lang = profile_lang AS is_correct
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, profile_lang ASC) AS rn
+            FROM hits) WHERE rn = 1
+      ORDER BY doc_id
+    """.trim),
+  )
+
+  /** Quality scoring: type-token ratio, stopword ratio, length — all exact
+    * integer ratios in double.
+    */
+  val quality = QueryDef(
+    "q_text_quality",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_distinct", size(array_distinct(col("toks"))))
+        .withColumn("n_stop", size(filter(col("toks"),
+          t => t.isin("the", "a", "of", "and", "in", "to"))))
+        .select(
+          col("doc_id"),
+          col("n_tokens"), col("n_distinct"), col("n_stop"),
+          (col("n_distinct").cast(DoubleType) / col("n_tokens")).as("ttr"),
+          (col("n_stop").cast(DoubleType) / col("n_tokens")).as("stop_ratio"),
+          round(
+            lit(0.3) * (col("n_distinct").cast(DoubleType) / col("n_tokens"))
+              + lit(0.5) * (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tokens"))
+              + lit(0.2) * least(lit(1.0), col("n_tokens").cast(DoubleType) / lit(100.0)),
+            6).as("quality_score"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH q AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','in','to'))) AS n_stop
+        FROM documents)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(n_tokens AS INTEGER) AS n_tokens,
+             CAST(n_distinct AS INTEGER) AS n_distinct,
+             CAST(n_stop AS INTEGER) AS n_stop,
+             CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+             CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+             ROUND(0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+                 + 0.5 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+                 + 0.2 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0), 6) AS quality_score
+      FROM q ORDER BY doc_id
+    """.trim),
+  )
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens, chars/4
+    * estimate.
+    */
+  val tokenCount = QueryDef(
+    "q_text_tokencount",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("n_re_tokens"),
+          ceil(col("n_chars").cast(DoubleType) / 4.0).cast(LongType).as("est_bpe_tokens"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_re_tokens,
+             CAST(CEIL(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens
+      FROM documents ORDER BY doc_id
+    """.trim),
+  )
+
+  /** Rolling-hash document fingerprint: polynomial fold over a per-token
+    * code derived from printable characters only (cross-engine —
+    * deliberately avoids murmur/xxhash whose impls differ between engines).
+    */
+  val fingerprint = QueryDef(
+    "q_text_fingerprint",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("codes", expr(
+          """transform(split(text, ' '),
+             t -> (ascii(substring(t, 1, 1)) * 256 + ascii(substring(t, -1, 1))) * 31 + length(t))"""))
+        .select(
+          col("doc_id"),
+          expr("aggregate(codes, 0L, (acc, v) -> (acc * 1000003 + v) % 2147483647)").as("fingerprint"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ' '),
+                   t -> CAST((ascii(t[1]) * 256 + ascii(t[-1])) * 31 + length(t) AS BIGINT))),
+               (acc, v) -> (acc * 1000003 + v) % 2147483647) AS fingerprint
+      FROM documents ORDER BY doc_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(
+    wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint)
+}

@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.{VectorCentroid, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Group K (vectors) — similarity search over the embedding column
+  * (SURVEY.md §2.B Group K + builder-prompt ANN ops).
+  *
+  * Scale design: brute-force top-k is linear in the corpus only because the
+  * query set is fixed and broadcast — corpus rows stream through one
+  * projection + per-partition top-k (window over high-cardinality query id).
+  * The LSH and IVF variants are the genuine 100 TB paths: candidates come
+  * from an equi-join on bucket id (shuffle, no cartesian), then only
+  * candidates pay the exact-distance cost.
+  */
+object VectorQueries {
+
+  /** Brute-force cosine top-5 for query vectors (vec_id < 10), excluding
+    * self. Broadcast the tiny query side; score via sequential double fold
+    * (mirrored in DuckDB); rank on the 6dp-rounded score.
+    */
+  val cosineTopk = QueryDef(
+    "q_sim_cosine_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("n_vec_id"), col("embedding").as("n_emb"))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("q_vec_id") =!= col("n_vec_id"))
+        .withColumn("cos", round(VectorOps.cosine(col("q_emb"), col("n_emb")), 6))
+      val w = Window.partitionBy("q_vec_id").orderBy(desc("cos"), asc("n_vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("q_vec_id", "rn", "n_vec_id", "cos")
+        .orderBy("q_vec_id", "rn")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      q AS (SELECT vec_id AS q_vec_id, emb AS q_emb FROM e WHERE vec_id < 10),
+      scored AS (
+        SELECT q.q_vec_id, c.vec_id AS n_vec_id,
+               ROUND(list_inner_product(q.q_emb, c.emb)
+                     / sqrt(list_inner_product(q.q_emb, q.q_emb) * list_inner_product(c.emb, c.emb)), 6) AS cos
+        FROM e c CROSS JOIN q WHERE q.q_vec_id != c.vec_id)
+      SELECT q_vec_id, rn, n_vec_id, cos FROM (
+        SELECT q_vec_id, n_vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, n_vec_id ASC) AS rn
+        FROM scored)
+      WHERE rn <= 5
+      ORDER BY q_vec_id, rn
+    """.trim),
+  )
+
+  /** Per-label centroid via the VectorCentroid Aggregator (UDAF), exploded
+    * to scalar rows. Golden-tested against the posexplode formulation
+    * (VectorCentroidSpec); no hash oracle (float-sum order).
+    */
+  val vecCentroid = QueryDef(
+    "q_vec_centroid",
+    (s, dir) => {
+      val centroidUdaf = udaf(new VectorCentroid(64))
+      Tables.embeddings(s, dir)
+        .groupBy("label")
+        .agg(centroidUdaf(col("embedding")).as("centroid"))
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "centroid_val")))
+        .orderBy("label", "dim")
+    },
+    None,
+  )
+
+  /** Posexplode formulation of the same centroid — the cross-check twin for
+    * VectorCentroidSpec and a pure-built-in alternative.
+    */
+  def centroidViaPosexplode(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("v").cast(DoubleType)), 4).as("centroid_val"))
+      .orderBy("label", "dim")
+
+  // ---- LSH (random hyperplane) ANN ----------------------------------------
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed — constants baked
+    * into the plan, nothing random at runtime). L tables × B bits.
+    */
+  private[operators] val LshTables = 4
+  private[operators] val LshBits = 6
+  private[operators] lazy val hyperplanes: IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    IndexedSeq.fill(LshTables)(IndexedSeq.fill(LshBits)(Array.fill(64)(rnd.nextGaussian())))
+  }
+
+  private def planeLit(p: Array[Double]): Column = array(p.map(lit(_)): _*)
+
+  /** Sign-bit bucket id of `emb` under table `t`. */
+  private def bucketId(emb: Column, t: Int): Column =
+    (0 until LshBits).map { b =>
+      when(VectorOps.dot(emb, planeLit(hyperplanes(t)(b))) >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Approximate top-5 neighbors via multi-table random-hyperplane LSH:
+    * candidates share a bucket in ≥1 of 4 tables; exact cosine only on
+    * candidates. Non-oracle; AnnSpec bounds recall against q_sim_cosine_topk.
+    */
+  val annLsh = QueryDef(
+    "q_ann_lsh",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val bucketCols = (0 until LshTables).map(t =>
+        struct(lit(t).as("t"), bucketId(col("embedding"), t).as("b")))
+      val bucketed = e.select(col("vec_id"), col("embedding"),
+          explode(array(bucketCols: _*)).as("tb"))
+        .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.b").as("b"))
+      val q = bucketed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+          col("t").as("qt"), col("b").as("qb"))
+      val candidates = bucketed.join(broadcast(q),
+          col("t") === col("qt") && col("b") === col("qb") && col("vec_id") =!= col("q_vec_id"))
+        .select(col("q_vec_id"), col("q_emb"), col("vec_id").as("n_vec_id"), col("embedding").as("n_emb"))
+        .dropDuplicates("q_vec_id", "n_vec_id")
+      val scored = candidates
+        .withColumn("cos", round(VectorOps.cosine(col("q_emb"), col("n_emb")), 6))
+      val w = Window.partitionBy("q_vec_id").orderBy(desc("cos"), asc("n_vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("q_vec_id", "rn", "n_vec_id", "cos")
+        .orderBy("q_vec_id", "rn")
+    },
+    None,
+  )
+
+  /** IVF-style ANN: coarse quantizer = per-label centroids (stand-in for a
+    * trained k-means codebook — deterministic and cheap); every vector is
+    * assigned to its nearest centroid (inverted lists), queries probe the 2
+    * nearest centroids and search only those lists exactly. Non-oracle;
+    * AnnSpec bounds recall.
+    */
+  val annIvf = QueryDef(
+    "q_ann_ivf",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centroids = centroidViaPosexplode(s, dir)
+        .groupBy("label").agg(collect_list(struct(col("dim"), col("centroid_val"))).as("dv"))
+        .select(col("label").as("c_id"),
+          expr("transform(array_sort(dv, (l, r) -> l.dim - r.dim), x -> x.centroid_val)").as("c_emb"))
+      // assign: nearest centroid by cosine (10 centroids broadcast)
+      val assignW = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("c_id"))
+      val assigned = e.crossJoin(broadcast(centroids))
+        .withColumn("sim", VectorOps.dot(col("embedding"), col("c_emb"))
+          / sqrt(VectorOps.normSq(col("embedding")) * VectorOps.normSq(col("c_emb"))))
+        .withColumn("rn", row_number().over(assignW))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_id"))
+      // queries probe their 2 nearest centroids
+      val probeW = Window.partitionBy("q_vec_id").orderBy(desc("sim"), asc("c_id"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("sim", VectorOps.dot(col("q_emb"), col("c_emb"))
+          / sqrt(VectorOps.normSq(col("q_emb")) * VectorOps.normSq(col("c_emb"))))
+        .withColumn("rn", row_number().over(probeW))
+        .filter(col("rn") <= 2)
+        .select(col("q_vec_id"), col("q_emb"), col("c_id").as("probe_c_id"))
+      val scored = assigned.join(broadcast(probes),
+          col("c_id") === col("probe_c_id") && col("vec_id") =!= col("q_vec_id"))
+        .withColumn("cos", round(VectorOps.cosine(col("q_emb"), col("embedding")), 6))
+      val w = Window.partitionBy("q_vec_id").orderBy(desc("cos"), asc("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_vec_id"), col("rn"), col("vec_id").as("n_vec_id"), col("cos"))
+        .orderBy("q_vec_id", "rn")
+    },
+    None,
+  )
+
+  def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, annLsh, annIvf)
+}
