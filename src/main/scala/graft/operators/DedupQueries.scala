@@ -69,17 +69,19 @@ object DedupQueries {
   )
 
   /** MinHash + banded LSH near-dedup. 32 seeded murmur3 min-hashes per doc,
-    * 8 bands × 4 rows; candidate pairs share (lang, band, signature) and are
-    * then verified with exact Jaccard ≥ 0.5. Candidate generation is
-    * near-linear (shuffle on band signature) — this is the 100 TB path the
-    * quadratic q_sim_jaccard validates. Non-oracle (candidate sets are
-    * hash-family-specific); MinHashSpec asserts candidates ⊇ exact pairs.
+    * 16 bands × 2 rows (P[candidate] ≈ 0.99 at J = 0.5 — the verification
+    * threshold; wider bands miss borderline pairs); candidate pairs share
+    * (lang, band, signature) and are then verified with exact Jaccard ≥ 0.5.
+    * Candidate generation is near-linear (shuffle on band signature) — this
+    * is the 100 TB path the quadratic q_sim_jaccard validates. Non-oracle
+    * (candidate sets are hash-family-specific); ApproxOpsSpec asserts
+    * precision 1.0 and recall ≥ 0.95 against the exact join.
     */
   val dedupNear = QueryDef(
     "q_dedup_near",
     (s, dir) => {
       val nHashes = 32
-      val bands = 8
+      val bands = 16
       val rows = nHashes / bands
       val toks = docTokens(s, dir)
       val exploded = toks.select(col("doc_id"), col("lang"), explode(col("toks")).as("token"))
@@ -140,7 +142,7 @@ object DedupQueries {
       l.join(r, col("lang") === col("lang2") && col("chunk") === col("chunk2")
           && col("ck") === col("ck2") && col("doc_id1") < col("doc_id2"))
         .select(col("doc_id1"), col("doc_id2"),
-          expr("bit_count(fp1 ^ fp2)").as("hamming")).distinct()
+          expr("CAST(bit_count(fp1 ^ fp2) AS BIGINT)").as("hamming")).distinct()
         .filter(col("hamming") <= 3)
         .orderBy("doc_id1", "doc_id2")
     },

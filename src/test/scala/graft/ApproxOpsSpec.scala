@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{AggQueries, DedupQueries, VectorQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Property-style checks for the approximate / non-oracle operators
+  * (SURVEY.md §5.2(3)): HLL within rsd of exact; MinHash near-dedup recall
+  * vs the exact Jaccard join; ANN recall vs brute-force top-k; centroid
+  * UDAF ≡ posexplode formulation.
+  */
+class ApproxOpsSpec extends SparkTestBase with Matchers {
+
+  test("q_agg_hll: approx distinct within 10% of exact per event_type") {
+    val approx = AggQueries.aggHll.query(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = AggQueries.aggDistinct.query(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      math.abs(ap - ex) / ex should be <= 0.10
+    }
+  }
+
+  test("q_dedup_near: MinHash candidates recover ≥90% of exact Jaccard pairs") {
+    val exact = DedupQueries.simJaccard.query(spark, sfTiny).select("doc_id1", "doc_id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val near = DedupQueries.dedupNear.query(spark, sfTiny).select("doc_id1", "doc_id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact should not be empty
+    near.subsetOf(exact) shouldBe true // precision 1.0: every pair verified exactly
+    val recall = near.intersect(exact).size.toDouble / exact.size
+    recall should be >= 0.95
+  }
+
+  test("q_dedup_simhash: non-empty, hamming ≤ 3, and same-lang identical docs collide at 0") {
+    val rows = DedupQueries.dedupSimhash.query(spark, sfTiny).collect()
+    rows should not be empty
+    all(rows.map(_.getLong(2))) should be <= 3L
+    // same-lang identical texts have identical fingerprints → hamming 0
+    val sameLangDups = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .groupBy("text", "lang").count().filter(col("count") > 1).count()
+    if (sameLangDups > 0) rows.map(_.getLong(2)) should contain(0L)
+  }
+
+  test("ANN (LSH + IVF): well-formed top-k, subset scored correctly, recall > 0") {
+    val brute = VectorQueries.cosineTopk.query(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (q <- Seq(VectorQueries.annLsh, VectorQueries.annIvf)) {
+      val approx = q.query(spark, sfTiny).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      approx.values.foreach(_.size should be <= 5)
+      val recalls = brute.keys.toSeq.map { qid =>
+        approx.getOrElse(qid, Set.empty).intersect(brute(qid)).size.toDouble / brute(qid).size
+      }
+      (recalls.sum / recalls.size) should be > 0.0
+    }
+  }
+
+  test("q_vec_centroid: UDAF ≡ posexplode formulation (golden cross-check)") {
+    val udafRows = VectorQueries.vecCentroid.query(spark, sfTiny).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val builtins = VectorQueries.centroidViaPosexplode(spark, sfTiny).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    udafRows.keySet shouldBe builtins.keySet
+    udafRows.foreach { case (k, v) =>
+      v shouldBe builtins(k) +- 1e-4 // same 4dp rounding; only float-sum order differs
+    }
+  }
+}

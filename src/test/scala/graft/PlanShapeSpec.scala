@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.{JoinQueries, RelationalQueries}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.matchers.should.Matchers
+
+/** Physical-plan shape assertions (SURVEY.md §5.2(2)): the scale properties
+  * we rely on must be visible in the executed plan, not assumed — pushdown
+  * reaching the parquet scan, broadcast/SMJ strategy, and top-k without a
+  * global sort.
+  */
+class PlanShapeSpec extends SparkTestBase with Matchers {
+
+  private def executedPlanString(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_scan_pruned pushes the predicate and prunes columns at the parquet scan") {
+    val df = RelationalQueries.scanPruned.query(spark, sfTiny)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("PushedFilters")
+    plan should include("GreaterThan(l_quantity,49.0)")
+    // pruned read schema: only the three selected columns reach the scan
+    plan should include("ReadSchema")
+    plan should not include "l_extendedprice"
+  }
+
+  test("q_join_broadcast plans a BroadcastHashJoin") {
+    executedPlanString(JoinQueries.joinBroadcast.query(spark, sfTiny)) should
+      include("BroadcastHashJoin")
+  }
+
+  test("q_join_sortmerge honors the merge hint") {
+    executedPlanString(JoinQueries.joinSortMerge.query(spark, sfTiny)) should
+      include("SortMergeJoin")
+  }
+
+  test("q_limit_topk avoids a global sort via TakeOrderedAndProject") {
+    executedPlanString(RelationalQueries.limitTopk.query(spark, sfTiny)) should
+      include("TakeOrderedAndProject")
+  }
+
+  test("q_join_theta stays a hash join with residual condition (no nested loop)") {
+    val plan = executedPlanString(JoinQueries.joinTheta.query(spark, sfTiny))
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+}

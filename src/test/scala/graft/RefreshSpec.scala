@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+import scala.concurrent.duration._
+
+import graft.operators.{Refresh, RefreshResult, RefreshTarget}
+import org.scalatest.matchers.should.Matchers
+
+/** Group A behavioral specs (SURVEY.md §5.2(2)): staleness→refresh→fresh,
+  * bounded fan-out window, per-target timeout, exit-code fold, target
+  * parsing. Mirrors /root/reference/impala-refresher.go semantics.
+  */
+class RefreshSpec extends SparkTestBase with Matchers {
+  import spark.implicits._
+
+  test("E-R1 refresh_table: re-scan sees files added behind the catalog's back") {
+    val dir = Files.createTempDirectory("graft_refresh").toFile.getAbsolutePath
+    Seq(1L, 2L, 3L).toDF("v").write.mode("overwrite").parquet(dir)
+    spark.sql("DROP TABLE IF EXISTS graft_stale_t")
+    spark.sql(s"CREATE TABLE graft_stale_t (v BIGINT) USING parquet LOCATION '$dir'")
+    spark.table("graft_stale_t").count() shouldBe 3
+    // append a file behind the catalog's back
+    Seq(4L, 5L).toDF("v").write.mode("append").parquet(dir)
+    spark.table("graft_stale_t").count() shouldBe 3 // stale file index
+    Refresh.refreshTable(spark, "graft_stale_t")
+    spark.table("graft_stale_t").count() shouldBe 5 // fresh after refresh
+    spark.sql("DROP TABLE graft_stale_t")
+  }
+
+  test("E-R2 refresh_fanout: all targets refreshed, parallelism ≤ bound") {
+    val inFlight = new AtomicInteger(0)
+    val maxSeen = new AtomicInteger(0)
+    val action: String => Unit = { _ =>
+      val now = inFlight.incrementAndGet()
+      maxSeen.accumulateAndGet(now, math.max)
+      Thread.sleep(100)
+      inFlight.decrementAndGet()
+      ()
+    }
+    val targets = (1 to 8).map(i => RefreshTarget(s"t$i"))
+    val results = Refresh.refreshAll(spark, targets, 30.seconds, concurrency = 3, action = action)
+    results.size shouldBe 8
+    all(results.map(_.ok)) shouldBe true
+    maxSeen.get() should be <= 3
+    maxSeen.get() should be >= 2 // it actually ran concurrently
+  }
+
+  test("E-R3 refresh_timeout: slow target marked failed with duration recorded") {
+    val action: String => Unit = {
+      case "slow" => Thread.sleep(5000)
+      case _      => ()
+    }
+    val results = Refresh.refreshAll(spark,
+      Seq(RefreshTarget("fast"), RefreshTarget("slow")), 500.millis, 0, action)
+    val byName = results.map(r => r.target -> r).toMap
+    byName("fast").ok shouldBe true
+    byName("slow").ok shouldBe false
+    byName("slow").error.get should include("timed out")
+    byName("slow").durationNanos should be > 0L // deviation: ref leaves 0
+  }
+
+  test("E-R3 failures keep the real error message (deviation from ref :59)") {
+    val action: String => Unit = _ => throw new IllegalStateException("boom-detail")
+    val results = Refresh.refreshAll(spark, Seq(RefreshTarget("x")), 5.seconds, 0, action)
+    results.head.ok shouldBe false
+    results.head.error.get should include("boom-detail")
+  }
+
+  test("E-R4 refresh_report: results surface as a typed Dataset") {
+    val res = Seq(
+      RefreshResult("a", ok = true, None, 10L),
+      RefreshResult("b", ok = false, Some("err"), 20L))
+    val ds = Refresh.report(spark, res)
+    ds.schema.fieldNames.toSeq shouldBe Seq("target", "ok", "error", "durationNanos")
+    ds.collect().toSeq shouldBe res
+  }
+
+  test("E-R5 refresh_exitcode: AND-fold ≡ forall (ref :173-180)") {
+    Refresh.exitCode(Seq(RefreshResult("a", true, None, 1))) shouldBe 0
+    Refresh.exitCode(Seq(
+      RefreshResult("a", true, None, 1), RefreshResult("b", false, None, 1))) shouldBe 1
+    Refresh.exitCode(Nil) shouldBe 1
+  }
+
+  test("R10 target parsing rejects empty segments (deviation from ref :170-172)") {
+    Refresh.parseTargets("a, b ,c").map(_.name) shouldBe Seq("a", "b", "c")
+    an[IllegalArgumentException] should be thrownBy Refresh.parseTargets("a,,b")
+    an[IllegalArgumentException] should be thrownBy Refresh.parseTargets("")
+  }
+}
