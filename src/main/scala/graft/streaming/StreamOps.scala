@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Group J — streaming transforms (SURVEY.md §2.B Group J).
+  *
+  * Each transform takes a DataFrame and works identically on a batch frame
+  * and a `readStream` frame — that is the batch-equivalence contract the
+  * StreamingSpec asserts (final streaming state over the finite events
+  * fixture == batch result). Watermarks bound state: at 100 TB/day the
+  * tumbling/sliding/session aggregations hold only the open windows per
+  * key, and dropDuplicates holds ids only inside the watermark horizon.
+  */
+object StreamOps {
+  private val D = DecimalType(9, 2)
+
+  /** Schema of the events fixture with ts as raw epoch-nanos (the parquet
+    * file's TIMESTAMP(NANOS) is read as long — see Tables.events).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over the events fixture. The file source requires a
+    * directory, so the SF dir is the base path with a glob selecting the
+    * events file.
+    */
+  def readEventsStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val r = spark.readStream.schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+    val r2 = maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+    normalizeTs(r2.parquet(dir))
+  }
+
+  /** nanos-long ts → micro TimestampType. Streaming watermarks reject
+    * TIMESTAMP_NTZ, so the streaming path uses the LTZ type; with the UTC
+    * session both carry identical epoch micros, and every output column is
+    * an epoch long, so batch twins (NTZ via Tables.events) agree exactly.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** s_tumbling: 1-hour tumbling window counts + decimal-exact value sums. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(D)).cast(DecimalType(38, 2)).as("sum_value"))
+      .select(expr("unix_micros(cast(w.start as timestamp))").as("win_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** s_sliding: 1-hour window sliding every 30 minutes. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_micros(cast(w.start as timestamp))").as("win_start_us"),
+        col("event_type"), col("n"))
+
+  /** s_session: per-user session windows with a 30-minute gap. */
+  def session(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        expr("unix_micros(cast(w.start as timestamp))").as("session_start_us"),
+        expr("unix_micros(cast(w.end as timestamp))").as("session_end_us"),
+        col("n_events"))
+
+  /** s_dedup: first row per (user_id, event_type). Streaming uses
+    * dropDuplicates state; the batch twin is the min-ts aggregate.
+    */
+  def dedupKeys(events: DataFrame): DataFrame =
+    events.dropDuplicates("user_id", "event_type")
+      .select("user_id", "event_type")
+
+  /** s_stateful: arbitrary stateful per-user event counting via
+    * mapGroupsWithState (GroupState[Long]). In streaming Update mode each
+    * micro-batch emits the running count per touched user; in batch mode the
+    * same code yields the final totals — which is exactly the oracle twin.
+    */
+  def statefulCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+      .toDF("user_id", "n_events")
+  }
+}

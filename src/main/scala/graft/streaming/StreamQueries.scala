@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Batch twins of the Group J streaming transforms, registered in
+  * SparkEntry so the driver oracle-checks the *semantics*; StreamingSpec
+  * separately asserts stream-final-state == these batch results.
+  */
+object StreamQueries {
+
+  /** Tumbling-window twin (oracle: date_trunc hour). */
+  val tumbling = QueryDef(
+    "q_stream_tumbling",
+    (s, dir) => StreamOps.tumbling(Tables.events(s, dir))
+      .orderBy("win_start_us", "event_type"),
+    Some("""
+      SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS win_start_us,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DECIMAL(38,2)) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start_us, event_type
+    """.trim),
+  )
+
+  /** Sliding-window twin (oracle: the two 30-minute-aligned covering
+    * windows per event, replicating Spark's epoch-aligned window() exactly).
+    */
+  val sliding = QueryDef(
+    "q_stream_sliding",
+    (s, dir) => StreamOps.sliding(Tables.events(s, dir))
+      .orderBy("win_start_us", "event_type"),
+    Some("""
+      WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM events),
+      w AS (
+        SELECT ((ts_us // 1800000000) - o) * 1800000000 AS win_start_us, event_type, ts_us
+        FROM e CROSS JOIN (SELECT unnest([0, 1]) AS o)
+        WHERE ts_us >= ((ts_us // 1800000000) - o) * 1800000000
+          AND ts_us <  ((ts_us // 1800000000) - o) * 1800000000 + 3600000000)
+      SELECT win_start_us, event_type, COUNT(*) AS n
+      FROM w GROUP BY win_start_us, event_type
+      ORDER BY win_start_us, event_type
+    """.trim),
+  )
+
+  /** Session-window twin (oracle: gaps-and-islands — new session when the
+    * gap is ≥ 30 min, matching Spark's half-open [start, last+gap) merge
+    * rule; session end = last event + gap).
+    */
+  val session = QueryDef(
+    "q_stream_session",
+    (s, dir) => StreamOps.session(Tables.events(s, dir))
+      .orderBy("user_id", "session_start_us"),
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      marked AS (
+        SELECT user_id, ts_us,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                      OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      sessions AS (
+        SELECT user_id, ts_us,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT user_id, MIN(ts_us) AS session_start_us,
+             MAX(ts_us) + 1800000000 AS session_end_us,
+             COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, sid
+      ORDER BY user_id, session_start_us
+    """.trim),
+  )
+
+  /** Dedup twin: the deterministic projection of streaming dropDuplicates
+    * (key set only — which physical row survives is order-dependent).
+    */
+  val dedup = QueryDef(
+    "q_stream_dedup",
+    (s, dir) => StreamOps.dedupKeys(Tables.events(s, dir))
+      .orderBy("user_id", "event_type"),
+    Some("""
+      SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type
+    """.trim),
+  )
+
+  /** Stateful-op twin: mapGroupsWithState in batch mode = final per-user
+    * totals (oracle: plain GROUP BY).
+    */
+  val stateful = QueryDef(
+    "q_stream_stateful",
+    (s, dir) => StreamOps.statefulCounts(Tables.events(s, dir))
+      .orderBy("user_id"),
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events FROM events
+      GROUP BY user_id ORDER BY user_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(tumbling, sliding, session, dedup, stateful)
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.matchers.should.Matchers
+
+/** Group J batch-equivalence + behavioral specs (SURVEY.md §5.2(4)):
+  * every streaming transform's final state over the finite events fixture
+  * must equal its batch twin; late data below the watermark is dropped.
+  */
+class StreamingSpec extends SparkTestBase with Matchers {
+  import spark.implicits._
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  private def rowsOf(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq.toIndexedSeq: Seq[Any]).toSet
+
+  test("s_tumbling: stream (complete mode) == batch twin") {
+    val stream = StreamOps.tumbling(
+      StreamOps.readEventsStream(spark, sfTiny).withWatermark("ts", "2 hours"))
+    val got = runToMemory(stream, "t_tumbling", "complete")
+    val want = StreamOps.tumbling(Tables.events(spark, sfTiny))
+    rowsOf(got) shouldBe rowsOf(want)
+  }
+
+  test("s_sliding: stream == batch twin") {
+    val stream = StreamOps.sliding(
+      StreamOps.readEventsStream(spark, sfTiny).withWatermark("ts", "2 hours"))
+    val got = runToMemory(stream, "t_sliding", "complete")
+    rowsOf(got) shouldBe rowsOf(StreamOps.sliding(Tables.events(spark, sfTiny)))
+  }
+
+  test("s_session: stream == batch twin") {
+    val stream = StreamOps.session(
+      StreamOps.readEventsStream(spark, sfTiny).withWatermark("ts", "2 hours"))
+    val got = runToMemory(stream, "t_session", "complete")
+    rowsOf(got) shouldBe rowsOf(StreamOps.session(Tables.events(spark, sfTiny)))
+  }
+
+  test("s_dedup: streaming dropDuplicates emits exactly the distinct key set") {
+    val stream = StreamOps.dedupKeys(StreamOps.readEventsStream(spark, sfTiny))
+    val got = runToMemory(stream, "t_dedup", "append")
+    val want = Tables.events(spark, sfTiny).select("user_id", "event_type").distinct()
+    rowsOf(got) shouldBe rowsOf(want)
+    got.count() shouldBe want.count() // no duplicate emissions
+  }
+
+  test("s_stateful: final mapGroupsWithState counts == batch groupBy") {
+    val stream = StreamOps.statefulCounts(StreamOps.readEventsStream(spark, sfTiny))
+    val got = runToMemory(stream, "t_stateful", "update")
+      .groupBy("user_id").agg(max("n_events").as("n_events")) // last update wins
+    val want = Tables.events(spark, sfTiny).groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    rowsOf(got) shouldBe rowsOf(want)
+  }
+
+  test("s_late: events below the watermark are dropped from append-mode windows") {
+    val dir = Files.createTempDirectory("graft_late").toFile.getAbsolutePath
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_late_w").toFile.getAbsolutePath
+      rows.toDF("event_id", "ts_str")
+        .select(col("event_id"),
+          expr("unix_micros(cast(to_timestamp(ts_str) as timestamp)) * 1000").as("ts"),
+          lit(1L).as("user_id"), lit("click").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(dir, name))
+      ()
+    }
+    // batch 0: window [10:00,11:00) gets 2 events; max ts 12:00 → wm 11:30.
+    // Spark applies the *eviction* watermark one batch after computing it and
+    // the *late-row* watermark one batch after that (late filter lags
+    // eviction by one batch), so a filler batch sits between max-ts and the
+    // late arrival.
+    write("f1.parquet", Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:10:00"), (3L, "2024-01-01 12:00:00")))
+    Thread.sleep(1100) // distinct mod times → deterministic file order
+    write("f2.parquet", Seq((6L, "2024-01-01 12:05:00")))
+    Thread.sleep(1100)
+    // batch 2: 10:20 is below the 11:30 late-row watermark (late → dropped)
+    write("f3.parquet", Seq((4L, "2024-01-01 10:20:00"), (5L, "2024-01-01 12:30:00")))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(StreamOps.eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(dir)
+    val agg = StreamOps.normalizeTs(src)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_micros(cast(w.start as timestamp))").as("ws"), col("n"))
+    val got = runToMemory(agg, "t_late", "append").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tenAm = java.time.Instant.parse("2024-01-01T10:00:00Z").toEpochMilli * 1000
+    got(tenAm) shouldBe 2L // late event 4 NOT counted
+  }
+}
