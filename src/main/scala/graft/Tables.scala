@@ -20,6 +20,7 @@ object Tables {
   private def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   private def load(spark: SparkSession, dir: String, name: String, expectedCols: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val df = spark.read.parquet(path(dir, name))
     val got = df.columns.toSeq
     require(got == expectedCols, s"fixture $name schema drift: expected $expectedCols got $got")

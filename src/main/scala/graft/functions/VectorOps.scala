@@ -25,9 +25,18 @@ object VectorOps {
   /** Squared L2 norm. */
   def normSq(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity: dot / sqrt(|a|² · |b|²) — single sqrt, mirrored
-    * exactly in oracle SQL.
+  /** Cosine similarity via built-ins: dot / sqrt(|a|² · |b|²) — single
+    * sqrt, mirrored exactly in oracle SQL. Correctness reference for the
+    * native expression.
+    */
+  def cosineHof(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(normSq(a) * normSq(b))
+
+  /** Cosine similarity via the native codegen expression (bit-identical to
+    * cosineHof; one fused loop per row). Requires
+    * GraftFunctions.ensureRegistered — done in Tables.load, so every query
+    * path has it.
     */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(normSq(a) * normSq(b))
+    call_function(GraftFunctions.CosineName, a, b)
 }
