@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.multimodal.MultimodalOps
 import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,7 +15,7 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     AggQueries.defs ++ RelationalQueries.defs ++ JoinQueries.defs ++ WindowQueries.defs ++
       FunctionQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++ VectorQueries.defs ++
-      StreamQueries.defs
+      StreamQueries.defs ++ MultimodalOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

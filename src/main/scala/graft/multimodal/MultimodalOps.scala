@@ -1,0 +1,197 @@
+package graft.multimodal
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque BINARY payloads with
+  * typed metadata (builder-prompt multimodal ops).
+  *
+  * The container has no imaging/audio libraries, so the *decode* step is a
+  * clearly-marked deterministic stub (`StubDecoder`): it stands in for
+  * libjpeg/ffmpeg and computes from the raw bytes only. Everything around
+  * it — the binary column schema, the typed-metadata struct, the
+  * partition-preserving mapPartitions batch shape (the Scala analogue of a
+  * pandas-batch UDF), and the handoff from extracted features into the
+  * engine's vector operators — is real and tested (MultimodalSpec).
+  *
+  * Scale design: decode/feature-extract run per-partition with no shuffle
+  * (narrow mapPartitions over the scan); only the tiny feature vectors ever
+  * shuffle. Payload bytes never leave the executor that read them — the
+  * property that matters when payloads are MBs and the corpus is 100 TB.
+  */
+object MultimodalOps {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int, sample_rate: Int)
+
+  final case class DecodedRow(
+      media_id: Long, kind: String, n_bytes: Int, checksum: Long,
+      width: Int, height: Int, mean_intensity: Double)
+
+  final case class FeatureRow(media_id: Long, kind: String, features: Seq[Float])
+
+  final case class FrameRow(media_id: Long, frame_idx: Int, frame_mean: Double)
+
+  /** ======== STUB BOUNDARY ========================================== *
+    * Deterministic fake decoder. A real deployment swaps this object for
+    * bindings to an imaging/audio library (e.g. libjpeg / ffmpeg); the
+    * signatures are the contract. Everything it returns is computed only
+    * from the payload bytes, so results are reproducible everywhere.
+    */
+  object StubDecoder {
+    /** "Decode" = validate + summarize the byte stream. */
+    def decode(m: MediaRow): DecodedRow = {
+      var sum = 0L
+      var checksum = 1L
+      var i = 0
+      while (i < m.payload.length) {
+        val b = m.payload(i) & 0xff
+        sum += b
+        checksum = (checksum * 31 + b) % 1000000007L
+        i += 1
+      }
+      val mean = if (m.payload.isEmpty) 0.0 else sum.toDouble / m.payload.length
+      DecodedRow(m.media_id, m.kind, m.payload.length, checksum, m.width, m.height, mean)
+    }
+
+    /** "Resize" = byte-stride downsample + halved dims (stand-in for a real
+      * resampler).
+      */
+    def resize(m: MediaRow): MediaRow =
+      m.copy(
+        payload = m.payload.zipWithIndex.collect { case (b, i) if i % 2 == 0 => b },
+        width = m.width / 2, height = m.height / 2)
+
+    /** "Feature-extract" = 16 window means over the bytes (stand-in for an
+      * embedding model).
+      */
+    def features(m: MediaRow): FeatureRow = {
+      val dim = 16
+      val out = new Array[Float](dim)
+      val n = m.payload.length
+      if (n > 0) {
+        val w = math.max(1, n / dim)
+        var d = 0
+        while (d < dim) {
+          var s = 0.0
+          var c = 0
+          var i = d * w
+          while (i < math.min(n, (d + 1) * w)) { s += (m.payload(i) & 0xff); c += 1; i += 1 }
+          out(d) = if (c == 0) 0.0f else (s / c / 255.0).toFloat
+          d += 1
+        }
+      }
+      FeatureRow(m.media_id, m.kind, out.toSeq)
+    }
+
+    /** "Frame-sample" = every k-th fixed-size byte window as one frame. */
+    def frames(m: MediaRow, frameSize: Int = 64, everyK: Int = 4): Seq[FrameRow] = {
+      val n = m.payload.length / frameSize
+      (0 until n).collect {
+        case f if f % everyK == 0 =>
+          val start = f * frameSize
+          var s = 0.0
+          var i = start
+          while (i < start + frameSize) { s += (m.payload(i) & 0xff); i += 1 }
+          FrameRow(m.media_id, f, s / frameSize)
+      }
+    }
+  }
+  /* ======== END STUB BOUNDARY ======================================== */
+
+  /** Deterministic media table derived from the documents fixture: payload =
+    * UTF-8 bytes of the text (a stand-in for image/audio bytes), metadata
+    * synthesized from doc fields. Alternating image/audio kinds.
+    */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val kind = if (id % 2 == 0) "image" else "audio"
+        MediaRow(id, kind, text.getBytes("UTF-8"),
+          width = (nChars % 64).toInt + 1, height = (nChars % 48).toInt + 1,
+          sample_rate = if (kind == "audio") 16000 else 0)
+      }
+  }
+
+  /** Decode via partition-preserving mapPartitions (batch-shaped, like a
+    * pandas-batch UDF: one iterator in, one iterator out, no shuffle).
+    */
+  def decodeAll(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(StubDecoder.decode))
+  }
+
+  def resizeAll(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(StubDecoder.resize))
+  }
+
+  def featuresAll(media: Dataset[MediaRow]): Dataset[FeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(StubDecoder.features))
+  }
+
+  def frameSampleAll(media: Dataset[MediaRow]): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(m => StubDecoder.frames(m)))
+  }
+
+  // ---- registered queries (rows-only driver check; MultimodalSpec has the
+  // behavioral assertions) ---------------------------------------------------
+
+  val mmDecode = QueryDef(
+    "q_mm_decode",
+    (s, dir) => decodeAll(mediaTable(s, dir)).toDF()
+      .select("media_id", "kind", "n_bytes", "checksum", "width", "height", "mean_intensity")
+      .orderBy("media_id"),
+    None,
+  )
+
+  val mmResize = QueryDef(
+    "q_mm_resize",
+    (s, dir) => resizeAll(mediaTable(s, dir)).toDF()
+      .select(col("media_id"), col("kind"), length(col("payload")).as("n_bytes"),
+        col("width"), col("height"))
+      .orderBy("media_id"),
+    None,
+  )
+
+  val mmFrames = QueryDef(
+    "q_mm_framesample",
+    (s, dir) => frameSampleAll(mediaTable(s, dir)).toDF()
+      .orderBy("media_id", "frame_idx"),
+    None,
+  )
+
+  /** Multimodal → vector pipeline: extracted features feed the native
+    * cosine top-3 (same machinery as the embedding operators).
+    */
+  val mmSimilar = QueryDef(
+    "q_mm_similar",
+    (s, dir) => {
+      val feats = featuresAll(mediaTable(s, dir)).toDF()
+      val q = feats.filter(col("media_id") < 5)
+        .select(col("media_id").as("q_id"), col("features").as("q_f"))
+      val c = feats.select(col("media_id").as("n_id"), col("features").as("n_f"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+      c.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", round(VectorOps.cosine(col("q_f"), col("n_f")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("q_id", "rn", "n_id", "cos")
+        .orderBy("q_id", "rn")
+    },
+    None,
+  )
+
+  def defs: Seq[QueryDef] = Seq(mmDecode, mmResize, mmFrames, mmSimilar)
+}
