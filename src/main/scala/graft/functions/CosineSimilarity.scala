@@ -90,24 +90,40 @@ case class CosineSimilarity(left: Expression, right: Expression)
   */
 object GraftFunctions {
   val CosineName = "graft_cosine_similarity"
+  val SortedIntersectName = "graft_sorted_intersect_size"
+  val SortedLongIntersectName = "graft_sorted_intersect_size_long"
 
-  private val cosineInfo = new ExpressionInfo(classOf[CosineSimilarity].getName, CosineName)
-  private val cosineBuilder: Seq[Expression] => Expression = {
-    case Seq(a, b) => CosineSimilarity(a, b)
+  private def binaryBuilder(name: String, mk: (Expression, Expression) => Expression):
+      Seq[Expression] => Expression = {
+    case Seq(a, b) => mk(a, b)
     case other => throw new IllegalArgumentException(
-      s"$CosineName expects 2 arguments, got ${other.size}")
+      s"$name expects 2 arguments, got ${other.size}")
   }
 
-  /** Idempotent per-session registration (queries call this on entry). */
+  private val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier(CosineName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, CosineName),
+      binaryBuilder(CosineName, CosineSimilarity)),
+    (FunctionIdentifier(SortedIntersectName),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, SortedIntersectName),
+      binaryBuilder(SortedIntersectName, SortedIntersectSize)),
+    (FunctionIdentifier(SortedLongIntersectName),
+      new ExpressionInfo(classOf[SortedLongIntersectSize].getName, SortedLongIntersectName),
+      binaryBuilder(SortedLongIntersectName, SortedLongIntersectSize)),
+  )
+
+  /** Idempotent per-session registration (done in Tables.load, so every
+    * query path has it).
+    */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(FunctionIdentifier(CosineName))) {
-      registry.registerFunction(FunctionIdentifier(CosineName), cosineInfo, cosineBuilder)
+    all.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident)) registry.registerFunction(ident, info, builder)
     }
   }
 
   def inject(extensions: SparkSessionExtensions): Unit =
-    extensions.injectFunction((FunctionIdentifier(CosineName), cosineInfo, cosineBuilder))
+    all.foreach(extensions.injectFunction)
 }
 
 /** `spark.sql.extensions` entry point. */

@@ -19,9 +19,36 @@ import org.apache.spark.sql.types._
   */
 object DedupQueries {
 
+  /** Distinct token sets, sorted ascending — the invariant the sorted-merge
+    * intersect expressions rely on.
+    */
   private def docTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-      array_distinct(split(col("text"), " ")).as("toks"))
+      sort_array(array_distinct(split(col("text"), " "))).as("toks"))
+
+  /** Same sets as 64-bit hashes (xxhash64): set-similarity counts compare
+    * longs, not strings — ~10× cheaper per element in the pair loop, with
+    * per-pair collision probability ~1e-15 (immaterial to counts).
+    */
+  private def docTokensHashed(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      sort_array(expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))")).as("toksh"))
+
+  private def intersectSize(a: Column, b: Column): Column =
+    call_function(graft.functions.GraftFunctions.SortedIntersectName, a, b)
+
+  private def intersectSizeLong(a: Column, b: Column): Column =
+    call_function(graft.functions.GraftFunctions.SortedLongIntersectName, a, b)
+
+  /** Size-ratio prefilter for set-similarity joins: J(a,b) ≤ min/max, so
+    * J ≥ t ⟹ max·num ≤ min·den where t = num/den. Lossless — every
+    * surviving-threshold pair satisfies it — so oracle results are
+    * unchanged; it just keeps provably-hopeless pairs out of the expensive
+    * intersection (the difference between O(n²) candidate pairs and a thin
+    * band at 100 TB).
+    */
+  private def sizeBand(s1: Column, s2: Column, num: Int, den: Int): Column =
+    greatest(s1, s2) * num <= least(s1, s2) * den
 
   /** Exact dedup: canonical representative = min(doc_id) per identical text. */
   val dedupExact = QueryDef(
@@ -46,11 +73,13 @@ object DedupQueries {
   val simJaccard = QueryDef(
     "q_sim_jaccard",
     (s, dir) => {
-      val a = docTokens(s, dir).select(col("lang"), col("doc_id").as("doc_id1"), col("toks").as("toks1"))
-      val b = docTokens(s, dir).select(col("lang").as("lang2"), col("doc_id").as("doc_id2"), col("toks").as("toks2"))
-      a.join(b, col("lang") === col("lang2") && col("doc_id1") < col("doc_id2"))
-        .withColumn("inter", size(array_intersect(col("toks1"), col("toks2"))))
-        .withColumn("uni", size(col("toks1")) + size(col("toks2")) - col("inter"))
+      val t = docTokensHashed(s, dir).withColumn("sz", size(col("toksh")))
+      val a = t.select(col("lang"), col("doc_id").as("doc_id1"), col("toksh").as("toks1"), col("sz").as("sz1"))
+      val b = t.select(col("lang").as("lang2"), col("doc_id").as("doc_id2"), col("toksh").as("toks2"), col("sz").as("sz2"))
+      a.join(b, col("lang") === col("lang2") && col("doc_id1") < col("doc_id2")
+          && sizeBand(col("sz1"), col("sz2"), 1, 2)) // J ≥ 0.5 ⟹ max ≤ 2·min
+        .withColumn("inter", intersectSizeLong(col("toks1"), col("toks2")))
+        .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
         .withColumn("jaccard", round(col("inter").cast(DoubleType) / col("uni"), 6))
         .filter(col("jaccard") >= 0.5)
         .select("doc_id1", "doc_id2", "jaccard")
@@ -100,10 +129,12 @@ object DedupQueries {
           col("lang") === col("lang2") && col("band") === col("band2")
             && col("sig") === col("sig2") && col("doc_id1") < col("doc_id2"))
         .select("lang", "doc_id1", "doc_id2").distinct()
-      val t1 = toks.select(col("doc_id").as("doc_id1"), col("toks").as("toks1"))
-      val t2 = toks.select(col("doc_id").as("doc_id2"), col("toks").as("toks2"))
+      val hashed = docTokensHashed(s, dir)
+      val t1 = hashed.select(col("doc_id").as("doc_id1"), col("toksh").as("toks1"))
+      val t2 = hashed.select(col("doc_id").as("doc_id2"), col("toksh").as("toks2"))
       candidates.join(t1, "doc_id1").join(t2, "doc_id2")
-        .withColumn("inter", size(array_intersect(col("toks1"), col("toks2"))))
+        .filter(sizeBand(size(col("toks1")), size(col("toks2")), 1, 2))
+        .withColumn("inter", intersectSizeLong(col("toks1"), col("toks2")))
         .withColumn("uni", size(col("toks1")) + size(col("toks2")) - col("inter"))
         .withColumn("jaccard", round(col("inter").cast(DoubleType) / col("uni"), 6))
         .filter(col("jaccard") >= 0.5)
@@ -155,15 +186,22 @@ object DedupQueries {
   val dedupNgram = QueryDef(
     "q_dedup_ngram",
     (s, dir) => {
-      val grams = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-        array_distinct(expr(
-          """transform(sequence(0, size(split(text, ' ')) - 2),
-             i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1]))""")).as("grams"))
-      val a = grams.select(col("lang"), col("doc_id").as("doc_id1"), col("grams").as("g1"))
-      val b = grams.select(col("lang").as("lang2"), col("doc_id").as("doc_id2"), col("grams").as("g2"))
-      a.join(b, col("lang") === col("lang2") && col("doc_id1") < col("doc_id2"))
-        .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
-        .withColumn("uni", size(col("g1")) + size(col("g2")) - col("inter"))
+      // split once into a toks column, then shingle from it — inlining
+      // split() inside the lambda re-tokenizes per element (O(len²) per doc)
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("lang"),
+          sort_array(expr(
+            """transform(array_distinct(
+                 transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))),
+               g -> xxhash64(g))""")).as("grams"))
+        .withColumn("sz", size(col("grams")))
+      val a = grams.select(col("lang"), col("doc_id").as("doc_id1"), col("grams").as("g1"), col("sz").as("sz1"))
+      val b = grams.select(col("lang").as("lang2"), col("doc_id").as("doc_id2"), col("grams").as("g2"), col("sz").as("sz2"))
+      a.join(b, col("lang") === col("lang2") && col("doc_id1") < col("doc_id2")
+          && sizeBand(col("sz1"), col("sz2"), 3, 10)) // J ≥ 0.3 ⟹ 3·max ≤ 10·min
+        .withColumn("inter", intersectSizeLong(col("g1"), col("g2")))
+        .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
         .withColumn("jaccard", round(col("inter").cast(DoubleType) / col("uni"), 6))
         .filter(col("jaccard") >= 0.3)
         .select("doc_id1", "doc_id2", "jaccard")
