@@ -146,7 +146,7 @@ object DedupQueries {
 
   /** SimHash near-dedup: 64-bit fingerprint from token hashes; candidates
     * share one of four 16-bit chunks (pigeonhole covers hamming ≤ 3);
-    * verified by bit_count(xor) ≤ 3. Non-oracle; SimHashSpec covers it.
+    * verified by bit_count(xor) ≤ 3. Non-oracle; ApproxOpsSpec covers it.
     */
   val dedupSimhash = QueryDef(
     "q_dedup_simhash",

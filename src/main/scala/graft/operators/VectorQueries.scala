@@ -105,7 +105,7 @@ object VectorQueries {
 
   /** Approximate top-5 neighbors via multi-table random-hyperplane LSH:
     * candidates share a bucket in ≥1 of 4 tables; exact cosine only on
-    * candidates. Non-oracle; AnnSpec bounds recall against q_sim_cosine_topk.
+    * candidates. Non-oracle; ApproxOpsSpec bounds recall against q_sim_cosine_topk.
     */
   val annLsh = QueryDef(
     "q_ann_lsh",
@@ -138,7 +138,7 @@ object VectorQueries {
     * trained k-means codebook — deterministic and cheap); every vector is
     * assigned to its nearest centroid (inverted lists), queries probe the 2
     * nearest centroids and search only those lists exactly. Non-oracle;
-    * AnnSpec bounds recall.
+    * ApproxOpsSpec bounds recall.
     */
   val annIvf = QueryDef(
     "q_ann_ivf",
