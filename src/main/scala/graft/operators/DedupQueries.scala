@@ -74,7 +74,12 @@ object DedupQueries {
     "q_sim_jaccard",
     (s, dir) => {
       val t = docTokensHashed(s, dir).withColumn("sz", size(col("toksh")))
+      // The build side broadcasts (small per-lang dictionaries); the probe
+      // side is repartitioned so pair enumeration parallelism follows
+      // shuffle.partitions instead of the input split count — the knob that
+      // keeps every executor busy without replicating data.
       val a = t.select(col("lang"), col("doc_id").as("doc_id1"), col("toksh").as("toks1"), col("sz").as("sz1"))
+        .repartition(col("doc_id1"))
       val b = t.select(col("lang").as("lang2"), col("doc_id").as("doc_id2"), col("toksh").as("toks2"), col("sz").as("sz2"))
       a.join(b, col("lang") === col("lang2") && col("doc_id1") < col("doc_id2")
           && sizeBand(col("sz1"), col("sz2"), 1, 2)) // J ≥ 0.5 ⟹ max ≤ 2·min
@@ -202,6 +207,7 @@ object DedupQueries {
                g -> xxhash64(g))""")).as("grams"))
         .withColumn("sz", size(col("grams")))
       val a = grams.select(col("lang"), col("doc_id").as("doc_id1"), col("grams").as("g1"), col("sz").as("sz1"))
+        .repartition(col("doc_id1")) // spread pair enumeration (see q_sim_jaccard)
       val b = grams.select(col("lang").as("lang2"), col("doc_id").as("doc_id2"), col("grams").as("g2"), col("sz").as("sz2"))
       a.join(b, col("lang") === col("lang2") && col("doc_id1") < col("doc_id2")
           && sizeBand(col("sz1"), col("sz2"), 3, 10)) // J ≥ 0.3 ⟹ 3·max ≤ 10·min
