@@ -113,17 +113,23 @@ object GraftFunctions {
   )
 
   /** Idempotent per-session registration (done in Tables.load, so every
-    * query path has it).
+    * query path has it): functions + the sorted-intersect rewrite rule.
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     all.foreach { case (ident, info, builder) =>
       if (!registry.functionExists(ident)) registry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteSortedIntersect)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteSortedIntersect
+    }
   }
 
-  def inject(extensions: SparkSessionExtensions): Unit =
+  def inject(extensions: SparkSessionExtensions): Unit = {
     all.foreach(extensions.injectFunction)
+    extensions.injectOptimizerRule(_ => graft.plans.RewriteSortedIntersect)
+  }
 }
 
 /** `spark.sql.extensions` entry point. */
