@@ -202,6 +202,34 @@ object AggQueries {
     """.trim),
   )
 
+  /** Salted two-phase aggregation — the skew-mitigation idiom for hot keys:
+    * phase 1 aggregates on (key, salt) so a hot key's rows spread over 16
+    * reducers; phase 2 combines the 16 partials per key. Result is
+    * identical to the direct aggregate (decimal sums are associative), which
+    * is exactly what the oracle checks. event_type has only 5 values — the
+    * worst-case "few hot keys" shape this exists for.
+    */
+  val aggSalted = QueryDef(
+    "q_agg_salted",
+    (s, dir) => {
+      val salted = Tables.events(s, dir)
+        .select(col("event_type"), col("value").cast(DecimalType(9, 2)).as("v"),
+          pmod(hash(col("event_id")), lit(16)).as("salt"))
+      salted
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"), sum("v").as("psum"))
+        .groupBy("event_type")
+        .agg(sum("pn").cast(LongType).as("n"),
+          sum("psum").cast(DecimalType(38, 2)).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DECIMAL(38,2)) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
-    aggGroupBy, aggDistinct, aggRollup, aggCube, aggGroupingSets, aggHll, aggStats)
+    aggGroupBy, aggDistinct, aggRollup, aggCube, aggGroupingSets, aggHll, aggStats, aggSalted)
 }
