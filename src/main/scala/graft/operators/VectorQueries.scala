@@ -148,11 +148,13 @@ object VectorQueries {
         .groupBy("label").agg(collect_list(struct(col("dim"), col("centroid_val"))).as("dv"))
         .select(col("label").as("c_id"),
           expr("transform(array_sort(dv, (l, r) -> l.dim - r.dim), x -> x.centroid_val)").as("c_emb"))
-      // assign: nearest centroid by cosine (10 centroids broadcast)
+      // assign: nearest centroid by cosine (10 centroids broadcast).
+      // Centroids are double arrays, so cast to float for the native
+      // expression — quantizer assignment tolerates the 1e-7 rounding.
+      val cEmbF = col("c_emb").cast("array<float>")
       val assignW = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("c_id"))
       val assigned = e.crossJoin(broadcast(centroids))
-        .withColumn("sim", VectorOps.dot(col("embedding"), col("c_emb"))
-          / sqrt(VectorOps.normSq(col("embedding")) * VectorOps.normSq(col("c_emb"))))
+        .withColumn("sim", VectorOps.cosine(col("embedding"), cEmbF))
         .withColumn("rn", row_number().over(assignW))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("c_id"))
@@ -161,8 +163,7 @@ object VectorQueries {
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
         .crossJoin(broadcast(centroids))
-        .withColumn("sim", VectorOps.dot(col("q_emb"), col("c_emb"))
-          / sqrt(VectorOps.normSq(col("q_emb")) * VectorOps.normSq(col("c_emb"))))
+        .withColumn("sim", VectorOps.cosine(col("q_emb"), cEmbF))
         .withColumn("rn", row_number().over(probeW))
         .filter(col("rn") <= 2)
         .select(col("q_vec_id"), col("q_emb"), col("c_id").as("probe_c_id"))
