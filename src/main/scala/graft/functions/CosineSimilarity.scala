@@ -92,6 +92,7 @@ object GraftFunctions {
   val CosineName = "graft_cosine_similarity"
   val SortedIntersectName = "graft_sorted_intersect_size"
   val SortedLongIntersectName = "graft_sorted_intersect_size_long"
+  val ShinglesName = "graft_shingles"
 
   private def binaryBuilder(name: String, mk: (Expression, Expression) => Expression):
       Seq[Expression] => Expression = {
@@ -110,6 +111,9 @@ object GraftFunctions {
     (FunctionIdentifier(SortedLongIntersectName),
       new ExpressionInfo(classOf[SortedLongIntersectSize].getName, SortedLongIntersectName),
       binaryBuilder(SortedLongIntersectName, SortedLongIntersectSize)),
+    (FunctionIdentifier(ShinglesName),
+      new ExpressionInfo(classOf[Shingles].getName, ShinglesName),
+      binaryBuilder(ShinglesName, Shingles)),
   )
 
   /** Idempotent per-session registration (done in Tables.load, so every
