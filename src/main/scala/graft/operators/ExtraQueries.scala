@@ -59,7 +59,8 @@ object ExtraQueries {
           expr("shiftleft(l_linenumber, 3)").as("shl_3"),
           expr("shiftright(l_orderkey, 2)").as("shr_2"),
           expr("CAST(bit_count(l_orderkey) AS INTEGER)").as("popcount"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        // duplicate (l_orderkey, l_linenumber) keys exist — xor_part breaks ties
+        .orderBy("l_orderkey", "l_linenumber", "xor_part"),
     Some("""
       SELECT l_orderkey, l_linenumber,
              l_orderkey & 255 AS and_255,
@@ -68,7 +69,7 @@ object ExtraQueries {
              CAST(l_linenumber << 3 AS INTEGER) AS shl_3,
              l_orderkey >> 2 AS shr_2,
              CAST(bit_count(l_orderkey) AS INTEGER) AS popcount
-      FROM lineitem ORDER BY l_orderkey, l_linenumber
+      FROM lineitem ORDER BY l_orderkey, l_linenumber, xor_part
     """.trim),
   )
 

@@ -91,7 +91,10 @@ object FunctionQueries {
           sqrt(col("l_quantity")).as("qty_sqrt"),
           pow(col("l_quantity"), 2).as("qty_sq"),
           (col("l_linenumber") % 3).as("ln_mod3"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        // duplicate (l_orderkey, l_linenumber) keys exist — order by every
+        // output column so the order is total among distinct rows
+        .orderBy("l_orderkey", "l_linenumber", "price_r1", "disc_dev", "price_ceil",
+          "price_floor", "qty_sqrt", "qty_sq", "ln_mod3"),
     Some("""
       SELECT l_orderkey, l_linenumber,
              ROUND(l_extendedprice, 1) AS price_r1,
@@ -101,7 +104,8 @@ object FunctionQueries {
              SQRT(l_quantity) AS qty_sqrt,
              POWER(l_quantity, 2) AS qty_sq,
              l_linenumber % 3 AS ln_mod3
-      FROM lineitem ORDER BY l_orderkey, l_linenumber
+      FROM lineitem ORDER BY l_orderkey, l_linenumber, price_r1, disc_dev, price_ceil,
+                             price_floor, qty_sqrt, qty_sq, ln_mod3
     """.trim),
   )
 

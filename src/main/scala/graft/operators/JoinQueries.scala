@@ -38,11 +38,12 @@ object JoinQueries {
     (s, dir) =>
       Tables.lineitem(s, dir).join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
         .select("l_orderkey", "l_linenumber", "p_brand", "p_type")
-        .orderBy("l_orderkey", "l_linenumber"),
+        // duplicate (l_orderkey, l_linenumber) keys exist — total order
+        .orderBy("l_orderkey", "l_linenumber", "p_brand", "p_type"),
     Some("""
       SELECT l_orderkey, l_linenumber, p_brand, p_type
       FROM lineitem JOIN part ON l_partkey = p_partkey
-      ORDER BY l_orderkey, l_linenumber
+      ORDER BY l_orderkey, l_linenumber, p_brand, p_type
     """.trim),
   )
 
@@ -120,7 +121,6 @@ object JoinQueries {
     """.trim),
   )
 
-  /** Left anti join (NOT EXISTS). */
   /** Left anti join (NOT EXISTS). Right side filtered to high-value orders
     * so the anti set is non-empty at every fixture scale.
     */

@@ -23,10 +23,12 @@ object RelationalQueries {
     (s, dir) =>
       Tables.lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber"),
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture — order by
+        // every output column for a total order (same in all sorts below)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
     Some("""
       SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-      FROM lineitem ORDER BY l_orderkey, l_linenumber
+      FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag
     """.trim),
   )
 
@@ -37,11 +39,11 @@ object RelationalQueries {
       Tables.lineitem(s, dir)
         .filter(col("l_quantity") > 49)
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
     Some("""
       SELECT l_orderkey, l_linenumber, l_quantity
       FROM lineitem WHERE l_quantity > 49
-      ORDER BY l_orderkey, l_linenumber
+      ORDER BY l_orderkey, l_linenumber, l_quantity
     """.trim),
   )
 
@@ -58,12 +60,12 @@ object RelationalQueries {
             .cast(DecimalType(30, 8)).as("revenue"),
           (col("l_quantity").cast(D) * col("l_extendedprice").cast(D))
             .cast(DecimalType(30, 8)).as("gross"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "revenue", "gross"),
     Some("""
       SELECT l_orderkey, l_linenumber,
              CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(30,8)) AS revenue,
              CAST(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_extendedprice AS DECIMAL(12,4)) AS DECIMAL(30,8)) AS gross
-      FROM lineitem ORDER BY l_orderkey, l_linenumber
+      FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, gross
     """.trim),
   )
 
