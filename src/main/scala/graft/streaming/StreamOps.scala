@@ -78,6 +78,23 @@ object StreamOps {
     events.dropDuplicates("user_id", "event_type")
       .select("user_id", "event_type")
 
+  /** s_join: stream–stream interval join — purchases matched to clicks of
+    * the same user within the 10 minutes before the purchase. Watermarks on
+    * both sides + the time-range join condition bound the buffered state
+    * (clicks older than the watermark minus the interval are evicted).
+    * Works identically on batch frames — the batch twin is q_join_interval's
+    * semantics (StreamingSpec asserts equality).
+    */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id").as("pu"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    c.join(p,
+      col("cu") === col("pu")
+        && col("purchase_ts") > col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("cu").as("user_id"))
+  }
+
   /** s_stateful: arbitrary stateful per-user event counting via
     * mapGroupsWithState (GroupState[Long]). In streaming Update mode each
     * micro-batch emits the running count per touched user; in batch mode the

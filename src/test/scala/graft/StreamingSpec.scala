@@ -63,6 +63,18 @@ class StreamingSpec extends SparkTestBase with Matchers {
     rowsOf(got) shouldBe rowsOf(want)
   }
 
+  test("s_join: stream-stream interval join == batch twin") {
+    def side(t: String) = StreamOps.readEventsStream(spark, sfTiny)
+      .filter(col("event_type") === t).withWatermark("ts", "2 hours")
+    val stream = StreamOps.intervalJoin(side("click"), side("purchase"))
+    val got = runToMemory(stream, "t_ssjoin", "append")
+    val batch = Tables.events(spark, sfTiny)
+    val want = StreamOps.intervalJoin(
+      batch.filter(col("event_type") === "click").withColumn("ts", col("ts").cast("timestamp")),
+      batch.filter(col("event_type") === "purchase").withColumn("ts", col("ts").cast("timestamp")))
+    rowsOf(got) shouldBe rowsOf(want)
+  }
+
   test("s_late: events below the watermark are dropped from append-mode windows") {
     val dir = Files.createTempDirectory("graft_late").toFile.getAbsolutePath
     def write(name: String, rows: Seq[(Long, String)]): Unit = {
