@@ -43,17 +43,19 @@ class ApproxOpsSpec extends SparkTestBase with Matchers {
     if (sameLangDups > 0) rows.map(_.getLong(2)) should contain(0L)
   }
 
-  test("ANN (LSH + IVF): well-formed top-k, subset scored correctly, recall > 0") {
+  test("ANN (LSH + IVF): well-formed top-k with bounded mean recall vs brute force") {
     val brute = VectorQueries.cosineTopk.query(spark, sfTiny).collect()
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    for (q <- Seq(VectorQueries.annLsh, VectorQueries.annIvf)) {
+    // measured on this (weakly-clustered) fixture: LSH ≈ 0.66, IVF ≈ 0.48;
+    // bounds leave margin but would catch a bucketing regression
+    for ((q, minMeanRecall) <- Seq(VectorQueries.annLsh -> 0.5, VectorQueries.annIvf -> 0.35)) {
       val approx = q.query(spark, sfTiny).collect()
         .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       approx.values.foreach(_.size should be <= 5)
       val recalls = brute.keys.toSeq.map { qid =>
         approx.getOrElse(qid, Set.empty).intersect(brute(qid)).size.toDouble / brute(qid).size
       }
-      (recalls.sum / recalls.size) should be > 0.0
+      (recalls.sum / recalls.size) should be >= minMeanRecall
     }
   }
 
