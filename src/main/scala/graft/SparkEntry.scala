@@ -15,7 +15,8 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     AggQueries.defs ++ RelationalQueries.defs ++ JoinQueries.defs ++ WindowQueries.defs ++
       FunctionQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++ VectorQueries.defs ++
-      StreamQueries.defs ++ MultimodalOps.defs ++ ExtraQueries.defs ++ SubqueryQueries.defs
+      StreamQueries.defs ++ MultimodalOps.defs ++ ExtraQueries.defs ++ SubqueryQueries.defs ++
+      MoreQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

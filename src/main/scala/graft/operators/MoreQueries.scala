@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Further operator coverage: value window functions, lateral joins, bag
+  * set-ops, and collect aggregation (scalarized for oracle stability).
+  */
+object MoreQueries {
+
+  /** first_value / last_value / nth_value with explicit frames. */
+  val winFirstLast = QueryDef(
+    "q_win_firstlast",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(asc("o_totalprice"), asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          first("o_totalprice").over(w).as("cheapest"),
+          last("o_totalprice").over(w).as("priciest"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_cheapest"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             FIRST_VALUE(o_totalprice) OVER w AS cheapest,
+             LAST_VALUE(o_totalprice) OVER w AS priciest,
+             NTH_VALUE(o_totalprice, 2) OVER w AS second_cheapest
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey
+    """.trim),
+  )
+
+  /** Lateral (correlated derived-table) join: each customer's two most
+    * expensive orders, via the SQL path.
+    */
+  val joinLateral = QueryDef(
+    "q_join_lateral",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("graft_lat_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_lat_orders")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM graft_lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM graft_lat_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+        ORDER BY c_custkey, o_orderkey
+      """)
+    },
+    Some("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+      ORDER BY c_custkey, o_orderkey
+    """.trim),
+  )
+
+  private def tierKeys(s: org.apache.spark.sql.SparkSession, dir: String, lo: Double) =
+    Tables.orders(s, dir).filter(col("o_totalprice") > lo).select(col("o_custkey").as("custkey"))
+
+  /** Bag intersection: multiplicity = min of the two sides' counts. */
+  val setIntersectAll = QueryDef(
+    "q_set_intersect_all",
+    (s, dir) => tierKeys(s, dir, 100000.0).intersectAll(tierKeys(s, dir, 200000.0)).orderBy("custkey"),
+    Some("""
+      SELECT custkey FROM (
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000.0
+        INTERSECT ALL
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000.0
+      ) ORDER BY custkey
+    """.trim),
+  )
+
+  /** Bag difference: multiplicity = left count − right count. */
+  val setExceptAll = QueryDef(
+    "q_set_except_all",
+    (s, dir) => tierKeys(s, dir, 100000.0).exceptAll(tierKeys(s, dir, 200000.0)).orderBy("custkey"),
+    Some("""
+      SELECT custkey FROM (
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000.0
+        EXCEPT ALL
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000.0
+      ) ORDER BY custkey
+    """.trim),
+  )
+
+  /** Collect aggregation, scalarized: sorted collect_list/collect_set
+    * reduced to joined strings and counts so the oracle compare stays
+    * type-simple (array column parity is fragile).
+    */
+  val aggCollect = QueryDef(
+    "q_agg_collect",
+    (s, dir) =>
+      Tables.nation(s, dir)
+        .groupBy("n_regionkey")
+        .agg(
+          array_join(sort_array(collect_list(col("n_name"))), ",").as("nations_csv"),
+          size(collect_set(col("n_name"))).as("n_distinct"))
+        .orderBy("n_regionkey"),
+    Some("""
+      SELECT n_regionkey,
+             string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+             CAST(COUNT(DISTINCT n_name) AS INTEGER) AS n_distinct
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(
+    winFirstLast, joinLateral, setIntersectAll, setExceptAll, aggCollect)
+}
