@@ -59,6 +59,21 @@ class ApproxOpsSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("approx percentile within 5% rank error of exact") {
+    val e = Tables.events(spark, sfTiny)
+    val approx = e.agg(expr("approx_percentile(value, array(0.25, 0.5, 0.75), 1000)"))
+      .collect().head.getSeq[Double](0)
+    val exact = e.agg(expr("percentile(value, array(0.25, 0.5, 0.75))"))
+      .collect().head.getSeq[Double](0)
+    val sorted = e.select("value").collect().map(_.getDouble(0)).sorted
+    approx.zip(exact).foreach { case (a, x) =>
+      // compare by rank position, not value (value gaps can be wide)
+      val ra = sorted.indexWhere(_ >= a).toDouble / sorted.length
+      val rx = sorted.indexWhere(_ >= x).toDouble / sorted.length
+      math.abs(ra - rx) should be <= 0.05
+    }
+  }
+
   test("q_vec_centroid: UDAF ≡ posexplode formulation (golden cross-check)") {
     val udafRows = VectorQueries.vecCentroid.query(spark, sfTiny).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
