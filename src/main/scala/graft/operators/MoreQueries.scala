@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -112,6 +113,59 @@ object MoreQueries {
     """.trim),
   )
 
+  /** Bloom-filter pre-filtering (sketch family, next to HLL): build a
+    * 4096-bit / 5-hash bloom filter over BUILDING-segment custkeys as a
+    * 66-row (63-bit word, bits) bitmap via bit_or aggregation, probe every order
+    * with a broadcast join. At scale this is the semi-join pre-filter that
+    * skips shuffling rows that cannot match. Hashing is plain multiplicative
+    * arithmetic (not an engine-specific hash), so the entire sketch —
+    * including its false positives — is bit-reproducible in DuckDB and
+    * oracle-checked. fp rate here ≈ (set bits / m)^5 ≈ 0.7 %.
+    */
+  val sketchBloom = QueryDef(
+    "q_sketch_bloom",
+    (s, dir) => {
+      val seeds = explode(array((0 until 5).map(lit(_)): _*)).as("i")
+      def pos(key: Column) =
+        ((key * (lit(2654435761L) + lit(40503L) * col("i")) + col("i") * lit(97L))
+          % lit(2147483647L)) % lit(4096L)
+      val bitmap = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"), seeds)
+        .withColumn("p", pos(col("key")))
+        .select(expr("p div 63").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").as("bit"))
+        .groupBy("w").agg(expr("bit_or(bit)").as("bits"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey").as("key"), seeds)
+        .withColumn("p", pos(col("key")))
+        .withColumn("pw", expr("p div 63"))
+        .withColumn("bit", expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))"))
+        .join(broadcast(bitmap), col("pw") === col("w"), "left")
+        .groupBy("o_orderkey")
+        .agg(expr("bool_and(bits IS NOT NULL AND (bits & bit) != 0)").as("maybe_building"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH seeds AS (SELECT unnest([0, 1, 2, 3, 4]) AS i),
+      build AS (
+        SELECT (p // 63) AS w,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS bits
+        FROM (SELECT ((c_custkey * (2654435761 + 40503*i) + i*97) % 2147483647) % 4096 AS p
+              FROM customer CROSS JOIN seeds WHERE c_mktsegment = 'BUILDING')
+        GROUP BY 1),
+      probe AS (
+        SELECT o_orderkey,
+               ((o_custkey * (2654435761 + 40503*i) + i*97) % 2147483647) % 4096 AS p
+        FROM orders CROSS JOIN seeds)
+      SELECT o_orderkey,
+             bool_and(b.bits IS NOT NULL
+               AND (b.bits & (CAST(1 AS BIGINT) << CAST(pr.p % 63 AS INTEGER))) != 0) AS maybe_building
+      FROM probe pr LEFT JOIN build b ON (pr.p // 63) = b.w
+      GROUP BY o_orderkey
+      ORDER BY o_orderkey
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
-    winFirstLast, joinLateral, setIntersectAll, setExceptAll, aggCollect)
+    winFirstLast, joinLateral, setIntersectAll, setExceptAll, aggCollect, sketchBloom)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AggQueries, DedupQueries, VectorQueries}
+import graft.operators.{AggQueries, DedupQueries, MoreQueries, VectorQueries}
 import org.apache.spark.sql.functions._
 import org.scalatest.matchers.should.Matchers
 
@@ -57,6 +57,19 @@ class ApproxOpsSpec extends SparkTestBase with Matchers {
       }
       (recalls.sum / recalls.size) should be >= minMeanRecall
     }
+  }
+
+  test("bloom pre-filter: zero false negatives, bounded false positives") {
+    val building = Tables.customer(spark, sfTiny).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val orders = Tables.orders(spark, sfTiny).select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = MoreQueries.sketchBloom.query(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val truePos = orders.filter { case (_, ck) => building(ck) }.keySet
+    truePos.foreach(ok => probed(ok) shouldBe true) // bloom never lies negative
+    val falsePos = probed.count { case (ok, hit) => hit && !building(orders(ok)) }
+    falsePos.toDouble / probed.size should be <= 0.05
   }
 
   test("approx percentile within 5% rank error of exact") {
