@@ -93,6 +93,7 @@ object GraftFunctions {
   val SortedIntersectName = "graft_sorted_intersect_size"
   val SortedLongIntersectName = "graft_sorted_intersect_size_long"
   val ShinglesName = "graft_shingles"
+  val SortedLongIntersectAtLeastName = "graft_sorted_intersect_at_least"
 
   private def binaryBuilder(name: String, mk: (Expression, Expression) => Expression):
       Seq[Expression] => Expression = {
@@ -114,6 +115,13 @@ object GraftFunctions {
     (FunctionIdentifier(ShinglesName),
       new ExpressionInfo(classOf[Shingles].getName, ShinglesName),
       binaryBuilder(ShinglesName, Shingles)),
+    (FunctionIdentifier(SortedLongIntersectAtLeastName),
+      new ExpressionInfo(classOf[SortedLongIntersectAtLeast].getName, SortedLongIntersectAtLeastName),
+      {
+        case Seq(a, b, m) => SortedLongIntersectAtLeast(a, b, m)
+        case other => throw new IllegalArgumentException(
+          s"$SortedLongIntersectAtLeastName expects 3 arguments, got ${other.size}")
+      }),
   )
 
   /** Idempotent per-session registration (done in Tables.load, so every

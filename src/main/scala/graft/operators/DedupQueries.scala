@@ -40,6 +40,13 @@ object DedupQueries {
   private def intersectSizeLong(a: Column, b: Column): Column =
     call_function(graft.functions.GraftFunctions.SortedLongIntersectName, a, b)
 
+  /** Early-exit intersect for threshold joins: J ≥ t ⟺ I ≥ ⌈t(s1+s2)/(1+t)⌉;
+    * returns -1 (→ negative jaccard → filtered) when unreachable, so
+    * dissimilar pairs abandon the merge scan early. Results unchanged.
+    */
+  private def intersectAtLeast(a: Column, b: Column, minReq: Column): Column =
+    call_function(graft.functions.GraftFunctions.SortedLongIntersectAtLeastName, a, b, minReq)
+
   /** Size-ratio prefilter for set-similarity joins: J(a,b) ≤ min/max, so
     * J ≥ t ⟹ max·num ≤ min·den where t = num/den. Lossless — every
     * surviving-threshold pair satisfies it — so oracle results are
@@ -83,7 +90,8 @@ object DedupQueries {
       val b = t.select(col("lang").as("lang2"), col("doc_id").as("doc_id2"), col("toksh").as("toks2"), col("sz").as("sz2"))
       a.join(b, col("lang") === col("lang2") && col("doc_id1") < col("doc_id2")
           && sizeBand(col("sz1"), col("sz2"), 1, 2)) // J ≥ 0.5 ⟹ max ≤ 2·min
-        .withColumn("inter", intersectSizeLong(col("toks1"), col("toks2")))
+        .withColumn("inter", intersectAtLeast(col("toks1"), col("toks2"),
+          expr("CAST((sz1 + sz2 + 2) div 3 AS INT)"))) // I_min for t=0.5
         .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
         .withColumn("jaccard", round(col("inter").cast(DoubleType) / col("uni"), 6))
         .filter(col("jaccard") >= 0.5)
@@ -144,7 +152,8 @@ object DedupQueries {
       val t2 = hashed.select(col("doc_id").as("doc_id2"), col("toksh").as("toks2"))
       candidates.join(t1, "doc_id1").join(t2, "doc_id2")
         .filter(sizeBand(size(col("toks1")), size(col("toks2")), 1, 2))
-        .withColumn("inter", intersectSizeLong(col("toks1"), col("toks2")))
+        .withColumn("inter", intersectAtLeast(col("toks1"), col("toks2"),
+          expr("CAST((size(toks1) + size(toks2) + 2) div 3 AS INT)")))
         .withColumn("uni", size(col("toks1")) + size(col("toks2")) - col("inter"))
         .withColumn("jaccard", round(col("inter").cast(DoubleType) / col("uni"), 6))
         .filter(col("jaccard") >= 0.5)
@@ -211,7 +220,8 @@ object DedupQueries {
       val b = grams.select(col("lang").as("lang2"), col("doc_id").as("doc_id2"), col("grams").as("g2"), col("sz").as("sz2"))
       a.join(b, col("lang") === col("lang2") && col("doc_id1") < col("doc_id2")
           && sizeBand(col("sz1"), col("sz2"), 3, 10)) // J ≥ 0.3 ⟹ 3·max ≤ 10·min
-        .withColumn("inter", intersectSizeLong(col("g1"), col("g2")))
+        .withColumn("inter", intersectAtLeast(col("g1"), col("g2"),
+          expr("CAST((3 * (sz1 + sz2) + 12) div 13 AS INT)"))) // I_min for t=0.3
         .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
         .withColumn("jaccard", round(col("inter").cast(DoubleType) / col("uni"), 6))
         .filter(col("jaccard") >= 0.3)
