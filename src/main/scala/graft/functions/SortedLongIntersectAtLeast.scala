@@ -35,50 +35,13 @@ case class SortedLongIntersectAtLeast(left: Expression, right: Expression, minRe
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_sorted_intersect_at_least"
 
-  override protected def nullSafeEval(a: Any, b: Any, m: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val need = m.asInstanceOf[Int]
-    val nx = x.numElements()
-    val ny = y.numElements()
-    var i = 0
-    var j = 0
-    var n = 0
-    while (i < nx && j < ny) {
-      if (n + math.min(nx - i, ny - j) < need) return -1
-      val xi = x.getLong(i)
-      val yj = y.getLong(j)
-      if (xi == yj) { n += 1; i += 1; j += 1 }
-      else if (xi < yj) i += 1
-      else j += 1
-    }
-    if (n < need) -1 else n
-  }
+  override protected def nullSafeEval(a: Any, b: Any, m: Any): Any =
+    SortedMerge.countLong(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], m.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b, m) => {
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val n = ctx.freshName("n")
-      val nx = ctx.freshName("nx")
-      val ny = ctx.freshName("ny")
-      val xi = ctx.freshName("xi")
-      val yj = ctx.freshName("yj")
-      val rem = ctx.freshName("rem")
-      s"""
-         |int $nx = $a.numElements(); int $ny = $b.numElements();
-         |int $i = 0; int $j = 0; int $n = 0;
-         |while ($i < $nx && $j < $ny) {
-         |  int $rem = ($nx - $i < $ny - $j) ? ($nx - $i) : ($ny - $j);
-         |  if ($n + $rem < $m) { $n = -1; break; }
-         |  long $xi = $a.getLong($i); long $yj = $b.getLong($j);
-         |  if ($xi == $yj) { $n++; $i++; $j++; }
-         |  else if ($xi < $yj) $i++;
-         |  else $j++;
-         |}
-         |${ev.value} = ($n >= 0 && $n < $m) ? -1 : $n;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, b, m) =>
+      SortedMerge.genCountLong(ctx.freshName, a, b, m, ev.value.toString))
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =

@@ -29,45 +29,12 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_sorted_intersect_size_long"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val nx = x.numElements()
-    val ny = y.numElements()
-    var i = 0
-    var j = 0
-    var n = 0
-    while (i < nx && j < ny) {
-      val xi = x.getLong(i)
-      val yj = y.getLong(j)
-      if (xi == yj) { n += 1; i += 1; j += 1 }
-      else if (xi < yj) i += 1
-      else j += 1
-    }
-    n
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedMerge.countLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], need = 0)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val n = ctx.freshName("n")
-      val nx = ctx.freshName("nx")
-      val ny = ctx.freshName("ny")
-      val xi = ctx.freshName("xi")
-      val yj = ctx.freshName("yj")
-      s"""
-         |int $nx = $a.numElements(); int $ny = $b.numElements();
-         |int $i = 0; int $j = 0; int $n = 0;
-         |while ($i < $nx && $j < $ny) {
-         |  long $xi = $a.getLong($i); long $yj = $b.getLong($j);
-         |  if ($xi == $yj) { $n++; $i++; $j++; }
-         |  else if ($xi < $yj) $i++;
-         |  else $j++;
-         |}
-         |${ev.value} = $n;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      SortedMerge.genCountLong(ctx.freshName, a, b, "0", ev.value.toString))
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

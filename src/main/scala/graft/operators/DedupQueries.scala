@@ -34,15 +34,13 @@ object DedupQueries {
     Tables.documents(s, dir).select(col("doc_id"), col("lang"),
       sort_array(expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))")).as("toksh"))
 
-  private def intersectSize(a: Column, b: Column): Column =
-    call_function(graft.functions.GraftFunctions.SortedIntersectName, a, b)
-
-  private def intersectSizeLong(a: Column, b: Column): Column =
-    call_function(graft.functions.GraftFunctions.SortedLongIntersectName, a, b)
-
   /** Early-exit intersect for threshold joins: J ≥ t ⟺ I ≥ ⌈t(s1+s2)/(1+t)⌉;
     * returns -1 (→ negative jaccard → filtered) when unreachable, so
-    * dissimilar pairs abandon the merge scan early. Results unchanged.
+    * dissimilar pairs abandon the merge scan early. This filters on the
+    * EXACT threshold, like the DuckDB oracle's unrounded WHERE clause — a
+    * pair whose true J sits within 5e-7 below t no longer sneaks in through
+    * the 6dp-rounded score (impossible at fixture set sizes anyway, where J
+    * granularity is ≫ 1e-6).
     */
   private def intersectAtLeast(a: Column, b: Column, minReq: Column): Column =
     call_function(graft.functions.GraftFunctions.SortedLongIntersectAtLeastName, a, b, minReq)
