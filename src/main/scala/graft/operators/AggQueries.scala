@@ -230,6 +230,68 @@ object AggQueries {
     """.trim),
   )
 
+  /** Histogram: width_bucket of event values into 10 fixed buckets. */
+  val aggHistogram = QueryDef(
+    "q_agg_histogram",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(expr("width_bucket(value, 0.0, 500.0, 10)").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+    Some("""
+      -- DuckDB has no width_bucket; identical arithmetic: floor(v/width)+1
+      SELECT CAST(FLOOR(value / 50.0) + 1 AS BIGINT) AS bucket, COUNT(*) AS n
+      FROM events GROUP BY 1 ORDER BY bucket
+    """.trim),
+  )
+
+  /** Pearson correlation + sample covariance per event_type, computed in
+    * closed form from exact decimal sums (builtin corr/covar use streaming
+    * float algorithms that differ across engines) — value vs. epoch-seconds,
+    * both reduced to exact sub-2^53 ingredients.
+    */
+  val aggCorr = QueryDef(
+    "q_agg_corr",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        col("value").cast(DecimalType(9, 2)).as("x"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000000 - 1704067200").as("ys")) // sec since 2024-01-01
+      val g = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum("x").cast(DecimalType(38, 2)).cast(DoubleType).as("sx"),
+        sum(col("x") * col("x")).cast(DecimalType(38, 4)).cast(DoubleType).as("sxx"),
+        sum("ys").cast(DecimalType(38, 0)).cast(DoubleType).as("sy"),
+        sum(col("ys") * col("ys")).cast(DecimalType(38, 0)).cast(DoubleType).as("syy"),
+        sum(col("x") * col("ys")).cast(DecimalType(38, 2)).cast(DoubleType).as("sxy"))
+      g.select(col("event_type"),
+          round(((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") - 1) / col("n")), 6).as("covar_samp"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(CAST(SUM(x) AS DECIMAL(38,2)) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(x * x) AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(ys) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(ys * ys) AS DECIMAL(38,0)) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(x * ys) AS DECIMAL(38,2)) AS DOUBLE) AS sxy
+        FROM (SELECT event_type, CAST(value AS DECIMAL(9,2)) AS x,
+                     epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 1704067200 AS ys
+              FROM events)
+        GROUP BY event_type)
+      SELECT event_type,
+             ROUND((n * sxy - sx * sy) / (n - 1) / n, 6) AS covar_samp,
+             ROUND((n * sxy - sx * sy)
+                   / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+      FROM g ORDER BY event_type
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
-    aggGroupBy, aggDistinct, aggRollup, aggCube, aggGroupingSets, aggHll, aggStats, aggSalted)
+    aggGroupBy, aggDistinct, aggRollup, aggCube, aggGroupingSets, aggHll, aggStats, aggSalted,
+    aggHistogram, aggCorr)
 }
