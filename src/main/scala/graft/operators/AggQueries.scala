@@ -15,11 +15,13 @@ import org.apache.spark.sql.types._
   * *before* aggregation. With 12-digit inputs the 2- and 3-factor products
   * stay within 38 digits in BOTH engines (Spark (25,8)/(38,12); DuckDB
   * (24,8)/(36,12)) so no engine ever rounds or truncates an intermediate.
-  * Output decimals are widened (never narrowed — DuckDB truncates on
-  * scale-down while Spark rounds half-up) to an explicit matching
-  * precision/scale. DOUBLE outputs only ever come from an exact decimal
-  * whose unscaled value fits in 2^53, so the conversion is exact on both
-  * sides.
+  * Wide decimals are intermediates ONLY — every output column is DOUBLE
+  * (or integral): a precision>18 decimal writes as parquet decimal128,
+  * which the two engines' readers render differently (exact Decimal vs
+  * lossy float64). DOUBLE outputs only ever come from an exact decimal
+  * whose unscaled value fits in 2^53 (scale-8+ sums are first ROUNDed to
+  * 2dp — half-away-from-zero on both engines), so the conversion is exact
+  * on both sides.
   */
 object AggQueries {
   private val D = DecimalType(12, 4)
@@ -35,12 +37,18 @@ object AggQueries {
         col("l_extendedprice").cast(D).as("price"),
         col("l_discount").cast(D).as("disc"),
         col("l_tax").cast(D).as("tax"))
+      // Outputs are DOUBLE, never wide decimal: parquet decimal128 (p > 18)
+      // round-trips differently through the two engines' readers (repr +
+      // last-ulp), while an exact decimal with unscaled < 2^53 casts to the
+      // same double bits on both sides. Scale-8/12 sums are rounded to 2dp
+      // (both engines round half away from zero; sums are positive) so the
+      // unscaled value stays far below 2^53.
       l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum("qty").cast(DecimalType(38, 4)).as("sum_qty"),
-          sum("price").cast(DecimalType(38, 4)).as("sum_base_price"),
-          sum(col("price") * (one - col("disc"))).cast(DecimalType(38, 8)).as("sum_disc_price"),
-          sum(col("price") * (one - col("disc")) * (one + col("tax"))).cast(DecimalType(38, 12)).as("sum_charge"),
+          sum("qty").cast(DecimalType(38, 4)).cast(DoubleType).as("sum_qty"),
+          sum("price").cast(DecimalType(38, 4)).cast(DoubleType).as("sum_base_price"),
+          round(sum(col("price") * (one - col("disc"))), 2).cast(DoubleType).as("sum_disc_price"),
+          round(sum(col("price") * (one - col("disc")) * (one + col("tax"))), 2).cast(DoubleType).as("sum_charge"),
           (sum("qty").cast(DecimalType(38, 4)).cast(DoubleType) / count(lit(1))).as("avg_qty"),
           (sum("price").cast(DecimalType(38, 4)).cast(DoubleType) / count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))
@@ -48,10 +56,10 @@ object AggQueries {
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_base_price,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))) AS DECIMAL(38,12)) AS sum_charge,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS sum_disc_price,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))), 2) AS DOUBLE) AS sum_charge,
              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) / COUNT(*) AS avg_qty,
              CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) / COUNT(*) AS avg_price,
              COUNT(*) AS count_order
@@ -91,7 +99,7 @@ object AggQueries {
       joined.createOrReplaceTempView("graft_rollup_in")
       s.sql("""
         SELECT region, nation,
-               CAST(SUM(price) AS DECIMAL(38,4)) AS revenue, COUNT(*) AS n_orders
+               CAST(CAST(SUM(price) AS DECIMAL(38,4)) AS DOUBLE) AS revenue, COUNT(*) AS n_orders
         FROM graft_rollup_in
         GROUP BY ROLLUP (region, nation)
         ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST
@@ -99,7 +107,7 @@ object AggQueries {
     },
     Some("""
       SELECT region, nation,
-             CAST(SUM(price) AS DECIMAL(38,4)) AS revenue,
+             CAST(CAST(SUM(price) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
              COUNT(*) AS n_orders
       FROM (SELECT r_name AS region, n_name AS nation,
                    CAST(o_totalprice AS DECIMAL(12,4)) AS price
@@ -119,11 +127,11 @@ object AggQueries {
       Tables.orders(s, dir)
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(D)).cast(DecimalType(38, 4)).as("revenue"))
+          sum(col("o_totalprice").cast(D)).cast(DecimalType(38, 4)).cast(DoubleType).as("revenue"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
     Some("""
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS revenue
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
       FROM orders
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
@@ -220,12 +228,12 @@ object AggQueries {
         .agg(count(lit(1)).as("pn"), sum("v").as("psum"))
         .groupBy("event_type")
         .agg(sum("pn").cast(LongType).as("n"),
-          sum("psum").cast(DecimalType(38, 2)).as("sum_value"))
+          sum("psum").cast(DecimalType(38, 2)).cast(DoubleType).as("sum_value"))
         .orderBy("event_type")
     },
     Some("""
       SELECT event_type, COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DECIMAL(38,2)) AS sum_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       FROM events GROUP BY event_type ORDER BY event_type
     """.trim),
   )

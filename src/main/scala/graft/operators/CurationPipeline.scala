@@ -13,8 +13,12 @@ import org.apache.spark.sql.types._
   * Near-dedup rule kept non-recursive on purpose: a doc is dropped when ANY
   * lower-id quality-surviving doc is ≥ 0.8 token-Jaccard similar —
   * SQL-expressible and order-independent (greedy chain semantics would
-  * depend on traversal order). The exact pair join here is the fixture-scale
-  * oracle; at 100 TB the same rule runs over q_dedup_near's LSH candidates.
+  * depend on traversal order). Stage 3 generates pairs with the same
+  * MinHash-banded LSH the engine uses for q_dedup_near (near-linear: one
+  * shuffle on band signature, no all-pairs join) and Jaccard-verifies only
+  * the candidates. At J ≥ 0.8 with 16×2 banding a qualifying pair collides
+  * with probability 1-(1-J²)^16 ≥ 1 - 4e-8, so the result matches the
+  * all-pairs DuckDB oracle on any realistic corpus.
   */
 object CurationPipeline {
 
@@ -38,18 +42,25 @@ object CurationPipeline {
         .withColumn("keep_id", min("doc_id").over(
           org.apache.spark.sql.expressions.Window.partitionBy("text")))
         .filter(col("doc_id") === col("keep_id"))
-      // stage 3: near-dedup — drop docs with a more-canonical near-twin
-      val sets = exact.select(col("doc_id"), col("lang"),
+      // stage 3: near-dedup — drop docs with a more-canonical near-twin.
+      // Candidate pairs come from the engine's MinHash-banded LSH (near-
+      // linear), then only candidates pay the exact sorted-merge Jaccard
+      // verification with size-band + early-exit pruning (both lossless at
+      // the 0.8 threshold).
+      val sets = exact.select(col("doc_id"), col("lang"), col("toks"),
         sort_array(expr("transform(array_distinct(toks), t -> xxhash64(t))")).as("th"))
-      val a = sets.select(col("lang"), col("doc_id").as("id1"), col("th").as("th1"))
-      val b = sets.select(col("lang").as("lang2"), col("doc_id").as("id2"), col("th").as("th2"))
-      val dropIds = a.join(b, col("lang") === col("lang2") && col("id1") < col("id2"))
-        .withColumn("inter", call_function(
-          graft.functions.GraftFunctions.SortedLongIntersectName, col("th1"), col("th2")))
+      val candidates = DedupQueries.minhashBandCandidates(
+        sets.select(col("doc_id"), col("lang"), col("toks")))
+      val t1 = sets.select(col("doc_id").as("doc_id1"), col("th").as("th1"), size(col("th")).as("sz1"))
+      val t2 = sets.select(col("doc_id").as("doc_id2"), col("th").as("th2"), size(col("th")).as("sz2"))
+      val dropIds = candidates.join(t1, "doc_id1").join(t2, "doc_id2")
+        .filter(DedupQueries.sizeBand(col("sz1"), col("sz2"), 4, 5)) // J ≥ 0.8 ⟹ 4·max ≤ 5·min
+        .withColumn("inter", DedupQueries.intersectAtLeast(col("th1"), col("th2"),
+          expr("CAST((4 * (sz1 + sz2) + 8) div 9 AS INT)"))) // I_min for t = 0.8
         .withColumn("j", col("inter").cast(DoubleType)
-          / (size(col("th1")) + size(col("th2")) - col("inter")))
+          / (col("sz1") + col("sz2") - col("inter")))
         .filter(col("j") >= 0.8)
-        .select(col("id2").as("drop_id")).distinct()
+        .select(col("doc_id2").as("drop_id")).distinct()
       exact.join(dropIds, col("doc_id") === col("drop_id"), "left_anti")
         .select("doc_id", "lang", "n_tokens", "quality_score")
         .orderBy("doc_id")

@@ -42,7 +42,7 @@ object DedupQueries {
     * the 6dp-rounded score (impossible at fixture set sizes anyway, where J
     * granularity is ≫ 1e-6).
     */
-  private def intersectAtLeast(a: Column, b: Column, minReq: Column): Column =
+  private[operators] def intersectAtLeast(a: Column, b: Column, minReq: Column): Column =
     call_function(graft.functions.GraftFunctions.SortedLongIntersectAtLeastName, a, b, minReq)
 
   /** Size-ratio prefilter for set-similarity joins: J(a,b) ≤ min/max, so
@@ -52,8 +52,39 @@ object DedupQueries {
     * intersection (the difference between O(n²) candidate pairs and a thin
     * band at 100 TB).
     */
-  private def sizeBand(s1: Column, s2: Column, num: Int, den: Int): Column =
+  private[operators] def sizeBand(s1: Column, s2: Column, num: Int, den: Int): Column =
     greatest(s1, s2) * num <= least(s1, s2) * den
+
+  /** MinHash + banded-LSH candidate pairs over (doc_id, lang, toks) — the
+    * near-linear candidate generator shared by q_dedup_near and the curation
+    * pipeline. 32 seeded murmur3 min-hashes, `bands` bands × 32/bands rows;
+    * a pair is a candidate when any band signature collides within the same
+    * language. One shuffle on (lang, band, sig); the skinny (lang, id1, id2)
+    * collision rows are distinct-ed BEFORE any token arrays are fetched
+    * (band multiplicity is cheapest to collapse at 3 columns wide).
+    * With 16×2 banding, P[candidate] = 1-(1-J²)^16 — ≈ 0.99 at J = 0.5 and
+    * 1 - 4e-8 at J = 0.8.
+    */
+  private[operators] def minhashBandCandidates(sets: DataFrame, bands: Int = 16): DataFrame = {
+    val nHashes = 32
+    val rows = nHashes / bands
+    val exploded = sets.select(col("doc_id"), col("lang"), explode(col("toks")).as("token"))
+    val minhashAggs = (0 until nHashes).map(i => min(hash(col("token"), lit(i))).as(s"mh$i"))
+    val sigs = exploded.groupBy("doc_id", "lang").agg(minhashAggs.head, minhashAggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*).as("sig"))
+    }
+    val banded = sigs.select(col("doc_id"), col("lang"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("lang"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val l = banded.select(col("lang"), col("band"), col("sig"), col("doc_id").as("doc_id1"))
+    val r = banded.select(col("lang").as("lang2"), col("band").as("band2"), col("sig").as("sig2"),
+      col("doc_id").as("doc_id2"))
+    l.join(r,
+        col("lang") === col("lang2") && col("band") === col("band2")
+          && col("sig") === col("sig2") && col("doc_id1") < col("doc_id2"))
+      .select("lang", "doc_id1", "doc_id2").distinct()
+  }
 
   /** Exact dedup: canonical representative = min(doc_id) per identical text. */
   val dedupExact = QueryDef(
@@ -120,31 +151,7 @@ object DedupQueries {
   val dedupNear = QueryDef(
     "q_dedup_near",
     (s, dir) => {
-      val nHashes = 32
-      val bands = 16
-      val rows = nHashes / bands
-      val toks = docTokens(s, dir)
-      val exploded = toks.select(col("doc_id"), col("lang"), explode(col("toks")).as("token"))
-      val minhashAggs = (0 until nHashes).map(i => min(hash(col("token"), lit(i))).as(s"mh$i"))
-      val sigs = exploded.groupBy("doc_id", "lang").agg(minhashAggs.head, minhashAggs.tail: _*)
-      val bandCols = (0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          hash((b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*).as("sig"))
-      }
-      val banded = sigs.select(col("doc_id"), col("lang"), explode(array(bandCols: _*)).as("bs"))
-        .select(col("doc_id"), col("lang"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      val l = banded.select(col("lang"), col("band"), col("sig"), col("doc_id").as("doc_id1"))
-      val r = banded.select(col("lang").as("lang2"), col("band").as("band2"), col("sig").as("sig2"),
-        col("doc_id").as("doc_id2"))
-      // Distinct the skinny (lang, id1, id2) collision rows BEFORE fetching
-      // token arrays: band multiplicity (up to 16×) is cheapest to collapse
-      // while rows are 3 columns wide. (Measured: verifying duplicates
-      // instead of distinct-ing them first is ~1.5× slower on the dense
-      // fixture corpus.)
-      val candidates = l.join(r,
-          col("lang") === col("lang2") && col("band") === col("band2")
-            && col("sig") === col("sig2") && col("doc_id1") < col("doc_id2"))
-        .select("lang", "doc_id1", "doc_id2").distinct()
+      val candidates = minhashBandCandidates(docTokens(s, dir))
       val hashed = docTokensHashed(s, dir)
       val t1 = hashed.select(col("doc_id").as("doc_id1"), col("toksh").as("toks1"))
       val t2 = hashed.select(col("doc_id").as("doc_id2"), col("toksh").as("toks2"))

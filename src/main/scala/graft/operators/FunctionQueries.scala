@@ -141,12 +141,12 @@ object FunctionQueries {
         .select(get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
           col("value").cast(DecimalType(9, 2)).as("v"))
         .groupBy("k")
-        .agg(count(lit(1)).as("n"), sum("v").cast(DecimalType(38, 2)).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sum("v").cast(DecimalType(38, 2)).cast(DoubleType).as("sum_value"))
         .orderBy("k"),
     Some("""
       SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DECIMAL(38,2)) AS sum_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1 ORDER BY k
     """.trim),
   )
@@ -186,8 +186,11 @@ object FunctionQueries {
     """.trim),
   )
 
-  /** Map family — no DuckDB oracle (map literal/ordering parity is fragile);
-    * golden-tested in MapFunctionSpec. Outputs scalars from map ops.
+  /** Map family, oracle-checked by scalarizing: the map is rebuilt as a
+    * canonical "key:value" string over key-sorted map_entries (map iteration
+    * order itself is engine-specific, the sorted projection is not). The
+    * DuckDB twin computes the expected entries string directly from the
+    * source columns.
     */
   val fnMap = QueryDef(
     "q_fn_map",
@@ -199,13 +202,19 @@ object FunctionQueries {
         .withColumn("m", expr("str_to_map(kv, ',', '=')"))
       e.select(
           col("event_id"),
-          map_keys(col("m")).getItem(0).as("first_key"),
-          map_values(col("m")).getItem(0).as("first_val"),
+          expr("array_join(transform(array_sort(map_entries(m)), x -> concat(x.key, ':', x.value)), ',')")
+            .as("entries_str"),
           element_at(col("m"), "type").as("type_val"),
           size(col("m")).as("map_size"))
         .orderBy("event_id")
     },
-    None,
+    Some("""
+      SELECT event_id,
+             'k:' || json_extract_string(props, '$.k') || ',type:' || event_type AS entries_str,
+             event_type AS type_val,
+             2 AS map_size
+      FROM events ORDER BY event_id
+    """.trim),
   )
 
   /** Table-generating (UDTF / Catalyst Generator): tokenize + explode. */

@@ -47,8 +47,10 @@ object RelationalQueries {
     """.trim),
   )
 
-  /** Computed columns: revenue as exact decimal (Spark (25,8) / DuckDB
-    * (24,8) products, widened to a common (30,8) — never narrowed).
+  /** Computed columns: revenue computed as exact decimal (Spark (25,8) /
+    * DuckDB (24,8) products), emitted as DOUBLE — the per-row unscaled value
+    * (≤ ~5e14 at scale 8) is < 2^53 so the cast is exact and bit-identical
+    * on both engines; no decimal128 column reaches the output schema.
     */
   val projectExpr = QueryDef(
     "q_project_expr",
@@ -57,14 +59,14 @@ object RelationalQueries {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice").cast(D) * (lit(BigDecimal(1)).cast(D) - col("l_discount").cast(D)))
-            .cast(DecimalType(30, 8)).as("revenue"),
+            .cast(DecimalType(30, 8)).cast(DoubleType).as("revenue"),
           (col("l_quantity").cast(D) * col("l_extendedprice").cast(D))
-            .cast(DecimalType(30, 8)).as("gross"))
+            .cast(DecimalType(30, 8)).cast(DoubleType).as("gross"))
         .orderBy("l_orderkey", "l_linenumber", "revenue", "gross"),
     Some("""
       SELECT l_orderkey, l_linenumber,
-             CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(30,8)) AS revenue,
-             CAST(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_extendedprice AS DECIMAL(12,4)) AS DECIMAL(30,8)) AS gross
+             CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(30,8)) AS DOUBLE) AS revenue,
+             CAST(CAST(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_extendedprice AS DECIMAL(12,4)) AS DECIMAL(30,8)) AS DOUBLE) AS gross
       FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, gross
     """.trim),
   )
@@ -106,7 +108,9 @@ object RelationalQueries {
   )
 
   /** Global top-k without full sort (TakeOrderedAndProject; plan-asserted).
-    * Revenue is exact decimal so the ordering is identical in both engines.
+    * Revenue is computed as exact decimal then emitted as an exact DOUBLE
+    * (unscaled < 2^53) so the ordering — and the bits — are identical in
+    * both engines.
     */
   val limitTopk = QueryDef(
     "q_limit_topk",
@@ -115,12 +119,12 @@ object RelationalQueries {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice").cast(D) * (lit(BigDecimal(1)).cast(D) - col("l_discount").cast(D)))
-            .cast(DecimalType(30, 8)).as("revenue"))
+            .cast(DecimalType(30, 8)).cast(DoubleType).as("revenue"))
         .orderBy(desc("revenue"), asc("l_orderkey"), asc("l_linenumber"))
         .limit(10),
     Some("""
       SELECT l_orderkey, l_linenumber,
-             CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(30,8)) AS revenue
+             CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(30,8)) AS DOUBLE) AS revenue
       FROM lineitem
       ORDER BY revenue DESC, l_orderkey ASC, l_linenumber ASC
       LIMIT 10

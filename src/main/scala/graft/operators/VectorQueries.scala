@@ -18,6 +18,7 @@ import org.apache.spark.sql.types._
   * candidates pay the exact-distance cost.
   */
 object VectorQueries {
+  private val GraftCosineName = graft.functions.GraftFunctions.CosineName
 
   /** Brute-force cosine top-5 for query vectors (vec_id < 10), excluding
     * self. Broadcast the tiny query side; score via sequential double fold
@@ -56,12 +57,46 @@ object VectorQueries {
     """.trim),
   )
 
-  /** Per-label centroid via the VectorCentroid Aggregator (UDAF), exploded
-    * to scalar rows. Golden-tested against the posexplode formulation
-    * (VectorCentroidSpec); no hash oracle (float-sum order).
+  /** Per-label centroid, oracle-checked: per (label, dim) the element values
+    * are collected with their vec_id, sorted, and summed by a sequential
+    * double fold in vec_id order — the identical fold DuckDB performs with
+    * list_sum over list(v ORDER BY vec_id), so the mean is bit-identical
+    * cross-engine (the round-1-proven recipe behind q_fn_array's sum_elems).
+    * This is the determinism-pinned formulation; the mergeable-partial-buffer
+    * UDAF below (q_vec_centroid_udaf) is the 100 TB scale path — same values
+    * to 4dp, different float-sum order.
     */
   val vecCentroid = QueryDef(
     "q_vec_centroid",
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"),
+          sort_array(collect_list(struct(col("vec_id"), col("v").cast(DoubleType).as("v")))).as("vs"))
+        .select(col("label"), col("dim"),
+          round(aggregate(col("vs"), lit(0.0), (acc, x) => acc + x.getField("v")) / col("n"), 6)
+            .as("centroid_val"))
+        .orderBy("label", "dim"),
+    Some("""
+      WITH x AS (
+        SELECT label, vec_id, CAST(i - 1 AS INTEGER) AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)),
+      g AS (
+        SELECT label, dim, COUNT(*) AS n, list_sum(list(v ORDER BY vec_id)) AS s
+        FROM x GROUP BY label, dim)
+      SELECT label, dim, ROUND(s / n, 6) AS centroid_val
+      FROM g ORDER BY label, dim
+    """.trim),
+  )
+
+  /** Per-label centroid via the VectorCentroid Aggregator (UDAF) — the scale
+    * path: mergeable partial buffers, no per-group list materialization.
+    * Golden-tested against the posexplode formulation (ApproxOpsSpec); no
+    * hash oracle (float-sum order is merge-order-dependent).
+    */
+  val vecCentroidUdaf = QueryDef(
+    "q_vec_centroid_udaf",
     (s, dir) => {
       val centroidUdaf = udaf(new VectorCentroid(64))
       Tables.embeddings(s, dir)
@@ -139,9 +174,16 @@ object VectorQueries {
 
   /** IVF-style ANN: coarse quantizer = per-label centroids (stand-in for a
     * trained k-means codebook — deterministic and cheap); every vector is
-    * assigned to its nearest centroid (inverted lists), queries probe the 2
+    * assigned to its nearest centroid (inverted lists), queries probe the 3
     * nearest centroids and search only those lists exactly. Non-oracle;
     * ApproxOpsSpec bounds recall.
+    *
+    * Assignment is shuffle-free: the 10 centroids collapse to ONE broadcast
+    * row holding an array of (c_id, c_emb) structs; each corpus row computes
+    * all 10 cosines in a single projection and takes the argmax via
+    * array_max over struct(sim, -c_id) (struct ordering = sim desc, ties →
+    * smallest c_id — identical to the former window formulation, without
+    * exploding the corpus 10× and shuffling it for a row_number).
     */
   val annIvf = QueryDef(
     "q_ann_ivf",
@@ -150,26 +192,29 @@ object VectorQueries {
       val centroids = centroidViaPosexplode(s, dir)
         .groupBy("label").agg(collect_list(struct(col("dim"), col("centroid_val"))).as("dv"))
         .select(col("label").as("c_id"),
-          expr("transform(array_sort(dv, (l, r) -> l.dim - r.dim), x -> x.centroid_val)").as("c_emb"))
-      // assign: nearest centroid by cosine (10 centroids broadcast).
-      // Centroids are double arrays, so cast to float for the native
-      // expression — quantizer assignment tolerates the 1e-7 rounding.
-      val cEmbF = col("c_emb").cast("array<float>")
-      val assignW = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("c_id"))
-      val assigned = e.crossJoin(broadcast(centroids))
-        .withColumn("sim", VectorOps.cosine(col("embedding"), cEmbF))
-        .withColumn("rn", row_number().over(assignW))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("c_id"))
-      // queries probe their 2 nearest centroids
-      val probeW = Window.partitionBy("q_vec_id").orderBy(desc("sim"), asc("c_id"))
+          // Centroids are double arrays, so cast to float for the native
+          // expression — quantizer assignment tolerates the 1e-7 rounding.
+          expr("transform(array_sort(dv, (l, r) -> l.dim - r.dim), x -> x.centroid_val)")
+            .cast("array<float>").as("c_emb"))
+      val centroidArr = centroids
+        .agg(collect_list(struct(col("c_id"), col("c_emb"))).as("cents"))
+      val assigned = e.crossJoin(broadcast(centroidArr))
+        .withColumn("best", expr(
+          s"""array_max(transform(cents,
+             |  c -> struct(${GraftCosineName}(embedding, c.c_emb) AS sim, -c.c_id AS nid)))""".stripMargin))
+        .select(col("vec_id"), col("embedding"), (-col("best.nid")).as("c_id"))
+      // queries probe their 3 nearest centroids — same single-projection
+      // trick: sort the 10-element struct array (ascending on (-sim, c_id)
+      // = sim desc, c_id asc) and explode the first nprobe entries.
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
-        .crossJoin(broadcast(centroids))
-        .withColumn("sim", VectorOps.cosine(col("q_emb"), cEmbF))
-        .withColumn("rn", row_number().over(probeW))
-        .filter(col("rn") <= 3) // nprobe=3 of 10 lists
-        .select(col("q_vec_id"), col("q_emb"), col("c_id").as("probe_c_id"))
+        .crossJoin(broadcast(centroidArr))
+        .select(col("q_vec_id"), col("q_emb"),
+          explode(expr(
+            s"""slice(array_sort(transform(cents,
+               |  c -> struct(-${GraftCosineName}(q_emb, c.c_emb) AS nsim, c.c_id AS c_id))),
+               |  1, 3)""".stripMargin)).as("p")) // nprobe=3 of 10 lists
+        .select(col("q_vec_id"), col("q_emb"), col("p.c_id").as("probe_c_id"))
       val scored = assigned.join(broadcast(probes),
           col("c_id") === col("probe_c_id") && col("vec_id") =!= col("q_vec_id"))
         .withColumn("cos", round(VectorOps.cosine(col("q_emb"), col("embedding")), 6))
@@ -182,5 +227,5 @@ object VectorQueries {
     None,
   )
 
-  def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, annLsh, annIvf)
+  def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, vecCentroidUdaf, annLsh, annIvf)
 }

@@ -77,18 +77,18 @@ object WindowQueries {
       val lastHour = Window.partitionBy("user_id").orderBy(asc("ts_us"))
         .rangeBetween(-3600L * 1000000L, 0L)
       e.select(col("user_id"), col("event_id"), col("ts_us"),
-          sum("v").over(running).cast(DecimalType(38, 2)).as("running_sum"),
-          sum("v").over(lastHour).cast(DecimalType(38, 2)).as("hour_sum"))
+          sum("v").over(running).cast(DecimalType(38, 2)).cast(DoubleType).as("running_sum"),
+          sum("v").over(lastHour).cast(DecimalType(38, 2)).cast(DoubleType).as("hour_sum"))
         .orderBy("user_id", "event_id")
     },
     Some("""
       SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-             CAST(SUM(CAST(value AS DECIMAL(9,2))) OVER (
+             CAST(CAST(SUM(CAST(value AS DECIMAL(9,2))) OVER (
                PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_sum,
-             CAST(SUM(CAST(value AS DECIMAL(9,2))) OVER (
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS running_sum,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(9,2))) OVER (
                PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC
-               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS hour_sum
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS hour_sum
       FROM events
       ORDER BY user_id, event_id
     """.trim),

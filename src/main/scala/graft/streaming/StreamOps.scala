@@ -49,7 +49,7 @@ object StreamOps {
   def tumbling(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast(D)).cast(DecimalType(38, 2)).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(D)).cast(DecimalType(38, 2)).cast(DoubleType).as("sum_value"))
       .select(expr("unix_micros(cast(w.start as timestamp))").as("win_start_us"),
         col("event_type"), col("n"), col("sum_value"))
 

@@ -17,7 +17,7 @@ object StreamQueries {
     Some("""
       SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS win_start_us,
              event_type, COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DECIMAL(38,2)) AS sum_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2
       ORDER BY win_start_us, event_type

@@ -87,8 +87,8 @@ class ApproxOpsSpec extends SparkTestBase with Matchers {
     }
   }
 
-  test("q_vec_centroid: UDAF ≡ posexplode formulation (golden cross-check)") {
-    val udafRows = VectorQueries.vecCentroid.query(spark, sfTiny).collect()
+  test("q_vec_centroid_udaf: UDAF ≡ posexplode formulation (golden cross-check)") {
+    val udafRows = VectorQueries.vecCentroidUdaf.query(spark, sfTiny).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
     val builtins = VectorQueries.centroidViaPosexplode(spark, sfTiny).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
