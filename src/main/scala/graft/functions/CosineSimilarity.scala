@@ -14,9 +14,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * columns (SURVEY.md §7.2).
   *
   * Semantics are bit-identical to the higher-order-function formulation in
-  * VectorOps.cosine (the correctness reference, asserted by
+  * VectorOps.cosineHof (the correctness reference, asserted by
   * CosineExpressionSpec): each float is widened to double and dot / both
   * norms accumulate sequentially in index order; result = dot/sqrt(na*nb).
+  * Mismatched dimensions yield NULL — exactly like the HOF twin, where
+  * zip_with pads the shorter array with nulls and the null poisons the
+  * whole fold.
   *
   * Why native: one fused loop per row inside whole-stage codegen, versus
   * three aggregate/zip_with chains that allocate intermediate arrays — this
@@ -38,12 +41,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override def dataType: DataType = DoubleType
+  // nullable even for non-null inputs: mismatched dimensions yield NULL
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine_similarity"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -69,14 +75,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
        """.stripMargin
     })
 

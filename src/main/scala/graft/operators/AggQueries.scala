@@ -247,8 +247,10 @@ object AggQueries {
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket"),
     Some("""
-      -- DuckDB has no width_bucket; identical arithmetic: floor(v/width)+1
-      SELECT CAST(FLOOR(value / 50.0) + 1 AS BIGINT) AS bucket, COUNT(*) AS n
+      -- DuckDB has no width_bucket; identical arithmetic incl. the clamping
+      -- width_bucket applies to out-of-range values (underflow → 0,
+      -- overflow → 11)
+      SELECT LEAST(GREATEST(CAST(FLOOR(value / 50.0) + 1 AS BIGINT), 0), 11) AS bucket, COUNT(*) AS n
       FROM events GROUP BY 1 ORDER BY bucket
     """.trim),
   )

@@ -215,9 +215,14 @@ object DedupQueries {
       val grams = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), col("lang"),
+          // single-token docs have no bigrams: sequence(0, -1) would yield
+          // the DESCENDING [0, -1] (out-of-range → [null]), so guard to an
+          // empty list — matching the DuckDB oracle's range(len - 1)
           sort_array(expr(
             """transform(array_distinct(
-                 transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))),
+                 transform(CASE WHEN size(toks) >= 2 THEN sequence(0, size(toks) - 2)
+                                ELSE CAST(array() AS ARRAY<INT>) END,
+                           i -> concat(toks[i], ' ', toks[i+1]))),
                g -> xxhash64(g))""")).as("grams"))
         .withColumn("sz", size(col("grams")))
       val a = grams.select(col("lang"), col("doc_id").as("doc_id1"), col("grams").as("g1"), col("sz").as("sz1"))

@@ -122,25 +122,65 @@ object Refresh {
     if (results.nonEmpty && results.forall(_.ok)) 0 else 1
 }
 
-/** CLI mirroring the reference's flags (ref R8/R9,
-  * impala-refresher.go:150-160): -table is the *prefix* of target tables or
-  * -targets a comma-separated list, -timeout seconds (default 60), and
-  * -concurrency (default 0 = unlimited).
+/** Parsed CLI invocation. `table` is Some for the reference-shaped
+  * `-table` + `-nodes` form (refresh that one table once per node target,
+  * reference impala-refresher.go:151-152) and None for the engine-native
+  * `-targets` form (each target names a table in the one Spark catalog —
+  * the SURVEY §2.A R2 mapping).
+  */
+final case class RefresherConfig(
+    targets: Seq[RefreshTarget],
+    table: Option[String],
+    timeout: Duration,
+    concurrency: Int)
+
+/** CLI mirroring the reference's flags exactly (ref R8/R9,
+  * impala-refresher.go:150-160): `-table <t> -nodes n1,n2,...` (BOTH
+  * required, like ref :157-160's usage-and-exit-1), `-timeout` seconds
+  * (default 60), `-concurrency` (default 0 = unlimited). The engine-native
+  * `-targets t1,t2,...` form (N tables, one catalog) is accepted as an
+  * alternative to `-table`/`-nodes`.
   */
 object RefresherApp {
-  def main(args: Array[String]): Unit = {
+  private val usageText =
+    """usage: RefresherApp -table <table> -nodes n1,n2,... [-timeout seconds] [-concurrency n]
+      |       RefresherApp -targets t1,t2,... [-timeout seconds] [-concurrency n]""".stripMargin
+
+  /** R8/R9: flag parsing + required-argument validation, returned as data so
+    * the validation rules are unit-testable (RefreshSpec).
+    */
+  def parseArgs(args: Array[String]): Either[String, RefresherConfig] = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val table = opts.getOrElse("-table", "")
+    val nodes = opts.getOrElse("-nodes", "")
     val targetsArg = opts.getOrElse("-targets", "")
-    if (targetsArg.isEmpty) {
-      System.err.println("usage: RefresherApp -targets t1,t2,... [-timeout seconds] [-concurrency n]")
-      sys.exit(1)
-    }
     val timeout = opts.get("-timeout").map(_.toInt).getOrElse(60).seconds
     val concurrency = opts.get("-concurrency").map(_.toInt).getOrElse(0)
+    if (table.nonEmpty || nodes.nonEmpty) {
+      // reference shape: both -table and -nodes are required (ref :157-160)
+      if (table.isEmpty || nodes.isEmpty) Left(usageText)
+      else Right(RefresherConfig(Refresh.parseTargets(nodes), Some(table), timeout, concurrency))
+    } else if (targetsArg.nonEmpty)
+      Right(RefresherConfig(Refresh.parseTargets(targetsArg), None, timeout, concurrency))
+    else Left(usageText)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args) match {
+      case Left(msg) => System.err.println(msg); sys.exit(1)
+      case Right(c) => c
+    }
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.ui.enabled", "false").getOrCreate()
     try {
-      val results = Refresh.refreshAll(spark, Refresh.parseTargets(targetsArg), timeout, concurrency)
+      // -table form: every node target runs a refresh of that one table
+      // (the catalog is the node analogue); -targets form: each target IS
+      // the table.
+      val action: String => Unit = cfg.table match {
+        case Some(t) => _ => Refresh.refreshTable(spark, t)
+        case None => t => Refresh.refreshTable(spark, t)
+      }
+      val results = Refresh.refreshAll(spark, cfg.targets, cfg.timeout, cfg.concurrency, action)
       results.foreach { r =>
         if (r.ok) println(s"${r.target} refreshed successfully! Took: ${r.durationNanos / 1e9}s")
         else println(s"${r.target} failed to refresh! (${r.error.getOrElse("")})")

@@ -47,6 +47,41 @@ object RelationalQueries {
     """.trim),
   )
 
+  /** Partitioned scan + dynamic partition pruning — the 100 TB scan story:
+    * the fact side is the date-partitioned events layout
+    * (PartitionedEvents), the dimension is the distinct Mondays derived from
+    * the flat fixture. DPP turns the dimension's filter into a runtime
+    * partition filter on the fact scan (PlanShapeSpec asserts
+    * `dynamicpruningexpression` in PartitionFilters), so only matching
+    * `event_date=...` directories are read — at scale that is the
+    * difference between scanning one weekday's partitions and the whole
+    * fact table.
+    */
+  val scanPartitioned = QueryDef(
+    "q_scan_partitioned",
+    (s, dir) => {
+      val base = graft.sources.PartitionedEvents.ensureWritten(s, dir)
+      val fact = s.read.parquet(base)
+      val dim = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("event_date")).distinct()
+        .filter(dayofweek(col("event_date")) === 2) // Mondays (Spark: 1=Sun)
+      fact.join(broadcast(dim), "event_date")
+        .groupBy("event_date")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(9, 2))).cast(DecimalType(38, 2)).cast(DoubleType)
+            .as("sum_value"))
+        .orderBy("event_date")
+    },
+    Some("""
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE dayofweek(CAST(CAST(ts AS TIMESTAMP) AS DATE)) = 1  -- DuckDB: 0=Sun, so 1=Monday
+      GROUP BY 1 ORDER BY event_date
+    """.trim),
+  )
+
   /** Computed columns: revenue computed as exact decimal (Spark (25,8) /
     * DuckDB (24,8) products), emitted as DOUBLE — the per-row unscaled value
     * (≤ ~5e14 at scale 8) is < 2^53 so the cast is exact and bit-identical
@@ -187,7 +222,7 @@ object RelationalQueries {
   )
 
   def defs: Seq[QueryDef] = Seq(
-    scanParquet, scanPruned, projectExpr, filterPred,
+    scanParquet, scanPruned, scanPartitioned, projectExpr, filterPred,
     sortMulti, limitTopk,
     setUnionAll, setUnion, setIntersect, setExcept)
 }

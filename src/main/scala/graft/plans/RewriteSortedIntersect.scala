@@ -14,7 +14,12 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, LongType, StringType}
   * Safety: the pattern itself proves the sorted+distinct precondition;
   * set-semantics of array_intersect equal the merge count on distinct
   * inputs, and both return null on null input (the rewrite is skipped under
-  * legacySizeOfNull, whose -1-on-null contract differs).
+  * legacySizeOfNull, whose -1-on-null contract differs). The rewrite also
+  * requires containsNull = false element types: sort_array puts null
+  * elements first and the merge expressions read slots with getUTF8String/
+  * getLong (NPE / garbage on a null slot), and array_intersect's
+  * null-matching semantics differ — engine-internal rewrites still fire
+  * because split() yields containsNull = false.
   */
 object RewriteSortedIntersect extends Rule[LogicalPlan] {
 
@@ -26,8 +31,8 @@ object RewriteSortedIntersect extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case s @ Size(ArrayIntersect(a, b), false) if sortedDistinct(a) && sortedDistinct(b) =>
       (a.dataType, b.dataType) match {
-        case (ArrayType(StringType, _), ArrayType(StringType, _)) => SortedIntersectSize(a, b)
-        case (ArrayType(LongType, _), ArrayType(LongType, _)) => SortedLongIntersectSize(a, b)
+        case (ArrayType(StringType, false), ArrayType(StringType, false)) => SortedIntersectSize(a, b)
+        case (ArrayType(LongType, false), ArrayType(LongType, false)) => SortedLongIntersectSize(a, b)
         case _ => s
       }
   }

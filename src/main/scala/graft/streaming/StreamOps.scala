@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
   * StreamingSpec asserts (final streaming state over the finite events
   * fixture == batch result). Watermarks bound state: at 100 TB/day the
   * tumbling/sliding/session aggregations hold only the open windows per
-  * key, and dropDuplicates holds ids only inside the watermark horizon.
+  * key, and dedupKeys evicts key state past its 24 h watermark horizon
+  * (dropDuplicatesWithinWatermark — see dedupKeys).
   */
 object StreamOps {
   private val D = DecimalType(9, 2)
@@ -71,12 +72,21 @@ object StreamOps {
         expr("unix_micros(cast(w.end as timestamp))").as("session_end_us"),
         col("n_events"))
 
-  /** s_dedup: first row per (user_id, event_type). Streaming uses
-    * dropDuplicates state; the batch twin is the min-ts aggregate.
+  /** s_dedup: first row per (user_id, event_type). In streaming mode the
+    * dedup state is bounded: a 24 h watermark + dropDuplicatesWithinWatermark
+    * evicts keys once the watermark passes them (plain dropDuplicates on a
+    * key subset that excludes the event-time column would keep state
+    * forever). Batch mode is a plain distinct — same key set whenever
+    * duplicates arrive inside the horizon, which is the documented contract.
     */
-  def dedupKeys(events: DataFrame): DataFrame =
-    events.dropDuplicates("user_id", "event_type")
-      .select("user_id", "event_type")
+  def dedupKeys(events: DataFrame): DataFrame = {
+    val deduped =
+      if (events.isStreaming)
+        events.withWatermark("ts", "24 hours")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+      else events.dropDuplicates("user_id", "event_type")
+    deduped.select("user_id", "event_type")
+  }
 
   /** s_join: stream–stream interval join — purchases matched to clicks of
     * the same user within the 10 minutes before the purchase. Watermarks on

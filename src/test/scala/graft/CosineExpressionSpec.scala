@@ -41,6 +41,18 @@ class CosineExpressionSpec extends SparkTestBase with Matchers {
       include regex """\*\(\d+\) Project \[graft_cosine_similarity"""
   }
 
+  test("mismatched dimensions yield null, matching the zip_with HOF twin") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 0.0f, 0.0f), Seq(1.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(VectorOps.cosine(col("a"), col("b")).as("native"),
+        VectorOps.cosineHof(col("a"), col("b")).as("hof"))
+    val r = df.collect().head
+    r.isNullAt(0) shouldBe true
+    r.isNullAt(1) shouldBe true
+  }
+
   test("sql-callable after registration") {
     GraftFunctions.ensureRegistered(spark)
     val r = spark.sql(

@@ -27,6 +27,16 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     plan should not include "l_extendedprice"
   }
 
+  test("q_scan_partitioned prunes fact partitions dynamically from the dim filter (DPP)") {
+    val df = RelationalQueries.scanPartitioned.query(spark, sfTiny)
+    // DPP is decided at planning: the fact scan's PartitionFilters must
+    // carry a dynamicpruningexpression fed by the broadcast dim subquery.
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("dynamicpruningexpression")
+    plan should include("PartitionFilters")
+    df.collect().length should be > 0
+  }
+
   test("q_join_broadcast plans a BroadcastHashJoin") {
     executedPlanString(JoinQueries.joinBroadcast.query(spark, sfTiny)) should
       include("BroadcastHashJoin")

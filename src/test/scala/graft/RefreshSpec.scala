@@ -4,7 +4,7 @@ import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 import scala.concurrent.duration._
 
-import graft.operators.{Refresh, RefreshResult, RefreshTarget}
+import graft.operators.{Refresh, RefresherApp, RefreshResult, RefreshTarget}
 import org.scalatest.matchers.should.Matchers
 
 /** Group A behavioral specs (SURVEY.md §5.2(2)): staleness→refresh→fresh,
@@ -87,5 +87,30 @@ class RefreshSpec extends SparkTestBase with Matchers {
     Refresh.parseTargets("a, b ,c").map(_.name) shouldBe Seq("a", "b", "c")
     an[IllegalArgumentException] should be thrownBy Refresh.parseTargets("a,,b")
     an[IllegalArgumentException] should be thrownBy Refresh.parseTargets("")
+  }
+
+  test("R8/R9 CLI accepts the reference-shaped -table + -nodes invocation (ref :151-160)") {
+    val ok = RefresherApp.parseArgs(Array("-table", "t1", "-nodes", "n1, n2,n3"))
+    ok.isRight shouldBe true
+    val cfg = ok.toOption.get
+    cfg.table shouldBe Some("t1")
+    cfg.targets.map(_.name) shouldBe Seq("n1", "n2", "n3")
+    cfg.timeout shouldBe 60.seconds // ref default, impala-refresher.go:150
+    cfg.concurrency shouldBe 0 // ref default = unlimited, :153
+  }
+
+  test("R8/R9 CLI requires BOTH -table and -nodes, like ref :157-160") {
+    RefresherApp.parseArgs(Array("-table", "t1")).isLeft shouldBe true
+    RefresherApp.parseArgs(Array("-nodes", "n1,n2")).isLeft shouldBe true
+    RefresherApp.parseArgs(Array.empty[String]).isLeft shouldBe true
+  }
+
+  test("R8/R9 CLI engine-native -targets form still parses with flag overrides") {
+    val cfg = RefresherApp.parseArgs(
+      Array("-targets", "a,b", "-timeout", "5", "-concurrency", "2")).toOption.get
+    cfg.table shouldBe None
+    cfg.targets.map(_.name) shouldBe Seq("a", "b")
+    cfg.timeout shouldBe 5.seconds
+    cfg.concurrency shouldBe 2
   }
 }

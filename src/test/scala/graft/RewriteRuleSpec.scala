@@ -30,6 +30,19 @@ class RewriteRuleSpec extends SparkTestBase with Matchers {
     pairs.collect().foreach(r => r.getInt(0) shouldBe r.getInt(1))
   }
 
+  test("rewrite skips nullable-element arrays (merge scan can't read null slots)") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = Tables.documents(spark, sfTiny).limit(5)
+      .select(expr(
+        "transform(split(text, ' '), t -> CASE WHEN length(t) < 3 THEN CAST(NULL AS STRING) ELSE t END)")
+        .as("raw"))
+      .select(F.size(array_intersect(
+        sort_array(array_distinct(col("raw"))),
+        sort_array(array_distinct(col("raw"))))).as("n"))
+    df.queryExecution.optimizedPlan.toString should not include "graft_sorted_intersect_size"
+    df.collect() // and evaluating it must not NPE
+  }
+
   test("rewrite does not fire on unsorted inputs") {
     GraftFunctions.ensureRegistered(spark)
     val df = Tables.documents(spark, sfTiny).limit(5)
