@@ -123,52 +123,84 @@ object VectorQueries {
   /** Deterministic pseudo-random hyperplanes (fixed seed — constants baked
     * into the plan, nothing random at runtime). L tables × B bits.
     */
-  // 6 tables × 4 bits: on weakly-clustered data recall is candidate-volume
-  // bound, so prefer more/coarser tables (≈25% of the corpus as candidates,
-  // measured mean recall ≈ 0.55 at sf0.001) over fewer fine buckets.
-  private[operators] val LshTables = 6
-  private[operators] val LshBits = 4
-  private[operators] lazy val hyperplanes: IndexedSeq[IndexedSeq[Array[Double]]] = {
+  private[operators] def hyperplanesFor(tables: Int, bits: Int): IndexedSeq[IndexedSeq[Array[Double]]] = {
     val rnd = new scala.util.Random(42)
-    IndexedSeq.fill(LshTables)(IndexedSeq.fill(LshBits)(Array.fill(64)(rnd.nextGaussian())))
+    IndexedSeq.fill(tables)(IndexedSeq.fill(bits)(Array.fill(64)(rnd.nextGaussian())))
   }
 
   private def planeLit(p: Array[Double]): Column = array(p.map(lit(_)): _*)
 
   /** Sign-bit bucket id of `emb` under table `t`. */
-  private def bucketId(emb: Column, t: Int): Column =
-    (0 until LshBits).map { b =>
-      when(VectorOps.dot(emb, planeLit(hyperplanes(t)(b))) >= 0, lit(1 << b)).otherwise(lit(0))
+  private def bucketId(planes: IndexedSeq[IndexedSeq[Array[Double]]], bits: Int,
+      emb: Column, t: Int): Column =
+    (0 until bits).map { b =>
+      when(VectorOps.dot(emb, planeLit(planes(t)(b))) >= 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** Approximate top-5 neighbors via multi-table random-hyperplane LSH:
-    * candidates share a bucket in ≥1 of 4 tables; exact cosine only on
-    * candidates. Non-oracle; ApproxOpsSpec bounds recall against q_sim_cosine_topk.
+  /** Parametric multi-table random-hyperplane LSH top-k. The corpus hashes
+    * to ONE bucket per table; queries additionally probe every bucket within
+    * `probeRadius` bit-flips (multiprobe: the neighbors most likely to be
+    * mis-bucketed sit across one hyperplane, so probing adjacent buckets
+    * recovers them without any extra corpus-side state or shuffle — only
+    * the tiny broadcast query side fans out). Exact cosine only on
+    * candidates.
+    */
+  /** Distinct LSH candidate pairs (q_vec_id, q_emb, n_vec_id, n_emb) for
+    * the fixed query set — the composable candidate-generation stage (also
+    * the near-dup candidate source a downstream pipeline would join on).
+    */
+  def lshCandidates(s: SparkSession, dir: String,
+      tables: Int, bits: Int, probeRadius: Int): DataFrame = {
+    val planes = hyperplanesFor(tables, bits)
+    val e = Tables.embeddings(s, dir)
+    val bucketCols = (0 until tables).map(t =>
+      struct(lit(t).as("t"), bucketId(planes, bits, col("embedding"), t).as("b")))
+    val bucketed = e.select(col("vec_id"), col("embedding"),
+        explode(array(bucketCols: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.b").as("b"))
+    // query-side probe set: the home bucket plus all buckets within
+    // probeRadius bit flips (radius 1 ⇒ 1 + bits probes per table)
+    val flips: Seq[Column] = {
+      def masks(radius: Int): Seq[Int] =
+        (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= radius)
+      masks(probeRadius).map(m => col("b").bitwiseXOR(lit(m)))
+    }
+    val q = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+        col("t").as("qt"), explode(array(flips: _*)).as("qb"))
+    bucketed.join(broadcast(q),
+        col("t") === col("qt") && col("b") === col("qb") && col("vec_id") =!= col("q_vec_id"))
+      .select(col("q_vec_id"), col("q_emb"), col("vec_id").as("n_vec_id"), col("embedding").as("n_emb"))
+      .dropDuplicates("q_vec_id", "n_vec_id")
+  }
+
+  def lshTopk(s: SparkSession, dir: String,
+      tables: Int, bits: Int, probeRadius: Int): DataFrame = {
+    val scored = lshCandidates(s, dir, tables, bits, probeRadius)
+      .withColumn("cos", round(VectorOps.cosine(col("q_emb"), col("n_emb")), 6))
+    val w = Window.partitionBy("q_vec_id").orderBy(desc("cos"), asc("n_vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("q_vec_id", "rn", "n_vec_id", "cos")
+      .orderBy("q_vec_id", "rn")
+  }
+
+  // Chosen by measured sweep (PERF.md): 8 tables × 7 bits with multiprobe
+  // radius 1 lifts mean recall 0.66 → 0.90 (min 0.40 → 0.80) at comparable
+  // candidate volume (0.43 vs 0.33 of corpus per query on the sf0.001
+  // fixture).
+  private[operators] val LshTables = 8
+  private[operators] val LshBits = 7
+  private[operators] val LshProbeRadius = 1
+
+  /** Approximate top-5 neighbors via multi-table multiprobe random-
+    * hyperplane LSH: candidates share (or are one bit-flip away from) a
+    * bucket in ≥1 table; exact cosine only on candidates. Non-oracle;
+    * ApproxOpsSpec bounds recall against q_sim_cosine_topk.
     */
   val annLsh = QueryDef(
     "q_ann_lsh",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val bucketCols = (0 until LshTables).map(t =>
-        struct(lit(t).as("t"), bucketId(col("embedding"), t).as("b")))
-      val bucketed = e.select(col("vec_id"), col("embedding"),
-          explode(array(bucketCols: _*)).as("tb"))
-        .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.b").as("b"))
-      val q = bucketed.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
-          col("t").as("qt"), col("b").as("qb"))
-      val candidates = bucketed.join(broadcast(q),
-          col("t") === col("qt") && col("b") === col("qb") && col("vec_id") =!= col("q_vec_id"))
-        .select(col("q_vec_id"), col("q_emb"), col("vec_id").as("n_vec_id"), col("embedding").as("n_emb"))
-        .dropDuplicates("q_vec_id", "n_vec_id")
-      val scored = candidates
-        .withColumn("cos", round(VectorOps.cosine(col("q_emb"), col("n_emb")), 6))
-      val w = Window.partitionBy("q_vec_id").orderBy(desc("cos"), asc("n_vec_id"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select("q_vec_id", "rn", "n_vec_id", "cos")
-        .orderBy("q_vec_id", "rn")
-    },
+    (s, dir) => lshTopk(s, dir, LshTables, LshBits, LshProbeRadius),
     None,
   )
 
