@@ -47,6 +47,37 @@ object JoinQueries {
     """.trim),
   )
 
+  /** Join-only stage of the bucketed co-located join — both sides read
+    * from 8-bucket layouts hashed+sorted on the join key, so the merge join
+    * needs NO exchange and NO sort on either side (PlanShapeSpec asserts
+    * both). Exposed separately so the plan assertion isn't polluted by the
+    * output ordering's range exchange.
+    */
+  def bucketedJoin(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    graft.sources.BucketedTables.ensure(s, dir)
+    val o = s.table(graft.sources.BucketedTables.ordersTable(dir))
+    val c = s.table(graft.sources.BucketedTables.customerTable(dir))
+    // merge hint: customer is small at fixture scale, so the planner would
+    // otherwise broadcast — at 100 TB both sides are large, which is the
+    // case bucketing exists for.
+    o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice")
+  }
+
+  /** Bucketed co-located join: the pre-bucketed twin of q_join_sortmerge's
+    * shape — same results as a plain join (which is what the oracle
+    * checks), zero shuffle at join time.
+    */
+  val joinBucketed = QueryDef(
+    "q_join_bucketed",
+    (s, dir) => bucketedJoin(s, dir).orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey
+    """.trim),
+  )
+
   /** Sort-merge join — forced via hint (plan-asserted). */
   val joinSortMerge = QueryDef(
     "q_join_sortmerge",
@@ -238,6 +269,6 @@ object JoinQueries {
   )
 
   def defs: Seq[QueryDef] = Seq(
-    joinInner, joinBroadcast, joinSortMerge, joinLeft, joinFull,
+    joinInner, joinBroadcast, joinSortMerge, joinBucketed, joinLeft, joinFull,
     joinSemi, joinAnti, joinCross, joinTheta, joinInterval, joinAsof)
 }

@@ -42,6 +42,18 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
       include("BroadcastHashJoin")
   }
 
+  test("q_join_bucketed merges co-located buckets with no exchange and no sort") {
+    val df = JoinQueries.bucketedJoin(spark, sfTiny)
+    val plan = executedPlanString(df)
+    plan should include("SortMergeJoin")
+    // bucketed 8×8 layouts, hashed+sorted on the join key on both sides:
+    // the join must read buckets directly — any Exchange or Sort here means
+    // the co-location was lost
+    plan should not include "Exchange"
+    plan should not include " Sort [" // the only Sort should be inside SortMergeJoin's name
+    plan should include("SelectedBucketsCount")
+  }
+
   test("q_join_sortmerge honors the merge hint") {
     executedPlanString(JoinQueries.joinSortMerge.query(spark, sfTiny)) should
       include("SortMergeJoin")
