@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-2 analytics additions: time-series gap filling, mode (most
+  * frequent value), conditional aggregates, and the regexp function family.
+  *
+  * Scale design: gap filling generates the per-group hour grid with
+  * `sequence` + `explode` from each group's own bounds — grid size is
+  * O(groups × span), never a driver loop or a global calendar crossJoin;
+  * the join back to observed counts shuffles on (group, hour), same key
+  * the aggregation already used. Mode is a count aggregate plus a
+  * per-group top-1 window (WindowGroupLimit in Spark 4 — no full sort of
+  * the counts). Conditional aggregates fold into the same single
+  * hash-aggregate pass as their unconditional siblings.
+  */
+object AnalyticsQueries {
+
+  /** Hourly event counts per type with missing hours filled as 0 — the
+    * resample-with-gaps primitive every time-series pipeline needs.
+    */
+  val tsGapfill = QueryDef(
+    "q_ts_gapfill",
+    (s, dir) => {
+      val hourUs = 3600000000L
+      val e = Tables.events(s, dir).select(col("event_type"),
+        expr("unix_micros(cast(date_trunc('hour', ts) as timestamp))").as("hour_us"))
+      val counts = e.groupBy("event_type", "hour_us").agg(count(lit(1)).as("n_obs"))
+      val grid = e.groupBy("event_type")
+        .agg(min("hour_us").as("lo"), max("hour_us").as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(hourUs))).as("hour_us"))
+      grid.join(counts, Seq("event_type", "hour_us"), "left")
+        .select(col("event_type"), col("hour_us"), coalesce(col("n_obs"), lit(0L)).as("n"))
+        .orderBy("event_type", "hour_us")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us
+        FROM events),
+      counts AS (SELECT event_type, hour_us, COUNT(*) AS n_obs FROM e GROUP BY 1, 2),
+      grid AS (
+        SELECT event_type, unnest(range(lo, hi + 3600000000, 3600000000)) AS hour_us
+        FROM (SELECT event_type, MIN(hour_us) AS lo, MAX(hour_us) AS hi FROM e GROUP BY 1))
+      SELECT g.event_type, g.hour_us, COALESCE(c.n_obs, 0) AS n
+      FROM grid g LEFT JOIN counts c
+        ON g.event_type = c.event_type AND g.hour_us = c.hour_us
+      ORDER BY g.event_type, g.hour_us
+    """.trim),
+  )
+
+  /** Mode: each user's most frequent event type (deterministic tiebreak:
+    * lexicographically smallest type wins).
+    */
+  val aggMode = QueryDef(
+    "q_agg_mode",
+    (s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("user_id").orderBy(desc("cnt"), asc("event_type"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("cnt").as("mode_n"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, event_type AS mode_type, cnt AS mode_n
+      FROM (
+        SELECT user_id, event_type, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+        FROM events GROUP BY user_id, event_type)
+      WHERE rn = 1
+      ORDER BY user_id
+    """.trim),
+  )
+
+  /** Conditional aggregates: count_if / filtered decimal sums — one
+    * hash-aggregate pass, no extra shuffle vs the unconditional versions.
+    */
+  val aggCondAgg = QueryDef(
+    "q_agg_condagg",
+    (s, dir) => {
+      val zero = lit(BigDecimal(0)).cast(DecimalType(9, 2))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("value"),
+          col("value").cast(DecimalType(9, 2)).as("v"))
+        .groupBy("event_type")
+        .agg(
+          expr("count_if(value > 250)").as("n_big"),
+          sum(when(col("user_id") % 2 === 0, col("v")).otherwise(zero))
+            .cast(DecimalType(38, 2)).cast(DoubleType).as("sum_even_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type,
+             COUNT(*) FILTER (WHERE value > 250) AS n_big,
+             CAST(CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(9,2))
+                                ELSE CAST(0 AS DECIMAL(9,2)) END) AS DECIMAL(38,2)) AS DOUBLE)
+               AS sum_even_users,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type
+    """.trim),
+  )
+
+  /** Regexp family: extract / replace-all / match / count. DuckDB's
+    * regexp_replace needs the 'g' flag to match Spark's replace-all
+    * semantics.
+    */
+  val fnRegexp = QueryDef(
+    "q_fn_regexp",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([a-z]+)", 1).as("first_word_re"),
+          regexp_replace(col("text"), "[aeiou]", "_").as("devoweled"),
+          col("text").rlike("data").as("has_data"),
+          expr("regexp_count(text, ' ')").as("n_spaces"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             regexp_extract(text, '([a-z]+)', 1) AS first_word_re,
+             regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+             regexp_matches(text, 'data') AS has_data,
+             CAST(len(regexp_extract_all(text, ' ')) AS INTEGER) AS n_spaces
+      FROM documents ORDER BY doc_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(tsGapfill, aggMode, aggCondAgg, fnRegexp)
+}
