@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pure-SQL-path analytics in the classic TPC-H query shapes (Q3 shipping
+  * priority, Q5 local supplier volume), adapted to the fixture's 1995-2001
+  * date span. These run through `spark.sql` over temp views end-to-end —
+  * the ANTLR → Catalyst → Tungsten path a SQL-first user of the engine
+  * takes — and follow the §7.5 determinism recipe (decimal math internal,
+  * exact-DOUBLE outputs).
+  *
+  * Scale notes: the multi-way joins keep dimensions broadcastable (region/
+  * nation always; customer/supplier at dim scale), lineitem↔orders is the
+  * one big shuffle pair, and both aggregates reduce to few groups so the
+  * final shuffles move partial states only. Catalyst's join reorder +
+  * pushdown handle the rest — nothing is hand-scheduled.
+  */
+object TpchQueries {
+
+  private def views(s: SparkSession, dir: String): Unit = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_tpch_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_tpch_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_tpch_lineitem")
+    Tables.supplier(s, dir).createOrReplaceTempView("graft_tpch_supplier")
+    Tables.nation(s, dir).createOrReplaceTempView("graft_tpch_nation")
+    Tables.region(s, dir).createOrReplaceTempView("graft_tpch_region")
+  }
+
+  /** TPC-H Q3 shape: top-10 open BUILDING orders by pending revenue. */
+  val sqlQ3 = QueryDef(
+    "q_sql_q3",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        SELECT l_orderkey,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                              * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 2)
+                    AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM graft_tpch_customer
+        JOIN graft_tpch_orders ON c_custkey = o_custkey
+        JOIN graft_tpch_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP_NTZ '1997-06-15'
+          AND l_shipdate > TIMESTAMP_NTZ '1997-06-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10
+      """)
+    },
+    Some("""
+      SELECT l_orderkey,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                            * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 2)
+                  AS DOUBLE) AS revenue,
+             o_orderdate, o_orderpriority
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-06-15'
+        AND l_shipdate > TIMESTAMP '1997-06-15'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+      LIMIT 10
+    """.trim),
+  )
+
+  /** TPC-H Q5 shape: 1996 revenue by ASIA nation where customer and
+    * supplier share the nation.
+    */
+  val sqlQ5 = QueryDef(
+    "q_sql_q5",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        SELECT n_name,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                              * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 2)
+                    AS DOUBLE) AS revenue
+        FROM graft_tpch_customer
+        JOIN graft_tpch_orders ON c_custkey = o_custkey
+        JOIN graft_tpch_lineitem ON l_orderkey = o_orderkey
+        JOIN graft_tpch_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN graft_tpch_nation ON s_nationkey = n_nationkey
+        JOIN graft_tpch_region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01'
+          AND o_orderdate < TIMESTAMP_NTZ '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
+      """)
+    },
+    Some("""
+      SELECT n_name,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                            * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 2)
+                  AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name ASC
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(sqlQ3, sqlQ5)
+}
