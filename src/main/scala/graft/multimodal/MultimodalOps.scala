@@ -155,13 +155,25 @@ object MultimodalOps {
     None,
   )
 
+  /** Oracle-checked: the resize stub's outputs are integer arithmetic over
+    * the payload byte length (stride-2 keep ⇒ ceil(len/2)) and the halved
+    * metadata dims, all reproducible in SQL from the source documents — so
+    * the driver verifies the whole mapPartitions decode path end-to-end.
+    */
   val mmResize = QueryDef(
     "q_mm_resize",
     (s, dir) => resizeAll(mediaTable(s, dir)).toDF()
       .select(col("media_id"), col("kind"), length(col("payload")).as("n_bytes"),
         col("width"), col("height"))
       .orderBy("media_id"),
-    None,
+    Some("""
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+             CAST((octet_length(encode(text)) + 1) // 2 AS INTEGER) AS n_bytes,
+             CAST((n_chars % 64 + 1) // 2 AS INTEGER) AS width,
+             CAST((n_chars % 48 + 1) // 2 AS INTEGER) AS height
+      FROM documents ORDER BY media_id
+    """.trim),
   )
 
   val mmFrames = QueryDef(

@@ -109,14 +109,17 @@ object VectorQueries {
   )
 
   /** Posexplode formulation of the same centroid — the cross-check twin for
-    * VectorCentroidSpec and a pure-built-in alternative.
+    * VectorCentroidSpec and a pure-built-in alternative. `ordered = false`
+    * skips the output sort (its range exchange is dead weight when the
+    * result feeds another aggregate, as in q_ann_ivf's quantizer).
     */
-  def centroidViaPosexplode(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+  def centroidViaPosexplode(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+    val agg = Tables.embeddings(s, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
       .agg(round(avg(col("v").cast(DoubleType)), 4).as("centroid_val"))
-      .orderBy("label", "dim")
+    if (ordered) agg.orderBy("label", "dim") else agg
+  }
 
   // ---- LSH (random hyperplane) ANN ----------------------------------------
 
@@ -221,7 +224,7 @@ object VectorQueries {
     "q_ann_ivf",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val centroids = centroidViaPosexplode(s, dir)
+      val centroids = centroidViaPosexplode(s, dir, ordered = false)
         .groupBy("label").agg(collect_list(struct(col("dim"), col("centroid_val"))).as("dv"))
         .select(col("label").as("c_id"),
           // Centroids are double arrays, so cast to float for the native
