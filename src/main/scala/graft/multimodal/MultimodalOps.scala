@@ -176,11 +176,24 @@ object MultimodalOps {
     """.trim),
   )
 
+  /** Oracle-checked: frame means are exact (≤64 small ints summed in
+    * double, divided by 64 — a power of two), and the fixture text is pure
+    * ASCII so DuckDB can recompute each byte window via unicode() per
+    * char. A non-ASCII corpus would only lose the oracle, not the
+    * operator.
+    */
   val mmFrames = QueryDef(
     "q_mm_framesample",
     (s, dir) => frameSampleAll(mediaTable(s, dir)).toDF()
       .orderBy("media_id", "frame_idx"),
-    None,
+    Some("""
+      WITH m AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len FROM documents),
+      idx AS (SELECT media_id, text, CAST(unnest(range(0, len // 64)) AS INTEGER) AS frame_idx FROM m),
+      f AS (SELECT * FROM idx WHERE frame_idx % 4 = 0)
+      SELECT media_id, frame_idx,
+             list_avg(list_transform(range(1, 65), i -> unicode(substring(text, frame_idx*64 + i, 1)))) AS frame_mean
+      FROM f ORDER BY media_id, frame_idx
+    """.trim),
   )
 
   /** Multimodal → vector pipeline: extracted features feed the native

@@ -78,6 +78,41 @@ object JoinQueries {
     """.trim),
   )
 
+  /** Salted join — the skew-join idiom for hot keys, join-side twin of
+    * q_agg_salted: events join a per-type dimension on event_type, which
+    * has only 5 values (worst-case hot keys — a plain shuffle join sends
+    * each key's entire volume to ONE reducer). The big side gets a
+    * deterministic salt in [0, 8); the SMALL side is replicated 8× with
+    * every salt value; joining on (key, salt) spreads each hot key over 8
+    * reducers. Results are identical to the unsalted join — exactly what
+    * the oracle checks. (The merge hint forces the shuffle path the idiom
+    * exists for; at fixture scale the dim would otherwise broadcast, which
+    * is the right plan when the dim IS small — salting is for when both
+    * sides are too big to broadcast AND keys are hot.)
+    */
+  val joinSalted = QueryDef(
+    "q_join_salted",
+    (s, dir) => {
+      val salts = 8
+      val events = Tables.events(s, dir)
+      val dim = events.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("type_users"))
+      val dimSalted = dim.withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
+      val big = events.select(col("event_id"), col("event_type"),
+        pmod(hash(col("event_id")), lit(salts)).as("salt"))
+      big.hint("merge").join(dimSalted, Seq("event_type", "salt"))
+        .select("event_id", "event_type", "type_users")
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, event_type, type_users
+      FROM events
+      JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS type_users
+            FROM events GROUP BY event_type) USING (event_type)
+      ORDER BY event_id
+    """.trim),
+  )
+
   /** Sort-merge join — forced via hint (plan-asserted). */
   val joinSortMerge = QueryDef(
     "q_join_sortmerge",
@@ -269,6 +304,6 @@ object JoinQueries {
   )
 
   def defs: Seq[QueryDef] = Seq(
-    joinInner, joinBroadcast, joinSortMerge, joinBucketed, joinLeft, joinFull,
+    joinInner, joinBroadcast, joinSortMerge, joinBucketed, joinSalted, joinLeft, joinFull,
     joinSemi, joinAnti, joinCross, joinTheta, joinInterval, joinAsof)
 }
