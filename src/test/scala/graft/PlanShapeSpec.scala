@@ -64,6 +64,31 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
       include("TakeOrderedAndProject")
   }
 
+  test("AQE splits a skewed sort-merge join partition (skew=true)") {
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      // 90% of the big side lands on ONE key — the shape that stalls a
+      // plain shuffle join on one reducer; AQE must split that partition
+      val big = spark.range(0, 200000).select(
+        when(col("id") < 180000, lit(1L)).otherwise(col("id")).as("k"),
+        concat(lit("x"), col("id")).as("pad"))
+      val dim = spark.range(0, 2000).select(col("id").as("k2"), (col("id") * 2).as("v"))
+      val j = big.hint("merge").join(dim, col("k") === col("k2"))
+      j.collect()
+      j.queryExecution.executedPlan.toString should include("skew=true")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q_join_theta stays a hash join with residual condition (no nested loop)") {
     val plan = executedPlanString(JoinQueries.joinTheta.query(spark, sfTiny))
     plan should not include "BroadcastNestedLoopJoin"

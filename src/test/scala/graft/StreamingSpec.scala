@@ -75,6 +75,42 @@ class StreamingSpec extends SparkTestBase with Matchers {
     rowsOf(got) shouldBe rowsOf(want)
   }
 
+  test("s_sink: checkpointed parquet file sink resumes exactly-once across restarts") {
+    val srcDir = Files.createTempDirectory("graft_sink_src").toFile.getAbsolutePath
+    val outDir = Files.createTempDirectory("graft_sink_out").toFile.getAbsolutePath + "/data"
+    val cpDir = Files.createTempDirectory("graft_sink_cp").toFile.getAbsolutePath
+    def write(name: String, ids: Seq[Long]): Unit = {
+      val tmp = Files.createTempDirectory("graft_sink_w").toFile.getAbsolutePath
+      ids.toDF("event_id")
+        .select(col("event_id"), (col("event_id") * 1000000000L).as("ts"),
+          lit(1L).as("user_id"), lit("click").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(srcDir, name))
+      ()
+    }
+    def runOnce(): Unit = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = spark.readStream.schema(StreamOps.eventsRawSchema).parquet(srcDir)
+      val q = StreamOps.normalizeTs(src)
+        .select("event_id", "user_id")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", cpDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      ()
+    }
+    write("b1.parquet", Seq(1L, 2L, 3L))
+    runOnce()
+    spark.read.parquet(outDir).count() shouldBe 3
+    // new data arrives while the query is down; restart from the checkpoint
+    write("b2.parquet", Seq(10L, 11L))
+    runOnce()
+    val ids = spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted
+    ids shouldBe Array(1L, 2L, 3L, 10L, 11L) // b1 NOT reprocessed, b2 present
+  }
+
   test("s_late: events below the watermark are dropped from append-mode windows") {
     val dir = Files.createTempDirectory("graft_late").toFile.getAbsolutePath
     def write(name: String, rows: Seq[(Long, String)]): Unit = {
