@@ -286,6 +286,72 @@ object DedupQueries {
     """.trim),
   )
 
+  /** Connected components over the exact-Jaccard near-dup pairs: every doc
+    * gets cluster_id = the smallest doc_id transitively reachable through
+    * ≥0.5-similarity edges (singletons cluster as themselves). This is the
+    * step that turns a pair list into dedup GROUPS — pick min(doc_id) per
+    * cluster as the canonical survivor.
+    *
+    * Implementation is iterative min-label propagation — the same loop
+    * GraphX/GraphFrames connected components runs: each round every node
+    * takes the min of its own label and its neighbors' labels (two
+    * shuffles per round), until a fixpoint. Rounds needed = graph
+    * diameter; the driver loop only evaluates a cheap convergence count
+    * per round, all data movement stays distributed. The DuckDB oracle
+    * computes ground truth independently via a recursive-CTE transitive
+    * closure (fixture clusters are small, so closure size is tame).
+    */
+  val dedupCluster = QueryDef(
+    "q_dedup_cluster",
+    (s, dir) => {
+      val pairs = simJaccard.query(s, dir).select("doc_id1", "doc_id2")
+      // the similarity join is by far the loop's most expensive input —
+      // materialize the (skinny) edge list once, not once per round
+      val edges = pairs
+        .union(pairs.select(col("doc_id2").as("doc_id1"), col("doc_id1").as("doc_id2")))
+        .toDF("src", "dst")
+        .cache()
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val neighborMin = edges.join(labels, edges("src") === labels("doc_id"))
+          .groupBy(col("dst")).agg(min(col("cluster_id")).as("nbr_min"))
+        val next = labels.join(neighborMin, labels("doc_id") === neighborMin("dst"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+          .cache()
+        val changed = next.join(labels.withColumnRenamed("cluster_id", "old_id"), "doc_id")
+          .filter(col("cluster_id") < col("old_id")).limit(1).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        rounds += 1
+      }
+      edges.unpersist()
+      labels.orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+        FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5),
+      e AS (SELECT doc_id1 AS a, doc_id2 AS b FROM pairs
+            UNION ALL SELECT doc_id2, doc_id1 FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+      SELECT doc_id, LEAST(doc_id, COALESCE(MIN(r.b), doc_id)) AS cluster_id
+      FROM documents LEFT JOIN reach r ON doc_id = r.a
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
-    dedupExact, simJaccard, dedupNear, dedupSimhash, dedupNgram, dedupEmbed)
+    dedupExact, simJaccard, dedupNear, dedupSimhash, dedupNgram, dedupEmbed, dedupCluster)
 }
