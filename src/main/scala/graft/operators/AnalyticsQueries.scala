@@ -130,5 +130,56 @@ object AnalyticsQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(tsGapfill, aggMode, aggCondAgg, fnRegexp)
+  /** max_by / min_by argmax aggregates: per event_type, the event id of the
+    * highest / lowest value (exact-double values; deterministic tiebreak by
+    * smallest event_id via struct ordering — mirrored with arg_max/arg_min
+    * over the same composite in DuckDB).
+    */
+  val aggMinmaxBy = QueryDef(
+    "q_agg_minmaxby",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          expr("max_by(event_id, struct(value, -event_id))").as("max_event_id"),
+          expr("min_by(event_id, struct(value, event_id))").as("min_event_id"),
+          max("value").as("max_value"),
+          min("value").as("min_value"))
+        .orderBy("event_type"),
+    Some("""
+      WITH mx AS (
+        SELECT event_type, event_id AS max_event_id, value AS max_value,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+        FROM events),
+      mn AS (
+        SELECT event_type, event_id AS min_event_id, value AS min_value,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn
+        FROM events)
+      SELECT mx.event_type, mx.max_event_id, mn.min_event_id, mx.max_value, mn.min_value
+      FROM mx JOIN mn ON mx.event_type = mn.event_type
+      WHERE mx.rn = 1 AND mn.rn = 1
+      ORDER BY mx.event_type
+    """.trim),
+  )
+
+  /** Deterministic mod-sampling — the reproducible-sample idiom for
+    * experiment slices at 100 TB: a pure function of the key (no RNG, no
+    * seed state), so the same 10% slice falls out on every engine and
+    * every run, and the predicate pushes down to the scan.
+    */
+  val sampleMod = QueryDef(
+    "q_sample_mod",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .filter(pmod(col("event_id"), lit(10)) === 0)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id, user_id, event_type, value
+      FROM events WHERE event_id % 10 = 0
+      ORDER BY event_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(tsGapfill, aggMode, aggCondAgg, fnRegexp, aggMinmaxBy, sampleMod)
 }
