@@ -230,6 +230,33 @@ object FunctionQueries {
     """.trim),
   )
 
+  /** try_* family — error-free casts/arithmetic that yield NULL instead of
+    * failing the job (the behavior a 100 TB ingest wants for malformed
+    * cells): try_cast on an unparseable string, try_divide by zero,
+    * try_add on guaranteed bigint overflow. The oracle computes each
+    * expected NULL/value directly.
+    */
+  val fnTryCast = QueryDef(
+    "q_fn_trycast",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          expr("try_cast(o_orderpriority AS INT)").as("prio_whole"), // '1-URGENT' → null
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_digit"),
+          expr("try_divide(o_totalprice, o_orderkey % 3)").as("div_mod3"), // % 3 = 0 → null
+          expr("try_add(9223372036854775807L, o_orderkey)").as("add_ovf")) // overflow (key > 0) → null
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey,
+             TRY_CAST(o_orderpriority AS INTEGER) AS prio_whole,
+             TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+             o_totalprice / NULLIF(o_orderkey % 3, 0) AS div_mod3,
+             CASE WHEN o_orderkey = 0 THEN 9223372036854775807 ELSE CAST(NULL AS BIGINT) END AS add_ovf
+      FROM orders ORDER BY o_orderkey
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
-    fnString, fnDate, fnMath, fnCond, fnJson, fnArray, fnMap, fnExplode)
+    fnString, fnDate, fnMath, fnCond, fnJson, fnArray, fnMap, fnExplode, fnTryCast)
 }

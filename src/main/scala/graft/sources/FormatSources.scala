@@ -35,4 +35,20 @@ object FormatSources {
 
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Small-file compaction — the maintenance op every streaming/incremental
+    * parquet dataset needs: N small files become ceil(bytes/target) files
+    * of ~targetBytes each. Reads once, repartitions once (round-robin —
+    * no key skew), writes once; at 100 TB this runs per-partition-dir, not
+    * globally. Returns the output file count.
+    */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val bytes = new java.io.File(inPath).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.length()).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    new java.io.File(outPath).listFiles().count(_.getName.endsWith(".parquet"))
+  }
 }

@@ -45,6 +45,21 @@ class SourcesSpec extends SparkTestBase with Matchers {
     filtered.queryExecution.executedPlan.toString should include("PushedFilters")
   }
 
+  test("compaction: many small parquet files become few target-sized files, data intact") {
+    val orders = Tables.orders(spark, sfTiny)
+    val smallDir = tmp("compact_in")
+    orders.repartition(20).write.mode("overwrite").parquet(smallDir) // 20 small files
+    val inFiles = new java.io.File(smallDir).listFiles().count(_.getName.endsWith(".parquet"))
+    inFiles shouldBe 20
+    val outDir = tmp("compact_out")
+    val totalBytes = new java.io.File(smallDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // target = half the data → expect exactly 2 output files
+    val nOut = FormatSources.compactParquet(spark, smallDir, outDir, targetBytes = totalBytes / 2 + 1)
+    nOut shouldBe 2
+    rows(spark.read.parquet(outDir)) shouldBe rows(orders)
+  }
+
   test("embedding vectors survive a JSON round-trip (array<float> fidelity)") {
     val e = Tables.embeddings(spark, sfTiny)
     val dir = tmp("emb")
