@@ -107,30 +107,36 @@ object DedupQueries {
     """.trim),
   )
 
+  /** Unordered exact-Jaccard pair core (J ≥ 0.5, lang-blocked, size-band +
+    * early-exit pruned) — shared by q_sim_jaccard (which adds the output
+    * sort) and q_dedup_cluster (which feeds the pairs into components and
+    * must NOT pay a 2M-row range exchange for an ordering it ignores).
+    */
+  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val t = docTokensHashed(s, dir).withColumn("sz", size(col("toksh")))
+    // The build side broadcasts (small per-lang dictionaries); the probe
+    // side is repartitioned so pair enumeration parallelism follows
+    // shuffle.partitions instead of the input split count — the knob that
+    // keeps every executor busy without replicating data.
+    val a = t.select(col("lang"), col("doc_id").as("doc_id1"), col("toksh").as("toks1"), col("sz").as("sz1"))
+      .repartition(col("doc_id1"))
+    val b = t.select(col("lang").as("lang2"), col("doc_id").as("doc_id2"), col("toksh").as("toks2"), col("sz").as("sz2"))
+    a.join(b, col("lang") === col("lang2") && col("doc_id1") < col("doc_id2")
+        && sizeBand(col("sz1"), col("sz2"), 1, 2)) // J ≥ 0.5 ⟹ max ≤ 2·min
+      .withColumn("inter", intersectAtLeast(col("toks1"), col("toks2"),
+        expr("CAST((sz1 + sz2 + 2) div 3 AS INT)"))) // I_min for t=0.5
+      .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+      .withColumn("jaccard", round(col("inter").cast(DoubleType) / col("uni"), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_id1", "doc_id2", "jaccard")
+  }
+
   /** Exact token-set Jaccard similarity join, blocked by language.
     * Intersection/union sizes are ints so the score double is exact.
     */
   val simJaccard = QueryDef(
     "q_sim_jaccard",
-    (s, dir) => {
-      val t = docTokensHashed(s, dir).withColumn("sz", size(col("toksh")))
-      // The build side broadcasts (small per-lang dictionaries); the probe
-      // side is repartitioned so pair enumeration parallelism follows
-      // shuffle.partitions instead of the input split count — the knob that
-      // keeps every executor busy without replicating data.
-      val a = t.select(col("lang"), col("doc_id").as("doc_id1"), col("toksh").as("toks1"), col("sz").as("sz1"))
-        .repartition(col("doc_id1"))
-      val b = t.select(col("lang").as("lang2"), col("doc_id").as("doc_id2"), col("toksh").as("toks2"), col("sz").as("sz2"))
-      a.join(b, col("lang") === col("lang2") && col("doc_id1") < col("doc_id2")
-          && sizeBand(col("sz1"), col("sz2"), 1, 2)) // J ≥ 0.5 ⟹ max ≤ 2·min
-        .withColumn("inter", intersectAtLeast(col("toks1"), col("toks2"),
-          expr("CAST((sz1 + sz2 + 2) div 3 AS INT)"))) // I_min for t=0.5
-        .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
-        .withColumn("jaccard", round(col("inter").cast(DoubleType) / col("uni"), 6))
-        .filter(col("jaccard") >= 0.5)
-        .select("doc_id1", "doc_id2", "jaccard")
-        .orderBy("doc_id1", "doc_id2")
-    },
+    (s, dir) => jaccardPairs(s, dir).orderBy("doc_id1", "doc_id2"),
     Some("""
       WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents)
       SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
@@ -304,7 +310,7 @@ object DedupQueries {
   val dedupCluster = QueryDef(
     "q_dedup_cluster",
     (s, dir) => {
-      val pairs = simJaccard.query(s, dir).select("doc_id1", "doc_id2")
+      val pairs = jaccardPairs(s, dir).select("doc_id1", "doc_id2")
       // the similarity join is by far the loop's most expensive input —
       // materialize the (skinny) edge list once, not once per round
       val edges = pairs
@@ -313,20 +319,31 @@ object DedupQueries {
         .cache()
       val docs = Tables.documents(s, dir).select(col("doc_id"))
       var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+      // labels only ever decrease, so the label sum strictly decreases
+      // until the fixpoint — a one-scan convergence check, no join
+      var prevSum = labels.agg(sum("cluster_id")).collect().head.getLong(0)
       var converged = false
       var rounds = 0
       while (!converged && rounds < 20) {
         val neighborMin = edges.join(labels, edges("src") === labels("doc_id"))
           .groupBy(col("dst")).agg(min(col("cluster_id")).as("nbr_min"))
-        val next = labels.join(neighborMin, labels("doc_id") === neighborMin("dst"), "left")
+        val stepped = labels.join(neighborMin, labels("doc_id") === neighborMin("dst"), "left")
           .select(col("doc_id"),
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        // path compression (pointer jumping): follow my label's label —
+        // halves chain lengths every round, so rounds ≈ log2(diameter)
+        // instead of diameter; the self-join is on the skinny label table
+        val lol = stepped.select(col("doc_id").as("l_doc"), col("cluster_id").as("l_cluster"))
+        val next = stepped.join(lol, stepped("cluster_id") === lol("l_doc"), "left")
+          .select(stepped("doc_id"),
+            least(stepped("cluster_id"), coalesce(col("l_cluster"), stepped("cluster_id")))
+              .as("cluster_id"))
           .cache()
-        val changed = next.join(labels.withColumnRenamed("cluster_id", "old_id"), "doc_id")
-          .filter(col("cluster_id") < col("old_id")).limit(1).count()
+        val sumNow = next.agg(sum("cluster_id")).collect().head.getLong(0)
         labels.unpersist()
         labels = next
-        converged = changed == 0
+        converged = sumNow == prevSum
+        prevSum = sumNow
         rounds += 1
       }
       edges.unpersist()
