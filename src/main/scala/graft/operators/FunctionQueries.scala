@@ -257,6 +257,37 @@ object FunctionQueries {
     """.trim),
   )
 
+  /** from_json with an explicit schema — the structured-ingest function
+    * (never schema inference at 100 TB): parse props into a typed struct,
+    * emit its fields plus a corrupt-input probe (malformed JSON → null
+    * struct, the try_* philosophy applied to parsing).
+    */
+  val fnFromJson = QueryDef(
+    "q_fn_fromjson",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).as("parsed"),
+          // garbage-first input: PERMISSIVE from_json tolerates trailing
+          // junk after a valid prefix, so the probe must fail from byte 0
+          from_json(concat(lit("{broken"), col("props")),
+            StructType(Seq(StructField("k", IntegerType)))).as("broken"))
+        // PERMISSIVE from_json yields an all-null-field struct (not a null
+        // struct) on corrupt input — probe the field
+        .select(col("event_id"),
+          col("parsed.k").as("k"),
+          col("parsed.k").isNull.as("parse_failed"),
+          col("broken.k").isNull.as("broken_failed"))
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             false AS parse_failed,
+             true AS broken_failed
+      FROM events ORDER BY event_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
-    fnString, fnDate, fnMath, fnCond, fnJson, fnArray, fnMap, fnExplode, fnTryCast)
+    fnString, fnDate, fnMath, fnCond, fnJson, fnArray, fnMap, fnExplode, fnTryCast, fnFromJson)
 }
