@@ -147,12 +147,33 @@ object MultimodalOps {
   // ---- registered queries (rows-only driver check; MultimodalSpec has the
   // behavioral assertions) ---------------------------------------------------
 
+  /** Oracle-checked: every decode output is reproducible in SQL — the
+    * polynomial checksum via list_reduce over the byte codes (ASCII fixture
+    * ⇒ unicode(char) = byte; BIGINT headroom: acc < 1e9 so 31·acc + 255 <
+    * 2^35), the mean as exact-int sum / len, and the metadata passthrough
+    * from doc fields. The driver thus verifies the flagship multimodal
+    * decode end-to-end, not just row counts.
+    */
   val mmDecode = QueryDef(
     "q_mm_decode",
     (s, dir) => decodeAll(mediaTable(s, dir)).toDF()
       .select("media_id", "kind", "n_bytes", "checksum", "width", "height", "mean_intensity")
       .orderBy("media_id"),
-    None,
+    Some("""
+      WITH m AS (SELECT doc_id AS media_id, text, n_chars, octet_length(encode(text)) AS len FROM documents),
+      b AS (SELECT media_id, n_chars, len,
+                   list_transform(range(1, len + 1), i -> CAST(unicode(substring(text, i, 1)) AS BIGINT)) AS codes
+            FROM m)
+      SELECT media_id,
+             CASE WHEN media_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+             CAST(len AS INTEGER) AS n_bytes,
+             list_reduce(list_prepend(CAST(1 AS BIGINT), codes),
+                         (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
+             CAST(n_chars % 64 + 1 AS INTEGER) AS width,
+             CAST(n_chars % 48 + 1 AS INTEGER) AS height,
+             CAST(list_sum(codes) AS DOUBLE) / len AS mean_intensity
+      FROM b ORDER BY media_id
+    """.trim),
   )
 
   /** Oracle-checked: the resize stub's outputs are integer arithmetic over
@@ -198,6 +219,11 @@ object MultimodalOps {
 
   /** Multimodal → vector pipeline: extracted features feed the native
     * cosine top-3 (same machinery as the embedding operators).
+    * Oracle-checked end-to-end: the 16 window-mean features are exact
+    * double arithmetic over ASCII byte codes (int sums / counts / 255,
+    * each correctly rounded, then cast to float — identical bits in SQL),
+    * and the cosine is the sequential-fold double mirrored by
+    * list_inner_product, ranked on the 6dp-rounded score.
     */
   val mmSimilar = QueryDef(
     "q_mm_similar",
@@ -215,7 +241,32 @@ object MultimodalOps {
         .select("q_id", "rn", "n_id", "cos")
         .orderBy("q_id", "rn")
     },
-    None,
+    Some("""
+      WITH m AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len FROM documents),
+      feats AS (
+        SELECT media_id,
+               list_transform(range(0, 16), d -> CAST(
+                 CASE WHEN least(len, (d + 1) * greatest(len // 16, 1)) > d * greatest(len // 16, 1)
+                      THEN list_avg(list_transform(
+                             range(d * greatest(len // 16, 1) + 1,
+                                   least(len, (d + 1) * greatest(len // 16, 1)) + 1),
+                             i -> unicode(substring(text, i, 1)))) / 255.0
+                      ELSE 0.0 END AS FLOAT)) AS f
+        FROM m),
+      e AS (SELECT media_id, list_transform(f, x -> CAST(x AS DOUBLE)) AS emb FROM feats),
+      q AS (SELECT media_id AS q_id, emb AS q_emb FROM e WHERE media_id < 5),
+      scored AS (
+        SELECT q.q_id, c.media_id AS n_id,
+               ROUND(list_inner_product(q.q_emb, c.emb)
+                     / sqrt(list_inner_product(q.q_emb, q.q_emb) * list_inner_product(c.emb, c.emb)), 6) AS cos
+        FROM e c CROSS JOIN q WHERE q.q_id != c.media_id)
+      SELECT q_id, rn, n_id, cos FROM (
+        SELECT q_id, n_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn
+        FROM scored)
+      WHERE rn <= 3
+      ORDER BY q_id, rn
+    """.trim),
   )
 
   def defs: Seq[QueryDef] = Seq(mmDecode, mmResize, mmFrames, mmSimilar)
