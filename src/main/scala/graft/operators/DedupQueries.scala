@@ -369,6 +369,41 @@ object DedupQueries {
     """.trim),
   )
 
+  /** Incremental exact dedup — the nightly-pipeline shape: an existing
+    * canonical state (here: the even-doc_id half) absorbs a new batch (the
+    * odd half) WITHOUT re-deduplicating the old corpus. Each side reduces
+    * to per-text (min_id, count) partials; a full-outer merge on text
+    * combines them. Because min/count are associative, the merged state is
+    * exactly the full-corpus dedup — which is what the oracle checks. At
+    * 100 TB the state side is a bucketed table on text-hash and only the
+    * (small) daily batch shuffles.
+    */
+  val dedupIncremental = QueryDef(
+    "q_dedup_incremental",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def partials(half: DataFrame) = half.groupBy("text")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      val state = partials(docs.filter(col("doc_id") % 2 === 0))
+        .select(col("text"), col("keep_id").as("keep1"), col("n_copies").as("n1"))
+      val incoming = partials(docs.filter(col("doc_id") % 2 === 1))
+        .select(col("text").as("text2"), col("keep_id").as("keep2"), col("n_copies").as("n2"))
+      state.join(incoming, col("text") === col("text2"), "full_outer")
+        .select(
+          least(coalesce(col("keep1"), col("keep2")), coalesce(col("keep2"), col("keep1"))).as("keep_id"),
+          (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n_copies"),
+          length(coalesce(col("text"), col("text2"))).as("text_len"))
+        .orderBy("keep_id")
+    },
+    Some("""
+      SELECT keep_id, n_copies, CAST(length(text) AS INTEGER) AS text_len
+      FROM (SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY text)
+      ORDER BY keep_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
-    dedupExact, simJaccard, dedupNear, dedupSimhash, dedupNgram, dedupEmbed, dedupCluster)
+    dedupExact, simJaccard, dedupNear, dedupSimhash, dedupNgram, dedupEmbed, dedupCluster,
+    dedupIncremental)
 }
