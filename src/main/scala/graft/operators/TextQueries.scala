@@ -244,6 +244,63 @@ object TextQueries {
     """.trim),
   )
 
+  /** Pointwise mutual information over adjacent-token bigrams — the
+    * collocation detector ("strongly associated word pairs") every corpus
+    * analysis kit carries. PMI = ln(P(a,b) / (P(a)P(b))) with bigram and
+    * unigram counts; the ratio's numerator/denominator int products stay
+    * < 2^53 so the double argument to ln is exact, and ranking is on the
+    * 6dp-rounded score (libm last-ulp immunity, same recipe as tf-idf).
+    * Corpus totals ride along as a broadcast single-row join.
+    */
+  val textPmi = QueryDef(
+    "q_text_pmi",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val bigrams = toks.select(explode(expr(
+        """transform(CASE WHEN size(toks) >= 2 THEN sequence(0, size(toks) - 2)
+          |               ELSE CAST(array() AS ARRAY<INT>) END,
+          |          i -> struct(toks[i] AS a, toks[i+1] AS b))""".stripMargin)).as("bg"))
+        .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      val nAb = bigrams.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      val uni = toks.select(explode(col("toks")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_tok"))
+      val totals = bigrams.agg(count(lit(1)).as("n_big"))
+        .crossJoin(uni.agg(sum("n_tok").cast(LongType).as("n_uni")))
+      val ua = uni.select(col("token").as("a"), col("n_tok").as("n_a"))
+      val ub = uni.select(col("token").as("b"), col("n_tok").as("n_b"))
+      nAb.filter(col("n_ab") >= 5)
+        .join(ua, "a").join(ub, "b")
+        .crossJoin(broadcast(totals))
+        .withColumn("pmi", round(log(
+          (col("n_ab") * col("n_uni") * col("n_uni")).cast(DoubleType)
+            / (col("n_big") * col("n_a") * col("n_b")).cast(DoubleType)), 6))
+        .select("a", "b", "n_ab", "pmi")
+        .orderBy(desc("pmi"), asc("a"), asc("b"))
+        .limit(50)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      bigrams AS (
+        SELECT unnest(list_transform(range(len(toks) - 1), i -> struct_pack(a := toks[i+1], b := toks[i+2]))) AS bg
+        FROM t WHERE len(toks) >= 2),
+      nab AS (SELECT bg.a AS a, bg.b AS b, COUNT(*) AS n_ab FROM bigrams GROUP BY 1, 2),
+      uni AS (SELECT unnest(toks) AS token FROM t),
+      unic AS (SELECT token, COUNT(*) AS n_tok FROM uni GROUP BY token),
+      totals AS (SELECT (SELECT COUNT(*) FROM bigrams) AS n_big,
+                        (SELECT COUNT(*) FROM uni) AS n_uni)
+      SELECT a, b, n_ab,
+             ROUND(ln(CAST(n_ab * n_uni * n_uni AS DOUBLE)
+                      / CAST(n_big * ua.n_tok * ub.n_tok AS DOUBLE)), 6) AS pmi
+      FROM nab JOIN unic ua ON nab.a = ua.token
+               JOIN unic ub ON nab.b = ub.token
+               CROSS JOIN totals
+      WHERE n_ab >= 5
+      ORDER BY pmi DESC, a ASC, b ASC
+      LIMIT 50
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
-    wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint)
+    wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint, textPmi)
 }
