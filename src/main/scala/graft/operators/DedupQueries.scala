@@ -312,10 +312,14 @@ object DedupQueries {
     (s, dir) => {
       val pairs = jaccardPairs(s, dir).select("doc_id1", "doc_id2")
       // the similarity join is by far the loop's most expensive input —
-      // materialize the (skinny) edge list once, not once per round
+      // materialize the (skinny) edge list once, not once per round.
+      // Both directions come from ONE pass via explode (a union of the
+      // uncached pair plan with its swap would execute the join twice).
       val edges = pairs
-        .union(pairs.select(col("doc_id2").as("doc_id1"), col("doc_id1").as("doc_id2")))
-        .toDF("src", "dst")
+        .select(explode(array(
+          struct(col("doc_id1").as("src"), col("doc_id2").as("dst")),
+          struct(col("doc_id2").as("src"), col("doc_id1").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .cache()
       val docs = Tables.documents(s, dir).select(col("doc_id"))
       var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
