@@ -181,5 +181,37 @@ object AnalyticsQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(tsGapfill, aggMode, aggCondAgg, fnRegexp, aggMinmaxBy, sampleMod)
+  /** Weighted average — exact decimal numerator/denominator (weight is a
+    * deterministic small int), the double emitted only from the exact
+    * ratio of two sub-2^53 decimals.
+    */
+  val aggWeighted = QueryDef(
+    "q_agg_weighted",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        col("value").cast(DecimalType(9, 2)).as("v"),
+        (pmod(col("user_id"), lit(10)) + 1).cast(DecimalType(3, 0)).as("w"))
+      e.groupBy("event_type")
+        .agg(
+          sum(col("w") * col("v")).cast(DecimalType(38, 2)).cast(DoubleType).as("wsum"),
+          sum("w").cast(DecimalType(38, 0)).cast(DoubleType).as("wtot"))
+        .select(col("event_type"), round(col("wsum") / col("wtot"), 6).as("wavg"),
+          col("wsum"), col("wtot"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH e AS (SELECT event_type, CAST(value AS DECIMAL(9,2)) AS v,
+                        CAST(user_id % 10 + 1 AS DECIMAL(3,0)) AS w
+                 FROM events),
+      g AS (SELECT event_type,
+                   CAST(CAST(SUM(w * v) AS DECIMAL(38,2)) AS DOUBLE) AS wsum,
+                   CAST(CAST(SUM(w) AS DECIMAL(38,0)) AS DOUBLE) AS wtot
+            FROM e GROUP BY event_type)
+      SELECT event_type, ROUND(wsum / wtot, 6) AS wavg, wsum, wtot
+      FROM g ORDER BY event_type
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(tsGapfill, aggMode, aggCondAgg, fnRegexp, aggMinmaxBy, sampleMod,
+    aggWeighted)
 }
