@@ -88,6 +88,29 @@ class ApproxOpsSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("q_dedup_cluster: labels are a fixpoint of the similarity graph") {
+    val labels = DedupQueries.dedupCluster.query(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = DedupQueries.simJaccard.query(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs should not be empty
+    pairs.foreach { case (a, b) => labels(a) shouldBe labels(b) } // connected ⇒ same cluster
+    labels.foreach { case (id, l) => l should be <= id } // cluster id = component minimum
+    labels.values.toSet.foreach((l: Long) => labels(l) shouldBe l) // roots label themselves
+  }
+
+  test("q_ts_gapfill: hour grid is complete per type and preserves observed counts") {
+    val rows = graft.operators.AnalyticsQueries.tsGapfill.query(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hourUs = 3600000000L
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val hours = g.map(_._2).sorted
+      hours.zip(hours.tail).foreach { case (h1, h2) => h2 - h1 shouldBe hourUs } // no gaps
+    }
+    val total = rows.map(_._3).sum
+    total shouldBe Tables.events(spark, sfTiny).count() // zero-filled, nothing lost
+  }
+
   test("q_vec_centroid_udaf: UDAF ≡ posexplode formulation (golden cross-check)") {
     val udafRows = VectorQueries.vecCentroidUdaf.query(spark, sfTiny).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
