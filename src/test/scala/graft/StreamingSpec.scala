@@ -111,6 +111,38 @@ class StreamingSpec extends SparkTestBase with Matchers {
     ids shouldBe Array(1L, 2L, 3L, 10L, 11L) // b1 NOT reprocessed, b2 present
   }
 
+  test("s_foreachbatch: custom sink sees every micro-batch exactly once, union == input") {
+    val srcDir = Files.createTempDirectory("graft_feb_src").toFile.getAbsolutePath
+    def write(name: String, ids: Seq[Long]): Unit = {
+      val tmp = Files.createTempDirectory("graft_feb_w").toFile.getAbsolutePath
+      ids.toDF("event_id")
+        .select(col("event_id"), (col("event_id") * 1000000000L).as("ts"),
+          lit(1L).as("user_id"), lit("click").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(srcDir, name))
+      ()
+    }
+    write("a.parquet", Seq(1L, 2L))
+    write("b.parquet", Seq(3L, 4L, 5L))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (batchId, event_id)
+    val src = spark.readStream.schema(StreamOps.eventsRawSchema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(srcDir)
+    val q = StreamOps.normalizeTs(src).select("event_id")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        seen.synchronized { seen ++= batch.collect().map(r => batchId -> r.getLong(0)) }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    seen.map(_._1).toSet.size shouldBe 2 // one invocation per micro-batch (file)
+    seen.map(_._2).sorted.toSeq shouldBe Seq(1L, 2L, 3L, 4L, 5L) // exactly the input, once
+  }
+
   test("s_late: events below the watermark are dropped from append-mode windows") {
     val dir = Files.createTempDirectory("graft_late").toFile.getAbsolutePath
     def write(name: String, rows: Seq[(Long, String)]): Unit = {
