@@ -70,10 +70,15 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(9, 2))).cast(DecimalType(38, 2)).cast(DoubleType)
             .as("sum_value"))
+        // DATE stays the partition/grouping type; the OUTPUT column is the
+        // canonical yyyy-MM-dd string — a raw DATE column renders
+        // differently through the two engines' pandas readers
+        .select(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+          col("n"), col("sum_value"))
         .orderBy("event_date")
     },
     Some("""
-      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+      SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS event_date,
              COUNT(*) AS n,
              CAST(CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       FROM events
