@@ -89,6 +89,22 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("cached relation serves repeated queries from InMemoryTableScan with equal results") {
+    val docs = Tables.documents(spark, sfTiny)
+    val before = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    docs.createOrReplaceTempView("graft_cache_probe")
+    spark.catalog.cacheTable("graft_cache_probe")
+    try {
+      val cachedQ = spark.table("graft_cache_probe").groupBy("lang").count()
+      cachedQ.collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe before
+      // AQE renders the cached scan as a TableCacheQueryStage wrapping an
+      // InMemoryTableScan; accept either spelling
+      val plan = cachedQ.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+        s"no cached-scan node in plan:\n$plan")
+    } finally spark.catalog.uncacheTable("graft_cache_probe")
+  }
+
   test("q_join_theta stays a hash join with residual condition (no nested loop)") {
     val plan = executedPlanString(JoinQueries.joinTheta.query(spark, sfTiny))
     plan should not include "BroadcastNestedLoopJoin"
