@@ -105,6 +105,15 @@ object StreamOps {
       .select(col("click_id"), col("purchase_id"), col("cu").as("user_id"))
   }
 
+  /** s_static_join: stream ⋈ static dimension — the enrichment pattern
+    * (every micro-batch hash-joins against the in-memory/broadcastable
+    * dim; no streaming state at all, so nothing to watermark). Works
+    * identically on batch frames; StreamingSpec asserts equality.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(dim, "event_type")
+      .select(col("event_id"), col("event_type"), col("type_label"))
+
   /** s_stateful: arbitrary stateful per-user event counting via
     * mapGroupsWithState (GroupState[Long]). In streaming Update mode each
     * micro-batch emits the running count per touched user; in batch mode the

@@ -63,6 +63,16 @@ class StreamingSpec extends SparkTestBase with Matchers {
     rowsOf(got) shouldBe rowsOf(want)
   }
 
+  test("s_static_join: stream x static dimension enrichment == batch twin") {
+    val dim = Seq(("click", "C"), ("view", "V"), ("signup", "S"), ("purchase", "P"), ("error", "E"))
+      .toDF("event_type", "type_label")
+    val stream = StreamOps.enrichWithDim(StreamOps.readEventsStream(spark, sfTiny), dim)
+    val got = runToMemory(stream, "t_static_join", "append")
+    val want = StreamOps.enrichWithDim(Tables.events(spark, sfTiny), dim)
+    rowsOf(got) shouldBe rowsOf(want)
+    got.count() shouldBe Tables.events(spark, sfTiny).count() // every event enriched
+  }
+
   test("s_join: stream-stream interval join == batch twin") {
     def side(t: String) = StreamOps.readEventsStream(spark, sfTiny)
       .filter(col("event_type") === t).withWatermark("ts", "2 hours")
