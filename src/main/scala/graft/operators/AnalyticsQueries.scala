@@ -132,8 +132,9 @@ object AnalyticsQueries {
 
   /** max_by / min_by argmax aggregates: per event_type, the event id of the
     * highest / lowest value (exact-double values; deterministic tiebreak by
-    * smallest event_id via struct ordering — mirrored with arg_max/arg_min
-    * over the same composite in DuckDB).
+    * smallest event_id via struct ordering). DuckDB's arg_max lacks
+    * composite comparators, so the oracle uses an equivalent window
+    * formulation with the same ordering.
     */
   val aggMinmaxBy = QueryDef(
     "q_agg_minmaxby",
@@ -165,7 +166,8 @@ object AnalyticsQueries {
   /** Deterministic mod-sampling — the reproducible-sample idiom for
     * experiment slices at 100 TB: a pure function of the key (no RNG, no
     * seed state), so the same 10% slice falls out on every engine and
-    * every run, and the predicate pushes down to the scan.
+    * every run. pmod is not a parquet-pushable predicate, so it evaluates
+    * as a post-scan filter — still a single zero-exchange pass.
     */
   val sampleMod = QueryDef(
     "q_sample_mod",

@@ -300,12 +300,14 @@ object DedupQueries {
     *
     * Implementation is iterative min-label propagation — the same loop
     * GraphX/GraphFrames connected components runs: each round every node
-    * takes the min of its own label and its neighbors' labels (two
-    * shuffles per round), until a fixpoint. Rounds needed = graph
-    * diameter; the driver loop only evaluates a cheap convergence count
-    * per round, all data movement stays distributed. The DuckDB oracle
-    * computes ground truth independently via a recursive-CTE transitive
-    * closure (fixture clusters are small, so closure size is tame).
+    * takes the min of its own label and its neighbors' labels, then
+    * follows its label's label (pointer jumping), so rounds scale as
+    * log2(diameter), not diameter. The driver loop only evaluates a
+    * one-scan label-sum convergence check per round; all data movement
+    * stays distributed. The DuckDB oracle computes ground truth
+    * independently via a recursive-CTE transitive closure (fixture
+    * clusters are small at sf0.01, so closure size is tame there; the
+    * closure — not the Spark side — is infeasible at sf0.1 density).
     */
   val dedupCluster = QueryDef(
     "q_dedup_cluster",
