@@ -264,6 +264,48 @@ object DedupQueries {
     """.trim),
   )
 
+  /** Hashed sorted bigram-shingle sets (shared by the exact n-gram join
+    * and its LSH-accelerated variant).
+    */
+  private def docGrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"),
+        sort_array(expr(
+          """transform(array_distinct(
+               transform(CASE WHEN size(toks) >= 2 THEN sequence(0, size(toks) - 2)
+                              ELSE CAST(array() AS ARRAY<INT>) END,
+                         i -> concat(toks[i], ' ', toks[i+1]))),
+             g -> xxhash64(g))""")).as("grams"))
+
+  /** The full shingle → minhash → band → bucket-join pipeline: LSH
+    * candidates over BIGRAM-shingle sets (order-sensitive, unlike
+    * q_dedup_near's bag-of-tokens), verified with exact shingle Jaccard
+    * ≥ 0.3 — the quadratic q_dedup_ngram is its correctness baseline.
+    * Non-oracle (hash-family-specific candidates); ApproxOpsSpec asserts
+    * precision 1.0 and a measured recall bound against the exact join.
+    */
+  val dedupNearNgram = QueryDef(
+    "q_dedup_near_ngram",
+    (s, dir) => {
+      val grams = docGrams(s, dir)
+      val candidates = minhashBandCandidates(
+        grams.select(col("doc_id"), col("lang"), col("grams").as("toks")))
+      val g1 = grams.select(col("doc_id").as("doc_id1"), col("grams").as("g1"))
+      val g2 = grams.select(col("doc_id").as("doc_id2"), col("grams").as("g2"))
+      candidates.join(g1, "doc_id1").join(g2, "doc_id2")
+        .filter(sizeBand(size(col("g1")), size(col("g2")), 3, 10))
+        .withColumn("inter", intersectAtLeast(col("g1"), col("g2"),
+          expr("CAST((3 * (size(g1) + size(g2)) + 12) div 13 AS INT)")))
+        .withColumn("uni", size(col("g1")) + size(col("g2")) - col("inter"))
+        .withColumn("jaccard", round(col("inter").cast(DoubleType) / col("uni"), 6))
+        .filter(col("jaccard") >= 0.3)
+        .select("doc_id1", "doc_id2", "jaccard")
+        .orderBy("doc_id1", "doc_id2")
+    },
+    None,
+  )
+
   /** Embedding-cosine near-duplicate pairs (≥ 0.95 on the 6dp-rounded
     * score). Deliberately brute-force as the oracle-checked baseline; the
     * LSH-bucketed q_ann_lsh is the 100 TB candidate-generation path.
@@ -410,6 +452,6 @@ object DedupQueries {
   )
 
   def defs: Seq[QueryDef] = Seq(
-    dedupExact, simJaccard, dedupNear, dedupSimhash, dedupNgram, dedupEmbed, dedupCluster,
-    dedupIncremental)
+    dedupExact, simJaccard, dedupNear, dedupSimhash, dedupNgram, dedupNearNgram, dedupEmbed,
+    dedupCluster, dedupIncremental)
 }

@@ -33,6 +33,18 @@ class ApproxOpsSpec extends SparkTestBase with Matchers {
     recall should be >= 0.95
   }
 
+  test("q_dedup_near_ngram: shingle-LSH candidates recover the exact n-gram pairs") {
+    val exact = DedupQueries.dedupNgram.query(spark, sfTiny).select("doc_id1", "doc_id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupQueries.dedupNearNgram.query(spark, sfTiny).select("doc_id1", "doc_id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact should not be empty
+    lsh.subsetOf(exact) shouldBe true // precision 1.0: every candidate verified exactly
+    // measured 1.0 on this fixture; 16×2 banding bounds P[candidate] ≈ 0.78
+    // only for pairs sitting exactly AT the 0.3 threshold
+    lsh.intersect(exact).size.toDouble / exact.size should be >= 0.75
+  }
+
   test("q_dedup_simhash: non-empty, hamming ≤ 3, and same-lang identical docs collide at 0") {
     val rows = DedupQueries.dedupSimhash.query(spark, sfTiny).collect()
     rows should not be empty
