@@ -288,6 +288,59 @@ object FunctionQueries {
     """.trim),
   )
 
+  /** URL function family: parse_url over a URL synthesized from event
+    * fields. DuckDB has no parse_url, so the oracle computes each expected
+    * component directly from the same fields — the independent-expected-
+    * value pattern (as with q_fn_map / the multimodal oracles).
+    */
+  val fnUrl = QueryDef(
+    "q_fn_url",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("url", concat(lit("https://events.example.com/t/"), col("event_type"),
+          lit("?uid="), col("user_id"), lit("&v=1")))
+        .select(col("event_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          expr("parse_url(url, 'QUERY', 'uid')").as("uid_param"),
+          expr("parse_url(url, 'PROTOCOL')").as("protocol"))
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             'events.example.com' AS host,
+             '/t/' || event_type AS path,
+             'uid=' || user_id || '&v=1' AS query,
+             CAST(user_id AS VARCHAR) AS uid_param,
+             'https' AS protocol
+      FROM events ORDER BY event_id
+    """.trim),
+  )
+
+  /** Binary encodings: base64 / hex round-trips over UTF-8 text bytes.
+    * Spark's base64 emits MIME-chunked output (CRLF every 76 chars);
+    * stripping the line breaks yields the canonical unchunked form DuckDB
+    * produces.
+    */
+  val fnEncode = QueryDef(
+    "q_fn_encode",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(base64(col("text").cast(BinaryType)), "[\\r\\n]", "").as("b64"),
+          substring(hex(col("text").cast(BinaryType)), 1, 16).as("hex_pfx"),
+          unbase64(base64(col("text").cast(BinaryType))).cast(StringType).as("roundtrip"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             to_base64(encode(text)) AS b64,
+             substring(hex(encode(text)), 1, 16) AS hex_pfx,
+             text AS roundtrip
+      FROM documents ORDER BY doc_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
-    fnString, fnDate, fnMath, fnCond, fnJson, fnArray, fnMap, fnExplode, fnTryCast, fnFromJson)
+    fnString, fnDate, fnMath, fnCond, fnJson, fnArray, fnMap, fnExplode, fnTryCast, fnFromJson,
+    fnUrl, fnEncode)
 }
