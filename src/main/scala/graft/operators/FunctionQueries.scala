@@ -340,7 +340,33 @@ object FunctionQueries {
     """.trim),
   )
 
+  /** Calendar arithmetic family: add_months (with end-of-month clamping —
+    * identical in DuckDB's interval addition), last_day, next_day (DuckDB
+    * twin: d + (8 - isodow), which lands strictly after d for every
+    * weekday incl. Monday itself), ISO week number.
+    */
+  val fnDate2 = QueryDef(
+    "q_fn_date2",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          add_months(to_date(col("o_orderdate")), 2).as("plus_2mo"),
+          last_day(to_date(col("o_orderdate"))).as("month_end"),
+          next_day(to_date(col("o_orderdate")), "Mon").as("next_monday"),
+          weekofyear(col("o_orderdate")).as("iso_week"))
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+             last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             CAST(o_orderdate AS DATE) + CAST(8 - isodow(CAST(o_orderdate AS DATE)) AS INTEGER) AS next_monday,
+             CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week
+      FROM orders ORDER BY o_orderkey
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
-    fnString, fnDate, fnMath, fnCond, fnJson, fnArray, fnMap, fnExplode, fnTryCast, fnFromJson,
-    fnUrl, fnEncode)
+    fnString, fnDate, fnDate2, fnMath, fnCond, fnJson, fnArray, fnMap, fnExplode, fnTryCast,
+    fnFromJson, fnUrl, fnEncode)
 }
