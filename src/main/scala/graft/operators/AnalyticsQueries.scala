@@ -214,6 +214,32 @@ object AnalyticsQueries {
     """.trim),
   )
 
+  /** Bitwise aggregates — flag-set folding (bit_and/bit_or/bit_xor over a
+    * derived 8-bit flag per event). Flags come from plain integer
+    * arithmetic (Knuth multiplicative hash mod 256 — no engine-specific
+    * hash function), so the whole fold is exactly reproducible in SQL.
+    */
+  val aggBitops = QueryDef(
+    "q_agg_bitops",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          pmod(col("event_id") * lit(2654435761L), lit(256)).as("flags"))
+        .groupBy("event_type")
+        .agg(expr("bit_and(flags)").as("and_flags"),
+          expr("bit_or(flags)").as("or_flags"),
+          expr("bit_xor(flags)").as("xor_flags"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+             bit_and(flags) AS and_flags,
+             bit_or(flags) AS or_flags,
+             bit_xor(flags) AS xor_flags
+      FROM (SELECT event_type, (event_id * 2654435761) % 256 AS flags FROM events)
+      GROUP BY event_type ORDER BY event_type
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(tsGapfill, aggMode, aggCondAgg, fnRegexp, aggMinmaxBy, sampleMod,
-    aggWeighted)
+    aggWeighted, aggBitops)
 }

@@ -226,8 +226,30 @@ object RelationalQueries {
     """.trim),
   )
 
+  /** Symmetric difference — composed from the engine's own set operators
+    * ((A except B) union all (B except A); operands are already distinct
+    * sets so union all is safe and skips a needless dedup shuffle).
+    */
+  val setSymdiff = QueryDef(
+    "q_set_symdiff",
+    (s, dir) => {
+      val a = buildingKeys(s, dir)
+      val b = busyKeys(s, dir)
+      a.except(b).unionAll(b.except(a)).orderBy("custkey")
+    },
+    Some("""
+      WITH a AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      b AS (SELECT o_custkey AS custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5)
+      SELECT custkey FROM (
+        SELECT custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        UNION ALL
+        SELECT custkey FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+      ) ORDER BY custkey
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     scanParquet, scanPruned, scanPartitioned, projectExpr, filterPred,
     sortMulti, limitTopk,
-    setUnionAll, setUnion, setIntersect, setExcept)
+    setUnionAll, setUnion, setIntersect, setExcept, setSymdiff)
 }
