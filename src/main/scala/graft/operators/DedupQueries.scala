@@ -87,7 +87,9 @@ object DedupQueries {
     l.join(r,
         col("lang") === col("lang2") && col("band") === col("band2")
           && col("sig") === col("sig2") && col("doc_id1") < col("doc_id2"))
-      .select("lang", "doc_id1", "doc_id2").distinct()
+      // lang is implied by the ids (every caller rejoins on doc_id), so the
+      // distinct shuffles only the two-long pair rows
+      .select("doc_id1", "doc_id2").distinct()
   }
 
   /** Exact dedup: canonical representative = min(doc_id) per identical text. */
