@@ -207,52 +207,91 @@ object VectorQueries {
     None,
   )
 
-  /** IVF-style ANN: coarse quantizer = per-label centroids (stand-in for a
-    * trained k-means codebook — deterministic and cheap); every vector is
-    * assigned to its nearest centroid (inverted lists), queries probe the 3
-    * nearest centroids and search only those lists exactly. Non-oracle;
+  /** Spherical-k-means IVF codebook: per-label centroids seed `iters` Lloyd
+    * iterations (assign every vector to its cosine-nearest centroid, re-mean
+    * per dim). Assignment is the shuffle-free broadcast-argmax projection
+    * (see annIvf below); the re-mean is one groupBy over (c_id, dim). Means
+    * round to 4dp so the codebook is stable across shuffle orders. At 100 TB
+    * the codebook is built once and persisted — the iteration cost here is
+    * index-build cost, not per-query cost.
+    */
+  private[operators] def ivfCentroids(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    val seed = centroidViaPosexplode(s, dir, ordered = false)
+      .groupBy("label").agg(collect_list(struct(col("dim"), col("centroid_val"))).as("dv"))
+      .select(col("label").as("c_id"),
+        // Centroids are double arrays, so cast to float for the native
+        // expression — quantizer assignment tolerates the 1e-7 rounding.
+        expr("transform(array_sort(dv, (l, r) -> l.dim - r.dim), x -> x.centroid_val)")
+          .cast("array<float>").as("c_emb"))
+    (1 to iters).foldLeft(seed) { (cents, _) =>
+      val centroidArr = cents.agg(collect_list(struct(col("c_id"), col("c_emb"))).as("cents"))
+      Tables.embeddings(s, dir).crossJoin(broadcast(centroidArr))
+        .withColumn("best", expr(
+          s"""array_max(transform(cents,
+             |  c -> struct(${GraftCosineName}(embedding, c.c_emb) AS sim, -c.c_id AS nid)))""".stripMargin))
+        .select((-col("best.nid")).as("c_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("c_id", "dim").agg(round(avg(col("v").cast(DoubleType)), 4).as("m"))
+        .groupBy("c_id").agg(collect_list(struct(col("dim"), col("m"))).as("dv"))
+        .select(col("c_id"),
+          expr("transform(array_sort(dv, (l, r) -> l.dim - r.dim), x -> x.m)")
+            .cast("array<float>").as("c_emb"))
+    }
+  }
+
+  /** IVF-style ANN: k-means-refined coarse quantizer (per-label seed + 2
+    * Lloyd iterations, `ivfCentroids`), **2-way multi-assignment** (every
+    * vector joins the inverted lists of its TWO nearest centroids), queries
+    * probe their 3 nearest lists and search only those exactly. Non-oracle;
     * ApproxOpsSpec bounds recall.
+    *
+    * Measured sweep (PERF.md round 2, recall of brute-force top-5): the old
+    * label-centroid / single-assignment / nprobe=3 variant read 0.48–0.50;
+    * multi-assignment is the big lever (0.80 at 1.78× candidates), k-means
+    * refinement adds the rest → **0.84–0.86** here. Raising nprobe alone
+    * reached only 0.64 at comparable cost.
     *
     * Assignment is shuffle-free: the 10 centroids collapse to ONE broadcast
     * row holding an array of (c_id, c_emb) structs; each corpus row computes
-    * all 10 cosines in a single projection and takes the argmax via
-    * array_max over struct(sim, -c_id) (struct ordering = sim desc, ties →
-    * smallest c_id — identical to the former window formulation, without
-    * exploding the corpus 10× and shuffling it for a row_number).
+    * all 10 cosines in a single projection and keeps the top-2 via
+    * array_sort over struct(-sim, c_id) (sim desc, ties → smallest c_id).
+    * Candidate (query, neighbor) pairs are distinct-ed while TWO LONGS WIDE
+    * — multi-assignment duplicates pairs whose lists are both probed, and
+    * the embedding arrays are re-fetched only after the dedup (the same
+    * skinny-distinct shape as the MinHash candidate generator).
     */
   val annIvf = QueryDef(
     "q_ann_ivf",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val centroids = centroidViaPosexplode(s, dir, ordered = false)
-        .groupBy("label").agg(collect_list(struct(col("dim"), col("centroid_val"))).as("dv"))
-        .select(col("label").as("c_id"),
-          // Centroids are double arrays, so cast to float for the native
-          // expression — quantizer assignment tolerates the 1e-7 rounding.
-          expr("transform(array_sort(dv, (l, r) -> l.dim - r.dim), x -> x.centroid_val)")
-            .cast("array<float>").as("c_emb"))
-      val centroidArr = centroids
+      val centroidArr = ivfCentroids(s, dir, iters = 2)
         .agg(collect_list(struct(col("c_id"), col("c_emb"))).as("cents"))
       val assigned = e.crossJoin(broadcast(centroidArr))
-        .withColumn("best", expr(
-          s"""array_max(transform(cents,
-             |  c -> struct(${GraftCosineName}(embedding, c.c_emb) AS sim, -c.c_id AS nid)))""".stripMargin))
-        .select(col("vec_id"), col("embedding"), (-col("best.nid")).as("c_id"))
+        .select(col("vec_id"),
+          explode(expr(
+            s"""slice(array_sort(transform(cents,
+               |  c -> struct(-${GraftCosineName}(embedding, c.c_emb) AS nsim, c.c_id AS c_id))),
+               |  1, 2)""".stripMargin)).as("a")) // 2-way multi-assignment
+        .select(col("vec_id"), col("a.c_id").as("c_id"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
       // queries probe their 3 nearest centroids — same single-projection
       // trick: sort the 10-element struct array (ascending on (-sim, c_id)
       // = sim desc, c_id asc) and explode the first nprobe entries.
-      val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
+      val probes = queries
         .crossJoin(broadcast(centroidArr))
-        .select(col("q_vec_id"), col("q_emb"),
+        .select(col("q_vec_id"),
           explode(expr(
             s"""slice(array_sort(transform(cents,
                |  c -> struct(-${GraftCosineName}(q_emb, c.c_emb) AS nsim, c.c_id AS c_id))),
                |  1, 3)""".stripMargin)).as("p")) // nprobe=3 of 10 lists
-        .select(col("q_vec_id"), col("q_emb"), col("p.c_id").as("probe_c_id"))
-      val scored = assigned.join(broadcast(probes),
+        .select(col("q_vec_id"), col("p.c_id").as("probe_c_id"))
+      val candidates = assigned.join(broadcast(probes),
           col("c_id") === col("probe_c_id") && col("vec_id") =!= col("q_vec_id"))
-        .withColumn("cos", round(VectorOps.cosine(col("q_emb"), col("embedding")), 6))
+        .select("q_vec_id", "vec_id").distinct()
+      val scored = candidates
+        .join(e.select(col("vec_id"), col("embedding").as("n_emb")), "vec_id")
+        .join(broadcast(queries), "q_vec_id")
+        .withColumn("cos", round(VectorOps.cosine(col("q_emb"), col("n_emb")), 6))
       val w = Window.partitionBy("q_vec_id").orderBy(desc("cos"), asc("vec_id"))
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)

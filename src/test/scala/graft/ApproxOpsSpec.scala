@@ -59,9 +59,10 @@ class ApproxOpsSpec extends SparkTestBase with Matchers {
     val brute = VectorQueries.cosineTopk.query(spark, sfTiny).collect()
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     // measured on this (weakly-clustered) fixture: multiprobe LSH (8×7, r1)
-    // ≈ 0.90, IVF ≈ 0.48; bounds leave margin but would catch a bucketing
+    // ≈ 0.90, IVF (km-refined codebook + 2-way assignment, nprobe=3)
+    // ≈ 0.84–0.86; bounds leave margin but would catch a bucketing
     // regression
-    for ((q, minMeanRecall) <- Seq(VectorQueries.annLsh -> 0.8, VectorQueries.annIvf -> 0.35)) {
+    for ((q, minMeanRecall) <- Seq(VectorQueries.annLsh -> 0.8, VectorQueries.annIvf -> 0.7)) {
       val approx = q.query(spark, sfTiny).collect()
         .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       approx.values.foreach(_.size should be <= 5)
