@@ -146,11 +146,16 @@ object GraftFunctions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteSortedIntersect
     }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
   }
 
   def inject(extensions: SparkSessionExtensions): Unit = {
     all.foreach(extensions.injectFunction)
     extensions.injectOptimizerRule(_ => graft.plans.RewriteSortedIntersect)
+    extensions.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -303,7 +303,40 @@ object JoinQueries {
     """.trim),
   )
 
+  /** Same query through the native as-of operator (plans/AsOfJoin.scala —
+    * custom LogicalPlan + Strategy + sort-merge SparkPlan). Checked against
+    * the same DuckDB ASOF JOIN oracle as q_join_asof; AsOfJoinNativeSpec
+    * additionally pins row-for-row equality with the window formulation and
+    * the exchange-elision property that motivates the native operator.
+    */
+  val joinAsofNative = QueryDef(
+    "q_join_asof_native",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+          // payload is a function of (key, ts), so equal-ts click ties
+          // resolve to identical output (operator tie order is unpinned)
+          expr("unix_micros(cast(ts as timestamp))").as("c_us"))
+      graft.plans.AsOfJoin.asof(purchases, clicks,
+          Seq("user_id"), Seq("c_user_id"), "ts", "c_ts")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("c_us").as("click_ts_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""
+      SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+             epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+      ORDER BY purchase_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     joinInner, joinBroadcast, joinSortMerge, joinBucketed, joinSalted, joinLeft, joinFull,
-    joinSemi, joinAnti, joinCross, joinTheta, joinInterval, joinAsof)
+    joinSemi, joinAnti, joinCross, joinTheta, joinInterval, joinAsof, joinAsofNative)
 }
