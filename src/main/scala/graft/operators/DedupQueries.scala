@@ -55,32 +55,41 @@ object DedupQueries {
   private[operators] def sizeBand(s1: Column, s2: Column, num: Int, den: Int): Column =
     greatest(s1, s2) * num <= least(s1, s2) * den
 
-  /** MinHash + banded-LSH candidate pairs over (doc_id, lang, toks) — the
-    * near-linear candidate generator shared by q_dedup_near and the curation
-    * pipeline. 32 seeded murmur3 min-hashes, `bands` bands × 32/bands rows;
-    * a pair is a candidate when any band signature collides within the same
-    * language. One shuffle on (lang, band, sig); the skinny (lang, id1, id2)
-    * collision rows are distinct-ed BEFORE any token arrays are fetched
-    * (band multiplicity is cheapest to collapse at 3 columns wide).
-    * With 16×2 banding, P[candidate] = 1-(1-J²)^16 — ≈ 0.99 at J = 0.5 and
-    * 1 - 4e-8 at J = 0.8.
+  /** Banded MinHash signatures over (doc_id, lang, toks): `nHashes` seeded
+    * murmur3 min-hashes per doc, grouped into `bands` bands of
+    * nHashes/bands rows each → one (doc_id, lang, sz, band, sig) row per
+    * band. Signatures are computed per row with array HOFs — nHashes
+    * codegen'd array passes per doc and ZERO shuffle, vs the explode →
+    * groupBy(doc) → min-aggs formulation that shuffled every token
+    * (measured at sf0.1: q_pipeline_curate 20.5 → 8.8 s, q_dedup_near
+    * ~20 → ~15 s warm). Shared by the pair-candidate generator below and
+    * q_dedup_cluster's star-edge generator.
     */
-  private[operators] def minhashBandCandidates(sets: DataFrame, bands: Int = 16): DataFrame = {
-    val nHashes = 32
+  private[operators] def bandedSignatures(sets: DataFrame, bands: Int,
+      nHashes: Int = 32): DataFrame = {
     val rows = nHashes / bands
-    // Signatures are computed per row with array HOFs — 32 codegen'd array
-    // passes per doc and ZERO shuffle, vs the explode → groupBy(doc) → 32
-    // min-aggs formulation that shuffled every token (measured at sf0.1:
-    // q_pipeline_curate 20.5 → 8.8 s, q_dedup_near ~20 → ~15 s warm).
-    val sigs = sets.select(col("doc_id") +: col("lang") +:
+    val sigs = sets.select(col("doc_id") +: col("lang") +: size(col("toks")).as("sz") +:
       (0 until nHashes).map(i =>
         array_min(transform(col("toks"), t => hash(t, lit(i)))).as(s"mh$i")): _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash((b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*).as("sig"))
     }
-    val banded = sigs.select(col("doc_id"), col("lang"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("lang"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    sigs.select(col("doc_id"), col("lang"), col("sz"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("lang"), col("sz"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** MinHash + banded-LSH candidate pairs over (doc_id, lang, toks) — the
+    * near-linear candidate generator shared by q_dedup_near and the curation
+    * pipeline. A pair is a candidate when any band signature collides within
+    * the same language. One shuffle on (lang, band, sig); the skinny
+    * (lang, id1, id2) collision rows are distinct-ed BEFORE any token
+    * arrays are fetched (band multiplicity is cheapest to collapse at 3
+    * columns wide). With 16×2 banding, P[candidate] = 1-(1-J²)^16 — ≈ 0.99
+    * at J = 0.5 and 1 - 4e-8 at J = 0.8.
+    */
+  private[operators] def minhashBandCandidates(sets: DataFrame, bands: Int = 16): DataFrame = {
+    val banded = bandedSignatures(sets, bands)
     val l = banded.select(col("lang"), col("band"), col("sig"), col("doc_id").as("doc_id1"))
     val r = banded.select(col("lang").as("lang2"), col("band").as("band2"), col("sig").as("sig2"),
       col("doc_id").as("doc_id2"))
@@ -90,6 +99,28 @@ object DedupQueries {
       // lang is implied by the ids (every caller rejoins on doc_id), so the
       // distinct shuffles only the two-long pair rows
       .select("doc_id1", "doc_id2").distinct()
+  }
+
+  /** Exact Jaccard ≥ num/den verification of candidate id pairs against
+    * hashed token sets (doc_id, toksh): size-band prefilter + early-exit
+    * sorted intersect, emitting (doc_id1, doc_id2, jaccard) for passing
+    * pairs. Shared by q_dedup_near / q_dedup_near_ngram / q_dedup_cluster —
+    * every approximate candidate generator funnels through this one exact
+    * gate, so precision is 1.0 by construction everywhere.
+    */
+  private[operators] def verifyJaccard(cands: DataFrame, hashed: DataFrame,
+      num: Int, den: Int): DataFrame = {
+    val t1 = hashed.select(col("doc_id").as("doc_id1"), col("toksh").as("toks1"))
+    val t2 = hashed.select(col("doc_id").as("doc_id2"), col("toksh").as("toks2"))
+    // I ≥ t(s1+s2)/(1+t) with t = num/den ⟹ I_min = ⌈num(s1+s2)/(num+den)⌉
+    val iMin = s"CAST(($num * (size(toks1) + size(toks2)) + ${num + den - 1}) div ${num + den} AS INT)"
+    cands.join(t1, "doc_id1").join(t2, "doc_id2")
+      .filter(sizeBand(size(col("toks1")), size(col("toks2")), num, den))
+      .withColumn("inter", intersectAtLeast(col("toks1"), col("toks2"), expr(iMin)))
+      .withColumn("uni", size(col("toks1")) + size(col("toks2")) - col("inter"))
+      .withColumn("jaccard", round(col("inter").cast(DoubleType) / col("uni"), 6))
+      .filter(col("jaccard") >= num.toDouble / den)
+      .select("doc_id1", "doc_id2", "jaccard")
   }
 
   /** Exact dedup: canonical representative = min(doc_id) per identical text. */
@@ -164,17 +195,7 @@ object DedupQueries {
     "q_dedup_near",
     (s, dir) => {
       val candidates = minhashBandCandidates(docTokens(s, dir))
-      val hashed = docTokensHashed(s, dir)
-      val t1 = hashed.select(col("doc_id").as("doc_id1"), col("toksh").as("toks1"))
-      val t2 = hashed.select(col("doc_id").as("doc_id2"), col("toksh").as("toks2"))
-      candidates.join(t1, "doc_id1").join(t2, "doc_id2")
-        .filter(sizeBand(size(col("toks1")), size(col("toks2")), 1, 2))
-        .withColumn("inter", intersectAtLeast(col("toks1"), col("toks2"),
-          expr("CAST((size(toks1) + size(toks2) + 2) div 3 AS INT)")))
-        .withColumn("uni", size(col("toks1")) + size(col("toks2")) - col("inter"))
-        .withColumn("jaccard", round(col("inter").cast(DoubleType) / col("uni"), 6))
-        .filter(col("jaccard") >= 0.5)
-        .select("doc_id1", "doc_id2", "jaccard")
+      verifyJaccard(candidates, docTokensHashed(s, dir), 1, 2)
         .orderBy("doc_id1", "doc_id2")
     },
     None,
@@ -293,16 +314,7 @@ object DedupQueries {
       val grams = docGrams(s, dir)
       val candidates = minhashBandCandidates(
         grams.select(col("doc_id"), col("lang"), col("grams").as("toks")))
-      val g1 = grams.select(col("doc_id").as("doc_id1"), col("grams").as("g1"))
-      val g2 = grams.select(col("doc_id").as("doc_id2"), col("grams").as("g2"))
-      candidates.join(g1, "doc_id1").join(g2, "doc_id2")
-        .filter(sizeBand(size(col("g1")), size(col("g2")), 3, 10))
-        .withColumn("inter", intersectAtLeast(col("g1"), col("g2"),
-          expr("CAST((3 * (size(g1) + size(g2)) + 12) div 13 AS INT)")))
-        .withColumn("uni", size(col("g1")) + size(col("g2")) - col("inter"))
-        .withColumn("jaccard", round(col("inter").cast(DoubleType) / col("uni"), 6))
-        .filter(col("jaccard") >= 0.3)
-        .select("doc_id1", "doc_id2", "jaccard")
+      verifyJaccard(candidates, grams.select(col("doc_id"), col("grams").as("toksh")), 3, 10)
         .orderBy("doc_id1", "doc_id2")
     },
     None,
@@ -336,68 +348,168 @@ object DedupQueries {
     """.trim),
   )
 
-  /** Connected components over the exact-Jaccard near-dup pairs: every doc
+  /** Distributed connected components over an undirected pair list:
+    * iterative min-label propagation — the same loop GraphX/GraphFrames
+    * connected components runs: each round every node takes the min of its
+    * own label and its neighbors' labels, then follows its label's label
+    * (pointer jumping), so rounds scale as log2(diameter), not diameter.
+    * The driver loop only evaluates a one-scan label-sum convergence check
+    * per round; all data movement stays distributed. Returns
+    * (doc_id, cluster_id = component-min doc_id).
+    */
+  private[operators] def connectedComponents(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    // Every round's plan embeds the previous round's plan FOUR times (the
+    // neighbor join + the pointer-jump self-join each reference it twice),
+    // so carrying lineage across rounds blows the logical plan up 4^rounds
+    // and the driver dies in the analyzer, not in execution. localCheckpoint
+    // (eager) truncates lineage each round — data stays distributed in
+    // executor storage; on a real cluster an HDFS checkpoint dir is the
+    // fault-tolerant equivalent. Same idiom GraphFrames uses for its CC.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_id1").as("src"), col("doc_id2").as("dst")),
+        struct(col("doc_id2").as("src"), col("doc_id1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
+    // labels only ever decrease, so the label sum strictly decreases
+    // until the fixpoint — a one-scan convergence check, no join
+    var prevSum = labels.agg(sum("cluster_id")).collect().head.getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val neighborMin = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("cluster_id")).as("nbr_min"))
+      val stepped = labels.join(neighborMin, labels("doc_id") === neighborMin("dst"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+      // path compression (pointer jumping): follow my label's label —
+      // halves chain lengths every round, so rounds ≈ log2(diameter)
+      // instead of diameter; the self-join is on the skinny label table
+      val lol = stepped.select(col("doc_id").as("l_doc"), col("cluster_id").as("l_cluster"))
+      val next = stepped.join(lol, stepped("cluster_id") === lol("l_doc"), "left")
+        .select(stepped("doc_id"),
+          least(stepped("cluster_id"), coalesce(col("l_cluster"), stepped("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val sumNow = next.agg(sum("cluster_id")).collect().head.getLong(0)
+      labels = next
+      converged = sumNow == prevSum
+      prevSum = sumNow
+      rounds += 1
+    }
+    labels
+  }
+
+  /** Reference variant of q_dedup_cluster fed by the exhaustive exact-
+    * Jaccard pair join — the correctness baseline DedupClusterSpec compares
+    * the LSH-accelerated default against (they must produce identical
+    * labels).
+    */
+  private[graft] def dedupClusterExhaustive(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(Tables.documents(s, dir).select(col("doc_id")),
+      jaccardPairs(s, dir).select("doc_id1", "doc_id2"))
+      .orderBy("doc_id")
+
+  /** Connected components over the exact-Jaccard near-dup graph: every doc
     * gets cluster_id = the smallest doc_id transitively reachable through
     * ≥0.5-similarity edges (singletons cluster as themselves). This is the
     * step that turns a pair list into dedup GROUPS — pick min(doc_id) per
     * cluster as the canonical survivor.
     *
-    * Implementation is iterative min-label propagation — the same loop
-    * GraphX/GraphFrames connected components runs: each round every node
-    * takes the min of its own label and its neighbors' labels, then
-    * follows its label's label (pointer jumping), so rounds scale as
-    * log2(diameter), not diameter. The driver loop only evaluates a
-    * one-scan label-sum convergence check per round; all data movement
-    * stays distributed. The DuckDB oracle computes ground truth
-    * independently via a recursive-CTE transitive closure (fixture
-    * clusters are small at sf0.01, so closure size is tame there; the
-    * closure — not the Spark side — is infeasible at sf0.1 density).
+    * The output is LINEAR (one label per doc) even when the true edge set
+    * is quadratic (on the driver fixture 72% of same-lang pairs are true
+    * J ≥ 0.5 edges — the dense-near-dup worst case), so unlike
+    * q_sim_jaccard (whose OUTPUT is the full pair list) this operator must
+    * not materialize or verify the full pair set. The edge source is LSH,
+    * in two phases, both funneled through the exact `verifyJaccard` gate:
+    *
+    *  1. STAR edges: within every (lang, band, sig) LSH bucket (32 bands ×
+    *     1 row — P[two docs with J ≥ 0.5 share no bucket] ≤ 2⁻³²), connect
+    *     each doc to the bucket's min doc_id and verify those pairs
+    *     exactly. Linear in Σ bucket size — never enumerates in-bucket
+    *     pairs — and in a dense cluster almost every star edge verifies,
+    *     so components form immediately.
+    *  2. SWEEP (exactly one): enumerate bucket-coincident pairs whose
+    *     endpoints sit in DIFFERENT phase-1 components — restricted to
+    *     MIXED buckets (≥2 distinct labels), since a single-component
+    *     bucket cannot produce a cross pair, and the inequality is pushed
+    *     into the join condition so same-component pairs die inside the
+    *     join — verify every one exactly, merge the passes (components
+    *     contracted to one node per label, so this CC runs on the tiny
+    *     component graph, not the corpus).
+    *
+    * ONE sweep reaches the fixpoint, provably: verification is label-
+    * independent and merging only coarsens, so a pair still cross-component
+    * after the merge was cross-component before it, was therefore verified
+    * in the sweep, and must have FAILED (a pass would have merged it).
+    * Hence no true edge crosses the final components (given the 2⁻³² LSH
+    * candidate guarantee) — the labels are exactly the transitive closure
+    * the DuckDB recursive-CTE oracle computes, which is what CORRECTNESS
+    * checks at sf0.01 and ApproxOpsSpec re-checks against the
+    * exhaustive-join variant. Verified work across both phases is
+    * O(star pairs + cross-component candidates) — on the fixture ~6% of
+    * the pair set even though 72% of pairs are true edges; on a
+    * realistically sparse corpus near-linear in the corpus.
     */
   val dedupCluster = QueryDef(
     "q_dedup_cluster",
     (s, dir) => {
-      val pairs = jaccardPairs(s, dir).select("doc_id1", "doc_id2")
-      // the similarity join is by far the loop's most expensive input —
-      // materialize the (skinny) edge list once, not once per round.
-      // Both directions come from ONE pass via explode (a union of the
-      // uncached pair plan with its swap would execute the join twice).
-      val edges = pairs
-        .select(explode(array(
-          struct(col("doc_id1").as("src"), col("doc_id2").as("dst")),
-          struct(col("doc_id2").as("src"), col("doc_id1").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .cache()
       val docs = Tables.documents(s, dir).select(col("doc_id"))
-      var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
-      // labels only ever decrease, so the label sum strictly decreases
-      // until the fixpoint — a one-scan convergence check, no join
-      var prevSum = labels.agg(sum("cluster_id")).collect().head.getLong(0)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 20) {
-        val neighborMin = edges.join(labels, edges("src") === labels("doc_id"))
-          .groupBy(col("dst")).agg(min(col("cluster_id")).as("nbr_min"))
-        val stepped = labels.join(neighborMin, labels("doc_id") === neighborMin("dst"), "left")
-          .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        // path compression (pointer jumping): follow my label's label —
-        // halves chain lengths every round, so rounds ≈ log2(diameter)
-        // instead of diameter; the self-join is on the skinny label table
-        val lol = stepped.select(col("doc_id").as("l_doc"), col("cluster_id").as("l_cluster"))
-        val next = stepped.join(lol, stepped("cluster_id") === lol("l_doc"), "left")
-          .select(stepped("doc_id"),
-            least(stepped("cluster_id"), coalesce(col("l_cluster"), stepped("cluster_id")))
-              .as("cluster_id"))
-          .cache()
-        val sumNow = next.agg(sum("cluster_id")).collect().head.getLong(0)
-        labels.unpersist()
-        labels = next
-        converged = sumNow == prevSum
-        prevSum = sumNow
-        rounds += 1
-      }
-      edges.unpersist()
-      labels.orderBy("doc_id")
+      val hashed = docTokensHashed(s, dir).cache()
+      val banded = bandedSignatures(docTokens(s, dir), bands = 32).cache()
+      // Phase 1: verified star edges (bucket-min → member), linear in corpus
+      val roots = banded.groupBy("lang", "band", "sig")
+        .agg(min("doc_id").as("doc_id1"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .select("lang", "band", "sig", "doc_id1")
+      val star = roots.join(banded, Seq("lang", "band", "sig"))
+        .filter(col("doc_id1") < col("doc_id"))
+        .select(col("doc_id1"), col("doc_id").as("doc_id2")).distinct()
+      // localCheckpoint (not cache) at the phase boundaries: the sweep
+      // plans embed the phase-1 labels/edges plans, so lineage must be cut
+      // or the analyzer cost compounds (see connectedComponents).
+      val starEdges = verifyJaccard(star, hashed, 1, 2).select("doc_id1", "doc_id2").localCheckpoint()
+      val labels = connectedComponents(docs, starEdges)
+      // Phase 2: the one sweep. Pair enumeration costs Σ bucket-size² — but
+      // a bucket whose members all share one component can't produce a
+      // cross pair, and after phase 1 the big dense buckets are exactly the
+      // single-component ones, so the MIXED-bucket prefilter removes the
+      // dominant Σ size² terms losslessly.
+      val withLbl = banded.join(labels, "doc_id")
+      val mixed = withLbl.groupBy("lang", "band", "sig")
+        .agg(countDistinct("cluster_id").as("nc")).filter(col("nc") > 1)
+        .select("lang", "band", "sig")
+      val inMixed = withLbl.join(mixed, Seq("lang", "band", "sig"))
+      val a = inMixed.select(col("lang"), col("band"), col("sig"), col("sz").as("sz1"),
+        col("doc_id").as("doc_id1"), col("cluster_id").as("c1"))
+      val b = inMixed.select(col("lang").as("lang2"), col("band").as("band2"),
+        col("sig").as("sig2"), col("sz").as("sz2"),
+        col("doc_id").as("doc_id2"), col("cluster_id").as("c2"))
+      val cross = a.join(b,
+          col("lang") === col("lang2") && col("band") === col("band2")
+            && col("sig") === col("sig2") && col("doc_id1") < col("doc_id2")
+            && col("c1") =!= col("c2") && sizeBand(col("sz1"), col("sz2"), 1, 2))
+        .select("doc_id1", "doc_id2").distinct()
+      val mergeEdges = verifyJaccard(cross, hashed, 1, 2).select("doc_id1", "doc_id2").localCheckpoint()
+      // Contract: merge components through the verified cross edges on the
+      // component GRAPH (one node per phase-1 label, edges = label pairs),
+      // then relabel docs through their phase-1 component — the corpus is
+      // never re-clustered.
+      val l1 = labels.select(col("doc_id").as("d1"), col("cluster_id").as("c1"))
+      val l2 = labels.select(col("doc_id").as("d2"), col("cluster_id").as("c2"))
+      val compPairs = mergeEdges
+        .join(l1, col("doc_id1") === col("d1")).join(l2, col("doc_id2") === col("d2"))
+        .filter(col("c1") =!= col("c2"))
+        .select(least(col("c1"), col("c2")).as("doc_id1"), greatest(col("c1"), col("c2")).as("doc_id2"))
+        .distinct()
+      val compNodes = labels.select(col("cluster_id").as("doc_id")).distinct()
+      val compLabels = connectedComponents(compNodes, compPairs)
+        .select(col("doc_id").as("comp"), col("cluster_id").as("final_cluster"))
+      val out = labels.join(compLabels, labels("cluster_id") === compLabels("comp"))
+        .select(col("doc_id"), col("final_cluster").as("cluster_id"))
+      hashed.unpersist(); banded.unpersist()
+      out.orderBy("doc_id")
     },
     Some("""
       WITH RECURSIVE d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents),

@@ -115,11 +115,14 @@ case class AsOfJoinExec(
 
       new Iterator[InternalRow] {
         // Current right cursor (copied — sorter iterators reuse buffers).
-        private var rRow: UnsafeRow = _
+        // InternalRow, not UnsafeRow: a child exec whose ordering is already
+        // satisfied can feed non-UnsafeRow rows here (no sort inserted), and
+        // InternalRow.copy() handles both — same as SortMergeJoinExec.
+        private var rRow: InternalRow = _
         private var rKey: UnsafeRow = _
         private var rTsRow: UnsafeRow = _
         // Best match so far and the key it belongs to.
-        private var matchRow: UnsafeRow = _
+        private var matchRow: InternalRow = _
         private var matchKey: UnsafeRow = _
         private var nextOut: UnsafeRow = _
         advanceRight()
@@ -131,7 +134,7 @@ case class AsOfJoinExec(
             val k = rKeyProj(r)
             val t = rTsProj(r)
             if (!k.anyNull && !t.isNullAt(0)) {
-              rRow = r.asInstanceOf[UnsafeRow].copy()
+              rRow = r.copy()
               rKey = k.copy()
               rTsRow = t.copy()
             }

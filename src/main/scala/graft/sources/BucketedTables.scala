@@ -25,11 +25,32 @@ object BucketedTables {
     * into 8 buckets, sorted within buckets — the layout that lets the
     * planner elide both join-side exchanges (asserted in PlanShapeSpec).
     */
+  /** The sorted-scan invariant: exactly one parquet part file per bucket
+    * (8 buckets, bucket id encoded as the `_0000N` filename suffix). The
+    * legacy outputOrdering conf is only sound under this invariant —
+    * multi-file buckets concatenate out of order and a sorted-scan
+    * assumption would yield silently wrong merge-join results — so it is
+    * (re)checked every time files are adopted OR written, not assumed.
+    */
+  private def bucketLayoutValid(path: String): Boolean = {
+    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val ids = files.flatMap(f => "_(\\d{5})\\.".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+    files.length == 8 && ids.toSet == (0 until 8).toSet
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   def ensure(s: SparkSession, dir: String): Unit = synchronized {
-    // Safe here because the writer below guarantees ONE file per bucket
-    // (the reason this is off by default — multi-file buckets concatenate
-    // out of order); with it, the scan reports the sortBy ordering and the
-    // merge join elides the per-partition Sorts too.
+    // Sound because EVERY bucketed layout this session scans went through
+    // bucketLayoutValid below (one file per bucket). It must stay set for
+    // the whole session: Spark reads it at physical-planning time, which
+    // for the registered queries happens lazily when the driver executes
+    // them — restoring it right after ensure() would silently re-insert
+    // the sorts this layout exists to elide.
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     // external tables with explicit paths: the in-memory catalog forgets
     // tables between sessions but their files survive, and a managed
@@ -40,21 +61,26 @@ object BucketedTables {
     // Spark only honors within-bucket sortBy order at read time (eliding
     // the join-side Sorts) when a bucket is a single file. If the bucket
     // files survive from an earlier session (the in-memory catalog does
-    // not), re-register them with bucket-spec DDL instead of rewriting.
+    // not), re-register them with bucket-spec DDL — after re-proving the
+    // one-file-per-bucket invariant; a stale/partial layout is wiped and
+    // rewritten instead of trusted.
     def ensureOne(table: String, src: org.apache.spark.sql.DataFrame,
         key: String, path: String): Unit =
       if (!s.catalog.tableExists(table)) {
-        if (new java.io.File(path, "_SUCCESS").exists()) {
+        if (new java.io.File(path, "_SUCCESS").exists() && bucketLayoutValid(path)) {
           s.sql(s"""CREATE TABLE $table (${src.schema.toDDL}) USING PARQUET
                    |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
                    |LOCATION '$path'""".stripMargin)
         } else {
+          deleteRecursively(new java.io.File(path))
           src.repartition(8, org.apache.spark.sql.functions.col(key))
             .write
             .bucketBy(8, key).sortBy(key)
             .option("path", path)
             .mode(SaveMode.Overwrite)
             .saveAsTable(table)
+          require(bucketLayoutValid(path),
+            s"bucketed write at $path violated one-file-per-bucket; sorted scans would be wrong")
         }
       }
     ensureOne(ordersTable(dir), Tables.orders(s, dir), "o_custkey", scratch("orders"))

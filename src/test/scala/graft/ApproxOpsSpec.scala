@@ -101,6 +101,16 @@ class ApproxOpsSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("q_dedup_cluster: LSH star+sweep labels ≡ exhaustive-join labels") {
+    // the scale path (star edges + cross-component sweep) must reach the
+    // exact same fixpoint as components over the full quadratic pair join
+    val lsh = DedupQueries.dedupCluster.query(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exhaustive = DedupQueries.dedupClusterExhaustive(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lsh shouldBe exhaustive
+  }
+
   test("q_dedup_cluster: labels are a fixpoint of the similarity graph") {
     val labels = DedupQueries.dedupCluster.query(spark, sfTiny).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -29,7 +29,10 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        # sorted: glob order is filesystem-dependent; multi-file dumps must
+        # concatenate part-00000, part-00001, ... in partition order for the
+        # positional compare against the ORDER BY'd oracle to be meaningful
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"[MISS] {name}"); n_fail += 1; continue
         try:
@@ -55,8 +58,14 @@ def main():
                 if isinstance(a, float) and isinstance(b, float):
                     if a != b: bad = f"{c}: {a!r} vs {b!r}"; break
                 elif str(a) != str(b):
-                    # datetime repr variance (Timestamp midnight vs date)
-                    if str(a).split(" ")[0] == str(b).split(" ")[0]: continue
+                    # datetime repr variance: lenient ONLY when one side is a
+                    # plain date and the other a midnight timestamp of that
+                    # date — not for arbitrary values sharing a prefix
+                    import datetime
+                    da = a.date() if isinstance(a, pd.Timestamp) and a == a.normalize() else a
+                    db = b.date() if isinstance(b, pd.Timestamp) and b == b.normalize() else b
+                    if (isinstance(da, datetime.date) and isinstance(db, datetime.date)
+                            and da == db): continue
                     bad = f"{c}: {a!r} vs {b!r}"; break
             if bad: break
         if bad:
