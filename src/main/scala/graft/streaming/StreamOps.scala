@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
   * StreamingSpec asserts (final streaming state over the finite events
   * fixture == batch result). Watermarks bound state: at 100 TB/day the
   * tumbling/sliding/session aggregations hold only the open windows per
-  * key, and dedupKeys evicts key state past its 24 h watermark horizon
+  * key, and dedupKeys evicts key state past its configurable watermark horizon
   * (dropDuplicatesWithinWatermark — see dedupKeys).
   */
 object StreamOps {
@@ -73,16 +73,21 @@ object StreamOps {
         col("n_events"))
 
   /** s_dedup: first row per (user_id, event_type). In streaming mode the
-    * dedup state is bounded: a 24 h watermark + dropDuplicatesWithinWatermark
+    * dedup state is bounded: a watermark + dropDuplicatesWithinWatermark
     * evicts keys once the watermark passes them (plain dropDuplicates on a
     * key subset that excludes the event-time column would keep state
-    * forever). Batch mode is a plain distinct — same key set whenever
-    * duplicates arrive inside the horizon, which is the documented contract.
+    * forever). Batch mode is a plain distinct — identical key set ONLY
+    * when every key's duplicate arrivals fall inside the horizon, so the
+    * horizon is a parameter and its default is sized to the dedup window
+    * it must cover (the fixture spans 30 days of events; duplicate spreads
+    * reach ~29.7 days — StreamingSpec pins the spread ≤ horizon contract
+    * rather than assuming it). At scale the horizon IS the state-size
+    * knob: state ≈ distinct keys arriving per horizon.
     */
-  def dedupKeys(events: DataFrame): DataFrame = {
+  def dedupKeys(events: DataFrame, horizon: String = "35 days"): DataFrame = {
     val deduped =
       if (events.isStreaming)
-        events.withWatermark("ts", "24 hours")
+        events.withWatermark("ts", horizon)
           .dropDuplicatesWithinWatermark("user_id", "event_type")
       else events.dropDuplicates("user_id", "event_type")
     deduped.select("user_id", "event_type")
@@ -102,6 +107,27 @@ object StreamOps {
       col("cu") === col("pu")
         && col("purchase_ts") > col("click_ts")
         && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("cu").as("user_id"))
+  }
+
+  /** s_join_left: stream–stream LEFT OUTER interval join — every click
+    * emits; clicks with no purchase in the following 10 minutes emit
+    * null-padded once the watermark proves no match can still arrive
+    * (state-timeout semantics: Spark buffers the left row until the right
+    * side's watermark passes click_ts + 10 min, then emits the outer row
+    * and evicts — the enrichment-pipeline shape where unmatched events
+    * must still flow downstream). Both inputs need watermarks; on batch
+    * frames the same code is a plain left join, which is the equivalence
+    * StreamingSpec asserts (modulo the watermark-advancing filler rows).
+    */
+  def intervalJoinLeftOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id").as("pu"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    c.join(p,
+      col("cu") === col("pu")
+        && col("purchase_ts") > col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
       .select(col("click_id"), col("purchase_id"), col("cu").as("user_id"))
   }
 

@@ -55,6 +55,20 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got.count() shouldBe want.count() // no duplicate emissions
   }
 
+  test("s_dedup contract: every key's duplicate arrivals fit inside the watermark horizon") {
+    // dedupKeys' streaming/batch equivalence (dropDuplicatesWithinWatermark
+    // vs plain dropDuplicates) only holds when all duplicates of a key
+    // arrive within the horizon — pin the documented contract to the
+    // fixture rather than assuming it (fixture spread reaches ~29.7 days,
+    // which is why the default horizon is 35 days, not something shorter)
+    val spread = Tables.events(spark, sfTiny)
+      .groupBy("user_id", "event_type")
+      .agg(((expr("unix_micros(cast(max(ts) as timestamp))")
+        - expr("unix_micros(cast(min(ts) as timestamp))")) / 1000000L).cast("long").as("spread_s"))
+      .agg(max("spread_s")).collect().head.getLong(0)
+    spread should be <= 35L * 24 * 3600
+  }
+
   test("s_stateful: final mapGroupsWithState counts == batch groupBy") {
     val stream = StreamOps.statefulCounts(StreamOps.readEventsStream(spark, sfTiny))
     val got = runToMemory(stream, "t_stateful", "update")
@@ -83,6 +97,77 @@ class StreamingSpec extends SparkTestBase with Matchers {
       batch.filter(col("event_type") === "click").withColumn("ts", col("ts").cast("timestamp")),
       batch.filter(col("event_type") === "purchase").withColumn("ts", col("ts").cast("timestamp")))
     rowsOf(got) shouldBe rowsOf(want)
+  }
+
+  test("s_join_left: unmatched clicks emit null-padded on watermark expiry == batch left join") {
+    val dir = Files.createTempDirectory("graft_louter").toFile.getAbsolutePath
+    def write(name: String, rows: Seq[(Long, String, Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_louter_w").toFile.getAbsolutePath
+      rows.toDF("event_id", "ts_str", "user_id", "event_type")
+        .select(col("event_id"),
+          expr("unix_micros(cast(to_timestamp(ts_str) as timestamp)) * 1000").as("ts"),
+          col("user_id"), col("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(dir, name))
+      ()
+    }
+    // user 1's click matches its purchase; user 2's click has no purchase
+    // and must surface null-padded once the watermark proves it expired.
+    write("f1.parquet", Seq((1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-01 10:05:00", 2L, "click"), (3L, "2024-01-01 10:08:00", 1L, "purchase")))
+    Thread.sleep(1100)
+    // two filler batches (users ≥ 90) advance the watermark far past
+    // 10:15 on BOTH sides; eviction lags the computed watermark by one
+    // batch, hence two files (same lag the s_late test pins)
+    write("f2.parquet", Seq((90L, "2024-01-01 13:00:00", 99L, "click"),
+      (91L, "2024-01-01 13:00:00", 99L, "purchase")))
+    Thread.sleep(1100)
+    write("f3.parquet", Seq((92L, "2024-01-01 14:00:00", 98L, "click"),
+      (93L, "2024-01-01 14:00:00", 98L, "purchase")))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src() = StreamOps.normalizeTs(
+      spark.readStream.schema(StreamOps.eventsRawSchema)
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false").parquet(dir))
+    def side(df: DataFrame, t: String) =
+      df.filter(col("event_type") === t).withWatermark("ts", "10 minutes")
+    val stream = StreamOps.intervalJoinLeftOuter(side(src(), "click"), side(src(), "purchase"))
+    val got = runToMemory(stream, "t_louter", "append").filter(col("user_id") < 90)
+    val batchAll = StreamOps.normalizeTs(
+      spark.read.schema(StreamOps.eventsRawSchema).parquet(dir))
+    val want = StreamOps.intervalJoinLeftOuter(
+      batchAll.filter(col("event_type") === "click"),
+      batchAll.filter(col("event_type") === "purchase")).filter(col("user_id") < 90)
+    rowsOf(got) shouldBe rowsOf(want)
+    got.filter(col("purchase_id").isNull).count() shouldBe 1L // user 2's expiry row
+    got.count() shouldBe 2L
+  }
+
+  test("s_stateful on RocksDB state store: counts == batch and rocksdb provider engaged") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = StreamOps.statefulCounts(StreamOps.readEventsStream(spark, sfTiny))
+      val q = stream.writeStream.format("memory").queryName("t_rocksdb")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val got = spark.table("t_rocksdb")
+        .groupBy("user_id").agg(max("n_events").as("n_events"))
+      val want = Tables.events(spark, sfTiny).groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      rowsOf(got) shouldBe rowsOf(want)
+      // the run must actually have gone through RocksDB, not the default
+      // HDFS-backed provider — its custom metrics are rocksdb-prefixed
+      val stateMetrics = q.recentProgress.flatMap(_.stateOperators)
+        .flatMap(so => scala.jdk.CollectionConverters.MapHasAsScala(so.customMetrics).asScala.keys)
+      stateMetrics.exists(_.startsWith("rocksdb")) shouldBe true
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
   }
 
   test("s_sink: checkpointed parquet file sink resumes exactly-once across restarts") {
