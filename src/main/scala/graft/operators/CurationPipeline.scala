@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.functions.Tokenize
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -26,7 +27,7 @@ object CurationPipeline {
     "q_pipeline_curate",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-        .withColumn("toks", split(col("text"), " "))
+        .withColumn("toks", Tokenize.tokens(col("text")))
         .withColumn("n_tokens", size(col("toks")))
         .withColumn("n_distinct", size(array_distinct(col("toks"))))
         .withColumn("n_stop", size(filter(col("toks"),
@@ -48,7 +49,7 @@ object CurationPipeline {
       // verification with size-band + early-exit pruning (both lossless at
       // the 0.8 threshold).
       val sets = exact.select(col("doc_id"), col("lang"), col("toks"),
-        sort_array(expr("transform(array_distinct(toks), t -> xxhash64(t))")).as("th"))
+        Tokenize.hashedSetOf(col("toks")).as("th"))
       val candidates = DedupQueries.minhashBandCandidates(
         sets.select(col("doc_id"), col("lang"), col("toks")))
       val t1 = sets.select(col("doc_id").as("doc_id1"), col("th").as("th1"), size(col("th")).as("sz1"))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.VectorOps
+import graft.functions.{Tokenize, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -24,7 +24,7 @@ object DedupQueries {
     */
   private def docTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-      sort_array(array_distinct(split(col("text"), " "))).as("toks"))
+      Tokenize.tokenSet(col("text")).as("toks"))
 
   /** Same sets as 64-bit hashes (xxhash64): set-similarity counts compare
     * longs, not strings — ~10× cheaper per element in the pair loop, with
@@ -32,7 +32,7 @@ object DedupQueries {
     */
   private def docTokensHashed(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-      sort_array(expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))")).as("toksh"))
+      Tokenize.hashedTokenSet(col("text")).as("toksh"))
 
   /** Early-exit intersect for threshold joins: J ≥ t ⟺ I ≥ ⌈t(s1+s2)/(1+t)⌉;
     * returns -1 (→ negative jaccard → filtered) when unreachable, so
@@ -182,6 +182,44 @@ object DedupQueries {
     """.trim),
   )
 
+  /** q_sim_jaccard over the lang-bucketed documents layout: both sides of
+    * the per-lang pair self-join scan the SAME 8-bucket lang-hashed table,
+    * so the merge join is co-located — no exchange and no sort on either
+    * side (DedupBucketingSpec plan-asserts both). Same results as
+    * q_sim_jaccard, which is what the shared oracle checks. This is the
+    * 100 TB shape when per-lang dictionaries outgrow the broadcast
+    * threshold q_sim_jaccard's plan relies on: the storage layout replaces
+    * the broadcast. (The merge hint forces the layout under test — at
+    * fixture scale the planner would rather broadcast the small side.)
+    */
+  val simJaccardBucketed = QueryDef(
+    "q_sim_jaccard_bucketed",
+    (s, dir) => bucketedSimJoinStage(s, dir).orderBy("doc_id1", "doc_id2"),
+    simJaccard.oracle,
+  )
+
+  /** Join-only stage of the bucketed similarity join (no output sort) —
+    * exposed so the plan assertion isn't polluted by the ordering's range
+    * exchange, mirroring JoinQueries.bucketedJoin.
+    */
+  private[graft] def bucketedSimJoinStage(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.BucketedTables.ensureDocuments(s, dir)
+    val d = s.table(graft.sources.BucketedTables.documentsTable(dir))
+    val t = d.select(col("doc_id"), col("lang"),
+      Tokenize.hashedTokenSet(col("text")).as("toksh"))
+      .withColumn("sz", size(col("toksh")))
+    val a = t.select(col("lang"), col("doc_id").as("doc_id1"), col("toksh").as("toks1"), col("sz").as("sz1"))
+    val b = t.select(col("lang").as("lang2"), col("doc_id").as("doc_id2"), col("toksh").as("toks2"), col("sz").as("sz2"))
+    a.hint("merge").join(b, col("lang") === col("lang2") && col("doc_id1") < col("doc_id2")
+        && sizeBand(col("sz1"), col("sz2"), 1, 2))
+      .withColumn("inter", intersectAtLeast(col("toks1"), col("toks2"),
+        expr("CAST((sz1 + sz2 + 2) div 3 AS INT)")))
+      .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+      .withColumn("jaccard", round(col("inter").cast(DoubleType) / col("uni"), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_id1", "doc_id2", "jaccard")
+  }
+
   /** MinHash + banded LSH near-dedup. 32 seeded murmur3 min-hashes per doc,
     * 16 bands × 2 rows (P[candidate] ≈ 0.99 at J = 0.5 — the verification
     * threshold; wider bands miss borderline pairs); candidate pairs share
@@ -243,21 +281,7 @@ object DedupQueries {
   val dedupNgram = QueryDef(
     "q_dedup_ngram",
     (s, dir) => {
-      // split once into a toks column, then shingle from it — inlining
-      // split() inside the lambda re-tokenizes per element (O(len²) per doc)
-      val grams = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("lang"),
-          // single-token docs have no bigrams: sequence(0, -1) would yield
-          // the DESCENDING [0, -1] (out-of-range → [null]), so guard to an
-          // empty list — matching the DuckDB oracle's range(len - 1)
-          sort_array(expr(
-            """transform(array_distinct(
-                 transform(CASE WHEN size(toks) >= 2 THEN sequence(0, size(toks) - 2)
-                                ELSE CAST(array() AS ARRAY<INT>) END,
-                           i -> concat(toks[i], ' ', toks[i+1]))),
-               g -> xxhash64(g))""")).as("grams"))
-        .withColumn("sz", size(col("grams")))
+      val grams = docGrams(s, dir).withColumn("sz", size(col("grams")))
       val a = grams.select(col("lang"), col("doc_id").as("doc_id1"), col("grams").as("g1"), col("sz").as("sz1"))
         .repartition(col("doc_id1")) // spread pair enumeration (see q_sim_jaccard)
       val b = grams.select(col("lang").as("lang2"), col("doc_id").as("doc_id2"), col("grams").as("g2"), col("sz").as("sz2"))
@@ -288,18 +312,15 @@ object DedupQueries {
   )
 
   /** Hashed sorted bigram-shingle sets (shared by the exact n-gram join
-    * and its LSH-accelerated variant).
+    * and its LSH-accelerated variant). Tokenized once into a column, then
+    * shingled — inlining split() inside the shingle lambda would
+    * re-tokenize per element (O(len²) per doc).
     */
   private def docGrams(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), Tokenize.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"),
-        sort_array(expr(
-          """transform(array_distinct(
-               transform(CASE WHEN size(toks) >= 2 THEN sequence(0, size(toks) - 2)
-                              ELSE CAST(array() AS ARRAY<INT>) END,
-                         i -> concat(toks[i], ' ', toks[i+1]))),
-             g -> xxhash64(g))""")).as("grams"))
+        Tokenize.hashedShingleSet(col("toks")).as("grams"))
 
   /** The full shingle → minhash → band → bucket-join pipeline: LSH
     * candidates over BIGRAM-shingle sets (order-sensitive, unlike
@@ -566,6 +587,6 @@ object DedupQueries {
   )
 
   def defs: Seq[QueryDef] = Seq(
-    dedupExact, simJaccard, dedupNear, dedupSimhash, dedupNgram, dedupNearNgram, dedupEmbed,
-    dedupCluster, dedupIncremental)
+    dedupExact, simJaccard, simJaccardBucketed, dedupNear, dedupSimhash, dedupNgram,
+    dedupNearNgram, dedupEmbed, dedupCluster, dedupIncremental)
 }

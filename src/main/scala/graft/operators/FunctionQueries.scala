@@ -222,7 +222,7 @@ object FunctionQueries {
     "q_fn_explode",
     (s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .select(col("doc_id"), explode(graft.functions.Tokenize.tokens(col("text"))).as("token"))
         .orderBy("doc_id", "token"),
     Some("""
       SELECT doc_id, unnest(string_split(text, ' ')) AS token

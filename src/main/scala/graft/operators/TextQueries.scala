@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.functions.Tokenize
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -17,7 +18,7 @@ object TextQueries {
 
   private def tokens(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("token"))
+      explode(Tokenize.tokens(col("text"))).as("token"))
 
   /** Top-20 tokens per language by frequency. */
   val wordcount = QueryDef(
@@ -89,7 +90,7 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           (sum("n_chars").cast(DecimalType(38, 0)).cast(DoubleType) / count(lit(1))).as("avg_chars"))
       val toks = Tables.documents(s, dir)
-        .select(col("lang"), col("source"), explode(split(col("text"), " ")).as("token"))
+        .select(col("lang"), col("source"), explode(Tokenize.tokens(col("text"))).as("token"))
         .groupBy("lang", "source").agg(countDistinct("token").as("n_distinct_tokens"))
       docs.join(toks, Seq("lang", "source"))
         .orderBy("lang", "source")
@@ -159,7 +160,7 @@ object TextQueries {
     "q_text_quality",
     (s, dir) =>
       Tables.documents(s, dir)
-        .withColumn("toks", split(col("text"), " "))
+        .withColumn("toks", Tokenize.tokens(col("text")))
         .withColumn("n_tokens", size(col("toks")))
         .withColumn("n_distinct", size(array_distinct(col("toks"))))
         .withColumn("n_stop", size(filter(col("toks"),
@@ -205,7 +206,7 @@ object TextQueries {
       Tables.documents(s, dir)
         .select(
           col("doc_id"),
-          size(split(col("text"), " ")).as("n_ws_tokens"),
+          Tokenize.tokenCount(col("text")).as("n_ws_tokens"),
           size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("n_re_tokens"),
           ceil(col("n_chars").cast(DoubleType) / 4.0).cast(LongType).as("est_bpe_tokens"))
         .orderBy("doc_id"),
@@ -226,8 +227,9 @@ object TextQueries {
     "q_text_fingerprint",
     (s, dir) =>
       Tables.documents(s, dir)
+        .withColumn("toks", Tokenize.tokens(col("text")))
         .withColumn("codes", expr(
-          """transform(split(text, ' '),
+          """transform(toks,
              t -> (ascii(substring(t, 1, 1)) * 256 + ascii(substring(t, -1, 1))) * 31 + length(t))"""))
         .select(
           col("doc_id"),
@@ -256,7 +258,7 @@ object TextQueries {
     "q_text_pmi",
     (s, dir) => {
       val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
       val bigrams = toks.select(explode(expr(
         """transform(CASE WHEN size(toks) >= 2 THEN sequence(0, size(toks) - 2)
           |               ELSE CAST(array() AS ARRAY<INT>) END,

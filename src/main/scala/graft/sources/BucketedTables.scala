@@ -25,18 +25,21 @@ object BucketedTables {
     * into 8 buckets, sorted within buckets — the layout that lets the
     * planner elide both join-side exchanges (asserted in PlanShapeSpec).
     */
-  /** The sorted-scan invariant: exactly one parquet part file per bucket
-    * (8 buckets, bucket id encoded as the `_0000N` filename suffix). The
-    * legacy outputOrdering conf is only sound under this invariant —
-    * multi-file buckets concatenate out of order and a sorted-scan
-    * assumption would yield silently wrong merge-join results — so it is
-    * (re)checked every time files are adopted OR written, not assumed.
+  /** The sorted-scan invariant: AT MOST one parquet part file per bucket
+    * (bucket id encoded as the `_0000N` filename suffix; a bucket whose
+    * key values are absent writes no file — e.g. 5 languages hashed into 8
+    * buckets). The legacy outputOrdering conf is only sound under this
+    * invariant — multi-file buckets concatenate out of order and a
+    * sorted-scan assumption would yield silently wrong merge-join
+    * results — so it is (re)checked every time files are adopted OR
+    * written, not assumed.
     */
   private def bucketLayoutValid(path: String): Boolean = {
     val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
     val ids = files.flatMap(f => "_(\\d{5})\\.".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-    files.length == 8 && ids.toSet == (0 until 8).toSet
+    files.nonEmpty && ids.length == files.length && ids.distinct.length == ids.length &&
+      ids.forall(i => i >= 0 && i < 8)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -85,5 +88,38 @@ object BucketedTables {
       }
     ensureOne(ordersTable(dir), Tables.orders(s, dir), "o_custkey", scratch("orders"))
     ensureOne(customerTable(dir), Tables.customer(s, dir), "c_custkey", scratch("customer"))
+  }
+
+  def documentsTable(dir: String): String = s"graft_documents_bucketed_${tag(dir)}"
+
+  /** Documents bucketed by language — the layout that makes the per-lang
+    * similarity self-join co-located: both sides of the pair join scan the
+    * same lang-hashed buckets, so the merge join needs no exchange on
+    * either side (and no sort, via the one-file-per-bucket invariant).
+    * This is the 100 TB shape for corpora whose per-lang token dictionaries
+    * are too large to broadcast — the layout replaces the broadcast.
+    */
+  def ensureDocuments(s: SparkSession, dir: String): Unit = synchronized {
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val path = new java.io.File(s"target/graft-bucketed/${tag(dir)}/documents").getAbsolutePath
+    val table = documentsTable(dir)
+    if (!s.catalog.tableExists(table)) {
+      val src = Tables.documents(s, dir)
+      if (new java.io.File(path, "_SUCCESS").exists() && bucketLayoutValid(path)) {
+        s.sql(s"""CREATE TABLE $table (${src.schema.toDDL}) USING PARQUET
+                 |CLUSTERED BY (lang) SORTED BY (lang) INTO 8 BUCKETS
+                 |LOCATION '$path'""".stripMargin)
+      } else {
+        deleteRecursively(new java.io.File(path))
+        src.repartition(8, org.apache.spark.sql.functions.col("lang"))
+          .write
+          .bucketBy(8, "lang").sortBy("lang")
+          .option("path", path)
+          .mode(SaveMode.Overwrite)
+          .saveAsTable(table)
+        require(bucketLayoutValid(path),
+          s"bucketed write at $path violated one-file-per-bucket; sorted scans would be wrong")
+      }
+    }
   }
 }

@@ -54,6 +54,22 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     plan should include("SelectedBucketsCount")
   }
 
+  test("q_sim_jaccard_bucketed joins co-located lang buckets with no exchange and no sort") {
+    val df = graft.operators.DedupQueries.bucketedSimJoinStage(spark, sfTiny)
+    val plan = executedPlanString(df)
+    plan should include("SortMergeJoin")
+    // both sides scan the SAME lang-bucketed layout: the per-lang pair
+    // self-join must be co-located — an Exchange or Sort means the layout
+    // was ignored and the join would reshuffle the whole corpus at scale
+    plan should not include "Exchange"
+    plan should not include " Sort [" // the only Sort should be inside SortMergeJoin's name
+    plan should include("SelectedBucketsCount")
+    // and it must agree with the broadcast-shaped exact join
+    val rows = df.collect().map(_.toSeq).toSet
+    val want = graft.operators.DedupQueries.simJaccard.query(spark, sfTiny).collect().map(_.toSeq).toSet
+    rows shouldBe want
+  }
+
   test("q_join_sortmerge honors the merge hint") {
     executedPlanString(JoinQueries.joinSortMerge.query(spark, sfTiny)) should
       include("SortMergeJoin")
