@@ -88,8 +88,9 @@ object DedupQueries {
     * columns wide). With 16×2 banding, P[candidate] = 1-(1-J²)^16 — ≈ 0.99
     * at J = 0.5 and 1 - 4e-8 at J = 0.8.
     */
-  private[operators] def minhashBandCandidates(sets: DataFrame, bands: Int = 16): DataFrame = {
-    val banded = bandedSignatures(sets, bands)
+  private[operators] def minhashBandCandidates(sets: DataFrame, bands: Int = 16,
+      nHashes: Int = 32): DataFrame = {
+    val banded = bandedSignatures(sets, bands, nHashes)
     val l = banded.select(col("lang"), col("band"), col("sig"), col("doc_id").as("doc_id1"))
     val r = banded.select(col("lang").as("lang2"), col("band").as("band2"), col("sig").as("sig2"),
       col("doc_id").as("doc_id2"))
@@ -326,15 +327,21 @@ object DedupQueries {
     * candidates over BIGRAM-shingle sets (order-sensitive, unlike
     * q_dedup_near's bag-of-tokens), verified with exact shingle Jaccard
     * ≥ 0.3 — the quadratic q_dedup_ngram is its correctness baseline.
+    * Banding is 32×2 (64 min-hashes): the round-3 sweep (PERF.md) measured
+    * recall 1.0 at every scale for 16×2 / 24×2 / 32×1 / 32×2 alike, so the
+    * config was chosen on the THEORETICAL floor at the J = 0.3 threshold —
+    * 1-(1-J²)^32 = 0.951 (vs 0.78 for 16×2) — at ~2× candidates and equal
+    * runtime (sf0.1: 102k vs 54k candidates of 3.2M same-lang pairs).
     * Non-oracle (hash-family-specific candidates); ApproxOpsSpec asserts
-    * precision 1.0 and a measured recall bound against the exact join.
+    * precision 1.0 and recall ≥ 0.9 against the exact join.
     */
   val dedupNearNgram = QueryDef(
     "q_dedup_near_ngram",
     (s, dir) => {
       val grams = docGrams(s, dir)
       val candidates = minhashBandCandidates(
-        grams.select(col("doc_id"), col("lang"), col("grams").as("toks")))
+        grams.select(col("doc_id"), col("lang"), col("grams").as("toks")),
+        bands = 32, nHashes = 64)
       verifyJaccard(candidates, grams.select(col("doc_id"), col("grams").as("toksh")), 3, 10)
         .orderBy("doc_id1", "doc_id2")
     },
