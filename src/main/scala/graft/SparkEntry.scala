@@ -16,7 +16,8 @@ object SparkEntry {
     AggQueries.defs ++ RelationalQueries.defs ++ JoinQueries.defs ++ WindowQueries.defs ++
       FunctionQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++ VectorQueries.defs ++
       StreamQueries.defs ++ MultimodalOps.defs ++ ExtraQueries.defs ++ SubqueryQueries.defs ++
-      MoreQueries.defs ++ CurationPipeline.defs ++ AnalyticsQueries.defs ++ TpchQueries.defs
+      MoreQueries.defs ++ CurationPipeline.defs ++ AnalyticsQueries.defs ++ TpchQueries.defs ++
+      EventQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

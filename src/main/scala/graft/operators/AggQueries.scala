@@ -301,7 +301,64 @@ object AggQueries {
     """.trim),
   )
 
+  /** Exact linear-interpolation percentiles (p25/p50/p75 per event_type)
+    * via an EXPLICIT formulation — row_number over the value order plus the
+    * shared lo/hi/frac interpolation — instead of each engine's percentile
+    * builtin, whose interpolation expression trees differ by a ulp. Both
+    * engines evaluate literally the same arithmetic: pos = (n-1)·q (exact
+    * doubles: q ∈ {.25,.5,.75} are binary fractions), weight rows lo and
+    * hi, sum. Distributed shape: one window sort per type + a hash
+    * aggregate — no collect; approx_percentile (spec-bounded in
+    * ApproxOpsSpec) is the sketch path when a sort is too expensive.
+    */
+  val aggPercentile = QueryDef(
+    "q_agg_percentile",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("v", "event_id")
+      val ranked = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          col("value").cast(DecimalType(12, 4)).cast(DoubleType).as("v"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      val qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
+      val perQ = qs.map { case (label, q) =>
+        val pos = (col("n") - 1).cast(DoubleType) * lit(q)
+        val lo = floor(pos)
+        val frac = pos - lo
+        ranked.withColumn("wgt",
+            when(col("rn") - 1 === lo, lit(1.0) - frac).otherwise(lit(0.0))
+              + when(col("rn") - 1 === ceil(pos), frac).otherwise(lit(0.0)))
+          .filter(col("wgt") =!= 0.0)
+          .groupBy("event_type")
+          .agg(round(sum(col("v") * col("wgt")), 6).as("pct"))
+          .select(col("event_type"), lit(label).as("q"), col("pct"))
+      }
+      perQ.reduce(_ unionAll _).orderBy("event_type", "q")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, event_type,
+                        CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE) AS v FROM events),
+      ranked AS (SELECT event_type, v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+                 FROM e),
+      qs AS (SELECT * FROM (VALUES ('p25', 0.25), ('p50', 0.5), ('p75', 0.75)) AS t(q, qv)),
+      weighted AS (
+        SELECT event_type, q, v,
+               (CASE WHEN rn - 1 = FLOOR((n - 1) * qv)
+                     THEN 1.0 - ((n - 1) * qv - FLOOR((n - 1) * qv)) ELSE 0.0 END)
+             + (CASE WHEN rn - 1 = CEIL((n - 1) * qv)
+                     THEN (n - 1) * qv - FLOOR((n - 1) * qv) ELSE 0.0 END) AS wgt
+        FROM ranked CROSS JOIN qs)
+      SELECT event_type, q, ROUND(SUM(v * wgt), 6) AS pct
+      FROM weighted WHERE wgt <> 0.0
+      GROUP BY event_type, q
+      ORDER BY event_type, q
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     aggGroupBy, aggDistinct, aggRollup, aggCube, aggGroupingSets, aggHll, aggStats, aggSalted,
-    aggHistogram, aggCorr)
+    aggHistogram, aggCorr, aggPercentile)
 }

@@ -65,7 +65,7 @@ object DedupQueries {
     * ~20 → ~15 s warm). Shared by the pair-candidate generator below and
     * q_dedup_cluster's star-edge generator.
     */
-  private[operators] def bandedSignatures(sets: DataFrame, bands: Int,
+  private[graft] def bandedSignatures(sets: DataFrame, bands: Int,
       nHashes: Int = 32): DataFrame = {
     val rows = nHashes / bands
     val sigs = sets.select(col("doc_id") +: col("lang") +: size(col("toks")).as("sz") +:
@@ -88,7 +88,7 @@ object DedupQueries {
     * columns wide). With 16×2 banding, P[candidate] = 1-(1-J²)^16 — ≈ 0.99
     * at J = 0.5 and 1 - 4e-8 at J = 0.8.
     */
-  private[operators] def minhashBandCandidates(sets: DataFrame, bands: Int = 16,
+  private[graft] def minhashBandCandidates(sets: DataFrame, bands: Int = 16,
       nHashes: Int = 32): DataFrame = {
     val banded = bandedSignatures(sets, bands, nHashes)
     val l = banded.select(col("lang"), col("band"), col("sig"), col("doc_id").as("doc_id1"))
@@ -109,7 +109,7 @@ object DedupQueries {
     * every approximate candidate generator funnels through this one exact
     * gate, so precision is 1.0 by construction everywhere.
     */
-  private[operators] def verifyJaccard(cands: DataFrame, hashed: DataFrame,
+  private[graft] def verifyJaccard(cands: DataFrame, hashed: DataFrame,
       num: Int, den: Int): DataFrame = {
     val t1 = hashed.select(col("doc_id").as("doc_id1"), col("toksh").as("toks1"))
     val t2 = hashed.select(col("doc_id").as("doc_id2"), col("toksh").as("toks2"))

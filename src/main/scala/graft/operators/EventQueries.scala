@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Group M (round 3) — event-stream analytics over the `events` fixture:
+  * the product-analytics operators (sessionization, funnels, cohort
+  * retention, interval-frame running aggregates) every event warehouse
+  * runs daily.
+  *
+  * Scale design: everything is window functions partitioned on
+  * high-cardinality keys (user_id) or hash aggregates — no self-joins over
+  * the event table except the funnel's per-stage min-joins, which reduce
+  * each side to one row per user BEFORE joining. Timestamps are compared
+  * as epoch micros on both engines (determinism recipe rule 6).
+  */
+object EventQueries {
+
+  private def eventsUs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
+
+  /** Batch sessionization via gap detection: a >30-minute silence starts a
+    * new session (the lag/flag/cumsum idiom — the exact batch twin of the
+    * streaming session_window in s_session, but with explicit session ids
+    * and SQL-expressible for the oracle). One shuffle on user_id; both
+    * window passes reuse the same (user_id, ts, id) sort.
+    */
+  val sessionize = QueryDef(
+    "q_events_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      eventsUs(s, dir)
+        .withColumn("prev_ts", lag("ts_us", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("new_sess").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      f AS (SELECT user_id, event_id, ts_us,
+              CASE WHEN lag(ts_us) OVER w IS NULL
+                     OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      g AS (SELECT user_id, ts_us,
+              CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM f)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+      FROM g GROUP BY user_id, session_id
+      ORDER BY user_id, session_id
+    """.trim),
+  )
+
+  /** Ordered conversion funnel click → view → purchase: a user converts a
+    * stage only with an event STRICTLY AFTER their previous stage's first
+    * event. Each stage reduces to one row per user before the next join —
+    * the joins are user-keyed and never touch the full event table twice.
+    */
+  val funnel = QueryDef(
+    "q_events_funnel",
+    (s, dir) => {
+      val e = eventsUs(s, dir).select("user_id", "event_type", "ts_us")
+      val c = e.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts_us").as("c_ts"))
+      val v = e.filter(col("event_type") === "view")
+        .join(c, "user_id").filter(col("ts_us") > col("c_ts"))
+        .groupBy("user_id").agg(min("ts_us").as("v_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts_us") > col("v_ts"))
+        .groupBy("user_id").agg(min("ts_us").as("p_ts"))
+      c.agg(count(lit(1)).as("n_users")).select(lit("1_click").as("stage"), col("n_users"))
+        .unionAll(v.agg(count(lit(1)).as("n_users")).select(lit("2_view_after_click").as("stage"), col("n_users")))
+        .unionAll(p.agg(count(lit(1)).as("n_users")).select(lit("3_purchase_after_view").as("stage"), col("n_users")))
+        .orderBy("stage")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      c AS (SELECT user_id, MIN(ts_us) AS c_ts FROM e WHERE event_type = 'click' GROUP BY user_id),
+      v AS (SELECT e.user_id, MIN(ts_us) AS v_ts FROM e JOIN c ON e.user_id = c.user_id
+            WHERE event_type = 'view' AND ts_us > c_ts GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(ts_us) AS p_ts FROM e JOIN v ON e.user_id = v.user_id
+            WHERE event_type = 'purchase' AND ts_us > v_ts GROUP BY e.user_id)
+      SELECT stage, n_users FROM (
+        SELECT '1_click' AS stage, COUNT(*) AS n_users FROM c
+        UNION ALL SELECT '2_view_after_click', COUNT(*) FROM v
+        UNION ALL SELECT '3_purchase_after_view', COUNT(*) FROM p)
+      ORDER BY stage
+    """.trim),
+  )
+
+  /** Cohort retention: cohort = the date of a user's first event;
+    * n_users = distinct users active k days later, k ∈ [0, 7]. Two hash
+    * aggregates and one user-keyed join — the (cohort × offset) output
+    * grid is tiny at any corpus size.
+    */
+  val retention = QueryDef(
+    "q_events_retention",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val cohort = e.groupBy("user_id").agg(min("d").as("cohort_d"))
+      e.join(cohort, "user_id")
+        .withColumn("k", datediff(col("d"), col("cohort_d")))
+        .filter(col("k").between(0, 7))
+        .groupBy("cohort_d", "k")
+        .agg(countDistinct("user_id").as("n_users"))
+        .select(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_date"),
+          col("k").cast(IntegerType).as("day_offset"), col("n_users"))
+        .orderBy("cohort_date", "day_offset")
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+      cohort AS (SELECT user_id, MIN(d) AS cohort_d FROM e GROUP BY user_id)
+      SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_date,
+             CAST(datediff('day', cohort_d, d) AS INTEGER) AS day_offset,
+             COUNT(DISTINCT e.user_id) AS n_users
+      FROM e JOIN cohort ON e.user_id = cohort.user_id
+      WHERE datediff('day', cohort_d, d) BETWEEN 0 AND 7
+      GROUP BY cohort_d, datediff('day', cohort_d, d)
+      ORDER BY cohort_date, day_offset
+    """.trim),
+  )
+
+  /** Value-based RANGE frame: per-type running 1-hour sum ordered by event
+    * time — RANGE (not ROWS) so all events inside the trailing hour count
+    * regardless of row ties; tie rows share a frame, making the sum
+    * order-independent (deterministic without a unique sort key). Exact
+    * decimal sums, double only on output.
+    */
+  val winRange = QueryDef(
+    "q_win_range",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts_us")
+        .rangeBetween(-3600000000L, 0L)
+      eventsUs(s, dir)
+        .withColumn("v", col("value").cast(DecimalType(12, 4)))
+        .withColumn("hour_sum", sum("v").over(w).cast(DoubleType))
+        .select("event_id", "event_type", "ts_us", "hour_sum")
+        .orderBy("event_type", "ts_us", "event_id")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                        CAST(value AS DECIMAL(12,4)) AS v FROM events)
+      SELECT event_id, event_type, ts_us,
+             CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY ts_us
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+      FROM e
+      ORDER BY event_type, ts_us, event_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(sessionize, funnel, retention, winRange)
+}

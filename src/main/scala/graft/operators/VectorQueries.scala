@@ -319,5 +319,51 @@ object VectorQueries {
     None,
   )
 
-  def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, vecCentroidUdaf, annLsh, annIvf)
+  /** Int8 scalar quantization of the embedding column — the compression
+    * step every large vector store applies before indexing (4× smaller
+    * than float32): per-vector scale = max|x|, q_i = round(x_i·127/scale),
+    * plus the reconstruction MSE against the original. Everything is
+    * per-row array arithmetic (codegen'd, shuffle-free); the oracle
+    * mirrors the identical double expressions via list HOFs, and the
+    * sequential fold for the error sum is bit-identical to DuckDB's
+    * list_sum (determinism recipe rule 3). Zero vectors quantize to zeros
+    * with zero error (guarded — the scale division would NaN).
+    */
+  val vecQuantize = QueryDef(
+    "q_vec_quantize",
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("scale", expr("array_max(transform(emb, x -> abs(x)))"))
+        .withColumn("qv", expr(
+          """CASE WHEN scale = 0.0 THEN transform(emb, x -> 0)
+                  ELSE transform(emb, x -> CAST(round(x * 127.0 / scale) AS INT)) END"""))
+        .withColumn("recon_mse", expr(
+          """CASE WHEN scale = 0.0 THEN 0.0
+                  ELSE aggregate(zip_with(emb, qv, (x, q) -> (x - q * scale / 127.0) * (x - q * scale / 127.0)),
+                                 0.0D, (acc, d) -> acc + d) / size(emb) END"""))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          expr("aggregate(qv, 0, (acc, q) -> acc + q)").as("q_sum"),
+          round(col("recon_mse"), 6).as("recon_mse"))
+        .orderBy("vec_id"),
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      s AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS scale FROM e),
+      q AS (SELECT vec_id, emb, scale,
+              CASE WHEN scale = 0.0 THEN list_transform(emb, x -> 0)
+                   ELSE list_transform(emb, x -> CAST(round(x * 127.0 / scale) AS INTEGER)) END AS qv
+            FROM s)
+      SELECT vec_id, ROUND(scale, 6) AS scale,
+             CAST(list_sum(qv) AS INTEGER) AS q_sum,
+             ROUND(CASE WHEN scale = 0.0 THEN 0.0
+                        ELSE list_sum(list_transform(range(len(emb)),
+                               i -> (emb[i+1] - qv[i+1] * scale / 127.0)
+                                  * (emb[i+1] - qv[i+1] * scale / 127.0))) / len(emb) END, 6) AS recon_mse
+      FROM q
+      ORDER BY vec_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, vecCentroidUdaf, annLsh, annIvf, vecQuantize)
 }

@@ -140,6 +140,39 @@ object StreamOps {
     events.join(dim, "event_type")
       .select(col("event_id"), col("event_type"), col("type_label"))
 
+  /** s_stateful_tws: the per-user counter on Spark 4's transformWithState —
+    * the successor API to mapGroupsWithState (typed ValueState handles,
+    * multiple state variables per processor, timers, state TTL). Requires
+    * the RocksDB state-store provider in streaming (enforced by Spark),
+    * which is the 100 TB-state configuration anyway; StreamingSpec runs it
+    * there and asserts batch-equal counts.
+    */
+  private class UserCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Long, (Long, Long)] {
+    @transient private var countState: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      countState = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Long],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+      val n = (if (countState.exists()) countState.get() else 0L) + rows.size
+      countState.update(n)
+      Iterator.single((key, n))
+    }
+  }
+
+  def statefulCountsTws(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .transformWithState(new UserCountProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events")
+  }
+
   /** s_stateful: arbitrary stateful per-user event counting via
     * mapGroupsWithState (GroupState[Long]). In streaming Update mode each
     * micro-batch emits the running count per touched user; in batch mode the

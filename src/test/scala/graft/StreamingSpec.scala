@@ -170,6 +170,26 @@ class StreamingSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("s_stateful_tws: transformWithState counter == batch groupBy (RocksDB-backed)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    // transformWithState REQUIRES the RocksDB provider in streaming
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = StreamOps.statefulCountsTws(StreamOps.readEventsStream(spark, sfTiny))
+      val got = runToMemory(stream, "t_tws", "update")
+        .groupBy("user_id").agg(max("n_events").as("n_events")) // last update wins
+      val want = Tables.events(spark, sfTiny).groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      rowsOf(got) shouldBe rowsOf(want)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("s_sink: checkpointed parquet file sink resumes exactly-once across restarts") {
     val srcDir = Files.createTempDirectory("graft_sink_src").toFile.getAbsolutePath
     val outDir = Files.createTempDirectory("graft_sink_out").toFile.getAbsolutePath + "/data"
