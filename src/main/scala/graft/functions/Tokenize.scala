@@ -54,4 +54,19 @@ object Tokenize {
     * comparison unit for the shingle-LSH family.
     */
   def hashedShingleSet(toks: Column): Column = hashedSetOf(bigramShingles(toks))
+
+  /** Adjacent-token n-gram shingles (space-joined, in document order) for
+    * any fixed n ≥ 1 — the generalization of bigramShingles used by the
+    * decontamination / boilerplate operators (they key on longer grams,
+    * where chance collisions are rare). Same guard: docs shorter than n
+    * tokens yield an empty list, matching the DuckDB twins'
+    * `range(greatest(len - (n-1), 0))`.
+    */
+  def ngramShingles(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    transform(
+      when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+        .otherwise(array().cast("array<int>")),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  }
 }

@@ -240,6 +240,32 @@ object AnalyticsQueries {
     """.trim),
   )
 
+  /** Stratified deterministic sampling — per-stratum rates (downsample the
+    * dominant event types hard, keep the rare ones dense), the class-
+    * rebalancing idiom for training-mix construction. Same pure-key
+    * mod-slice as q_sample_mod, so the sample is reproducible across
+    * engines and runs; the rate lookup is a map literal evaluated per row
+    * (codegen'd, zero-exchange single pass).
+    */
+  val sampleStratified = QueryDef(
+    "q_sample_stratified",
+    (s, dir) => {
+      val rate = coalesce(
+        element_at(map(lit("click"), lit(10L), lit("view"), lit(5L)), col("event_type")),
+        lit(2L))
+      Tables.events(s, dir)
+        .filter(pmod(col("event_id"), rate) === 0)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, event_type, value
+      FROM events
+      WHERE event_id % (CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 5 ELSE 2 END) = 0
+      ORDER BY event_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(tsGapfill, aggMode, aggCondAgg, fnRegexp, aggMinmaxBy, sampleMod,
-    aggWeighted, aggBitops)
+    aggWeighted, aggBitops, sampleStratified)
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Tokenize
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Group K (curation, round 4) — corpus-hygiene operators a training-data
+  * pipeline runs before anything else: test-set decontamination and
+  * boilerplate detection.
+  *
+  * Scale design: both operators are linear — one per-row shingle explode
+  * (codegen'd HOFs, no shuffle), one hash aggregate on the gram key, and a
+  * broadcastable dictionary joined back. No self-joins, no pair
+  * enumeration, no driver-side state.
+  */
+object CurationQueries {
+
+  /** Test-set decontamination: flag corpus documents that share at least
+    * one token 4-gram with the benchmark set (here: the `src0` source
+    * plays the held-out benchmark; everything else is the training
+    * corpus). This is the n-gram-overlap decontamination step every LLM
+    * data pipeline runs against its eval suites before training.
+    *
+    * At 100 TB the benchmark side is tiny by definition (eval suites are
+    * thousands of documents, not billions), so its distinct-gram
+    * dictionary broadcasts and the corpus side pays one explode + one
+    * broadcast hash join + one aggregate on doc_id — linear, shuffle only
+    * on the (doc_id, gram) hit rows. Grams are compared as strings here
+    * for oracle parity; the production variant would compare xxhash64
+    * longs (Tokenize.hashedSetOf) at 1/10 the width.
+    */
+  val pipelineDecontam = QueryDef(
+    "q_pipeline_decontam",
+    (s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(
+            Tokenize.ngramShingles(Tokenize.tokens(col("text")), 4))).as("gram"))
+      val bench = grams.filter(col("source") === "src0").select("gram").distinct()
+      grams.filter(col("source") =!= "src0")
+        .join(broadcast(bench), "gram")
+        // (doc_id, gram) rows are unique by construction (array_distinct
+        // before the explode), so the hit count is a plain count
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_grams"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      g AS (SELECT doc_id, source,
+                   unnest(list_distinct(list_transform(range(greatest(len(toks) - 3, 0)),
+                     i -> list_aggregate(toks[i+1:i+4], 'string_agg', ' ')))) AS gram
+            FROM t),
+      bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+      SELECT g.doc_id, COUNT(*) AS n_contaminated_grams
+      FROM g JOIN bench USING (gram)
+      WHERE g.source <> 'src0'
+      GROUP BY g.doc_id
+      ORDER BY g.doc_id
+    """.trim),
+  )
+
+  /** Boilerplate detection: token trigrams appearing in ≥ 3 distinct
+    * documents are "boilerplate" (headers, footers, license blurbs — the
+    * spans near-dedup misses because the documents around them differ);
+    * every document reports how much of its distinct-trigram mass is
+    * boilerplate. Downstream curation drops or rewrites high-ratio docs.
+    *
+    * One explode + one gram-key aggregate (document frequency) + the
+    * boilerplate dictionary joined back — the dictionary is small by
+    * construction (it's the heavy tail of the gram DF distribution), so
+    * the join broadcasts; the ratio aggregate shuffles only (doc_id,
+    * is_boiler) pairs.
+    */
+  val textBoilerplate = QueryDef(
+    "q_text_boilerplate",
+    (s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            Tokenize.ngramShingles(Tokenize.tokens(col("text")), 3))).as("gram"))
+      val boiler = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3)
+        .select(col("gram"), lit(1L).as("is_boiler"))
+      grams.join(broadcast(boiler), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+        .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+          round(col("n_boiler").cast(DoubleType) / col("n_grams"), 6).as("boiler_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
+                     i -> list_aggregate(toks[i+1:i+3], 'string_agg', ' ')))) AS gram
+            FROM t),
+      b AS (SELECT gram, 1 AS is_boiler FROM g GROUP BY gram HAVING COUNT(*) >= 3)
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(COALESCE(b.is_boiler, 0)) AS BIGINT) AS n_boiler,
+             ROUND(CAST(SUM(COALESCE(b.is_boiler, 0)) AS DOUBLE) / COUNT(*), 6) AS boiler_ratio
+      FROM g LEFT JOIN b USING (gram)
+      GROUP BY g.doc_id
+      ORDER BY g.doc_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(pipelineDecontam, textBoilerplate)
+}

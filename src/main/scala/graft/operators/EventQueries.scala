@@ -159,5 +159,52 @@ object EventQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(sessionize, funnel, retention, winRange)
+  /** Peak-concurrency via sweep line: each event opens a 10-minute
+    * activity interval; per event type, the maximum number of
+    * simultaneously open intervals and the earliest instant it is reached.
+    * The classic ±1 delta / running-sum formulation: intervals never pair
+    * up (no self-join, no pair blowup) — one explode to 2 delta rows, one
+    * (type, t) pre-aggregate so equal-timestamp deltas collapse before the
+    * window pass (making the running sum order-independent and hence
+    * deterministic), one window cumsum per type. Linear at any scale;
+    * state is one running int per partition.
+    */
+  val tsOverlap = QueryDef(
+    "q_ts_overlap",
+    (s, dir) => {
+      val pts = eventsUs(s, dir)
+        .select(col("event_type"), explode(array(
+          struct(col("ts_us").as("t"), lit(1L).as("delta")),
+          struct((col("ts_us") + 600000000L).as("t"), lit(-1L).as("delta")))).as("p"))
+        .select(col("event_type"), col("p.t").as("t"), col("p.delta").as("delta"))
+        .groupBy("event_type", "t").agg(sum("delta").as("d"))
+      val w = Window.partitionBy("event_type").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val conc = pts.withColumn("conc", sum("d").over(w))
+      val wType = Window.partitionBy("event_type")
+      conc.withColumn("mx", max("conc").over(wType))
+        .filter(col("conc") === col("mx"))
+        .groupBy("event_type")
+        .agg(max("mx").as("max_concurrent"), min("t").as("first_peak_us"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      pts AS (
+        SELECT event_type, ts_us AS t, 1 AS delta FROM e
+        UNION ALL
+        SELECT event_type, ts_us + 600000000, -1 FROM e),
+      d AS (SELECT event_type, t, SUM(delta) AS d FROM pts GROUP BY event_type, t),
+      c AS (SELECT event_type, t,
+              SUM(d) OVER (PARTITION BY event_type ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc
+            FROM d),
+      m AS (SELECT event_type, t, conc, MAX(conc) OVER (PARTITION BY event_type) AS mx FROM c)
+      SELECT event_type, CAST(MAX(mx) AS BIGINT) AS max_concurrent, MIN(t) AS first_peak_us
+      FROM m WHERE conc = mx
+      GROUP BY event_type
+      ORDER BY event_type
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(sessionize, funnel, retention, winRange, tsOverlap)
 }

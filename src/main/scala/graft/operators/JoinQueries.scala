@@ -336,7 +336,47 @@ object JoinQueries {
     """.trim),
   )
 
+  /** The same interval join as q_join_interval, executed as a BINNED
+    * equi-join — the 100 TB shape. q_join_interval's plan is an equi-join
+    * on user_id with the ts range as a post-join residual, which is fine
+    * while per-user event counts are small but degrades to per-key
+    * quadratic when one user has millions of events. Binning makes the
+    * time dimension part of the JOIN KEY: with bin width = the interval
+    * length (10 min), a matching click lies in the purchase's bin or the
+    * one before, so each click registers under (user, bin) and (user,
+    * bin+1) and the join is a pure equi-join on (user_id, bin) — hash
+    * join / SMJ, shuffle on both key columns, per-key groups bounded by
+    * the bin width regardless of how hot the user is. The exact range
+    * predicate filters inside the join, and each (click, purchase) pair
+    * meets at most once (the two click bins are distinct), so no dedup
+    * pass is needed. Same rows as q_join_interval — the shared oracle
+    * checks exactly that.
+    */
+  val joinRangeBinned = QueryDef(
+    "q_join_range_binned",
+    (s, dir) => {
+      val binUs = 600000000L // 10 min, micros — bin width = interval length
+      val e = Tables.events(s, dir)
+        .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+          col("ts_us").as("c_us"), expr(s"ts_us div ${binUs}L").as("cbin"))
+        .select(col("cu"), col("click_id"), col("c_us"),
+          explode(array(col("cbin"), col("cbin") + 1)).as("jbin"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+          col("ts_us").as("p_us"), expr(s"ts_us div ${binUs}L").as("pbin"))
+      clicks.join(purchases,
+          col("cu") === col("pu") && col("jbin") === col("pbin")
+            && col("p_us") > col("c_us") && col("p_us") <= col("c_us") + binUs)
+        .select(col("click_id"), col("purchase_id"), col("cu").as("user_id"))
+        .orderBy("click_id", "purchase_id")
+    },
+    joinInterval.oracle,
+  )
+
   def defs: Seq[QueryDef] = Seq(
     joinInner, joinBroadcast, joinSortMerge, joinBucketed, joinSalted, joinLeft, joinFull,
-    joinSemi, joinAnti, joinCross, joinTheta, joinInterval, joinAsof, joinAsofNative)
+    joinSemi, joinAnti, joinCross, joinTheta, joinInterval, joinAsof, joinAsofNative,
+    joinRangeBinned)
 }

@@ -166,6 +166,57 @@ object MoreQueries {
     """.trim),
   )
 
+  /** Count-min sketch (sketch family, next to the bloom filter): a 4×512
+    * counter matrix over event user_ids; every user's frequency estimate
+    * is the min of its 4 counters. The sketch is the mergeable
+    * heavy-hitter structure for 100 TB streams: the (depth, bucket) count
+    * table merges across partitions/days by elementwise SUM (it is itself
+    * just a groupBy-count, so Spark's partial aggregation IS the sketch
+    * merge), size is fixed (2048 longs) regardless of key cardinality,
+    * and estimates never undercount — est ≥ true always, est ≤ true +
+    * εN with prob ≥ 1−(1/2)^4 for ε = 2/512 (CmsSpec pins both bounds).
+    * Like q_sketch_bloom the hash family is plain multiplicative
+    * arithmetic, so the whole sketch INCLUDING its collisions is
+    * bit-reproducible in DuckDB and the estimates are oracle-checked —
+    * rare for a sketch operator.
+    */
+  val sketchCms = QueryDef(
+    "q_sketch_cms",
+    (s, dir) => {
+      val seeds = explode(array((0 until 4).map(lit(_)): _*)).as("d")
+      def pos(key: Column) =
+        ((key * (lit(2654435761L) + lit(40503L) * col("d")) + col("d") * lit(97L))
+          % lit(2147483647L)) % lit(512L)
+      val ev = Tables.events(s, dir).select(col("user_id"))
+      val sketch = ev.select(col("user_id"), seeds)
+        .withColumn("b", pos(col("user_id")))
+        .groupBy("d", "b").agg(count(lit(1)).as("cnt"))
+      val truth = ev.groupBy("user_id").agg(count(lit(1)).as("true_n"))
+      truth.select(col("user_id"), col("true_n"), seeds)
+        .withColumn("b", pos(col("user_id")))
+        .join(broadcast(sketch), Seq("d", "b"))
+        .groupBy("user_id", "true_n").agg(min("cnt").as("est_n"))
+        .select(col("user_id"), col("true_n"), col("est_n"),
+          (col("est_n") - col("true_n")).as("overcount"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH ds AS (SELECT unnest(range(4)) AS d),
+      r AS (SELECT user_id, d,
+              ((user_id * (2654435761 + 40503 * d) + d * 97) % 2147483647) % 512 AS b
+            FROM events CROSS JOIN ds),
+      sketch AS (SELECT d, b, COUNT(*) AS cnt FROM r GROUP BY d, b),
+      truth AS (SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY user_id),
+      probes AS (SELECT user_id, true_n, d,
+              ((user_id * (2654435761 + 40503 * d) + d * 97) % 2147483647) % 512 AS b
+            FROM truth CROSS JOIN ds)
+      SELECT p.user_id, p.true_n, MIN(s.cnt) AS est_n, MIN(s.cnt) - p.true_n AS overcount
+      FROM probes p JOIN sketch s USING (d, b)
+      GROUP BY p.user_id, p.true_n
+      ORDER BY user_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
-    winFirstLast, joinLateral, setIntersectAll, setExceptAll, aggCollect, sketchBloom)
+    winFirstLast, joinLateral, setIntersectAll, setExceptAll, aggCollect, sketchBloom, sketchCms)
 }

@@ -365,5 +365,50 @@ object VectorQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, vecCentroidUdaf, annLsh, annIvf, vecQuantize)
+  /** Filtered vector search — top-5 cosine neighbors restricted by a
+    * metadata predicate (here: same `label` as the query — "search within
+    * this document class"), the retrieval shape every RAG/curation stack
+    * needs alongside unfiltered ANN. The filter becomes part of the JOIN
+    * KEY, not a post-filter: candidates come from an equi-join on label,
+    * so Spark never scores a vector the predicate would discard (with a
+    * post-filter ANN you over-fetch and re-rank; with a key-filter the
+    * index partition IS the filter). Broadcast query side, one linear
+    * scored pass, per-query top-k window — and at 100 TB the same plan
+    * composes with the IVF lists by keying them (label, c_id).
+    */
+  val annFiltered = QueryDef(
+    "q_ann_filtered",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val scored = e.join(broadcast(q),
+          col("label") === col("q_label") && col("vec_id") =!= col("q_vec_id"))
+        .withColumn("cos", round(VectorOps.cosine(col("q_emb"), col("embedding")), 6))
+      val w = Window.partitionBy("q_vec_id").orderBy(desc("cos"), asc("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_vec_id"), col("rn"), col("vec_id").as("n_vec_id"), col("cos"))
+        .orderBy("q_vec_id", "rn")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      q AS (SELECT vec_id AS q_vec_id, label AS q_label, emb AS q_emb FROM e WHERE vec_id < 10),
+      scored AS (
+        SELECT q.q_vec_id, c.vec_id AS n_vec_id,
+               ROUND(list_inner_product(q.q_emb, c.emb)
+                     / sqrt(list_inner_product(q.q_emb, q.q_emb) * list_inner_product(c.emb, c.emb)), 6) AS cos
+        FROM e c JOIN q ON c.label = q.q_label AND c.vec_id != q.q_vec_id)
+      SELECT q_vec_id, rn, n_vec_id, cos FROM (
+        SELECT q_vec_id, n_vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, n_vec_id ASC) AS rn
+        FROM scored)
+      WHERE rn <= 5
+      ORDER BY q_vec_id, rn
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, vecCentroidUdaf, annLsh, annIvf, vecQuantize,
+    annFiltered)
 }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{JoinQueries, MoreQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Sketch-family guarantees beyond the hash oracle (which already pins the
+  * exact values): the count-min STRUCTURAL bounds — never undercounts,
+  * overcount within the ε·N bound — and the mergeability that makes it a
+  * sketch at all (partition sketches sum into the global sketch). Plus the
+  * plan property the binned range join exists for.
+  */
+class SketchSpec extends SparkTestBase with Matchers {
+
+  test("q_sketch_cms never undercounts and stays within the epsilon*N bound") {
+    val rows = MoreQueries.sketchCms.query(spark, sfTiny).collect()
+    rows.length should be > 0
+    // est >= true for every key — the one-sided CMS guarantee
+    rows.foreach { r =>
+      r.getAs[Long]("overcount") should be >= 0L
+      r.getAs[Long]("est_n") should be >= r.getAs[Long]("true_n")
+    }
+    // E[overcount] <= eps*N per row with eps = 2/512; the min over 4
+    // independent rows is far tighter. Assert the loose per-row bound on
+    // every key (deterministic on the fixture — recorded margin is ~10x).
+    val n = Tables.events(spark, sfTiny).count()
+    val bound = math.ceil(2.0 / 512 * n).toLong
+    rows.foreach(r => r.getAs[Long]("overcount") should be <= bound)
+  }
+
+  test("count-min sketches merge by elementwise sum: sketch(A union B) == sketch(A) + sketch(B)") {
+    val seeds = explode(array((0 until 4).map(lit(_)): _*)).as("d")
+    def pos(key: org.apache.spark.sql.Column) =
+      ((key * (lit(2654435761L) + lit(40503L) * col("d")) + col("d") * lit(97L))
+        % lit(2147483647L)) % lit(512L)
+    def sketchOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), seeds).withColumn("b", pos(col("user_id")))
+        .groupBy("d", "b").agg(count(lit(1)).as("cnt"))
+    val ev = Tables.events(spark, sfTiny).select("user_id")
+    val a = ev.filter(col("user_id") % 2 === 0)
+    val b = ev.filter(col("user_id") % 2 =!= 0)
+    val merged = sketchOf(a).unionByName(sketchOf(b))
+      .groupBy("d", "b").agg(sum("cnt").as("cnt"))
+    val direct = sketchOf(ev)
+    merged.exceptAll(direct).count() shouldBe 0L
+    direct.exceptAll(merged).count() shouldBe 0L
+  }
+
+  test("q_join_range_binned plans a pure equi-join on (user, bin) — no nested-loop fallback") {
+    val df = JoinQueries.joinRangeBinned.query(spark, sfTiny)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    // the bin column participates in the join keys, making the time
+    // dimension part of the hash/shuffle key rather than a residual-only
+    // predicate over per-user groups
+    plan should include("jbin")
+    plan should include("pbin")
+  }
+}
