@@ -240,6 +240,43 @@ object DedupQueries {
     None,
   )
 
+  /** Candidate join over the PERSISTED bucketed signature layout (§7.6 #2)
+    * — join stage only (no distinct, no verify) so the plan assertion sees
+    * the co-location: both sides scan the same (lang, band, sig)-bucketed
+    * table, so the self-join is a per-bucket merge with zero exchange and
+    * zero sort. The merge hint forces the layout under test (at fixture
+    * scale the planner would rather broadcast).
+    */
+  private[graft] def bucketedBandCandidatesStage(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.BucketedTables.ensureSignatures(s, dir,
+      bandedSignatures(docTokens(s, dir), bands = 16))
+    val t = s.table(graft.sources.BucketedTables.signaturesTable(dir))
+    val l = t.select(col("lang"), col("band"), col("sig"), col("doc_id").as("doc_id1"))
+    val r = t.select(col("lang").as("lang2"), col("band").as("band2"), col("sig").as("sig2"),
+      col("doc_id").as("doc_id2"))
+    l.hint("merge").join(r,
+        col("lang") === col("lang2") && col("band") === col("band2")
+          && col("sig") === col("sig2") && col("doc_id1") < col("doc_id2"))
+      .select("doc_id1", "doc_id2")
+  }
+
+  /** q_dedup_near over the persisted bucketed signature table: identical
+    * semantics and (hash-family-given) identical output to q_dedup_near —
+    * DedupBucketedSpec asserts row equality — but the candidate self-join
+    * reads co-located buckets: signatures are computed once at ingest
+    * (append-only, pure per-row), and the recurring near-dedup run pays no
+    * exchange for candidate generation. Non-oracle like q_dedup_near
+    * (candidates are hash-family-specific).
+    */
+  val dedupNearBucketed = QueryDef(
+    "q_dedup_near_bucketed",
+    (s, dir) =>
+      verifyJaccard(bucketedBandCandidatesStage(s, dir).distinct(),
+        docTokensHashed(s, dir), 1, 2)
+        .orderBy("doc_id1", "doc_id2"),
+    None,
+  )
+
   /** SimHash near-dedup: 64-bit fingerprint from token hashes; candidates
     * share one of four 16-bit chunks (pigeonhole covers hamming ≤ 3);
     * verified by bit_count(xor) ≤ 3. Non-oracle; ApproxOpsSpec covers it.
@@ -595,5 +632,5 @@ object DedupQueries {
 
   def defs: Seq[QueryDef] = Seq(
     dedupExact, simJaccard, simJaccardBucketed, dedupNear, dedupSimhash, dedupNgram,
-    dedupNearNgram, dedupEmbed, dedupCluster, dedupIncremental)
+    dedupNearNgram, dedupEmbed, dedupCluster, dedupIncremental, dedupNearBucketed)
 }

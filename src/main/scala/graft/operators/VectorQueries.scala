@@ -277,36 +277,56 @@ object VectorQueries {
     * the embedding arrays are re-fetched only after the dedup (the same
     * skinny-distinct shape as the MinHash candidate generator).
     */
+  /** Candidate stage of the IVF index: distinct (q_vec_id, vec_id) pairs
+    * from 2-way corpus assignment × nprobe=3 query probes — the composable
+    * candidate generator (package-private so specs can measure candidate
+    * volume directly).
+    *
+    * A SECOND quantization level (residual codebook under the coarse
+    * cells, lists keyed (coarse, fine)) was built and measured in round 4
+    * and REJECTED: on this fixture within-coarse-cell residual directions
+    * carry no neighbor signal, so k-means fine cells never split the
+    * probed mass (candidates 2588 → 2582 at k2 ∈ {8,16,32}) and balanced
+    * hyperplane fine cells trade recall ~linearly for candidates
+    * (0.30 @ 37%, 0.66 @ 83%, 0.78 @ 98% of single-level candidates vs
+    * the 0.78 single-level recall) — strictly dominated, so it is not
+    * registered. Full sweep in PERF.md (round 4).
+    */
+  private[graft] def ivfCandidates(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val centroidArr = ivfCodebook(s, dir)
+      .agg(collect_list(struct(col("c_id"), col("c_emb"))).as("cents"))
+    val assigned = e.crossJoin(broadcast(centroidArr))
+      .select(col("vec_id"),
+        explode(expr(
+          s"""slice(array_sort(transform(cents,
+             |  c -> struct(-${GraftCosineName}(embedding, c.c_emb) AS nsim, c.c_id AS c_id))),
+             |  1, 2)""".stripMargin)).as("a")) // 2-way multi-assignment
+      .select(col("vec_id"), col("a.c_id").as("c_id"))
+    // queries probe their 3 nearest centroids — same single-projection
+    // trick: sort the 10-element struct array (ascending on (-sim, c_id)
+    // = sim desc, c_id asc) and explode the first nprobe entries.
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroidArr))
+      .select(col("q_vec_id"),
+        explode(expr(
+          s"""slice(array_sort(transform(cents,
+             |  c -> struct(-${GraftCosineName}(q_emb, c.c_emb) AS nsim, c.c_id AS c_id))),
+             |  1, 3)""".stripMargin)).as("p")) // nprobe=3 of 10 lists
+      .select(col("q_vec_id"), col("p.c_id").as("probe_c_id"))
+    assigned.join(broadcast(probes),
+        col("c_id") === col("probe_c_id") && col("vec_id") =!= col("q_vec_id"))
+      .select("q_vec_id", "vec_id").distinct()
+  }
+
   val annIvf = QueryDef(
     "q_ann_ivf",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val centroidArr = ivfCodebook(s, dir)
-        .agg(collect_list(struct(col("c_id"), col("c_emb"))).as("cents"))
-      val assigned = e.crossJoin(broadcast(centroidArr))
-        .select(col("vec_id"),
-          explode(expr(
-            s"""slice(array_sort(transform(cents,
-               |  c -> struct(-${GraftCosineName}(embedding, c.c_emb) AS nsim, c.c_id AS c_id))),
-               |  1, 2)""".stripMargin)).as("a")) // 2-way multi-assignment
-        .select(col("vec_id"), col("a.c_id").as("c_id"))
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
-      // queries probe their 3 nearest centroids — same single-projection
-      // trick: sort the 10-element struct array (ascending on (-sim, c_id)
-      // = sim desc, c_id asc) and explode the first nprobe entries.
-      val probes = queries
-        .crossJoin(broadcast(centroidArr))
-        .select(col("q_vec_id"),
-          explode(expr(
-            s"""slice(array_sort(transform(cents,
-               |  c -> struct(-${GraftCosineName}(q_emb, c.c_emb) AS nsim, c.c_id AS c_id))),
-               |  1, 3)""".stripMargin)).as("p")) // nprobe=3 of 10 lists
-        .select(col("q_vec_id"), col("p.c_id").as("probe_c_id"))
-      val candidates = assigned.join(broadcast(probes),
-          col("c_id") === col("probe_c_id") && col("vec_id") =!= col("q_vec_id"))
-        .select("q_vec_id", "vec_id").distinct()
-      val scored = candidates
+      val scored = ivfCandidates(s, dir)
         .join(e.select(col("vec_id"), col("embedding").as("n_emb")), "vec_id")
         .join(broadcast(queries), "q_vec_id")
         .withColumn("cos", round(VectorOps.cosine(col("q_emb"), col("n_emb")), 6))
@@ -318,6 +338,7 @@ object VectorQueries {
     },
     None,
   )
+
 
   /** Int8 scalar quantization of the embedding column — the compression
     * step every large vector store applies before indexing (4× smaller

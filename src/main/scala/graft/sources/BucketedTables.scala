@@ -90,6 +90,43 @@ object BucketedTables {
     ensureOne(customerTable(dir), Tables.customer(s, dir), "c_custkey", scratch("customer"))
   }
 
+  def signaturesTable(dir: String): String = s"graft_signatures_bucketed_${tag(dir)}"
+
+  /** Banded MinHash signatures persisted bucketed+sorted on the LSH
+    * candidate-join key (lang, band, sig) — §7.6 #2: the signature table
+    * is WRITTEN ONCE at ingest (signatures are pure per-row functions of
+    * the text, so maintaining it is append-only) and every near-dedup run
+    * then self-joins it co-located: bucket i merges against bucket i with
+    * no exchange and no sort on either side. At 100 TB the candidate join
+    * is the only shuffle the near-dedup pipeline has — this layout deletes
+    * it. The caller passes the signature frame (sources stays independent
+    * of the operator layer).
+    */
+  def ensureSignatures(s: SparkSession, dir: String,
+      src: org.apache.spark.sql.DataFrame): Unit = synchronized {
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val path = new java.io.File(s"target/graft-bucketed/${tag(dir)}/signatures").getAbsolutePath
+    val table = signaturesTable(dir)
+    if (!s.catalog.tableExists(table)) {
+      if (new java.io.File(path, "_SUCCESS").exists() && bucketLayoutValid(path)) {
+        s.sql(s"""CREATE TABLE $table (${src.schema.toDDL}) USING PARQUET
+                 |CLUSTERED BY (lang, band, sig) SORTED BY (lang, band, sig) INTO 8 BUCKETS
+                 |LOCATION '$path'""".stripMargin)
+      } else {
+        deleteRecursively(new java.io.File(path))
+        src.repartition(8, org.apache.spark.sql.functions.col("lang"),
+            org.apache.spark.sql.functions.col("band"), org.apache.spark.sql.functions.col("sig"))
+          .write
+          .bucketBy(8, "lang", "band", "sig").sortBy("lang", "band", "sig")
+          .option("path", path)
+          .mode(SaveMode.Overwrite)
+          .saveAsTable(table)
+        require(bucketLayoutValid(path),
+          s"bucketed write at $path violated one-file-per-bucket; sorted scans would be wrong")
+      }
+    }
+  }
+
   def documentsTable(dir: String): String = s"graft_documents_bucketed_${tag(dir)}"
 
   /** Documents bucketed by language — the layout that makes the per-lang

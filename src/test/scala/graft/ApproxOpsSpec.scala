@@ -74,6 +74,19 @@ class ApproxOpsSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("IVF candidate stage: every probed-list pair is a real (query, corpus) pair and covers the ANN output") {
+    // the candidate generator is the composable piece downstream pipelines
+    // join on — pin its contract: distinct pairs, no self-pairs, and the
+    // registered q_ann_ivf output is reachable from it
+    val cands = VectorQueries.ivfCandidates(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    cands.length shouldBe cands.toSet.size
+    cands.foreach { case (q, v) => q should not be v }
+    val out = VectorQueries.annIvf.query(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    out.subsetOf(cands.toSet) shouldBe true
+  }
+
   test("bloom pre-filter: zero false negatives, bounded false positives") {
     val building = Tables.customer(spark, sfTiny).filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey").collect().map(_.getLong(0)).toSet

@@ -70,6 +70,26 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     rows shouldBe want
   }
 
+  test("q_dedup_near_bucketed candidate join reads co-located signature buckets, result equals q_dedup_near") {
+    val stage = graft.operators.DedupQueries.bucketedBandCandidatesStage(spark, sfTiny)
+    val plan = executedPlanString(stage)
+    plan should include("SortMergeJoin")
+    // the signature table is bucketed+sorted on the full candidate-join key
+    // (lang, band, sig): the self-join must be a per-bucket merge — an
+    // Exchange or Sort means the persisted layout was ignored and the
+    // near-dedup run would reshuffle every signature at scale
+    plan should not include "Exchange"
+    plan should not include " Sort [" // the only Sort should be inside SortMergeJoin's name
+    plan should include("SelectedBucketsCount")
+    // same hash family, same banding ⇒ the bucketed path must reproduce
+    // q_dedup_near row for row (scores included)
+    val got = graft.operators.DedupQueries.dedupNearBucketed.query(spark, sfTiny)
+      .collect().map(_.toSeq).toSet
+    val want = graft.operators.DedupQueries.dedupNear.query(spark, sfTiny)
+      .collect().map(_.toSeq).toSet
+    got shouldBe want
+  }
+
   test("q_join_sortmerge honors the merge hint") {
     executedPlanString(JoinQueries.joinSortMerge.query(spark, sfTiny)) should
       include("SortMergeJoin")
