@@ -106,5 +106,42 @@ object CurationQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(pipelineDecontam, textBoilerplate)
+  /** Training-mix construction under a token budget: per language, admit
+    * documents in deterministic canonical order (doc_id — in production:
+    * a quality rank) until the language's running token total exceeds the
+    * budget. The per-language greedy prefix is how mixture specs
+    * ("2,000 tokens of each language") become concrete document sets. One
+    * window cumsum per lang partition — a single shuffle on lang at any
+    * scale, no driver-side iteration, no collect.
+    */
+  val pipelineMix = QueryDef(
+    "q_pipeline_mix",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          Tokenize.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .filter(col("cum_tokens") <= 2000)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        .orderBy("lang", "doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, lang,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, lang, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM t)
+      SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      FROM c WHERE cum_tokens <= 2000
+      ORDER BY lang, doc_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(pipelineDecontam, textBoilerplate, pipelineMix)
 }

@@ -303,6 +303,40 @@ object TextQueries {
     """.trim),
   )
 
+  /** Text normalization — the first stage of every ingest pipeline:
+    * lowercase, strip non-alphanumerics, collapse runs of whitespace,
+    * trim. The fixture text is already clean, so the input is roughed up
+    * deterministically first (uppercased, framed with punctuation and
+    * padding — the same synthesize-then-process idiom as q_fn_url) and
+    * the normalizer must recover a canonical form. Pure per-row codegen'd
+    * string expressions — zero shuffle at any scale.
+    */
+  val textNormalize = QueryDef(
+    "q_text_normalize",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("dirty",
+          concat(lit("  ["), upper(col("text")), lit("]!!  \t"), col("lang"), lit(" ?? ")))
+        .withColumn("norm",
+          trim(regexp_replace(regexp_replace(lower(col("dirty")), "[^a-z0-9 \t]", " "), "[ \t]+", " ")))
+        .select(col("doc_id"), col("norm"),
+          length(col("norm")).as("norm_len"),
+          size(split(col("norm"), " ")).as("n_tokens"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        '  [' || upper(text) || ']!!  ' || chr(9) || lang || ' ?? ' AS dirty
+                 FROM documents)
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(dirty), '[^a-z0-9 \t]', ' ', 'g'), '[ \t]+', ' ', 'g')) AS norm,
+             CAST(length(trim(regexp_replace(regexp_replace(lower(dirty), '[^a-z0-9 \t]', ' ', 'g'), '[ \t]+', ' ', 'g'))) AS INTEGER) AS norm_len,
+             CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(dirty), '[^a-z0-9 \t]', ' ', 'g'), '[ \t]+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens
+      FROM d
+      ORDER BY doc_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
-    wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint, textPmi)
+    wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint, textPmi,
+    textNormalize)
 }

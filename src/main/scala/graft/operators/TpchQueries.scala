@@ -111,5 +111,46 @@ object TpchQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(sqlQ3, sqlQ5)
+  /** TPC-H Q18 shape (large-volume customers): orders whose total line
+    * quantity exceeds 250, joined back to their customer, top-100 by order
+    * value. Exercises aggregate-then-semi-join (the HAVING subquery
+    * reduces lineitem to one row per qualifying order BEFORE any join —
+    * at 100 TB the IN-subquery side is the only full lineitem pass, and
+    * the outer join fans in only qualifying orderkeys) plus a global
+    * top-k. Quantity sums stay exact decimals until the final DOUBLE.
+    */
+  val sqlQ18 = QueryDef(
+    "q_sql_q18",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        SELECT c_custkey, o_orderkey, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        FROM graft_tpch_customer
+        JOIN graft_tpch_orders ON c_custkey = o_custkey
+        JOIN graft_tpch_lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM graft_tpch_lineitem
+          GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+        GROUP BY c_custkey, o_orderkey, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+      """)
+    },
+    Some("""
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+      GROUP BY c_custkey, o_orderkey, o_totalprice
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 100
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(sqlQ3, sqlQ5, sqlQ18)
 }
