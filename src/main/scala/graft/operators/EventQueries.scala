@@ -206,5 +206,52 @@ object EventQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(sessionize, funnel, retention, winRange, tsOverlap)
+  /** Longest run of consecutive active days per user — the other classic
+    * gaps-and-islands shape (q_events_sessionize is gap-SPLITTING; this is
+    * island-MEASURING): distinct active day indexes per user, island id =
+    * day − dense row_number (constant exactly while days are consecutive),
+    * then the longest island per user, earliest start breaking ties. Two
+    * window passes over the same (user_id, day) sort plus one aggregate —
+    * shuffles only the skinny distinct (user, day) rows at any scale.
+    */
+  val winStreak = QueryDef(
+    "q_win_streak",
+    (s, dir) => {
+      val days = eventsUs(s, dir)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val islands = days
+        .withColumn("island", col("day") - row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+      islands.groupBy("user_id")
+        .agg(max(struct(col("len"), (-col("start_day")).as("neg_start"))).as("best"))
+        .select(col("user_id"), col("best.len").as("longest_streak"),
+          (-col("best.neg_start")).as("streak_start_day"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        FROM events),
+      isl AS (
+        SELECT user_id, day,
+               day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+        FROM days),
+      runs AS (
+        SELECT user_id, island, COUNT(*) AS len, MIN(day) AS start_day
+        FROM isl GROUP BY user_id, island)
+      SELECT user_id,
+             CAST(MAX(len) AS BIGINT) AS longest_streak,
+             CAST(MIN(start_day) FILTER (WHERE len = best) AS BIGINT) AS streak_start_day
+      FROM (SELECT user_id, island, len, start_day,
+                   MAX(len) OVER (PARTITION BY user_id) AS best
+            FROM runs)
+      GROUP BY user_id
+      ORDER BY user_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(sessionize, funnel, retention, winRange, tsOverlap, winStreak)
 }

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental aggregate maintenance (materialized-view upkeep) — the
+  * general form of the pattern IncrementalDedup applies to near-dedup
+  * state: a persistent aggregate table (here per-event-type count and
+  * exact decimal value sum) absorbs each arriving micro-batch by MERGING
+  * partial aggregates, never re-scanning history. Because count and
+  * decimal-sum are associative+commutative, state ∘ batch partials ≡ the
+  * one-shot aggregate over everything seen — IncrementalAggSpec asserts
+  * exactly that after replaying the events fixture in batches.
+  *
+  * Unlike IncrementalDedup's append-only signature state, a matview must
+  * REWRITE rows (merged groups change), so each upsert writes a fresh
+  * state version directory and repoints a _CURRENT marker — the
+  * write-new-then-swap idiom every table format (Delta/Iceberg) formalizes;
+  * readers never observe a half-written state. At 100 TB the state table
+  * is bucketed on the group key so the merge join is co-located; only the
+  * micro-batch shuffles.
+  */
+object IncrementalAgg {
+
+  private val D = DecimalType(9, 2)
+
+  private val stateSchema = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("n", LongType),
+    StructField("sum_value", DecimalType(38, 2))))
+
+  private def currentVersion(base: String): Option[String] = {
+    val m = new java.io.File(base, "_CURRENT")
+    if (m.exists()) Some(new String(java.nio.file.Files.readAllBytes(m.toPath)).trim)
+    else None
+  }
+
+  /** Read the current state (empty frame before the first batch). */
+  def readState(s: SparkSession, base: String): DataFrame =
+    currentVersion(base) match {
+      case Some(v) => s.read.schema(stateSchema).parquet(s"$base/$v")
+      case None => s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+    }
+
+  private def partials(batch: DataFrame): DataFrame =
+    batch.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).cast(DecimalType(38, 2)).as("sum_value"))
+
+  /** Merge one micro-batch of events into the state and swap versions.
+    * Returns the new state. The full-outer merge touches only |keys|
+    * rows; the batch side is the only thing aggregated from raw rows.
+    */
+  def processBatch(s: SparkSession, batch: DataFrame, base: String): DataFrame = {
+    val merged = readState(s, base).select(
+        col("event_type"), col("n").as("n1"), col("sum_value").as("s1"))
+      .join(partials(batch).select(
+        col("event_type").as("et2"), col("n").as("n2"), col("sum_value").as("s2")),
+        col("event_type") === col("et2"), "full_outer")
+      .select(
+        coalesce(col("event_type"), col("et2")).as("event_type"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n"),
+        (coalesce(col("s1"), lit(0).cast(DecimalType(38, 2)))
+          + coalesce(col("s2"), lit(0).cast(DecimalType(38, 2))))
+          .cast(DecimalType(38, 2)).as("sum_value"))
+      // materialize BEFORE touching the directory tree the plan reads from
+      .localCheckpoint()
+    val next = s"v${currentVersion(base).map(_.drop(1).toLong + 1).getOrElse(0L)}"
+    merged.write.mode("overwrite").parquet(s"$base/$next")
+    val tmp = java.nio.file.Paths.get(base, "_CURRENT.tmp")
+    java.nio.file.Files.write(tmp, next.getBytes)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(base, "_CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    merged
+  }
+
+  /** Attach the incremental aggregate to an events stream via foreachBatch. */
+  def attach(events: DataFrame, base: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      processBatch(batch.sparkSession, batch, base): Unit
+    }
+}
