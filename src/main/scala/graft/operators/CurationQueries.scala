@@ -143,5 +143,117 @@ object CurationQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(pipelineDecontam, textBoilerplate, pipelineMix)
+  /** Full curation audit — every document gets a DISPOSITION, not just the
+    * survivors: benchmark (src0 is the held-out eval slice), low_quality
+    * (the q_pipeline_curate quality gate), exact_dup (non-canonical copy
+    * among eligible docs), contaminated (shares a 4-gram with the
+    * benchmark), boilerplate (>50% of distinct-trigram mass is corpus
+    * boilerplate), else kept. The dedup stage canonicalizes on the SORTED
+    * DISTINCT TOKEN SET (content-normalized dedup — catches shuffled
+    * copies exact-text dedup misses), and the quality gate sits at 0.65 —
+    * stricter than q_pipeline_curate's 0.5 — so every disposition arm is
+    * exercised by the fixture. Reasons apply in that priority order — the
+    * per-stage drop accounting a data team needs to debug a shrinking
+    * corpus ("where did my documents go?"), where q_pipeline_curate only
+    * outputs the survivors. Composes the decontam and boilerplate
+    * operators with the curate quality gate in ONE declarative plan:
+    * still just two gram-key aggregates, two broadcastable dictionaries,
+    * one per-text window — linear at any scale.
+    */
+  val pipelineAudit = QueryDef(
+    "q_pipeline_audit",
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .withColumn("toks", Tokenize.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_distinct", size(array_distinct(col("toks"))))
+        .withColumn("n_stop", size(filter(col("toks"),
+          t => t.isin("the", "a", "of", "and", "in", "to"))))
+        .withColumn("quality_score",
+          round(lit(0.3) * (col("n_distinct").cast(DoubleType) / col("n_tokens"))
+            + lit(0.5) * (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tokens"))
+            + lit(0.2) * least(lit(1.0), col("n_tokens").cast(DoubleType) / lit(100.0)), 6))
+      val g4 = base.select(col("doc_id"), col("source"),
+        explode(array_distinct(Tokenize.ngramShingles(col("toks"), 4))).as("gram"))
+      val bench = g4.filter(col("source") === "src0").select("gram").distinct()
+      val contam = g4.filter(col("source") =!= "src0")
+        .join(broadcast(bench), "gram").select("doc_id").distinct()
+        .withColumn("is_contam", lit(1L))
+      val g3 = base.select(col("doc_id"),
+        explode(array_distinct(Tokenize.ngramShingles(col("toks"), 3))).as("gram"))
+      val boiler = g3.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3).select(col("gram"), lit(1L).as("ib"))
+      val ratios = g3.join(broadcast(boiler), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(round(sum(coalesce(col("ib"), lit(0L))).cast(DoubleType) / count(lit(1)), 6)
+          .as("boiler_ratio"))
+      val elig = base.filter(col("source") =!= "src0" && col("quality_score") >= 0.65)
+        .withColumn("fp", array_join(sort_array(array_distinct(col("toks"))), " "))
+        .withColumn("keep_id", min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+        .select(col("doc_id"), col("keep_id"))
+      base.join(elig, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .join(ratios, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("source") === "src0", "benchmark")
+            .when(col("quality_score") < 0.65, "low_quality")
+            .when(col("doc_id") =!= col("keep_id"), "exact_dup")
+            .when(col("is_contam").isNotNull, "contaminated")
+            .when(coalesce(col("boiler_ratio"), lit(0.0)) > 0.5, "boilerplate")
+            .otherwise("kept").as("disposition"),
+          col("quality_score"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, source, text, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','in','to'))) AS n_stop
+        FROM documents),
+      q AS (
+        SELECT doc_id, source, text,
+               ROUND(0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+                   + 0.5 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+                   + 0.2 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0), 6) AS quality_score
+        FROM base),
+      g4 AS (SELECT doc_id, source,
+                    unnest(list_distinct(list_transform(range(greatest(len(toks) - 3, 0)),
+                      i -> list_aggregate(toks[i+1:i+4], 'string_agg', ' ')))) AS gram
+             FROM base),
+      bench AS (SELECT DISTINCT gram FROM g4 WHERE source = 'src0'),
+      contam AS (SELECT DISTINCT g4.doc_id FROM g4 JOIN bench USING (gram) WHERE g4.source <> 'src0'),
+      g3 AS (SELECT doc_id,
+                    unnest(list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
+                      i -> list_aggregate(toks[i+1:i+3], 'string_agg', ' ')))) AS gram
+             FROM base),
+      b AS (SELECT gram, 1 AS ib FROM g3 GROUP BY gram HAVING COUNT(*) >= 3),
+      ratios AS (SELECT doc_id, ROUND(CAST(SUM(COALESCE(ib, 0)) AS DOUBLE) / COUNT(*), 6) AS br
+                 FROM g3 LEFT JOIN b USING (gram) GROUP BY doc_id),
+      elig AS (SELECT doc_id,
+                      list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
+                        'string_agg', ' ') AS fp
+               FROM q WHERE source <> 'src0' AND quality_score >= 0.65),
+      keep AS (SELECT doc_id,
+                      (SELECT MIN(e2.doc_id) FROM elig e2 WHERE e2.fp = elig.fp) AS keep_id
+               FROM elig)
+      SELECT q.doc_id,
+             CASE WHEN q.source = 'src0' THEN 'benchmark'
+                  WHEN q.quality_score < 0.65 THEN 'low_quality'
+                  WHEN q.doc_id <> k.keep_id THEN 'exact_dup'
+                  WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                  WHEN COALESCE(r.br, 0.0) > 0.5 THEN 'boilerplate'
+                  ELSE 'kept' END AS disposition,
+             q.quality_score
+      FROM q
+      LEFT JOIN keep k ON q.doc_id = k.doc_id
+      LEFT JOIN contam c ON q.doc_id = c.doc_id
+      LEFT JOIN ratios r ON q.doc_id = r.doc_id
+      ORDER BY q.doc_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(pipelineDecontam, textBoilerplate, pipelineMix, pipelineAudit)
 }

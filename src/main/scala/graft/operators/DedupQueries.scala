@@ -596,6 +596,80 @@ object DedupQueries {
     """.trim),
   )
 
+  /** Exact cross-corpus similarity join (A = the src0 "incoming" slice,
+    * B = the rest): every (incoming, corpus) pair with token-set Jaccard
+    * ≥ 0.5, lang-blocked, size-band + early-exit pruned like the
+    * self-join variants. This is near-dup DECONTAMINATION/admission — "is
+    * this new document a near-copy of anything we already hold" — where
+    * the pair universe is |A|·|B|, not |corpus|²; the quadratic form here
+    * is the oracle-checked baseline for the LSH-accelerated variant
+    * below.
+    */
+  val simJaccardCross = QueryDef(
+    "q_sim_jaccard_cross",
+    (s, dir) => {
+      val t = docTokensHashed(s, dir)
+        .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+        .withColumn("sz", size(col("toksh")))
+      val a = t.filter(col("source") === "src0")
+        .select(col("lang"), col("doc_id").as("doc_id1"), col("toksh").as("toks1"), col("sz").as("sz1"))
+      val b = t.filter(col("source") =!= "src0")
+        .select(col("lang").as("lang2"), col("doc_id").as("doc_id2"), col("toksh").as("toks2"), col("sz").as("sz2"))
+      a.join(b, col("lang") === col("lang2") && sizeBand(col("sz1"), col("sz2"), 1, 2))
+        .withColumn("inter", intersectAtLeast(col("toks1"), col("toks2"),
+          expr("CAST((sz1 + sz2 + 2) div 3 AS INT)")))
+        .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+        .withColumn("jaccard", round(col("inter").cast(DoubleType) / col("uni"), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_id1", "doc_id2", "jaccard")
+        .orderBy("doc_id1", "doc_id2")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+      SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+             ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+      FROM d a JOIN d b ON a.lang = b.lang AND a.source = 'src0' AND b.source <> 'src0'
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+      ORDER BY doc_id1, doc_id2
+    """.trim),
+  )
+
+  /** LSH-accelerated cross-corpus near-dedup — the scale path for
+    * q_sim_jaccard_cross: both sides compute banded signatures (per-row,
+    * shuffle-free), candidates are (incoming, corpus) signature collisions
+    * only — pairs inside either corpus never enumerate, so the candidate
+    * join costs |A|-side bucket mass, not |B|² — then the shared exact
+    * gate verifies. At 100 TB the incoming slice is a day's ingest against
+    * years of corpus: the signature table for B is the persisted bucketed
+    * layout (BucketedTables.ensureSignatures) and only A's signatures are
+    * computed fresh. Non-oracle (hash-family candidates);
+    * ApproxOpsSpec-style recall/precision pinned in SketchSpec against
+    * the exact cross join.
+    */
+  val dedupNearCross = QueryDef(
+    "q_dedup_near_cross",
+    (s, dir) => {
+      val toks = docTokens(s, dir)
+        .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+      val banded = bandedSignatures(toks.select("doc_id", "lang", "toks"), bands = 16)
+        .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+      val l = banded.filter(col("source") === "src0")
+        .select(col("lang"), col("band"), col("sig"), col("doc_id").as("doc_id1"))
+      val r = banded.filter(col("source") =!= "src0")
+        .select(col("lang").as("lang2"), col("band").as("band2"), col("sig").as("sig2"),
+          col("doc_id").as("doc_id2"))
+      val cands = l.join(r,
+          col("lang") === col("lang2") && col("band") === col("band2")
+            && col("sig") === col("sig2"))
+        .select("doc_id1", "doc_id2").distinct()
+      verifyJaccard(cands, docTokensHashed(s, dir).select(col("doc_id"), col("toksh")), 1, 2)
+        .orderBy("doc_id1", "doc_id2")
+    },
+    None,
+  )
+
   /** Incremental exact dedup — the nightly-pipeline shape: an existing
     * canonical state (here: the even-doc_id half) absorbs a new batch (the
     * odd half) WITHOUT re-deduplicating the old corpus. Each side reduces
@@ -632,5 +706,6 @@ object DedupQueries {
 
   def defs: Seq[QueryDef] = Seq(
     dedupExact, simJaccard, simJaccardBucketed, dedupNear, dedupSimhash, dedupNgram,
-    dedupNearNgram, dedupEmbed, dedupCluster, dedupIncremental, dedupNearBucketed)
+    dedupNearNgram, dedupEmbed, dedupCluster, dedupIncremental, dedupNearBucketed,
+    simJaccardCross, dedupNearCross)
 }

@@ -46,6 +46,21 @@ class SketchSpec extends SparkTestBase with Matchers {
     direct.exceptAll(merged).count() shouldBe 0L
   }
 
+  test("q_dedup_near_cross: precision 1.0 and recall >= 0.9 vs the exact cross-corpus join") {
+    import graft.operators.DedupQueries
+    val exact = DedupQueries.simJaccardCross.query(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val near = DedupQueries.dedupNearCross.query(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact verification gate ⇒ no false positives, ever
+    near.subsetOf(exact) shouldBe true
+    if (exact.nonEmpty) {
+      val recall = near.intersect(exact).size.toDouble / exact.size
+      info(s"cross-corpus recall=$recall over ${exact.size} exact pairs")
+      recall should be >= 0.9
+    }
+  }
+
   test("q_join_range_binned plans a pure equi-join on (user, bin) — no nested-loop fallback") {
     val df = JoinQueries.joinRangeBinned.query(spark, sfTiny)
     df.collect() // finalize AQE
