@@ -253,5 +253,41 @@ object EventQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(sessionize, funnel, retention, winRange, tsOverlap, winStreak)
+  /** Sessionization over the user-bucketed events layout — join-free but
+    * the same lever as the bucketed joins: the scan arrives already
+    * hash-distributed on user_id and sorted (user_id, ts_us, event_id),
+    * which satisfies BOTH window passes' required distribution+ordering
+    * AND the per-(user, session) aggregate's clustering, so the whole
+    * pipeline up to the output sort runs with zero exchange and zero sort
+    * (plan-asserted). Same rows as q_events_sessionize — the shared
+    * oracle checks that. At 100 TB this turns the event-analytics
+    * family's per-query shuffle of the full event table into a one-time
+    * ingest layout cost.
+    */
+  val sessionizeBucketed = QueryDef(
+    "q_events_sessionize_bucketed",
+    (s, dir) => sessionizeBucketedStage(s, dir).orderBy("user_id", "session_id"),
+    sessionize.oracle,
+  )
+
+  /** Stage without the output sort (its range exchange would pollute the
+    * plan assertion), mirroring the other bucketed stage functions.
+    */
+  private[graft] def sessionizeBucketedStage(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    graft.sources.BucketedTables.ensureEvents(s, dir)
+    val e = s.table(graft.sources.BucketedTables.eventsTable(dir))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("prev_ts", lag("ts_us", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(sessionize, funnel, retention, winRange, tsOverlap, winStreak,
+    sessionizeBucketed)
 }

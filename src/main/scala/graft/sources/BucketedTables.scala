@@ -127,6 +127,46 @@ object BucketedTables {
     }
   }
 
+  def eventsTable(dir: String): String = s"graft_events_bucketed_${tag(dir)}"
+
+  /** Events bucketed by user_id, sorted (user_id, ts_us, event_id) — the
+    * layout for the per-user event-analytics family (sessionize, funnel,
+    * retention, streaks): every window pass partitions by user_id and
+    * sorts by time, so a bucketed+sorted scan feeds windows AND the
+    * follow-on per-user aggregates with zero exchange and zero sort
+    * (hash(user_id) co-locates everything those operators cluster on).
+    * ts is pre-converted to epoch micros (long) at write — the one-time
+    * ingest cost that replaces a per-query conversion.
+    */
+  def ensureEvents(s: SparkSession, dir: String): Unit = synchronized {
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val path = new java.io.File(s"target/graft-bucketed/${tag(dir)}/events").getAbsolutePath
+    val table = eventsTable(dir)
+    if (!s.catalog.tableExists(table)) {
+      val src = Tables.events(s, dir).select(
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+      if (new java.io.File(path, "_SUCCESS").exists() && bucketLayoutValid(path)) {
+        s.sql(s"""CREATE TABLE $table (${src.schema.toDDL}) USING PARQUET
+                 |CLUSTERED BY (user_id) SORTED BY (user_id, ts_us, event_id) INTO 8 BUCKETS
+                 |LOCATION '$path'""".stripMargin)
+      } else {
+        deleteRecursively(new java.io.File(path))
+        src.repartition(8, org.apache.spark.sql.functions.col("user_id"))
+          .write
+          .bucketBy(8, "user_id").sortBy("user_id", "ts_us", "event_id")
+          .option("path", path)
+          .mode(SaveMode.Overwrite)
+          .saveAsTable(table)
+        require(bucketLayoutValid(path),
+          s"bucketed write at $path violated one-file-per-bucket; sorted scans would be wrong")
+      }
+    }
+  }
+
   def documentsTable(dir: String): String = s"graft_documents_bucketed_${tag(dir)}"
 
   /** Documents bucketed by language — the layout that makes the per-lang

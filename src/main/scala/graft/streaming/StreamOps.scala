@@ -173,6 +173,25 @@ object StreamOps {
       .toDF("user_id", "n_events")
   }
 
+  /** Register the driver's StateStoreCoordinator RPC endpoint by running
+    * one zero-work streaming query (rate source → noop sink,
+    * AvailableNow). Spark creates the coordinator lazily when the first
+    * STREAMING query starts; batch transformWithState resolves the same
+    * endpoint and throws RpcEndpointNotFoundException in a session that
+    * has never streamed. Once per JVM.
+    */
+  @volatile private var coordinatorWarm = false
+  def ensureStateStoreCoordinator(s: SparkSession): Unit = synchronized {
+    if (!coordinatorWarm) {
+      val q = s.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(30000)
+      q.stop()
+      coordinatorWarm = true
+    }
+  }
+
   /** s_stateful: arbitrary stateful per-user event counting via
     * mapGroupsWithState (GroupState[Long]). In streaming Update mode each
     * micro-batch emits the running count per touched user; in batch mode the

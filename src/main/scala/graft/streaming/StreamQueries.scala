@@ -98,5 +98,29 @@ object StreamQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(tumbling, sliding, session, dedup, stateful)
+  /** transformWithState twin (Spark 4's successor API to
+    * mapGroupsWithState) in BATCH mode — same per-user totals, same
+    * oracle. Batch TWS still resolves the driver's StateStoreCoordinator
+    * RPC endpoint, which Spark only registers when the first STREAMING
+    * query starts (round-4 finding: a cold session throws
+    * CANNOT_LOAD_STATE_STORE / RpcEndpointNotFoundException), so the
+    * query warms the coordinator with a zero-row rate-source no-op once
+    * per JVM; TWS also requires the RocksDB provider, set sticky here
+    * (harness sessions run no other streaming afterwards).
+    */
+  val statefulTws = QueryDef(
+    "q_stream_stateful_tws",
+    (s, dir) => {
+      StreamOps.ensureStateStoreCoordinator(s)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      StreamOps.statefulCountsTws(Tables.events(s, dir)).orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events FROM events
+      GROUP BY user_id ORDER BY user_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(tumbling, sliding, session, dedup, stateful, statefulTws)
 }

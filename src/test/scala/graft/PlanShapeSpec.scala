@@ -90,6 +90,24 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     got shouldBe want
   }
 
+  test("q_events_sessionize_bucketed runs windows + aggregate with no exchange and no sort") {
+    val stage = graft.operators.EventQueries.sessionizeBucketedStage(spark, sfTiny)
+    val plan = executedPlanString(stage)
+    plan should include("Window")
+    // the user-bucketed, (user_id, ts_us, event_id)-sorted scan satisfies
+    // both window passes and the per-(user, session) hash aggregate:
+    // any Exchange or Sort means the layout was ignored and the whole
+    // event table reshuffles per query at scale
+    plan should not include "Exchange"
+    plan should not include " Sort ["
+    plan should include("SelectedBucketsCount")
+    // and it must agree with the plain formulation
+    val got = stage.collect().map(_.toSeq).toSet
+    val want = graft.operators.EventQueries.sessionize.query(spark, sfTiny)
+      .collect().map(_.toSeq).toSet
+    got shouldBe want
+  }
+
   test("q_join_sortmerge honors the merge hint") {
     executedPlanString(JoinQueries.joinSortMerge.query(spark, sfTiny)) should
       include("SortMergeJoin")
