@@ -255,5 +255,58 @@ object CurationQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(pipelineDecontam, textBoilerplate, pipelineMix, pipelineAudit)
+  /** Sub-document span dedup (chunk level): split every document into
+    * non-overlapping 20-token chunks (trailing partial kept) and flag
+    * chunks whose exact text appears in MORE THAN ONE document — the
+    * paragraph-granularity dedup step (RefinedWeb-style) that catches
+    * repeated spans inside otherwise-distinct documents, which
+    * document-level dedup cannot. Per document: chunk count, duplicated-
+    * chunk occurrences, and the duplicated fraction downstream filters
+    * gate on. One explode + one chunk-key aggregate + the (small) dup
+    * dictionary joined back — the same linear shape as the gram
+    * operators.
+    */
+  val textChunkDedup = QueryDef(
+    "q_text_chunk_dedup",
+    (s, dir) => {
+      val chunks = Tables.documents(s, dir)
+        .withColumn("toks", Tokenize.tokens(col("text")))
+        .select(col("doc_id"),
+          explode(transform(
+            // size guard: sequence(0, -1) would run DESCENDING on an
+            // empty doc (same pitfall Tokenize.ngramShingles documents)
+            when(size(col("toks")) > 0,
+              sequence(lit(0), ceil(size(col("toks")).cast(DoubleType) / 20).cast("int") - 1))
+              .otherwise(array().cast("array<int>")),
+            i => concat_ws(" ", slice(col("toks"), i * 20 + 1, lit(20))))).as("chunk"))
+      val dup = chunks.groupBy("chunk")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("chunk"), lit(1L).as("is_dup"))
+      chunks.join(broadcast(dup), Seq("chunk"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          round(col("n_dup_chunks").cast(DoubleType) / col("n_chunks"), 6).as("dup_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      c AS (SELECT doc_id,
+                   unnest(list_transform(range((len(toks) + 19) // 20),
+                     i -> list_aggregate(toks[i*20+1:i*20+20], 'string_agg', ' '))) AS chunk
+            FROM t),
+      d AS (SELECT chunk, 1 AS is_dup FROM c GROUP BY chunk HAVING COUNT(DISTINCT doc_id) > 1)
+      SELECT c.doc_id, COUNT(*) AS n_chunks,
+             CAST(SUM(COALESCE(d.is_dup, 0)) AS BIGINT) AS n_dup_chunks,
+             ROUND(CAST(SUM(COALESCE(d.is_dup, 0)) AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+      FROM c LEFT JOIN d USING (chunk)
+      GROUP BY c.doc_id
+      ORDER BY c.doc_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(pipelineDecontam, textBoilerplate, pipelineMix, pipelineAudit,
+    textChunkDedup)
 }

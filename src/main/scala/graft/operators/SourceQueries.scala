@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.sources.FormatSources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Group B extension (round 4) — the interchange-format source/sink paths
+  * as ORACLE-CHECKED queries, not just specs: each query round-trips a
+  * fixture table through CSV / JSON lines / ORC under builder scratch
+  * (written once per scale dir, _SUCCESS-guarded like the other derived
+  * layouts) and reads it back with an explicit schema; the oracle reads
+  * the ORIGINAL parquet, so any value corruption in the engine's
+  * format writers or readers hash-fails. Tables are chosen so the text
+  * formats are lossless: nation/supplier carry only ints, strings, and
+  * binary64 doubles (Spark's CSV/JSON writers emit round-trip-precise
+  * doubles).
+  */
+object SourceQueries {
+
+  private def scratch(dir: String, fmt: String): String =
+    new java.io.File(s"target/graft-formats/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/$fmt")
+      .getAbsolutePath
+
+  private def ensure(path: String)(write: => Unit): Unit = synchronized {
+    if (!new java.io.File(path, "_SUCCESS").exists()) write
+  }
+
+  /** CSV scan: nation round-tripped through the CSV sink+source. */
+  val scanCsv = QueryDef(
+    "q_scan_csv",
+    (s, dir) => {
+      val src = Tables.nation(s, dir)
+      val path = scratch(dir, "nation_csv")
+      ensure(path)(FormatSources.writeCsv(src, path))
+      FormatSources.readCsv(s, path, src.schema)
+        .orderBy("n_nationkey")
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"),
+  )
+
+  /** JSON-lines scan: supplier round-tripped through the JSON sink+source
+    * (doubles survive — Jackson emits round-trip-precise binary64 text).
+    */
+  val scanJson = QueryDef(
+    "q_scan_json",
+    (s, dir) => {
+      val src = Tables.supplier(s, dir)
+      val path = scratch(dir, "supplier_json")
+      ensure(path)(FormatSources.writeJson(src, path))
+      FormatSources.readJson(s, path, src.schema)
+        .orderBy("s_suppkey")
+    },
+    Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey"),
+  )
+
+  /** ORC scan: customer round-tripped through the ORC sink+source
+    * (binary columnar — types preserved exactly, vectorized read).
+    */
+  val scanOrc = QueryDef(
+    "q_scan_orc",
+    (s, dir) => {
+      val src = Tables.customer(s, dir)
+      val path = scratch(dir, "customer_orc")
+      ensure(path)(FormatSources.writeOrc(src, path))
+      FormatSources.readOrc(s, path)
+        .orderBy("c_custkey")
+    },
+    Some("SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey"),
+  )
+
+  def defs: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc)
+}
