@@ -430,6 +430,90 @@ object VectorQueries {
     """.trim),
   )
 
+  /** Within-label kNN graph: every vector's top-3 cosine neighbors inside
+    * its own label class — the graph-construction primitive behind
+    * graph-based clustering, label propagation, and diversity sampling.
+    * Blocked by label, so the pair space is Σ|class|², not N², and the
+    * per-class self-join is an equi-join on label (shuffle, no
+    * cartesian); the window top-k keys on the high-cardinality vector id.
+    * At 100 TB the label block is replaced or refined by LSH buckets
+    * (q_ann_lsh's tables) — same plan shape, finer blocks.
+    */
+  val vecKnnGraph = QueryDef(
+    "q_vec_knn_graph",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("label"), col("vec_id"), col("embedding"))
+      val b = e.select(col("label").as("label2"), col("vec_id").as("n_vec_id"),
+        col("embedding").as("n_emb"))
+      val scored = a.join(b,
+          col("label") === col("label2") && col("vec_id") =!= col("n_vec_id"))
+        .withColumn("cos", round(VectorOps.cosine(col("embedding"), col("n_emb")), 6))
+      val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("n_vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("vec_id"), col("rn"), col("n_vec_id"), col("cos"))
+        .orderBy("vec_id", "rn")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      scored AS (
+        SELECT a.vec_id, b.vec_id AS n_vec_id,
+               ROUND(list_inner_product(a.emb, b.emb)
+                     / sqrt(list_inner_product(a.emb, a.emb) * list_inner_product(b.emb, b.emb)), 6) AS cos
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id)
+      SELECT vec_id, rn, n_vec_id, cos FROM (
+        SELECT vec_id, n_vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, n_vec_id ASC) AS rn
+        FROM scored)
+      WHERE rn <= 3
+      ORDER BY vec_id, rn
+    """.trim),
+  )
+
+  /** Embedding clustering: connected components over the ≥0.95-cosine
+    * near-duplicate graph — q_dedup_embed's edge list fed through the
+    * same distributed min-label-propagation engine q_dedup_cluster uses
+    * (pointer jumping, log-diameter rounds, one-row convergence scalars).
+    * Every vector gets cluster_id = min vec_id transitively reachable
+    * through near-dup edges; the oracle recomputes the transitive closure
+    * with a recursive CTE. This is semantic dedup GROUP formation on the
+    * embedding side: pick min(vec_id) per cluster as the survivor.
+    */
+  val vecCluster = QueryDef(
+    "q_vec_cluster",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("vec_id1"), col("embedding").as("e1"))
+      val b = e.select(col("vec_id").as("vec_id2"), col("embedding").as("e2"))
+      val pairs = a.join(b, col("vec_id1") < col("vec_id2"))
+        .withColumn("cos", round(VectorOps.cosine(col("e1"), col("e2")), 6))
+        .filter(col("cos") >= 0.95)
+        .select(col("vec_id1").as("doc_id1"), col("vec_id2").as("doc_id2"))
+      DedupQueries.connectedComponents(
+          e.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS v1, b.vec_id AS v2
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_inner_product(a.emb, b.emb)
+                    / sqrt(list_inner_product(a.emb, a.emb) * list_inner_product(b.emb, b.emb)), 6) >= 0.95),
+      ed AS (SELECT v1 AS a, v2 AS b FROM pairs UNION ALL SELECT v2, v1 FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM ed
+        UNION
+        SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a)
+      SELECT vec_id, LEAST(vec_id, COALESCE(MIN(r.b), vec_id)) AS cluster_id
+      FROM embeddings LEFT JOIN reach r ON vec_id = r.a
+      GROUP BY vec_id
+      ORDER BY vec_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, vecCentroidUdaf, annLsh, annIvf, vecQuantize,
-    annFiltered)
+    annFiltered, vecKnnGraph, vecCluster)
 }
