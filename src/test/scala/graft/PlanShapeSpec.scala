@@ -108,6 +108,23 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     got shouldBe want
   }
 
+  test("bucketed funnel and streaks shuffle nothing but single-row global counts") {
+    val funnel = graft.operators.EventQueries.funnelBucketedStage(spark, sfTiny)
+    val fPlan = executedPlanString(funnel)
+    // per-user aggregates and user-keyed joins ride the bucketed
+    // distribution; only the 1-row global counts may exchange
+    fPlan should not include "Exchange hashpartitioning"
+    val streak = graft.operators.EventQueries.streakBucketedStage(spark, sfTiny)
+    val sPlan = executedPlanString(streak)
+    sPlan should not include "Exchange hashpartitioning"
+    sPlan should include("Window")
+    // both must agree with their plain formulations
+    funnel.collect().map(_.toSeq).toSet shouldBe
+      graft.operators.EventQueries.funnel.query(spark, sfTiny).collect().map(_.toSeq).toSet
+    streak.collect().map(_.toSeq).toSet shouldBe
+      graft.operators.EventQueries.winStreak.query(spark, sfTiny).collect().map(_.toSeq).toSet
+  }
+
   test("q_join_sortmerge honors the merge hint") {
     executedPlanString(JoinQueries.joinSortMerge.query(spark, sfTiny)) should
       include("SortMergeJoin")
