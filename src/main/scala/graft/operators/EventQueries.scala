@@ -350,6 +350,41 @@ object EventQueries {
         (-col("best.neg_start")).as("streak_start_day"))
   }
 
+  /** Retention over the user-bucketed layout. Everything user-keyed —
+    * the distinct (user, day), the per-user cohort min, the user join —
+    * rides the bucketed distribution with zero exchange. The final
+    * cohort-grid aggregate is the ONE hash exchange left, and it moves
+    * only the post-join skinny (cohort_day, k, user_id) rows the 0–7 day
+    * filter already pruned (≤ 8 rows per user at any corpus size):
+    * count(*) per grid cell equals countDistinct(user) because the
+    * per-user distinct upstream guarantees one row per (user, k).
+    * Plan-asserted: exactly one hashpartitioning exchange. Same rows as
+    * q_events_retention via the shared oracle.
+    */
+  val retentionBucketed = QueryDef(
+    "q_events_retention_bucketed",
+    (s, dir) => retentionBucketedStage(s, dir).orderBy("cohort_date", "day_offset"),
+    retention.oracle,
+  )
+
+  private[graft] def retentionBucketedStage(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    graft.sources.BucketedTables.ensureEvents(s, dir)
+    val days = s.table(graft.sources.BucketedTables.eventsTable(dir))
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(cohort, "user_id")
+      .withColumn("k", (col("day") - col("cohort_day")).cast(IntegerType))
+      .filter(col("k").between(0, 7))
+      .groupBy("cohort_day", "k")
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        date_format(date_from_unix_date(col("cohort_day").cast(IntegerType)), "yyyy-MM-dd")
+          .as("cohort_date"),
+        col("k").as("day_offset"), col("n_users"))
+  }
+
   def defs: Seq[QueryDef] = Seq(sessionize, funnel, retention, winRange, tsOverlap, winStreak,
-    sessionizeBucketed, funnelBucketed, winStreakBucketed)
+    sessionizeBucketed, funnelBucketed, winStreakBucketed, retentionBucketed)
 }

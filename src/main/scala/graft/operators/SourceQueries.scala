@@ -69,5 +69,47 @@ object SourceQueries {
     Some("SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey"),
   )
 
-  def defs: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc)
+  /** Compaction round-trip (SURVEY §7.6 #3): orders is deliberately
+    * fragmented into 64 small parquet files (the shape an incremental /
+    * streaming ingest leaves behind), compacted with
+    * FormatSources.compactParquet to ~1/8 of the fragmented byte size per
+    * output file, and read back. The oracle reads the ORIGINAL parquet,
+    * so any row lost, duplicated, or corrupted by the compactor
+    * hash-fails; the ensure step additionally pins the file-count
+    * contract (output files == ceil(bytes/target) < input files) — the
+    * part an oracle can't see. Round-robin repartition inside the
+    * compactor means no key skew in output file sizes at any scale.
+    */
+  val scanCompacted = QueryDef(
+    "q_scan_compacted",
+    (s, dir) => {
+      val fragPath = scratch(dir, "orders_fragmented")
+      val outPath = scratch(dir, "orders_compacted")
+      ensure(fragPath) {
+        Tables.orders(s, dir).repartition(64)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(fragPath)
+      }
+      ensure(outPath) {
+        val fragFiles = new java.io.File(fragPath).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        val bytes = new java.io.File(fragPath).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+        val target = math.max(1L, bytes / 8)
+        val nOut = FormatSources.compactParquet(s, fragPath, outPath, targetBytes = target)
+        require(nOut == math.ceil(bytes.toDouble / target).toInt && nOut < fragFiles,
+          s"compaction contract violated: $fragFiles files / $bytes bytes -> $nOut files")
+      }
+      s.read.parquet(outPath)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             strftime(o_orderdate, '%Y-%m-%d') AS o_date
+      FROM orders ORDER BY o_orderkey
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanCompacted)
 }
