@@ -9,9 +9,11 @@ import org.apache.spark.sql.types._
   * pipeline runs before anything else: test-set decontamination and
   * boilerplate detection.
   *
-  * Scale design: both operators are linear — one per-row shingle explode
+  * Scale design: every operator is linear — one per-row shingle explode
   * (codegen'd HOFs, no shuffle), one hash aggregate on the gram key, and a
-  * broadcastable dictionary joined back. No self-joins, no pair
+  * dictionary joined back. Only dictionaries bounded by construction
+  * (eval suites) broadcast; corpus-proportional dictionaries (boilerplate
+  * grams, duplicated chunks) shuffle-join. No self-joins, no pair
   * enumeration, no driver-side state.
   */
 object CurationQueries {
@@ -67,10 +69,14 @@ object CurationQueries {
     * boilerplate. Downstream curation drops or rewrites high-ratio docs.
     *
     * One explode + one gram-key aggregate (document frequency) + the
-    * boilerplate dictionary joined back — the dictionary is small by
-    * construction (it's the heavy tail of the gram DF distribution), so
-    * the join broadcasts; the ratio aggregate shuffles only (doc_id,
-    * is_boiler) pairs.
+    * boilerplate dictionary joined back. The dictionary is NOT broadcast:
+    * it grows with the corpus (every gram with DF >= 3), so at 100 TB it
+    * is itself huge — a broadcast would collect it to the driver and copy
+    * it to every executor. A plain shuffle join on gram keeps both sides
+    * partitioned; the dictionary side is pre-shrunk by map-side partial
+    * aggregation, and a hot gram (true boilerplate appears in a large
+    * fraction of documents) is exactly the skewed-key case AQE's skew-join
+    * splitting handles on a sort-merge join.
     */
   val textBoilerplate = QueryDef(
     "q_text_boilerplate",
@@ -82,7 +88,7 @@ object CurationQueries {
       val boiler = grams.groupBy("gram").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 3)
         .select(col("gram"), lit(1L).as("is_boiler"))
-      grams.join(broadcast(boiler), Seq("gram"), "left")
+      grams.join(boiler, Seq("gram"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
@@ -181,9 +187,12 @@ object CurationQueries {
         .withColumn("is_contam", lit(1L))
       val g3 = base.select(col("doc_id"),
         explode(array_distinct(Tokenize.ngramShingles(col("toks"), 3))).as("gram"))
+      // boiler is corpus-proportional (same reasoning as q_text_boilerplate):
+      // shuffle join, never broadcast. bench above IS broadcastable — eval
+      // suites are bounded by definition.
       val boiler = g3.groupBy("gram").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 3).select(col("gram"), lit(1L).as("ib"))
-      val ratios = g3.join(broadcast(boiler), Seq("gram"), "left")
+      val ratios = g3.join(boiler, Seq("gram"), "left")
         .groupBy("doc_id")
         .agg(round(sum(coalesce(col("ib"), lit(0L))).cast(DoubleType) / count(lit(1)), 6)
           .as("boiler_ratio"))
@@ -262,9 +271,11 @@ object CurationQueries {
     * repeated spans inside otherwise-distinct documents, which
     * document-level dedup cannot. Per document: chunk count, duplicated-
     * chunk occurrences, and the duplicated fraction downstream filters
-    * gate on. One explode + one chunk-key aggregate + the (small) dup
-    * dictionary joined back — the same linear shape as the gram
-    * operators.
+    * gate on. One explode + one chunk-key aggregate + the dup dictionary
+    * joined back — the same linear shape as the gram operators. Like the
+    * boilerplate dictionary, the dup-chunk dictionary is corpus-
+    * proportional (repeated spans grow with the corpus), so it shuffle-
+    * joins rather than broadcasting.
     */
   val textChunkDedup = QueryDef(
     "q_text_chunk_dedup",
@@ -283,7 +294,7 @@ object CurationQueries {
         .agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") > 1)
         .select(col("chunk"), lit(1L).as("is_dup"))
-      chunks.join(broadcast(dup), Seq("chunk"), "left")
+      chunks.join(dup, Seq("chunk"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"),
           sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_chunks"))

@@ -113,19 +113,33 @@ object TextQueries {
   /** Language identification via per-language token profiles (n-gram-style
     * heuristic): profile = top-20 tokens per lang; prediction = lang with
     * most profile hits among the doc's distinct tokens (tiebreak lang asc).
+    *
+    * Both the corpus term counts and the per-doc distinct-token relation
+    * derive from ONE (doc_id, lang, token) pre-aggregate, so the corpus is
+    * exploded and shuffled once (Catalyst's ReuseExchange serves the
+    * second consumer from the same shuffle output) — the profile counts
+    * then aggregate the already-compressed per-doc rows, not raw tokens.
+    * The profile itself is bounded by construction (20 tokens x #langs),
+    * so broadcasting it is sound at any corpus size.
     */
   val langId = QueryDef(
     "q_text_langid",
     (s, dir) => {
-      val toks = tokens(s, dir)
-      val counts = toks.groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      val docTok = tokens(s, dir).groupBy("doc_id", "lang", "token")
+        .agg(count(lit(1)).as("n"))
+      val counts = docTok.groupBy("lang", "token").agg(sum("n").as("n"))
       val wProf = Window.partitionBy("lang").orderBy(desc("n"), asc("token"))
       val profile = counts.withColumn("rn", row_number().over(wProf))
         .filter(col("rn") <= 20)
         .select(col("lang").as("profile_lang"), col("token"))
-      val docToks = toks.select("doc_id", "lang", "token").distinct()
-      val hits = docToks.join(broadcast(profile), "token")
-        .groupBy("doc_id", "lang", "profile_lang").agg(count(lit(1)).as("hits"))
+      val hits = docTok.join(broadcast(profile), "token")
+        .groupBy("doc_id", "lang", "profile_lang")
+        // least(n, 1) is 1 on every row, so this IS a count — phrased as a
+        // sum over n so column pruning can't drop n from this branch: both
+        // consumers of docTok then carry identical aggregate+exchange
+        // subtrees and ReuseExchange serves this one from the profile
+        // branch's shuffle instead of re-exploding the corpus.
+        .agg(sum(least(col("n"), lit(1L))).as("hits"))
       val wPred = Window.partitionBy("doc_id").orderBy(desc("hits"), asc("profile_lang"))
       hits.withColumn("rn", row_number().over(wPred))
         .filter(col("rn") === 1)

@@ -33,7 +33,10 @@ def main():
             duck = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"[ORACLE-ERR] {name}: {e}"); n_fail += 1; continue
-        files = glob.glob(f"{spark_dir}/*.parquet")
+        # sorted: glob order is filesystem-dependent; multi-file dumps must
+        # concatenate part files in partition order for the positional
+        # compare against the ORDER BY'd oracle to be meaningful
+        files = sorted(glob.glob(f"{spark_dir}/*.parquet"))
         spark = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
         duck = duck[sorted(duck.columns)]
         spark = spark[sorted(spark.columns)]
