@@ -422,7 +422,7 @@ object DedupQueries {
     * per round; all data movement stays distributed. Returns
     * (doc_id, cluster_id = component-min doc_id).
     */
-  private[operators] def connectedComponents(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(docs: DataFrame, pairs: DataFrame): DataFrame = {
     // Every round's plan embeds the previous round's plan FOUR times (the
     // neighbor join + the pointer-jump self-join each reference it twice),
     // so carrying lineage across rounds blows the logical plan up 4^rounds

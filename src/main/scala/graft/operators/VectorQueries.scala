@@ -430,6 +430,108 @@ object VectorQueries {
     """.trim),
   )
 
+  // ---- Full-graph candidate generation (the 100 TB kNN-graph path) --------
+
+  /** Hyperplane-LSH candidate pairs for the within-label kNN graph:
+    * every vector hashes to one bucket per table; the probe side
+    * additionally fans out to all buckets within `probeRadius` bit flips
+    * (asymmetric multiprobe — only one side of the self-join pays the
+    * fan-out, and a pair is covered when its buckets differ by ≤ radius
+    * bits in ANY table). Returns distinct (label, vec_id, n_vec_id)
+    * ordered pairs — skinny, embeddings re-fetched by the scorer.
+    */
+  private[graft] def lshGraphCandidates(e: DataFrame, tables: Int, bits: Int,
+      probeRadius: Int): DataFrame = {
+    val planes = hyperplanesFor(tables, bits)
+    val bucketCols = (0 until tables).map(t =>
+      struct(lit(t).as("t"), bucketId(planes, bits, col("embedding"), t).as("b")))
+    val home = e.select(col("label"), col("vec_id"),
+        explode(array(bucketCols: _*)).as("tb"))
+      .select(col("label"), col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val flips: Seq[Column] =
+      (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= probeRadius)
+        .map(m => col("b").bitwiseXOR(lit(m)))
+    val probe = home.select(col("label").as("n_label"), col("vec_id").as("n_vec_id"),
+      col("t").as("nt"), explode(array(flips: _*)).as("nb"))
+    home.join(probe,
+        col("label") === col("n_label") && col("t") === col("nt")
+          && col("b") === col("nb") && col("vec_id") =!= col("n_vec_id"))
+      .select("label", "vec_id", "n_vec_id").distinct()
+  }
+
+  /** Per-label IVF sub-quantizer codebook: up to `k2` sub-cells per label,
+    * seeded from sign-bit LSH bucket means (table 0, log2(k2) bits) and
+    * refined with `iters` Lloyd iterations — deterministic end to end (4dp
+    * rounded means, fixed hyperplane seed). The codebook is bounded
+    * (k2 × #labels rows) so it always broadcasts; at 100 TB it is trained
+    * once per corpus snapshot and persisted like ivfCodebook.
+    */
+  private[graft] def subCodebook(e: DataFrame, k2: Int, iters: Int): DataFrame = {
+    val bits = math.max(1, (math.log(k2) / math.log(2)).ceil.toInt)
+    val planes = hyperplanesFor(1, bits)
+    def rebuild(assigned: DataFrame): DataFrame = assigned
+      .groupBy("label", "cell", "dim").agg(round(avg(col("v").cast(DoubleType)), 4).as("m"))
+      .groupBy("label", "cell").agg(collect_list(struct(col("dim"), col("m"))).as("dv"))
+      .select(col("label"), col("cell"),
+        expr("transform(array_sort(dv, (l, r) -> l.dim - r.dim), x -> x.m)")
+          .cast("array<float>").as("c_emb"))
+    val seed = rebuild(e.select(col("label"),
+      bucketId(planes, bits, col("embedding"), 0).as("cell"),
+      posexplode(col("embedding")).as(Seq("dim", "v"))))
+    (1 to iters).foldLeft(seed) { (cents, _) =>
+      val cb = cents.groupBy("label")
+        .agg(collect_list(struct(col("cell"), col("c_emb"))).as("cells"))
+        .agg(collect_list(struct(col("label").as("l"), col("cells"))).as("cb"))
+      rebuild(e.crossJoin(broadcast(cb))
+        .withColumn("best", expr(
+          s"""array_max(transform(filter(cb, x -> x.l = label)[0].cells,
+             |  c -> struct(${GraftCosineName}(embedding, c.c_emb) AS sim, -c.cell AS nc)))""".stripMargin))
+        .select(col("label"), (-col("best.nc")).as("cell"),
+          posexplode(col("embedding")).as(Seq("dim", "v"))))
+    }
+  }
+
+  /** IVF candidate pairs for the within-label kNN graph: every vector
+    * joins the inverted lists of its `assign` nearest sub-cells (multi-
+    * assignment covers cell-boundary neighbors); candidates share a
+    * (label, cell) list. One broadcast-argmax projection per row, one
+    * equi-join on (label, cell) — no pair survives outside its lists.
+    */
+  private[graft] def ivfGraphCandidates(e: DataFrame, codebook: DataFrame,
+      assign: Int): DataFrame = {
+    val cb = codebook.groupBy("label")
+      .agg(collect_list(struct(col("cell"), col("c_emb"))).as("cells"))
+      .agg(collect_list(struct(col("label").as("l"), col("cells"))).as("cb"))
+    val assigned = e.crossJoin(broadcast(cb))
+      .select(col("label"), col("vec_id"),
+        explode(expr(
+          s"""slice(array_sort(transform(filter(cb, x -> x.l = label)[0].cells,
+             |  c -> struct(-${GraftCosineName}(embedding, c.c_emb) AS nsim, c.cell AS cell))),
+             |  1, $assign)""".stripMargin)).as("a"))
+      .select(col("label"), col("vec_id"), col("a.cell").as("cell"))
+    val right = assigned.select(col("label").as("n_label"), col("cell").as("n_cell"),
+      col("vec_id").as("n_vec_id"))
+    assigned.join(right,
+        col("label") === col("n_label") && col("cell") === col("n_cell")
+          && col("vec_id") =!= col("n_vec_id"))
+      .select("label", "vec_id", "n_vec_id").distinct()
+  }
+
+  /** Score skinny candidate pairs and keep each vector's top-`k` cosine
+    * neighbors — the shared tail of every bucketed graph variant.
+    */
+  private[graft] def knnGraphFromCandidates(e: DataFrame, cands: DataFrame, k: Int): DataFrame = {
+    val scored = cands
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(e.select(col("vec_id").as("n_vec_id"), col("embedding").as("n_emb")), "n_vec_id")
+      .withColumn("cos", round(VectorOps.cosine(col("embedding"), col("n_emb")), 6))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("n_vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("rn"), col("n_vec_id"), col("cos"))
+      .orderBy("vec_id", "rn")
+  }
+
   /** Within-label kNN graph: every vector's top-3 cosine neighbors inside
     * its own label class — the graph-construction primitive behind
     * graph-based clustering, label propagation, and diversity sampling.
@@ -471,30 +573,160 @@ object VectorQueries {
     """.trim),
   )
 
+  // Graph-variant configs, chosen by measured sweep (PERF.md round 5).
+  private[operators] val GraphLshTables = 16
+  private[operators] val GraphLshBits = 6
+  private[operators] val GraphLshRadius = 1
+  private[operators] val GraphIvfCells = 16
+  private[operators] val GraphIvfAssign = 4
+
+  /** Full within-label kNN graph from hyperplane-LSH candidates — the
+    * corpus×corpus graph (every vector, not a query slice) with NO
+    * all-pairs join: candidates come from an equi-join on (label, table,
+    * bucket) with radius-1 asymmetric multiprobe, exact cosine only on
+    * candidates. 16 tables × 6 bits measured at recall 0.987 / 0.976 of
+    * the exact within-label top-3 at 83% of the block pair volume
+    * (fixture embeddings are near-uniform inside a label — median top-3
+    * neighbor cosine ≈ 0.3, the hardest regime for data-oblivious
+    * hyperplanes; the full sweep and the regime analysis are in PERF.md
+    * round 5). Non-oracle; KnnGraphSpec bounds recall and asserts the
+    * plan is cartesian-free.
+    */
+  val vecKnnGraphLsh = QueryDef(
+    "q_vec_knn_graph_lsh",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+      knnGraphFromCandidates(e,
+        lshGraphCandidates(e, GraphLshTables, GraphLshBits, GraphLshRadius), 3)
+    },
+    None,
+  )
+
+  /** Full within-label kNN graph from per-label IVF sub-cells — the
+    * sub-quadratic 100 TB path: each label block is split by a k2-cell
+    * sub-quantizer (LSH-bucket-mean seeded, Lloyd-refined), vectors join
+    * the inverted lists of their 4 nearest sub-cells, candidates share a
+    * (label, cell) list. Measured: recall 0.944 / 0.965 at ~70% of the
+    * block pair volume on the near-uniform fixture — and unlike fixed-bit
+    * hyperplanes, the candidate volume scales as Σ|class|²·(assign²/k2),
+    * so growing k2 ~ √|class| (standard IVF sizing) holds per-list size
+    * at √|class| and total candidate work at Σ|class|^1.5 — sub-quadratic
+    * with NO recall cliff, because cell boundaries are data-adaptive and
+    * multi-assignment covers them. Non-oracle; KnnGraphSpec bounds recall.
+    */
+  val vecKnnGraphIvf = QueryDef(
+    "q_vec_knn_graph_ivf",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+      val cb = subCodebook(e, GraphIvfCells, iters = 2)
+      knnGraphFromCandidates(e, ivfGraphCandidates(e, cb, GraphIvfAssign), 3)
+    },
+    None,
+  )
+
+  /** LSH-bucketed edge generation + connected components for the ≥0.95-
+    * cosine cluster graph, generic over an (vec_id, embedding) relation —
+    * the q_dedup_cluster two-phase shape transplanted to the embedding
+    * side (VecClusterSpec proves label equivalence against the exhaustive
+    * edge join on implanted near-duplicate fixtures):
+    *
+    *  1. STAR edges: within every (table, bucket) cell, connect each
+    *     member to the cell-min vec_id and verify exact cosine ≥ 0.95 —
+    *     linear in Σ bucket size, never enumerates in-bucket pairs, so a
+    *     pathological 10⁶-copy duplicate cluster costs 10⁶ star edges,
+    *     not 10¹² pairs.
+    *  2. One SWEEP: bucket-coincident pairs whose endpoints sit in
+    *     different phase-1 components (mixed-bucket prefilter, inequality
+    *     inside the join), verified exactly, merged on the contracted
+    *     component graph. One sweep reaches the fixpoint by the same
+    *     argument as q_dedup_cluster: verification is label-independent
+    *     and merging only coarsens.
+    *
+    * Candidate coverage is the hyperplane collision bound: a true edge at
+    * cosine c survives a table with p(c)^bits, p(c) = 1 − arccos(c)/π, so
+    * at the 0.95 threshold (p ≈ 0.899) 8 tables × 7 bits miss a
+    * worst-case edge with (1 − 0.899⁷)⁸ ≈ 0.6%, and a 0.99-cosine true
+    * duplicate with ~3·10⁻⁶. cos ≥ 0.95 is LSH's GOOD regime — the same
+    * hyperplanes that cannot prune the kNN graph's 0.3-cosine neighbors
+    * (see q_vec_knn_graph_ivf) are near-exhaustive here; raise `tables`
+    * for more nines, linearly in cost.
+    */
+  private[graft] def vecClusterFromEmbeddings(e: DataFrame,
+      tables: Int = LshTables, bits: Int = LshBits): DataFrame = {
+    val planes = hyperplanesFor(tables, bits)
+    val bucketCols = (0 until tables).map(t =>
+      struct(lit(t).as("t"), bucketId(planes, bits, col("embedding"), t).as("b")))
+    val banded = e.select(col("vec_id"), explode(array(bucketCols: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+      .cache()
+    def verify(pairs: DataFrame): DataFrame = pairs
+      .join(e.select(col("vec_id").as("doc_id1"), col("embedding").as("e1")), "doc_id1")
+      .join(e.select(col("vec_id").as("doc_id2"), col("embedding").as("e2")), "doc_id2")
+      .filter(round(VectorOps.cosine(col("e1"), col("e2")), 6) >= 0.95)
+      .select("doc_id1", "doc_id2")
+    val docs = e.select(col("vec_id").as("doc_id"))
+    // Phase 1: verified star edges, linear in corpus
+    val roots = banded.groupBy("t", "b")
+      .agg(min("vec_id").as("doc_id1"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select("t", "b", "doc_id1")
+    val star = roots.join(banded, Seq("t", "b"))
+      .filter(col("doc_id1") < col("vec_id"))
+      .select(col("doc_id1"), col("vec_id").as("doc_id2")).distinct()
+    val starEdges = verify(star).localCheckpoint()
+    val labels = DedupQueries.connectedComponents(docs, starEdges)
+    // Phase 2: the one sweep over mixed buckets, cross-component only
+    val withLbl = banded.join(labels, banded("vec_id") === labels("doc_id"))
+      .select(col("vec_id"), col("t"), col("b"), col("cluster_id"))
+    val mixed = withLbl.groupBy("t", "b")
+      .agg(countDistinct("cluster_id").as("nc")).filter(col("nc") > 1)
+      .select("t", "b")
+    val inMixed = withLbl.join(mixed, Seq("t", "b"))
+    val a = inMixed.select(col("t"), col("b"),
+      col("vec_id").as("doc_id1"), col("cluster_id").as("c1"))
+    val bb = inMixed.select(col("t").as("t2"), col("b").as("b2"),
+      col("vec_id").as("doc_id2"), col("cluster_id").as("c2"))
+    val cross = a.join(bb,
+        col("t") === col("t2") && col("b") === col("b2")
+          && col("doc_id1") < col("doc_id2") && col("c1") =!= col("c2"))
+      .select("doc_id1", "doc_id2").distinct()
+    val mergeEdges = verify(cross).localCheckpoint()
+    // Contract: merge through verified cross edges on the component graph,
+    // then relabel docs through their phase-1 component.
+    val l1 = labels.select(col("doc_id").as("d1"), col("cluster_id").as("c1"))
+    val l2 = labels.select(col("doc_id").as("d2"), col("cluster_id").as("c2"))
+    val compPairs = mergeEdges
+      .join(l1, col("doc_id1") === col("d1")).join(l2, col("doc_id2") === col("d2"))
+      .filter(col("c1") =!= col("c2"))
+      .select(least(col("c1"), col("c2")).as("doc_id1"),
+        greatest(col("c1"), col("c2")).as("doc_id2"))
+      .distinct()
+    val compNodes = labels.select(col("cluster_id").as("doc_id")).distinct()
+    val compLabels = DedupQueries.connectedComponents(compNodes, compPairs)
+      .select(col("doc_id").as("comp"), col("cluster_id").as("final_cluster"))
+    val out = labels.join(compLabels, labels("cluster_id") === compLabels("comp"))
+      .select(col("doc_id").as("vec_id"), col("final_cluster").as("cluster_id"))
+    banded.unpersist()
+    out
+  }
+
   /** Embedding clustering: connected components over the ≥0.95-cosine
-    * near-duplicate graph — q_dedup_embed's edge list fed through the
-    * same distributed min-label-propagation engine q_dedup_cluster uses
-    * (pointer jumping, log-diameter rounds, one-row convergence scalars).
-    * Every vector gets cluster_id = min vec_id transitively reachable
-    * through near-dup edges; the oracle recomputes the transitive closure
-    * with a recursive CTE. This is semantic dedup GROUP formation on the
-    * embedding side: pick min(vec_id) per cluster as the survivor.
+    * near-duplicate graph — every vector gets cluster_id = min vec_id
+    * transitively reachable through near-dup edges; the oracle recomputes
+    * the transitive closure with a recursive CTE. This is semantic dedup
+    * GROUP formation on the embedding side: pick min(vec_id) per cluster
+    * as the survivor. Edges come from the LSH star/sweep generator above
+    * (near-linear), NOT from an all-pairs cosine join — q_dedup_embed
+    * remains the deliberately-quadratic oracle baseline for pair LISTS,
+    * but this operator's output is linear and must never enumerate the
+    * pair space.
     */
   val vecCluster = QueryDef(
     "q_vec_cluster",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val a = e.select(col("vec_id").as("vec_id1"), col("embedding").as("e1"))
-      val b = e.select(col("vec_id").as("vec_id2"), col("embedding").as("e2"))
-      val pairs = a.join(b, col("vec_id1") < col("vec_id2"))
-        .withColumn("cos", round(VectorOps.cosine(col("e1"), col("e2")), 6))
-        .filter(col("cos") >= 0.95)
-        .select(col("vec_id1").as("doc_id1"), col("vec_id2").as("doc_id2"))
-      DedupQueries.connectedComponents(
-          e.select(col("vec_id").as("doc_id")), pairs)
-        .select(col("doc_id").as("vec_id"), col("cluster_id"))
-        .orderBy("vec_id")
-    },
+    (s, dir) =>
+      vecClusterFromEmbeddings(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+        .orderBy("vec_id"),
     Some("""
       WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
       pairs AS (
@@ -515,5 +747,5 @@ object VectorQueries {
   )
 
   def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, vecCentroidUdaf, annLsh, annIvf, vecQuantize,
-    annFiltered, vecKnnGraph, vecCluster)
+    annFiltered, vecKnnGraph, vecKnnGraphLsh, vecKnnGraphIvf, vecCluster)
 }

@@ -66,6 +66,40 @@ class AsOfJoinNativeSpec extends SparkTestBase with Matchers {
     shuffles should have size 2
   }
 
+  test("pre-sorted inputs elide the sort too, and the merge still matches") {
+    val e = Tables.events(spark, sfTiny)
+    def side(tpe: String, kCol: String, tCol: String) = e
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(kCol), col("ts").as(tCol),
+        col("event_id").as(s"${kCol}_id"))
+      .repartition(4, col(kCol))
+      .sortWithinPartitions(kCol, tCol)
+    val p = side("purchase", "user_id", "ts")
+    val c = side("click", "c_user_id", "c_ts")
+    val df = AsOfJoin.asof(p, c, Seq("user_id"), Seq("c_user_id"), "ts", "c_ts")
+    val plan = planWithoutAqe(df)
+    // EnsureRequirements adds neither exchange nor sort: the only shuffles
+    // are the two explicit repartitions, the only sorts the two explicit
+    // sortWithinPartitions — the merge runs directly on whatever row class
+    // the child emits (the non-UnsafeRow hazard the InternalRow buffering
+    // in AsOfJoinExec.advanceRight exists for).
+    plan.collectWithSubqueries { case s: ShuffleExchangeLike => s } should have size 2
+    plan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    } should have size 2
+    // Result equivalence against the un-hinted native plan on the same input.
+    val expected = AsOfJoin.asof(
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("user_id_id")),
+      e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+          col("event_id").as("c_user_id_id")),
+      Seq("user_id"), Seq("c_user_id"), "ts", "c_ts")
+      .collect().map(_.toString).sorted.toSeq
+    df.collect().map(_.toString).sorted.toSeq shouldBe expected
+    expected should not be empty
+  }
+
   test("null keys and null timestamps never match; empty right side → empty result") {
     import spark.implicits._
     val l = Seq((1L, Option("a"), Option(10L)), (2L, None, Option(20L)), (3L, Option("b"), None))

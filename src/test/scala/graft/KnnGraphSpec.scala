@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.VectorQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.scalatest.matchers.should.Matchers
+
+/** The two full-graph kNN variants (q_vec_knn_graph_lsh / _ivf): recall
+  * bounds against the exact within-label graph, well-formedness, and the
+  * structural property that justifies them — NO all-pairs join anywhere in
+  * the pipeline (every executed plan is cartesian-free; the pair-forming
+  * join is a bucket equi-join).
+  */
+class KnnGraphSpec extends SparkTestBase with Matchers {
+
+  private def edges(df: DataFrame): Set[(Long, Long)] =
+    df.select("vec_id", "n_vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val exact = edges(VectorQueries.vecKnnGraph.query(spark, sfTiny))
+
+  test("q_vec_knn_graph_lsh: recall ≥ 0.9 of the exact within-label top-3") {
+    val lsh = edges(VectorQueries.vecKnnGraphLsh.query(spark, sfTiny))
+    exact should not be empty
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    recall should be >= 0.9 // measured 0.976 (sf0.001) / 0.987 (sf0.1)
+  }
+
+  test("q_vec_knn_graph_ivf: recall ≥ 0.85 of the exact within-label top-3") {
+    val ivf = edges(VectorQueries.vecKnnGraphIvf.query(spark, sfTiny))
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    recall should be >= 0.85 // measured 0.965 (sf0.001) / 0.944 (sf0.1)
+  }
+
+  test("graph variants are well-formed: ≤3 ranked neighbors per vector, no self-edges") {
+    val df = VectorQueries.vecKnnGraphLsh.query(spark, sfTiny)
+    val rows = df.collect()
+    rows.foreach { r =>
+      r.getInt(1) should (be >= 1 and be <= 3)
+      r.getLong(0) should not be r.getLong(2)
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      g.map(_.getInt(1)).sorted.toSeq shouldBe (1 to g.length)
+    }
+  }
+
+  test("every executed plan in both graph pipelines is cartesian-free") {
+    val plans = collection.mutable.ArrayBuffer.empty[String]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      VectorQueries.vecKnnGraphLsh.query(spark, sfTiny).collect()
+      VectorQueries.vecKnnGraphIvf.query(spark, sfTiny).collect()
+      // listener delivery is async — poll until the buffer stops growing
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val now = plans.synchronized(plans.size)
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      val all = plans.synchronized(plans.toSeq)
+      all should not be empty
+      all.foreach { p =>
+        p should not include "CartesianProduct"
+        // the only nested-loop joins allowed are broadcast one-row builds
+        // (the codebook crossJoin in the IVF assignment projection)
+        if (p.contains("BroadcastNestedLoopJoin")) p should include("BroadcastExchange")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+}
