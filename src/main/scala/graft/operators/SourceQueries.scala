@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.sources.FormatSources
+import graft.sources.{FormatSources, GraftFs}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,12 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object SourceQueries {
 
-  private def scratch(dir: String, fmt: String): String =
-    new java.io.File(s"target/graft-formats/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/$fmt")
-      .getAbsolutePath
+  private def scratch(s: SparkSession, dir: String, fmt: String): String =
+    GraftFs.qualify(s, s"target/graft-formats/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/$fmt")
 
-  private def ensure(path: String)(write: => Unit): Unit = synchronized {
-    if (!new java.io.File(path, "_SUCCESS").exists()) write
+  private def ensure(s: SparkSession, path: String)(write: => Unit): Unit = synchronized {
+    if (!GraftFs.hasSuccess(s, path)) write
   }
 
   /** CSV scan: nation round-tripped through the CSV sink+source. */
@@ -31,8 +30,8 @@ object SourceQueries {
     "q_scan_csv",
     (s, dir) => {
       val src = Tables.nation(s, dir)
-      val path = scratch(dir, "nation_csv")
-      ensure(path)(FormatSources.writeCsv(src, path))
+      val path = scratch(s, dir, "nation_csv")
+      ensure(s, path)(FormatSources.writeCsv(src, path))
       FormatSources.readCsv(s, path, src.schema)
         .orderBy("n_nationkey")
     },
@@ -46,8 +45,8 @@ object SourceQueries {
     "q_scan_json",
     (s, dir) => {
       val src = Tables.supplier(s, dir)
-      val path = scratch(dir, "supplier_json")
-      ensure(path)(FormatSources.writeJson(src, path))
+      val path = scratch(s, dir, "supplier_json")
+      ensure(s, path)(FormatSources.writeJson(src, path))
       FormatSources.readJson(s, path, src.schema)
         .orderBy("s_suppkey")
     },
@@ -61,8 +60,8 @@ object SourceQueries {
     "q_scan_orc",
     (s, dir) => {
       val src = Tables.customer(s, dir)
-      val path = scratch(dir, "customer_orc")
-      ensure(path)(FormatSources.writeOrc(src, path))
+      val path = scratch(s, dir, "customer_orc")
+      ensure(s, path)(FormatSources.writeOrc(src, path))
       FormatSources.readOrc(s, path)
         .orderBy("c_custkey")
     },
@@ -83,17 +82,17 @@ object SourceQueries {
   val scanCompacted = QueryDef(
     "q_scan_compacted",
     (s, dir) => {
-      val fragPath = scratch(dir, "orders_fragmented")
-      val outPath = scratch(dir, "orders_compacted")
-      ensure(fragPath) {
+      val fragPath = scratch(s, dir, "orders_fragmented")
+      val outPath = scratch(s, dir, "orders_compacted")
+      ensure(s, fragPath) {
         Tables.orders(s, dir).repartition(64)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(fragPath)
       }
-      ensure(outPath) {
-        val fragFiles = new java.io.File(fragPath).listFiles()
-          .count(_.getName.endsWith(".parquet"))
-        val bytes = new java.io.File(fragPath).listFiles()
-          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      ensure(s, outPath) {
+        val frags = GraftFs.listFiles(s, fragPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        val fragFiles = frags.length
+        val bytes = frags.map(_.getLen).sum
         val target = math.max(1L, bytes / 8)
         val nOut = FormatSources.compactParquet(s, fragPath, outPath, targetBytes = target)
         require(nOut == math.ceil(bytes.toDouble / target).toInt && nOut < fragFiles,

@@ -248,12 +248,12 @@ object VectorQueries {
     */
   private[operators] def ivfCodebook(s: SparkSession, dir: String): DataFrame = synchronized {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val base = new java.io.File(s"target/graft-ivf/$tag/codebook").getAbsoluteFile
-    if (!new java.io.File(base, "_SUCCESS").exists()) {
+    val base = graft.sources.GraftFs.qualify(s, s"target/graft-ivf/$tag/codebook")
+    if (!graft.sources.GraftFs.hasSuccess(s, base)) {
       ivfCentroids(s, dir, iters = 2).coalesce(1)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(base.getPath)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(base)
     }
-    s.read.parquet(base.getPath)
+    s.read.parquet(base)
   }
 
   /** IVF-style ANN: k-means-refined coarse quantizer (per-label seed + 2
@@ -491,6 +491,24 @@ object VectorQueries {
     }
   }
 
+  /** Persisted per-label sub-codebook — training is INDEX-BUILD cost, not
+    * per-query cost (same contract as ivfCodebook): first call per scale
+    * dir trains deterministically and writes to scratch through the
+    * Hadoop FS API; later calls read the tiny parquet (≤ k2 × #labels
+    * rows) back.
+    */
+  private[operators] def subCodebookPersisted(s: SparkSession, dir: String,
+      k2: Int): DataFrame = synchronized {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = graft.sources.GraftFs.qualify(s, s"target/graft-ivf/$tag/subcodebook_k$k2")
+    if (!graft.sources.GraftFs.hasSuccess(s, base)) {
+      subCodebook(Tables.embeddings(s, dir).select("vec_id", "label", "embedding"),
+          k2, iters = 2)
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(base)
+    }
+    s.read.parquet(base)
+  }
+
   /** IVF candidate pairs for the within-label kNN graph: every vector
     * joins the inverted lists of its `assign` nearest sub-cells (multi-
     * assignment covers cell-boundary neighbors); candidates share a
@@ -618,7 +636,7 @@ object VectorQueries {
     "q_vec_knn_graph_ivf",
     (s, dir) => {
       val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
-      val cb = subCodebook(e, GraphIvfCells, iters = 2)
+      val cb = subCodebookPersisted(s, dir, GraphIvfCells)
       knnGraphFromCandidates(e, ivfGraphCandidates(e, cb, GraphIvfAssign), 3)
     },
     None,

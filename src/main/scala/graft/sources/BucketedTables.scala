@@ -34,17 +34,13 @@ object BucketedTables {
     * results — so it is (re)checked every time files are adopted OR
     * written, not assumed.
     */
-  private def bucketLayoutValid(path: String): Boolean = {
-    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-    val ids = files.flatMap(f => "_(\\d{5})\\.".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+  private def bucketLayoutValid(s: SparkSession, path: String): Boolean = {
+    val files = GraftFs.listFiles(s, path)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+    val ids = files.flatMap(n => "_(\\d{5})\\.".r.findFirstMatchIn(n).map(_.group(1).toInt))
     files.nonEmpty && ids.length == files.length && ids.distinct.length == ids.length &&
       ids.forall(i => i >= 0 && i < 8)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
   }
 
   def ensure(s: SparkSession, dir: String): Unit = synchronized {
@@ -59,7 +55,7 @@ object BucketedTables {
     // tables between sessions but their files survive, and a managed
     // saveAsTable refuses a pre-existing location
     def scratch(name: String) =
-      new java.io.File(s"target/graft-bucketed/${tag(dir)}/$name").getAbsolutePath
+      GraftFs.qualify(s, s"target/graft-bucketed/${tag(dir)}/$name")
     // repartition on the bucket key first → exactly one file per bucket;
     // Spark only honors within-bucket sortBy order at read time (eliding
     // the join-side Sorts) when a bucket is a single file. If the bucket
@@ -70,19 +66,19 @@ object BucketedTables {
     def ensureOne(table: String, src: org.apache.spark.sql.DataFrame,
         key: String, path: String): Unit =
       if (!s.catalog.tableExists(table)) {
-        if (new java.io.File(path, "_SUCCESS").exists() && bucketLayoutValid(path)) {
+        if (GraftFs.hasSuccess(s, path) && bucketLayoutValid(s, path)) {
           s.sql(s"""CREATE TABLE $table (${src.schema.toDDL}) USING PARQUET
                    |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
                    |LOCATION '$path'""".stripMargin)
         } else {
-          deleteRecursively(new java.io.File(path))
+          GraftFs.deleteRecursively(s, path)
           src.repartition(8, org.apache.spark.sql.functions.col(key))
             .write
             .bucketBy(8, key).sortBy(key)
             .option("path", path)
             .mode(SaveMode.Overwrite)
             .saveAsTable(table)
-          require(bucketLayoutValid(path),
+          require(bucketLayoutValid(s, path),
             s"bucketed write at $path violated one-file-per-bucket; sorted scans would be wrong")
         }
       }
@@ -105,15 +101,15 @@ object BucketedTables {
   def ensureSignatures(s: SparkSession, dir: String,
       src: org.apache.spark.sql.DataFrame): Unit = synchronized {
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val path = new java.io.File(s"target/graft-bucketed/${tag(dir)}/signatures").getAbsolutePath
+    val path = GraftFs.qualify(s, s"target/graft-bucketed/${tag(dir)}/signatures")
     val table = signaturesTable(dir)
     if (!s.catalog.tableExists(table)) {
-      if (new java.io.File(path, "_SUCCESS").exists() && bucketLayoutValid(path)) {
+      if (GraftFs.hasSuccess(s, path) && bucketLayoutValid(s, path)) {
         s.sql(s"""CREATE TABLE $table (${src.schema.toDDL}) USING PARQUET
                  |CLUSTERED BY (lang, band, sig) SORTED BY (lang, band, sig) INTO 8 BUCKETS
                  |LOCATION '$path'""".stripMargin)
       } else {
-        deleteRecursively(new java.io.File(path))
+        GraftFs.deleteRecursively(s, path)
         src.repartition(8, org.apache.spark.sql.functions.col("lang"),
             org.apache.spark.sql.functions.col("band"), org.apache.spark.sql.functions.col("sig"))
           .write
@@ -121,7 +117,7 @@ object BucketedTables {
           .option("path", path)
           .mode(SaveMode.Overwrite)
           .saveAsTable(table)
-        require(bucketLayoutValid(path),
+        require(bucketLayoutValid(s, path),
           s"bucketed write at $path violated one-file-per-bucket; sorted scans would be wrong")
       }
     }
@@ -140,7 +136,7 @@ object BucketedTables {
     */
   def ensureEvents(s: SparkSession, dir: String): Unit = synchronized {
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val path = new java.io.File(s"target/graft-bucketed/${tag(dir)}/events").getAbsolutePath
+    val path = GraftFs.qualify(s, s"target/graft-bucketed/${tag(dir)}/events")
     val table = eventsTable(dir)
     if (!s.catalog.tableExists(table)) {
       val src = Tables.events(s, dir).select(
@@ -149,19 +145,19 @@ object BucketedTables {
         org.apache.spark.sql.functions.col("user_id"),
         org.apache.spark.sql.functions.col("event_type"),
         org.apache.spark.sql.functions.col("value"))
-      if (new java.io.File(path, "_SUCCESS").exists() && bucketLayoutValid(path)) {
+      if (GraftFs.hasSuccess(s, path) && bucketLayoutValid(s, path)) {
         s.sql(s"""CREATE TABLE $table (${src.schema.toDDL}) USING PARQUET
                  |CLUSTERED BY (user_id) SORTED BY (user_id, ts_us, event_id) INTO 8 BUCKETS
                  |LOCATION '$path'""".stripMargin)
       } else {
-        deleteRecursively(new java.io.File(path))
+        GraftFs.deleteRecursively(s, path)
         src.repartition(8, org.apache.spark.sql.functions.col("user_id"))
           .write
           .bucketBy(8, "user_id").sortBy("user_id", "ts_us", "event_id")
           .option("path", path)
           .mode(SaveMode.Overwrite)
           .saveAsTable(table)
-        require(bucketLayoutValid(path),
+        require(bucketLayoutValid(s, path),
           s"bucketed write at $path violated one-file-per-bucket; sorted scans would be wrong")
       }
     }
@@ -178,23 +174,23 @@ object BucketedTables {
     */
   def ensureDocuments(s: SparkSession, dir: String): Unit = synchronized {
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val path = new java.io.File(s"target/graft-bucketed/${tag(dir)}/documents").getAbsolutePath
+    val path = GraftFs.qualify(s, s"target/graft-bucketed/${tag(dir)}/documents")
     val table = documentsTable(dir)
     if (!s.catalog.tableExists(table)) {
       val src = Tables.documents(s, dir)
-      if (new java.io.File(path, "_SUCCESS").exists() && bucketLayoutValid(path)) {
+      if (GraftFs.hasSuccess(s, path) && bucketLayoutValid(s, path)) {
         s.sql(s"""CREATE TABLE $table (${src.schema.toDDL}) USING PARQUET
                  |CLUSTERED BY (lang) SORTED BY (lang) INTO 8 BUCKETS
                  |LOCATION '$path'""".stripMargin)
       } else {
-        deleteRecursively(new java.io.File(path))
+        GraftFs.deleteRecursively(s, path)
         src.repartition(8, org.apache.spark.sql.functions.col("lang"))
           .write
           .bucketBy(8, "lang").sortBy("lang")
           .option("path", path)
           .mode(SaveMode.Overwrite)
           .saveAsTable(table)
-        require(bucketLayoutValid(path),
+        require(bucketLayoutValid(s, path),
           s"bucketed write at $path violated one-file-per-bucket; sorted scans would be wrong")
       }
     }

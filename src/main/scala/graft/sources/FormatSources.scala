@@ -44,11 +44,11 @@ object FormatSources {
     */
   def compactParquet(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
-    val bytes = new java.io.File(inPath).listFiles()
-      .filter(f => f.getName.endsWith(".parquet")).map(_.length()).sum
+    val bytes = GraftFs.listFiles(spark, inPath)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath).repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
-    new java.io.File(outPath).listFiles().count(_.getName.endsWith(".parquet"))
+    GraftFs.listFiles(spark, outPath).count(_.getPath.getName.endsWith(".parquet"))
   }
 }

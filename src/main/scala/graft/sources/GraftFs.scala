@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem plumbing through the Hadoop FileSystem API: layouts,
+  * compaction, and incremental state live where the data lives — HDFS,
+  * S3, or the local FS — so every path resolves through the session's
+  * hadoopConfiguration instead of java.io.File (which silently binds the
+  * whole layout layer to the driver's local disk). Relative paths
+  * (builder scratch under target/) qualify against the default FS
+  * working directory, preserving the local behavior the specs exercise,
+  * while `hdfs://`/`s3a://` URIs route to their own FileSystem.
+  */
+object GraftFs {
+
+  def resolve(s: SparkSession, p: String): (FileSystem, Path) = {
+    val path = new Path(p)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(path))
+  }
+
+  /** Fully-qualified URI string for a (possibly relative) path — replaces
+    * java.io.File.getAbsolutePath for scratch locations.
+    */
+  def qualify(s: SparkSession, p: String): String = resolve(s, p)._2.toString
+
+  def exists(s: SparkSession, p: String): Boolean = {
+    val (fs, q) = resolve(s, p)
+    fs.exists(q)
+  }
+
+  /** Committed-write marker: `_SUCCESS` under a datasource output dir. */
+  def hasSuccess(s: SparkSession, p: String): Boolean = exists(s, s"$p/_SUCCESS")
+
+  def deleteRecursively(s: SparkSession, p: String): Unit = {
+    val (fs, q) = resolve(s, p)
+    if (fs.exists(q)) fs.delete(q, true): Unit
+  }
+
+  /** Immediate child FILES of `p` (not directories); empty if absent. */
+  def listFiles(s: SparkSession, p: String): Seq[FileStatus] = {
+    val (fs, q) = resolve(s, p)
+    if (fs.exists(q)) fs.listStatus(q).toSeq.filter(_.isFile) else Seq.empty
+  }
+
+  def readSmallFile(s: SparkSession, p: String): Option[String] = {
+    val (fs, q) = resolve(s, p)
+    if (!fs.exists(q)) None
+    else {
+      val in = fs.open(q)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+  }
+
+  /** Write `content` to `p` atomically: tmp file + rename-with-overwrite
+    * (atomic on HDFS and the local FS — the swap readers may race on).
+    */
+  def writeSmallFileAtomic(s: SparkSession, p: String, content: String): Unit = {
+    val (fs, q) = resolve(s, p)
+    val tmp = new Path(q.getParent, q.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(q.toUri, s.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, q, Options.Rename.OVERWRITE)
+  }
+}

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.io.File
-
 import graft.Tables
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -20,9 +18,9 @@ import org.apache.spark.sql.functions._
   */
 object PartitionedEvents {
 
-  private def baseFor(dir: String): File = {
+  private def baseFor(spark: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    new File(s"target/graft-partitioned/$tag/events_by_date").getAbsoluteFile
+    GraftFs.qualify(spark, s"target/graft-partitioned/$tag/events_by_date")
   }
 
   /** Write (once) and return the path of the date-partitioned events copy.
@@ -31,15 +29,15 @@ object PartitionedEvents {
     * fixture.
     */
   def ensureWritten(spark: SparkSession, dir: String): String = synchronized {
-    val base = baseFor(dir)
-    if (!new File(base, "_SUCCESS").exists()) {
+    val base = baseFor(spark, dir)
+    if (!GraftFs.hasSuccess(spark, base)) {
       Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), to_date(col("ts")).as("event_date"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("event_date")
-        .parquet(base.getPath)
+        .parquet(base)
     }
-    base.getPath
+    base
   }
 }

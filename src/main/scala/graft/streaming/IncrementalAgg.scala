@@ -30,15 +30,12 @@ object IncrementalAgg {
     StructField("n", LongType),
     StructField("sum_value", DecimalType(38, 2))))
 
-  private def currentVersion(base: String): Option[String] = {
-    val m = new java.io.File(base, "_CURRENT")
-    if (m.exists()) Some(new String(java.nio.file.Files.readAllBytes(m.toPath)).trim)
-    else None
-  }
+  private def currentVersion(s: SparkSession, base: String): Option[String] =
+    graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT").map(_.trim)
 
   /** Read the current state (empty frame before the first batch). */
   def readState(s: SparkSession, base: String): DataFrame =
-    currentVersion(base) match {
+    currentVersion(s, base) match {
       case Some(v) => s.read.schema(stateSchema).parquet(s"$base/$v")
       case None => s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
@@ -67,13 +64,9 @@ object IncrementalAgg {
           .cast(DecimalType(38, 2)).as("sum_value"))
       // materialize BEFORE touching the directory tree the plan reads from
       .localCheckpoint()
-    val next = s"v${currentVersion(base).map(_.drop(1).toLong + 1).getOrElse(0L)}"
+    val next = s"v${currentVersion(s, base).map(_.drop(1).toLong + 1).getOrElse(0L)}"
     merged.write.mode("overwrite").parquet(s"$base/$next")
-    val tmp = java.nio.file.Paths.get(base, "_CURRENT.tmp")
-    java.nio.file.Files.write(tmp, next.getBytes)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(base, "_CURRENT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", next)
     merged
   }
 

@@ -40,7 +40,7 @@ object IncrementalDedup {
     StructField("toksh", ArrayType(LongType, containsNull = false), nullable = false)))
 
   private def readState(s: SparkSession, path: String, schema: StructType): DataFrame =
-    if (new java.io.File(path).exists()) s.read.schema(schema).parquet(path)
+    if (graft.sources.GraftFs.exists(s, path)) s.read.schema(schema).parquet(path)
     else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Process one batch of documents (doc_id, text, lang, ...): emit the
