@@ -28,6 +28,8 @@ object IncrementalDedupBench {
       s"$base/banded", s"$base/hashed", s"$base/pairs")
     val docs = graft.Tables.documents(spark, dir).cache()
     val total = docs.count()
+    def stateBytes: Long = Seq(state.banded, state.hashed, state.pairs)
+      .flatMap(p => graft.sources.GraftFs.listFiles(spark, p)).map(_.getLen).sum
     var cumPairs = 0L
     for (i <- 0 until nBatches) {
       val batch = docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)
@@ -35,9 +37,23 @@ object IncrementalDedupBench {
       val emitted = IncrementalDedup.processBatch(spark, batch, state).count()
       val secs = (System.nanoTime() - t0) / 1e9
       cumPairs += emitted
-      println(f"INCDEDUP batch=$i docs=${batch.count()} emitted=$emitted cum_pairs=$cumPairs t=$secs%.1f s")
+      println(f"INCDEDUP batch=$i docs=${batch.count()} emitted=$emitted " +
+        f"cum_pairs=$cumPairs state_mb=${stateBytes / 1e6}%.1f t=$secs%.1f s")
     }
-    println(f"INCDEDUP total docs=$total batches=$nBatches cum_pairs=$cumPairs")
+    // Final-state equivalence: the union of per-batch emissions must be
+    // EXACTLY the one-shot q_dedup_near pair set (same pairs, same
+    // jaccard) — the correctness contract that makes incremental
+    // maintenance a drop-in for the batch operator.
+    val incremental = spark.read.parquet(state.pairs)
+      .select("doc_id1", "doc_id2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = graft.operators.DedupQueries.dedupNear.query(spark, dir)
+      .select("doc_id1", "doc_id2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val matches = incremental == oneShot
+    println(f"INCDEDUP total docs=$total batches=$nBatches cum_pairs=$cumPairs " +
+      f"one_shot=${oneShot.size} state_equiv=$matches")
+    require(matches, "incremental pair state diverged from one-shot dedup")
     spark.stop()
   }
 }
