@@ -276,7 +276,14 @@ object EventQueries {
   private[graft] def sessionizeBucketedStage(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     graft.sources.BucketedTables.ensureEvents(s, dir)
-    val e = s.table(graft.sources.BucketedTables.eventsTable(dir))
+    sessionizeOn(s.table(graft.sources.BucketedTables.eventsTable(dir)))
+  }
+
+  /** Sessionize logic over any (user_id, ts_us, event_id, ...) events
+    * relation — shared by the bucketed stage and the skew spec (which
+    * feeds it a synthetic hot-user layout).
+    */
+  private[graft] def sessionizeOn(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     e.withColumn("prev_ts", lag("ts_us", 1).over(w))
@@ -305,8 +312,11 @@ object EventQueries {
   private[graft] def funnelBucketedStage(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     graft.sources.BucketedTables.ensureEvents(s, dir)
-    val e = s.table(graft.sources.BucketedTables.eventsTable(dir))
-      .select("user_id", "event_type", "ts_us")
+    funnelOn(s.table(graft.sources.BucketedTables.eventsTable(dir)))
+  }
+
+  private[graft] def funnelOn(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = events.select("user_id", "event_type", "ts_us")
     val c = e.filter(col("event_type") === "click")
       .groupBy("user_id").agg(min("ts_us").as("c_ts"))
     val v = e.filter(col("event_type") === "view")
@@ -336,7 +346,11 @@ object EventQueries {
   private[graft] def streakBucketedStage(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     graft.sources.BucketedTables.ensureEvents(s, dir)
-    val days = s.table(graft.sources.BucketedTables.eventsTable(dir))
+    streaksOn(s.table(graft.sources.BucketedTables.eventsTable(dir)))
+  }
+
+  private[graft] def streaksOn(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val days = events
       .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
       .distinct()
     val w = Window.partitionBy("user_id").orderBy("day")
@@ -370,7 +384,11 @@ object EventQueries {
   private[graft] def retentionBucketedStage(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     graft.sources.BucketedTables.ensureEvents(s, dir)
-    val days = s.table(graft.sources.BucketedTables.eventsTable(dir))
+    retentionOn(s.table(graft.sources.BucketedTables.eventsTable(dir)))
+  }
+
+  private[graft] def retentionOn(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val days = events
       .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
       .distinct()
     val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
