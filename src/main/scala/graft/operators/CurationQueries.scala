@@ -73,22 +73,42 @@ object CurationQueries {
     * it grows with the corpus (every gram with DF >= 3), so at 100 TB it
     * is itself huge — a broadcast would collect it to the driver and copy
     * it to every executor. A plain shuffle join on gram keeps both sides
-    * partitioned; the dictionary side is pre-shrunk by map-side partial
-    * aggregation, and a hot gram (true boilerplate appears in a large
+    * partitioned; a hot gram (true boilerplate appears in a large
     * fraction of documents) is exactly the skewed-key case AQE's skew-join
     * splitting handles on a sort-merge join.
+    *
+    * Two shuffle-width tricks make this linear pass cheap: (1) grams
+    * cross the wire as xxhash64 longs, not ~25-byte strings — only the
+    * per-doc counts matter downstream, never the gram text, and a 64-bit
+    * collision across even billions of distinct grams is ~n²/2⁶⁵; (2) the
+    * (doc_id, gram_hash) pairs are exploded ONCE and explicitly
+    * repartitioned on the hash, so the DF-aggregate branch and the join's
+    * probe branch consume the SAME shuffle (ReuseExchange — one corpus
+    * scan+explode instead of two), and both join sides arrive
+    * co-partitioned on `g` with no further exchange.
     */
   val textBoilerplate = QueryDef(
     "q_text_boilerplate",
     (s, dir) => {
-      val grams = Tables.documents(s, dir)
+      val pairs = Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(array_distinct(
             Tokenize.ngramShingles(Tokenize.tokens(col("text")), 3))).as("gram"))
-      val boiler = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 3)
-        .select(col("gram"), lit(1L).as("is_boiler"))
-      grams.join(boiler, Seq("gram"), "left")
+        .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+        .repartition(col("g"))
+      // The `_keep IS NOT NULL` conjunct is a semantic no-op (doc_id is never
+      // null) the optimizer can't fold, so column pruning keeps doc_id in
+      // this branch's scan — making both exchange subtrees canonically
+      // identical, so ReuseExchange runs ONE scan+explode+shuffle, not two.
+      val boiler = pairs.groupBy("g")
+        .agg(count(lit(1)).as("df"), first("doc_id").as("_keep"))
+        .filter(col("df") >= 3 && col("_keep").isNotNull)
+        .select(col("g"), lit(1L).as("is_boiler"))
+      // shuffle_hash, not broadcast: the dictionary is corpus-proportional,
+      // and both sides are already co-partitioned on g — the hint pins a
+      // deterministic zero-extra-exchange, sort-free plan that AQE's
+      // size misestimate (8-byte hashed keys) can't flip to a broadcast.
+      pairs.join(boiler.hint("shuffle_hash"), Seq("g"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))

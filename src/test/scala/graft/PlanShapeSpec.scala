@@ -181,4 +181,18 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
   }
+
+  test("q_text_boilerplate shuffle-joins its corpus-proportional dictionary off ONE corpus explode") {
+    val df = graft.operators.CurationQueries.textBoilerplate.query(spark, sfTiny)
+    // only the AQE final plan shows runtime stage reuse
+    val finalPlan = executedPlanString(df).split("== Initial Plan ==")(0)
+    // the DF>=3 dictionary grows with the corpus: it must never broadcast,
+    // and the hint pins a sort-free shuffled hash join
+    finalPlan should not include "BroadcastHashJoin"
+    finalPlan should include("ShuffledHashJoin")
+    // the DF-aggregate branch and the join probe consume the SAME
+    // explode+shuffle — exactly one live scan of documents in the final plan
+    finalPlan should include("ReusedExchange")
+    "FileScan parquet".r.findAllIn(finalPlan).length shouldBe 1
+  }
 }
