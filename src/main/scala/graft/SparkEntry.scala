@@ -17,7 +17,8 @@ object SparkEntry {
       FunctionQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++ VectorQueries.defs ++
       StreamQueries.defs ++ MultimodalOps.defs ++ ExtraQueries.defs ++ SubqueryQueries.defs ++
       MoreQueries.defs ++ CurationPipeline.defs ++ AnalyticsQueries.defs ++ TpchQueries.defs ++
-      EventQueries.defs ++ CurationQueries.defs ++ SourceQueries.defs
+      EventQueries.defs ++ CurationQueries.defs ++ SourceQueries.defs ++
+      TimeSeriesQueries.defs ++ CdcQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

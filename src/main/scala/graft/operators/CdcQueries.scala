@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-5 change-data-capture apply: the MERGE INTO primitive —
+  * applying a batch of upserts and deletes to a base snapshot — as a
+  * pure relational plan, since the engine targets plain parquet/object
+  * storage without a transactional table format.
+  *
+  * Scale design: one full-outer shuffle join on the primary key is the
+  * whole operator — the same cost profile as Delta/Iceberg's MERGE
+  * rewrite path, minus the transaction log. At 100 TB the snapshot side
+  * would be bucketed on the key (BucketedTables) so repeated change
+  * batches co-locate for free, and the change batch — typically orders
+  * of magnitude smaller — shuffles to meet it.
+  */
+object CdcQueries {
+
+  /** Apply a change batch to the orders snapshot. The batch is derived
+    * from the same table to stay self-contained and oracle-checkable:
+    * even keys are upserts carrying a re-priced row (+10.00 surcharge —
+    * an exact 2dp double addition, so no cross-engine rounding-mode
+    * divergence; an insert when the key is outside the snapshot, an
+    * update when inside), keys
+    * divisible by 5 are deletes — and a key divisible by 10 is BOTH in
+    * the batch, exercising delete-wins precedence. Output carries the
+    * per-row disposition so downstream audit (q_pipeline_audit pattern)
+    * can count applied changes.
+    */
+  val cdcUpsert = QueryDef(
+    "q_cdc_upsert",
+    (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val snap = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val changes = orders.filter(col("o_orderkey") % 2 === 0 || col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          col("o_custkey").as("c_custkey"),
+          (col("o_totalprice") + 10.0).as("new_price"))
+      snap.join(changes, Seq("o_orderkey"), "full")
+        .filter(col("op").isNull || col("op") === "U")
+        .select(
+          col("o_orderkey"),
+          coalesce(col("c_custkey"), col("o_custkey")).as("o_custkey"),
+          coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"),
+          when(col("op").isNull, lit("kept"))
+            .when(col("o_custkey").isNull, lit("inserted"))
+            .otherwise(lit("updated")).as("disposition"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH snap AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+      changes AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+               o_custkey AS c_custkey,
+               o_totalprice + 10.0 AS new_price
+        FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 5 = 0)
+      SELECT COALESCE(s.o_orderkey, c.o_orderkey) AS o_orderkey,
+             COALESCE(c.c_custkey, s.o_custkey) AS o_custkey,
+             COALESCE(c.new_price, s.o_totalprice) AS o_totalprice,
+             CASE WHEN c.op IS NULL THEN 'kept'
+                  WHEN s.o_custkey IS NULL THEN 'inserted'
+                  ELSE 'updated' END AS disposition
+      FROM snap s FULL OUTER JOIN changes c ON s.o_orderkey = c.o_orderkey
+      WHERE c.op IS NULL OR c.op = 'U'
+      ORDER BY o_orderkey
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(cdcUpsert)
+}

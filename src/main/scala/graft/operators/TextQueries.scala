@@ -350,7 +350,46 @@ object TextQueries {
     """.trim),
   )
 
+  /** Per-document unigram Shannon entropy (nats) — the classic
+    * gibberish/repetition signal: near-zero for one-token spam, ln(n)
+    * for all-distinct text. Computed as ln(N) − Σc·ln(c)/N from the
+    * per-(doc, token) counts, so the only inexact step is a ~hundreds-
+    * term double sum, absorbed by the 6dp round. Same two-level
+    * aggregate shape as wordcount: explode, count by (doc, token),
+    * re-aggregate by doc — linear, shuffles only on keys already
+    * required by the semantics.
+    */
+  val textEntropy = QueryDef(
+    "q_text_entropy",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct"), sum("c").as("n_tokens"),
+          sum(col("c").cast(DoubleType) * log(col("c").cast(DoubleType))).as("clogc"))
+        .select(col("doc_id"), col("n_distinct"), col("n_tokens"),
+          round(log(col("n_tokens").cast(DoubleType))
+            - col("clogc") / col("n_tokens"), 6).as("entropy"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY doc_id, tok),
+      g AS (
+        SELECT doc_id, COUNT(*) AS n_distinct, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+        FROM c GROUP BY doc_id)
+      SELECT doc_id, n_distinct, n_tokens,
+             ROUND(ln(CAST(n_tokens AS DOUBLE)) - clogc / n_tokens, 6) AS entropy
+      FROM g
+      ORDER BY doc_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint, textPmi,
-    textNormalize)
+    textNormalize, textEntropy)
 }
