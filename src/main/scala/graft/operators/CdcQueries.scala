@@ -28,28 +28,32 @@ object CdcQueries {
     * per-row disposition so downstream audit (q_pipeline_audit pattern)
     * can count applied changes.
     */
+  /** The merge itself, generic over where the orders relation comes from
+    * (plain parquet or the PK-bucketed layout) — shared by both
+    * registered variants and the plan-shape spec.
+    */
+  private[graft] def applyStage(orders: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val snap = orders.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val changes = orders.filter(col("o_orderkey") % 2 === 0 || col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 5 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        col("o_custkey").as("c_custkey"),
+        (col("o_totalprice") + 10.0).as("new_price"))
+    snap.join(changes, Seq("o_orderkey"), "full")
+      .filter(col("op").isNull || col("op") === "U")
+      .select(
+        col("o_orderkey"),
+        coalesce(col("c_custkey"), col("o_custkey")).as("o_custkey"),
+        coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"),
+        when(col("op").isNull, lit("kept"))
+          .when(col("o_custkey").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("disposition"))
+  }
+
   val cdcUpsert = QueryDef(
     "q_cdc_upsert",
-    (s, dir) => {
-      val orders = Tables.orders(s, dir)
-      val snap = orders.filter(col("o_orderkey") % 3 =!= 0)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      val changes = orders.filter(col("o_orderkey") % 2 === 0 || col("o_orderkey") % 5 === 0)
-        .select(col("o_orderkey"),
-          when(col("o_orderkey") % 5 === 0, lit("D")).otherwise(lit("U")).as("op"),
-          col("o_custkey").as("c_custkey"),
-          (col("o_totalprice") + 10.0).as("new_price"))
-      snap.join(changes, Seq("o_orderkey"), "full")
-        .filter(col("op").isNull || col("op") === "U")
-        .select(
-          col("o_orderkey"),
-          coalesce(col("c_custkey"), col("o_custkey")).as("o_custkey"),
-          coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"),
-          when(col("op").isNull, lit("kept"))
-            .when(col("o_custkey").isNull, lit("inserted"))
-            .otherwise(lit("updated")).as("disposition"))
-        .orderBy("o_orderkey")
-    },
+    (s, dir) => applyStage(Tables.orders(s, dir)).orderBy("o_orderkey"),
     Some("""
       WITH snap AS (
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
@@ -71,5 +75,25 @@ object CdcQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(cdcUpsert)
+  /** The same merge over the PK-bucketed snapshot layout: both the
+    * snapshot and the change batch read the orders table bucketed+sorted
+    * on o_orderkey, so the full-outer merge joins co-located buckets
+    * with zero exchange and zero sort on either side (plan-asserted).
+    * This is the repeated-ingest shape at 100 TB: maintain the snapshot
+    * bucketed on its key once, and every change batch written through
+    * the same bucketer merges for the price of a local merge scan.
+    */
+  private[graft] def bucketedApplyStage(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    graft.sources.BucketedTables.ensureOrdersPk(s, dir)
+    applyStage(s.table(graft.sources.BucketedTables.ordersPkTable(dir)))
+  }
+
+  val cdcUpsertBucketed = QueryDef(
+    "q_cdc_upsert_bucketed",
+    (s, dir) => bucketedApplyStage(s, dir).orderBy("o_orderkey"),
+    cdcUpsert.oracle,
+  )
+
+  def defs: Seq[QueryDef] = Seq(cdcUpsert, cdcUpsertBucketed)
 }

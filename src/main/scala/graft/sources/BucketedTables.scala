@@ -86,6 +86,41 @@ object BucketedTables {
     ensureOne(customerTable(dir), Tables.customer(s, dir), "c_custkey", scratch("customer"))
   }
 
+  def ordersPkTable(dir: String): String = s"graft_orders_pk_bucketed_${tag(dir)}"
+
+  /** Orders bucketed+sorted by PRIMARY KEY (o_orderkey) — the CDC/MERGE
+    * layout: a snapshot maintained bucketed on its key lets every change
+    * batch that arrives bucketed the same way (the natural ingest shape —
+    * appends are written through the same bucketer) full-outer-merge with
+    * ZERO exchange and ZERO sort on either side. This is the batch
+    * equivalent of what Delta/Iceberg buy with clustered tables, on plain
+    * parquet. Distinct from ensure()'s o_custkey layout, which serves the
+    * customer-join family.
+    */
+  def ensureOrdersPk(s: SparkSession, dir: String): Unit = synchronized {
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val path = GraftFs.qualify(s, s"target/graft-bucketed/${tag(dir)}/orders_pk")
+    val table = ordersPkTable(dir)
+    if (!s.catalog.tableExists(table)) {
+      val src = Tables.orders(s, dir)
+      if (GraftFs.hasSuccess(s, path) && bucketLayoutValid(s, path)) {
+        s.sql(s"""CREATE TABLE $table (${src.schema.toDDL}) USING PARQUET
+                 |CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) INTO 8 BUCKETS
+                 |LOCATION '$path'""".stripMargin)
+      } else {
+        GraftFs.deleteRecursively(s, path)
+        src.repartition(8, org.apache.spark.sql.functions.col("o_orderkey"))
+          .write
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", path)
+          .mode(SaveMode.Overwrite)
+          .saveAsTable(table)
+        require(bucketLayoutValid(s, path),
+          s"bucketed write at $path violated one-file-per-bucket; sorted scans would be wrong")
+      }
+    }
+  }
+
   def signaturesTable(dir: String): String = s"graft_signatures_bucketed_${tag(dir)}"
 
   /** Banded MinHash signatures persisted bucketed+sorted on the LSH

@@ -122,5 +122,45 @@ object StreamQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(tumbling, sliding, session, dedup, stateful, statefulTws)
+  /** Streaming EWMA twin (TimeSeriesState.ewmaTws) in batch mode: the
+    * per-user FINAL adjusted EWMA over the full history — the infinite-
+    * horizon companion to q_ts_ewma's trailing-20 window, with the same
+    * decay-0.5 / most-recent-first fold parity contract. */
+  val ewmaTws = QueryDef(
+    "q_stream_ewma_tws",
+    (s, dir) => {
+      StreamOps.ensureStateStoreCoordinator(s)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      TimeSeriesState.ewmaTws(Tables.events(s, dir))
+        .select("user_id", "ewma").orderBy("user_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT user_id, array_agg(value ORDER BY ts, event_id) AS l
+        FROM events GROUP BY user_id)
+      SELECT user_id,
+             ROUND(list_sum(list_transform(range(len(l)), i -> l[len(l)-i] * power(0.5, i))) /
+                   list_sum(list_transform(range(len(l)), i -> power(0.5, i))), 6) AS ewma
+      FROM t
+      ORDER BY user_id
+    """.trim),
+  )
+
+  /** Streaming anomaly twin (TimeSeriesState.anomalyTws) in batch mode:
+    * same rows as q_ts_anomaly (same oracle) from the bounded-ListState
+    * processor instead of a window frame. */
+  val anomalyTws = QueryDef(
+    "q_stream_anomaly_tws",
+    (s, dir) => {
+      StreamOps.ensureStateStoreCoordinator(s)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      TimeSeriesState.anomalyTws(Tables.events(s, dir)).orderBy("event_id")
+    },
+    graft.operators.TimeSeriesQueries.tsAnomaly.oracle,
+  )
+
+  def defs: Seq[QueryDef] = Seq(tumbling, sliding, session, dedup, stateful, statefulTws,
+    ewmaTws, anomalyTws)
 }

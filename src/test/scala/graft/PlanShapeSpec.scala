@@ -182,6 +182,18 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("q_cdc_upsert_bucketed full-outer-merges co-located PK buckets with no exchange and no sort") {
+    val df = graft.operators.CdcQueries.bucketedApplyStage(spark, sfTiny)
+    val plan = executedPlanString(df)
+    plan should include("SortMergeJoin")
+    plan should include("FullOuter")
+    // snapshot and change batch both read the o_orderkey-bucketed layout:
+    // any Exchange or Sort means the co-location was lost
+    plan should not include "Exchange"
+    plan should not include " Sort ["
+    plan should include("SelectedBucketsCount")
+  }
+
   test("q_text_boilerplate shuffle-joins its corpus-proportional dictionary off ONE corpus explode") {
     val df = graft.operators.CurationQueries.textBoilerplate.query(spark, sfTiny)
     // only the AQE final plan shows runtime stage reuse

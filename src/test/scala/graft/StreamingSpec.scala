@@ -258,6 +258,62 @@ class StreamingSpec extends SparkTestBase with Matchers {
     seen.map(_._2).sorted.toSeq shouldBe Seq(1L, 2L, 3L, 4L, 5L) // exactly the input, once
   }
 
+  test("s_ewma/s_anomaly: multi-batch TWS stream over time-split files == batch twin") {
+    import graft.streaming.TimeSeriesState
+    val dir = Files.createTempDirectory("graft_ts_stream").toFile.getAbsolutePath
+    // fixture events cut into 3 time-ordered files → 3 micro-batches in
+    // event-time order (the CDC-ingest shape these processors assume)
+    val raw = Tables.eventsRawNanos(spark, sfTiny)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val parts = raw.withColumn("part", ntile(3).over(w)).cache()
+    (1 to 3).foreach { i =>
+      val tmp = Files.createTempDirectory(s"graft_ts_w$i").toFile.getAbsolutePath
+      parts.filter(col("part") === i).drop("part")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(dir, s"f$i.parquet"))
+      Thread.sleep(1100) // distinct mod times → deterministic file order
+    }
+    parts.unpersist()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def src() = StreamOps.normalizeTs(
+        spark.readStream.schema(StreamOps.eventsRawSchema)
+          .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+          .parquet(dir))
+
+      // anomaly: each row is scored exactly once against its preceding
+      // window regardless of batching — union of emissions == batch run
+      val gotAnom = runToMemory(TimeSeriesState.anomalyTws(src()), "t_anom_tws", "update")
+      val wantAnom = TimeSeriesState.anomalyTws(Tables.events(spark, sfTiny))
+      rowsOf(gotAnom) shouldBe rowsOf(wantAnom)
+      wantAnom.count() should be > 0L
+
+      // ewma: last emission per user (max n_seen) ≈ batch single-pass value;
+      // cross-batch aging reassociates the fold, so compare at 1e-6
+      val gotE = runToMemory(TimeSeriesState.ewmaTws(src()), "t_ewma_tws", "update")
+      val lastPerUser = gotE.withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(desc("n_seen"))))
+        .filter(col("rn") === 1).select("user_id", "ewma")
+      val wantE = TimeSeriesState.ewmaTws(Tables.events(spark, sfTiny))
+        .select("user_id", "ewma")
+      val joined = lastPerUser.alias("g").join(wantE.alias("b"), "user_id")
+        .select(abs(col("g.ewma") - col("b.ewma")).as("d")).collect()
+      joined.length shouldBe wantE.count()
+      all(joined.map(_.getDouble(0))) should be < 1e-6
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("s_late: events below the watermark are dropped from append-mode windows") {
     val dir = Files.createTempDirectory("graft_late").toFile.getAbsolutePath
     def write(name: String, rows: Seq[(Long, String)]): Unit = {
