@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** UDAF: mergeable t-digest quantile sketch (Dunning's merging variant) —
+  * completes the sketch family (bloom / count-min / HLL) with the
+  * quantile member every telemetry pipeline needs. Buffer is a bounded
+  * centroid list ((mean, weight) pairs, ≤ 4·δ entries before compression),
+  * so at 100 TB each (group × partition) ships a few-KB digest instead of
+  * its raw values, partials merge associatively map-side, and a single
+  * reducer folds per-group digests — the same partial-aggregate shape as
+  * sum(), at any cardinality.
+  *
+  * Compression uses the k1-ish weight bound w(q) ≤ 4·N·q(1-q)/δ: centroid
+  * capacity shrinks toward the tails, which is what makes extreme
+  * quantiles (p99) tight while the median stays within ~1/δ rank error.
+  * Estimates depend on merge order (like every t-digest), so correctness
+  * is a SketchSpec rank-error bound vs exact percentiles plus a
+  * partitioning-invariance tolerance, not a hash oracle.
+  */
+class TDigestSketch(compression: Int, quantiles: Seq[Double])
+    extends Aggregator[Double, (Array[Double], Array[Double]), Seq[Double]] {
+
+  private val maxBuffer = 4 * compression
+
+  override def zero: (Array[Double], Array[Double]) = (Array.empty, Array.empty)
+
+  override def reduce(b: (Array[Double], Array[Double]), x: Double): (Array[Double], Array[Double]) = {
+    val (means, weights) = b
+    val nm = means :+ x
+    val nw = weights :+ 1.0
+    if (nm.length > maxBuffer) compress(nm, nw) else (nm, nw)
+  }
+
+  override def merge(a: (Array[Double], Array[Double]),
+      b: (Array[Double], Array[Double])): (Array[Double], Array[Double]) =
+    compress(a._1 ++ b._1, a._2 ++ b._2)
+
+  /** Sort by mean, then greedily merge adjacent centroids while the
+    * combined weight stays under the scale-function bound at the
+    * centroid's quantile midpoint. */
+  private def compress(means: Array[Double], weights: Array[Double]): (Array[Double], Array[Double]) = {
+    if (means.length <= 1) return (means, weights)
+    val order = means.indices.sortBy(means(_))
+    val total = weights.sum
+    val om = new scala.collection.mutable.ArrayBuffer[Double](compression)
+    val ow = new scala.collection.mutable.ArrayBuffer[Double](compression)
+    var curMeanW = means(order.head) * weights(order.head)
+    var curW = weights(order.head)
+    var cum = 0.0 // weight fully to the left of the current centroid
+    for (idx <- order.tail) {
+      val w = weights(idx)
+      val q = (cum + (curW + w) / 2) / total
+      val limit = 4.0 * total * q * (1 - q) / compression
+      if (curW + w <= limit) {
+        curMeanW += means(idx) * w
+        curW += w
+      } else {
+        om += curMeanW / curW; ow += curW
+        cum += curW
+        curMeanW = means(idx) * w; curW = w
+      }
+    }
+    om += curMeanW / curW; ow += curW
+    (om.toArray, ow.toArray)
+  }
+
+  /** Interpolate each requested quantile over the cumulative centroid
+    * weights (midpoint rule). */
+  override def finish(r: (Array[Double], Array[Double])): Seq[Double] = {
+    val (means0, weights0) = compress(r._1, r._2)
+    if (means0.isEmpty) return quantiles.map(_ => 0.0)
+    val n = means0.length
+    val total = weights0.sum
+    // cumulative weight at each centroid's midpoint
+    val mid = new Array[Double](n)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { mid(i) = acc + weights0(i) / 2; acc += weights0(i); i += 1 }
+    quantiles.map { q =>
+      val target = q * total
+      if (target <= mid(0)) means0(0)
+      else if (target >= mid(n - 1)) means0(n - 1)
+      else {
+        val j = mid.indexWhere(_ >= target)
+        val (m0, m1) = (mid(j - 1), mid(j))
+        val frac = (target - m0) / (m1 - m0)
+        means0(j - 1) + frac * (means0(j) - means0(j - 1))
+      }
+    }
+  }
+
+  override def bufferEncoder: Encoder[(Array[Double], Array[Double])] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+}

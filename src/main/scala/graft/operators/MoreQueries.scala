@@ -217,6 +217,31 @@ object MoreQueries {
     """.trim),
   )
 
+  /** Mergeable t-digest quantile sketch per event type (δ=100): p50/p95/
+    * p99 estimates from bounded centroid digests — the quantile member of
+    * the sketch family (bloom / CMS / HLL). Each (group × partition)
+    * ships a few-KB digest, partials merge associatively map-side; no
+    * hash oracle (estimates are merge-order-dependent like HLL) —
+    * SketchSpec bounds rank error vs exact percentiles and partitioning
+    * drift.
+    */
+  val sketchQuantile = QueryDef(
+    "q_sketch_quantile",
+    (s, dir) => {
+      val tdigest = udaf(new graft.functions.TDigestSketch(100, Seq(0.5, 0.95, 0.99)))
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(tdigest(col("value")).as("qs"))
+        .select(col("event_type"),
+          col("qs").getItem(0).as("p50_est"),
+          col("qs").getItem(1).as("p95_est"),
+          col("qs").getItem(2).as("p99_est"))
+        .orderBy("event_type")
+    },
+    None,
+  )
+
   def defs: Seq[QueryDef] = Seq(
-    winFirstLast, joinLateral, setIntersectAll, setExceptAll, aggCollect, sketchBloom, sketchCms)
+    winFirstLast, joinLateral, setIntersectAll, setExceptAll, aggCollect, sketchBloom, sketchCms,
+    sketchQuantile)
 }

@@ -61,6 +61,39 @@ class SketchSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("q_sketch_quantile: t-digest rank error <= 2% vs exact, stable across partitionings") {
+    import graft.operators.MoreQueries
+    // rank error: where does the estimate fall in the exact value
+    // distribution vs the target quantile
+    val values = Tables.events(spark, sfTiny)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.map(_.getDouble(1)).sorted }
+    val est = MoreQueries.sketchQuantile.query(spark, sfTiny).collect()
+    est.length should be > 0
+    for (r <- est; (q, i) <- Seq(0.5 -> 1, 0.95 -> 2, 0.99 -> 3)) {
+      val sorted = values(r.getString(0))
+      val e = r.getDouble(i)
+      val rank = sorted.count(_ <= e).toDouble / sorted.length
+      math.abs(rank - q) should be <= 0.02
+    }
+    // merge-order sensitivity stays small: 2-partition vs 16-partition
+    // digests of the same data agree within 1% rank
+    def estimates(parts: Int) = {
+      val tdigest = org.apache.spark.sql.functions.udaf(
+        new graft.functions.TDigestSketch(100, Seq(0.5, 0.95, 0.99)))
+      Tables.events(spark, sfTiny).repartition(parts)
+        .groupBy("event_type").agg(tdigest(col("value")).as("qs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    }
+    val (e2, e16) = (estimates(2), estimates(16))
+    for ((t, qs2) <- e2; (v2, v16) <- qs2.zip(e16(t))) {
+      val sorted = values(t)
+      val r2 = sorted.count(_ <= v2).toDouble / sorted.length
+      val r16 = sorted.count(_ <= v16).toDouble / sorted.length
+      math.abs(r2 - r16) should be <= 0.01
+    }
+  }
+
   test("q_join_range_binned plans a pure equi-join on (user, bin) — no nested-loop fallback") {
     val df = JoinQueries.joinRangeBinned.query(spark, sfTiny)
     df.collect() // finalize AQE
