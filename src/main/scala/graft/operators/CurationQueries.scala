@@ -132,6 +132,56 @@ object CurationQueries {
     """.trim),
   )
 
+  /** PII detection + redaction — the scrub step every training-data
+    * pipeline runs before near-dedup (redaction first, or the same
+    * document with/without its email is two "different" documents). The
+    * fixture text is synthetic word salad, so PII is implanted
+    * deterministically (the synthesize-then-process pattern of q_fn_url /
+    * q_text_normalize): every 3rd doc gains an email, every 4th a phone
+    * number, then detection counts and global-replace redaction run over
+    * the noisy text and the oracle recomputes both. One linear projection
+    * pass — regexp_count + regexp_replace are codegen'd, no shuffle at
+    * all until the output sort.
+    */
+  val textPii = QueryDef(
+    "q_text_pii",
+    (s, dir) => {
+      val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phoneRe = "\\d{3}-\\d{4}"
+      val noisy = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact u"), col("doc_id").cast(StringType), lit("@mail.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+            .otherwise(lit(""))).as("t"))
+      noisy.select(col("doc_id"),
+          regexp_count(col("t"), lit(emailRe)).as("n_email"),
+          regexp_count(col("t"), lit(phoneRe)).as("n_phone"),
+          regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+            .as("redacted"))
+        .withColumn("has_pii", (col("n_email") + col("n_phone") > 0).cast(BooleanType))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH noisy AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.com' ELSE '' END ||
+          CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS INTEGER) AS n_email,
+             CAST(len(regexp_extract_all(t, '\d{3}-\d{4}')) AS INTEGER) AS n_phone,
+             regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+                            '\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+             len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+               + len(regexp_extract_all(t, '\d{3}-\d{4}')) > 0 AS has_pii
+      FROM noisy
+      ORDER BY doc_id
+    """.trim),
+  )
+
   /** Training-mix construction under a token budget: per language, admit
     * documents in deterministic canonical order (doc_id — in production:
     * a quality rank) until the language's running token total exceeds the
@@ -339,5 +389,5 @@ object CurationQueries {
   )
 
   def defs: Seq[QueryDef] = Seq(pipelineDecontam, textBoilerplate, pipelineMix, pipelineAudit,
-    textChunkDedup)
+    textChunkDedup, textPii)
 }

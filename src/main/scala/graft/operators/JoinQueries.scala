@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Group D — joins (SURVEY.md §2.B Group D).
   *
@@ -375,8 +376,47 @@ object JoinQueries {
     joinInterval.oracle,
   )
 
+  /** Runtime bloom-filter join (InjectRuntimeFilter) — the modern sibling
+    * of DPP for non-partition keys: the dim side's selective predicate is
+    * turned into a bloom filter evaluated as `might_contain` on the fact
+    * side BEFORE its shuffle, so at 100 TB the fact scan ships only rows
+    * that can possibly join instead of the full table. The demo runs in an
+    * isolated `newSession()` (same SparkContext, own conf) because at
+    * fixture scale the dim broadcasts — and InjectRuntimeFilter only fires
+    * for probable shuffle joins, the 100 TB regime where a multi-GB dim
+    * CANNOT broadcast; disabling autoBroadcast inside the child session
+    * reproduces that regime without polluting the shared session's plans.
+    * Revenue sums are exact decimals per the §7.5 determinism rules.
+    */
+  val joinBloomFilter = QueryDef(
+    "q_join_bloomfilter",
+    (s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val o = Tables.orders(s2, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderstatus")
+      val l = Tables.lineitem(s2, dir)
+        .select(col("l_orderkey"), col("l_extendedprice").cast(DecimalType(12, 2)).as("price"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum("price").cast(DecimalType(38, 2)).cast(DoubleType).as("revenue"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n_items,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     joinInner, joinBroadcast, joinSortMerge, joinBucketed, joinSalted, joinLeft, joinFull,
     joinSemi, joinAnti, joinCross, joinTheta, joinInterval, joinAsof, joinAsofNative,
-    joinRangeBinned)
+    joinRangeBinned, joinBloomFilter)
 }

@@ -182,6 +182,18 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("q_join_bloomfilter injects a runtime bloom filter on the fact side, parent session untouched") {
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val df = JoinQueries.joinBloomFilter.query(spark, sfTiny)
+    val plan = executedPlanString(df)
+    // the dim's selective predicate reaches the fact side as might_contain
+    // BEFORE the fact shuffle — the non-partition-key sibling of DPP
+    plan should include("might_contain")
+    plan should include("SortMergeJoin")
+    // the conf overrides lived in the child newSession() only
+    spark.conf.get("spark.sql.autoBroadcastJoinThreshold") shouldBe before
+  }
+
   test("q_cdc_upsert_bucketed full-outer-merges co-located PK buckets with no exchange and no sort") {
     val df = graft.operators.CdcQueries.bucketedApplyStage(spark, sfTiny)
     val plan = executedPlanString(df)
