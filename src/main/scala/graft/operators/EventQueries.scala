@@ -403,6 +403,56 @@ object EventQueries {
         col("k").as("day_offset"), col("n_users"))
   }
 
+  /** Last-touch attribution: each purchase is credited to the user's most
+    * recent click within a 24h lookback — the marketing-attribution
+    * primitive. One window pass (last non-null carried forward, current
+    * row excluded so a purchase can't self-attribute), no join: the
+    * event table never meets itself, which is the property that matters
+    * when both sides are billions of rows. Same single-shuffle
+    * (user_id) + one-sort shape as sessionize.
+    */
+  val attribution = QueryDef(
+    "q_events_attribution",
+    (s, dir) => {
+      val horizonUs = 86400000000L // 24h
+      val w = Window.partitionBy("user_id").orderBy(asc("ts_us"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      eventsUs(s, dir)
+        .withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_ts",
+          last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          when(col("click_ts").isNotNull && col("ts_us") - col("click_ts") <= horizonUs,
+            col("click_id")).as("attributed_click"),
+          when(col("click_ts").isNotNull && col("ts_us") - col("click_ts") <= horizonUs,
+            col("ts_us") - col("click_ts")).as("gap_us"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events),
+      t AS (
+        SELECT event_id, user_id, event_type, ts_us,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                 OVER w AS click_id,
+               last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+                 OVER w AS click_ts
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id,
+             CASE WHEN click_ts IS NOT NULL AND ts_us - click_ts <= 86400000000 THEN click_id END AS attributed_click,
+             CASE WHEN click_ts IS NOT NULL AND ts_us - click_ts <= 86400000000 THEN ts_us - click_ts END AS gap_us
+      FROM t
+      WHERE event_type = 'purchase'
+      ORDER BY event_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(sessionize, funnel, retention, winRange, tsOverlap, winStreak,
-    sessionizeBucketed, funnelBucketed, winStreakBucketed, retentionBucketed)
+    sessionizeBucketed, funnelBucketed, winStreakBucketed, retentionBucketed, attribution)
 }

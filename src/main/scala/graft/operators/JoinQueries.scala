@@ -415,8 +415,43 @@ object JoinQueries {
     """.trim),
   )
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): suppliers whose
+    * nationkey is deterministically nulled (every 5th) still match a
+    * synthetic UNKNOWN dim row — the dimension-with-null-member idiom.
+    * `<=>` keeps the join a plain hash/broadcast equi-join (null becomes
+    * an ordinary key value) instead of the null-dropping inner join plus
+    * a union patch-up; the null "key group" is as skew-safe as any other
+    * hot key because the dim side has exactly one UNKNOWN row.
+    */
+  val joinNullSafe = QueryDef(
+    "q_join_nullsafe",
+    (s, dir) => {
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"),
+          when(col("s_suppkey") % 5 === 0, lit(null)).otherwise(col("s_nationkey"))
+            .as("nk"))
+      val dim = Tables.nation(s, dir).select(col("n_nationkey").as("nk"), col("n_name"))
+        .unionAll(s.range(1).select(lit(null).cast("long").as("nk"), lit("UNKNOWN").as("n_name")))
+      sup.join(broadcast(dim), sup("nk") <=> dim("nk"))
+        .select(col("s_suppkey"), col("n_name"))
+        .orderBy("s_suppkey")
+    },
+    Some("""
+      WITH sup AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_nationkey END AS nk
+        FROM supplier),
+      dim AS (
+        SELECT n_nationkey AS nk, n_name FROM nation
+        UNION ALL SELECT NULL, 'UNKNOWN')
+      SELECT s_suppkey, n_name
+      FROM sup JOIN dim ON sup.nk IS NOT DISTINCT FROM dim.nk
+      ORDER BY s_suppkey
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     joinInner, joinBroadcast, joinSortMerge, joinBucketed, joinSalted, joinLeft, joinFull,
     joinSemi, joinAnti, joinCross, joinTheta, joinInterval, joinAsof, joinAsofNative,
-    joinRangeBinned, joinBloomFilter)
+    joinRangeBinned, joinBloomFilter, joinNullSafe)
 }
