@@ -388,6 +388,48 @@ object CurationQueries {
     """.trim),
   )
 
+  /** Greedy contiguous sequence packing: per language, documents in
+    * canonical order are laid into fixed 2048-token training sequences —
+    * a document starts in the sequence its running-total prefix lands in
+    * (contiguous first-fit with overflow, the standard pretraining
+    * packer). One window cumsum per lang partition, integer arithmetic
+    * only; seq_id and the offset within the sequence are pure functions
+    * of the cumsum, so the whole assignment is a single shuffle on lang
+    * at any corpus size — no bin state, no driver loop.
+    */
+  val pipelinePack = QueryDef(
+    "q_pipeline_pack",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          Tokenize.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / 2048).as("seq_id"),
+          (col("cum") - col("n_tokens") - floor((col("cum") - col("n_tokens")) / 2048) * 2048)
+            .as("seq_offset"))
+        .orderBy("lang", "doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                 OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents)
+      SELECT doc_id, lang, n_tokens,
+             CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_id,
+             CAST(cum - n_tokens - CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) * 2048 AS BIGINT) AS seq_offset
+      FROM t
+      ORDER BY lang, doc_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(pipelineDecontam, textBoilerplate, pipelineMix, pipelineAudit,
-    textChunkDedup, textPii)
+    textChunkDedup, textPii, pipelinePack)
 }

@@ -389,7 +389,45 @@ object TextQueries {
     """.trim),
   )
 
+  /** Context-window chunking: each document split into 50-token chunks
+    * with a 40-token stride (10-token overlap) — the retrieval/training
+    * prep step between curation and tokenization. Chunk count is derived
+    * per row and exploded (`sequence` + `explode`, the q_ts_gapfill grid
+    * idiom), so the pass is linear with zero shuffles before the output
+    * sort and the chunk text itself is sliced inside codegen.
+    */
+  val textChunkify = QueryDef(
+    "q_text_chunkify",
+    (s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+      t.select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L),
+            ceil(greatest(size(col("toks")) - 10, lit(1)) / 40.0).cast(LongType) - 1))
+            .as("chunk_ix"))
+        .select(col("doc_id"), col("chunk_ix"),
+          concat_ws(" ", slice(col("toks"), (col("chunk_ix") * 40 + 1).cast(IntegerType), lit(50)))
+            .as("chunk"),
+          size(slice(col("toks"), (col("chunk_ix") * 40 + 1).cast(IntegerType), lit(50)))
+            .as("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_ix")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      c AS (
+        SELECT doc_id,
+               unnest(range(CAST(ceil(greatest(len(toks) - 10, 1) / 40.0) AS BIGINT))) AS chunk_ix,
+               toks
+        FROM t)
+      SELECT doc_id, chunk_ix,
+             list_aggregate(toks[chunk_ix*40+1 : chunk_ix*40+50], 'string_agg', ' ') AS chunk,
+             CAST(len(toks[chunk_ix*40+1 : chunk_ix*40+50]) AS INTEGER) AS n_chunk_tokens
+      FROM c
+      ORDER BY doc_id, chunk_ix
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint, textPmi,
-    textNormalize, textEntropy)
+    textNormalize, textEntropy, textChunkify)
 }
