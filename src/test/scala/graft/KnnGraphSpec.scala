@@ -3,6 +3,7 @@ package graft
 import graft.operators.VectorQueries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.util.QueryExecutionListener
 import org.scalatest.matchers.should.Matchers
 
@@ -43,6 +44,26 @@ class KnnGraphSpec extends SparkTestBase with Matchers {
     rows.groupBy(_.getLong(0)).values.foreach { g =>
       g.map(_.getInt(1)).sorted.toSeq shouldBe (1 to g.length)
     }
+  }
+
+  test("q_vec_pq: ADC-shortlist + exact re-rank recall@5 ≥ 0.9 mean, ≥ 0.6 min vs brute-force L2") {
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.operators.VectorQueries.vecPq.query(spark, sfTiny)
+      .select("q_vec_id", "n_vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val e = Tables.embeddings(spark, sfTiny).select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q"), col("embedding").as("qe"))
+    val exact = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q"))
+      .withColumn("d", expr(
+        "aggregate(zip_with(embedding, qe, (x,y) -> (CAST(x AS DOUBLE)-CAST(y AS DOUBLE))*(CAST(x AS DOUBLE)-CAST(y AS DOUBLE))), 0D, (a,v) -> a+v)"))
+      .withColumn("rn", row_number().over(Window.partitionBy("q").orderBy(asc("d"), asc("vec_id"))))
+      .filter(col("rn") <= 5).select("q", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val recalls = exact.keys.toSeq.sorted
+      .map(k => got.getOrElse(k, Set.empty[Long]).intersect(exact(k)).size / 5.0)
+    (recalls.sum / recalls.size) should be >= 0.9
+    recalls.min should be >= 0.6
   }
 
   test("every executed plan in both graph pipelines is cartesian-free") {
