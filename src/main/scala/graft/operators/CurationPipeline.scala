@@ -101,5 +101,136 @@ object CurationPipeline {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(pipelineCurate)
+  /** Documents round-tripped through a scratch CSV layout — written once
+    * per scale dir (Hadoop-FS _SUCCESS guard), read back with the explicit
+    * schema (schema inference is a full extra pass — never at 100 TB).
+    * The fixture text is CSV-clean (verified: no newlines/quotes/commas at
+    * any SF), so the round trip is lossless and the downstream pipeline is
+    * oracle-comparable against the original parquet.
+    */
+  private def documentsViaCsv(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = graft.sources.GraftFs.qualify(s, s"target/graft-e2e/$tag/documents_csv")
+    val src = Tables.documents(s, dir)
+    synchronized {
+      if (!graft.sources.GraftFs.hasSuccess(s, path))
+        graft.sources.FormatSources.writeCsv(src, path)
+    }
+    graft.sources.FormatSources.readCsv(s, path, src.schema)
+  }
+
+  /** The pipelineCurate quality score as a reusable column. */
+  private def qualityScore = {
+    val toks = Tokenize.tokens(col("text"))
+    round(lit(0.3) * (size(array_distinct(toks)).cast(DoubleType) / size(toks))
+      + lit(0.5) * (lit(1.0) - size(filter(toks,
+          t => t.isin("the", "a", "of", "and", "in", "to"))).cast(DoubleType) / size(toks))
+      + lit(0.2) * least(lit(1.0), size(toks).cast(DoubleType) / lit(100.0)), 6)
+  }
+
+  /** Multi-format pipeline, end to end — the nightly ingest a data team
+    * actually runs, as ONE oracle-checked query: CSV ingest → quality gate
+    * → persisted lang-bucketed curated corpus (standing state, written
+    * once) → near-dup ADMISSION of the incoming src0 slice against it.
+    * Each incoming doc gets a disposition with precedence low_quality →
+    * dup_exact (identical text in corpus) → near_dup (token-Jaccard ≥ 0.5
+    * vs a corpus doc of the same lang) → admit, plus the most-canonical
+    * corpus doc it duplicates. Scale shape: the standing corpus is
+    * ingested/curated/bucketed ONCE (all _SUCCESS-guarded); a nightly run
+    * re-reads only co-located lang buckets, the exact-dup probe is an
+    * equi-join on text, and the Jaccard gate is lang-blocked with
+    * size-band + early-exit pruning (q_sim_jaccard_cross's shape — at
+    * 100 TB the banded-LSH candidate variant replaces it, as
+    * q_dedup_near_cross does). Oracle: the whole pipeline in DuckDB SQL
+    * over the original parquet — lossless-CSV round trip makes the two
+    * comparable.
+    */
+  val pipelineE2e = QueryDef(
+    "q_pipeline_e2e",
+    (s, dir) => {
+      val q = documentsViaCsv(s, dir).withColumn("quality_score", qualityScore)
+      // standing corpus: quality-surviving non-src0 docs, bucketed by lang
+      graft.sources.BucketedTables.ensureCurated(s, dir,
+        q.filter(col("source") =!= "src0" && col("quality_score") >= 0.5)
+          .select("doc_id", "lang", "source", "text", "quality_score"))
+      val corpus = s.table(graft.sources.BucketedTables.curatedTable(dir))
+      val incoming = q.filter(col("source") === "src0")
+        .select("doc_id", "lang", "text", "quality_score")
+      val exactDup = incoming
+        .join(corpus.select(col("text").as("ctext"), col("doc_id").as("c_id")),
+          col("text") === col("ctext"))
+        .groupBy("doc_id").agg(min("c_id").as("e_dup"))
+      def sets(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("ts", Tokenize.tokenSet(col("text")))
+        .select(col("doc_id"), col("lang"), Tokenize.hashedSetOf(col("ts")).as("th"),
+          size(col("ts")).as("sz"))
+      val inc = sets(incoming.filter(col("quality_score") >= 0.5))
+      val cor = sets(corpus.select("doc_id", "lang", "text"))
+        .select(col("doc_id").as("c_id"), col("lang").as("lang2"),
+          col("th").as("th2"), col("sz").as("sz2"))
+      val nearDup = inc.join(cor,
+          col("lang") === col("lang2") && col("doc_id") =!= col("c_id")
+            && DedupQueries.sizeBand(col("sz"), col("sz2"), 1, 2))
+        .withColumn("inter", DedupQueries.intersectAtLeast(col("th"), col("th2"),
+          expr("CAST((sz + sz2 + 2) div 3 AS INT)")))
+        .withColumn("j", col("inter").cast(DoubleType) / (col("sz") + col("sz2") - col("inter")))
+        .filter(col("j") >= 0.5)
+        .groupBy("doc_id").agg(min("c_id").as("n_dup"))
+      incoming
+        .join(exactDup, Seq("doc_id"), "left")
+        .join(nearDup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("quality_score"),
+          when(col("quality_score") < 0.5, lit("low_quality"))
+            .when(col("e_dup").isNotNull, lit("dup_exact"))
+            .when(col("n_dup").isNotNull, lit("near_dup"))
+            .otherwise(lit("admit")).as("disposition"),
+          when(col("quality_score") < 0.5, lit(null).cast(LongType))
+            .when(col("e_dup").isNotNull, col("e_dup"))
+            .otherwise(col("n_dup")).as("dup_of"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH q AS (
+        SELECT doc_id, lang, source, text,
+               ROUND(0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                            / len(string_split(text, ' ')))
+                   + 0.5 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN ('the','a','of','and','in','to'))) AS DOUBLE)
+                            / len(string_split(text, ' ')))
+                   + 0.2 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0), 6)
+                 AS quality_score
+        FROM documents),
+      corpus AS (SELECT * FROM q WHERE source <> 'src0' AND quality_score >= 0.5),
+      incoming AS (SELECT doc_id, lang, text, quality_score FROM q WHERE source = 'src0'),
+      exact_dup AS (
+        SELECT i.doc_id, MIN(c.doc_id) AS e_dup
+        FROM incoming i JOIN corpus c ON i.text = c.text
+        GROUP BY i.doc_id),
+      inc_sets AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ts
+        FROM incoming WHERE quality_score >= 0.5),
+      cor_sets AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ts FROM corpus),
+      near_dup AS (
+        SELECT i.doc_id, MIN(c.doc_id) AS n_dup
+        FROM inc_sets i JOIN cor_sets c ON i.lang = c.lang AND i.doc_id <> c.doc_id
+        WHERE CAST(len(list_intersect(i.ts, c.ts)) AS DOUBLE)
+              / (len(i.ts) + len(c.ts) - len(list_intersect(i.ts, c.ts))) >= 0.5
+        GROUP BY i.doc_id)
+      SELECT i.doc_id, i.lang, i.quality_score,
+             CASE WHEN i.quality_score < 0.5 THEN 'low_quality'
+                  WHEN e.e_dup IS NOT NULL THEN 'dup_exact'
+                  WHEN n.n_dup IS NOT NULL THEN 'near_dup'
+                  ELSE 'admit' END AS disposition,
+             CASE WHEN i.quality_score < 0.5 THEN NULL
+                  WHEN e.e_dup IS NOT NULL THEN e.e_dup
+                  ELSE n.n_dup END AS dup_of
+      FROM incoming i
+      LEFT JOIN exact_dup e ON i.doc_id = e.doc_id
+      LEFT JOIN near_dup n ON i.doc_id = n.doc_id
+      ORDER BY i.doc_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(pipelineCurate, pipelineE2e)
 }

@@ -198,6 +198,39 @@ object BucketedTables {
     }
   }
 
+  def curatedTable(dir: String): String = s"graft_curated_bucketed_${tag(dir)}"
+
+  /** Curated-corpus layout for the end-to-end pipeline demo
+    * (q_pipeline_e2e): the quality-surviving standing corpus, bucketed by
+    * lang — the block key of the near-dup admission join — so each nightly
+    * admission run scans only the co-located lang buckets. The caller
+    * passes the curated frame (the pipeline derives it from the CSV-
+    * ingested corpus; sources stays independent of the operator layer).
+    */
+  def ensureCurated(s: SparkSession, dir: String,
+      src: org.apache.spark.sql.DataFrame): Unit = synchronized {
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val path = GraftFs.qualify(s, s"target/graft-bucketed/${tag(dir)}/curated")
+    val table = curatedTable(dir)
+    if (!s.catalog.tableExists(table)) {
+      if (GraftFs.hasSuccess(s, path) && bucketLayoutValid(s, path)) {
+        s.sql(s"""CREATE TABLE $table (${src.schema.toDDL}) USING PARQUET
+                 |CLUSTERED BY (lang) SORTED BY (lang) INTO 8 BUCKETS
+                 |LOCATION '$path'""".stripMargin)
+      } else {
+        GraftFs.deleteRecursively(s, path)
+        src.repartition(8, org.apache.spark.sql.functions.col("lang"))
+          .write
+          .bucketBy(8, "lang").sortBy("lang")
+          .option("path", path)
+          .mode(SaveMode.Overwrite)
+          .saveAsTable(table)
+        require(bucketLayoutValid(s, path),
+          s"bucketed write at $path violated one-file-per-bucket; sorted scans would be wrong")
+      }
+    }
+  }
+
   def documentsTable(dir: String): String = s"graft_documents_bucketed_${tag(dir)}"
 
   /** Documents bucketed by language — the layout that makes the per-lang

@@ -161,6 +161,20 @@ object StreamQueries {
     graft.operators.TimeSeriesQueries.tsAnomaly.oracle,
   )
 
+  /** Streaming last-touch-attribution twin (EventState.attributionTws) in
+    * batch mode: same purchase→click credits as q_events_attribution, from
+    * a per-user ValueState carry instead of a window frame — same oracle. */
+  val attributionTws = QueryDef(
+    "q_stream_attribution_tws",
+    (s, dir) => {
+      StreamOps.ensureStateStoreCoordinator(s)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      EventState.attributionTws(Tables.events(s, dir)).orderBy("event_id")
+    },
+    graft.operators.EventQueries.attribution.oracle,
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, session, dedup, stateful, statefulTws,
-    ewmaTws, anomalyTws)
+    ewmaTws, anomalyTws, attributionTws)
 }

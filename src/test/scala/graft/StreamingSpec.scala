@@ -314,6 +314,46 @@ class StreamingSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("s_attribution: multi-batch TWS last-touch stream == batch twin (exact)") {
+    import graft.streaming.EventState
+    val dir = Files.createTempDirectory("graft_attr_stream").toFile.getAbsolutePath
+    val raw = Tables.eventsRawNanos(spark, sfTiny)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val parts = raw.withColumn("part", ntile(3).over(w)).cache()
+    (1 to 3).foreach { i =>
+      val tmp = Files.createTempDirectory(s"graft_attr_w$i").toFile.getAbsolutePath
+      parts.filter(col("part") === i).drop("part")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(dir, s"f$i.parquet"))
+      Thread.sleep(1100) // distinct mod times → deterministic file order
+    }
+    parts.unpersist()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def src() = StreamOps.normalizeTs(
+        spark.readStream.schema(StreamOps.eventsRawSchema)
+          .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+          .parquet(dir))
+      // each purchase is credited exactly once, in its arrival batch, and
+      // the credit is integer microseconds — union of emissions must equal
+      // the one-shot batch run EXACTLY (no float tolerance needed)
+      val got = runToMemory(EventState.attributionTws(src()), "t_attr_tws", "update")
+      val want = EventState.attributionTws(Tables.events(spark, sfTiny))
+      rowsOf(got) shouldBe rowsOf(want)
+      want.filter(col("attributed_click").isNotNull).count() should be > 0L
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("s_late: events below the watermark are dropped from append-mode windows") {
     val dir = Files.createTempDirectory("graft_late").toFile.getAbsolutePath
     def write(name: String, rows: Seq[(Long, String)]): Unit = {
