@@ -440,19 +440,31 @@ object VectorQueries {
     * bits in ANY table). Returns distinct (label, vec_id, n_vec_id)
     * ordered pairs — skinny, embeddings re-fetched by the scorer.
     */
-  private[graft] def lshGraphCandidates(e: DataFrame, tables: Int, bits: Int,
-      probeRadius: Int): DataFrame = {
+  /** Home LSH buckets (one per table) of a labeled embedding set:
+    * (label, vec_id, t, b) — pure per-row hashing, the persistable unit. */
+  private[graft] def homeBucketsOf(e: DataFrame, tables: Int, bits: Int): DataFrame = {
     val planes = hyperplanesFor(tables, bits)
     val bucketCols = (0 until tables).map(t =>
       struct(lit(t).as("t"), bucketId(planes, bits, col("embedding"), t).as("b")))
-    val home = e.select(col("label"), col("vec_id"),
+    e.select(col("label"), col("vec_id"),
         explode(array(bucketCols: _*)).as("tb"))
       .select(col("label"), col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+  }
+
+  /** Radius-`probeRadius` bit-flip fan-out of a home-bucket frame — the
+    * asymmetric-multiprobe side of the collision join. */
+  private def probeBucketsOf(home: DataFrame, bits: Int, probeRadius: Int): DataFrame = {
     val flips: Seq[Column] =
       (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= probeRadius)
         .map(m => col("b").bitwiseXOR(lit(m)))
-    val probe = home.select(col("label").as("n_label"), col("vec_id").as("n_vec_id"),
+    home.select(col("label").as("n_label"), col("vec_id").as("n_vec_id"),
       col("t").as("nt"), explode(array(flips: _*)).as("nb"))
+  }
+
+  private[graft] def lshGraphCandidates(e: DataFrame, tables: Int, bits: Int,
+      probeRadius: Int): DataFrame = {
+    val home = homeBucketsOf(e, tables, bits)
+    val probe = probeBucketsOf(home, bits, probeRadius)
     home.join(probe,
         col("label") === col("n_label") && col("t") === col("nt")
           && col("b") === col("nb") && col("vec_id") =!= col("n_vec_id"))
@@ -895,6 +907,26 @@ object VectorQueries {
     * Oracle: the full-rebuild SQL of q_vec_knn_graph — equality is the
     * correctness claim, not an approximation bound.
     */
+  /** Affected-node merge shared by the incremental graph variants: stored
+    * top-3 rows for nodes touched by a fresh edge re-rank against the
+    * fresh edges; every other stored row bypasses the re-rank shuffle
+    * untouched. `oldGraph` is (vec_id, rn, n_vec_id, cos); `freshEdges`
+    * is directed scored edges (vec_id, n_vec_id, cos), disjoint from the
+    * stored edge set (every fresh edge touches the new slice, stored
+    * edges never do).
+    */
+  private def incrMergeTop3(oldGraph: DataFrame, freshEdges: DataFrame): DataFrame = {
+    val affected = freshEdges.select("vec_id").distinct()
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("n_vec_id"))
+    val reranked = oldGraph.join(affected, Seq("vec_id"), "left_semi")
+      .select("vec_id", "n_vec_id", "cos")
+      .union(freshEdges)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("vec_id", "rn", "n_vec_id", "cos")
+    val untouched = oldGraph.join(affected, Seq("vec_id"), "left_anti")
+    untouched.union(reranked).orderBy("vec_id", "rn")
+  }
+
   val vecKnnGraphIncr = QueryDef(
     "q_vec_knn_graph_incr",
     (s, dir) => {
@@ -917,16 +949,57 @@ object VectorQueries {
         .select("vec_id", "rn", "n_vec_id", "cos")
       // only slice-touching pairs are generated this run
       val freshEdges = labelPairs(e, fresh).union(labelPairs(fresh, old))
-      val affected = freshEdges.select("vec_id").distinct()
-      val reranked = top3(
-        oldGraph.join(affected, Seq("vec_id"), "left_semi")
-          .select("vec_id", "n_vec_id", "cos")
-          .union(freshEdges))
-        .select("vec_id", "rn", "n_vec_id", "cos")
-      val untouched = oldGraph.join(affected, Seq("vec_id"), "left_anti")
-      untouched.union(reranked).orderBy("vec_id", "rn")
+      incrMergeTop3(oldGraph, freshEdges)
     },
     vecKnnGraph.oracle,
+  )
+
+  /** LSH-bucketed incremental kNN-graph maintenance — the same exact
+    * affected-node merge algebra as q_vec_knn_graph_incr with the fresh
+    * edges generated the way a 100 TB corpus must: the standing corpus's
+    * home buckets are a PERSISTED bucketed table (hashed once at ingest,
+    * maintained append-only — ensureVecBuckets, the vector analogue of
+    * the near-dedup signature layout), only the new-vector slice hashes
+    * fresh, and candidate pairs are (corpus ∪ slice) home buckets ⋈ the
+    * slice's radius-1 multiprobe fan-out — per-update cost is the slice's
+    * bucket mass, never Σ|label block|·|slice| (the exact variant's pair
+    * space) and never |corpus|². The standing graph itself is the LSH
+    * graph over the old corpus (at 100 TB: read back, not recomputed).
+    * Non-oracle (hash-family candidates); KnnGraphSpec bounds recall vs
+    * the exact full graph and asserts a cartesian-free plan.
+    */
+  val vecKnnGraphIncrLsh = QueryDef(
+    "q_vec_knn_graph_incr_lsh",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("label"), col("vec_id"), col("embedding"))
+      val isNew = col("vec_id") % 5 === 0
+      val old = e.filter(!isNew)
+      val fresh = e.filter(isNew)
+      // standing state: LSH graph + persisted home buckets of the old corpus
+      val oldGraph = knnGraphFromCandidates(old,
+        lshGraphCandidates(old, GraphLshTables, GraphLshBits, GraphLshRadius), 3)
+      graft.sources.BucketedTables.ensureVecBuckets(s, dir,
+        homeBucketsOf(old, GraphLshTables, GraphLshBits))
+      val corpusBuckets = s.table(graft.sources.BucketedTables.vecBucketsTable(dir))
+      // only the slice hashes fresh; its probe fan-out meets corpus+slice homes
+      val freshHome = homeBucketsOf(fresh, GraphLshTables, GraphLshBits)
+      val collisions = corpusBuckets.union(freshHome)
+        .join(probeBucketsOf(freshHome, GraphLshBits, GraphLshRadius),
+          col("label") === col("n_label") && col("t") === col("nt")
+            && col("b") === col("nb") && col("vec_id") =!= col("n_vec_id"))
+        .select("vec_id", "n_vec_id").distinct()
+      // directed both ways: x→fresh from the collision set, fresh→x swapped
+      val pairs = collisions.union(
+          collisions.select(col("n_vec_id").as("vec_id"), col("vec_id").as("n_vec_id")))
+        .distinct()
+      val freshEdges = pairs
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(e.select(col("vec_id").as("n_vec_id"), col("embedding").as("n_emb")), "n_vec_id")
+        .select(col("vec_id"), col("n_vec_id"),
+          round(VectorOps.cosine(col("embedding"), col("n_emb")), 6).as("cos"))
+      incrMergeTop3(oldGraph, freshEdges)
+    },
+    None,
   )
 
   /** SQL-expr form of squared L2 (for use inside `transform` lambdas where
@@ -1020,5 +1093,5 @@ object VectorQueries {
 
   def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, vecCentroidUdaf, annLsh, annIvf, vecQuantize,
     annFiltered, vecKnnGraph, vecKnnGraphLsh, vecKnnGraphIvf, vecCluster, vecPq, annIvfPq,
-    vecKnnGraphIncr)
+    vecKnnGraphIncr, vecKnnGraphIncrLsh)
 }

@@ -231,6 +231,42 @@ object BucketedTables {
     }
   }
 
+  def vecBucketsTable(dir: String): String = s"graft_vecbuckets_bucketed_${tag(dir)}"
+
+  /** Hyperplane-LSH home buckets of the standing vector corpus, persisted
+    * clustered+sorted on the collision key (label, t, b) — the vector-side
+    * analogue of ensureSignatures: bucket signatures are pure per-row
+    * functions of the embedding, so the table is WRITTEN ONCE at ingest
+    * and maintained append-only; each incremental graph run then hashes
+    * only the new-vector slice and joins it against this layout. The
+    * caller passes the bucket frame (sources stays independent of the
+    * operator layer's plane seeds).
+    */
+  def ensureVecBuckets(s: SparkSession, dir: String,
+      src: org.apache.spark.sql.DataFrame): Unit = synchronized {
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val path = GraftFs.qualify(s, s"target/graft-bucketed/${tag(dir)}/vecbuckets")
+    val table = vecBucketsTable(dir)
+    if (!s.catalog.tableExists(table)) {
+      if (GraftFs.hasSuccess(s, path) && bucketLayoutValid(s, path)) {
+        s.sql(s"""CREATE TABLE $table (${src.schema.toDDL}) USING PARQUET
+                 |CLUSTERED BY (label, t, b) SORTED BY (label, t, b) INTO 8 BUCKETS
+                 |LOCATION '$path'""".stripMargin)
+      } else {
+        GraftFs.deleteRecursively(s, path)
+        src.repartition(8, org.apache.spark.sql.functions.col("label"),
+            org.apache.spark.sql.functions.col("t"), org.apache.spark.sql.functions.col("b"))
+          .write
+          .bucketBy(8, "label", "t", "b").sortBy("label", "t", "b")
+          .option("path", path)
+          .mode(SaveMode.Overwrite)
+          .saveAsTable(table)
+        require(bucketLayoutValid(s, path),
+          s"bucketed write at $path violated one-file-per-bucket; sorted scans would be wrong")
+      }
+    }
+  }
+
   def documentsTable(dir: String): String = s"graft_documents_bucketed_${tag(dir)}"
 
   /** Documents bucketed by language — the layout that makes the per-lang

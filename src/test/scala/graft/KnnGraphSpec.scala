@@ -73,6 +73,12 @@ class KnnGraphSpec extends SparkTestBase with Matchers {
     incr shouldBe full
   }
 
+  test("q_vec_knn_graph_incr_lsh: persisted-bucket incremental recall ≥ 0.9 of exact") {
+    val lsh = edges(VectorQueries.vecKnnGraphIncrLsh.query(spark, sfTiny))
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    recall should be >= 0.9
+  }
+
   test("q_ann_ivfpq: probed-list ADC + exact re-rank recall@5 vs brute-force L2") {
     import org.apache.spark.sql.expressions.Window
     val got = VectorQueries.annIvfPq.query(spark, sfTiny)
