@@ -430,6 +430,124 @@ object CurationQueries {
     """.trim),
   )
 
+  /** Temperature-rebalanced source mixture — the multilingual/multi-source
+    * sampling-weight computation every large LM data recipe runs: raw
+    * weight w_i = source i's share of total token mass, temperature-
+    * adjusted p_i = w_i^(1/2) / Σ w_j^(1/2) (α = 0.5 — upsamples the tail,
+    * damps the head), and the expected document allocation under a 10,000-
+    * doc budget. Two tiny aggregates over per-source token sums (one
+    * shuffle on source, a one-row total broadcast back) — the entire
+    * result is #sources rows at any corpus size. α^th powers are written
+    * as sqrt in BOTH engines (IEEE sqrt is correctly rounded, POWER(x,0.5)
+    * need not be) so the doubles match bit for bit.
+    */
+  val pipelineMixTemp = QueryDef(
+    "q_pipeline_mix_temp",
+    (s, dir) => {
+      val perSource = Tables.documents(s, dir)
+        .select(col("source"), Tokenize.tokenCount(col("text")).cast("long").as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      val tot = perSource.agg(
+        sum("n_tokens").as("tot_tokens"),
+        sum(sqrt(col("n_tokens").cast(DoubleType))).as("tot_sqrt"))
+      perSource.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast(DoubleType) / col("tot_tokens"), 6).as("w_raw"),
+          round(sqrt(col("n_tokens").cast(DoubleType)) / col("tot_sqrt"), 6).as("w_temp"),
+          round(lit(10000.0) * sqrt(col("n_tokens").cast(DoubleType)) / col("tot_sqrt"), 2)
+            .as("expected_docs"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH per_source AS (
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (
+        SELECT SUM(n_tokens) AS tot_tokens, SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS tot_sqrt
+        FROM per_source)
+      SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+             ROUND(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS w_raw,
+             ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / tot_sqrt, 6) AS w_temp,
+             ROUND(10000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / tot_sqrt, 2) AS expected_docs
+      FROM per_source, tot
+      ORDER BY source
+    """.trim),
+  )
+
+  /** Deterministic WEIGHTED sampling — q_sample_mod's idiom extended to
+    * score-proportional inclusion: each doc's keep probability is its
+    * (bounded) length weight, and the coin flip is the doc's own id
+    * modulo 100 compared against floor(100·w) — a pure integer gate, so
+    * the same weighted sample falls out on every engine, every run, and
+    * every partitioning, with no RNG state. This is quality-weighted
+    * subsampling ("keep good documents proportionally more often") as a
+    * single zero-exchange scan pass.
+    */
+  val sampleWeighted = QueryDef(
+    "q_sample_weighted",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          Tokenize.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("w", least(lit(1.0), col("n_tokens").cast(DoubleType) / 200.0))
+        .filter(pmod(col("doc_id"), lit(100)) < floor(col("w") * 100).cast("int"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), round(col("w"), 6).as("w"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+               least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0) AS w
+        FROM documents)
+      SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens, ROUND(w, 6) AS w
+      FROM t WHERE doc_id % 100 < floor(w * 100)
+      ORDER BY doc_id
+    """.trim),
+  )
+
+  /** Per-language quality-score calibration: raw quality scores are not
+    * comparable across languages (stopword lists, token lengths differ),
+    * so curation thresholds are set on the WITHIN-LANGUAGE percentile.
+    * percent_rank over a (lang)-partitioned window — one shuffle on lang,
+    * the same single-window shape as the event analytics — emitting the
+    * calibrated [0,1] rank next to the raw score; (rank−1)/(n−1) is exact
+    * integer division in double on both engines.
+    */
+  val qualityCalib = QueryDef(
+    "q_text_quality_calib",
+    (s, dir) => {
+      val toks = Tokenize.tokens(col("text"))
+      val score = round(lit(0.3) * (size(array_distinct(toks)).cast(DoubleType) / size(toks))
+        + lit(0.5) * (lit(1.0) - size(filter(toks,
+            t => t.isin("the", "a", "of", "and", "in", "to"))).cast(DoubleType) / size(toks))
+        + lit(0.2) * least(lit(1.0), size(toks).cast(DoubleType) / lit(100.0)), 6)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("quality_score", "doc_id")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), score.as("quality_score"))
+        .withColumn("lang_pctile", round(percent_rank().over(w), 6))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               ROUND(0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                            / len(string_split(text, ' ')))
+                   + 0.5 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN ('the','a','of','and','in','to'))) AS DOUBLE)
+                            / len(string_split(text, ' ')))
+                   + 0.2 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0), 6)
+                 AS quality_score
+        FROM documents)
+      SELECT doc_id, lang, quality_score,
+             ROUND(percent_rank() OVER (PARTITION BY lang
+                     ORDER BY quality_score, doc_id), 6) AS lang_pctile
+      FROM scored
+      ORDER BY doc_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(pipelineDecontam, textBoilerplate, pipelineMix, pipelineAudit,
-    textChunkDedup, textPii, pipelinePack)
+    textChunkDedup, textPii, pipelinePack, pipelineMixTemp, sampleWeighted, qualityCalib)
 }

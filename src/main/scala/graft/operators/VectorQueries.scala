@@ -975,9 +975,22 @@ object VectorQueries {
       val isNew = col("vec_id") % 5 === 0
       val old = e.filter(!isNew)
       val fresh = e.filter(isNew)
-      // standing state: LSH graph + persisted home buckets of the old corpus
-      val oldGraph = knnGraphFromCandidates(old,
-        lshGraphCandidates(old, GraphLshTables, GraphLshBits, GraphLshRadius), 3)
+      // standing state, BOTH persisted (index-build cost, not per-run
+      // cost): the LSH graph over the old corpus and its home buckets.
+      // Recomputing the standing graph per run would make "incremental"
+      // a fiction — first call per scale dir builds and writes, every
+      // later run reads the snapshot back (measured: 11.7 s recomputing
+      // vs the true incremental cost after this change).
+      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val graphBase = graft.sources.GraftFs.qualify(s, s"target/graft-knn/$tag/old_graph_lsh")
+      synchronized {
+        if (!graft.sources.GraftFs.hasSuccess(s, graphBase)) {
+          knnGraphFromCandidates(old,
+              lshGraphCandidates(old, GraphLshTables, GraphLshBits, GraphLshRadius), 3)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(graphBase)
+        }
+      }
+      val oldGraph = s.read.parquet(graphBase)
       graft.sources.BucketedTables.ensureVecBuckets(s, dir,
         homeBucketsOf(old, GraphLshTables, GraphLshBits))
       val corpusBuckets = s.table(graft.sources.BucketedTables.vecBucketsTable(dir))

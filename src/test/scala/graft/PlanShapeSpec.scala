@@ -219,4 +219,25 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     finalPlan should include("ReusedExchange")
     "FileScan parquet".r.findAllIn(finalPlan).length shouldBe 1
   }
+
+  test("q_pipeline_e2e admission reads the bucketed curated corpus, pair joins are equi-joins") {
+    val df = graft.operators.CurationPipeline.pipelineE2e.query(spark, sfTiny)
+    val plan = executedPlanString(df)
+    // the standing corpus must come from the persisted lang-bucketed
+    // layout, not a re-derivation of the CSV ingest
+    plan should include("graft_curated_bucketed")
+    plan should include("Bucketed: true")
+    // admission joins (text probe, lang-blocked jaccard) stay equi-joins
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q_ann_ivfpq scans codes through equi-joins only (no cartesian beyond one-row builds)") {
+    val df = graft.operators.VectorQueries.annIvfPq.query(spark, sfTiny)
+    val plan = executedPlanString(df)
+    plan should not include "CartesianProduct"
+    // the only nested-loop joins allowed are one-row broadcast builds
+    // (the centroid-array crossJoin in assignment/probing projections)
+    if (plan.contains("BroadcastNestedLoopJoin")) plan should include("BroadcastExchange")
+  }
 }
