@@ -180,15 +180,18 @@ object StreamOps {
     * endpoint and throws RpcEndpointNotFoundException in a session that
     * has never streamed. Once per JVM.
     */
-  @volatile private var coordinatorWarm = false
+  // keyed by applicationId, not a JVM boolean: the coordinator endpoint
+  // dies with its SparkContext, so a later session in the same JVM (specs,
+  // diagnostics) must re-warm or batch TWS throws RpcEndpointNotFoundException
+  @volatile private var coordinatorWarmApp: String = ""
   def ensureStateStoreCoordinator(s: SparkSession): Unit = synchronized {
-    if (!coordinatorWarm) {
+    if (coordinatorWarmApp != s.sparkContext.applicationId) {
       val q = s.readStream.format("rate").option("rowsPerSecond", "1").load()
         .writeStream.format("noop")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination(30000)
       q.stop()
-      coordinatorWarm = true
+      coordinatorWarmApp = s.sparkContext.applicationId
     }
   }
 
