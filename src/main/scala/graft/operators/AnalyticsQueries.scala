@@ -266,6 +266,72 @@ object AnalyticsQueries {
     """.trim),
   )
 
+  /** Winsorization — per-group percentile clipping (p05/p95), the robust-
+    * stats step that precedes any mean/variance over heavy-tailed metrics.
+    * Bounds come from the SAME explicit linear-interpolation formulation
+    * as q_agg_percentile (engines' percentile builtins differ by a ulp);
+    * they are 6dp-rounded in both engines BEFORE clipping so the clip
+    * comparisons agree exactly. Distributed shape: one window sort per
+    * group for the bounds, then the per-group bound table (#groups rows,
+    * broadcastable at any scale) joins back into a single linear clip
+    * pass over the fact rows.
+    */
+  val aggWinsorize = QueryDef(
+    "q_agg_winsorize",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("v", "event_id")
+      val ranked = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          col("value").cast(DecimalType(12, 4)).cast(DoubleType).as("v"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      def bound(q: Double, name: String) = {
+        val pos = (col("n") - 1).cast(DoubleType) * lit(q)
+        val lo = floor(pos)
+        val frac = pos - lo
+        ranked.withColumn("wgt",
+            when(col("rn") - 1 === lo, lit(1.0) - frac).otherwise(lit(0.0))
+              + when(col("rn") - 1 === ceil(pos), frac).otherwise(lit(0.0)))
+          .filter(col("wgt") =!= 0.0)
+          .groupBy("event_type")
+          .agg(round(sum(col("v") * col("wgt")), 6).as(name))
+      }
+      val bounds = bound(0.05, "p05").join(bound(0.95, "p95"), "event_type")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          col("value").cast(DecimalType(12, 4)).cast(DoubleType).as("v"))
+        .join(broadcast(bounds), "event_type")
+        .select(col("event_id"), col("event_type"), col("v").as("value"),
+          round(least(greatest(col("v"), col("p05")), col("p95")), 6).as("clipped"),
+          (col("v") < col("p05") || col("v") > col("p95")).as("was_clipped"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, event_type,
+                        CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE) AS v
+                 FROM events),
+      r AS (SELECT event_id, event_type, v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM e),
+      b AS (SELECT event_type,
+                   ROUND(SUM(v * (CASE WHEN rn - 1 = floor((n-1)*0.05)
+                                  THEN 1.0 - ((n-1)*0.05 - floor((n-1)*0.05)) ELSE 0.0 END
+                                + CASE WHEN rn - 1 = ceil((n-1)*0.05)
+                                  THEN (n-1)*0.05 - floor((n-1)*0.05) ELSE 0.0 END)), 6) AS p05,
+                   ROUND(SUM(v * (CASE WHEN rn - 1 = floor((n-1)*0.95)
+                                  THEN 1.0 - ((n-1)*0.95 - floor((n-1)*0.95)) ELSE 0.0 END
+                                + CASE WHEN rn - 1 = ceil((n-1)*0.95)
+                                  THEN (n-1)*0.95 - floor((n-1)*0.95) ELSE 0.0 END)), 6) AS p95
+            FROM r GROUP BY event_type)
+      SELECT e.event_id, e.event_type, e.v AS value,
+             ROUND(least(greatest(e.v, b.p05), b.p95), 6) AS clipped,
+             (e.v < b.p05 OR e.v > b.p95) AS was_clipped
+      FROM e JOIN b USING (event_type)
+      ORDER BY e.event_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(tsGapfill, aggMode, aggCondAgg, fnRegexp, aggMinmaxBy, sampleMod,
-    aggWeighted, aggBitops, sampleStratified)
+    aggWeighted, aggBitops, sampleStratified, aggWinsorize)
 }

@@ -548,6 +548,52 @@ object CurationQueries {
     """.trim),
   )
 
+  /** Shard-manifest export — the handoff artifact a training job consumes:
+    * documents are laid into byte-targeted shards (16 KiB here) by their
+    * starting offset in one global cumulative-bytes window (the
+    * q_pipeline_pack idiom on bytes instead of tokens), and the OUTPUT is
+    * the manifest: one row per shard with doc count, byte/token mass and
+    * the id range — what the loader reads to plan epochs without touching
+    * the data. A single window cumsum + one aggregate; at 100 TB the
+    * ordering column is the canonical sort key of the bucketed layout and
+    * the window runs per storage partition with offsets composed from
+    * per-partition totals (same note as pipelinePack).
+    */
+  val pipelineShards = QueryDef(
+    "q_pipeline_shards",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          Tokenize.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("offset", sum("n_chars").over(w) - col("n_chars"))
+        .withColumn("shard_id", floor(col("offset") / 16384L))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_bytes"),
+          sum("n_tokens").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("shard_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars AS off
+        FROM documents)
+      SELECT CAST(floor(off / 16384) AS BIGINT) AS shard_id,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM t GROUP BY 1
+      ORDER BY shard_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(pipelineDecontam, textBoilerplate, pipelineMix, pipelineAudit,
-    textChunkDedup, textPii, pipelinePack, pipelineMixTemp, sampleWeighted, qualityCalib)
+    textChunkDedup, textPii, pipelinePack, pipelineMixTemp, sampleWeighted, qualityCalib,
+    pipelineShards)
 }
