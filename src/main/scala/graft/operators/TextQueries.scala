@@ -427,7 +427,77 @@ object TextQueries {
     """.trim),
   )
 
+  /** Bigram-LM surprise score — the perplexity-proxy gibberish signal: an
+    * interpolated bigram model (p = 0.7·c(prev,w)/c(prev) + 0.3·c(w)/T)
+    * is trained on the corpus itself and every document is scored by its
+    * mean per-position −ln p. High scores mark improbable token sequences
+    * (gibberish, shuffled text, OCR damage) that unigram-frequency
+    * features can't see. Two count dictionaries (unigram, bigram) — both
+    * corpus-proportional, so they SHUFFLE-join the position rows (the
+    * boilerplate lesson); one position explode; per-doc aggregation.
+    * Float parity: each position's −ln p is 8dp-rounded to an exact
+    * decimal BEFORE the per-doc sum (decimal addition is order-free —
+    * the summation-order recipe), ln inputs are identical IEEE division
+    * results in both engines, and the final mean rounds at 6dp.
+    */
+  val textLmScore = QueryDef(
+    "q_text_lm_score",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+      val positions = toks.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS prev, toks[i] AS w))"))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.w").as("w"))
+      val uni = toks.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n_w"))
+      val tot = toks.select(explode(col("toks")).as("w"))
+        .agg(count(lit(1)).as("t"))
+      val big = positions.groupBy("prev", "w").agg(count(lit(1)).as("n_pw"))
+      val scored = positions
+        .join(big, Seq("prev", "w"))
+        .join(uni.select(col("w").as("prev"), col("n_w").as("n_prev")), Seq("prev"))
+        .join(uni, Seq("w"))
+        .crossJoin(broadcast(tot))
+        .withColumn("s", round(-log(
+          lit(0.7) * col("n_pw").cast(DoubleType) / col("n_prev")
+            + lit(0.3) * col("n_w").cast(DoubleType) / col("t")), 8)
+          .cast(DecimalType(18, 8)))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_scored"),
+          round(sum("s").cast(DoubleType) / count(lit(1)), 6).as("lm_score"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      pos AS (
+        SELECT doc_id,
+               unnest(list_transform(range(len(toks) - 1),
+                 i -> struct_pack(prev := toks[i+1], w := toks[i+2]))) AS bg
+        FROM t WHERE len(toks) >= 2),
+      p2 AS (SELECT doc_id, bg.prev AS prev, bg.w AS w FROM pos),
+      uni AS (SELECT unnest(toks) AS w FROM t),
+      unic AS (SELECT w, COUNT(*) AS n_w FROM uni GROUP BY w),
+      tot AS (SELECT COUNT(*) AS t FROM uni),
+      bigc AS (SELECT prev, w, COUNT(*) AS n_pw FROM p2 GROUP BY prev, w),
+      scored AS (
+        SELECT p2.doc_id,
+               CAST(ROUND(-ln(0.7 * CAST(bigc.n_pw AS DOUBLE) / np.n_w
+                            + 0.3 * CAST(uw.n_w AS DOUBLE) / tot.t), 8)
+                    AS DECIMAL(18,8)) AS s
+        FROM p2
+        JOIN bigc ON p2.prev = bigc.prev AND p2.w = bigc.w
+        JOIN unic np ON p2.prev = np.w
+        JOIN unic uw ON p2.w = uw.w
+        CROSS JOIN tot)
+      SELECT doc_id, COUNT(*) AS n_scored,
+             ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS lm_score
+      FROM scored GROUP BY doc_id ORDER BY doc_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint, textPmi,
-    textNormalize, textEntropy, textChunkify)
+    textNormalize, textEntropy, textChunkify, textLmScore)
 }

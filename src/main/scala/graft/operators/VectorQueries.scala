@@ -215,8 +215,16 @@ object VectorQueries {
     * the codebook is built once and persisted — the iteration cost here is
     * index-build cost, not per-query cost.
     */
-  private[operators] def ivfCentroids(s: SparkSession, dir: String, iters: Int): DataFrame = {
-    val seed = centroidViaPosexplode(s, dir, ordered = false)
+  /** Coarse centroids over an arbitrary labeled embedding slice — the
+    * generalized form of the IVF quantizer construction (per-label means
+    * seed + Lloyd iterations, 4dp-rounded means), so the incremental
+    * index can freeze a quantizer trained on the STANDING corpus only.
+    */
+  private def coarseCentroidsOf(e: DataFrame, iters: Int): DataFrame = {
+    val seed = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("v").cast(DoubleType)), 4).as("centroid_val"))
       .groupBy("label").agg(collect_list(struct(col("dim"), col("centroid_val"))).as("dv"))
       .select(col("label").as("c_id"),
         // Centroids are double arrays, so cast to float for the native
@@ -225,7 +233,7 @@ object VectorQueries {
           .cast("array<float>").as("c_emb"))
     (1 to iters).foldLeft(seed) { (cents, _) =>
       val centroidArr = cents.agg(collect_list(struct(col("c_id"), col("c_emb"))).as("cents"))
-      Tables.embeddings(s, dir).crossJoin(broadcast(centroidArr))
+      e.crossJoin(broadcast(centroidArr))
         .withColumn("best", expr(
           s"""array_max(transform(cents,
              |  c -> struct(${GraftCosineName}(embedding, c.c_emb) AS sim, -c.c_id AS nid)))""".stripMargin))
@@ -237,6 +245,9 @@ object VectorQueries {
             .cast("array<float>").as("c_emb"))
     }
   }
+
+  private[operators] def ivfCentroids(s: SparkSession, dir: String, iters: Int): DataFrame =
+    coarseCentroidsOf(Tables.embeddings(s, dir).select(col("label"), col("embedding")), iters)
 
   /** Persisted IVF codebook: the k-means iterations are INDEX-BUILD cost,
     * not per-query cost — at 100 TB the codebook is trained once and every
@@ -1022,6 +1033,19 @@ object VectorQueries {
        |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
        |  0D, (acc, v) -> acc + v)""".stripMargin
 
+  /** The k L2-nearest coarse cells per vector from a one-row broadcast
+    * centroid array — one projection, no shuffle. Shared by index-side
+    * multi-assignment (k=2) and query-side probing (k=4).
+    */
+  private def nearestCells(v: DataFrame, vecCol: String, idCol: String,
+      centroidArr: DataFrame, k: Int): DataFrame =
+    v.crossJoin(broadcast(centroidArr))
+      .select(col(idCol), explode(expr(
+        s"""slice(array_sort(transform(cents,
+           |  c -> struct(${l2sqSql(vecCol, "c.c_emb")} AS d, c.c_id AS c_id))),
+           |  1, $k)""".stripMargin)).as("a"))
+      .select(col(idCol), col("a.c_id").as("c_id"))
+
   /** IVF-PQ: the composed full-scale ANN index shape — coarse inverted
     * lists (the q_ann_ivf cells, L2-assigned) × PQ codes scanned only in
     * probed lists. Index side: 2-way coarse multi-assignment by squared
@@ -1060,20 +1084,10 @@ object VectorQueries {
       val codebook = pqCodebook(s, dir)
       val codes = pqCodes(e, codebook)
       // inverted lists: 2-way L2 multi-assignment
-      val assigned = e.crossJoin(broadcast(centroidArr))
-        .select(col("vec_id"), explode(expr(
-          s"""slice(array_sort(transform(cents,
-             |  c -> struct(${l2sqSql("embedding", "c.c_emb")} AS d, c.c_id AS c_id))),
-             |  1, 2)""".stripMargin)).as("a"))
-        .select(col("vec_id"), col("a.c_id").as("c_id"))
+      val assigned = nearestCells(e, "embedding", "vec_id", centroidArr, 2)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
-      val probes = q.crossJoin(broadcast(centroidArr))
-        .select(col("q_vec_id"), explode(expr(
-          s"""slice(array_sort(transform(cents,
-             |  c -> struct(${l2sqSql("q_emb", "c.c_emb")} AS d, c.c_id AS c_id))),
-             |  1, 4)""".stripMargin)).as("p"))
-        .select(col("q_vec_id"), col("p.c_id").as("c_id"))
+      val probes = nearestCells(q, "q_emb", "q_vec_id", centroidArr, 4)
       // candidates = probed-list members, distinct while two longs wide
       val cands = assigned.join(broadcast(probes), Seq("c_id"))
         .filter(col("vec_id") =!= col("q_vec_id"))
@@ -1104,7 +1118,85 @@ object VectorQueries {
     None,
   )
 
+  /** IVF-PQ over the incremental ingest path: the quantizer artifacts
+    * (coarse cells AND the PQ codebook) are FROZEN at index build over
+    * the standing corpus (vec_id % 5 != 0) and persisted, along with the
+    * standing corpus's cell assignments and codes; each new-vector slice
+    * then encodes against the frozen artifacts — one linear projection
+    * per new vector, no retraining, the codes/cells tables grow
+    * append-only (exactly how production ANN indexes absorb a daily
+    * ingest). Query path = q_ann_ivfpq over the unioned tables. The cost
+    * of freezing is RECALL DRIFT: the codebook never saw the new
+    * vectors' distribution — measured against q_ann_ivfpq's
+    * everything-trained codebooks in KnnGraphSpec and PERF.md (the
+    * fixture's slices are iid, so drift here is small by construction;
+    * the operator exists so drift is MEASURABLE when ingest shifts).
+    * Non-oracle; KnnGraphSpec bounds recall@5.
+    */
+  val annIvfPqIncr = QueryDef(
+    "q_ann_ivfpq_incr",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("label"), col("vec_id"), col("embedding"))
+      val isNew = col("vec_id") % 5 === 0
+      val old = e.filter(!isNew)
+      val fresh = e.filter(isNew)
+      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      def persisted(name: String)(build: => DataFrame): DataFrame = {
+        val base = graft.sources.GraftFs.qualify(s, s"target/graft-ivfpq/$tag/$name")
+        synchronized {
+          if (!graft.sources.GraftFs.hasSuccess(s, base))
+            build.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(base)
+        }
+        s.read.parquet(base)
+      }
+      // frozen-at-index-build artifacts, trained on the standing corpus only
+      val centroids = persisted("centroids") { coarseCentroidsOf(old, iters = 2).coalesce(1) }
+      val codebook = persisted("codebook") {
+        pqCodebookFromSubs(pqSubvectors(old.select("vec_id", "embedding")), seed = 4242)
+          .coalesce(1)
+      }
+      val centroidArr = centroids.agg(collect_list(struct(col("c_id"), col("c_emb"))).as("cents"))
+      val oldAssigned = persisted("assigned") {
+        nearestCells(old, "embedding", "vec_id", centroidArr, 2)
+      }
+      val oldCodes = persisted("codes") {
+        pqCodes(old.select("vec_id", "embedding"), codebook)
+      }
+      // the new slice encodes against the FROZEN artifacts — append-only
+      val assigned = oldAssigned.union(nearestCells(fresh, "embedding", "vec_id", centroidArr, 2))
+      val codes = oldCodes.union(pqCodes(fresh.select("vec_id", "embedding"), codebook))
+      // query path: identical to q_ann_ivfpq over the unioned index
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
+      val probes = nearestCells(q, "q_emb", "q_vec_id", centroidArr, 4)
+      val cands = assigned.join(broadcast(probes), Seq("c_id"))
+        .filter(col("vec_id") =!= col("q_vec_id"))
+        .select("q_vec_id", "vec_id").distinct()
+      val lut = subSlices(q.select(col("q_vec_id"), col("q_emb")), "q_emb")
+        .join(broadcast(codebook), Seq("m"))
+        .select(col("q_vec_id"), col("m"), col("code"),
+          l2sq(col("sub"), col("c_sub")).as("d"))
+      val adc = cands.join(codes, Seq("vec_id"))
+        .join(broadcast(lut), Seq("q_vec_id", "m", "code"))
+        .groupBy("q_vec_id", "vec_id")
+        .agg(round(sum("d"), 6).as("adist"))
+      val wShort = Window.partitionBy("q_vec_id").orderBy(asc("adist"), asc("vec_id"))
+      val shortlist = adc.withColumn("srn", row_number().over(wShort))
+        .filter(col("srn") <= 2 * PqShortlist)
+      val eAll = e.select(col("vec_id"), col("embedding"))
+      val exact = shortlist
+        .join(eAll.select(col("vec_id"), col("embedding").as("n_emb")), Seq("vec_id"))
+        .join(broadcast(q), Seq("q_vec_id"))
+        .withColumn("dist", round(l2sq(col("q_emb"), col("n_emb")), 6))
+      val wTop = Window.partitionBy("q_vec_id").orderBy(asc("dist"), asc("vec_id"))
+      exact.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 5)
+        .select(col("q_vec_id"), col("rn"), col("vec_id").as("n_vec_id"), col("dist"))
+        .orderBy("q_vec_id", "rn")
+    },
+    None,
+  )
+
   def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, vecCentroidUdaf, annLsh, annIvf, vecQuantize,
     annFiltered, vecKnnGraph, vecKnnGraphLsh, vecKnnGraphIvf, vecCluster, vecPq, annIvfPq,
-    vecKnnGraphIncr, vecKnnGraphIncrLsh)
+    vecKnnGraphIncr, vecKnnGraphIncrLsh, annIvfPqIncr)
 }
