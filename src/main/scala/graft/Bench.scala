@@ -31,7 +31,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    // append to the local history log (per-query regression tracking across
+    // runs — read by BenchDiff); stdout stays exactly ONE JSON line, the
+    // driver contract. History failures must never fail the bench.
+    try {
+      val hist = java.nio.file.Paths.get("target/graft-bench-history.jsonl")
+      java.nio.file.Files.createDirectories(hist.getParent)
+      java.nio.file.Files.write(hist, (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

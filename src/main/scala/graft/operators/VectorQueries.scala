@@ -220,7 +220,7 @@ object VectorQueries {
     * seed + Lloyd iterations, 4dp-rounded means), so the incremental
     * index can freeze a quantizer trained on the STANDING corpus only.
     */
-  private def coarseCentroidsOf(e: DataFrame, iters: Int): DataFrame = {
+  private[operators] def coarseCentroidsOf(e: DataFrame, iters: Int): DataFrame = {
     val seed = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
@@ -790,7 +790,7 @@ object VectorQueries {
   // ---- Product quantization (PQ) -------------------------------------------
 
   /** Squared L2 distance between two double arrays (sequential HOF fold). */
-  private def l2sq(a: Column, b: Column): Column =
+  private[operators] def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double"))
       * (x.cast("double") - y.cast("double"))), lit(0.0), (acc, v) => acc + v)
 
@@ -804,7 +804,7 @@ object VectorQueries {
     * pass through untouched, so callers can slice residuals keyed by
     * (vec_id, c_id) as well as plain embeddings keyed by vec_id.
     */
-  private def subSlices(df: DataFrame, vecCol: String): DataFrame = {
+  private[operators] def subSlices(df: DataFrame, vecCol: String): DataFrame = {
     val subs = (0 until PqM).map(m =>
       struct(lit(m).as("m"), slice(col(vecCol), m * PqSub + 1, PqSub).as("sub")))
     df.withColumn("ms", explode(array(subs: _*)))
@@ -813,7 +813,7 @@ object VectorQueries {
   }
 
   /** Per-(vec, subspace) rows: (vec_id, m, sub) with sub = 8-dim slice. */
-  private def pqSubvectors(e: DataFrame): DataFrame =
+  private[operators] def pqSubvectors(e: DataFrame): DataFrame =
     subSlices(e.select(col("vec_id"), col("embedding")), "embedding")
 
   /** Deterministic PQ codebook: per subspace, vectors bucket by the 5-bit
@@ -826,7 +826,7 @@ object VectorQueries {
     * residuals for q_ann_ivfpq (distinct plane seeds keep the two
     * codebooks decorrelated).
     */
-  private def pqCodebookFromSubs(subs: DataFrame, seed: Int): DataFrame = {
+  private[operators] def pqCodebookFromSubs(subs: DataFrame, seed: Int): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val planes = IndexedSeq.fill(PqM)(IndexedSeq.fill(PqBits)(Array.fill(PqSub)(rnd.nextGaussian())))
     val sig = (0 until PqBits).map { b =>
@@ -926,7 +926,14 @@ object VectorQueries {
     * stored edge set (every fresh edge touches the new slice, stored
     * edges never do).
     */
-  private def incrMergeTop3(oldGraph: DataFrame, freshEdges: DataFrame): DataFrame = {
+  private def incrMergeTop3(oldGraph: DataFrame, freshEdges0: DataFrame): DataFrame = {
+    // the fresh-edge subtree feeds THREE consumers (affected-set build,
+    // semi-joined re-rank input, and the union itself) — without a
+    // lineage cut Catalyst re-executes the whole collision+scoring
+    // pipeline per consumer, and the stage-count overhead dominates at
+    // any scale (measured: 5.7 s fixed at sf0.001). localCheckpoint
+    // materializes the slice-proportional edge list once.
+    val freshEdges = freshEdges0.localCheckpoint()
     val affected = freshEdges.select("vec_id").distinct()
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("n_vec_id"))
     val reranked = oldGraph.join(affected, Seq("vec_id"), "left_semi")
@@ -1037,7 +1044,7 @@ object VectorQueries {
     * centroid array — one projection, no shuffle. Shared by index-side
     * multi-assignment (k=2) and query-side probing (k=4).
     */
-  private def nearestCells(v: DataFrame, vecCol: String, idCol: String,
+  private[operators] def nearestCells(v: DataFrame, vecCol: String, idCol: String,
       centroidArr: DataFrame, k: Int): DataFrame =
     v.crossJoin(broadcast(centroidArr))
       .select(col(idCol), explode(expr(

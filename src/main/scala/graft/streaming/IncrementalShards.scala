@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming shard export — q_pipeline_shards' byte-targeted manifest
+  * maintained exactly-once over a document stream: each micro-batch of
+  * docs (arriving in doc_id order — the ingest contract every offset
+  * scheme needs) extends the global byte sequence from the state's
+  * running total, assigns shards by starting offset, and MERGES its
+  * per-shard partials into the versioned manifest (sum/min/max are
+  * associative, so a shard spanning a batch boundary merges exactly).
+  * Same write-new-then-swap state idiom as IncrementalAgg/IncrementalCdc;
+  * IncrementalShardsSpec pins final manifest ≡ the one-shot operator.
+  *
+  * Scale: per batch the merge touches |shards| + |batch| rows; the
+  * manifest is bytes/16 KiB rows — tiny relative to the data forever.
+  */
+object IncrementalShards {
+
+  val ShardBytes = 16384L
+
+  private val stateSchema = StructType(Seq(
+    StructField("shard_id", LongType), StructField("n_docs", LongType),
+    StructField("n_bytes", LongType), StructField("n_tokens", LongType),
+    StructField("first_doc", LongType), StructField("last_doc", LongType)))
+
+  private def currentVersion(s: SparkSession, base: String): Option[String] =
+    graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT").map(_.trim)
+
+  def readState(s: SparkSession, base: String): DataFrame =
+    currentVersion(s, base) match {
+      case Some(v) => s.read.schema(stateSchema).parquet(s"$base/$v")
+      case None => s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+    }
+
+  /** Absorb one doc batch (doc_id, n_chars, text) into the manifest. */
+  def processBatch(s: SparkSession, docs: DataFrame, base: String): DataFrame = {
+    val state = readState(s, base)
+    val baseOffset = state.agg(coalesce(sum("n_bytes"), lit(0L))).collect()(0).getLong(0)
+    val w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    val partials = docs
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.Tokenize.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("offset", lit(baseOffset) + sum("n_chars").over(w) - col("n_chars"))
+      .withColumn("shard_id", floor(col("offset") / ShardBytes))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_bytes"),
+        sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    val merged = state.select(col("shard_id"), col("n_docs").as("d1"), col("n_bytes").as("b1"),
+        col("n_tokens").as("t1"), col("first_doc").as("f1"), col("last_doc").as("l1"))
+      .join(partials.select(col("shard_id").as("sid2"), col("n_docs").as("d2"),
+        col("n_bytes").as("b2"), col("n_tokens").as("t2"),
+        col("first_doc").as("f2"), col("last_doc").as("l2")),
+        col("shard_id") === col("sid2"), "full_outer")
+      .select(
+        coalesce(col("shard_id"), col("sid2")).as("shard_id"),
+        (coalesce(col("d1"), lit(0L)) + coalesce(col("d2"), lit(0L))).as("n_docs"),
+        (coalesce(col("b1"), lit(0L)) + coalesce(col("b2"), lit(0L))).as("n_bytes"),
+        (coalesce(col("t1"), lit(0L)) + coalesce(col("t2"), lit(0L))).as("n_tokens"),
+        least(coalesce(col("f1"), col("f2")), coalesce(col("f2"), col("f1"))).as("first_doc"),
+        greatest(coalesce(col("l1"), col("l2")), coalesce(col("l2"), col("l1"))).as("last_doc"))
+      // materialize BEFORE touching the directory tree the plan reads from
+      .localCheckpoint()
+    val next = s"v${currentVersion(s, base).map(_.drop(1).toLong + 1).getOrElse(0L)}"
+    merged.write.mode("overwrite").parquet(s"$base/$next")
+    graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", next)
+    merged
+  }
+
+  /** Attach the manifest maintenance to a document stream via foreachBatch. */
+  def attach(docs: DataFrame, base: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      processBatch(batch.sparkSession, batch, base): Unit
+    }
+}

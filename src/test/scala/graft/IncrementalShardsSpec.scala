@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.IncrementalShards
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.matchers.should.Matchers
+
+/** Streaming shard-manifest invariant: doc_id-ordered micro-batches
+  * extending the global byte sequence from the state's running total and
+  * merging per-shard partials (sum/min/max — associative across the
+  * shard that spans a batch boundary) must equal the one-shot
+  * q_pipeline_shards manifest over the same documents.
+  */
+class IncrementalShardsSpec extends SparkTestBase with Matchers {
+
+  test("foreachBatch shard manifest over doc_id-ordered micro-batches == one-shot") {
+    val stateBase = Files.createTempDirectory("graft_shard_state").toFile.getAbsolutePath
+    val cpDir = Files.createTempDirectory("graft_shard_cp").toFile.getAbsolutePath
+    val srcDir = Files.createTempDirectory("graft_shard_src").toFile.getAbsolutePath
+
+    // 3 contiguous doc_id ranges → 3 in-order micro-batches (the offset
+    // contract; file mod-time order enforces batch order)
+    val docs = Tables.documents(spark, sfTiny).select("doc_id", "n_chars", "text")
+    val cuts = docs.stat.approxQuantile("doc_id", Array(0.33, 0.66), 0.0)
+    val ranges = Seq(
+      col("doc_id") <= cuts(0),
+      col("doc_id") > cuts(0) && col("doc_id") <= cuts(1),
+      col("doc_id") > cuts(1))
+    for ((p, i) <- ranges.zipWithIndex) {
+      docs.filter(p).coalesce(1).write.mode("overwrite").parquet(s"$srcDir/part$i")
+      val f = new java.io.File(s"$srcDir/part$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, java.nio.file.Paths.get(srcDir, s"f$i.parquet"))
+      Thread.sleep(1100)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .option("pathGlobFilter", "f*.parquet")
+      .parquet(srcDir)
+    val q = IncrementalShards.attach(stream, stateBase)
+      .option("checkpointLocation", cpDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000) shouldBe true
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val got = rows(IncrementalShards.readState(spark, stateBase))
+    val want = rows(graft.operators.CurationQueries.pipelineShards.query(spark, sfTiny))
+    got shouldBe want
+    want.size should be > 1 // multiple shards — boundary-spanning merge exercised
+  }
+}
