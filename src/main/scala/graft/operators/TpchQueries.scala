@@ -152,5 +152,106 @@ object TpchQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(sqlQ3, sqlQ5, sqlQ18)
+  /** TPC-H Q7 shape (volume shipping): revenue shipped between two fixed
+    * nations, either direction, by supplier nation / customer nation /
+    * ship year — the classic join-order stress: two independent uses of
+    * the nation dim (both broadcastable), the lineitem↔orders shuffle
+    * pair, and a disjunctive cross-nation predicate Catalyst must keep
+    * above the dim joins. Decimal-exact volume, year from l_shipdate.
+    */
+  val sqlQ7 = QueryDef(
+    "q_sql_q7",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 CAST(l_extendedprice AS DECIMAL(12,4))
+                   * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS volume
+          FROM graft_tpch_supplier
+          JOIN graft_tpch_lineitem ON s_suppkey = l_suppkey
+          JOIN graft_tpch_orders ON o_orderkey = l_orderkey
+          JOIN graft_tpch_customer ON c_custkey = o_custkey
+          JOIN graft_tpch_nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN graft_tpch_nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+      """)
+    },
+    Some("""
+      SELECT supp_nation, cust_nation, l_year,
+             CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(12,4))
+                 * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      ) shipping
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year
+    """.trim),
+  )
+
+  /** TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    * revenue lost to returns in a one-quarter order window — the
+    * selective-fact + wide-dim report: the returnflag/date filters land
+    * in PushedFilters on the two fact scans, nation broadcasts, and the
+    * top-20 rides TakeOrderedAndProject (no global sort).
+    */
+  val sqlQ10 = QueryDef(
+    "q_sql_q10",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        SELECT c_custkey, c_name,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                              * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 2)
+                    AS DOUBLE) AS revenue,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+        FROM graft_tpch_customer
+        JOIN graft_tpch_orders ON c_custkey = o_custkey
+        JOIN graft_tpch_lineitem ON l_orderkey = o_orderkey
+        JOIN graft_tpch_nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP_NTZ '1997-01-01'
+          AND o_orderdate < TIMESTAMP_NTZ '1997-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+      """)
+    },
+    Some("""
+      SELECT c_custkey, c_name,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                            * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 2)
+                  AS DOUBLE) AS revenue,
+             CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-04-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey ASC
+      LIMIT 20
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(sqlQ3, sqlQ5, sqlQ18, sqlQ7, sqlQ10)
 }
