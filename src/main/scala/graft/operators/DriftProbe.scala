@@ -29,14 +29,14 @@ object DriftProbe {
     val q = corpus.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
 
-    def recallWith(tagName: String, trainSet: DataFrame): Double = {
+    def recallWith(tagName: String, trainSet: DataFrame, nprobe: Int = 4): Double = {
       val centroids = VectorQueries.coarseCentroidsOf(trainSet, iters = 2)
       val codebook = VectorQueries.pqCodebookFromSubs(
         VectorQueries.pqSubvectors(trainSet.select("vec_id", "embedding")), seed = 4242)
       val centroidArr = centroids.agg(collect_list(struct(col("c_id"), col("c_emb"))).as("cents"))
       val assigned = VectorQueries.nearestCells(corpus, "embedding", "vec_id", centroidArr, 2)
       val codes = VectorQueries.pqCodes(corpus.select("vec_id", "embedding"), codebook)
-      val probes = VectorQueries.nearestCells(q, "q_emb", "q_vec_id", centroidArr, 4)
+      val probes = VectorQueries.nearestCells(q, "q_emb", "q_vec_id", centroidArr, nprobe)
       val cands = assigned.join(broadcast(probes), Seq("c_id"))
         .filter(col("vec_id") =!= col("q_vec_id"))
         .select("q_vec_id", "vec_id").distinct()
@@ -74,6 +74,10 @@ object DriftProbe {
     val frozen = recallWith("standing_only(frozen)", old)
     val full = recallWith("everything(retrained)", corpus)
     println(f"DRIFTPROBE drift=${full - frozen}%.3f (retrained - frozen) under x1.5+0.3 shifted ingest")
+    // can wider probing on the FROZEN index buy the recall back without
+    // a rebuild? (probing is a query-time knob — no index work at all)
+    for (np <- Seq(6, 8, 10))
+      recallWith(s"frozen_nprobe$np", old, nprobe = np)
     spark.stop()
   }
 }
