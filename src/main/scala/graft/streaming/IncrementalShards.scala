@@ -77,4 +77,45 @@ object IncrementalShards {
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       processBatch(batch.sparkSession, batch, base): Unit
     }
+
+  /** Manifest REPAIR after late corrections — offset sharding means a
+    * changed document size shifts every later offset, so a correction
+    * invalidates its shard and everything after it, but NOTHING before:
+    * keep the manifest prefix strictly below the first corrected doc's
+    * shard, re-shard the document suffix (doc_id ≥ that shard's
+    * first_doc) from the kept prefix's byte total, and swap a new state
+    * version. The kept prefix is untouched by construction (offsets
+    * before the cut are unchanged), so repaired state ≡ the one-shot
+    * manifest over the corrected corpus — IncrementalShardsSpec pins it.
+    * At 100 TB this turns "a correction re-shards the corpus" into "a
+    * correction re-shards its suffix", and corrections late in the
+    * sequence cost almost nothing.
+    */
+  def repair(s: SparkSession, docsCorrected: DataFrame, minCorrectedId: Long,
+      base: String): DataFrame = {
+    val state = readState(s, base)
+    val cutRow = state.filter(col("first_doc") <= minCorrectedId)
+      .agg(max("shard_id")).collect()(0)
+    val cutShard = if (cutRow.isNullAt(0)) 0L else cutRow.getLong(0)
+    val kept = state.filter(col("shard_id") < cutShard)
+    val keptInfo = kept.agg(
+      coalesce(sum("n_bytes"), lit(0L)), coalesce(max("last_doc"), lit(Long.MinValue)))
+      .collect()(0)
+    val (baseOffset, lastKeptDoc) = (keptInfo.getLong(0), keptInfo.getLong(1))
+    val w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    val rebuilt = docsCorrected.filter(col("doc_id") > lastKeptDoc)
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.Tokenize.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("offset", lit(baseOffset) + sum("n_chars").over(w) - col("n_chars"))
+      .withColumn("shard_id", floor(col("offset") / ShardBytes))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_bytes"),
+        sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    val merged = kept.union(rebuilt).localCheckpoint()
+    val next = s"v${currentVersion(s, base).map(_.drop(1).toLong + 1).getOrElse(0L)}"
+    merged.write.mode("overwrite").parquet(s"$base/$next")
+    graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", next)
+    merged
+  }
 }

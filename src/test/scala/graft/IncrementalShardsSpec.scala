@@ -54,5 +54,36 @@ class IncrementalShardsSpec extends SparkTestBase with Matchers {
     val want = rows(graft.operators.CurationQueries.pipelineShards.query(spark, sfTiny))
     got shouldBe want
     want.size should be > 1 // multiple shards — boundary-spanning merge exercised
+
+    // REPAIR: a late correction doubles one mid-corpus doc's text. Only
+    // the suffix from that doc's shard re-shards; the repaired manifest
+    // must equal the one-shot manifest over the corrected corpus, and
+    // the prefix rows must be byte-identical to the pre-repair state.
+    val mid = docs.agg(expr("percentile_approx(doc_id, 0.5, 10000)")).collect()(0).getLong(0)
+    val corrected = docs.withColumn("text",
+        when(col("doc_id") === mid, concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")))
+      .withColumn("n_chars",
+        when(col("doc_id") === mid, col("n_chars") * 2 + 1).otherwise(col("n_chars")))
+    val preRepair = IncrementalShards.readState(spark, stateBase).collect().map(_.toSeq).toSet
+    val repaired = rows(IncrementalShards.repair(spark, corrected, mid, stateBase))
+    corrected.createOrReplaceTempView("graft_shard_corrected")
+    val wantRepaired = {
+      val w2 = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      rows(corrected
+        .select(col("doc_id"), col("n_chars"),
+          graft.functions.Tokenize.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("offset", sum("n_chars").over(w2) - col("n_chars"))
+        .withColumn("shard_id", floor(col("offset") / IncrementalShards.ShardBytes))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_bytes"),
+          sum("n_tokens").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc")))
+    }
+    repaired shouldBe wantRepaired
+    // untouched prefix shards carried over verbatim from the old state
+    preRepair.intersect(repaired).size should be > 0
   }
 }
