@@ -232,6 +232,23 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q_sql_q10 pushes the returnflag filter to the fact scan and avoids a global sort") {
+    val df = graft.operators.TpchQueries.sqlQ10.query(spark, sfTiny)
+    val plan = executedPlanString(df)
+    // the selective flag reaches the lineitem parquet scan as a pushed filter
+    plan should include("EqualTo(l_returnflag,R)")
+    // top-20 rides TakeOrderedAndProject — never a global Sort + Limit
+    plan should include("TakeOrderedAndProject")
+  }
+
+  test("q_sql_q7 broadcasts both nation uses, no cartesian from the disjunctive predicate") {
+    val df = graft.operators.TpchQueries.sqlQ7.query(spark, sfTiny)
+    val plan = executedPlanString(df)
+    plan should not include "CartesianProduct"
+    // the nation dim joins twice, both broadcast
+    "BroadcastHashJoin".r.findAllIn(plan).length should be >= 2
+  }
+
   test("q_ann_ivfpq scans codes through equi-joins only (no cartesian beyond one-row builds)") {
     val df = graft.operators.VectorQueries.annIvfPq.query(spark, sfTiny)
     val plan = executedPlanString(df)
