@@ -274,7 +274,9 @@ object AnalyticsQueries {
     * comparisons agree exactly. Distributed shape: one window sort per
     * group for the bounds, then the per-group bound table (#groups rows,
     * broadcastable at any scale) joins back into a single linear clip
-    * pass over the fact rows.
+    * pass over the fact rows. The exact bounds cost a per-group sort; at
+    * 100 TB substitute approx_percentile partials for the bound stage
+    * (the ApproxOpsSpec-bounded sketch path) — the clip pass is unchanged.
     */
   val aggWinsorize = QueryDef(
     "q_agg_winsorize",

@@ -10,7 +10,9 @@ import org.apache.spark.sql.SparkSession
 object DetProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val names = args.drop(1).toSeq
+    val names =
+      if (args.drop(1).toSeq == Seq("--all")) graft.SparkEntry.queries.keys.toSeq.sorted
+      else args.drop(1).toSeq
     def rows(cpus: Int): Map[String, Seq[String]] = {
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
