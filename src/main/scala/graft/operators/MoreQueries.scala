@@ -241,7 +241,72 @@ object MoreQueries {
     None,
   )
 
+  /** Data-quality audit — the rule-based validation gate a pipeline runs
+    * before promoting a snapshot: referential integrity (lineitem rows
+    * whose order key has no order — one anti-join), domain ranges
+    * (quantity/discount bounds — scan-side predicates), null checks, and
+    * primary-key uniqueness (orders keys seen more than once — one
+    * aggregate). Each rule reduces to a single count, so the whole audit
+    * is a handful of linear passes unioned into a #rules-row report —
+    * nothing here grows with the data except the scans themselves, and
+    * every rule is independently parallelizable. The report shape (rule,
+    * n_violations, n_checked) is what a quality dashboard consumes.
+    */
+  val dqAudit = QueryDef(
+    "q_dq_audit",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      def rule(name: String, violations: Column, checked: Column, src: org.apache.spark.sql.DataFrame) =
+        src.agg(coalesce(sum(when(violations, 1L).otherwise(0L)), lit(0L)).as("n_violations"),
+            coalesce(sum(when(checked, 1L).otherwise(0L)), lit(0L)).as("n_checked"))
+          .select(lit(name).as("rule"), col("n_violations"), col("n_checked"))
+      val fkOrphans = li.select(col("l_orderkey"))
+        .join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("fk_lineitem_orderkey").as("rule"), col("n_violations"),
+          lit(null).cast(LongType).as("n_checked"))
+        // n_checked for the FK rule is the full lineitem row count
+        .crossJoin(li.agg(count(lit(1)).as("nc")))
+        .select(col("rule"), col("n_violations"), col("nc").as("n_checked"))
+      val qtyRange = rule("range_l_quantity_1_50",
+        col("l_quantity") < 1 || col("l_quantity") > 50, lit(true), li)
+      val discRange = rule("range_l_discount_0_1",
+        col("l_discount") < 0 || col("l_discount") > 1, lit(true), li)
+      val priceNull = rule("notnull_o_totalprice", col("o_totalprice").isNull, lit(true), o)
+      val pkDup = o.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(when(col("n") > 1, 1L).otherwise(0L)), lit(0L)).as("n_violations"),
+          count(lit(1)).as("n_checked"))
+        .select(lit("unique_o_orderkey").as("rule"), col("n_violations"), col("n_checked"))
+      fkOrphans.unionAll(qtyRange).unionAll(discRange).unionAll(priceNull).unionAll(pkDup)
+        .orderBy("rule")
+    },
+    Some("""
+      SELECT 'fk_lineitem_orderkey' AS rule,
+             (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations,
+             (SELECT COUNT(*) FROM lineitem) AS n_checked
+      UNION ALL
+      SELECT 'range_l_quantity_1_50',
+             (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50),
+             (SELECT COUNT(*) FROM lineitem)
+      UNION ALL
+      SELECT 'range_l_discount_0_1',
+             (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1),
+             (SELECT COUNT(*) FROM lineitem)
+      UNION ALL
+      SELECT 'notnull_o_totalprice',
+             (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL),
+             (SELECT COUNT(*) FROM orders)
+      UNION ALL
+      SELECT 'unique_o_orderkey',
+             (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)),
+             (SELECT COUNT(DISTINCT o_orderkey) FROM orders)
+      ORDER BY rule
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     winFirstLast, joinLateral, setIntersectAll, setExceptAll, aggCollect, sketchBloom, sketchCms,
-    sketchQuantile)
+    sketchQuantile, dqAudit)
 }
