@@ -95,5 +95,68 @@ object CdcQueries {
     cdcUpsert.oracle,
   )
 
-  def defs: Seq[QueryDef] = Seq(cdcUpsert, cdcUpsertBucketed)
+  /** CDC DERIVE — the inverse of the apply: given two snapshot versions
+    * of a keyed table, emit the change set that transforms old into new
+    * (insert / update / delete per key, with before/after values for
+    * updates). One full-outer join on the primary key, a null-safe value
+    * compare for the update arm — the snapshot-diff every backfill
+    * validation and late-landing-data reconciliation needs when the
+    * upstream doesn't publish a change log. Unchanged keys are filtered
+    * before the output sort, so the result is |changes| rows, not
+    * |snapshot|. Both snapshots derive deterministically from orders
+    * (new = re-priced evens minus the %7 keys) so the op is
+    * oracle-checkable end to end; at 100 TB both sides read the
+    * PK-bucketed layout and the join is co-located (q_cdc_upsert_bucketed's
+    * plan shape).
+    */
+  val cdcDerive = QueryDef(
+    "q_cdc_derive",
+    (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val oldSnap = orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val newSnap = orders.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"),
+          col("o_custkey"),
+          when(col("o_orderkey") % 2 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        // inserted keys (outside the old key space) so all three arms fire
+        .unionAll(orders.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")))
+      oldSnap.select(col("o_orderkey").as("k1"), col("o_custkey").as("c1"), col("o_totalprice").as("p1"))
+        .join(newSnap.select(col("o_orderkey").as("k2"), col("o_custkey").as("c2"), col("o_totalprice").as("p2")),
+          col("k1") === col("k2"), "full_outer")
+        .withColumn("op",
+          when(col("k1").isNull, lit("I"))
+            .when(col("k2").isNull, lit("D"))
+            .when(!(col("c1") <=> col("c2")) || !(col("p1") <=> col("p2")), lit("U")))
+        .filter(col("op").isNotNull)
+        .select(coalesce(col("k1"), col("k2")).as("o_orderkey"), col("op"),
+          col("p1").as("old_price"), col("p2").as("new_price"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH old_snap AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+      new_snap AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 11 = 0)
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN a.o_orderkey IS NULL THEN 'I'
+                  WHEN b.o_orderkey IS NULL THEN 'D'
+                  ELSE 'U' END AS op,
+             a.o_totalprice AS old_price, b.o_totalprice AS new_price
+      FROM old_snap a FULL OUTER JOIN new_snap b ON a.o_orderkey = b.o_orderkey
+      WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+         OR a.o_custkey IS DISTINCT FROM b.o_custkey
+         OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+      ORDER BY o_orderkey
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(cdcUpsert, cdcUpsertBucketed, cdcDerive)
 }
