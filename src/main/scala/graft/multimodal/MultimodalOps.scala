@@ -101,6 +101,26 @@ object MultimodalOps {
           FrameRow(m.media_id, f, s / frameSize)
       }
     }
+
+    /** "Audio energy" = RMS of centered samples per non-overlapping
+      * 32-byte window (stand-in for PCM frame energy): v = byte − 128,
+      * energy = sqrt(Σv² / 32). The sum of squares is an exact int, the
+      * /32 is a power of two, and IEEE sqrt is correctly rounded — so
+      * the value is bit-reproducible from the bytes in any engine.
+      */
+    def audioEnergy(m: MediaRow, win: Int = 32): Seq[(Long, Int, Double)] = {
+      val n = m.payload.length / win
+      (0 until n).map { f =>
+        var s = 0L
+        var i = f * win
+        while (i < (f + 1) * win) {
+          val v = (m.payload(i) & 0xff) - 128
+          s += v.toLong * v
+          i += 1
+        }
+        (m.media_id, f, math.sqrt(s.toDouble / win))
+      }
+    }
   }
   /* ======== END STUB BOUNDARY ======================================== */
 
@@ -269,5 +289,44 @@ object MultimodalOps {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(mmDecode, mmResize, mmFrames, mmSimilar)
+  /** Audio activity summary — the voice-activity-detection primitive over
+    * audio-kind payloads: per-media count of "active" 32-byte windows
+    * (RMS energy above threshold) plus the peak energy. Same narrow
+    * mapPartitions decode shape (bytes never shuffle; only the tiny
+    * per-window energies do, and they aggregate per media before the
+    * output sort). Oracle-checked: energies are exact int sums / 32
+    * under IEEE sqrt, recomputed in SQL from the ASCII byte codes.
+    */
+  val mmAudioEnergy = QueryDef(
+    "q_mm_audio_energy",
+    (s, dir) => {
+      import s.implicits._
+      val windows = mediaTable(s, dir)
+        .filter(col("kind") === "audio")
+        .mapPartitions(_.flatMap(m => StubDecoder.audioEnergy(m)))
+        .toDF("media_id", "win_idx", "energy")
+      windows.groupBy("media_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("energy") > 40.0, 1L).otherwise(0L)).as("n_active"),
+          round(max("energy"), 6).as("peak_energy"))
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH m AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len
+                 FROM documents WHERE doc_id % 2 = 1),
+      w AS (SELECT media_id, text, CAST(unnest(range(0, len // 32)) AS INTEGER) AS win_idx FROM m),
+      e AS (SELECT media_id, win_idx,
+                   sqrt(CAST(list_sum(list_transform(range(1, 33),
+                        i -> CAST((unicode(substring(text, win_idx*32 + i, 1)) - 128)
+                             * (unicode(substring(text, win_idx*32 + i, 1)) - 128) AS BIGINT))) AS DOUBLE)
+                        / 32) AS energy
+            FROM w)
+      SELECT media_id, COUNT(*) AS n_windows,
+             CAST(SUM(CASE WHEN energy > 40.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+             ROUND(MAX(energy), 6) AS peak_energy
+      FROM e GROUP BY media_id ORDER BY media_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(mmDecode, mmResize, mmFrames, mmSimilar, mmAudioEnergy)
 }
