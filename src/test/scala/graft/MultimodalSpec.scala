@@ -35,6 +35,23 @@ class MultimodalSpec extends SparkTestBase with Matchers {
     plan should not include "Exchange"
   }
 
+  test("audio energy: windows are exact RMS over centered bytes, active count matches a hand fold") {
+    val media = MultimodalOps.mediaTable(spark, sfTiny)
+      .filter(col("kind") === "audio").limit(3).collect()
+    media should not be empty
+    for (m <- media) {
+      val got = MultimodalOps.StubDecoder.audioEnergy(m)
+      got should have length m.payload.length / 32
+      for ((id, idx, e) <- got) {
+        id shouldBe m.media_id
+        val expect = math.sqrt(
+          m.payload.slice(idx * 32, idx * 32 + 32)
+            .map(b => { val v = (b & 0xff) - 128; v.toLong * v }).sum.toDouble / 32)
+        e shouldBe expect
+      }
+    }
+  }
+
   test("resize halves dims and strides the payload") {
     val before = MultimodalOps.mediaTable(spark, sfTiny).filter(col("media_id") === 0).collect().head
     val after = MultimodalOps.resizeAll(MultimodalOps.mediaTable(spark, sfTiny))
