@@ -328,5 +328,54 @@ object MultimodalOps {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(mmDecode, mmResize, mmFrames, mmSimilar, mmAudioEnergy)
+  /** Scene-change detection — the video-side segmentation primitive:
+    * consecutive full frames (64-byte windows, no sampling) are compared
+    * by mean intensity, and a jump above threshold marks a cut. One
+    * narrow decode pass emits (media, frame, mean); a per-media window
+    * lag computes deltas (single shuffle on media_id — the same
+    * sessionize shape); the output is per-media cut count + first cut
+    * index. Frame means are exact (≤64 byte codes summed in double over
+    * a power-of-two window), deltas/rounding mirrored in SQL.
+    */
+  val mmScenes = QueryDef(
+    "q_mm_scenes",
+    (s, dir) => {
+      import s.implicits._
+      val frames = mediaTable(s, dir)
+        .filter(col("kind") === "image")
+        .mapPartitions(_.flatMap(m => StubDecoder.frames(m, frameSize = 64, everyK = 1)))
+        .toDF("media_id", "frame_idx", "frame_mean")
+      val w = Window.partitionBy("media_id").orderBy("frame_idx")
+      frames
+        .withColumn("prev_mean", lag("frame_mean", 1).over(w))
+        .withColumn("is_cut",
+          col("prev_mean").isNotNull && abs(col("frame_mean") - col("prev_mean")) > 4.5)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"),
+          min(when(col("is_cut"), col("frame_idx"))).as("first_cut"))
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH m AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len
+                 FROM documents WHERE doc_id % 2 = 0),
+      f AS (SELECT media_id, CAST(unnest(range(0, len // 64)) AS INTEGER) AS frame_idx, text FROM m),
+      fm AS (SELECT media_id, frame_idx,
+                    list_avg(list_transform(range(1, 65),
+                      i -> unicode(substring(text, frame_idx*64 + i, 1)))) AS frame_mean
+             FROM f),
+      d AS (SELECT media_id, frame_idx, frame_mean,
+                   lag(frame_mean) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev_mean
+            FROM fm),
+      c AS (SELECT media_id, frame_idx,
+                   (prev_mean IS NOT NULL AND abs(frame_mean - prev_mean) > 4.5) AS is_cut
+            FROM d)
+      SELECT media_id, COUNT(*) AS n_frames,
+             CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+             MIN(CASE WHEN is_cut THEN frame_idx END) AS first_cut
+      FROM c GROUP BY media_id ORDER BY media_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(mmDecode, mmResize, mmFrames, mmSimilar, mmAudioEnergy, mmScenes)
 }
