@@ -366,7 +366,47 @@ object FunctionQueries {
     """.trim),
   )
 
+  /** Struct functions — nested-record construction, field access, field
+    * update, and the JSON projection of a struct: the named-tuple algebra
+    * every nested-schema pipeline uses. All per-row codegen'd expressions
+    * (zero shuffle); the JSON text is built with explicit concat in BOTH
+    * engines so key order and number formatting are under our control
+    * rather than an engine's serializer.
+    */
+  val fnStruct = QueryDef(
+    "q_fn_struct",
+    (s, dir) =>
+      graft.Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          struct(col("o_custkey").as("cust"),
+            col("o_totalprice").cast(DecimalType(12, 2)).as("price"),
+            col("o_orderstatus").as("status")).as("rec"))
+        .select(
+          col("o_orderkey"),
+          col("rec.cust").as("cust"),
+          col("rec.price").cast(DoubleType).as("price"),
+          // field update: a re-priced copy of the record
+          col("rec").withField("price",
+            (col("rec.price") + lit(5).cast(DecimalType(12, 2))).cast(DecimalType(12, 2)))
+            .getField("price").cast(DoubleType).as("repriced"),
+          concat(lit("{\"cust\":"), col("rec.cust").cast(StringType),
+            lit(",\"status\":\""), col("rec.status"), lit("\"}")).as("rec_json"))
+        .orderBy("o_orderkey"),
+    Some("""
+      WITH r AS (
+        SELECT o_orderkey, o_custkey AS cust,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+               o_orderstatus AS status
+        FROM orders)
+      SELECT o_orderkey, cust,
+             CAST(price AS DOUBLE) AS price,
+             CAST(price + 5 AS DOUBLE) AS repriced,
+             '{"cust":' || CAST(cust AS VARCHAR) || ',"status":"' || status || '"}' AS rec_json
+      FROM r ORDER BY o_orderkey
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     fnString, fnDate, fnDate2, fnMath, fnCond, fnJson, fnArray, fnMap, fnExplode, fnTryCast,
-    fnFromJson, fnUrl, fnEncode)
+    fnFromJson, fnUrl, fnEncode, fnStruct)
 }
