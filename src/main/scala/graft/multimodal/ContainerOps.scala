@@ -1,0 +1,320 @@
+package graft.multimodal
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Dataset
+
+/** Real container-format parsing behind the multimodal boundary.
+  *
+  * Where [[MultimodalOps.StubDecoder]] stands in for pixel/sample work
+  * (libjpeg/ffmpeg territory), the *container* layer — magic numbers,
+  * header chunks, dimension/sample-rate fields — is a pure public byte
+  * format needing zero libraries. This module does it for real:
+  *
+  *   - the fixture payloads are genuine containers: a PNG signature +
+  *     IHDR chunk (ISO/IEC 15948 §5.2/§11.2.2), a JFIF APP0 + baseline
+  *     SOF0 JPEG segment stream (ITU-T T.81 §B.2), or a RIFF/WAVE header
+  *     with a PCM `fmt ` chunk (Microsoft/IBM WAVE spec), wrapped around
+  *     the document bytes as the "encoded stream";
+  *   - `ContainerParser` reads metadata back **from the bytes** — width /
+  *     height out of IHDR / SOF0, channels + sample rate out of `fmt ` —
+  *     by walking chunks/segments the way a real sniffer does (PNG chunk
+  *     layout, JPEG marker walk, RIFF chunk walk), not by trusting
+  *     sidecar columns;
+  *   - malformed rows (bad magic, truncated header) surface as **typed
+  *     errors** in an `error` column instead of nulls-by-accident or
+  *     task failures — the per-row quarantine shape a 100 TB ingest
+  *     needs (one bad object must never kill a 10k-file scan task).
+  *
+  * Scale design: identical to the stub path — parsing is a narrow
+  * per-partition map over the scan; payload bytes never shuffle; only
+  * the few parsed header fields leave the executor.
+  *
+  * Deliberate deviations from full-fidelity readers, documented:
+  * CRC-32 of the IHDR chunk is written as zero and not validated
+  * (fast-path metadata sniffers skip CRC; DuckDB has no CRC-32 to
+  * mirror a real one in the oracle), and JPEG entropy data / PCM
+  * samples are the document bytes, not a real coded stream — the
+  * container *structure* is what is real here.
+  */
+object ContainerOps {
+
+  /** Parsed container metadata; image fields null for audio and vice
+    * versa; `error` non-null iff parsing failed (all parsed fields null).
+    */
+  final case class ContainerRow(
+      media_id: Long,
+      format: Option[String],
+      n_bytes: Int,
+      checksum: Long,
+      width: Option[Int],
+      height: Option[Int],
+      channels: Option[Int],
+      sample_rate: Option[Int],
+      bits_per_sample: Option[Int],
+      error: Option[String])
+
+  // ---------------------------------------------------------------- builder
+
+  /** Synthesize a real container payload for one document. Format cycles
+    * png / wav / jpeg by doc_id % 3; header field values are derived from
+    * doc columns so the DuckDB oracle can reconstruct the exact byte
+    * sequence with integer arithmetic. Malformed-row injection (for the
+    * typed-error path): doc_id % 97 == 0 flips the first magic byte;
+    * else doc_id % 89 == 0 truncates the payload to 10 bytes.
+    */
+  def buildPayload(docId: Long, text: String, nChars: Long): Array[Byte] = {
+    val body = text.getBytes("UTF-8")
+    val w = (nChars % 512 + 16).toInt
+    val h = (nChars % 384 + 16).toInt
+    val ch = (1 + (docId / 3) % 2).toInt
+    val sr = (8000 * (1 + (docId % 9) / 3)).toInt
+    val full = (docId % 3) match {
+      case 0 => pngBytes(w, h, body)
+      case 1 => wavBytes(ch, sr, body)
+      case _ => jpegBytes(w, h, body)
+    }
+    if (docId % 97 == 0) { full(0) = (full(0) ^ 0xff).toByte; full }
+    else if (docId % 89 == 0) full.take(10)
+    else full
+  }
+
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def be16(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+  private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
+
+  /** PNG: 8-byte signature, then the IHDR chunk (len=13, type, width/
+    * height BE32, bit depth 8, color type 2 = truecolor, compression /
+    * filter / interlace 0, zero CRC — see scaladoc), then body.
+    */
+  def pngBytes(w: Int, h: Int, body: Array[Byte]): Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII") ++
+      be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0) ++
+      be32(0) ++ // CRC deliberately zero (not validated; see scaladoc)
+      body
+
+  /** JPEG: SOI, JFIF APP0 (len 16), baseline SOF0 (len 17: precision 8,
+    * height/width BE16, 3 components with standard sampling/quant ids),
+    * then body as the stand-in entropy stream.
+    */
+  def jpegBytes(w: Int, h: Int, body: Array[Byte]): Array[Byte] =
+    Array(0xff, 0xd8).map(_.toByte) ++
+      (Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++
+        "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) ++
+      (Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++ Array[Byte](8) ++
+        be16(h) ++ be16(w) ++
+        Array[Byte](3, 1, 17, 0, 2, 17, 1, 3, 17, 1)) ++
+      body
+
+  /** WAV: RIFF size header, WAVE form type, PCM `fmt ` chunk (16 bytes:
+    * format 1, channels, sample rate, byte rate, block align, 16-bit
+    * samples), `data` chunk sized to the body.
+    */
+  def wavBytes(ch: Int, sr: Int, body: Array[Byte]): Array[Byte] =
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + body.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(ch) ++ le32(sr) ++ le32(sr * ch * 2) ++
+      le16(ch * 2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(body.length) ++
+      body
+
+  // ----------------------------------------------------------------- parser
+
+  /** Reads container metadata from the bytes alone. Never throws on bad
+    * input — malformed payloads come back as a typed `error` with all
+    * parsed fields null (payload length + checksum are still reported,
+    * they are properties of the bytes, not of a successful parse).
+    */
+  object ContainerParser {
+    private val PngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    def parse(mediaId: Long, p: Array[Byte]): ContainerRow = {
+      val base = ContainerRow(mediaId, None, p.length, checksum(p),
+        None, None, None, None, None, None)
+      if (p.length >= 8 && p.startsWith(PngSig)) parsePng(base, p)
+      else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
+        parseJpeg(base, p)
+      else if (p.length >= 4 && asciiAt(p, 0, 4) == "RIFF") parseRiff(base, p)
+      else base.copy(error = Some("bad_magic"))
+    }
+
+    /** Polynomial byte checksum (acc = acc*31 + b mod 1e9+7, acc0 = 1) —
+      * same family as [[MultimodalOps.StubDecoder.decode]], reproducible
+      * in DuckDB via list_reduce.
+      */
+    def checksum(p: Array[Byte]): Long = {
+      var acc = 1L
+      var i = 0
+      while (i < p.length) { acc = (acc * 31 + (p(i) & 0xff)) % 1000000007L; i += 1 }
+      acc
+    }
+
+    private def asciiAt(p: Array[Byte], off: Int, len: Int): String =
+      new String(p, off, len, "US-ASCII")
+    private def rBe32(p: Array[Byte], i: Int): Int =
+      ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) | ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+    private def rBe16(p: Array[Byte], i: Int): Int =
+      ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+    private def rLe32(p: Array[Byte], i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) | ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+    private def rLe16(p: Array[Byte], i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+
+    /** IHDR must be the first chunk (ISO/IEC 15948 §5.6): sig(8) +
+      * len(4) + "IHDR"(4) + 13 data + CRC(4) = 33 bytes minimum.
+      */
+    private def parsePng(base: ContainerRow, p: Array[Byte]): ContainerRow = {
+      val png = base.copy(format = Some("png"))
+      if (p.length < 33) return png.copy(error = Some("truncated"))
+      if (rBe32(p, 8) != 13 || asciiAt(p, 12, 4) != "IHDR")
+        return png.copy(error = Some("bad_ihdr"))
+      val colorType = p(25) & 0xff
+      // channel count per color type (spec §11.2.2 table); palette = 1 channel
+      val ch = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => -1
+      }
+      if (ch < 0) return png.copy(error = Some("bad_ihdr"))
+      png.copy(
+        width = Some(rBe32(p, 16)), height = Some(rBe32(p, 20)),
+        channels = Some(ch), bits_per_sample = Some(p(24) & 0xff))
+    }
+
+    /** Marker walk from SOI until a baseline/extended/progressive SOF
+      * (0xC0–0xC3) yields precision + dimensions + component count.
+      */
+    private def parseJpeg(base: ContainerRow, p: Array[Byte]): ContainerRow = {
+      val jpg = base.copy(format = Some("jpeg"))
+      var i = 2
+      while (i + 4 <= p.length) {
+        if ((p(i) & 0xff) != 0xff) return jpg.copy(error = Some("bad_marker"))
+        val marker = p(i + 1) & 0xff
+        val segLen = rBe16(p, i + 2)
+        if (marker >= 0xc0 && marker <= 0xc3) {
+          if (segLen < 8 || i + 2 + segLen > p.length)
+            return jpg.copy(error = Some("truncated"))
+          return jpg.copy(
+            width = Some(rBe16(p, i + 7)), height = Some(rBe16(p, i + 5)),
+            channels = Some(p(i + 9) & 0xff),
+            bits_per_sample = Some(p(i + 4) & 0xff))
+        }
+        if (segLen < 2) return jpg.copy(error = Some("bad_marker"))
+        i += 2 + segLen
+      }
+      jpg.copy(error = Some("truncated"))
+    }
+
+    /** RIFF chunk walk: form type must be WAVE, then scan chunks for
+      * `fmt ` (16-byte PCM layout). Format stays unknown until WAVE is
+      * confirmed — a truncated RIFF prefix could be any RIFF form (AVI,
+      * WebP, …).
+      */
+    private def parseRiff(base: ContainerRow, p: Array[Byte]): ContainerRow = {
+      if (p.length < 12) return base.copy(error = Some("truncated"))
+      if (asciiAt(p, 8, 4) != "WAVE") return base.copy(error = Some("bad_riff_form"))
+      val wav = base.copy(format = Some("wav"))
+      var i = 12
+      while (i + 8 <= p.length) {
+        val id = asciiAt(p, i, 4)
+        val size = rLe32(p, i + 4)
+        if (id == "fmt ") {
+          if (size < 16 || i + 8 + 16 > p.length) return wav.copy(error = Some("truncated"))
+          return wav.copy(
+            channels = Some(rLe16(p, i + 10)),
+            sample_rate = Some(rLe32(p, i + 12)),
+            bits_per_sample = Some(rLe16(p, i + 22)))
+        }
+        i += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      wav.copy(error = Some("no_fmt_chunk"))
+    }
+  }
+
+  // -------------------------------------------------------------- query def
+
+  /** Container media table: (media_id, payload) with real container bytes.
+    * Same narrow shape as [[MultimodalOps.mediaTable]].
+    */
+  def containerTable(s: org.apache.spark.sql.SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select("doc_id", "text", "n_chars")
+      .as[(Long, String, Long)]
+      .map { case (id, text, n) => (id, buildPayload(id, text, n)) }
+  }
+
+  /** Oracle-checked end-to-end: header fields parsed from the bytes must
+    * equal the values DuckDB derives from doc columns, and the checksum
+    * must equal a fold over the exact reconstructed byte sequence
+    * (header list built with integer arithmetic ++ text byte codes,
+    * with the corrupt/truncate injections applied) — so the oracle
+    * proves the payload bytes and the parse, not just the metadata.
+    */
+  val mmContainer = QueryDef(
+    "q_mm_container",
+    (s, dir) => {
+      import s.implicits._
+      containerTable(s, dir)
+        .mapPartitions(_.map { case (id, payload) => ContainerParser.parse(id, payload) })
+        .toDF()
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH doc AS (SELECT doc_id, text, n_chars, octet_length(encode(text)) AS len FROM documents),
+      p AS (SELECT doc_id, text, len, doc_id % 3 AS fmt_i,
+              CAST(n_chars % 512 + 16 AS BIGINT) AS w,
+              CAST(n_chars % 384 + 16 AS BIGINT) AS h,
+              CAST(1 + (doc_id // 3) % 2 AS BIGINT) AS ch,
+              CAST(8000 * (1 + (doc_id % 9) // 3) AS BIGINT) AS sr
+            FROM doc),
+      hdr AS (SELECT *, CASE fmt_i
+        WHEN 0 THEN [137,80,78,71,13,10,26,10, 0,0,0,13, 73,72,68,82,
+                     w//16777216%256, w//65536%256, w//256%256, w%256,
+                     h//16777216%256, h//65536%256, h//256%256, h%256,
+                     8,2,0,0,0, 0,0,0,0]
+        WHEN 2 THEN [255,216, 255,224,0,16,74,70,73,70,0,1,1,0,0,1,0,1,0,0,
+                     255,192,0,17,8, h//256%256, h%256, w//256%256, w%256,
+                     3, 1,17,0, 2,17,1, 3,17,1]
+        ELSE [82,73,70,70, (36+len)%256, (36+len)//256%256, (36+len)//65536%256, (36+len)//16777216%256,
+              87,65,86,69, 102,109,116,32, 16,0,0,0, 1,0, ch%256, ch//256%256,
+              sr%256, sr//256%256, sr//65536%256, sr//16777216%256,
+              (sr*ch*2)%256, (sr*ch*2)//256%256, (sr*ch*2)//65536%256, (sr*ch*2)//16777216%256,
+              (ch*2)%256, (ch*2)//256%256, 16,0,
+              100,97,116,97, len%256, len//256%256, len//65536%256, len//16777216%256]
+        END AS hcodes FROM p),
+      fullp AS (SELECT *, list_concat(
+                  list_transform(hcodes, x -> CAST(x AS BIGINT)),
+                  list_transform(range(1, len+1), i -> CAST(unicode(substring(text,i,1)) AS BIGINT))) AS codes0
+                FROM hdr),
+      eff AS (SELECT *,
+        CASE WHEN doc_id % 97 = 0 THEN list_concat([xor(codes0[1], CAST(255 AS BIGINT))], codes0[2:])
+             WHEN doc_id % 89 = 0 THEN codes0[1:10]
+             ELSE codes0 END AS codes,
+        CASE WHEN doc_id % 97 = 0 THEN 'bad_magic'
+             WHEN doc_id % 89 = 0 THEN 'truncated'
+             ELSE CAST(NULL AS VARCHAR) END AS error
+        FROM fullp)
+      SELECT doc_id AS media_id,
+        CASE WHEN error = 'bad_magic' THEN NULL
+             WHEN error = 'truncated' AND fmt_i = 1 THEN NULL
+             ELSE CASE fmt_i WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END END AS format,
+        CAST(len(codes) AS INTEGER) AS n_bytes,
+        list_reduce(list_prepend(CAST(1 AS BIGINT), codes),
+                    (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
+        CAST(CASE WHEN error IS NULL AND fmt_i IN (0, 2) THEN w END AS INTEGER) AS width,
+        CAST(CASE WHEN error IS NULL AND fmt_i IN (0, 2) THEN h END AS INTEGER) AS height,
+        CAST(CASE WHEN error IS NULL THEN (CASE WHEN fmt_i = 1 THEN ch ELSE 3 END) END AS INTEGER) AS channels,
+        CAST(CASE WHEN error IS NULL AND fmt_i = 1 THEN sr END AS INTEGER) AS sample_rate,
+        CAST(CASE WHEN error IS NULL THEN (CASE WHEN fmt_i = 1 THEN 16 ELSE 8 END) END AS INTEGER) AS bits_per_sample,
+        error
+      FROM eff ORDER BY media_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(mmContainer)
+}

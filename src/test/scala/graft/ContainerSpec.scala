@@ -1,0 +1,123 @@
+package graft
+
+import graft.multimodal.ContainerOps
+import graft.multimodal.ContainerOps.ContainerParser
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Container-format parsing specs: metadata must come FROM the bytes
+  * (header walks, not sidecar columns), and malformed payloads must
+  * surface as typed errors, never as exceptions or silent nulls.
+  */
+class ContainerSpec extends SparkTestBase with Matchers {
+
+  private val body = "the quick brown fox".getBytes("UTF-8")
+
+  test("png: width/height/channels/depth parsed from IHDR bytes") {
+    val r = ContainerParser.parse(1L, ContainerOps.pngBytes(640, 480, body))
+    r.error shouldBe None
+    r.format shouldBe Some("png")
+    r.width shouldBe Some(640)
+    r.height shouldBe Some(480)
+    r.channels shouldBe Some(3) // color type 2 = truecolor
+    r.bits_per_sample shouldBe Some(8)
+    r.sample_rate shouldBe None
+  }
+
+  test("jpeg: SOF0 found by marker walk, even with extra segments before it") {
+    // standard build: SOI + APP0 + SOF0
+    val std = ContainerParser.parse(2L, ContainerOps.jpegBytes(1024, 768, body))
+    std.error shouldBe None
+    std.format shouldBe Some("jpeg")
+    std.width shouldBe Some(1024)
+    std.height shouldBe Some(768)
+    std.channels shouldBe Some(3)
+    // insert a COM (0xFFFE) and a DQT-ish (0xFFDB) segment between APP0 and
+    // SOF0 — a real stream's shape; the walk must skip them by length
+    val base = ContainerOps.jpegBytes(320, 200, body)
+    val (head, tail) = base.splitAt(20) // SOI(2) + APP0(18)
+    val com = Array(0xff, 0xfe).map(_.toByte) ++ Array[Byte](0, 7) ++ "hello".getBytes("US-ASCII")
+    val dqt = Array(0xff, 0xdb).map(_.toByte) ++ Array[Byte](0, 4, 0, 1)
+    val r = ContainerParser.parse(3L, head ++ com ++ dqt ++ tail)
+    r.error shouldBe None
+    r.width shouldBe Some(320)
+    r.height shouldBe Some(200)
+  }
+
+  test("wav: channels/sample rate parsed from fmt chunk, even after an extra chunk") {
+    val std = ContainerParser.parse(4L, ContainerOps.wavBytes(2, 44100, body))
+    std.error shouldBe None
+    std.format shouldBe Some("wav")
+    std.channels shouldBe Some(2)
+    std.sample_rate shouldBe Some(44100)
+    std.bits_per_sample shouldBe Some(16)
+    std.width shouldBe None
+    // splice a LIST chunk (odd size → word-aligned skip) before fmt
+    val base = ContainerOps.wavBytes(1, 8000, body)
+    val (head, tail) = base.splitAt(12) // RIFF + size + WAVE
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++ Array[Byte](0) // pad to even
+    val r = ContainerParser.parse(5L, head ++ list ++ tail)
+    r.error shouldBe None
+    r.channels shouldBe Some(1)
+    r.sample_rate shouldBe Some(8000)
+  }
+
+  test("malformed payloads are typed errors, not exceptions") {
+    // flipped magic → bad_magic, no format, no fields
+    val png = ContainerOps.pngBytes(64, 64, body)
+    png(0) = (png(0) ^ 0xff).toByte
+    val bad = ContainerParser.parse(6L, png)
+    bad.error shouldBe Some("bad_magic")
+    bad.format shouldBe None
+    bad.width shouldBe None
+    // truncated headers → truncated, format reported only once magic pins it
+    ContainerParser.parse(7L, ContainerOps.pngBytes(64, 64, body).take(10))
+      .error shouldBe Some("truncated")
+    ContainerParser.parse(7L, ContainerOps.pngBytes(64, 64, body).take(10))
+      .format shouldBe Some("png")
+    val wavTrunc = ContainerParser.parse(8L, ContainerOps.wavBytes(1, 8000, body).take(10))
+    wavTrunc.error shouldBe Some("truncated")
+    wavTrunc.format shouldBe None // RIFF form not yet confirmed as WAVE
+    ContainerParser.parse(9L, ContainerOps.jpegBytes(64, 64, body).take(10))
+      .error shouldBe Some("truncated")
+    // RIFF but not WAVE
+    val avi = ContainerOps.wavBytes(1, 8000, body)
+    avi(8) = 'A'.toByte; avi(9) = 'V'.toByte; avi(10) = 'I'.toByte; avi(11) = ' '.toByte
+    ContainerParser.parse(10L, avi).error shouldBe Some("bad_riff_form")
+    // PNG sig followed by a non-IHDR chunk
+    val notIhdr = ContainerOps.pngBytes(64, 64, body)
+    notIhdr(12) = 'X'.toByte
+    ContainerParser.parse(11L, notIhdr).error shouldBe Some("bad_ihdr")
+    // WAV with fmt chunk missing entirely
+    val noFmt = ContainerParser.parse(12L,
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "WAVE".getBytes("US-ASCII"))
+    noFmt.error shouldBe Some("no_fmt_chunk")
+    // garbage
+    ContainerParser.parse(13L, Array[Byte](1, 2, 3, 4, 5)).error shouldBe Some("bad_magic")
+    // checksum/length still reported for malformed rows (byte properties)
+    bad.n_bytes shouldBe png.length
+    bad.checksum shouldBe ContainerParser.checksum(png)
+  }
+
+  test("q_mm_container: valid rows parse, injected malformed rows quarantine") {
+    val rows = ContainerOps.mmContainer.query(spark, sfTiny).collect()
+    rows.length shouldBe 500
+    val byErr = rows.groupBy(r => Option(r.getString(9)))
+    // injection schedule: %97 → bad_magic {0,97,194,291,388,485}; %89 (minus 0) → truncated
+    byErr(Some("bad_magic")).map(_.getLong(0)).sorted shouldBe Array(0L, 97L, 194L, 291L, 388L, 485L)
+    byErr(Some("truncated")).map(_.getLong(0)).sorted shouldBe Array(89L, 178L, 267L, 356L, 445L)
+    val ok = byErr(None)
+    ok.length shouldBe 489
+    // every valid row's fields came from a successful byte parse
+    ok.foreach { r =>
+      val fmt = r.getString(1)
+      fmt should (be("png") or be("wav") or be("jpeg"))
+      if (fmt == "wav") { r.isNullAt(4) shouldBe true; r.getInt(7) should be >= 8000 }
+      else { r.getInt(4) should be >= 16; r.isNullAt(7) shouldBe true }
+    }
+    // parse is a narrow map: no shuffle before the sort
+    val plan = ContainerOps.mmContainer.query(spark, sfTiny).queryExecution.executedPlan.toString
+    plan.split("Exchange").length - 1 shouldBe 1 // only the final orderBy range exchange
+  }
+}
