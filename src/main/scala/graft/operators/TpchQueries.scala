@@ -23,6 +23,7 @@ object TpchQueries {
     Tables.orders(s, dir).createOrReplaceTempView("graft_tpch_orders")
     Tables.lineitem(s, dir).createOrReplaceTempView("graft_tpch_lineitem")
     Tables.supplier(s, dir).createOrReplaceTempView("graft_tpch_supplier")
+    Tables.part(s, dir).createOrReplaceTempView("graft_tpch_part")
     Tables.nation(s, dir).createOrReplaceTempView("graft_tpch_nation")
     Tables.region(s, dir).createOrReplaceTempView("graft_tpch_region")
   }
@@ -253,5 +254,131 @@ object TpchQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(sqlQ3, sqlQ5, sqlQ18, sqlQ7, sqlQ10)
+  /** TPC-H Q2 shape (minimum-cost supplier): the correlated scalar MIN
+    * over a 4-way dim join. The fixture has no partsupp table, so the
+    * part↔supplier cost relation is derived from lineitem (min
+    * l_extendedprice per part/supplier pair — exact DOUBLE min, identical
+    * bits in both engines, so the correlated equality is deterministic).
+    * Catalyst decorrelates the scalar subquery into an aggregate +
+    * rejoin on p_partkey; dims broadcast; the two ps derivations reuse
+    * one lineitem aggregation shape. Plan-asserted cartesian-free
+    * (PlanShapeSpec).
+    */
+  val sqlQ2 = QueryDef(
+    "q_sql_q2",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 MIN(l_extendedprice) AS ps_supplycost
+          FROM graft_tpch_lineitem GROUP BY 1, 2)
+        SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+               p_partkey, p_name, CAST(ps_supplycost AS DOUBLE) AS supplycost
+        FROM graft_tpch_part
+        JOIN ps ON p_partkey = ps_partkey
+        JOIN graft_tpch_supplier ON s_suppkey = ps_suppkey
+        JOIN graft_tpch_nation ON s_nationkey = n_nationkey
+        JOIN graft_tpch_region ON n_regionkey = r_regionkey
+        WHERE p_size <= 15 AND p_type = 'PROMO'
+          AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+            SELECT MIN(ps2.ps_supplycost)
+            FROM ps ps2
+            JOIN graft_tpch_supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+            JOIN graft_tpch_nation n2 ON s2.s_nationkey = n2.n_nationkey
+            JOIN graft_tpch_region r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+      """)
+    },
+    Some("""
+      WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(l_extendedprice) AS ps_supplycost
+        FROM lineitem GROUP BY 1, 2)
+      SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+             p_partkey, p_name, CAST(ps_supplycost AS DOUBLE) AS supplycost
+      FROM part
+      JOIN ps ON p_partkey = ps_partkey
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE p_size <= 15 AND p_type = 'PROMO'
+        AND r_name = 'EUROPE'
+        AND ps_supplycost = (
+          SELECT MIN(ps2.ps_supplycost)
+          FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100
+    """.trim),
+  )
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the
+    * multi-correlated EXISTS / NOT-EXISTS decorrelation stress. The
+    * fixture lineitem has no receipt/commit dates, so the original's
+    * per-line "late" predicate maps to the lineitem-local
+    * l_returnflag = 'R': count, per EUROPE supplier, finished orders
+    * where THIS supplier's line was returned, another supplier was
+    * also on the order, and no other supplier's line was returned —
+    * sole-blame attribution. Catalyst must plan EXISTS as a left-semi
+    * and NOT EXISTS as a left-anti on l_orderkey (plan-asserted, no
+    * cartesian): at 100 TB both are shuffle joins on the fact key,
+    * never a per-row re-scan.
+    */
+  val sqlQ21 = QueryDef(
+    "q_sql_q21",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM graft_tpch_supplier
+        JOIN graft_tpch_lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN graft_tpch_orders ON o_orderkey = l1.l_orderkey
+        JOIN graft_tpch_nation ON s_nationkey = n_nationkey
+        JOIN graft_tpch_region ON n_regionkey = r_regionkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND r_name = 'EUROPE'
+          AND EXISTS (
+            SELECT 1 FROM graft_tpch_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM graft_tpch_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+      """)
+    },
+    Some("""
+      SELECT s_name, count(*) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_returnflag = 'R'
+        AND r_name = 'EUROPE'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(sqlQ3, sqlQ5, sqlQ18, sqlQ7, sqlQ10, sqlQ2, sqlQ21)
 }

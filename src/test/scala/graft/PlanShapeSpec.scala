@@ -249,6 +249,29 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     "BroadcastHashJoin".r.findAllIn(plan).length should be >= 2
   }
 
+  test("q_sql_q2 decorrelates the scalar min into an aggregate rejoin, no cartesian") {
+    val df = graft.operators.TpchQueries.sqlQ2.query(spark, sfTiny)
+    val plan = executedPlanString(df)
+    // the correlated `= (SELECT MIN …)` must become a grouped aggregate
+    // joined back on p_partkey — a per-row re-execution would appear as a
+    // nested loop over the subquery side
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // region/nation dims broadcast in both the outer and inner derivations
+    "BroadcastHashJoin".r.findAllIn(plan).length should be >= 2
+  }
+
+  test("q_sql_q21 plans EXISTS as left-semi and NOT EXISTS as left-anti on the fact key") {
+    val df = graft.operators.TpchQueries.sqlQ21.query(spark, sfTiny)
+    val plan = executedPlanString(df)
+    // at 100 TB both correlated predicates must be one shuffle join each on
+    // l_orderkey — never a per-row lineitem re-scan
+    plan should include("LeftSemi")
+    plan should include("LeftAnti")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("q_ann_ivfpq scans codes through equi-joins only (no cartesian beyond one-row builds)") {
     val df = graft.operators.VectorQueries.annIvfPq.query(spark, sfTiny)
     val plan = executedPlanString(df)
