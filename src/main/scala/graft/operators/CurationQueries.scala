@@ -73,9 +73,16 @@ object CurationQueries {
     * it grows with the corpus (every gram with DF >= 3), so at 100 TB it
     * is itself huge — a broadcast would collect it to the driver and copy
     * it to every executor. A plain shuffle join on gram keeps both sides
-    * partitioned; a hot gram (true boilerplate appears in a large
-    * fraction of documents) is exactly the skewed-key case AQE's skew-join
-    * splitting handles on a sort-merge join.
+    * partitioned. A hot gram (true boilerplate appears in a large
+    * fraction of documents) concentrates its pair mass in one reduce
+    * task — irreducible for a key-partitioned join, and NOT splittable by
+    * AQE here (the exchange is a user repartition reused by both sides,
+    * not an ENSURE_REQUIREMENTS shuffle) — but it is bounded and cheap:
+    * the straggler carries exactly hot-gram mass + ordinary hash peers
+    * (no fan-out amplifies it), the per-row work is a hash probe, and the
+    * per-doc aggregate right after re-shuffles on doc_id, which
+    * rebalances. GramSkewSpec implants one gram in 50% of docs and proves
+    * result equality + this straggler bound + the plan shape.
     *
     * Two shuffle-width tricks make this linear pass cheap: (1) grams
     * cross the wire as xxhash64 longs, not ~25-byte strings — only the
@@ -87,10 +94,11 @@ object CurationQueries {
     * scan+explode instead of two), and both join sides arrive
     * co-partitioned on `g` with no further exchange.
     */
-  val textBoilerplate = QueryDef(
-    "q_text_boilerplate",
-    (s, dir) => {
-      val pairs = Tables.documents(s, dir)
+  /** q_text_boilerplate's body over an arbitrary (doc_id, text) frame —
+    * the GramSkewSpec entry point for implanted hot-gram fixtures.
+    */
+  def boilerplateOn(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val pairs = docs
         .select(col("doc_id"),
           explode(array_distinct(
             Tokenize.ngramShingles(Tokenize.tokens(col("text")), 3))).as("gram"))
@@ -115,7 +123,11 @@ object CurationQueries {
         .select(col("doc_id"), col("n_grams"), col("n_boiler"),
           round(col("n_boiler").cast(DoubleType) / col("n_grams"), 6).as("boiler_ratio"))
         .orderBy("doc_id")
-    },
+  }
+
+  val textBoilerplate = QueryDef(
+    "q_text_boilerplate",
+    (s, dir) => boilerplateOn(Tables.documents(s, dir)),
     Some("""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       g AS (SELECT doc_id,
