@@ -92,8 +92,12 @@ object VectorQueries {
 
   /** Per-label centroid via the VectorCentroid Aggregator (UDAF) — the scale
     * path: mergeable partial buffers, no per-group list materialization.
-    * Golden-tested against the posexplode formulation (ApproxOpsSpec); no
-    * hash oracle (float-sum order is merge-order-dependent).
+    * The buffer accumulates exact scaled-long units (2⁻⁴⁴ grid — every
+    * fixture float is a pure exponent shift away), so the merge is
+    * order-FREE and the result hash-stable: the oracle reproduces the
+    * identical integer sum with one CAST and divides with the same
+    * operand bits. Still golden-tested against the posexplode
+    * formulation (ApproxOpsSpec).
     */
   val vecCentroidUdaf = QueryDef(
     "q_vec_centroid_udaf",
@@ -102,10 +106,20 @@ object VectorQueries {
       Tables.embeddings(s, dir)
         .groupBy("label")
         .agg(centroidUdaf(col("embedding")).as("centroid"))
-        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "centroid_val")))
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "v")))
+        .select(col("label"), col("dim"), round(col("v"), 6).as("centroid_val"))
         .orderBy("label", "dim")
     },
-    None,
+    Some("""
+      WITH x AS (
+        SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+               CAST(CAST(embedding[i] AS DOUBLE) * 17592186044416 AS BIGINT) AS sv
+        FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)),
+      g AS (SELECT label, dim, COUNT(*) AS n, SUM(sv) AS s FROM x GROUP BY label, dim)
+      SELECT label, dim,
+             ROUND(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 17592186044416), 6) AS centroid_val
+      FROM g ORDER BY label, dim
+    """.trim),
   )
 
   /** Posexplode formulation of the same centroid — the cross-check twin for
