@@ -21,17 +21,28 @@ object Bench {
     // per-round numbers comparable.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => failed = true }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      // true median: average the two middle reps when reps is even (the
+      // upper-middle element alone reports the max for reps=2). A query
+      // that failed ANY rep reports -1 — time-to-failure must never pose
+      // as a timing, and a negative value is unmissable downstream.
+      val median =
+        if (failed) -1.0
+        else if (times.length % 2 == 1) times(times.length / 2)
+        else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":${failedNames.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"cpus":"$cpus"}"""
     // append to the local history log (per-query regression tracking across
     // runs — read by BenchDiff); stdout stays exactly ONE JSON line, the
     // driver contract. History failures must never fail the bench.
