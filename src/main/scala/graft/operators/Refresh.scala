@@ -62,6 +62,7 @@ object Refresh {
       timeout: Duration = 60.seconds,
       concurrency: Int = 0,
       action: String => Unit = null,
+      onDispatch: String => Unit = _ => (),
   ): Seq[RefreshResult] = {
     val act: String => Unit = if (action == null) t => refreshTable(spark, t) else action
     // Outer pool = the reference's sliding dispatch window (ref R6): at most
@@ -78,6 +79,10 @@ object Refresh {
       val futures = targets.map { target =>
         val tag = s"graft-refresh-${target.name}"
         Future {
+          // fires when the sliding window actually admits the target, not
+          // at submission — the reference's dispatch-time progress line
+          // "Refreshing X's metadata..." (ref R13, impala-refresher.go:115)
+          onDispatch(target.name)
           val start = System.nanoTime()
           val run = Future {
             spark.sparkContext.addJobTag(tag)
@@ -180,7 +185,8 @@ object RefresherApp {
         case Some(t) => _ => Refresh.refreshTable(spark, t)
         case None => t => Refresh.refreshTable(spark, t)
       }
-      val results = Refresh.refreshAll(spark, cfg.targets, cfg.timeout, cfg.concurrency, action)
+      val results = Refresh.refreshAll(spark, cfg.targets, cfg.timeout, cfg.concurrency, action,
+        onDispatch = t => println(s"Refreshing $t's metadata..."))
       results.foreach { r =>
         if (r.ok) println(s"${r.target} refreshed successfully! Took: ${r.durationNanos / 1e9}s")
         else println(s"${r.target} failed to refresh! (${r.error.getOrElse("")})")

@@ -438,7 +438,13 @@ object TextQueries {
     * Float parity: each position's −ln p is 8dp-rounded to an exact
     * decimal BEFORE the per-doc sum (decimal addition is order-free —
     * the summation-order recipe), ln inputs are identical IEEE division
-    * results in both engines, and the final mean rounds at 6dp.
+    * results in both engines, and the final mean rounds at 6dp. Caveat:
+    * natural log is NOT correctly rounded in either JVM Math.log or
+    * DuckDB's libm, so identical ln inputs can in principle differ by
+    * 1 ulp between engines; the 8dp round masks this unless the true
+    * value sits exactly at a rounding boundary — a residual (unobserved
+    * at all three fixture scales) oracle-parity flake risk, same class
+    * as the other transcendental-function notes in this file.
     */
   val textLmScore = QueryDef(
     "q_text_lm_score",

@@ -1014,7 +1014,12 @@ object VectorQueries {
       // later run reads the snapshot back (measured: 11.7 s recomputing
       // vs the true incremental cost after this change).
       val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val graphBase = graft.sources.GraftFs.qualify(s, s"target/graft-knn/$tag/old_graph_lsh")
+      // construction parameters are part of the artifact PATH: changing
+      // tables/bits/radius, k, or the slice rule must miss the snapshot
+      // and rebuild, never silently reuse stale state (there is no
+      // content revalidation analogous to bucketLayoutValid here)
+      val fp = s"t${GraphLshTables}b${GraphLshBits}r${GraphLshRadius}k3s5"
+      val graphBase = graft.sources.GraftFs.qualify(s, s"target/graft-knn/$tag/old_graph_lsh_$fp")
       synchronized {
         if (!graft.sources.GraftFs.hasSuccess(s, graphBase)) {
           knnGraphFromCandidates(old,
@@ -1023,9 +1028,12 @@ object VectorQueries {
         }
       }
       val oldGraph = s.read.parquet(graphBase)
-      graft.sources.BucketedTables.ensureVecBuckets(s, dir,
+      // home buckets depend on tables/bits and the corpus slice only
+      // (radius shapes the probe fan-out at query time, k the merge)
+      val bucketsFp = s"t${GraphLshTables}b${GraphLshBits}s5"
+      graft.sources.BucketedTables.ensureVecBuckets(s, dir, bucketsFp,
         homeBucketsOf(old, GraphLshTables, GraphLshBits))
-      val corpusBuckets = s.table(graft.sources.BucketedTables.vecBucketsTable(dir))
+      val corpusBuckets = s.table(graft.sources.BucketedTables.vecBucketsTable(dir, bucketsFp))
       // only the slice hashes fresh; its probe fan-out meets corpus+slice homes
       val freshHome = homeBucketsOf(fresh, GraphLshTables, GraphLshBits)
       val collisions = corpusBuckets.union(freshHome)
@@ -1158,12 +1166,19 @@ object VectorQueries {
     "q_ann_ivfpq_incr",
     (s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("label"), col("vec_id"), col("embedding"))
-      val isNew = col("vec_id") % 5 === 0
+      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      // one fingerprint directory for the whole frozen index family: any
+      // construction-parameter change (Lloyd iters, PQ seed, assignment
+      // fan-out, slice rule) relocates ALL artifacts and rebuilds them
+      // coherently — mixed-generation reuse is impossible by path. The
+      // fingerprint is assembled from the SAME vals the builds consume.
+      val (lloydIters, pqSeed, assignK, sliceMod) = (2, 4242, 2, 5)
+      val fp = s"it${lloydIters}_seed${pqSeed}_a${assignK}_s$sliceMod"
+      val isNew = col("vec_id") % sliceMod === 0
       val old = e.filter(!isNew)
       val fresh = e.filter(isNew)
-      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
       def persisted(name: String)(build: => DataFrame): DataFrame = {
-        val base = graft.sources.GraftFs.qualify(s, s"target/graft-ivfpq/$tag/$name")
+        val base = graft.sources.GraftFs.qualify(s, s"target/graft-ivfpq/$tag/$fp/$name")
         synchronized {
           if (!graft.sources.GraftFs.hasSuccess(s, base))
             build.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(base)
@@ -1171,20 +1186,20 @@ object VectorQueries {
         s.read.parquet(base)
       }
       // frozen-at-index-build artifacts, trained on the standing corpus only
-      val centroids = persisted("centroids") { coarseCentroidsOf(old, iters = 2).coalesce(1) }
+      val centroids = persisted("centroids") { coarseCentroidsOf(old, iters = lloydIters).coalesce(1) }
       val codebook = persisted("codebook") {
-        pqCodebookFromSubs(pqSubvectors(old.select("vec_id", "embedding")), seed = 4242)
+        pqCodebookFromSubs(pqSubvectors(old.select("vec_id", "embedding")), seed = pqSeed)
           .coalesce(1)
       }
       val centroidArr = centroids.agg(collect_list(struct(col("c_id"), col("c_emb"))).as("cents"))
       val oldAssigned = persisted("assigned") {
-        nearestCells(old, "embedding", "vec_id", centroidArr, 2)
+        nearestCells(old, "embedding", "vec_id", centroidArr, assignK)
       }
       val oldCodes = persisted("codes") {
         pqCodes(old.select("vec_id", "embedding"), codebook)
       }
       // the new slice encodes against the FROZEN artifacts — append-only
-      val assigned = oldAssigned.union(nearestCells(fresh, "embedding", "vec_id", centroidArr, 2))
+      val assigned = oldAssigned.union(nearestCells(fresh, "embedding", "vec_id", centroidArr, assignK))
       val codes = oldCodes.union(pqCodes(fresh.select("vec_id", "embedding"), codebook))
       // query path: identical to q_ann_ivfpq over the unioned index
       val q = e.filter(col("vec_id") < 10)

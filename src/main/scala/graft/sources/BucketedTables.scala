@@ -231,7 +231,12 @@ object BucketedTables {
     }
   }
 
-  def vecBucketsTable(dir: String): String = s"graft_vecbuckets_bucketed_${tag(dir)}"
+  /** `fp` encodes the bucket-signature construction parameters (LSH
+    * tables/bits, corpus slice rule): a parameter change must miss this
+    * table and rebuild under a new name, never reuse stale buckets.
+    */
+  def vecBucketsTable(dir: String, fp: String): String =
+    s"graft_vecbuckets_${fp}_bucketed_${tag(dir)}"
 
   /** Hyperplane-LSH home buckets of the standing vector corpus, persisted
     * clustered+sorted on the collision key (label, t, b) — the vector-side
@@ -242,11 +247,11 @@ object BucketedTables {
     * caller passes the bucket frame (sources stays independent of the
     * operator layer's plane seeds).
     */
-  def ensureVecBuckets(s: SparkSession, dir: String,
+  def ensureVecBuckets(s: SparkSession, dir: String, fp: String,
       src: org.apache.spark.sql.DataFrame): Unit = synchronized {
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val path = GraftFs.qualify(s, s"target/graft-bucketed/${tag(dir)}/vecbuckets")
-    val table = vecBucketsTable(dir)
+    val path = GraftFs.qualify(s, s"target/graft-bucketed/${tag(dir)}/vecbuckets_$fp")
+    val table = vecBucketsTable(dir, fp)
     if (!s.catalog.tableExists(table)) {
       if (GraftFs.hasSuccess(s, path) && bucketLayoutValid(s, path)) {
         s.sql(s"""CREATE TABLE $table (${src.schema.toDDL}) USING PARQUET

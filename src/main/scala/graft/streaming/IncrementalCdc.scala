@@ -70,7 +70,20 @@ object IncrementalCdc {
     merged
   }
 
-  /** Attach the CDC apply to a change-row stream via foreachBatch. */
+  /** Attach the CDC apply to a change-row stream via foreachBatch.
+    *
+    * CONTRACT (not validated at runtime): the change feed must be
+    * key-partitioned — every change row for a given o_orderkey rides in
+    * the same micro-batch. If a key's D and U are split across batches,
+    * the key is deleted by one batch and resurrected by the next with
+    * state fields coalesced from the U row alone, silently diverging
+    * from the one-shot merge — there is no error, because detecting the
+    * split would require remembering every key ever deleted (unbounded
+    * state this module deliberately doesn't keep; a transactional table
+    * format's MERGE has the same per-statement semantics). Upstream
+    * routers get this for free by partitioning the feed on the key
+    * (IncrementalCdcSpec's key-mod split is the conforming shape).
+    */
   def attach(changes: DataFrame, base: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       processBatch(batch.sparkSession, batch, base): Unit
