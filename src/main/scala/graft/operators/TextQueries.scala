@@ -503,7 +503,68 @@ object TextQueries {
     """.trim),
   )
 
+  /** Within-document repetition detection — the Gopher-style repetition
+    * rules (Rae et al. 2021, "Scaling Language Models", table A1) every
+    * LLM curation pipeline runs alongside quality scoring: documents
+    * dominated by repeated n-grams (boilerplate loops, scraper echo,
+    * degenerate generations) are cut regardless of their other quality
+    * features. Per doc: duplicate-bigram and duplicate-trigram fraction
+    * (1 − distinct/total occurrences) and the top-bigram share, with the
+    * repetition flag at dup-bigram > 0.05 (the fixture's p90 — both
+    * flag arms populated).
+    *
+    * Shape: one explode per n-gram order into a (doc_id, gram) count
+    * aggregate, re-aggregated per doc — two linear two-level aggregates,
+    * same scale story as wordcount; ratios are exact-integer divisions
+    * in DOUBLE, identical bits both engines.
+    */
+  val textRepetition = QueryDef(
+    "q_text_repetition",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def gramStats(n: Int, pre: String) = docs
+        .select(col("doc_id"),
+          explode(Tokenize.ngramShingles(Tokenize.tokens(col("text")), n)).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(sum("n").as(s"${pre}_total"),
+          count(lit(1)).as(s"${pre}_distinct"), max("n").as(s"${pre}_top"))
+      docs.select("doc_id")
+        .join(gramStats(2, "g2"), Seq("doc_id"), "left")
+        .join(gramStats(3, "g3"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("g2_total"), lit(0L)).as("n_2grams"),
+          round((col("g2_total") - col("g2_distinct")).cast(DoubleType) / col("g2_total"), 6)
+            .as("dup_2gram_frac"),
+          round((col("g3_total") - col("g3_distinct")).cast(DoubleType) / col("g3_total"), 6)
+            .as("dup_3gram_frac"),
+          round(col("g2_top").cast(DoubleType) / col("g2_total"), 6).as("top_2gram_frac"))
+        .withColumn("is_repetitive", coalesce(col("dup_2gram_frac") > 0.05, lit(false)))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g2 AS (SELECT doc_id, unnest(list_transform(range(greatest(len(toks) - 1, 0)),
+                     i -> list_aggregate(toks[i+1:i+2], 'string_agg', ' '))) AS gram FROM t),
+      c2 AS (SELECT doc_id, gram, COUNT(*) AS n FROM g2 GROUP BY 1, 2),
+      a2 AS (SELECT doc_id, SUM(n) AS g2_total, COUNT(*) AS g2_distinct, MAX(n) AS g2_top
+             FROM c2 GROUP BY 1),
+      g3 AS (SELECT doc_id, unnest(list_transform(range(greatest(len(toks) - 2, 0)),
+                     i -> list_aggregate(toks[i+1:i+3], 'string_agg', ' '))) AS gram FROM t),
+      c3 AS (SELECT doc_id, gram, COUNT(*) AS n FROM g3 GROUP BY 1, 2),
+      a3 AS (SELECT doc_id, SUM(n) AS g3_total, COUNT(*) AS g3_distinct FROM c3 GROUP BY 1)
+      SELECT t.doc_id,
+             CAST(COALESCE(g2_total, 0) AS BIGINT) AS n_2grams,
+             ROUND(CAST(g2_total - g2_distinct AS DOUBLE) / g2_total, 6) AS dup_2gram_frac,
+             ROUND(CAST(g3_total - g3_distinct AS DOUBLE) / g3_total, 6) AS dup_3gram_frac,
+             ROUND(CAST(g2_top AS DOUBLE) / g2_total, 6) AS top_2gram_frac,
+             COALESCE(ROUND(CAST(g2_total - g2_distinct AS DOUBLE) / g2_total, 6) > 0.05, FALSE)
+               AS is_repetitive
+      FROM t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+      ORDER BY doc_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint, textPmi,
-    textNormalize, textEntropy, textChunkify, textLmScore)
+    textNormalize, textEntropy, textChunkify, textLmScore, textRepetition)
 }

@@ -380,5 +380,233 @@ object TpchQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(sqlQ3, sqlQ5, sqlQ18, sqlQ7, sqlQ10, sqlQ2, sqlQ21)
+  /** TPC-H Q1 shape (pricing summary): the canonical full-scan aggregate —
+    * one pass over lineitem, 8 aggregates into a handful of groups, the
+    * map-side-partial poster child (at 100 TB every executor folds its
+    * partitions to |groups| rows before the one tiny shuffle). Sums stay
+    * exact decimals; averages divide the exact sum by the count in DOUBLE
+    * (identical IEEE operands both engines); products round at 2dp before
+    * the DOUBLE cast (§7.5 recipe).
+    */
+  val sqlQ1 = QueryDef(
+    "q_sql_q1",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                              * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 2)
+                    AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                              * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))
+                              * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))), 2)
+                    AS DOUBLE) AS sum_charge,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM graft_tpch_lineitem
+        WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+      """)
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                            * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 2)
+                  AS DOUBLE) AS sum_disc_price,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                            * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))
+                            * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))), 2)
+                  AS DOUBLE) AS sum_charge,
+             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+             ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """.trim),
+  )
+
+  /** TPC-H Q4 shape (order priority checking): EXISTS against the fact
+    * table planned as one left-semi shuffle join on o_orderkey. The
+    * fixture has no commit/receipt dates, so the original's "late line"
+    * predicate maps to the lineitem-local l_returnflag = 'R' (same
+    * adaptation as q_sql_q21).
+    */
+  val sqlQ4 = QueryDef(
+    "q_sql_q4",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM graft_tpch_orders
+        WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01'
+          AND o_orderdate < TIMESTAMP_NTZ '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM graft_tpch_lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """)
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-04-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.trim),
+  )
+
+  /** TPC-H Q6 shape (forecasting revenue change): pure scan-side
+    * filter + one global aggregate — every predicate must reach the
+    * parquet scan as a pushed filter (plan-asserted), the degenerate
+    * no-shuffle case worth having on the SQL path.
+    */
+  val sqlQ6 = QueryDef(
+    "q_sql_q6",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                              * CAST(l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue
+        FROM graft_tpch_lineitem
+        WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01'
+          AND l_shipdate < TIMESTAMP_NTZ '1997-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.09
+          AND l_quantity < 24
+      """)
+    },
+    Some("""
+      SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                            * CAST(l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.02 AND 0.09
+        AND l_quantity < 24
+    """.trim),
+  )
+
+  /** TPC-H Q12 shape (shipping priority classification): fact-fact join +
+    * conditional two-way counts. The fixture has no l_shipmode, so the
+    * grouping column maps to l_linestatus — the join + CASE-conditional
+    * aggregate shape is what's under test, one lineitem↔orders shuffle
+    * with the year filter pushed to the lineitem scan.
+    */
+  val sqlQ12 = QueryDef(
+    "q_sql_q12",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        SELECT l_linestatus,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        FROM graft_tpch_orders
+        JOIN graft_tpch_lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01'
+          AND l_shipdate < TIMESTAMP_NTZ '1997-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+      """)
+    },
+    Some("""
+      SELECT l_linestatus,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus
+    """.trim),
+  )
+
+  /** TPC-H Q14 shape (promotion effect): conditional revenue share over a
+    * one-month part↔lineitem join. Both conditional sums round to exact
+    * 2dp decimals first, the percentage divides the two exact DOUBLEs
+    * (identical operand bits both engines), and the part dim broadcasts.
+    */
+  val sqlQ14 = QueryDef(
+    "q_sql_q14",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        SELECT ROUND(100.0 * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                            * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))
+                       ELSE CAST(0 AS DECIMAL(12,4)) END), 2) AS DOUBLE)
+                     / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                            * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE), 6)
+               AS promo_revenue
+        FROM graft_tpch_lineitem
+        JOIN graft_tpch_part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01'
+          AND l_shipdate < TIMESTAMP_NTZ '1996-02-01'
+      """)
+    },
+    Some("""
+      SELECT ROUND(100.0 * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                          * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))
+                     ELSE CAST(0 AS DECIMAL(12,4)) END), 2) AS DOUBLE)
+                   / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                          * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE), 6)
+             AS promo_revenue
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-02-01'
+    """.trim),
+  )
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive brackets): three
+    * OR-ed brand/size/quantity brackets spanning BOTH join sides. The
+    * planner must keep the p_partkey equi-join (the disjunction is a
+    * residual filter, never a reason to fall back to a nested loop —
+    * plan-asserted) and push the common-bracket bounds to the scans.
+    * The fixture has no p_container, so brackets use p_size bands.
+    */
+  val sqlQ19 = QueryDef(
+    "q_sql_q19",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                              * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 2)
+                    AS DOUBLE) AS revenue
+        FROM graft_tpch_lineitem
+        JOIN graft_tpch_part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+      """)
+    },
+    Some("""
+      SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                            * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 2)
+                  AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(sqlQ3, sqlQ5, sqlQ18, sqlQ7, sqlQ10, sqlQ2, sqlQ21,
+    sqlQ1, sqlQ4, sqlQ6, sqlQ12, sqlQ14, sqlQ19)
 }

@@ -272,6 +272,36 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q_sql_q6 pushes every predicate to the lineitem scan (no-shuffle aggregate)") {
+    val df = graft.operators.TpchQueries.sqlQ6.query(spark, sfTiny)
+    val plan = executedPlanString(df)
+    // all four conjuncts are scan-pushable (the PushedFilters list is
+    // elided in toString, so assert its head + the post-scan Filter's
+    // residual conjuncts, which print in full)
+    plan should include("PushedFilters: [IsNotNull(l_shipdate)")
+    plan should include(">= 0.02)")
+    plan should include("< 24.0)")
+    // degenerate-shuffle shape: the only exchange is the single-row
+    // global-aggregate fan-in
+    "Exchange (?!SinglePartition)".r.findFirstIn(plan) shouldBe None
+  }
+
+  test("q_sql_q4 plans the EXISTS as a left-semi join, never a per-row re-scan") {
+    val df = graft.operators.TpchQueries.sqlQ4.query(spark, sfTiny)
+    val plan = executedPlanString(df)
+    plan should include("LeftSemi")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q_sql_q19 keeps the equi-join under the disjunctive brackets (no nested loop)") {
+    val df = graft.operators.TpchQueries.sqlQ19.query(spark, sfTiny)
+    val plan = executedPlanString(df)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the three brand brackets stay a residual on a p_partkey hash join
+    plan should include("Join")
+  }
+
   test("q_ann_ivfpq scans codes through equi-joins only (no cartesian beyond one-row builds)") {
     val df = graft.operators.VectorQueries.annIvfPq.query(spark, sfTiny)
     val plan = executedPlanString(df)
