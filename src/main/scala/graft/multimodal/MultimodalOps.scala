@@ -121,6 +121,37 @@ object MultimodalOps {
         (m.media_id, f, math.sqrt(s.toDouble / win))
       }
     }
+    /** "ASR front-end segmentation" = OVERLAPPING fixed windows (the
+      * framesample twin on the audio side: 160-byte segments at 80-byte
+      * stride — 10 ms frames at 50% hop in 16 kHz terms) each emitting
+      * the classic VAD/ASR feature pair: RMS energy and zero-crossing
+      * count. Samples center on 100 (the fixture's ASCII byte midline —
+      * a plain DC-offset removal; 128-centering would leave every ASCII
+      * sample negative and the crossing count degenerate). Exact: Σv² is
+      * an int, /segBytes has exact operands, IEEE sqrt is correctly
+      * rounded; crossings are strict-sign-flip integer compares
+      * (zero-valued samples never count, so no run state).
+      */
+    def audioSegments(m: MediaRow, segBytes: Int = 160, stride: Int = 80): Seq[(Long, Int, Double, Long)] = {
+      val n = m.payload.length
+      val count = if (n < segBytes) 0 else (n - segBytes) / stride + 1
+      (0 until count).map { f =>
+        val start = f * stride
+        var s = 0L
+        var zc = 0L
+        var i = start
+        while (i < start + segBytes) {
+          val v = (m.payload(i) & 0xff) - 100
+          s += v.toLong * v
+          if (i > start) {
+            val p = (m.payload(i - 1) & 0xff) - 100
+            if (p.toLong * v < 0) zc += 1
+          }
+          i += 1
+        }
+        (m.media_id, f, math.sqrt(s.toDouble / segBytes), zc)
+      }
+    }
   }
   /* ======== END STUB BOUNDARY ======================================== */
 
@@ -377,5 +408,45 @@ object MultimodalOps {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(mmDecode, mmResize, mmFrames, mmSimilar, mmAudioEnergy, mmScenes)
+  /** Audio segmentation features — the framesample twin on the audio
+    * side: overlapping 160-byte windows at 80-byte stride (10 ms / 50%
+    * hop in 16 kHz terms), each emitting RMS + zero-crossing count (the
+    * ASR/VAD front-end pair). Same narrow mapPartitions shape: payload
+    * bytes never shuffle, only the (media, seg, rms, zc) quadruples do.
+    * Oracle-checked — both features recomputed in SQL from the ASCII
+    * byte codes; overlap means ~2× the windowed row mass of the
+    * non-overlapping energy op, which is the realistic front-end cost.
+    */
+  val mmAudioSegments = QueryDef(
+    "q_mm_audio_segments",
+    (s, dir) => {
+      import s.implicits._
+      mediaTable(s, dir)
+        .filter(col("kind") === "audio")
+        .mapPartitions(_.flatMap(m => StubDecoder.audioSegments(m)))
+        .toDF("media_id", "seg_idx", "rms", "zero_crossings")
+        .select(col("media_id"), col("seg_idx"), round(col("rms"), 6).as("rms"),
+          col("zero_crossings"))
+        .orderBy("media_id", "seg_idx")
+    },
+    Some("""
+      WITH m AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len
+                 FROM documents WHERE doc_id % 2 = 1),
+      seg AS (SELECT media_id, text,
+                     CAST(unnest(range(0, CASE WHEN len >= 160 THEN (len - 160) // 80 + 1 ELSE 0 END)) AS INTEGER) AS seg_idx
+              FROM m),
+      v AS (SELECT media_id, seg_idx,
+                   list_transform(range(1, 161),
+                     i -> CAST(unicode(substring(text, seg_idx*80 + i, 1)) - 100 AS BIGINT)) AS vs
+            FROM seg)
+      SELECT media_id, seg_idx,
+             ROUND(sqrt(CAST(list_sum(list_transform(vs, x -> x*x)) AS DOUBLE) / 160), 6) AS rms,
+             CAST(list_sum(list_transform(range(1, 160),
+                  i -> CASE WHEN vs[i] * vs[i+1] < 0 THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+      FROM v ORDER BY media_id, seg_idx
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(mmDecode, mmResize, mmFrames, mmSimilar, mmAudioEnergy,
+    mmScenes, mmAudioSegments)
 }
