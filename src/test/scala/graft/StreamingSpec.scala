@@ -354,6 +354,70 @@ class StreamingSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("s_session_timer: event-time timers emit sessions on inactivity timeout == batch session set") {
+    import graft.streaming.SessionTimerState
+    val dir = Files.createTempDirectory("graft_sess_timer").toFile.getAbsolutePath
+    val raw = Tables.eventsRawNanos(spark, sfTiny)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val parts = raw.withColumn("part", ntile(3).over(w)).cache()
+    (1 to 3).foreach { i =>
+      val tmp = Files.createTempDirectory(s"graft_st_w$i").toFile.getAbsolutePath
+      parts.filter(col("part") === i).drop("part")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(dir, s"f$i.parquet"))
+      Thread.sleep(1100) // distinct mod times → deterministic file order
+    }
+    val maxNs = raw.agg(max("ts")).first().getLong(0)
+    parts.unpersist()
+    // two far-future sentinel batches: the first advances the watermark
+    // past every open session's last + gap, the second gives the engine a
+    // batch to fire those timers under the advanced watermark
+    val sentinelUser = 999999L
+    def writeSentinel(name: String, tsNs: Long, id: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_st_s").toFile.getAbsolutePath
+      Seq((id, tsNs, sentinelUser, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(dir, name))
+      ()
+    }
+    writeSentinel("f4.parquet", maxNs + 3L * 1800L * 1000000000L, 9999901L)
+    Thread.sleep(1100)
+    writeSentinel("f5.parquet", maxNs + 4L * 1800L * 1000000000L, 9999902L)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def src() = StreamOps.normalizeTs(
+        spark.readStream.schema(StreamOps.eventsRawSchema)
+          .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+          .parquet(dir))
+      // time-ordered feed (the CDC-ingest contract the TWS specs share):
+      // an in-gap continuation can never be below the watermark, so a
+      // 1-second delay is sound and timers only fire for truly quiet users
+      val got = runToMemory(
+        SessionTimerState.sessionsByTimer(src().withWatermark("ts", "1 second")),
+        "t_sess_timer", "append")
+        .filter(col("user_id") =!= sentinelUser)
+      // every fixture session must be emitted — gap-crossed ones inline,
+      // each user's FINAL session by its inactivity timer — and match the
+      // batch lag/cumsum session set exactly
+      val want = graft.operators.EventQueries.sessionize.query(spark, sfTiny)
+        .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      rowsOf(got.select("user_id", "start_us", "end_us", "n_events")) shouldBe rowsOf(want)
+      want.count() should be > 0L
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("s_late: events below the watermark are dropped from append-mode windows") {
     val dir = Files.createTempDirectory("graft_late").toFile.getAbsolutePath
     def write(name: String, rows: Seq[(Long, String)]): Unit = {
