@@ -607,6 +607,105 @@ object TpchQueries {
     """.trim),
   )
 
+  /** TPC-H Q16 shape (supplier-part relationship count): grouped COUNT
+    * DISTINCT over the derived part↔supplier relation with a NOT IN
+    * dim subquery (the "complaint suppliers" exclusion — here: negative
+    * account balance). The NOT IN side is a tiny dim aggregate that must
+    * plan as a broadcast null-aware anti join, never a per-row probe;
+    * partsupp derives from lineitem as in q_sql_q2.
+    */
+  val sqlQ16 = QueryDef(
+    "q_sql_q16",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        WITH ps AS (
+          SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+          FROM graft_tpch_lineitem)
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM ps
+        JOIN graft_tpch_part ON p_partkey = ps_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          AND ps_suppkey NOT IN (
+            SELECT s_suppkey FROM graft_tpch_supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        LIMIT 100
+      """)
+    },
+    Some("""
+      WITH ps AS (
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem)
+      SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+      FROM ps
+      JOIN part ON p_partkey = ps_partkey
+      WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        AND ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      LIMIT 100
+    """.trim),
+  )
+
+  /** TPC-H Q20 shape (excess-stock suppliers): nested IN subqueries with
+    * a CORRELATED scalar inside the inner one — supplier qualifies if
+    * some red part's 1996 pair quantity exceeds half that part's 1996
+    * total. Catalyst must decorrelate the scalar into a per-part
+    * aggregate joined back inside the semi-join chain (three stacked
+    * semi-joins, no per-row re-scan); quantity sums stay exact decimals,
+    * the 0.5× compare runs on their exact DOUBLE images.
+    */
+  val sqlQ20 = QueryDef(
+    "q_sql_q20",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        WITH li AS (
+          SELECT l_partkey, l_suppkey, l_quantity FROM graft_tpch_lineitem
+          WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01'
+            AND l_shipdate < TIMESTAMP_NTZ '1997-01-01'),
+        ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2))) AS ps_qty
+          FROM li GROUP BY 1, 2)
+        SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        FROM graft_tpch_supplier
+        WHERE s_suppkey IN (
+          SELECT ps_suppkey FROM ps
+          WHERE ps_partkey IN (
+              SELECT p_partkey FROM graft_tpch_part WHERE p_name LIKE 'red%')
+            AND CAST(ps_qty AS DOUBLE) > 0.5 * (
+              SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+              FROM li li2 WHERE li2.l_partkey = ps_partkey))
+        ORDER BY s_name
+      """)
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'),
+      ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS ps_qty
+        FROM li GROUP BY 1, 2)
+      SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+      FROM supplier
+      WHERE s_suppkey IN (
+        SELECT ps_suppkey FROM ps
+        WHERE ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND CAST(ps_qty AS DOUBLE) > 0.5 * (
+            SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+            FROM li li2 WHERE li2.l_partkey = ps_partkey))
+      ORDER BY s_name
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(sqlQ3, sqlQ5, sqlQ18, sqlQ7, sqlQ10, sqlQ2, sqlQ21,
-    sqlQ1, sqlQ4, sqlQ6, sqlQ12, sqlQ14, sqlQ19)
+    sqlQ1, sqlQ4, sqlQ6, sqlQ12, sqlQ14, sqlQ19, sqlQ16, sqlQ20)
 }

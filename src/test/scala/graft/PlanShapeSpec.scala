@@ -302,6 +302,14 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     plan should include("Join")
   }
 
+  test("q_sql_q20 decorrelates the nested scalar into semi-join chain, no cartesian") {
+    val df = graft.operators.TpchQueries.sqlQ20.query(spark, sfTiny)
+    val plan = executedPlanString(df)
+    plan should include("LeftSemi")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("q_ann_ivfpq scans codes through equi-joins only (no cartesian beyond one-row builds)") {
     val df = graft.operators.VectorQueries.annIvfPq.query(spark, sfTiny)
     val plan = executedPlanString(df)
