@@ -706,6 +706,300 @@ object TpchQueries {
     """.trim),
   )
 
+  /** TPC-H Q8 shape (national market share): NATION_0 suppliers' share of
+    * EUROPE-customer PROMO-part revenue by order year — the 8-way join
+    * with a conditional-share aggregate; nation joins twice (customer
+    * side gates the market, supplier side feeds the share CASE), both
+    * broadcast. Share divides two exact-2dp sums in DOUBLE.
+    */
+  val sqlQ8 = QueryDef(
+    "q_sql_q8",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        WITH base AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(l_extendedprice AS DECIMAL(12,4))
+                   * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS volume,
+                 n2.n_name AS supp_nation
+          FROM graft_tpch_lineitem
+          JOIN graft_tpch_orders ON o_orderkey = l_orderkey
+          JOIN graft_tpch_part ON p_partkey = l_partkey
+          JOIN graft_tpch_customer ON c_custkey = o_custkey
+          JOIN graft_tpch_nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN graft_tpch_region ON n1.n_regionkey = r_regionkey
+          JOIN graft_tpch_supplier ON l_suppkey = s_suppkey
+          JOIN graft_tpch_nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'EUROPE' AND p_type = 'PROMO')
+        SELECT o_year,
+               ROUND(CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_0' THEN volume
+                                         ELSE CAST(0 AS DECIMAL(12,4)) END), 2) AS DOUBLE)
+                     / CAST(ROUND(SUM(volume), 2) AS DOUBLE), 6) AS mkt_share
+        FROM base GROUP BY o_year ORDER BY o_year
+      """)
+    },
+    Some("""
+      WITH base AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(12,4))
+                 * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN part ON p_partkey = l_partkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'EUROPE' AND p_type = 'PROMO')
+      SELECT o_year,
+             ROUND(CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_0' THEN volume
+                                       ELSE CAST(0 AS DECIMAL(12,4)) END), 2) AS DOUBLE)
+                   / CAST(ROUND(SUM(volume), 2) AS DOUBLE), 6) AS mkt_share
+      FROM base GROUP BY o_year ORDER BY o_year
+    """.trim),
+  )
+
+  /** TPC-H Q9 shape (product-type profit): per supplier-nation and order
+    * year, revenue minus a retail-derived cost (the fixture has no
+    * ps_supplycost, so cost = 0.8 × p_retailprice × quantity). Both sums
+    * round to exact 2dp before the DOUBLE subtraction — identical bits
+    * both engines.
+    */
+  val sqlQ9 = QueryDef(
+    "q_sql_q9",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               ROUND(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                       * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE)
+                     - CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(0.8 AS DECIMAL(2,1))), 2) AS DOUBLE), 2) AS sum_profit
+        FROM graft_tpch_lineitem
+        JOIN graft_tpch_orders ON o_orderkey = l_orderkey
+        JOIN graft_tpch_part ON p_partkey = l_partkey
+        JOIN graft_tpch_supplier ON l_suppkey = s_suppkey
+        JOIN graft_tpch_nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation, o_year DESC
+      """)
+    },
+    Some("""
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             ROUND(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                     * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE)
+                   - CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(12,2))
+                     * CAST(l_quantity AS DECIMAL(12,2))
+                     * CAST(0.8 AS DECIMAL(2,1))), 2) AS DOUBLE), 2) AS sum_profit
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%'
+      GROUP BY n_name, year(o_orderdate)
+      ORDER BY nation, o_year DESC
+    """.trim),
+  )
+
+  /** TPC-H Q11 shape (important stock): per-part EUROPE-supplied value
+    * with a HAVING against a fraction of the GLOBAL total — the
+    * grouped-aggregate-vs-global-scalar shape; the scalar is one extra
+    * single-row aggregate over the same derived relation, broadcast
+    * into the filter.
+    */
+  val sqlQ11 = QueryDef(
+    "q_sql_q11",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                     * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS value
+          FROM graft_tpch_lineitem
+          JOIN graft_tpch_supplier ON l_suppkey = s_suppkey
+          JOIN graft_tpch_nation ON s_nationkey = n_nationkey
+          JOIN graft_tpch_region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+          GROUP BY l_partkey)
+        SELECT ps_partkey, CAST(ROUND(value, 2) AS DOUBLE) AS value
+        FROM ps
+        WHERE CAST(value AS DOUBLE) > 0.001 * (SELECT CAST(SUM(value) AS DOUBLE) FROM ps)
+        ORDER BY value DESC, ps_partkey
+      """)
+    },
+    Some("""
+      WITH ps AS (
+        SELECT l_partkey AS ps_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                   * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY l_partkey)
+      SELECT ps_partkey, CAST(ROUND(value, 2) AS DOUBLE) AS value
+      FROM ps
+      WHERE CAST(value AS DOUBLE) > 0.001 * (SELECT CAST(SUM(value) AS DOUBLE) FROM ps)
+      ORDER BY value DESC, ps_partkey
+    """.trim),
+  )
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT JOIN with
+    * an ON-clause filter (customers with zero qualifying orders must
+    * survive with count 0), aggregated twice — per customer, then into
+    * the distribution. Pure counts, no float caveats.
+    */
+  val sqlQ13 = QueryDef(
+    "q_sql_q13",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM graft_tpch_customer
+          LEFT JOIN graft_tpch_orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+      """)
+    },
+    Some("""
+      SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC
+    """.trim),
+  )
+
+  /** TPC-H Q15 shape (top supplier): quarterly per-supplier revenue CTE
+    * consumed twice — once for the rows, once for the scalar MAX the
+    * equality filters on. Exact decimal revenue makes the cross-engine
+    * equality sound (a double formulation could lose the tie).
+    */
+  val sqlQ15 = QueryDef(
+    "q_sql_q15",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                     * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS total_revenue
+          FROM graft_tpch_lineitem
+          WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01'
+            AND l_shipdate < TIMESTAMP_NTZ '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name,
+               CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue
+        FROM graft_tpch_supplier
+        JOIN rev ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+      """)
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                   * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name,
+             CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue
+      FROM supplier
+      JOIN rev ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      ORDER BY s_suppkey
+    """.trim),
+  )
+
+  /** TPC-H Q17 shape (small-quantity revenue): correlated scalar AVG per
+    * part gating the fact rows (quantity below half the part's average)
+    * — decorrelates into a per-part aggregate rejoin; the /7 yearly
+    * normalization stays on the exact-2dp DOUBLE image.
+    */
+  val sqlQ17 = QueryDef(
+    "q_sql_q17",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        SELECT ROUND(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) / 7.0, 6)
+                 AS avg_yearly
+        FROM graft_tpch_lineitem
+        JOIN graft_tpch_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3'
+          AND l_quantity < (
+            SELECT 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+            FROM graft_tpch_lineitem l2 WHERE l2.l_partkey = graft_tpch_lineitem.l_partkey)
+      """)
+    },
+    Some("""
+      SELECT ROUND(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) / 7.0, 6)
+               AS avg_yearly
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#3'
+        AND l_quantity < (
+          SELECT 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+          FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+    """.trim),
+  )
+
+  /** TPC-H Q22 shape (global sales opportunity): above-average-balance
+    * customers with no recent orders, grouped by a key-derived country
+    * code (the fixture has no phone column). Scalar AVG subquery +
+    * NOT EXISTS anti-join + two-level aggregate.
+    */
+  val sqlQ22 = QueryDef(
+    "q_sql_q22",
+    (s, dir) => {
+      views(s, dir)
+      s.sql("""
+        SELECT c_custkey % 7 AS cntrycode, COUNT(*) AS numcust,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+        FROM graft_tpch_customer
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+            FROM graft_tpch_customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM graft_tpch_orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP_NTZ '1999-01-01')
+        GROUP BY c_custkey % 7
+        ORDER BY cntrycode
+      """)
+    },
+    Some("""
+      SELECT c_custkey % 7 AS cntrycode, COUNT(*) AS numcust,
+             CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+      FROM customer
+      WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+          FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '1999-01-01')
+      GROUP BY c_custkey % 7
+      ORDER BY cntrycode
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(sqlQ3, sqlQ5, sqlQ18, sqlQ7, sqlQ10, sqlQ2, sqlQ21,
-    sqlQ1, sqlQ4, sqlQ6, sqlQ12, sqlQ14, sqlQ19, sqlQ16, sqlQ20)
+    sqlQ1, sqlQ4, sqlQ6, sqlQ12, sqlQ14, sqlQ19, sqlQ16, sqlQ20,
+    sqlQ8, sqlQ9, sqlQ11, sqlQ13, sqlQ15, sqlQ17, sqlQ22)
 }

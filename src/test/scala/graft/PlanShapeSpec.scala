@@ -310,6 +310,20 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q_sql_q17 decorrelates the per-part scalar avg, no cartesian") {
+    val df = graft.operators.TpchQueries.sqlQ17.query(spark, sfTiny)
+    val plan = executedPlanString(df)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q_sql_q22 plans NOT EXISTS as an anti join on the customer key") {
+    val df = graft.operators.TpchQueries.sqlQ22.query(spark, sfTiny)
+    val plan = executedPlanString(df)
+    plan should include("LeftAnti")
+    plan should not include "CartesianProduct"
+  }
+
   test("q_ann_ivfpq scans codes through equi-joins only (no cartesian beyond one-row builds)") {
     val df = graft.operators.VectorQueries.annIvfPq.query(spark, sfTiny)
     val plan = executedPlanString(df)
