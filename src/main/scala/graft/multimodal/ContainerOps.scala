@@ -2,6 +2,7 @@ package graft.multimodal
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.{col, regexp_extract}
 
 /** Real container-format parsing behind the multimodal boundary.
   *
@@ -264,7 +265,63 @@ object ContainerOps {
         .toDF()
         .orderBy("media_id")
     },
-    Some("""
+    Some(containerOracle),
+  )
+
+  /** Media payloads exported ONE FILE PER OBJECT (the loose-object layout
+    * a media corpus actually lands in), written once per scale dir behind
+    * a _SUCCESS guard through the Hadoop FileSystem API from executors —
+    * no driver-side byte shipping.
+    */
+  def ensureMediaObjects(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = graft.sources.GraftFs.qualify(s, s"target/graft-media-objects/$tag")
+    synchronized {
+      if (!graft.sources.GraftFs.hasSuccess(s, base)) {
+        graft.sources.GraftFs.deleteRecursively(s, base)
+        containerTable(s, dir).foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.foreach { case (id, payload) =>
+            val p = new org.apache.hadoop.fs.Path(s"$base/m$id.bin")
+            val fs = p.getFileSystem(conf)
+            val out = fs.create(p, true)
+            try out.write(payload) finally out.close()
+          }
+        }
+        graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_SUCCESS", "done")
+      }
+    }
+    base
+  }
+
+  /** Container parsing over Spark's `binaryFile` SOURCE — the ingestion
+    * shape a 100 TB media corpus actually has: thousands of loose object
+    * files, not payload columns in parquet. The export side writes one
+    * file per media object (ensureMediaObjects); the read side is the
+    * real binaryFile scan (partition packing governed by the same
+    * maxPartitionBytes + openCostInBytes knobs MediaProbe measures),
+    * media_id recovered from the object name, and the SAME ContainerParser
+    * walks the bytes — so the full loop (build → object store → source →
+    * parse) is proven against the identical DuckDB oracle as
+    * q_mm_container.
+    */
+  val mmBinaryFile = QueryDef(
+    "q_mm_binaryfile",
+    (s, dir) => {
+      import s.implicits._
+      val base = ensureMediaObjects(s, dir)
+      s.read.format("binaryFile").load(s"$base/m*.bin")
+        .select(regexp_extract(col("path"), "m(\\d+)\\.bin$", 1).cast("long").as("media_id"),
+          col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) => ContainerParser.parse(id, payload) })
+        .toDF()
+        .orderBy("media_id")
+    },
+    Some(containerOracle),
+  )
+
+  private lazy val containerOracle: String = ("""
       WITH doc AS (SELECT doc_id, text, n_chars, octet_length(encode(text)) AS len FROM documents),
       p AS (SELECT doc_id, text, len, doc_id % 3 AS fmt_i,
               CAST(n_chars % 512 + 16 AS BIGINT) AS w,
@@ -313,8 +370,7 @@ object ContainerOps {
         CAST(CASE WHEN error IS NULL THEN (CASE WHEN fmt_i = 1 THEN 16 ELSE 8 END) END AS INTEGER) AS bits_per_sample,
         error
       FROM eff ORDER BY media_id
-    """.trim),
-  )
+    """).trim
 
-  def defs: Seq[QueryDef] = Seq(mmContainer)
+  def defs: Seq[QueryDef] = Seq(mmContainer, mmBinaryFile)
 }
