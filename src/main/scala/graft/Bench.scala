@@ -43,15 +43,21 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${failedNames.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"cpus":"$cpus"}"""
+    // The driver's capture truncates very long lines (BENCH_r06 lost its
+    // total to `parsed: null` because the 200+-entry queries map came
+    // first). Emit a SHORT total-metric line FIRST — always parseable —
+    // then the full line with the per-query map for humans/BenchDiff.
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},""" +
+      s""""failed":${failedNames.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"cpus":"$cpus"}"""
     // append to the local history log (per-query regression tracking across
-    // runs — read by BenchDiff); stdout stays exactly ONE JSON line, the
-    // driver contract. History failures must never fail the bench.
+    // runs — read by BenchDiff). History failures must never fail the bench.
     try {
       val hist = java.nio.file.Paths.get("target/graft-bench-history.jsonl")
       java.nio.file.Files.createDirectories(hist.getParent)
       java.nio.file.Files.write(hist, (line + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
+    println(totalLine)
     println(line)
     spark.stop()
   }

@@ -4,7 +4,8 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions.{col, regexp_extract}
 
-/** Real container-format parsing behind the multimodal boundary.
+/** Real container-format parsing AND encoding behind the multimodal
+  * boundary.
   *
   * Where [[MultimodalOps.StubDecoder]] stands in for pixel/sample work
   * (libjpeg/ffmpeg territory), the *container* layer — magic numbers,
@@ -19,23 +20,34 @@ import org.apache.spark.sql.functions.{col, regexp_extract}
   *   - `ContainerParser` reads metadata back **from the bytes** — width /
   *     height out of IHDR / SOF0, channels + sample rate out of `fmt ` —
   *     by walking chunks/segments the way a real sniffer does (PNG chunk
-  *     layout, JPEG marker walk, RIFF chunk walk), not by trusting
-  *     sidecar columns;
-  *   - malformed rows (bad magic, truncated header) surface as **typed
-  *     errors** in an `error` column instead of nulls-by-accident or
-  *     task failures — the per-row quarantine shape a 100 TB ingest
-  *     needs (one bad object must never kill a 10k-file scan task).
+  *     layout, JPEG marker walk with fill-byte and standalone-marker
+  *     handling, RIFF chunk walk), not by trusting sidecar columns;
+  *   - `ContainerEncoder` closes the WRITE half of the boundary: parsed
+  *     metadata + body bytes re-encode to container bytes, byte-exactly
+  *     inverting the parse for every payload the builder emits — the
+  *     round-trip a 100 TB re-shard/transcode job needs;
+  *   - malformed rows (bad magic, truncated header, negative chunk size)
+  *     surface as **typed errors** in an `error` column instead of
+  *     nulls-by-accident, task failures, or — worst of all — an executor
+  *     spin: the per-row quarantine shape a 100 TB ingest needs (one bad
+  *     object must never kill, or hang, a 10k-file scan task).
   *
   * Scale design: identical to the stub path — parsing is a narrow
   * per-partition map over the scan; payload bytes never shuffle; only
-  * the few parsed header fields leave the executor.
+  * the few parsed header fields leave the executor. The encode path
+  * writes objects from executors through the Hadoop FileSystem API (no
+  * driver-side byte shipping) and re-reads them via Spark's binaryFile
+  * source, so the full build → store → scan → parse loop is exercised.
   *
-  * Deliberate deviations from full-fidelity readers, documented:
+  * Deliberate deviations from full-fidelity readers/writers, documented:
   * CRC-32 of the IHDR chunk is written as zero and not validated
   * (fast-path metadata sniffers skip CRC; DuckDB has no CRC-32 to
-  * mirror a real one in the oracle), and JPEG entropy data / PCM
-  * samples are the document bytes, not a real coded stream — the
-  * container *structure* is what is real here.
+  * mirror a real one in the oracle); JPEG entropy data / PCM samples
+  * are the document bytes, not a real coded stream — the container
+  * *structure* is what is real here; and a 1-channel PNG re-encodes as
+  * grayscale (color type 0) because channel count alone cannot
+  * distinguish grayscale from palette (type 3) — the builder never
+  * emits palette images.
   */
 object ContainerOps {
 
@@ -54,7 +66,30 @@ object ContainerOps {
       bits_per_sample: Option[Int],
       error: Option[String])
 
+  /** Parse result carrying the offset where the coded body starts
+    * (`bodyOffset` = -1 when the parse failed or no body was located) —
+    * the seam the encode path splits a payload on.
+    */
+  final case class Parsed(row: ContainerRow, bodyOffset: Int)
+
   // ---------------------------------------------------------------- builder
+
+  /** Construction parameters of the synthetic payloads. The export-path
+    * fingerprint below is assembled from these same vals, so changing
+    * the format cycle or injection schedule re-keys the loose-object
+    * cache automatically (same stale-cache guard as the LSH/IVF-PQ
+    * artifact fingerprints in VectorQueries).
+    */
+  private val FormatCycle = 3L
+  private val CorruptMod = 97L
+  private val TruncateMod = 89L
+
+  /** Bump the leading `v` when buildPayload's HEADER LAYOUT changes in a
+    * way the parameter vals can't capture (e.g. new chunk fields).
+    * v2 = round-7 layout (identical bytes to v1; re-keyed when the
+    * encode path landed so parse/encode twins never read a stale export).
+    */
+  def payloadFingerprint: String = s"v2-f$FormatCycle-c$CorruptMod-t$TruncateMod"
 
   /** Synthesize a real container payload for one document. Format cycles
     * png / wav / jpeg by doc_id % 3; header field values are derived from
@@ -69,13 +104,13 @@ object ContainerOps {
     val h = (nChars % 384 + 16).toInt
     val ch = (1 + (docId / 3) % 2).toInt
     val sr = (8000 * (1 + (docId % 9) / 3)).toInt
-    val full = (docId % 3) match {
+    val full = (docId % FormatCycle) match {
       case 0 => pngBytes(w, h, body)
       case 1 => wavBytes(ch, sr, body)
       case _ => jpegBytes(w, h, body)
     }
-    if (docId % 97 == 0) { full(0) = (full(0) ^ 0xff).toByte; full }
-    else if (docId % 89 == 0) full.take(10)
+    if (docId % CorruptMod == 0) { full(0) = (full(0) ^ 0xff).toByte; full }
+    else if (docId % TruncateMod == 0) full.take(10)
     else full
   }
 
@@ -87,61 +122,78 @@ object ContainerOps {
   private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
 
   /** PNG: 8-byte signature, then the IHDR chunk (len=13, type, width/
-    * height BE32, bit depth 8, color type 2 = truecolor, compression /
-    * filter / interlace 0, zero CRC — see scaladoc), then body.
+    * height BE32, bit depth, color type, compression / filter /
+    * interlace 0, zero CRC — see scaladoc), then body. Defaults match
+    * the builder (8-bit truecolor); the encoder passes parsed values.
     */
-  def pngBytes(w: Int, h: Int, body: Array[Byte]): Array[Byte] =
+  def pngBytes(w: Int, h: Int, body: Array[Byte], bitDepth: Int = 8,
+      colorType: Int = 2): Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
       be32(13) ++ "IHDR".getBytes("US-ASCII") ++
-      be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0) ++
+      be32(w) ++ be32(h) ++ Array[Byte](bitDepth.toByte, colorType.toByte, 0, 0, 0) ++
       be32(0) ++ // CRC deliberately zero (not validated; see scaladoc)
       body
 
-  /** JPEG: SOI, JFIF APP0 (len 16), baseline SOF0 (len 17: precision 8,
-    * height/width BE16, 3 components with standard sampling/quant ids),
-    * then body as the stand-in entropy stream.
+  /** JPEG: SOI, JFIF APP0 (len 16), baseline SOF0 (len 8 + 3·components:
+    * precision, height/width BE16, per-component id / 4:4:4 sampling /
+    * quant table 0 for luma, 1 for chroma), then body as the stand-in
+    * entropy stream. Defaults match the builder (8-bit, 3 components).
     */
-  def jpegBytes(w: Int, h: Int, body: Array[Byte]): Array[Byte] =
+  def jpegBytes(w: Int, h: Int, body: Array[Byte], precision: Int = 8,
+      nComponents: Int = 3): Array[Byte] = {
+    val comps = (1 to nComponents).flatMap(c =>
+      Seq(c.toByte, 0x11.toByte, (if (c == 1) 0 else 1).toByte)).toArray
     Array(0xff, 0xd8).map(_.toByte) ++
       (Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++
         "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) ++
-      (Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++ Array[Byte](8) ++
-        be16(h) ++ be16(w) ++
-        Array[Byte](3, 1, 17, 0, 2, 17, 1, 3, 17, 1)) ++
+      (Array(0xff, 0xc0).map(_.toByte) ++ be16(8 + 3 * nComponents) ++
+        Array[Byte](precision.toByte) ++ be16(h) ++ be16(w) ++
+        Array[Byte](nComponents.toByte) ++ comps) ++
       body
+  }
 
   /** WAV: RIFF size header, WAVE form type, PCM `fmt ` chunk (16 bytes:
-    * format 1, channels, sample rate, byte rate, block align, 16-bit
-    * samples), `data` chunk sized to the body.
+    * format 1, channels, sample rate, byte rate, block align, sample
+    * bits), `data` chunk sized to the body. Default 16-bit matches the
+    * builder; the encoder passes the parsed bit width.
     */
-  def wavBytes(ch: Int, sr: Int, body: Array[Byte]): Array[Byte] =
+  def wavBytes(ch: Int, sr: Int, body: Array[Byte], bits: Int = 16): Array[Byte] = {
+    val blockAlign = ch * bits / 8
     "RIFF".getBytes("US-ASCII") ++ le32(36 + body.length) ++
       "WAVE".getBytes("US-ASCII") ++
       "fmt ".getBytes("US-ASCII") ++ le32(16) ++
-      le16(1) ++ le16(ch) ++ le32(sr) ++ le32(sr * ch * 2) ++
-      le16(ch * 2) ++ le16(16) ++
+      le16(1) ++ le16(ch) ++ le32(sr) ++ le32(sr * blockAlign) ++
+      le16(blockAlign) ++ le16(bits) ++
       "data".getBytes("US-ASCII") ++ le32(body.length) ++
       body
+  }
 
   // ----------------------------------------------------------------- parser
 
-  /** Reads container metadata from the bytes alone. Never throws on bad
-    * input — malformed payloads come back as a typed `error` with all
-    * parsed fields null (payload length + checksum are still reported,
-    * they are properties of the bytes, not of a successful parse).
+  /** Reads container metadata from the bytes alone. Never throws — and
+    * never LOOPS — on bad input: malformed payloads come back as a typed
+    * `error` with all parsed fields null (payload length + checksum are
+    * still reported, they are properties of the bytes, not of a
+    * successful parse), and every walk provably advances or bails.
     */
   object ContainerParser {
     private val PngSig =
       Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-    def parse(mediaId: Long, p: Array[Byte]): ContainerRow = {
+    def parse(mediaId: Long, p: Array[Byte]): ContainerRow =
+      parseFull(mediaId, p).row
+
+    /** Parse plus the body offset (where the coded stream starts) — the
+      * split the encoder re-assembles from.
+      */
+    def parseFull(mediaId: Long, p: Array[Byte]): Parsed = {
       val base = ContainerRow(mediaId, None, p.length, checksum(p),
         None, None, None, None, None, None)
       if (p.length >= 8 && p.startsWith(PngSig)) parsePng(base, p)
       else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
         parseJpeg(base, p)
       else if (p.length >= 4 && asciiAt(p, 0, 4) == "RIFF") parseRiff(base, p)
-      else base.copy(error = Some("bad_magic"))
+      else Parsed(base.copy(error = Some("bad_magic")), -1)
     }
 
     /** Polynomial byte checksum (acc = acc*31 + b mod 1e9+7, acc0 = 1) —
@@ -167,73 +219,138 @@ object ContainerOps {
       (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
 
     /** IHDR must be the first chunk (ISO/IEC 15948 §5.6): sig(8) +
-      * len(4) + "IHDR"(4) + 13 data + CRC(4) = 33 bytes minimum.
+      * len(4) + "IHDR"(4) + 13 data + CRC(4) = 33 bytes minimum; the
+      * body (IDAT stream stand-in) starts right after.
       */
-    private def parsePng(base: ContainerRow, p: Array[Byte]): ContainerRow = {
+    private def parsePng(base: ContainerRow, p: Array[Byte]): Parsed = {
       val png = base.copy(format = Some("png"))
-      if (p.length < 33) return png.copy(error = Some("truncated"))
+      if (p.length < 33) return Parsed(png.copy(error = Some("truncated")), -1)
       if (rBe32(p, 8) != 13 || asciiAt(p, 12, 4) != "IHDR")
-        return png.copy(error = Some("bad_ihdr"))
+        return Parsed(png.copy(error = Some("bad_ihdr")), -1)
       val colorType = p(25) & 0xff
       // channel count per color type (spec §11.2.2 table); palette = 1 channel
       val ch = colorType match {
         case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
         case _ => -1
       }
-      if (ch < 0) return png.copy(error = Some("bad_ihdr"))
-      png.copy(
+      if (ch < 0) return Parsed(png.copy(error = Some("bad_ihdr")), -1)
+      Parsed(png.copy(
         width = Some(rBe32(p, 16)), height = Some(rBe32(p, 20)),
-        channels = Some(ch), bits_per_sample = Some(p(24) & 0xff))
+        channels = Some(ch), bits_per_sample = Some(p(24) & 0xff)), 33)
     }
 
     /** Marker walk from SOI until a baseline/extended/progressive SOF
       * (0xC0–0xC3) yields precision + dimensions + component count.
+      * Real-stream marker grammar (T.81 §B.1.1.2–§B.1.1.4): any number
+      * of 0xFF fill bytes may precede a marker code, and TEM (0x01),
+      * SOI (0xD8) and RST0–7 (0xD0–0xD7) are standalone — no length
+      * segment follows. EOI (0xD9) before any SOF is its own typed
+      * error: the stream ended structurally without frame metadata.
       */
-    private def parseJpeg(base: ContainerRow, p: Array[Byte]): ContainerRow = {
+    private def parseJpeg(base: ContainerRow, p: Array[Byte]): Parsed = {
       val jpg = base.copy(format = Some("jpeg"))
       var i = 2
-      while (i + 4 <= p.length) {
-        if ((p(i) & 0xff) != 0xff) return jpg.copy(error = Some("bad_marker"))
+      while (i < p.length) {
+        if ((p(i) & 0xff) != 0xff) return Parsed(jpg.copy(error = Some("bad_marker")), -1)
+        while (i + 1 < p.length && (p(i + 1) & 0xff) == 0xff) i += 1 // fill bytes
+        if (i + 1 >= p.length) return Parsed(jpg.copy(error = Some("truncated")), -1)
         val marker = p(i + 1) & 0xff
-        val segLen = rBe16(p, i + 2)
-        if (marker >= 0xc0 && marker <= 0xc3) {
-          if (segLen < 8 || i + 2 + segLen > p.length)
-            return jpg.copy(error = Some("truncated"))
-          return jpg.copy(
-            width = Some(rBe16(p, i + 7)), height = Some(rBe16(p, i + 5)),
-            channels = Some(p(i + 9) & 0xff),
-            bits_per_sample = Some(p(i + 4) & 0xff))
+        if (marker == 0xd9) return Parsed(jpg.copy(error = Some("no_sof")), -1)
+        if (marker == 0x01 || marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+          i += 2 // standalone marker: no length segment
+        } else {
+          if (i + 4 > p.length) return Parsed(jpg.copy(error = Some("truncated")), -1)
+          val segLen = rBe16(p, i + 2)
+          if (marker >= 0xc0 && marker <= 0xc3) {
+            if (segLen < 8 || i + 2 + segLen > p.length)
+              return Parsed(jpg.copy(error = Some("truncated")), -1)
+            return Parsed(jpg.copy(
+              width = Some(rBe16(p, i + 7)), height = Some(rBe16(p, i + 5)),
+              channels = Some(p(i + 9) & 0xff),
+              bits_per_sample = Some(p(i + 4) & 0xff)), i + 2 + segLen)
+          }
+          if (segLen < 2) return Parsed(jpg.copy(error = Some("bad_marker")), -1)
+          i += 2 + segLen
         }
-        if (segLen < 2) return jpg.copy(error = Some("bad_marker"))
-        i += 2 + segLen
       }
-      jpg.copy(error = Some("truncated"))
+      Parsed(jpg.copy(error = Some("truncated")), -1)
     }
 
     /** RIFF chunk walk: form type must be WAVE, then scan chunks for
-      * `fmt ` (16-byte PCM layout). Format stays unknown until WAVE is
-      * confirmed — a truncated RIFF prefix could be any RIFF form (AVI,
-      * WebP, …).
+      * `fmt ` (16-byte PCM layout) and the `data` chunk (body offset).
+      * Format stays unknown until WAVE is confirmed — a truncated RIFF
+      * prefix could be any RIFF form (AVI, WebP, …).
+      *
+      * Loop-safety contract: rLe32 reads the chunk size SIGNED, so a
+      * size ≥ 2^31 (or crafted bytes) comes back negative — advancing by
+      * it would spin the executor thread forever. Negative sizes bail as
+      * the typed `bad_chunk` error, and the advance is computed in Long
+      * so an in-range size can never overflow `i` back into the buffer.
       */
-    private def parseRiff(base: ContainerRow, p: Array[Byte]): ContainerRow = {
-      if (p.length < 12) return base.copy(error = Some("truncated"))
-      if (asciiAt(p, 8, 4) != "WAVE") return base.copy(error = Some("bad_riff_form"))
+    private def parseRiff(base: ContainerRow, p: Array[Byte]): Parsed = {
+      if (p.length < 12) return Parsed(base.copy(error = Some("truncated")), -1)
+      if (asciiAt(p, 8, 4) != "WAVE")
+        return Parsed(base.copy(error = Some("bad_riff_form")), -1)
       val wav = base.copy(format = Some("wav"))
       var i = 12
-      while (i + 8 <= p.length) {
+      var fmt: Option[(Int, Int, Int)] = None // (channels, sample_rate, bits)
+      var dataOff = -1
+      while (i + 8 <= p.length && (fmt.isEmpty || dataOff < 0)) {
         val id = asciiAt(p, i, 4)
         val size = rLe32(p, i + 4)
+        if (size < 0) return Parsed(wav.copy(error = Some("bad_chunk")), -1)
         if (id == "fmt ") {
-          if (size < 16 || i + 8 + 16 > p.length) return wav.copy(error = Some("truncated"))
-          return wav.copy(
-            channels = Some(rLe16(p, i + 10)),
-            sample_rate = Some(rLe32(p, i + 12)),
-            bits_per_sample = Some(rLe16(p, i + 22)))
+          if (size < 16 || i + 8 + 16 > p.length)
+            return Parsed(wav.copy(error = Some("truncated")), -1)
+          fmt = Some((rLe16(p, i + 10), rLe32(p, i + 12), rLe16(p, i + 22)))
         }
-        i += 8 + size + (size & 1) // RIFF chunks are word-aligned
+        if (id == "data") dataOff = i + 8
+        val next = i.toLong + 8L + size + (size & 1) // RIFF chunks are word-aligned
+        if (next > p.length.toLong) i = p.length // ran off the payload: stop
+        else i = next.toInt
       }
-      wav.copy(error = Some("no_fmt_chunk"))
+      fmt match {
+        case Some((ch, sr, bits)) =>
+          Parsed(wav.copy(channels = Some(ch), sample_rate = Some(sr),
+            bits_per_sample = Some(bits)), dataOff)
+        case None => Parsed(wav.copy(error = Some("no_fmt_chunk")), -1)
+      }
     }
+  }
+
+  // ---------------------------------------------------------------- encoder
+
+  /** The write half of the container boundary: parsed metadata + body
+    * bytes → container bytes. For every payload [[buildPayload]] emits,
+    * `encode(parseFull(p).row, body(p)) == p` byte-for-byte (checked in
+    * ContainerSpec and by the q_mm_encode oracle's checksum equality) —
+    * the parse and the encode are true inverses across the store.
+    *
+    * Rows that cannot be encoded come back as a typed Left, mirroring
+    * the parser's quarantine contract: an unparsed row, an impossible
+    * channel count, a zero sample rate must never throw inside a task.
+    */
+  object ContainerEncoder {
+    def encode(row: ContainerRow, body: Array[Byte]): Either[String, Array[Byte]] =
+      if (row.error.isDefined) Left("unparsed_row")
+      else (row.format, row.width, row.height, row.channels, row.sample_rate) match {
+        case (Some("png"), Some(w), Some(h), Some(ch), _) =>
+          // inverse of the parse table; 1 channel → grayscale 0 (palette 3
+          // is not reconstructible from channel count — see scaladoc)
+          val colorType = ch match {
+            case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6; case _ => -1
+          }
+          if (colorType < 0) Left("bad_channels")
+          else Right(pngBytes(w, h, body, row.bits_per_sample.getOrElse(8), colorType))
+        case (Some("jpeg"), Some(w), Some(h), Some(ch), _) =>
+          if (ch < 1 || ch > 4) Left("bad_channels")
+          else Right(jpegBytes(w, h, body, row.bits_per_sample.getOrElse(8), ch))
+        case (Some("wav"), _, _, Some(ch), Some(sr)) =>
+          val bits = row.bits_per_sample.getOrElse(16)
+          if (ch < 1 || sr < 1 || bits % 8 != 0 || bits <= 0) Left("bad_fmt")
+          else Right(wavBytes(ch, sr, body, bits))
+        case _ => Left("unknown_format")
+      }
   }
 
   // -------------------------------------------------------------- query def
@@ -271,11 +388,14 @@ object ContainerOps {
   /** Media payloads exported ONE FILE PER OBJECT (the loose-object layout
     * a media corpus actually lands in), written once per scale dir behind
     * a _SUCCESS guard through the Hadoop FileSystem API from executors —
-    * no driver-side byte shipping.
+    * no driver-side byte shipping. The path embeds [[payloadFingerprint]]
+    * so a change to buildPayload's parameters re-keys the cache instead
+    * of silently reusing stale objects.
     */
   def ensureMediaObjects(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val base = graft.sources.GraftFs.qualify(s, s"target/graft-media-objects/$tag")
+    val base = graft.sources.GraftFs.qualify(s,
+      s"target/graft-media-objects/$payloadFingerprint/$tag")
     synchronized {
       if (!graft.sources.GraftFs.hasSuccess(s, base)) {
         graft.sources.GraftFs.deleteRecursively(s, base)
@@ -321,7 +441,70 @@ object ContainerOps {
     Some(containerOracle),
   )
 
-  private lazy val containerOracle: String = ("""
+  /** Parse → re-encode → loose-object export for the clean rows: each
+    * original payload is split into metadata + body by the parser, the
+    * encoder rebuilds the container bytes from those parsed fields alone,
+    * and the rebuilt objects land one-file-per-object like the source
+    * export. Rows the parser quarantined (injected corrupt/truncated)
+    * have nothing to re-encode and are dropped here — exactly what a
+    * transcode job does with its quarantine lane.
+    */
+  def ensureEncodedObjects(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = graft.sources.GraftFs.qualify(s,
+      s"target/graft-media-encoded/$payloadFingerprint/$tag")
+    synchronized {
+      if (!graft.sources.GraftFs.hasSuccess(s, base)) {
+        graft.sources.GraftFs.deleteRecursively(s, base)
+        containerTable(s, dir).foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.foreach { case (id, payload) =>
+            val parsed = ContainerParser.parseFull(id, payload)
+            if (parsed.row.error.isEmpty && parsed.bodyOffset >= 0) {
+              val body = java.util.Arrays.copyOfRange(payload, parsed.bodyOffset, payload.length)
+              ContainerEncoder.encode(parsed.row, body) match {
+                case Right(bytes) =>
+                  val p = new org.apache.hadoop.fs.Path(s"$base/m$id.bin")
+                  val fs = p.getFileSystem(conf)
+                  val out = fs.create(p, true)
+                  try out.write(bytes) finally out.close()
+                case Left(_) => () // quarantined: nothing to write
+              }
+            }
+          }
+        }
+        graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_SUCCESS", "done")
+      }
+    }
+    base
+  }
+
+  /** The ENCODE round-trip, oracle-checked: original payload → parse →
+    * re-encode from parsed fields → object store → binaryFile scan →
+    * re-parse. Because the encoder inverts the parse byte-exactly, the
+    * re-parsed rows (including the checksum over the REBUILT bytes) must
+    * equal the clean subset of the q_mm_container oracle — DuckDB
+    * reconstructs the same byte sequence with integer arithmetic and
+    * never sees the Scala encoder. A builder that can only read is half
+    * a multimodal boundary; this proves the write half.
+    */
+  val mmEncode = QueryDef(
+    "q_mm_encode",
+    (s, dir) => {
+      import s.implicits._
+      val base = ensureEncodedObjects(s, dir)
+      s.read.format("binaryFile").load(s"$base/m*.bin")
+        .select(regexp_extract(col("path"), "m(\\d+)\\.bin$", 1).cast("long").as("media_id"),
+          col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) => ContainerParser.parse(id, payload) })
+        .toDF()
+        .orderBy("media_id")
+    },
+    Some(encodeOracle),
+  )
+
+  private lazy val containerOracleBase: String = ("""
       WITH doc AS (SELECT doc_id, text, n_chars, octet_length(encode(text)) AS len FROM documents),
       p AS (SELECT doc_id, text, len, doc_id % 3 AS fmt_i,
               CAST(n_chars % 512 + 16 AS BIGINT) AS w,
@@ -369,8 +552,19 @@ object ContainerOps {
         CAST(CASE WHEN error IS NULL AND fmt_i = 1 THEN sr END AS INTEGER) AS sample_rate,
         CAST(CASE WHEN error IS NULL THEN (CASE WHEN fmt_i = 1 THEN 16 ELSE 8 END) END AS INTEGER) AS bits_per_sample,
         error
-      FROM eff ORDER BY media_id
+      FROM eff
     """).trim
 
-  def defs: Seq[QueryDef] = Seq(mmContainer, mmBinaryFile)
+  private lazy val containerOracle: String =
+    containerOracleBase + "\n      ORDER BY media_id"
+
+  /** Clean subset of the container oracle: the encode path quarantines
+    * (drops) the injected-malformed rows, and every surviving row must
+    * re-parse — from the REBUILT bytes — to the identical fields and
+    * checksum DuckDB derives from the doc columns.
+    */
+  private lazy val encodeOracle: String =
+    s"SELECT * FROM (\n$containerOracleBase\n) t WHERE error IS NULL ORDER BY media_id"
+
+  def defs: Seq[QueryDef] = Seq(mmContainer, mmBinaryFile, mmEncode)
 }

@@ -62,9 +62,15 @@ object SessionTimerState {
       }
       st.foreach { s =>
         sess.update(s)
-        // one live timer per user: re-arm to the new quiet deadline
+        // one live timer per user: re-arm to the new quiet deadline.
+        // Registered at ms precision from µs event times: round the last-
+        // event ms UP and add 1 ms so the timer can never fire before the
+        // full gap has provably elapsed — truncation would put the
+        // deadline up to ~1 ms early, and an event at exactly last+GapUs
+        // (in-session under the strict > gap rule) could race an
+        // already-fired timer and split the session vs the batch oracle.
         getHandle.listTimers().foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(s._2 / 1000 + GapUs / 1000)
+        getHandle.registerTimer((s._2 + 999) / 1000 + GapUs / 1000 + 1)
       }
       out.iterator
     }

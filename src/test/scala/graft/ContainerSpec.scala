@@ -1,7 +1,7 @@
 package graft
 
 import graft.multimodal.ContainerOps
-import graft.multimodal.ContainerOps.ContainerParser
+import graft.multimodal.ContainerOps.{ContainerEncoder, ContainerParser}
 import org.apache.spark.sql.functions._
 import org.scalatest.matchers.should.Matchers
 
@@ -98,6 +98,101 @@ class ContainerSpec extends SparkTestBase with Matchers {
     // checksum/length still reported for malformed rows (byte properties)
     bad.n_bytes shouldBe png.length
     bad.checksum shouldBe ContainerParser.checksum(png)
+  }
+
+  test("jpeg: fill bytes and standalone markers are walked per T.81 grammar") {
+    // 0xFF fill bytes before a marker code must be skipped, and TEM /
+    // RST0-7 carry no length segment — a walk that reads a bogus segLen
+    // from the following bytes would misclassify real streams
+    val base = ContainerOps.jpegBytes(320, 200, body)
+    val (head, tail) = base.splitAt(20) // SOI(2) + APP0(18)
+    val fill = Array(0xff, 0xff, 0xff).map(_.toByte) // fill bytes then tail's own FF
+    val tem = Array(0xff, 0x01).map(_.toByte) // standalone TEM
+    val rst = Array(0xff, 0xd3).map(_.toByte) // standalone RST3
+    val r = ContainerParser.parse(20L, head ++ tem ++ fill ++ tail.drop(1) ++ Array[Byte]())
+    r.error shouldBe None
+    r.width shouldBe Some(320)
+    val r2 = ContainerParser.parse(21L, head ++ rst ++ tail)
+    r2.error shouldBe None
+    r2.height shouldBe Some(200)
+    // EOI before any SOF is a typed structural error, not a bogus segLen read
+    val eoi = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
+    ContainerParser.parse(22L, eoi).error shouldBe Some("no_sof")
+  }
+
+  test("riff: negative/oversized chunk size bails as typed error, never spins") {
+    // chunk size with the top bit set reads back negative from rLe32; the
+    // walk must surface bad_chunk instead of advancing by a non-positive
+    // step forever (executor-hang regression guard)
+    val evil = "RIFF".getBytes("US-ASCII") ++ Array[Byte](100, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "JUNK".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, -128) ++ // size = Int.MinValue
+      new Array[Byte](64)
+    val r = ContainerParser.parse(30L, evil)
+    r.error shouldBe Some("bad_chunk")
+    r.format shouldBe Some("wav")
+    // a huge-but-positive size that runs off the payload ends the walk (no fmt seen)
+    val big = "RIFF".getBytes("US-ASCII") ++ Array[Byte](100, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "JUNK".getBytes("US-ASCII") ++ Array[Byte](-1, -1, -1, 0x7f) ++ // ~Int.MaxValue
+      new Array[Byte](64)
+    ContainerParser.parse(31L, big).error shouldBe Some("no_fmt_chunk")
+  }
+
+  test("encoder inverts the parser byte-exactly for every builder format") {
+    for ((payload, name) <- Seq(
+        (ContainerOps.pngBytes(640, 480, body), "png"),
+        (ContainerOps.wavBytes(2, 44100, body), "wav"),
+        (ContainerOps.jpegBytes(1024, 768, body), "jpeg"))) {
+      val parsed = ContainerParser.parseFull(1L, payload)
+      withClue(s"$name: ") {
+        parsed.row.error shouldBe None
+        parsed.bodyOffset should be > 0
+        val bodyBytes = payload.drop(parsed.bodyOffset)
+        bodyBytes shouldBe body
+        ContainerEncoder.encode(parsed.row, bodyBytes).toOption.get shouldBe payload
+      }
+    }
+    // full builder schedule: parse→encode→re-parse is identity for clean ids
+    for (id <- 1L to 120L if id % 97 != 0 && id % 89 != 0) {
+      val p = ContainerOps.buildPayload(id, s"doc $id body text", 40 + id)
+      val parsed = ContainerParser.parseFull(id, p)
+      val re = ContainerEncoder.encode(parsed.row, p.drop(parsed.bodyOffset))
+      re.toOption.get shouldBe p
+    }
+  }
+
+  test("encoder quarantines unencodable rows as typed Lefts") {
+    val bad = ContainerParser.parse(6L, Array[Byte](1, 2, 3))
+    ContainerEncoder.encode(bad, body) shouldBe Left("unparsed_row")
+    val png = ContainerParser.parse(1L, ContainerOps.pngBytes(64, 64, body))
+    ContainerEncoder.encode(png.copy(channels = Some(5)), body) shouldBe Left("bad_channels")
+    ContainerEncoder.encode(png.copy(format = Some("gif")), body) shouldBe Left("unknown_format")
+    val wav = ContainerParser.parse(2L, ContainerOps.wavBytes(1, 8000, body))
+    ContainerEncoder.encode(wav.copy(sample_rate = Some(0)), body) shouldBe Left("bad_fmt")
+  }
+
+  test("corrupted re-encoded object surfaces as typed error, not a task failure") {
+    val parsed = ContainerParser.parseFull(1L, ContainerOps.pngBytes(64, 64, body))
+    val re = ContainerEncoder.encode(parsed.row, body).toOption.get
+    re(0) = (re(0) ^ 0xff).toByte
+    val r = ContainerParser.parse(1L, re)
+    r.error shouldBe Some("bad_magic")
+    val wavRe = ContainerEncoder.encode(
+      ContainerParser.parseFull(2L, ContainerOps.wavBytes(2, 44100, body)).row, body).toOption.get
+    val r2 = ContainerParser.parse(2L, wavRe.take(10))
+    r2.error shouldBe Some("truncated")
+  }
+
+  test("q_mm_encode: clean rows round-trip the object store with identical checksums") {
+    val source = ContainerOps.mmContainer.query(spark, sfTiny).collect()
+      .filter(_.isNullAt(9)).map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val rows = ContainerOps.mmEncode.query(spark, sfTiny).collect()
+    rows.length shouldBe 489 // the 11 injected-malformed rows are quarantined
+    rows.foreach { r =>
+      r.isNullAt(9) shouldBe true // every re-encoded object re-parses cleanly
+      r.getLong(3) shouldBe source(r.getLong(0)) // byte-exact: checksum matches source payload
+    }
   }
 
   test("q_mm_container: valid rows parse, injected malformed rows quarantine") {
