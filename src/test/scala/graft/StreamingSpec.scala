@@ -418,6 +418,137 @@ class StreamingSpec extends SparkTestBase with Matchers {
     }
   }
 
+  // -------- processing-time timers (TTL sweep + timer-driven flush) --------
+  // One continuously-running query per test: with processing-time timers
+  // registered, MicroBatchExecution self-schedules batches, so expired
+  // timers fire WITHOUT new data arriving — exactly the property a state-GC
+  // sweep needs (an abandoned key must expire even if the source never
+  // produces another event). The test polls the memory sink with deadlines;
+  // TTLs are far above per-batch latency so "quiet" is unambiguous.
+
+  private def awaitRows(name: String, n: Long, timeoutMs: Long): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (spark.table(name).count() < n && System.currentTimeMillis() < deadline)
+      Thread.sleep(250)
+  }
+
+  test("s_ttl_sweep: processing-time timers expire abandoned keys exactly once and clear state") {
+    import graft.streaming.TtlTimerState
+    val dir = Files.createTempDirectory("graft_ttl").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_ttl_ck").toFile.getAbsolutePath
+    val ttlMs = 6000L
+    val ttlSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    def writeEvents(name: String, rows: Seq[(Long, String, Double)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_ttl_w").toFile.getAbsolutePath
+      rows.toDF("user_id", "ts_str", "value")
+        .select(col("user_id"), to_timestamp(col("ts_str")).as("ts"), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(dir, name))
+      ()
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    writeEvents("f1.parquet", Seq(
+      (1L, "2024-01-01 10:00:00", 2.0), (1L, "2024-01-01 10:05:00", 3.0),
+      (2L, "2024-01-01 10:01:00", 7.0)))
+    val q = TtlTimerState.aggWithTtl(
+        spark.readStream.schema(ttlSchema).parquet(dir), ttlMs)
+      .writeStream.format("memory").queryName("t_ttl").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+    try {
+      // active keys must NOT emit: wait well past processing, before the TTL
+      Thread.sleep(3000)
+      spark.table("t_ttl").count() shouldBe 0L
+      // both keys go quiet a full TTL of wall time → sweep emits + clears,
+      // with NO new data arriving to trigger the batch
+      awaitRows("t_ttl", 2, 30000)
+      val p1 = spark.table("t_ttl").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      p1 shouldBe Map(1L -> ((2L, 5.0)), 2L -> ((1L, 7.0)))
+      // key 1 REAPPEARS: expired state was cleared, so its second quiet
+      // period must emit a FRESH aggregate (only the new event) — and only
+      // once (count settles at 3)
+      writeEvents("f2.parquet", Seq((1L, "2024-01-01 10:40:00", 100.0)))
+      awaitRows("t_ttl", 3, 30000)
+      Thread.sleep(2000) // grace: no duplicate emission may follow
+      val rows = spark.table("t_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      rows.size shouldBe 3
+      rows.count(_ == ((1L, 1L, 100.0))) shouldBe 1 // fresh, not 3 events/105.0
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("s_shard_flush_timer: shard partials merge across batches and flush once on quiet") {
+    import graft.streaming.TtlTimerState
+    val dir = Files.createTempDirectory("graft_shflush").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_shflush_ck").toFile.getAbsolutePath
+    val flushMs = 8000L // far above per-batch latency: mid-shard must not flush
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_bytes", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType)))
+    def writeDocs(name: String, rows: Seq[(Long, Long, Long, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_shflush_w").toFile.getAbsolutePath
+      rows.toDF("shard_id", "doc_id", "n_bytes", "n_tokens")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(dir, name))
+      ()
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // batch 1: shard 0 complete, shard 1 OPEN (first half of its docs)
+    writeDocs("f1.parquet", Seq(
+      (0L, 10L, 8000L, 1500L), (0L, 11L, 8400L, 1600L),
+      (1L, 12L, 9000L, 1700L)))
+    val q = TtlTimerState.shardFlushByTimer(
+        spark.readStream.schema(docSchema).parquet(dir), flushMs)
+      .writeStream.format("memory").queryName("t_shflush").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+    try {
+      // within the flush window, feed shard 1's second half + shard 2: the
+      // open shard's timer re-arms and its partials merge in state
+      Thread.sleep(2500)
+      spark.table("t_shflush").count() shouldBe 0L
+      writeDocs("f2.parquet", Seq(
+        (1L, 13L, 7500L, 1400L), (2L, 14L, 6000L, 1100L)))
+      // all shards go quiet → each flushes exactly once, shard 1 with
+      // totals merged across its two batches
+      awaitRows("t_shflush", 3, 40000)
+      Thread.sleep(2000) // grace: no shard may flush twice
+      val flushed = spark.table("t_shflush").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      spark.table("t_shflush").count() shouldBe 3L
+      flushed(0L) shouldBe ((2L, 16400L, 3100L, 10L, 11L))
+      flushed(1L) shouldBe ((2L, 16500L, 3100L, 12L, 13L)) // merged across batches
+      flushed(2L) shouldBe ((1L, 6000L, 1100L, 14L, 14L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("s_late: events below the watermark are dropped from append-mode windows") {
     val dir = Files.createTempDirectory("graft_late").toFile.getAbsolutePath
     def write(name: String, rows: Seq[(Long, String)]): Unit = {
