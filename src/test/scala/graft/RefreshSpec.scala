@@ -5,6 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import scala.concurrent.duration._
 
 import graft.operators.{Refresh, RefresherApp, RefreshResult, RefreshTarget}
+import org.apache.spark.sql.functions.{col, to_date}
 import org.scalatest.matchers.should.Matchers
 
 /** Group A behavioral specs (SURVEY.md §5.2(2)): staleness→refresh→fresh,
@@ -26,6 +27,48 @@ class RefreshSpec extends SparkTestBase with Matchers {
     Refresh.refreshTable(spark, "graft_stale_t")
     spark.table("graft_stale_t").count() shouldBe 5 // fresh after refresh
     spark.sql("DROP TABLE graft_stale_t")
+  }
+
+  test("E-R6 refresh_partition: one event_date dir refreshed, re-list cost partition-pruned") {
+    // date-partitioned events layout (the PartitionedEvents shape) behind
+    // the listing-counting FileSystem so directory listings are observable
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcount.impl", classOf[CountingFileSystem].getName)
+    val local = Files.createTempDirectory("graft_prefresh").toFile.getAbsolutePath
+    val base = s"graftcount:$local"
+    Tables.events(spark, sfTiny)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), to_date(col("ts")).as("event_date"))
+      .filter(col("event_date").isin("2024-01-01", "2024-01-02", "2024-01-03"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(base)
+    spark.sql("DROP TABLE IF EXISTS graft_pr_events")
+    spark.sql(s"""CREATE TABLE graft_pr_events
+      (event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, event_date DATE)
+      USING parquet PARTITIONED BY (event_date) LOCATION '$base'""")
+    spark.sql("ALTER TABLE graft_pr_events RECOVER PARTITIONS")
+    def dayCount(d: String): Long =
+      spark.table("graft_pr_events").filter(col("event_date") === d).count()
+    val d1n = dayCount("2024-01-01")
+    d1n should be > 0L
+    // append a file into the 2024-01-01 dir behind the catalog's back
+    Seq((900001L, 1L, "click", 1.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(s"$base/event_date=2024-01-01")
+    dayCount("2024-01-01") shouldBe d1n // stale file index
+    // Impala parity: refreshing an unknown partition is an error, not a no-op
+    an[IllegalArgumentException] should be thrownBy
+      Refresh.refreshPartition(spark, "graft_pr_events", Map("event_date" -> "2030-12-31"))
+    Refresh.refreshPartition(spark, "graft_pr_events", Map("event_date" -> "2024-01-01"))
+    // the refreshed partition sees the new file...
+    CountingFileSystem.reset()
+    dayCount("2024-01-01") shouldBe d1n + 1
+    // ...and paid listing ONLY for its own directory: the re-list after the
+    // refresh is partition-pruned (the property that keeps a partition
+    // refresh cheap when the table has 10k other partitions)
+    val listedDirs = CountingFileSystem.listedPaths.filter(_.contains("event_date="))
+    listedDirs should not be empty
+    all(listedDirs) should include("event_date=2024-01-01")
+    spark.sql("DROP TABLE graft_pr_events")
   }
 
   test("E-R2 refresh_fanout: all targets refreshed, parallelism ≤ bound") {
