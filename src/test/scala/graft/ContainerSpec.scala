@@ -195,6 +195,58 @@ class ContainerSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("mp4: mvhd/tkhd fields parsed from the box walk; encoder inverts byte-exactly") {
+    import graft.multimodal.VideoContainerOps
+    import graft.multimodal.VideoContainerOps.VideoParser
+    val payload = VideoContainerOps.mp4Bytes(640, 480, 1200, 90000, body)
+    val r = VideoParser.parse(1L, payload)
+    r.error shouldBe None
+    r.format shouldBe Some("mp4")
+    r.width shouldBe Some(640)
+    r.height shouldBe Some(480)
+    r.timescale shouldBe Some(1200)
+    r.duration shouldBe Some(90000)
+    // encoder inverts the parse byte-exactly; body sits after the header
+    payload.drop(VideoContainerOps.BodyOffset) shouldBe body
+    VideoContainerOps.encodeVideo(r, body).toOption.get shouldBe payload
+    // full builder schedule round-trips for clean ids
+    for (id <- 1L to 120L if id % 97 != 0 && id % 89 != 0) {
+      val p = VideoContainerOps.buildVideoPayload(id, s"doc $id body", 30 + id)
+      val parsed = VideoParser.parse(id, p)
+      parsed.error shouldBe None
+      VideoContainerOps.encodeVideo(parsed, p.drop(VideoContainerOps.BodyOffset))
+        .toOption.get shouldBe p
+    }
+  }
+
+  test("mp4: malformed payloads are typed errors, never exceptions or stuck walks") {
+    import graft.multimodal.VideoContainerOps
+    import graft.multimodal.VideoContainerOps.VideoParser
+    val good = VideoContainerOps.mp4Bytes(64, 64, 600, 1000, body)
+    // flipped ftyp byte → bad_magic, no fields
+    val bad = good.clone(); bad(4) = (bad(4) ^ 0xff).toByte
+    VideoParser.parse(1L, bad).error shouldBe Some("bad_magic")
+    VideoParser.parse(1L, bad).format shouldBe None
+    // truncation inside the first box → truncated, format pinned by the sniff
+    val trunc = VideoParser.parse(2L, good.take(10))
+    trunc.error shouldBe Some("truncated")
+    trunc.format shouldBe Some("mp4")
+    // a box size too small to hold its own header → bad_box (loop guard)
+    val tiny = good.clone(); tiny(27) = 4 // moov size 216 → 4 (< 8)
+    VideoParser.parse(3L, tiny).error shouldBe Some("bad_box")
+    // a box claiming more bytes than the payload has → truncated
+    val over = good.clone(); over(24) = 0x7f.toByte // moov size → huge
+    VideoParser.parse(4L, over).error shouldBe Some("truncated")
+    // ftyp alone, no moov → no_moov
+    VideoParser.parse(5L, good.take(24)).error shouldBe Some("no_moov")
+    // encoder quarantine
+    VideoContainerOps.encodeVideo(VideoParser.parse(1L, bad), body) shouldBe Left("unparsed_row")
+    // corrupted re-encoded object → typed error, not a throw
+    val re = VideoContainerOps.encodeVideo(VideoParser.parse(6L, good), body).toOption.get
+    re(4) = (re(4) ^ 0xff).toByte
+    VideoParser.parse(6L, re).error shouldBe Some("bad_magic")
+  }
+
   test("q_mm_container: valid rows parse, injected malformed rows quarantine") {
     val rows = ContainerOps.mmContainer.query(spark, sfTiny).collect()
     rows.length shouldBe 500
