@@ -234,7 +234,64 @@ object VideoContainerOps {
     Some(videoOracle),
   )
 
-  private lazy val videoOracle: String = ("""
+  /** Parse → re-encode → loose-object export for clean video rows; the
+    * write-half twin of [[ContainerOps.ensureEncodedObjects]] (same
+    * quarantine semantics: rows the parser rejected have nothing to
+    * re-encode and are dropped).
+    */
+  def ensureEncodedVideoObjects(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = graft.sources.GraftFs.qualify(s,
+      s"target/graft-video-encoded/${ContainerOps.payloadFingerprint}/$tag")
+    synchronized {
+      if (!graft.sources.GraftFs.hasSuccess(s, base)) {
+        graft.sources.GraftFs.deleteRecursively(s, base)
+        videoTable(s, dir).foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.foreach { case (id, payload) =>
+            val parsed = VideoParser.parse(id, payload)
+            if (parsed.error.isEmpty && payload.length >= BodyOffset) {
+              val body = java.util.Arrays.copyOfRange(payload, BodyOffset, payload.length)
+              encodeVideo(parsed, body) match {
+                case Right(bytes) =>
+                  val p = new org.apache.hadoop.fs.Path(s"$base/m$id.bin")
+                  val fs = p.getFileSystem(conf)
+                  val out = fs.create(p, true)
+                  try out.write(bytes) finally out.close()
+                case Left(_) => () // quarantined
+              }
+            }
+          }
+        }
+        graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_SUCCESS", "done")
+      }
+    }
+    base
+  }
+
+  /** The video ENCODE round-trip through the object store, mirroring
+    * q_mm_encode: re-parsed fields + checksum over the REBUILT mp4 bytes
+    * must equal the clean subset of the video oracle — closing the
+    * build→store→scan→parse→encode symmetry for the third modality.
+    */
+  val mmVideoEncode = QueryDef(
+    "q_mm_video_encode",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{col, regexp_extract}
+      import s.implicits._
+      val base = ensureEncodedVideoObjects(s, dir)
+      s.read.format("binaryFile").load(s"$base/m*.bin")
+        .select(regexp_extract(col("path"), "m(\\d+)\\.bin$", 1).cast("long").as("media_id"),
+          col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) => VideoParser.parse(id, payload) })
+        .toDF()
+        .orderBy("media_id")
+    },
+    Some(videoEncodeOracle),
+  )
+
+  private lazy val videoOracleBase: String = ("""
       WITH doc AS (SELECT doc_id, text, n_chars, octet_length(encode(text)) AS len FROM documents),
       p AS (SELECT doc_id, text, len,
               CAST(n_chars % 512 + 16 AS BIGINT) AS w,
@@ -289,8 +346,15 @@ object VideoContainerOps {
         CAST(CASE WHEN error IS NULL THEN ts END AS INTEGER) AS timescale,
         CAST(CASE WHEN error IS NULL THEN dur END AS INTEGER) AS duration,
         error
-      FROM eff ORDER BY media_id
+      FROM eff
     """).trim
 
-  def defs: Seq[QueryDef] = Seq(mmVideo)
+  private lazy val videoOracle: String =
+    videoOracleBase + "\n      ORDER BY media_id"
+
+  /** Clean subset (encode quarantines the injected-malformed rows). */
+  private lazy val videoEncodeOracle: String =
+    s"SELECT * FROM (\n$videoOracleBase\n) t WHERE error IS NULL ORDER BY media_id"
+
+  def defs: Seq[QueryDef] = Seq(mmVideo, mmVideoEncode)
 }

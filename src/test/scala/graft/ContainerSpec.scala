@@ -247,6 +247,18 @@ class ContainerSpec extends SparkTestBase with Matchers {
     VideoParser.parse(6L, re).error shouldBe Some("bad_magic")
   }
 
+  test("q_mm_video_encode: clean rows round-trip the object store with identical checksums") {
+    import graft.multimodal.VideoContainerOps
+    val source = VideoContainerOps.mmVideo.query(spark, sfTiny).collect()
+      .filter(_.isNullAt(8)).map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val rows = VideoContainerOps.mmVideoEncode.query(spark, sfTiny).collect()
+    rows.length shouldBe 489 // same injection schedule as the image/audio path
+    rows.foreach { r =>
+      r.isNullAt(8) shouldBe true
+      r.getLong(3) shouldBe source(r.getLong(0)) // byte-exact rebuild
+    }
+  }
+
   test("q_mm_container: valid rows parse, injected malformed rows quarantine") {
     val rows = ContainerOps.mmContainer.query(spark, sfTiny).collect()
     rows.length shouldBe 500
