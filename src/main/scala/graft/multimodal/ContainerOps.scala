@@ -566,5 +566,114 @@ object ContainerOps {
   private lazy val encodeOracle: String =
     s"SELECT * FROM (\n$containerOracleBase\n) t WHERE error IS NULL ORDER BY media_id"
 
-  def defs: Seq[QueryDef] = Seq(mmContainer, mmBinaryFile, mmEncode)
+  // ------------------------------------------------------- packed objects
+
+  /** Packfile count for the compacted layout. Fixed (not ∝ object count):
+    * the whole point is that listing cost is O(packs), so a deployment
+    * sizes packs to the target object-store part size (≥ 100 MB on S3)
+    * and lets pack COUNT grow only with total bytes, never with objects.
+    */
+  val NumPacks = 8
+
+  /** The 100 TB answer to small-object listing cost: compact the loose
+    * objects into [[NumPacks]] packfiles plus a parquet MANIFEST of
+    * `(media_id, pack, offset, length)` — the git-packfile / HFile /
+    * Iceberg-manifest idea re-expressed on the Hadoop FS API.
+    *
+    * q_mm_binaryfile deliberately pays the loose-object cost (one file
+    * per object, a ~N-file directory listing per scan, one open per
+    * object); this layout pays it ONCE at build time. Readers list
+    * O(packs + manifest parts) files and recover each object with a
+    * positioned range read — exactly how an object store is used at
+    * 100 TB, where a 5000-file listing per query is noise but a
+    * 50-million-file listing is an outage.
+    *
+    * Build: one executor-side pass — payloads hash-repartitioned to
+    * [[NumPacks]] packs on media_id, appended to `pack-<p>.bin` in
+    * media_id order, manifest rows emitted from the same pass and
+    * written as parquet by Spark. No driver-side byte shipping; the
+    * per-pack append buffer is the partition iterator itself (streamed,
+    * never materialized). Guarded by the same fingerprint-keyed
+    * `_SUCCESS` as the loose export.
+    */
+  def ensurePackedObjects(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = graft.sources.GraftFs.qualify(s,
+      s"target/graft-media-packed/$payloadFingerprint-p$NumPacks/$tag")
+    synchronized {
+      if (!graft.sources.GraftFs.hasSuccess(s, base)) {
+        graft.sources.GraftFs.deleteRecursively(s, base)
+        import s.implicits._
+        val manifest = containerTable(s, dir)
+          .repartition(NumPacks, col("_1"))
+          .sortWithinPartitions("_1") // monotone offsets within a pack
+          .mapPartitions { it: Iterator[(Long, Array[Byte])] =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val conf = new org.apache.hadoop.conf.Configuration()
+            val p = new org.apache.hadoop.fs.Path(s"$base/pack-$pid.bin")
+            val fs = p.getFileSystem(conf)
+            val out = fs.create(p, true)
+            var off = 0L
+            val entries = Iterator.newBuilder[(Long, Int, Long, Int)]
+            try it.foreach { case (id, payload) =>
+              out.write(payload)
+              entries += ((id, pid, off, payload.length))
+              off += payload.length
+            } finally out.close()
+            entries.result()
+          }
+          .toDF("media_id", "pack", "offset", "length")
+        manifest.write.mode("overwrite").parquet(s"$base/manifest")
+        graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_SUCCESS", "done")
+      }
+    }
+    base
+  }
+
+  /** Container parsing over the PACKED layout: scan the manifest parquet
+    * (a normal pruned columnar scan), co-locate entries by pack, and
+    * recover each payload with a positioned `readFully` against its
+    * packfile — each task opens at most a handful of packs (one, after
+    * the repartition) and reads ranges in ascending offset order, i.e.
+    * sequential forward I/O. The recovered bytes feed the SAME
+    * ContainerParser and must match the SAME DuckDB oracle as
+    * q_mm_container/q_mm_binaryfile — proving compaction is a pure
+    * layout change, invisible to query semantics.
+    */
+  val mmPacked = QueryDef(
+    "q_mm_packed",
+    (s, dir) => {
+      import s.implicits._
+      val base = ensurePackedObjects(s, dir)
+      s.read.parquet(s"$base/manifest")
+        .repartition(NumPacks, col("pack"))
+        .sortWithinPartitions(col("pack"), col("offset"))
+        .select(col("media_id").as[Long], col("pack").as[Int],
+          col("offset").as[Long], col("length").as[Int])
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          var curPack = -1
+          var in: org.apache.hadoop.fs.FSDataInputStream = null
+          def close(): Unit = if (in != null) { in.close(); in = null }
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) tc.addTaskCompletionListener[Unit](_ => close())
+          it.map { case (id, pack, off, len) =>
+            if (pack != curPack) {
+              close()
+              val p = new org.apache.hadoop.fs.Path(s"$base/pack-$pack.bin")
+              in = p.getFileSystem(conf).open(p)
+              curPack = pack
+            }
+            val buf = new Array[Byte](len)
+            in.readFully(off, buf)
+            ContainerParser.parse(id, buf)
+          }
+        }
+        .toDF()
+        .orderBy("media_id")
+    },
+    Some(containerOracle),
+  )
+
+  def defs: Seq[QueryDef] = Seq(mmContainer, mmBinaryFile, mmEncode, mmPacked)
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.multimodal.ContainerOps
+import org.scalatest.matchers.should.Matchers
+
+/** Packed-layout specs: compaction must be a pure layout change —
+  * identical parse results to the loose-object path — while making the
+  * listing surface O(packs), not O(objects).
+  */
+class PackedMediaSpec extends SparkTestBase with Matchers {
+
+  test("packed layout lists O(packs) files where the loose layout lists O(objects)") {
+    val base = ContainerOps.ensurePackedObjects(spark, sfTiny)
+    val looseBase = ContainerOps.ensureMediaObjects(spark, sfTiny)
+
+    val packFiles = graft.sources.GraftFs.listFiles(spark, base)
+      .filter(_.getPath.getName.startsWith("pack-"))
+    val looseFiles = graft.sources.GraftFs.listFiles(spark, looseBase)
+      .filter(_.getPath.getName.endsWith(".bin"))
+    val nObjects = Tables.documents(spark, sfTiny).count()
+
+    packFiles.size shouldBe ContainerOps.NumPacks
+    looseFiles.size.toLong shouldBe nObjects
+    assert(packFiles.size < looseFiles.size / 10,
+      s"compaction should collapse the listing: ${packFiles.size} packs vs ${looseFiles.size} loose objects")
+
+    // byte conservation: the packs hold exactly the payload mass, and the
+    // manifest's ranges add up to it (no gaps, no overlaps at the total)
+    val packBytes = packFiles.map(_.getLen).sum
+    val manifestBytes = spark.read.parquet(s"$base/manifest")
+      .agg(org.apache.spark.sql.functions.sum("length")).head.getLong(0)
+    packBytes shouldBe manifestBytes
+  }
+
+  test("packed parse results are row-for-row identical to the loose binaryFile path") {
+    val packed = ContainerOps.mmPacked.query(spark, sfTiny).collect().map(_.toString)
+    val loose = ContainerOps.mmBinaryFile.query(spark, sfTiny).collect().map(_.toString)
+    packed should contain theSameElementsInOrderAs loose
+  }
+
+  test("manifest offsets are dense within each pack: sorted ranges tile the packfile") {
+    val base = ContainerOps.ensurePackedObjects(spark, sfTiny)
+    import spark.implicits._
+    val perPack = spark.read.parquet(s"$base/manifest")
+      .select($"pack".as[Int], $"offset".as[Long], $"length".as[Int])
+      .collect().groupBy(_._1)
+    perPack.foreach { case (pack, rows) =>
+      val sorted = rows.sortBy(_._2)
+      var expect = 0L
+      sorted.foreach { case (_, off, len) =>
+        assert(off == expect, s"pack $pack: gap/overlap at offset $off (expected $expect)")
+        expect = off + len
+      }
+      val fileLen = graft.sources.GraftFs.listFiles(spark, base)
+        .find(_.getPath.getName == s"pack-$pack.bin").get.getLen
+      expect shouldBe fileLen
+    }
+  }
+}
