@@ -23,19 +23,26 @@ import org.apache.spark.sql.types._
   */
 object CurationPipeline {
 
+  /** Stage-0 scoring: tokenize + per-doc quality features. Shared verbatim
+    * by the batch pipeline and the streaming [[graft.streaming.CurationIngest]]
+    * so the two surfaces can never diverge on the gate.
+    */
+  private[graft] def scoredDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("toks", Tokenize.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+      .withColumn("n_stop", size(filter(col("toks"),
+        t => t.isin("the", "a", "of", "and", "in", "to"))))
+      .withColumn("quality_score",
+        round(lit(0.3) * (col("n_distinct").cast(DoubleType) / col("n_tokens"))
+          + lit(0.5) * (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tokens"))
+          + lit(0.2) * least(lit(1.0), col("n_tokens").cast(DoubleType) / lit(100.0)), 6))
+
   val pipelineCurate = QueryDef(
     "q_pipeline_curate",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .withColumn("toks", Tokenize.tokens(col("text")))
-        .withColumn("n_tokens", size(col("toks")))
-        .withColumn("n_distinct", size(array_distinct(col("toks"))))
-        .withColumn("n_stop", size(filter(col("toks"),
-          t => t.isin("the", "a", "of", "and", "in", "to"))))
-        .withColumn("quality_score",
-          round(lit(0.3) * (col("n_distinct").cast(DoubleType) / col("n_tokens"))
-            + lit(0.5) * (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tokens"))
-            + lit(0.2) * least(lit(1.0), col("n_tokens").cast(DoubleType) / lit(100.0)), 6))
+      val docs = scoredDocs(Tables.documents(s, dir))
       // stage 1: quality gate
       val quality = docs.filter(col("quality_score") >= 0.5)
       // stage 2: exact dedup — canonical representative per identical text

@@ -42,7 +42,7 @@ object DedupQueries {
     * the 6dp-rounded score (impossible at fixture set sizes anyway, where J
     * granularity is ≫ 1e-6).
     */
-  private[operators] def intersectAtLeast(a: Column, b: Column, minReq: Column): Column =
+  private[graft] def intersectAtLeast(a: Column, b: Column, minReq: Column): Column =
     call_function(graft.functions.GraftFunctions.SortedLongIntersectAtLeastName, a, b, minReq)
 
   /** Size-ratio prefilter for set-similarity joins: J(a,b) ≤ min/max, so
@@ -52,7 +52,7 @@ object DedupQueries {
     * intersection (the difference between O(n²) candidate pairs and a thin
     * band at 100 TB).
     */
-  private[operators] def sizeBand(s1: Column, s2: Column, num: Int, den: Int): Column =
+  private[graft] def sizeBand(s1: Column, s2: Column, num: Int, den: Int): Column =
     greatest(s1, s2) * num <= least(s1, s2) * den
 
   /** Banded MinHash signatures over (doc_id, lang, toks): `nHashes` seeded
