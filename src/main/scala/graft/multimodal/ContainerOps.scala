@@ -588,24 +588,27 @@ object ContainerOps {
     * 100 TB, where a 5000-file listing per query is noise but a
     * 50-million-file listing is an outage.
     *
-    * Build: one executor-side pass — payloads hash-repartitioned to
-    * [[NumPacks]] packs on media_id, appended to `pack-<p>.bin` in
-    * media_id order, manifest rows emitted from the same pass and
-    * written as parquet by Spark. No driver-side byte shipping; the
-    * per-pack append buffer is the partition iterator itself (streamed,
-    * never materialized). Guarded by the same fingerprint-keyed
-    * `_SUCCESS` as the loose export.
+    * Build: one executor-side pass — payloads RANGE-repartitioned to
+    * [[NumPacks]] packs on media_id (contiguous, disjoint id ranges per
+    * pack — so any media_id predicate prunes to the few packs whose
+    * range it intersects, the object-layer analogue of partition
+    * pruning), appended to `pack-<p>.bin` in media_id order, manifest
+    * rows emitted from the same pass and written as parquet by Spark.
+    * No driver-side byte shipping; the per-pack append buffer is the
+    * partition iterator itself (streamed, never materialized). Guarded
+    * by the same fingerprint-keyed `_SUCCESS` as the loose export (the
+    * `-range` path key re-keys the cache from the earlier hash layout).
     */
   def ensurePackedObjects(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val base = graft.sources.GraftFs.qualify(s,
-      s"target/graft-media-packed/$payloadFingerprint-p$NumPacks/$tag")
+      s"target/graft-media-packed/$payloadFingerprint-p$NumPacks-range/$tag")
     synchronized {
       if (!graft.sources.GraftFs.hasSuccess(s, base)) {
         graft.sources.GraftFs.deleteRecursively(s, base)
         import s.implicits._
         val manifest = containerTable(s, dir)
-          .repartition(NumPacks, col("_1"))
+          .repartitionByRange(NumPacks, col("_1"))
           .sortWithinPartitions("_1") // monotone offsets within a pack
           .mapPartitions { it: Iterator[(Long, Array[Byte])] =>
             val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -630,50 +633,87 @@ object ContainerOps {
     base
   }
 
-  /** Container parsing over the PACKED layout: scan the manifest parquet
-    * (a normal pruned columnar scan), co-locate entries by pack, and
-    * recover each payload with a positioned `readFully` against its
-    * packfile — each task opens at most a handful of packs (one, after
-    * the repartition) and reads ranges in ascending offset order, i.e.
-    * sequential forward I/O. The recovered bytes feed the SAME
-    * ContainerParser and must match the SAME DuckDB oracle as
-    * q_mm_container/q_mm_binaryfile — proving compaction is a pure
-    * layout change, invisible to query semantics.
+  /** Manifest-driven packfile scan: filter the manifest (a normal pruned
+    * columnar scan — parquet min/max stats skip whole row groups for id
+    * predicates), co-locate surviving entries by pack, and recover each
+    * payload with a positioned `readFully` against its packfile — a task
+    * opens only the packs its manifest rows name, in ascending offset
+    * order (sequential forward I/O). Under the range layout an id
+    * predicate touches only the packs whose id range it intersects, so a
+    * point lookup opens ONE pack out of however many the corpus has —
+    * the property PackedMediaSpec proves with a recording FileSystem.
+    * Executor-side Configurations inherit the session's `fs.*.impl`
+    * scheme registrations (custom/object-store schemes resolve the same
+    * way on executors as on the driver).
+    */
+  def packedScan(s: org.apache.spark.sql.SparkSession, base: String,
+      idRange: Option[(Long, Long)] = None): Dataset[ContainerRow] = {
+    import s.implicits._
+    val manifest = idRange.foldLeft(s.read.parquet(s"$base/manifest")) {
+      case (m, (lo, hi)) => m.filter(col("media_id").between(lo, hi))
+    }
+    val fsImpls: Seq[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      s.sparkContext.hadoopConfiguration.asScala
+        .filter(e => e.getKey.startsWith("fs.") && e.getKey.endsWith(".impl"))
+        .map(e => e.getKey -> e.getValue).toVector
+    }
+    manifest
+      .repartition(NumPacks, col("pack"))
+      .sortWithinPartitions(col("pack"), col("offset"))
+      .select(col("media_id").as[Long], col("pack").as[Int],
+        col("offset").as[Long], col("length").as[Int])
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        fsImpls.foreach { case (k, v) => conf.set(k, v) }
+        var curPack = -1
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        def close(): Unit = if (in != null) { in.close(); in = null }
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => close())
+        it.map { case (id, pack, off, len) =>
+          if (pack != curPack) {
+            close()
+            val p = new org.apache.hadoop.fs.Path(s"$base/pack-$pack.bin")
+            in = p.getFileSystem(conf).open(p)
+            curPack = pack
+          }
+          val buf = new Array[Byte](len)
+          in.readFully(off, buf)
+          ContainerParser.parse(id, buf)
+        }
+      }
+  }
+
+  /** Container parsing over the PACKED layout — full scan. The recovered
+    * bytes feed the SAME ContainerParser and must match the SAME DuckDB
+    * oracle as q_mm_container/q_mm_binaryfile — proving compaction is a
+    * pure layout change, invisible to query semantics.
     */
   val mmPacked = QueryDef(
     "q_mm_packed",
     (s, dir) => {
-      import s.implicits._
       val base = ensurePackedObjects(s, dir)
-      s.read.parquet(s"$base/manifest")
-        .repartition(NumPacks, col("pack"))
-        .sortWithinPartitions(col("pack"), col("offset"))
-        .select(col("media_id").as[Long], col("pack").as[Int],
-          col("offset").as[Long], col("length").as[Int])
-        .mapPartitions { it =>
-          val conf = new org.apache.hadoop.conf.Configuration()
-          var curPack = -1
-          var in: org.apache.hadoop.fs.FSDataInputStream = null
-          def close(): Unit = if (in != null) { in.close(); in = null }
-          val tc = org.apache.spark.TaskContext.get()
-          if (tc != null) tc.addTaskCompletionListener[Unit](_ => close())
-          it.map { case (id, pack, off, len) =>
-            if (pack != curPack) {
-              close()
-              val p = new org.apache.hadoop.fs.Path(s"$base/pack-$pack.bin")
-              in = p.getFileSystem(conf).open(p)
-              curPack = pack
-            }
-            val buf = new Array[Byte](len)
-            in.readFully(off, buf)
-            ContainerParser.parse(id, buf)
-          }
-        }
-        .toDF()
-        .orderBy("media_id")
+      packedScan(s, base).toDF().orderBy("media_id")
     },
     Some(containerOracle),
   )
 
-  def defs: Seq[QueryDef] = Seq(mmContainer, mmBinaryFile, mmEncode, mmPacked)
+  /** Point/range lookup on the packed layout: a media_id range predicate
+    * reaches the manifest scan AND the pack-open set — only packs whose
+    * id range intersects [100, 299] are ever opened (one or two of
+    * [[NumPacks]], vs a full directory listing + per-object opens on the
+    * loose layout). The 100 TB shape of "fetch these objects": manifest
+    * lookup + a handful of range reads, never a listing.
+    */
+  val mmPackedLookup = QueryDef(
+    "q_mm_packed_lookup",
+    (s, dir) => {
+      val base = ensurePackedObjects(s, dir)
+      packedScan(s, base, Some((100L, 299L))).toDF().orderBy("media_id")
+    },
+    Some(s"SELECT * FROM (\n$containerOracleBase\n) t WHERE media_id BETWEEN 100 AND 299 ORDER BY media_id"),
+  )
+
+  def defs: Seq[QueryDef] = Seq(mmContainer, mmBinaryFile, mmEncode, mmPacked, mmPackedLookup)
 }

@@ -22,14 +22,24 @@ class CountingFileSystem extends RawLocalFileSystem {
     CountingFileSystem.record(p.toUri.getPath)
     super.listStatus(p)
   }
+
+  override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    CountingFileSystem.recordOpen(f.toUri.getPath)
+    super.open(f, bufferSize)
+  }
 }
 
 object CountingFileSystem {
   private val listed = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val opened = scala.collection.mutable.ArrayBuffer.empty[String]
 
   private def record(path: String): Unit = synchronized { listed += path; () }
 
-  def reset(): Unit = synchronized { listed.clear() }
+  private def recordOpen(path: String): Unit = synchronized { opened += path; () }
+
+  def reset(): Unit = synchronized { listed.clear(); opened.clear() }
 
   def listedPaths: Seq[String] = synchronized { listed.toVector }
+
+  def openedPaths: Seq[String] = synchronized { opened.toVector }
 }

@@ -38,6 +38,26 @@ class PackedMediaSpec extends SparkTestBase with Matchers {
     packed should contain theSameElementsInOrderAs loose
   }
 
+  test("range layout: an id-range lookup opens only the packs covering the range") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcount.impl", classOf[CountingFileSystem].getName)
+    val localPath = new java.net.URI(ContainerOps.ensurePackedObjects(spark, sfTiny)).getPath
+    val base = s"graftcount:$localPath"
+    import org.apache.spark.sql.functions.col
+    // ground truth from the manifest: which packs hold ids in [100, 299]
+    val expectPacks = spark.read.parquet(s"$base/manifest")
+      .filter(col("media_id").between(100, 299))
+      .select("pack").distinct().collect().map(_.getInt(0)).toSet
+    expectPacks.size should be < ContainerOps.NumPacks // range layout localizes the range
+    CountingFileSystem.reset()
+    val rows = ContainerOps.packedScan(spark, base, Some((100L, 299L))).collect()
+    rows.map(_.media_id).toSet shouldBe (100L to 299L).toSet
+    val openedPacks = CountingFileSystem.openedPaths
+      .filter(_.contains("pack-"))
+      .map(p => p.substring(p.lastIndexOf("pack-") + 5).stripSuffix(".bin").toInt).toSet
+    openedPacks shouldBe expectPacks // no pack outside the range is ever touched
+  }
+
   test("manifest offsets are dense within each pack: sorted ranges tile the packfile") {
     val base = ContainerOps.ensurePackedObjects(spark, sfTiny)
     import spark.implicits._
