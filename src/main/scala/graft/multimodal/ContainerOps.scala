@@ -558,6 +558,11 @@ object ContainerOps {
   private lazy val containerOracle: String =
     containerOracleBase + "\n      ORDER BY media_id"
 
+  /** The full-corpus container oracle, shared with [[PackStore]]'s
+    * lifecycle query (same parse result expected through any layout).
+    */
+  private[multimodal] def containerOracleForStore: String = containerOracle
+
   /** Clean subset of the container oracle: the encode path quarantines
     * (drops) the injected-malformed rows, and every surviving row must
     * re-parse — from the REBUILT bytes — to the identical fields and

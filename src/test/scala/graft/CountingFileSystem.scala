@@ -29,6 +29,15 @@ class CountingFileSystem extends RawLocalFileSystem {
   }
 }
 
+/** FileContext-side binding for the `graftcount` scheme (FileContext
+  * resolves AbstractFileSystem, not FileSystem — needed by the atomic
+  * rename in GraftFs.writeSmallFileAtomic). Registered via
+  * `fs.AbstractFileSystem.graftcount.impl`.
+  */
+class CountingAbstractFs(uri: URI, conf: org.apache.hadoop.conf.Configuration)
+  extends org.apache.hadoop.fs.DelegateToFileSystem(
+    uri, new CountingFileSystem, conf, "graftcount", false)
+
 object CountingFileSystem {
   private val listed = scala.collection.mutable.ArrayBuffer.empty[String]
   private val opened = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.multimodal.{ContainerOps, PackStore}
+import org.apache.spark.sql.functions.col
+import org.scalatest.matchers.should.Matchers
+
+/** Generational pack-store lifecycle specs: immutable components + an
+  * atomically-swapped CURRENT pointer must serve identical rows through
+  * every state (base / base+deltas / compacted / vacuumed), with pack
+  * opens counted by the recording FileSystem to pin the read-amplification
+  * claims.
+  */
+class PackStoreSpec extends SparkTestBase with Matchers {
+  import spark.implicits._
+
+  private def openedPackFiles(): Set[String] =
+    CountingFileSystem.openedPaths.filter(_.contains("pack-")).toSet
+
+  test("lifecycle: deltas merge into the view, compaction bounds opens, vacuum keeps only CURRENT") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcount.impl", classOf[CountingFileSystem].getName)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.AbstractFileSystem.graftcount.impl", classOf[CountingAbstractFs].getName)
+    val local = Files.createTempDirectory("graft_packstore").toFile.getAbsolutePath
+    val base = s"graftcount:$local/store"
+
+    val objs = ContainerOps.containerTable(spark, sfTiny)
+    val want = objs.map { case (id, b) => ContainerOps.ContainerParser.parse(id, b) }
+      .collect().map(_.toString).sorted
+
+    // base = ids 0..299 (8 packs), two delta ingests of 100 docs each
+    PackStore.initBase(spark, base, objs.filter(_._1 <= 299), ContainerOps.NumPacks)
+    PackStore.appendDelta(spark, base, objs.filter(o => o._1 > 299 && o._1 <= 399))
+    PackStore.appendDelta(spark, base, objs.filter(_._1 > 399))
+    PackStore.readCurrent(spark, base).size shouldBe 3
+
+    // merged view == the whole corpus, at base+delta open cost
+    CountingFileSystem.reset()
+    val merged = PackStore.scan(spark, base).collect().map(_.toString).sorted
+    merged shouldBe want
+    val preCompactOpens = openedPackFiles()
+    preCompactOpens.size shouldBe ContainerOps.NumPacks + 2 // 8 base + 1 + 1 delta packs
+
+    // a range lookup inside the base never opens (or even manifests) a delta
+    CountingFileSystem.reset()
+    val hit = PackStore.scan(spark, base, Some((100L, 149L))).collect()
+    hit.map(_.media_id).toSet shouldBe (100L to 149L).toSet
+    val lookupOpens = CountingFileSystem.openedPaths
+    lookupOpens.exists(_.contains("/deltas/")) shouldBe false // pruned by CURRENT min/max
+    openedPackFiles().size should be < ContainerOps.NumPacks
+
+    // compact: same rows, opens fall back to NumPacks, pointer is single
+    PackStore.compact(spark, base, ContainerOps.NumPacks)
+    val live = PackStore.readCurrent(spark, base)
+    live.size shouldBe 1
+    live.head.dir should include("/packs/v1")
+    CountingFileSystem.reset()
+    PackStore.scan(spark, base).collect().map(_.toString).sorted shouldBe merged
+    openedPackFiles().size shouldBe ContainerOps.NumPacks
+
+    // vacuum: unreferenced v0/d0/d1 dirs deleted, view unchanged
+    PackStore.vacuum(spark, base)
+    graft.sources.GraftFs.exists(spark, s"$base/packs/v0") shouldBe false
+    graft.sources.GraftFs.exists(spark, s"$base/deltas/d0") shouldBe false
+    graft.sources.GraftFs.exists(spark, s"$base/deltas/d1") shouldBe false
+    graft.sources.GraftFs.exists(spark, s"$base/packs/v1") shouldBe true
+    PackStore.scan(spark, base).collect().map(_.toString).sorted shouldBe merged
+  }
+
+  test("CURRENT swap is atomic: a reader holding the old pointer still resolves old components until vacuum") {
+    val local = Files.createTempDirectory("graft_packstore2").toFile.getAbsolutePath
+    val base = s"$local/store"
+    val objs = ContainerOps.containerTable(spark, sfTiny).filter(_._1 <= 99)
+    PackStore.initBase(spark, base, objs, 2)
+    val oldComponents = PackStore.readCurrent(spark, base)
+    PackStore.compact(spark, base, 2) // swaps CURRENT to v1
+    // old components remain fully readable (immutable) until vacuum —
+    // the window that makes the swap safe for in-flight readers
+    oldComponents.foreach { c =>
+      spark.read.parquet(s"${c.dir}/manifest").count() shouldBe 100L
+    }
+    PackStore.readCurrent(spark, base).head.dir should include("/packs/v1")
+    PackStore.vacuum(spark, base)
+    graft.sources.GraftFs.exists(spark, oldComponents.head.dir) shouldBe false
+  }
+}
