@@ -2,7 +2,7 @@ package graft.multimodal
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.functions.{col, regexp_extract}
+import org.apache.spark.sql.functions.{col, floor, regexp_extract}
 
 /** Real container-format parsing AND encoding behind the multimodal
   * boundary.
@@ -650,9 +650,18 @@ object ContainerOps {
     * Executor-side Configurations inherit the session's `fs.*.impl`
     * scheme registrations (custom/object-store schemes resolve the same
     * way on executors as on the driver).
+    *
+    * Parallelism is NOT bounded by pack count: manifest entries shuffle
+    * on (pack, offset-chunk) where a chunk is `chunkBytes` of pack bytes
+    * — at 100 TB a 100 GB pack is read by ~800 tasks over disjoint
+    * ranges (objects never straddle chunks: an object belongs to the
+    * chunk its offset starts in), not by one task. Positioned reads make
+    * concurrent same-pack access safe; each task still reads its ranges
+    * in ascending offset order.
     */
   def packedScan(s: org.apache.spark.sql.SparkSession, base: String,
-      idRange: Option[(Long, Long)] = None): Dataset[ContainerRow] = {
+      idRange: Option[(Long, Long)] = None,
+      chunkBytes: Long = 128L << 20): Dataset[ContainerRow] = {
     import s.implicits._
     val manifest = idRange.foldLeft(s.read.parquet(s"$base/manifest")) {
       case (m, (lo, hi)) => m.filter(col("media_id").between(lo, hi))
@@ -664,7 +673,7 @@ object ContainerOps {
         .map(e => e.getKey -> e.getValue).toVector
     }
     manifest
-      .repartition(NumPacks, col("pack"))
+      .repartition(col("pack"), floor(col("offset") / chunkBytes))
       .sortWithinPartitions(col("pack"), col("offset"))
       .select(col("media_id").as[Long], col("pack").as[Int],
         col("offset").as[Long], col("length").as[Int])

@@ -112,9 +112,13 @@ object PackStore {
   /** Raw bytes of every live object whose id falls in `idRange` (all when
     * None): component-pruned by CURRENT min/max, pack-pruned by the
     * manifests, positioned range reads in (pack_path, offset) order.
+    * Parallelism scales with bytes, not pack count: entries shuffle on
+    * (pack_path, offset-chunk of `chunkBytes`), so a large pack is read
+    * by many tasks over disjoint ranges (see [[ContainerOps.packedScan]]).
     */
   def scanBytes(s: SparkSession, base: String,
-      idRange: Option[(Long, Long)] = None): Dataset[(Long, Array[Byte])] = {
+      idRange: Option[(Long, Long)] = None,
+      chunkBytes: Long = 128L << 20): Dataset[(Long, Array[Byte])] = {
     import s.implicits._
     val live = idRange.fold(readCurrent(s, base)) { case (lo, hi) =>
       readCurrent(s, base).filter(c => c.maxId >= lo && c.minId <= hi)
@@ -133,7 +137,7 @@ object PackStore {
         .map(e => e.getKey -> e.getValue).toVector
     }
     manifest
-      .repartition(col("pack_path"))
+      .repartition(col("pack_path"), floor(col("offset") / chunkBytes))
       .sortWithinPartitions(col("pack_path"), col("offset"))
       .select(col("media_id").as[Long], col("pack_path").as[String],
         col("offset").as[Long], col("length").as[Int])

@@ -58,6 +58,32 @@ class PackedMediaSpec extends SparkTestBase with Matchers {
     openedPacks shouldBe expectPacks // no pack outside the range is ever touched
   }
 
+  test("chunked reads: a pack is read by many tasks over disjoint ranges, rows unchanged") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcount.impl", classOf[CountingFileSystem].getName)
+    val localPath = new java.net.URI(ContainerOps.ensurePackedObjects(spark, sfTiny)).getPath
+    val base = s"graftcount:$localPath"
+    val wide = ContainerOps.packedScan(spark, base).collect().map(_.toString).sorted
+    // chunk far below pack size: each ~60-object pack splits into many
+    // offset ranges, each opened by its own task — parallelism ∝ bytes,
+    // not pack count (the 100 GB-pack scale property, shrunk to fixture).
+    // AQE off for the assertion: at fixture scale it would re-coalesce
+    // the kilobyte-sized shuffle into one task — the very optimization
+    // that is correct at this size and irrelevant at 100 GB packs.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      CountingFileSystem.reset()
+      val chunked = ContainerOps.packedScan(spark, base, chunkBytes = 4096L)
+        .collect().map(_.toString).sorted
+      chunked shouldBe wide
+      val opensPerPack = CountingFileSystem.openedPaths
+        .filter(_.contains("pack-")).groupBy(identity).map(_._2.size)
+      opensPerPack should not be empty
+      opensPerPack.max should be > 1 // same pack served by several tasks
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("manifest offsets are dense within each pack: sorted ranges tile the packfile") {
     val base = ContainerOps.ensurePackedObjects(spark, sfTiny)
     import spark.implicits._
