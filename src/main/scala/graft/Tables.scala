@@ -47,25 +47,53 @@ object Tables {
   def embeddings(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "embeddings", Seq("vec_id", "embedding", "label"))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Public escape hatch: read
-    * nanos as raw long (spark.sql.legacy.parquet.nanosAsLong), then convert
-    * to a micro-precision TIMESTAMP_NTZ (matches DuckDB's TIMESTAMP cast,
-    * which also truncates ns → us). Conversion uses integer `div`, never
-    * double division — epoch-nanos (~1.7e18) exceeds double's 2^53 exact
-    * range.
+  /** `events.ts` has shipped in two fixture encodings: parquet
+    * TIMESTAMP(NANOS) (unreadable without the public
+    * spark.sql.legacy.parquet.nanosAsLong escape hatch, which surfaces it
+    * as a raw nanos long) and, in regenerated fixtures, plain
+    * TIMESTAMP(MICROS) (read natively as micro-precision TIMESTAMP_NTZ).
+    * Both normalize to the SAME query-surface type — micro TIMESTAMP_NTZ,
+    * matching DuckDB's TIMESTAMP (its ns→us cast truncates exactly like
+    * the `div 1000` here). Conversion uses integer `div`, never double
+    * division — epoch-nanos (~1.7e18) exceeds double's 2^53 exact range.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, dir, "events", Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
-    require(df.schema("ts").dataType == LongType, s"events.ts expected nanos-as-long, got ${df.schema("ts").dataType}")
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    df.schema("ts").dataType match {
+      case LongType => // nanos fixture via the escape hatch
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case TimestampNTZType => df // micros fixture, already the surface type
+      case other =>
+        throw new IllegalArgumentException(s"events.ts: expected nanos-long or TIMESTAMP_NTZ, got $other")
+    }
   }
 
-  /** Raw events with ts kept as epoch-nanos long (streaming + tests that
-    * want exact nanos). */
+  /** True when this fixture's events.ts is the TIMESTAMP(NANOS) encoding
+    * (reads as a raw long under the escape hatch). Streaming sources need
+    * this BEFORE choosing their explicit read schema.
+    */
+  def eventsTsIsNanosLong(s: SparkSession, dir: String): Boolean = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(path(dir, "events")).schema("ts").dataType == LongType
+  }
+
+  /** Raw events with ts as epoch-NANOS long (streaming + tests that want
+    * plain-long event-time arithmetic). On the micros fixture the nanos
+    * are reconstructed exactly (micros * 1000 — sub-microsecond detail
+    * never existed there); timestampdiff against the NTZ epoch is
+    * zone-independent, so this does not depend on the session timezone.
+    */
   def eventsRawNanos(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, dir, "events", Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val df = load(s, dir, "events", Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType =>
+        df.withColumn("ts",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000L"))
+      case other =>
+        throw new IllegalArgumentException(s"events.ts: expected nanos-long or TIMESTAMP_NTZ, got $other")
+    }
   }
 }

@@ -18,11 +18,21 @@ import org.apache.spark.sql.types._
 object StreamOps {
   private val D = DecimalType(9, 2)
 
-  /** Schema of the events fixture with ts as raw epoch-nanos (the parquet
-    * file's TIMESTAMP(NANOS) is read as long — see Tables.events).
+  /** Events schema with ts as raw epoch-nanos long — what
+    * Tables.eventsRawNanos yields and what the specs' self-written
+    * source files contain (plain int64, no logical annotation).
     */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  val eventsRawSchema: StructType = eventsFixtureSchema(tsIsNanosLong = true)
+
+  /** Schema of the events FIXTURE with ts in its on-disk form: raw
+    * epoch-nanos long for the TIMESTAMP(NANOS) fixture encoding, native
+    * TIMESTAMP_NTZ for the regenerated TIMESTAMP(MICROS) one (see
+    * Tables.events — a streaming source must declare its schema up
+    * front, so the encoding is probed batch-side first).
+    */
+  def eventsFixtureSchema(tsIsNanosLong: Boolean): StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", if (tsIsNanosLong) LongType else TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -32,19 +42,26 @@ object StreamOps {
     */
   def readEventsStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val r = spark.readStream.schema(eventsRawSchema)
+    val nanos = Tables.eventsTsIsNanosLong(spark, dir)
+    val r = spark.readStream.schema(eventsFixtureSchema(nanos))
       .option("pathGlobFilter", "events.parquet")
     val r2 = maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
     normalizeTs(r2.parquet(dir))
   }
 
-  /** nanos-long ts → micro TimestampType. Streaming watermarks reject
+  /** On-disk ts → micro TimestampType (LTZ). Streaming watermarks reject
     * TIMESTAMP_NTZ, so the streaming path uses the LTZ type; with the UTC
     * session both carry identical epoch micros, and every output column is
     * an epoch long, so batch twins (NTZ via Tables.events) agree exactly.
+    * Handles both fixture encodings (nanos long / native NTZ).
     */
   def normalizeTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalArgumentException(s"events.ts: expected nanos-long or TIMESTAMP_NTZ, got $other")
+    }
 
   /** s_tumbling: 1-hour tumbling window counts + decimal-exact value sums. */
   def tumbling(events: DataFrame): DataFrame =
