@@ -353,6 +353,29 @@ object ContainerOps {
       }
   }
 
+  /** Parse → (optionally transform metadata) → re-encode, the quarantine
+    * lane shared by every writer path: rows the parser rejected, rows
+    * without a located body, and rows the encoder refuses all come back
+    * None (dropped, never thrown) — the transcode-job contract.
+    */
+  private def reencode(transform: ContainerRow => ContainerRow)(
+      id: Long, payload: Array[Byte]): Option[(Long, Array[Byte])] = {
+    val parsed = ContainerParser.parseFull(id, payload)
+    if (parsed.row.error.isEmpty && parsed.bodyOffset >= 0) {
+      val body = java.util.Arrays.copyOfRange(payload, parsed.bodyOffset, payload.length)
+      ContainerEncoder.encode(transform(parsed.row), body).toOption.map((id, _))
+    } else None
+  }
+
+  /** The clean corpus re-encoded from parsed fields: (media_id, rebuilt
+    * container bytes) — the dataset both encode exports (loose and
+    * packed) write.
+    */
+  def encodedObjects(s: org.apache.spark.sql.SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    containerTable(s, dir).mapPartitions(_.flatMap { case (id, p) => reencode(identity)(id, p) })
+  }
+
   // -------------------------------------------------------------- query def
 
   /** Container media table: (media_id, payload) with real container bytes.
@@ -456,21 +479,13 @@ object ContainerOps {
     synchronized {
       if (!graft.sources.GraftFs.hasSuccess(s, base)) {
         graft.sources.GraftFs.deleteRecursively(s, base)
-        containerTable(s, dir).foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+        encodedObjects(s, dir).foreachPartition { it: Iterator[(Long, Array[Byte])] =>
           val conf = new org.apache.hadoop.conf.Configuration()
-          it.foreach { case (id, payload) =>
-            val parsed = ContainerParser.parseFull(id, payload)
-            if (parsed.row.error.isEmpty && parsed.bodyOffset >= 0) {
-              val body = java.util.Arrays.copyOfRange(payload, parsed.bodyOffset, payload.length)
-              ContainerEncoder.encode(parsed.row, body) match {
-                case Right(bytes) =>
-                  val p = new org.apache.hadoop.fs.Path(s"$base/m$id.bin")
-                  val fs = p.getFileSystem(conf)
-                  val out = fs.create(p, true)
-                  try out.write(bytes) finally out.close()
-                case Left(_) => () // quarantined: nothing to write
-              }
-            }
+          it.foreach { case (id, bytes) =>
+            val p = new org.apache.hadoop.fs.Path(s"$base/m$id.bin")
+            val fs = p.getFileSystem(conf)
+            val out = fs.create(p, true)
+            try out.write(bytes) finally out.close()
           }
         }
         graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_SUCCESS", "done")
@@ -504,13 +519,19 @@ object ContainerOps {
     Some(encodeOracle),
   )
 
-  private lazy val containerOracleBase: String = ("""
+  /** The container oracle parameterized over the header-field expressions
+    * (DuckDB SQL over doc columns). Defaults reproduce [[buildPayload]];
+    * the transcode oracle passes the TRANSFORMED expressions so DuckDB
+    * reconstructs the re-encoded byte sequence — and its checksum — with
+    * integer arithmetic, never seeing the Scala encoder.
+    */
+  private def oracleBaseFor(wExpr: String, hExpr: String, srExpr: String): String = (s"""
       WITH doc AS (SELECT doc_id, text, n_chars, octet_length(encode(text)) AS len FROM documents),
       p AS (SELECT doc_id, text, len, doc_id % 3 AS fmt_i,
-              CAST(n_chars % 512 + 16 AS BIGINT) AS w,
-              CAST(n_chars % 384 + 16 AS BIGINT) AS h,
+              CAST($wExpr AS BIGINT) AS w,
+              CAST($hExpr AS BIGINT) AS h,
               CAST(1 + (doc_id // 3) % 2 AS BIGINT) AS ch,
-              CAST(8000 * (1 + (doc_id % 9) // 3) AS BIGINT) AS sr
+              CAST($srExpr AS BIGINT) AS sr
             FROM doc),
       hdr AS (SELECT *, CASE fmt_i
         WHEN 0 THEN [137,80,78,71,13,10,26,10, 0,0,0,13, 73,72,68,82,
@@ -555,6 +576,9 @@ object ContainerOps {
       FROM eff
     """).trim
 
+  private lazy val containerOracleBase: String =
+    oracleBaseFor("n_chars % 512 + 16", "n_chars % 384 + 16", "8000 * (1 + (doc_id % 9) // 3)")
+
   private lazy val containerOracle: String =
     containerOracleBase + "\n      ORDER BY media_id"
 
@@ -563,6 +587,11 @@ object ContainerOps {
     */
   private[multimodal] def containerOracleForStore: String = containerOracle
 
+  /** Un-ordered oracle base for [[PackStore]] queries that wrap their own
+    * predicate + ORDER BY around it (time travel's snapshot cut).
+    */
+  private[multimodal] def containerOracleBaseForStore: String = containerOracleBase
+
   /** Clean subset of the container oracle: the encode path quarantines
     * (drops) the injected-malformed rows, and every surviving row must
     * re-parse — from the REBUILT bytes — to the identical fields and
@@ -570,6 +599,79 @@ object ContainerOps {
     */
   private lazy val encodeOracle: String =
     s"SELECT * FROM (\n$containerOracleBase\n) t WHERE error IS NULL ORDER BY media_id"
+
+  /** Transcode oracle: the SAME byte reconstruction, but with the
+    * header-field expressions HALVED — DuckDB rebuilds the transformed
+    * container bytes (and their checksum) independently, proving the
+    * encoder actually rewrote the headers rather than copying bytes.
+    * Clean subset only: malformed rows ride the quarantine lane.
+    */
+  private lazy val transcodeOracle: String = {
+    val base = oracleBaseFor("(n_chars % 512 + 16) // 2", "(n_chars % 384 + 16) // 2",
+      "(8000 * (1 + (doc_id % 9) // 3)) // 2")
+    s"SELECT * FROM (\n$base\n) t WHERE error IS NULL ORDER BY media_id"
+  }
+
+  /** The METADATA-TRANSFORMING re-encode — parse → halve image dims /
+    * audio sample rate → encode → re-parse the rebuilt bytes, all in
+    * flight (narrow per-partition map, payload bytes never shuffle).
+    * q_mm_encode proves the encoder inverts the parse byte-exactly; this
+    * proves it is a real WRITER: the rebuilt headers carry values that
+    * never appeared in any source byte sequence, and the independent
+    * DuckDB reconstruction (transformed expressions, same integer
+    * arithmetic) must still match field-for-field and checksum-for-
+    * checksum. The shape of an actual 100 TB transcode pass (downsample/
+    * resize jobs), minus only the codec math the stub boundary owns.
+    */
+  val mmTranscode = QueryDef(
+    "q_mm_transcode",
+    (s, dir) => {
+      import s.implicits._
+      containerTable(s, dir)
+        .mapPartitions(_.flatMap { case (id, payload) =>
+          reencode(r => r.copy(
+            width = r.width.map(_ / 2),
+            height = r.height.map(_ / 2),
+            sample_rate = r.sample_rate.map(_ / 2)))(id, payload)
+            .map { case (i, bytes) => ContainerParser.parse(i, bytes) }
+        })
+        .toDF()
+        .orderBy("media_id")
+    },
+    Some(transcodeOracle),
+  )
+
+  /** Encode path pointed at the PACKED layout: the re-encoded clean
+    * corpus lands as a [[PackStore]] base generation (range-partitioned
+    * packs + manifest + snapshot pointer) instead of loose objects —
+    * the write side a 100 TB transcode job would actually use, since
+    * re-exporting 50M loose objects re-creates the listing problem the
+    * pack layout exists to solve. Read back through the store scan and
+    * re-parsed, it must match the same clean-subset oracle as
+    * q_mm_encode: the layout is invisible to the round-trip.
+    */
+  def ensureEncodedPack(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = graft.sources.GraftFs.qualify(s,
+      s"target/graft-media-encoded-pack/$payloadFingerprint-p$NumPacks/$tag")
+    synchronized {
+      if (!graft.sources.GraftFs.hasSuccess(s, base)) {
+        graft.sources.GraftFs.deleteRecursively(s, base)
+        PackStore.initBase(s, base, encodedObjects(s, dir), NumPacks)
+        graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_SUCCESS", "done")
+      }
+    }
+    base
+  }
+
+  val mmEncodePacked = QueryDef(
+    "q_mm_encode_packed",
+    (s, dir) => {
+      val base = ensureEncodedPack(s, dir)
+      PackStore.scan(s, base).toDF().orderBy("media_id")
+    },
+    Some(encodeOracle),
+  )
 
   // ------------------------------------------------------- packed objects
 
@@ -729,5 +831,6 @@ object ContainerOps {
     Some(s"SELECT * FROM (\n$containerOracleBase\n) t WHERE media_id BETWEEN 100 AND 299 ORDER BY media_id"),
   )
 
-  def defs: Seq[QueryDef] = Seq(mmContainer, mmBinaryFile, mmEncode, mmPacked, mmPackedLookup)
+  def defs: Seq[QueryDef] =
+    Seq(mmContainer, mmBinaryFile, mmEncode, mmEncodePacked, mmTranscode, mmPacked, mmPackedLookup)
 }

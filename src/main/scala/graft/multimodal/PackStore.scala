@@ -18,12 +18,18 @@ import org.apache.spark.sql.functions._
   *     length) parquet manifest. The initial corpus is component
   *     `packs/v0`; each ingest batch lands whole as a small delta
   *     component `deltas/d<k>`. Nothing is ever modified in place.
-  *   - **CURRENT is the only mutable thing.** A one-file pointer listing
-  *     the live components, one `dir \t minId \t maxId` line each,
-  *     swapped atomically (tmp + rename — [[graft.sources.GraftFs
+  *   - **Snapshots are immutable too; CURRENT is the only mutable
+  *     thing.** Every publish writes the full component list to a new
+  *     immutable `snapshots/snap-<k>` file (one `dir \t minId \t maxId`
+  *     line per component), then atomically swaps the one-line CURRENT
+  *     pointer to `<k>` (tmp + rename — [[graft.sources.GraftFs
   *     .writeSmallFileAtomic]]), so a reader sees the old or the new
-  *     component set, never a mix. Single writer assumed (ingest and
+  *     snapshot, never a mix. Single writer assumed (ingest and
   *     compaction serialized by the caller), readers never blocked.
+  *     Retained snapshots stay readable AS OF their publish point
+  *     (`scanAt`) — the Iceberg/Delta time-travel contract: an audit or
+  *     a reproducibility rerun reads the exact corpus a training job
+  *     saw, not whatever compaction has since rewritten.
   *   - **Reads union the live manifests.** `scan` prunes components by
   *     the CURRENT min/max before touching their manifests (a range
   *     lookup inside the base never even reads a delta's manifest
@@ -31,10 +37,13 @@ import org.apache.spark.sql.functions._
   *     [[ContainerOps.packedScan]].
   *   - **Compaction bounds read amplification.** Every delta adds pack
   *     opens to a full scan; `compact` streams all live components
-  *     through one range-repartition into `packs/v<n+1>` and swaps
-  *     CURRENT to it alone. `vacuum` deletes unreferenced component
-  *     dirs afterwards — the delete is safe precisely because CURRENT
-  *     no longer names them.
+  *     through one range-repartition into a fresh `packs/v<k>` and
+  *     publishes a snapshot naming it alone. `vacuum(retainSnapshots)`
+  *     expires all but the newest N snapshots, then deletes component
+  *     dirs no RETAINED snapshot references — the delete is safe
+  *     precisely because every pointer that could name them is gone.
+  *     Reading an expired snapshot fails with a typed error, never a
+  *     dangling read.
   *
   * Scale shape: ingest cost tracks the batch (one small component write,
   * one pointer swap); scan cost tracks live bytes + live pack count;
@@ -49,18 +58,56 @@ object PackStore {
   final case class Component(dir: String, minId: Long, maxId: Long)
 
   private def currentPath(base: String) = s"$base/CURRENT"
+  private def snapPath(base: String, id: Long) = s"$base/snapshots/snap-$id"
 
-  def readCurrent(s: SparkSession, base: String): Seq[Component] =
-    graft.sources.GraftFs.readSmallFile(s, currentPath(base)).toSeq.flatMap {
-      _.split("\n").filter(_.nonEmpty).toSeq.map { line =>
-        val Array(d, lo, hi) = line.split("\t")
-        Component(d, lo.toLong, hi.toLong)
-      }
+  /** Latest published snapshot id (None on an empty store). */
+  def latestSnapshotId(s: SparkSession, base: String): Option[Long] =
+    graft.sources.GraftFs.readSmallFile(s, currentPath(base)).map(_.trim.toLong)
+
+  /** Components of snapshot `id`. Typed failure — not a dangling read —
+    * when the snapshot was vacuumed away or never existed. Lines starting
+    * with `#` are snapshot metadata (see [[snapshotNote]]), not components.
+    */
+  def readSnapshot(s: SparkSession, base: String, id: Long): Seq[Component] =
+    graft.sources.GraftFs.readSmallFile(s, snapPath(base, id)) match {
+      case None =>
+        throw new IllegalArgumentException(
+          s"snapshot $id of $base is expired or was never published")
+      case Some(content) =>
+        content.split("\n").filter(l => l.nonEmpty && !l.startsWith("#")).toSeq.map { line =>
+          val Array(d, lo, hi) = line.split("\t")
+          Component(d, lo.toLong, hi.toLong)
+        }
     }
 
-  private def writeCurrent(s: SparkSession, base: String, comps: Seq[Component]): Unit =
-    graft.sources.GraftFs.writeSmallFileAtomic(s, currentPath(base),
-      comps.map(c => s"${c.dir}\t${c.minId}\t${c.maxId}").mkString("\n"))
+  /** The free-form note a publish attached to snapshot `id` (None when
+    * none was). [[graft.streaming.PackIngest]] stores the micro-batch id
+    * here — IN the atomically-swapped pointer — so replayed batches are
+    * detected without a separate (non-atomic) marker file.
+    */
+  def snapshotNote(s: SparkSession, base: String, id: Long): Option[String] =
+    graft.sources.GraftFs.readSmallFile(s, snapPath(base, id))
+      .flatMap(_.split("\n").find(_.startsWith("#note=")).map(_.stripPrefix("#note=")))
+
+  def readCurrent(s: SparkSession, base: String): Seq[Component] =
+    latestSnapshotId(s, base).fold(Seq.empty[Component])(readSnapshot(s, base, _))
+
+  /** Publish a new snapshot: immutable snap file first, then the atomic
+    * CURRENT swap. Returns the new snapshot id. `note` rides in the
+    * snapshot file itself so it commits atomically with the publish.
+    */
+  private def publish(s: SparkSession, base: String, comps: Seq[Component],
+      note: Option[String] = None): Long = {
+    val id = nextSnapshotId(s, base)
+    val lines = note.map(n => s"#note=$n").toSeq ++
+      comps.map(c => s"${c.dir}\t${c.minId}\t${c.maxId}")
+    graft.sources.GraftFs.writeSmallFileAtomic(s, snapPath(base, id), lines.mkString("\n"))
+    graft.sources.GraftFs.writeSmallFileAtomic(s, currentPath(base), id.toString)
+    id
+  }
+
+  private def nextSnapshotId(s: SparkSession, base: String): Long =
+    latestSnapshotId(s, base).fold(0L)(_ + 1)
 
   /** Write one immutable component: payloads range-partitioned into
     * `nPacks` packfiles under `dir`, manifest rows (media_id, pack_path,
@@ -95,18 +142,24 @@ object PackStore {
     Component(dir, mm.getLong(0), mm.getLong(1))
   }
 
-  /** Initialize the store: the whole batch becomes component packs/v0. */
+  /** Initialize the store: the whole batch becomes component packs/v0,
+    * published as snapshot 0.
+    */
   def initBase(s: SparkSession, base: String, objs: Dataset[(Long, Array[Byte])],
       nPacks: Int): Unit =
-    writeCurrent(s, base, Seq(writeComponent(s, objs, s"$base/packs/v0", nPacks)))
+    publish(s, base, Seq(writeComponent(s, objs, s"$base/packs/v0", nPacks)))
 
-  /** Land one ingest batch as a small delta component and publish it. */
+  /** Land one ingest batch as a small delta component and publish it.
+    * The component dir is keyed by the snapshot id it will publish as —
+    * monotone across the store's whole history, so a delta written after
+    * a compaction can never collide with (and silently overwrite) an
+    * earlier delta an older retained snapshot still references.
+    */
   def appendDelta(s: SparkSession, base: String, objs: Dataset[(Long, Array[Byte])],
-      nPacks: Int = 1): Unit = {
+      nPacks: Int = 1, note: Option[String] = None): Unit = {
     val live = readCurrent(s, base)
-    val k = live.count(_.dir.contains("/deltas/d"))
-    val comp = writeComponent(s, objs, s"$base/deltas/d$k", nPacks)
-    writeCurrent(s, base, live :+ comp)
+    val comp = writeComponent(s, objs, s"$base/deltas/d${nextSnapshotId(s, base)}", nPacks)
+    publish(s, base, live :+ comp, note)
   }
 
   /** Raw bytes of every live object whose id falls in `idRange` (all when
@@ -118,10 +171,12 @@ object PackStore {
     */
   def scanBytes(s: SparkSession, base: String,
       idRange: Option[(Long, Long)] = None,
-      chunkBytes: Long = 128L << 20): Dataset[(Long, Array[Byte])] = {
+      chunkBytes: Long = 128L << 20,
+      snapshot: Option[Long] = None): Dataset[(Long, Array[Byte])] = {
     import s.implicits._
-    val live = idRange.fold(readCurrent(s, base)) { case (lo, hi) =>
-      readCurrent(s, base).filter(c => c.maxId >= lo && c.minId <= hi)
+    val comps = snapshot.fold(readCurrent(s, base))(readSnapshot(s, base, _))
+    val live = idRange.fold(comps) { case (lo, hi) =>
+      comps.filter(c => c.maxId >= lo && c.minId <= hi)
     }
     val manifests = live.map(c => s.read.parquet(s"${c.dir}/manifest"))
       .reduceOption(_.unionByName(_))
@@ -171,22 +226,48 @@ object PackStore {
       .mapPartitions(_.map { case (id, bytes) => ContainerOps.ContainerParser.parse(id, bytes) })
   }
 
-  /** Merge every live component into one fresh base generation and swap
-    * CURRENT to it — full scans drop back to `nPacks` opens.
+  /** TIME TRAVEL: the parsed corpus exactly as snapshot `id` published
+    * it — components are immutable and snapshot files pin the set, so
+    * compactions/ingests after `id` are invisible here. Fails typed if
+    * the snapshot has been expired by a retention vacuum.
     */
-  def compact(s: SparkSession, base: String, nPacks: Int): Unit = {
-    val next = readCurrent(s, base)
-      .map(_.dir).filter(_.contains("/packs/v"))
-      .map(_.split("/packs/v").last.toLong).maxOption.getOrElse(-1L) + 1
-    val comp = writeComponent(s, scanBytes(s, base), s"$base/packs/v$next", nPacks)
-    writeCurrent(s, base, Seq(comp))
+  def scanAt(s: SparkSession, base: String, id: Long): Dataset[ContainerOps.ContainerRow] = {
+    import s.implicits._
+    scanBytes(s, base, snapshot = Some(id))
+      .mapPartitions(_.map { case (id, bytes) => ContainerOps.ContainerParser.parse(id, bytes) })
   }
 
-  /** Delete component dirs CURRENT no longer references (safe exactly
-    * because the pointer swap already made them unreachable).
+  /** Merge every live component into one fresh base generation and
+    * publish a snapshot naming it alone — full scans drop back to
+    * `nPacks` opens. The generation dir is keyed by its snapshot id
+    * (monotone, collision-free across retention).
     */
-  def vacuum(s: SparkSession, base: String): Unit = {
-    val live = readCurrent(s, base).map(_.dir).toSet
+  def compact(s: SparkSession, base: String, nPacks: Int,
+      note: Option[String] = None): Unit = {
+    val comp = writeComponent(s, scanBytes(s, base),
+      s"$base/packs/v${nextSnapshotId(s, base)}", nPacks)
+    publish(s, base, Seq(comp), note)
+  }
+
+  /** Expire all but the newest `retainSnapshots` snapshots, then delete
+    * component dirs no retained snapshot references (safe exactly
+    * because every pointer that could name them is gone first). The
+    * default keeps only CURRENT's snapshot — the no-time-travel
+    * behavior; a larger retention is the audit/reproducibility window,
+    * priced in storage exactly like Iceberg's expire_snapshots.
+    */
+  def vacuum(s: SparkSession, base: String, retainSnapshots: Int = 1): Unit = {
+    val snapIds = graft.sources.GraftFs.listFiles(s, s"$base/snapshots")
+      .map(_.getPath.getName).filter(_.startsWith("snap-"))
+      .map(_.stripPrefix("snap-").toLong).sorted
+    val (expired, retained) = snapIds.splitAt(math.max(0, snapIds.size - math.max(1, retainSnapshots)))
+    // pointers first: an expired snapshot must be unreadable before any
+    // component it references can go
+    expired.foreach(id => graft.sources.GraftFs.deleteRecursively(s, snapPath(base, id)))
+    // qualify both sides of the liveness check: snapshot files carry dirs
+    // as written (possibly scheme-less), listStatus returns them qualified
+    val live = retained.flatMap(readSnapshot(s, base, _))
+      .map(c => graft.sources.GraftFs.qualify(s, c.dir)).toSet
     for (family <- Seq("packs", "deltas");
          st <- {
            val (fs, q) = graft.sources.GraftFs.resolve(s, s"$base/$family")
@@ -195,18 +276,29 @@ object PackStore {
       graft.sources.GraftFs.deleteRecursively(s, st.getPath.toString)
   }
 
+  /** The snapshot the lifecycle store's FIRST compaction publishes —
+    * the ≤-c2 (80%) corpus view [[mmPackTimetravel]] time-travels to.
+    * Sequence below: init=0, delta=1, compact=2, delta=3, compact=4.
+    */
+  val TimeTravelSnapId = 2L
+
   /** Full store lifecycle, then the oracle check on what survived it:
-    * the corpus lands 60% as base v0 + two delta ingests, gets compacted
-    * to v1 and vacuumed — and the compacted store must still parse to
-    * EXACTLY the container oracle (compaction/vacuum lost and invented
-    * nothing). Built once per scale dir behind the fingerprint guard;
-    * PackStoreSpec drives the interim states (merged-view equality, open
-    * counts before/after, pointer atomicity) at spec scale.
+    * the corpus lands 60% as base v0, takes a delta to 80%, compacts
+    * (snapshot 2 — the retained time-travel point), takes the final
+    * delta to 100%, compacts again, and is vacuumed with a 3-snapshot
+    * retention — so v0 and the first delta are GONE (the vacuum really
+    * deletes), while snapshot 2 stays readable as-of (the retention
+    * really retains). The latest view must still parse to EXACTLY the
+    * container oracle (compaction/vacuum lost and invented nothing);
+    * the snapshot-2 view must equal the ≤80% cut. Built once per scale
+    * dir behind the fingerprint guard; PackStoreSpec drives the interim
+    * states (merged-view equality, open counts, pointer atomicity,
+    * expired-snapshot typed failure) at spec scale.
     */
   def ensureLifecycleStore(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val base = graft.sources.GraftFs.qualify(s,
-      s"target/graft-pack-store/${ContainerOps.payloadFingerprint}-p${ContainerOps.NumPacks}/$tag")
+      s"target/graft-pack-store/${ContainerOps.payloadFingerprint}-p${ContainerOps.NumPacks}-snap/$tag")
     synchronized {
       if (!graft.sources.GraftFs.hasSuccess(s, base)) {
         graft.sources.GraftFs.deleteRecursively(s, base)
@@ -216,11 +308,12 @@ object PackStore {
         val (lo, hi) = (ids.agg(min("value")).head.getLong(0), ids.agg(max("value")).head.getLong(0))
         val c1 = lo + (hi - lo) * 6 / 10
         val c2 = lo + (hi - lo) * 8 / 10
-        initBase(s, base, objs.filter(_._1 <= c1), ContainerOps.NumPacks)
-        appendDelta(s, base, objs.filter(o => o._1 > c1 && o._1 <= c2))
-        appendDelta(s, base, objs.filter(_._1 > c2))
-        compact(s, base, ContainerOps.NumPacks)
-        vacuum(s, base)
+        initBase(s, base, objs.filter(_._1 <= c1), ContainerOps.NumPacks)     // snapshot 0
+        appendDelta(s, base, objs.filter(o => o._1 > c1 && o._1 <= c2))       // snapshot 1
+        compact(s, base, ContainerOps.NumPacks)                               // snapshot 2 (≤ c2)
+        appendDelta(s, base, objs.filter(_._1 > c2))                          // snapshot 3
+        compact(s, base, ContainerOps.NumPacks)                               // snapshot 4 (all)
+        vacuum(s, base, retainSnapshots = 3)                                  // expire 0, 1
         graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_SUCCESS", "done")
       }
     }
@@ -236,5 +329,24 @@ object PackStore {
     Some(ContainerOps.containerOracleForStore),
   )
 
-  def defs: Seq[QueryDef] = Seq(mmPackLifecycle)
+  /** TIME TRAVEL, oracle-checked: reading the lifecycle store AS OF its
+    * first compaction (snapshot 2) must return exactly the ≤-80%-cut
+    * corpus — two ingests and a rewriting compaction happened AFTER
+    * that snapshot, and none of it may show. DuckDB reproduces the cut
+    * with the same integer arithmetic over min/max doc_id that the
+    * lifecycle build used, so the boundary is independently derived.
+    */
+  val mmPackTimetravel = QueryDef(
+    "q_mm_pack_timetravel",
+    (s, dir) => {
+      val base = ensureLifecycleStore(s, dir)
+      scanAt(s, base, TimeTravelSnapId).toDF().orderBy("media_id")
+    },
+    Some(s"""SELECT * FROM (
+${ContainerOps.containerOracleBaseForStore}
+) t WHERE media_id <= (SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) * 8 // 10 FROM documents)
+ORDER BY media_id"""),
+  )
+
+  def defs: Seq[QueryDef] = Seq(mmPackLifecycle, mmPackTimetravel)
 }

@@ -195,6 +195,42 @@ class ContainerSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("q_mm_encode_packed: packed encode layout serves the identical rows as the loose export") {
+    val loose = ContainerOps.mmEncode.query(spark, sfTiny).collect().map(_.toString).sorted
+    val packed = ContainerOps.mmEncodePacked.query(spark, sfTiny).collect().map(_.toString).sorted
+    packed shouldBe loose
+  }
+
+  test("q_mm_transcode: headers rewritten to halved values, bodies preserved, malformed rows quarantined") {
+    // direct lane first: a transformed header re-encodes with the body intact
+    val p = ContainerOps.pngBytes(100, 60, body)
+    val parsed = ContainerParser.parseFull(9L, p)
+    val enc = ContainerEncoder.encode(
+      parsed.row.copy(width = Some(50), height = Some(30)),
+      java.util.Arrays.copyOfRange(p, parsed.bodyOffset, p.length)).toOption.get
+    val re = ContainerParser.parseFull(9L, enc)
+    re.row.error shouldBe None
+    re.row.width shouldBe Some(50)
+    re.row.height shouldBe Some(30)
+    java.util.Arrays.copyOfRange(enc, re.bodyOffset, enc.length) shouldBe body
+
+    // query lane: every surviving row is clean with exactly-halved fields;
+    // the injected-malformed rows are quarantined (dropped), not thrown
+    val src = ContainerOps.mmContainer.query(spark, sfTiny).collect()
+      .filter(_.isNullAt(9)).map(r => r.getLong(0) -> r).toMap
+    val rows = ContainerOps.mmTranscode.query(spark, sfTiny).collect()
+    rows.length shouldBe src.size
+    rows.foreach { r =>
+      r.isNullAt(9) shouldBe true
+      val s0 = src(r.getLong(0))
+      Seq(4, 5, 7).foreach { i => // width, height, sample_rate
+        if (s0.isNullAt(i)) r.isNullAt(i) shouldBe true
+        else r.getInt(i) shouldBe s0.getInt(i) / 2
+      }
+      if (!s0.isNullAt(6)) r.getInt(6) shouldBe s0.getInt(6) // channels untouched
+    }
+  }
+
   test("mp4: mvhd/tkhd fields parsed from the box walk; encoder inverts byte-exactly") {
     import graft.multimodal.VideoContainerOps
     import graft.multimodal.VideoContainerOps.VideoParser

@@ -31,10 +31,11 @@ class PackStoreSpec extends SparkTestBase with Matchers {
       .collect().map(_.toString).sorted
 
     // base = ids 0..299 (8 packs), two delta ingests of 100 docs each
-    PackStore.initBase(spark, base, objs.filter(_._1 <= 299), ContainerOps.NumPacks)
-    PackStore.appendDelta(spark, base, objs.filter(o => o._1 > 299 && o._1 <= 399))
-    PackStore.appendDelta(spark, base, objs.filter(_._1 > 399))
+    PackStore.initBase(spark, base, objs.filter(_._1 <= 299), ContainerOps.NumPacks) // snap 0
+    PackStore.appendDelta(spark, base, objs.filter(o => o._1 > 299 && o._1 <= 399))  // snap 1
+    PackStore.appendDelta(spark, base, objs.filter(_._1 > 399))                      // snap 2
     PackStore.readCurrent(spark, base).size shouldBe 3
+    PackStore.latestSnapshotId(spark, base) shouldBe Some(2L)
 
     // merged view == the whole corpus, at base+delta open cost
     CountingFileSystem.reset()
@@ -52,20 +53,22 @@ class PackStoreSpec extends SparkTestBase with Matchers {
     openedPackFiles().size should be < ContainerOps.NumPacks
 
     // compact: same rows, opens fall back to NumPacks, pointer is single
-    PackStore.compact(spark, base, ContainerOps.NumPacks)
+    PackStore.compact(spark, base, ContainerOps.NumPacks) // snap 3 → packs/v3
     val live = PackStore.readCurrent(spark, base)
     live.size shouldBe 1
-    live.head.dir should include("/packs/v1")
+    live.head.dir should include("/packs/v3")
     CountingFileSystem.reset()
     PackStore.scan(spark, base).collect().map(_.toString).sorted shouldBe merged
     openedPackFiles().size shouldBe ContainerOps.NumPacks
 
-    // vacuum: unreferenced v0/d0/d1 dirs deleted, view unchanged
+    // default vacuum (retain 1): unreferenced v0/d1/d2 dirs deleted, old
+    // snapshots expired, view unchanged
     PackStore.vacuum(spark, base)
     graft.sources.GraftFs.exists(spark, s"$base/packs/v0") shouldBe false
-    graft.sources.GraftFs.exists(spark, s"$base/deltas/d0") shouldBe false
     graft.sources.GraftFs.exists(spark, s"$base/deltas/d1") shouldBe false
-    graft.sources.GraftFs.exists(spark, s"$base/packs/v1") shouldBe true
+    graft.sources.GraftFs.exists(spark, s"$base/deltas/d2") shouldBe false
+    graft.sources.GraftFs.exists(spark, s"$base/packs/v3") shouldBe true
+    an[IllegalArgumentException] should be thrownBy PackStore.readSnapshot(spark, base, 0L)
     PackStore.scan(spark, base).collect().map(_.toString).sorted shouldBe merged
   }
 
@@ -84,5 +87,40 @@ class PackStoreSpec extends SparkTestBase with Matchers {
     PackStore.readCurrent(spark, base).head.dir should include("/packs/v1")
     PackStore.vacuum(spark, base)
     graft.sources.GraftFs.exists(spark, oldComponents.head.dir) shouldBe false
+  }
+
+  test("time travel: retained snapshots read as-of; expired snapshots fail typed; retention vacuum deletes the rest") {
+    val local = Files.createTempDirectory("graft_packstore3").toFile.getAbsolutePath
+    val base = s"$local/store"
+    val objs = ContainerOps.containerTable(spark, sfTiny).filter(_._1 <= 299)
+    def view(ds: org.apache.spark.sql.Dataset[graft.multimodal.ContainerOps.ContainerRow]) =
+      ds.collect().map(_.toString).sorted
+    def want(hi: Long) = view(objs.filter(_._1 <= hi)
+      .map { case (id, b) => ContainerOps.ContainerParser.parse(id, b) })
+
+    PackStore.initBase(spark, base, objs.filter(_._1 <= 99), 2)                     // snap 0
+    PackStore.appendDelta(spark, base, objs.filter(o => o._1 > 99 && o._1 <= 199))  // snap 1
+    PackStore.compact(spark, base, 2)                                               // snap 2 (≤199)
+    PackStore.appendDelta(spark, base, objs.filter(_._1 > 199))                     // snap 3
+
+    // every snapshot reads as-of its publish point, through later rewrites
+    view(PackStore.scanAt(spark, base, 0)) shouldBe want(99)
+    view(PackStore.scanAt(spark, base, 1)) shouldBe want(199)
+    view(PackStore.scanAt(spark, base, 2)) shouldBe want(199)
+    view(PackStore.scanAt(spark, base, 3)) shouldBe want(299)
+
+    // retention vacuum: keep snaps 2+3 → v0 and d1 (referenced only by
+    // expired snaps) go; v2 and d3 stay; the delta written AFTER the
+    // compaction never collided with the one written before it
+    PackStore.vacuum(spark, base, retainSnapshots = 2)
+    graft.sources.GraftFs.exists(spark, s"$base/packs/v0") shouldBe false
+    graft.sources.GraftFs.exists(spark, s"$base/deltas/d1") shouldBe false
+    graft.sources.GraftFs.exists(spark, s"$base/packs/v2") shouldBe true
+    graft.sources.GraftFs.exists(spark, s"$base/deltas/d3") shouldBe true
+    view(PackStore.scanAt(spark, base, 2)) shouldBe want(199)
+    view(PackStore.scanAt(spark, base, 3)) shouldBe want(299)
+    view(PackStore.scan(spark, base)) shouldBe want(299)
+    an[IllegalArgumentException] should be thrownBy PackStore.scanAt(spark, base, 0).collect()
+    an[IllegalArgumentException] should be thrownBy PackStore.scanAt(spark, base, 1).collect()
   }
 }
