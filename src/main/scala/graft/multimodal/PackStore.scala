@@ -109,10 +109,31 @@ object PackStore {
   private def nextSnapshotId(s: SparkSession, base: String): Long =
     latestSnapshotId(s, base).fold(0L)(_ + 1)
 
+  /** Test seam (RetryProbe / PackStoreSpec): when true, the FIRST attempt
+    * of pack-writing task 0 throws after its first object lands — local
+    * mode shares the JVM, so the static is visible from executor threads
+    * (the RetryProbe.fired idiom).
+    */
+  @volatile private[graft] var failFirstWriteAttempt: Boolean = false
+
+  /** Set when the injected failure actually threw (proves the probe probed). */
+  @volatile private[graft] var writeFailureFired: Boolean = false
+
   /** Write one immutable component: payloads range-partitioned into
     * `nPacks` packfiles under `dir`, manifest rows (media_id, pack_path,
     * offset, length) emitted from the same executor-side pass. Returns
     * the component with its measured id range.
+    *
+    * RETRY/SPECULATION SAFETY: the pack write is a side effect outside
+    * Spark's output-commit protocol, so two attempts of one task (retry
+    * after a mid-write crash, or a speculative duplicate) must never
+    * race one file. Each attempt writes its OWN file —
+    * `pack-<pid>-a<taskAttemptId>.bin` — and the manifest (a normal
+    * Spark-committed parquet write) only ever contains the surviving
+    * attempt's rows, which reference that attempt's complete file. A
+    * dead attempt leaves an orphan pack file, nothing more; `vacuum`
+    * sweeps orphans out of live component dirs by diffing the dir
+    * listing against the manifest.
     */
   def writeComponent(s: SparkSession, objs: Dataset[(Long, Array[Byte])],
       dir: String, nPacks: Int): Component = {
@@ -121,17 +142,26 @@ object PackStore {
       .repartitionByRange(nPacks, col("_1"))
       .sortWithinPartitions("_1")
       .mapPartitions { it: Iterator[(Long, Array[Byte])] =>
+        val tc = org.apache.spark.TaskContext.get()
         val pid = org.apache.spark.TaskContext.getPartitionId()
+        val attempt = if (tc == null) 0L else tc.taskAttemptId()
         val conf = new org.apache.hadoop.conf.Configuration()
-        val p = new org.apache.hadoop.fs.Path(s"$dir/pack-$pid.bin")
+        val packPath = s"$dir/pack-$pid-a$attempt.bin"
+        val p = new org.apache.hadoop.fs.Path(packPath)
         val fs = p.getFileSystem(conf)
         val out = fs.create(p, true)
         var off = 0L
+        var n = 0
         val entries = Iterator.newBuilder[(Long, String, Long, Int)]
         try it.foreach { case (id, payload) =>
           out.write(payload)
-          entries += ((id, s"$dir/pack-$pid.bin", off, payload.length))
+          entries += ((id, packPath, off, payload.length))
           off += payload.length
+          n += 1
+          if (failFirstWriteAttempt && pid == 0 && tc != null && tc.attemptNumber() == 0 && n == 1) {
+            writeFailureFired = true
+            throw new RuntimeException("PackStore: injected first-attempt failure")
+          }
         } finally out.close()
         entries.result()
       }
@@ -266,14 +296,26 @@ object PackStore {
     expired.foreach(id => graft.sources.GraftFs.deleteRecursively(s, snapPath(base, id)))
     // qualify both sides of the liveness check: snapshot files carry dirs
     // as written (possibly scheme-less), listStatus returns them qualified
-    val live = retained.flatMap(readSnapshot(s, base, _))
-      .map(c => graft.sources.GraftFs.qualify(s, c.dir)).toSet
+    val liveComps = retained.flatMap(readSnapshot(s, base, _))
+      .map(c => graft.sources.GraftFs.qualify(s, c.dir)).distinct
+    val live = liveComps.toSet
     for (family <- Seq("packs", "deltas");
          st <- {
            val (fs, q) = graft.sources.GraftFs.resolve(s, s"$base/$family")
            if (fs.exists(q)) fs.listStatus(q).toSeq else Seq.empty
          } if st.isDirectory && !live.contains(st.getPath.toString))
       graft.sources.GraftFs.deleteRecursively(s, st.getPath.toString)
+    // orphan sweep INSIDE live components: pack files written by dead task
+    // attempts (retry/speculation) are unreferenced by the committed
+    // manifest — diff the dir listing against it and delete the rest
+    for (dir <- liveComps) {
+      val referenced = s.read.parquet(s"$dir/manifest")
+        .select("pack_path").distinct.collect()
+        .map(r => graft.sources.GraftFs.qualify(s, r.getString(0))).toSet
+      for (f <- graft.sources.GraftFs.listFiles(s, dir)
+           if f.getPath.getName.startsWith("pack-") && !referenced.contains(f.getPath.toString))
+        graft.sources.GraftFs.deleteRecursively(s, f.getPath.toString)
+    }
   }
 
   /** The snapshot the lifecycle store's FIRST compaction publishes —

@@ -86,6 +86,39 @@ object RetryProbe {
     }
     check("narrow_map_decode", decode(docs), decode(flaky(docs)))
 
+    // 4th risk class: side-effect pack write (outside the output-commit
+    // protocol). The injected failure kills pack-writer task 0 AFTER its
+    // first object hit the file, so the retry must produce a component
+    // whose scan equals the clean run, with the dead attempt's partial
+    // file left as a vacuum-able orphan — never referenced, never read.
+    {
+      import graft.multimodal.{ContainerOps, PackStore}
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_retry_pack").toFile.getAbsolutePath
+      val objs = ContainerOps.containerTable(spark, sfDir).filter(_._1 <= 199)
+      val want = objs.map { case (id, b) => ContainerOps.ContainerParser.parse(id, b) }
+        .collect().map(_.toString).sorted.toSeq
+      PackStore.failFirstWriteAttempt = true
+      PackStore.writeFailureFired = false
+      try PackStore.initBase(spark, s"$tmp/store", objs, 4)
+      finally PackStore.failFirstWriteAttempt = false
+      val fired2 = PackStore.writeFailureFired
+      val got = PackStore.scan(spark, s"$tmp/store").collect().map(_.toString).sorted.toSeq
+      val comp = PackStore.readCurrent(spark, s"$tmp/store").head
+      val referenced = spark.read.parquet(s"${comp.dir}/manifest")
+        .select("pack_path").distinct.collect()
+        .map(r => graft.sources.GraftFs.qualify(spark, r.getString(0))).toSet
+      val orphans = graft.sources.GraftFs.listFiles(spark, comp.dir)
+        .filter(f => f.getPath.getName.startsWith("pack-") && !referenced.contains(f.getPath.toString))
+      PackStore.vacuum(spark, s"$tmp/store")
+      val orphansAfter = graft.sources.GraftFs.listFiles(spark, comp.dir)
+        .filter(f => f.getPath.getName.startsWith("pack-") && !referenced.contains(f.getPath.toString))
+      val ok = got == want && fired2 && orphans.nonEmpty && orphansAfter.isEmpty
+      if (!ok) failures += 1
+      println(s"RETRYPROBE pack_component_write rows=${want.size} injection_fired=$fired2 " +
+        s"identical=${got == want} orphans_before=${orphans.size} orphans_after_vacuum=${orphansAfter.size}")
+    }
+
     spark.stop()
     if (failures > 0) sys.exit(1)
   }

@@ -89,6 +89,27 @@ class PackStoreSpec extends SparkTestBase with Matchers {
     graft.sources.GraftFs.exists(spark, oldComponents.head.dir) shouldBe false
   }
 
+  test("vacuum sweeps dead-attempt orphan pack files out of live components; referenced packs survive") {
+    val local = Files.createTempDirectory("graft_packstore4").toFile.getAbsolutePath
+    val base = s"$local/store"
+    val objs = ContainerOps.containerTable(spark, sfTiny).filter(_._1 <= 99)
+    PackStore.initBase(spark, base, objs, 2)
+    val comp = PackStore.readCurrent(spark, base).head
+    val want = PackStore.scan(spark, base).collect().map(_.toString).sorted
+
+    // simulate a dead task attempt's partial side-effect file
+    val orphan = s"${comp.dir}/pack-0-a999.bin"
+    graft.sources.GraftFs.writeSmallFileAtomic(spark, orphan, "partial garbage from attempt 999")
+    PackStore.scan(spark, base).collect().map(_.toString).sorted shouldBe want // never read
+
+    PackStore.vacuum(spark, base)
+    graft.sources.GraftFs.exists(spark, orphan) shouldBe false
+    val packsLeft = graft.sources.GraftFs.listFiles(spark, comp.dir)
+      .map(_.getPath.getName).filter(_.startsWith("pack-"))
+    packsLeft.size shouldBe 2 // exactly the referenced packs
+    PackStore.scan(spark, base).collect().map(_.toString).sorted shouldBe want
+  }
+
   test("time travel: retained snapshots read as-of; expired snapshots fail typed; retention vacuum deletes the rest") {
     val local = Files.createTempDirectory("graft_packstore3").toFile.getAbsolutePath
     val base = s"$local/store"
