@@ -705,6 +705,15 @@ object ContainerOps {
     * partition iterator itself (streamed, never materialized). Guarded
     * by the same fingerprint-keyed `_SUCCESS` as the loose export (the
     * `-range` path key re-keys the cache from the earlier hash layout).
+    *
+    * This is the one-shot DEMONSTRATION layout: a retried build task
+    * create-overwrites its fixed `pack-<pid>.bin` (benign here — the
+    * sorted input makes rewrites byte-identical, and `_SUCCESS` gates
+    * visibility), which is not speculation-safe on a lease-holding FS.
+    * The production write path is [[PackStore.writeComponent]], whose
+    * attempt-unique file names + vacuum orphan sweep carry the full
+    * retry/speculation contract (proven by RetryProbe's
+    * pack_component_write class).
     */
   def ensurePackedObjects(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")

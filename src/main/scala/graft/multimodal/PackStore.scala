@@ -93,18 +93,31 @@ object PackStore {
     latestSnapshotId(s, base).fold(Seq.empty[Component])(readSnapshot(s, base, _))
 
   /** Publish a new snapshot: immutable snap file first, then the atomic
-    * CURRENT swap. Returns the new snapshot id. `note` rides in the
-    * snapshot file itself so it commits atomically with the publish.
+    * CURRENT swap. Returns the new snapshot id. `note` and `kind` ride
+    * in the snapshot file itself so they commit atomically with the
+    * publish. `kind` records WHY the snapshot exists — `init`/`delta`
+    * publishes carry new data, `compact` only rewrites existing data —
+    * which is exactly the bit a changelog subscriber needs to emit every
+    * object once (see [[graft.streaming.PackSubscribe]]).
     */
   private def publish(s: SparkSession, base: String, comps: Seq[Component],
-      note: Option[String] = None): Long = {
+      note: Option[String] = None, kind: String = "delta"): Long = {
     val id = nextSnapshotId(s, base)
-    val lines = note.map(n => s"#note=$n").toSeq ++
+    val lines = Seq(s"#kind=$kind") ++ note.map(n => s"#note=$n") ++
       comps.map(c => s"${c.dir}\t${c.minId}\t${c.maxId}")
     graft.sources.GraftFs.writeSmallFileAtomic(s, snapPath(base, id), lines.mkString("\n"))
     graft.sources.GraftFs.writeSmallFileAtomic(s, currentPath(base), id.toString)
     id
   }
+
+  /** The publish kind of snapshot `id` (`init` / `delta` / `compact`);
+    * pre-kind snapshot files read as `delta` (the conservative choice —
+    * a subscriber would rather re-emit than drop).
+    */
+  def snapshotKind(s: SparkSession, base: String, id: Long): String =
+    graft.sources.GraftFs.readSmallFile(s, snapPath(base, id))
+      .flatMap(_.split("\n").find(_.startsWith("#kind=")).map(_.stripPrefix("#kind=")))
+      .getOrElse("delta")
 
   private def nextSnapshotId(s: SparkSession, base: String): Long =
     latestSnapshotId(s, base).fold(0L)(_ + 1)
@@ -177,7 +190,7 @@ object PackStore {
     */
   def initBase(s: SparkSession, base: String, objs: Dataset[(Long, Array[Byte])],
       nPacks: Int): Unit =
-    publish(s, base, Seq(writeComponent(s, objs, s"$base/packs/v0", nPacks)))
+    publish(s, base, Seq(writeComponent(s, objs, s"$base/packs/v0", nPacks)), kind = "init")
 
   /** Land one ingest batch as a small delta component and publish it.
     * The component dir is keyed by the snapshot id it will publish as —
@@ -189,7 +202,7 @@ object PackStore {
       nPacks: Int = 1, note: Option[String] = None): Unit = {
     val live = readCurrent(s, base)
     val comp = writeComponent(s, objs, s"$base/deltas/d${nextSnapshotId(s, base)}", nPacks)
-    publish(s, base, live :+ comp, note)
+    publish(s, base, live :+ comp, note, kind = "delta")
   }
 
   /** Raw bytes of every live object whose id falls in `idRange` (all when
@@ -203,8 +216,19 @@ object PackStore {
       idRange: Option[(Long, Long)] = None,
       chunkBytes: Long = 128L << 20,
       snapshot: Option[Long] = None): Dataset[(Long, Array[Byte])] = {
-    import s.implicits._
     val comps = snapshot.fold(readCurrent(s, base))(readSnapshot(s, base, _))
+    scanComponents(s, comps, idRange, chunkBytes)
+  }
+
+  /** Raw bytes of every object in an EXPLICIT component list (the seam
+    * snapshot scans and the changelog subscriber share): min/max-pruned
+    * by idRange, pack-pruned by the manifests, offset-chunked positioned
+    * reads exactly as [[scanBytes]] documents.
+    */
+  def scanComponents(s: SparkSession, comps: Seq[Component],
+      idRange: Option[(Long, Long)] = None,
+      chunkBytes: Long = 128L << 20): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
     val live = idRange.fold(comps) { case (lo, hi) =>
       comps.filter(c => c.maxId >= lo && c.minId <= hi)
     }
@@ -276,7 +300,7 @@ object PackStore {
       note: Option[String] = None): Unit = {
     val comp = writeComponent(s, scanBytes(s, base),
       s"$base/packs/v${nextSnapshotId(s, base)}", nPacks)
-    publish(s, base, Seq(comp), note)
+    publish(s, base, Seq(comp), note, kind = "compact")
   }
 
   /** Expire all but the newest `retainSnapshots` snapshots, then delete
