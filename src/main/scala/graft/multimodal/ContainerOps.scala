@@ -653,7 +653,7 @@ object ContainerOps {
   def ensureEncodedPack(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val base = graft.sources.GraftFs.qualify(s,
-      s"target/graft-media-encoded-pack/$payloadFingerprint-p$NumPacks/$tag")
+      s"target/graft-media-encoded-pack/$payloadFingerprint-p$NumPacks-s2/$tag")
     synchronized {
       if (!graft.sources.GraftFs.hasSuccess(s, base)) {
         graft.sources.GraftFs.deleteRecursively(s, base)

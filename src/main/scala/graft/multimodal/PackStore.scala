@@ -15,17 +15,25 @@ import org.apache.spark.sql.functions._
   *
   *   - **Components are immutable.** A component = one directory of
   *     range-partitioned packfiles + its (media_id, pack_path, offset,
-  *     length) parquet manifest. The initial corpus is component
-  *     `packs/v0`; each ingest batch lands whole as a small delta
-  *     component `deltas/d<k>`. Nothing is ever modified in place.
+  *     length) parquet manifest. The initial corpus is a `packs/v0-*`
+  *     component; each ingest batch lands whole as a small delta
+  *     component `deltas/d-*`. Dirs are WRITER-TOKEN named (a writer
+  *     doesn't know its snapshot id until its commit wins, and two
+  *     concurrent writers must never share a dir). Nothing is ever
+  *     modified in place.
   *   - **Snapshots are immutable too; CURRENT is the only mutable
   *     thing.** Every publish writes the full component list to a new
   *     immutable `snapshots/snap-<k>` file (one `dir \t minId \t maxId`
   *     line per component), then atomically swaps the one-line CURRENT
   *     pointer to `<k>` (tmp + rename — [[graft.sources.GraftFs
   *     .writeSmallFileAtomic]]), so a reader sees the old or the new
-  *     snapshot, never a mix. Single writer assumed (ingest and
-  *     compaction serialized by the caller), readers never blocked.
+  *     snapshot, never a mix. WRITERS ARE OPTIMISTICALLY CONCURRENT:
+  *     every publish is an exclusive-create CAS on the next snapshot
+  *     file with rebase-and-retry on conflict (appends rebase onto the
+  *     winner's live set; compaction aborts and re-merges when its
+  *     base moved — the Iceberg rewrite-conflict rule), so independent
+  *     ingest jobs share a base with no external lock. Readers are
+  *     never blocked; vacuum remains admin-serialized.
   *     Retained snapshots stay readable AS OF their publish point
   *     (`scanAt`) — the Iceberg/Delta time-travel contract: an audit or
   *     a reproducibility rerun reads the exact corpus a training job
@@ -60,9 +68,44 @@ object PackStore {
   private def currentPath(base: String) = s"$base/CURRENT"
   private def snapPath(base: String, id: Long) = s"$base/snapshots/snap-$id"
 
-  /** Latest published snapshot id (None on an empty store). */
-  def latestSnapshotId(s: SparkSession, base: String): Option[Long] =
-    graft.sources.GraftFs.readSmallFile(s, currentPath(base)).map(_.trim.toLong)
+  /** A snapshot file is complete (not an in-flight exclusive write) when
+    * its `#eof` terminator landed — the walk-forward probe's torn-read
+    * guard. Reads through CURRENT never need this (CURRENT only advances
+    * after the close), only tip discovery does.
+    */
+  private def isCompleteSnapshot(s: SparkSession, base: String, id: Long): Boolean =
+    try graft.sources.GraftFs.readSmallFile(s, snapPath(base, id))
+      .exists(_.trim.endsWith("#eof"))
+    catch { case _: Exception => false } // mid-write read: not complete yet
+
+  /** Latest published snapshot id (None on an empty store). CURRENT is a
+    * HINT, not the truth: with concurrent writers it can lag, regress
+    * (two winners advancing it out of order), or read torn mid-swap on a
+    * checksumming local FS — so a clean hint walks forward over complete
+    * snapshot files (almost always zero steps; also heals the crash
+    * window between a snapshot's exclusive write and its CURRENT
+    * advance), and an unreadable/garbled hint falls back to listing the
+    * snapshot dir for the max complete id (vacuum deletes old snap
+    * files, so walking from 0 would under-read a vacuumed store).
+    */
+  def latestSnapshotId(s: SparkSession, base: String): Option[Long] = {
+    val hint =
+      try graft.sources.GraftFs.readSmallFile(s, currentPath(base)).map(_.trim.toLong)
+      catch { case _: Exception => None }
+    hint match {
+      case Some(h) =>
+        var tip = h
+        var k = h + 1
+        while (isCompleteSnapshot(s, base, k)) { tip = k; k += 1 }
+        Some(tip)
+      case None =>
+        graft.sources.GraftFs.listFiles(s, s"$base/snapshots")
+          .map(_.getPath.getName).filter(_.startsWith("snap-"))
+          .map(_.stripPrefix("snap-").toLong)
+          .filter(isCompleteSnapshot(s, base, _))
+          .maxOption
+    }
+  }
 
   /** Components of snapshot `id`. Typed failure — not a dangling read —
     * when the snapshot was vacuumed away or never existed. Lines starting
@@ -92,22 +135,46 @@ object PackStore {
   def readCurrent(s: SparkSession, base: String): Seq[Component] =
     latestSnapshotId(s, base).fold(Seq.empty[Component])(readSnapshot(s, base, _))
 
-  /** Publish a new snapshot: immutable snap file first, then the atomic
-    * CURRENT swap. Returns the new snapshot id. `note` and `kind` ride
-    * in the snapshot file itself so they commit atomically with the
-    * publish. `kind` records WHY the snapshot exists — `init`/`delta`
-    * publishes carry new data, `compact` only rewrites existing data —
-    * which is exactly the bit a changelog subscriber needs to emit every
-    * object once (see [[graft.streaming.PackSubscribe]]).
+  /** OPTIMISTIC publish — the multi-writer commit protocol. The caller
+    * supplies a `rebase` function from the freshly-read live component
+    * set to the set it wants to publish (or None to abort): the loop
+    * reads the tip, rebases, and attempts an EXCLUSIVE create of the
+    * next snapshot file (`#eof`-terminated, so tip discovery never
+    * trusts a torn in-flight write); losing the race just re-reads and
+    * rebases — the Iceberg/Delta optimistic-concurrency loop on the
+    * exclusive-create primitive. CURRENT then advances best-effort
+    * (monotone check; a regression lost to a race is healed by the
+    * walk-forward tip). `kind` records WHY the snapshot exists —
+    * `init`/`delta` carry new data, `compact` only rewrites — the bit
+    * the changelog subscriber keys on; `note` carries the ingest batch
+    * id for replay detection. Both commit atomically with the publish.
     */
-  private def publish(s: SparkSession, base: String, comps: Seq[Component],
-      note: Option[String] = None, kind: String = "delta"): Long = {
-    val id = nextSnapshotId(s, base)
-    val lines = Seq(s"#kind=$kind") ++ note.map(n => s"#note=$n") ++
-      comps.map(c => s"${c.dir}\t${c.minId}\t${c.maxId}")
-    graft.sources.GraftFs.writeSmallFileAtomic(s, snapPath(base, id), lines.mkString("\n"))
-    graft.sources.GraftFs.writeSmallFileAtomic(s, currentPath(base), id.toString)
-    id
+  private def publishWith(s: SparkSession, base: String, kind: String,
+      note: Option[String])(rebase: Seq[Component] => Option[Seq[Component]]): Option[Long] = {
+    while (true) {
+      val tip = latestSnapshotId(s, base)
+      val live = tip.fold(Seq.empty[Component])(readSnapshot(s, base, _))
+      rebase(live) match {
+        case None => return None // caller abort (e.g. compaction base changed)
+        case Some(comps) =>
+          val id = tip.fold(0L)(_ + 1)
+          val lines = Seq(s"#kind=$kind") ++ note.map(n => s"#note=$n") ++
+            comps.map(c => s"${c.dir}\t${c.minId}\t${c.maxId}") :+ "#eof"
+          if (graft.sources.GraftFs.writeSmallFileExclusive(s, snapPath(base, id),
+              lines.mkString("\n"))) {
+            // best-effort monotone advance; stale/torn hints are healed on read
+            val cur =
+              try graft.sources.GraftFs.readSmallFile(s, currentPath(base)).map(_.trim.toLong)
+              catch { case _: Exception => None }
+            if (cur.forall(_ < id))
+              try graft.sources.GraftFs.writeSmallFileAtomic(s, currentPath(base), id.toString)
+              catch { case _: Exception => () } // lost advance race: healed on read
+            return Some(id)
+          }
+        // lost the CAS: loop — fresh tip, fresh rebase
+      }
+    }
+    None
   }
 
   /** The publish kind of snapshot `id` (`init` / `delta` / `compact`);
@@ -119,8 +186,15 @@ object PackStore {
       .flatMap(_.split("\n").find(_.startsWith("#kind=")).map(_.stripPrefix("#kind=")))
       .getOrElse("delta")
 
-  private def nextSnapshotId(s: SparkSession, base: String): Long =
-    latestSnapshotId(s, base).fold(0L)(_ + 1)
+  /** Unique writer token for component staging dirs: two concurrent
+    * writers must never share a dir, and a writer doesn't know its
+    * snapshot id until its CAS wins — so dirs are token-named, not
+    * id-named. Randomness here never touches query OUTPUT (results flow
+    * through manifests; dir names appear in no row), so the engine's
+    * no-RNG-at-runtime determinism rule is about different bytes.
+    */
+  private def writerToken(): String = java.util.UUID.randomUUID.toString.take(8)
+
 
   /** Test seam (RetryProbe / PackStoreSpec): when true, the FIRST attempt
     * of pack-writing task 0 throws after its first object lands — local
@@ -186,23 +260,30 @@ object PackStore {
   }
 
   /** Initialize the store: the whole batch becomes component packs/v0,
-    * published as snapshot 0.
+    * published as snapshot 0. A second concurrent init is a caller bug
+    * and fails typed (the store was no longer empty at publish time).
     */
   def initBase(s: SparkSession, base: String, objs: Dataset[(Long, Array[Byte])],
-      nPacks: Int): Unit =
-    publish(s, base, Seq(writeComponent(s, objs, s"$base/packs/v0", nPacks)), kind = "init")
+      nPacks: Int): Unit = {
+    val comp = writeComponent(s, objs, s"$base/packs/v0-${writerToken()}", nPacks)
+    val ok = publishWith(s, base, "init", None) { live =>
+      if (live.nonEmpty) None else Some(Seq(comp))
+    }
+    if (ok.isEmpty)
+      throw new IllegalStateException(s"initBase on non-empty store $base")
+  }
 
   /** Land one ingest batch as a small delta component and publish it.
-    * The component dir is keyed by the snapshot id it will publish as —
-    * monotone across the store's whole history, so a delta written after
-    * a compaction can never collide with (and silently overwrite) an
-    * earlier delta an older retained snapshot still references.
+    * Component dirs are writer-token named (unique per attempt), so
+    * CONCURRENT appenders never share a dir and a delta written after a
+    * compaction can never collide with one an older retained snapshot
+    * references; the optimistic publish rebases onto whatever live set
+    * wins the race — two concurrent appends both land, in some order.
     */
   def appendDelta(s: SparkSession, base: String, objs: Dataset[(Long, Array[Byte])],
       nPacks: Int = 1, note: Option[String] = None): Unit = {
-    val live = readCurrent(s, base)
-    val comp = writeComponent(s, objs, s"$base/deltas/d${nextSnapshotId(s, base)}", nPacks)
-    publish(s, base, live :+ comp, note, kind = "delta")
+    val comp = writeComponent(s, objs, s"$base/deltas/d-${writerToken()}", nPacks)
+    publishWith(s, base, "delta", note)(live => Some(live :+ comp)): Unit
   }
 
   /** Raw bytes of every live object whose id falls in `idRange` (all when
@@ -293,14 +374,24 @@ object PackStore {
 
   /** Merge every live component into one fresh base generation and
     * publish a snapshot naming it alone — full scans drop back to
-    * `nPacks` opens. The generation dir is keyed by its snapshot id
-    * (monotone, collision-free across retention).
+    * `nPacks` opens. VALIDATED optimistic commit: compaction merged a
+    * specific live set, and publishing over a set that changed mid-merge
+    * (a concurrent delta landed) would LOSE that delta — so the rebase
+    * aborts when the base moved and the whole merge retries against the
+    * fresh tip; the abandoned generation dir is an unreferenced orphan
+    * vacuum sweeps. The Iceberg rewrite-conflict rule.
     */
   def compact(s: SparkSession, base: String, nPacks: Int,
       note: Option[String] = None): Unit = {
-    val comp = writeComponent(s, scanBytes(s, base),
-      s"$base/packs/v${nextSnapshotId(s, base)}", nPacks)
-    publish(s, base, Seq(comp), note, kind = "compact")
+    var done = false
+    while (!done) {
+      val merged = readCurrent(s, base)
+      val comp = writeComponent(s, scanComponents(s, merged),
+        s"$base/packs/v-${writerToken()}", nPacks)
+      done = publishWith(s, base, "compact", note) { live =>
+        if (live == merged) Some(Seq(comp)) else None
+      }.isDefined
+    }
   }
 
   /** Expire all but the newest `retainSnapshots` snapshots, then delete
@@ -364,7 +455,7 @@ object PackStore {
   def ensureLifecycleStore(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val base = graft.sources.GraftFs.qualify(s,
-      s"target/graft-pack-store/${ContainerOps.payloadFingerprint}-p${ContainerOps.NumPacks}-snap/$tag")
+      s"target/graft-pack-store/${ContainerOps.payloadFingerprint}-p${ContainerOps.NumPacks}-snap2/$tag")
     synchronized {
       if (!graft.sources.GraftFs.hasSuccess(s, base)) {
         graft.sources.GraftFs.deleteRecursively(s, base)

@@ -58,10 +58,50 @@ object GraftFs {
     */
   def writeSmallFileAtomic(s: SparkSession, p: String, content: String): Unit = {
     val (fs, q) = resolve(s, p)
-    val tmp = new Path(q.getParent, q.getName + ".tmp")
+    // unique tmp per writer: concurrent swappers of one target must not
+    // collide on (or rename away) each other's tmp file
+    val tmp = new Path(q.getParent,
+      q.getName + ".tmp-" + java.util.UUID.randomUUID.toString.take(8))
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
     val fc = FileContext.getFileContext(q.toUri, s.sparkContext.hadoopConfiguration)
     fc.rename(tmp, q, Options.Rename.OVERWRITE)
+  }
+
+  // In-process mutexes backing writeSmallFileExclusive on filesystems
+  // whose create(overwrite=false) is check-then-act (the local FS): the
+  // same TOCTOU closing Delta's LogStore does per-FS. Keyed by qualified
+  // path; bounded by the number of distinct CAS files a JVM touches.
+  private val exclusiveLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Exclusive create — the compare-and-swap primitive optimistic
+    * publishes race on: write `content` to `p` only if `p` does not
+    * already exist; returns false when another writer got there first.
+    * Guarantees: atomic vs other processes on filesystems with true
+    * exclusive create (HDFS rejects the second create server-side);
+    * atomic vs other THREADS of this JVM everywhere (per-path mutex
+    * closes the local FS's check-then-act window). On an object store
+    * without an exclusive-create/if-none-match primitive, cross-process
+    * exclusion needs an external coordinator — the standard table-format
+    * caveat (Delta LogStore documents the same per-FS matrix).
+    */
+  def writeSmallFileExclusive(s: SparkSession, p: String, content: String): Boolean = {
+    val (fs, q) = resolve(s, p)
+    val lock = exclusiveLocks.computeIfAbsent(q.toString, _ => new Object)
+    lock.synchronized {
+      if (fs.exists(q)) false
+      else {
+        val created =
+          try Some(fs.create(q, false))
+          catch { case _: java.io.IOException if fs.exists(q) => None }
+        created match {
+          case None => false
+          case Some(out) =>
+            try out.write(content.getBytes("UTF-8")) finally out.close()
+            true
+        }
+      }
+    }
   }
 }

@@ -53,21 +53,23 @@ class PackStoreSpec extends SparkTestBase with Matchers {
     openedPackFiles().size should be < ContainerOps.NumPacks
 
     // compact: same rows, opens fall back to NumPacks, pointer is single
-    PackStore.compact(spark, base, ContainerOps.NumPacks) // snap 3 → packs/v3
+    PackStore.compact(spark, base, ContainerOps.NumPacks) // snap 3 → a fresh packs/v-* gen
     val live = PackStore.readCurrent(spark, base)
     live.size shouldBe 1
-    live.head.dir should include("/packs/v3")
+    live.head.dir should include("/packs/v-")
     CountingFileSystem.reset()
     PackStore.scan(spark, base).collect().map(_.toString).sorted shouldBe merged
     openedPackFiles().size shouldBe ContainerOps.NumPacks
 
-    // default vacuum (retain 1): unreferenced v0/d1/d2 dirs deleted, old
-    // snapshots expired, view unchanged
+    // default vacuum (retain 1): every dir only expired snapshots
+    // referenced (base + both deltas) is deleted, the live gen survives,
+    // view unchanged
+    val doomed = (0L to 2L).flatMap(PackStore.readSnapshot(spark, base, _))
+      .map(_.dir).toSet -- live.map(_.dir).toSet
+    doomed.size shouldBe 3
     PackStore.vacuum(spark, base)
-    graft.sources.GraftFs.exists(spark, s"$base/packs/v0") shouldBe false
-    graft.sources.GraftFs.exists(spark, s"$base/deltas/d1") shouldBe false
-    graft.sources.GraftFs.exists(spark, s"$base/deltas/d2") shouldBe false
-    graft.sources.GraftFs.exists(spark, s"$base/packs/v3") shouldBe true
+    doomed.foreach(d => graft.sources.GraftFs.exists(spark, d) shouldBe false)
+    graft.sources.GraftFs.exists(spark, live.head.dir) shouldBe true
     an[IllegalArgumentException] should be thrownBy PackStore.readSnapshot(spark, base, 0L)
     PackStore.scan(spark, base).collect().map(_.toString).sorted shouldBe merged
   }
@@ -84,7 +86,9 @@ class PackStoreSpec extends SparkTestBase with Matchers {
     oldComponents.foreach { c =>
       spark.read.parquet(s"${c.dir}/manifest").count() shouldBe 100L
     }
-    PackStore.readCurrent(spark, base).head.dir should include("/packs/v1")
+    val newDir = PackStore.readCurrent(spark, base).head.dir
+    newDir should include("/packs/v-")
+    newDir should not be oldComponents.head.dir
     PackStore.vacuum(spark, base)
     graft.sources.GraftFs.exists(spark, oldComponents.head.dir) shouldBe false
   }
@@ -130,14 +134,15 @@ class PackStoreSpec extends SparkTestBase with Matchers {
     view(PackStore.scanAt(spark, base, 2)) shouldBe want(199)
     view(PackStore.scanAt(spark, base, 3)) shouldBe want(299)
 
-    // retention vacuum: keep snaps 2+3 → v0 and d1 (referenced only by
-    // expired snaps) go; v2 and d3 stay; the delta written AFTER the
-    // compaction never collided with the one written before it
+    // retention vacuum: keep snaps 2+3 → the base gen and first delta
+    // (referenced only by expired snaps) go; the compacted gen and the
+    // post-compaction delta stay (token-named dirs never collided)
+    val keep = (2L to 3L).flatMap(PackStore.readSnapshot(spark, base, _)).map(_.dir).toSet
+    val gone = (0L to 1L).flatMap(PackStore.readSnapshot(spark, base, _)).map(_.dir).toSet -- keep
+    gone.size shouldBe 2
     PackStore.vacuum(spark, base, retainSnapshots = 2)
-    graft.sources.GraftFs.exists(spark, s"$base/packs/v0") shouldBe false
-    graft.sources.GraftFs.exists(spark, s"$base/deltas/d1") shouldBe false
-    graft.sources.GraftFs.exists(spark, s"$base/packs/v2") shouldBe true
-    graft.sources.GraftFs.exists(spark, s"$base/deltas/d3") shouldBe true
+    gone.foreach(d => graft.sources.GraftFs.exists(spark, d) shouldBe false)
+    keep.foreach(d => graft.sources.GraftFs.exists(spark, d) shouldBe true)
     view(PackStore.scanAt(spark, base, 2)) shouldBe want(199)
     view(PackStore.scanAt(spark, base, 3)) shouldBe want(299)
     view(PackStore.scan(spark, base)) shouldBe want(299)
