@@ -356,5 +356,38 @@ object VideoContainerOps {
   private lazy val videoEncodeOracle: String =
     s"SELECT * FROM (\n$videoOracleBase\n) t WHERE error IS NULL ORDER BY media_id"
 
-  def defs: Seq[QueryDef] = Seq(mmVideo, mmVideoEncode)
+  /** Video corpus landed as a PACK-STORE base generation — the modality
+    * symmetry proof: [[PackStore]] is payload-agnostic (ids + bytes), so
+    * the MP4 corpus compacts, snapshots, and range-reads exactly like
+    * the image/audio corpus, and the SAME video oracle must hold through
+    * the packed layout. Layout and modality are orthogonal axes.
+    */
+  def ensureVideoPack(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = graft.sources.GraftFs.qualify(s,
+      s"target/graft-video-pack/${ContainerOps.payloadFingerprint}-p${ContainerOps.NumPacks}-s2/$tag")
+    synchronized {
+      if (!graft.sources.GraftFs.hasSuccess(s, base)) {
+        graft.sources.GraftFs.deleteRecursively(s, base)
+        PackStore.initBase(s, base, videoTable(s, dir), ContainerOps.NumPacks)
+        graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_SUCCESS", "done")
+      }
+    }
+    base
+  }
+
+  val mmVideoPacked = QueryDef(
+    "q_mm_video_packed",
+    (s, dir) => {
+      import s.implicits._
+      val base = ensureVideoPack(s, dir)
+      PackStore.scanBytes(s, base)
+        .mapPartitions(_.map { case (id, payload) => VideoParser.parse(id, payload) })
+        .toDF()
+        .orderBy("media_id")
+    },
+    Some(videoOracle),
+  )
+
+  def defs: Seq[QueryDef] = Seq(mmVideo, mmVideoEncode, mmVideoPacked)
 }
