@@ -62,8 +62,51 @@ import org.apache.spark.sql.functions._
   */
 object PackStore {
 
-  /** One live component: its dir and the id range its manifest covers. */
-  final case class Component(dir: String, minId: Long, maxId: Long)
+  /** One live component: its dir, the id range its manifest covers, and
+    * (since r7b) an optional media_id bloom filter — the zone map that
+    * lets point lookups skip a component whose [min,max] covers the id
+    * but whose manifest provably doesn't contain it, WITHOUT reading the
+    * manifest (components published before blooms read as None = never
+    * skip). Stored as a Vector for structural equality (compaction
+    * validates its merge base by comparing live sets).
+    */
+  final case class Component(dir: String, minId: Long, maxId: Long,
+      bloom: Option[Vector[Long]] = None)
+
+  /** Bloom geometry: 4096 bits (64 longs, ~684 base64 chars per snapshot
+    * line), 3 probes per id — at a typical delta of a few thousand
+    * objects the false-positive rate is well under 1%, and a false
+    * positive only costs the manifest read the bloom would have saved.
+    */
+  private val BloomBits = 4096
+
+  /** splitmix64 finalizer — one deterministic mixing function usable
+    * identically executor-side (bloom build) and driver-side (prune
+    * test); no dependence on Spark's hash expressions.
+    */
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  private[graft] def bloomPositions(id: Long): Seq[Int] =
+    (1 to 3).map(k => math.floorMod(mix(id + k * 0x632be59bd9b4e019L), BloomBits).toInt)
+
+  private[graft] def mightContain(bloom: Vector[Long], id: Long): Boolean =
+    bloomPositions(id).forall(p => (bloom(p >> 6) & (1L << (p & 63))) != 0L)
+
+  private def encodeBloom(b: Vector[Long]): String = {
+    val buf = java.nio.ByteBuffer.allocate(b.length * 8)
+    b.foreach(buf.putLong)
+    java.util.Base64.getEncoder.encodeToString(buf.array())
+  }
+
+  private def decodeBloom(s64: String): Vector[Long] = {
+    val buf = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(s64))
+    Vector.fill(buf.remaining() / 8)(buf.getLong)
+  }
 
   private def currentPath(base: String) = s"$base/CURRENT"
   private def snapPath(base: String, id: Long) = s"$base/snapshots/snap-$id"
@@ -118,8 +161,13 @@ object PackStore {
           s"snapshot $id of $base is expired or was never published")
       case Some(content) =>
         content.split("\n").filter(l => l.nonEmpty && !l.startsWith("#")).toSeq.map { line =>
-          val Array(d, lo, hi) = line.split("\t")
-          Component(d, lo.toLong, hi.toLong)
+          line.split("\t") match {
+            case Array(d, lo, hi) => Component(d, lo.toLong, hi.toLong)
+            case Array(d, lo, hi, b64) =>
+              Component(d, lo.toLong, hi.toLong, Some(decodeBloom(b64)))
+            case other =>
+              throw new IllegalStateException(s"bad snapshot line: ${other.mkString("\t")}")
+          }
         }
     }
 
@@ -159,7 +207,8 @@ object PackStore {
         case Some(comps) =>
           val id = tip.fold(0L)(_ + 1)
           val lines = Seq(s"#kind=$kind") ++ note.map(n => s"#note=$n") ++
-            comps.map(c => s"${c.dir}\t${c.minId}\t${c.maxId}") :+ "#eof"
+            comps.map(c => s"${c.dir}\t${c.minId}\t${c.maxId}" +
+              c.bloom.fold("")(b => "\t" + encodeBloom(b))) :+ "#eof"
           if (graft.sources.GraftFs.writeSmallFileExclusive(s, snapPath(base, id),
               lines.mkString("\n"))) {
             // best-effort monotone advance; stale/torn hints are healed on read
@@ -256,7 +305,20 @@ object PackStore {
     manifest.write.mode("overwrite").parquet(s"$dir/manifest")
     val mm = s.read.parquet(s"$dir/manifest")
       .agg(min("media_id"), max("media_id")).head
-    Component(dir, mm.getLong(0), mm.getLong(1))
+    // bloom zone map: distinct BIT POSITIONS are collected, not ids, so
+    // the driver-side mass is bounded by BloomBits however large the
+    // component is (one extra narrow pass over the id column)
+    val bits = {
+      import s.implicits._
+      val positions = s.read.parquet(s"$dir/manifest")
+        .select("media_id").as[Long]
+        .mapPartitions(_.flatMap(bloomPositions))
+        .distinct().collect()
+      val arr = new Array[Long](BloomBits / 64)
+      positions.foreach(p => arr(p >> 6) |= (1L << (p & 63)))
+      arr.toVector
+    }
+    Component(dir, mm.getLong(0), mm.getLong(1), Some(bits))
   }
 
   /** Initialize the store: the whole batch becomes component packs/v0,
@@ -312,6 +374,12 @@ object PackStore {
     import s.implicits._
     val live = idRange.fold(comps) { case (lo, hi) =>
       comps.filter(c => c.maxId >= lo && c.minId <= hi)
+        // bloom zone map for NARROW lookups: when the range is small
+        // enough to test id-by-id, a component whose [min,max] covers it
+        // but whose bloom rejects every id is skipped before its
+        // manifest is ever read (blooms absent = never skip)
+        .filter(c => hi - lo >= 64 ||
+          c.bloom.forall(b => (lo to hi).exists(mightContain(b, _))))
     }
     val manifests = live.map(c => s.read.parquet(s"${c.dir}/manifest"))
       .reduceOption(_.unionByName(_))

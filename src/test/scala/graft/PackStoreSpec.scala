@@ -114,6 +114,34 @@ class PackStoreSpec extends SparkTestBase with Matchers {
     PackStore.scan(spark, base).collect().map(_.toString).sorted shouldBe want
   }
 
+  test("bloom zone map: a narrow lookup inside a delta's id range but absent from it never reads the delta") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcount.impl", classOf[CountingFileSystem].getName)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.AbstractFileSystem.graftcount.impl", classOf[CountingAbstractFs].getName)
+    val local = Files.createTempDirectory("graft_packstore5").toFile.getAbsolutePath
+    val base = s"graftcount:$local/store"
+    val objs = ContainerOps.containerTable(spark, sfTiny)
+
+    PackStore.initBase(spark, base, objs.filter(_._1 <= 199), 2)
+    // delta holds only EVEN ids 300..398 — its [min,max] covers the odds
+    PackStore.appendDelta(spark, base, objs.filter(o => o._1 >= 300 && o._1 <= 398 && o._1 % 2 == 0))
+    val delta = PackStore.readCurrent(spark, base).find(_.dir.contains("/deltas/")).get
+    (delta.minId, delta.maxId) shouldBe ((300L, 398L))
+
+    // a missing odd id the bloom provably rejects (deterministic hashes)
+    val miss = (301L to 397L by 2)
+      .find(id => !PackStore.mightContain(delta.bloom.get, id)).get
+    CountingFileSystem.reset()
+    PackStore.scan(spark, base, Some((miss, miss))).count() shouldBe 0L
+    // min/max said "maybe", the bloom said "no" — the delta was never touched
+    CountingFileSystem.openedPaths.exists(_.contains("/deltas/")) shouldBe false
+
+    // positive control: a present id in the same range still resolves
+    val hit = PackStore.scan(spark, base, Some((302L, 302L))).collect()
+    hit.map(_.media_id).toSeq shouldBe Seq(302L)
+  }
+
   test("time travel: retained snapshots read as-of; expired snapshots fail typed; retention vacuum deletes the rest") {
     val local = Files.createTempDirectory("graft_packstore3").toFile.getAbsolutePath
     val base = s"$local/store"
