@@ -305,20 +305,47 @@ object PackStore {
     manifest.write.mode("overwrite").parquet(s"$dir/manifest")
     val mm = s.read.parquet(s"$dir/manifest")
       .agg(min("media_id"), max("media_id")).head
-    // bloom zone map: distinct BIT POSITIONS are collected, not ids, so
-    // the driver-side mass is bounded by BloomBits however large the
-    // component is (one extra narrow pass over the id column)
-    val bits = {
-      import s.implicits._
-      val positions = s.read.parquet(s"$dir/manifest")
-        .select("media_id").as[Long]
-        .mapPartitions(_.flatMap(bloomPositions))
-        .distinct().collect()
-      val arr = new Array[Long](BloomBits / 64)
-      positions.foreach(p => arr(p >> 6) |= (1L << (p & 63)))
-      arr.toVector
+    Component(dir, mm.getLong(0), mm.getLong(1), Some(bloomOf(s, s"$dir/manifest")))
+  }
+
+  /** Bloom zone map over a parquet path's media_id column: distinct BIT
+    * POSITIONS are collected, not ids, so the driver-side mass is
+    * bounded by BloomBits however large the component is (one narrow
+    * pass over the id column).
+    */
+  private def bloomOf(s: SparkSession, parquetPath: String): Vector[Long] = {
+    import s.implicits._
+    val positions = s.read.parquet(parquetPath)
+      .select("media_id").as[Long]
+      .mapPartitions(_.flatMap(bloomPositions))
+      .distinct().collect()
+    val arr = new Array[Long](BloomBits / 64)
+    positions.foreach(p => arr(p >> 6) |= (1L << (p & 63)))
+    arr.toVector
+  }
+
+  private def isTombstone(c: Component): Boolean = c.dir.contains("/tombs/")
+
+  /** DELETE by id — the tombstone publish completing the store's CRUD
+    * story. The id set lands as its own immutable component (a plain
+    * media_id parquet under `tombs/t-*`, min/max + bloom on its
+    * snapshot line like any component); scans SUBTRACT live tombstones
+    * with a distributed anti-join (never a collected id set — a 100 TB
+    * store can carry billions of tombstones); time travel naturally
+    * shows pre-delete snapshots intact; compaction materializes the
+    * subtraction and publishes WITHOUT the tombstones — the physical
+    * drop, after which vacuum reclaims both the tombstone dirs and the
+    * dropped bytes. An empty id set publishes nothing.
+    */
+  def deleteIds(s: SparkSession, base: String, ids: Dataset[Long],
+      note: Option[String] = None): Unit = {
+    val dir = s"$base/tombs/t-${writerToken()}"
+    ids.toDF("media_id").write.mode("overwrite").parquet(dir)
+    val mm = s.read.parquet(dir).agg(min("media_id"), max("media_id")).head
+    if (!mm.isNullAt(0)) {
+      val comp = Component(dir, mm.getLong(0), mm.getLong(1), Some(bloomOf(s, dir)))
+      publishWith(s, base, "delete", note)(live => Some(live :+ comp)): Unit
     }
-    Component(dir, mm.getLong(0), mm.getLong(1), Some(bits))
   }
 
   /** Initialize the store: the whole batch becomes component packs/v0,
@@ -372,7 +399,7 @@ object PackStore {
       idRange: Option[(Long, Long)] = None,
       chunkBytes: Long = 128L << 20): Dataset[(Long, Array[Byte])] = {
     import s.implicits._
-    val live = idRange.fold(comps) { case (lo, hi) =>
+    val pruned = idRange.fold(comps) { case (lo, hi) =>
       comps.filter(c => c.maxId >= lo && c.minId <= hi)
         // bloom zone map for NARROW lookups: when the range is small
         // enough to test id-by-id, a component whose [min,max] covers it
@@ -381,6 +408,28 @@ object PackStore {
         .filter(c => hi - lo >= 64 ||
           c.bloom.forall(b => (lo to hi).exists(mightContain(b, _))))
     }
+    val (tombs, live) = pruned.partition(isTombstone)
+    val raw = scanData(s, live, idRange, chunkBytes)
+    if (tombs.isEmpty) raw
+    else {
+      // distributed subtraction: tombstone parquets anti-join the scan —
+      // the id set never collects to the driver
+      val tombIds = tombs.map(c => s.read.parquet(c.dir).select("media_id"))
+        .reduce(_.unionByName(_)).distinct()
+      // rename back to tuple columns so downstream consumers (compact →
+      // writeComponent repartitions on "_1") see the same shape as the
+      // tombstone-free branch
+      raw.toDF("media_id", "payload")
+        .join(tombIds, Seq("media_id"), "left_anti")
+        .select(col("media_id").as("_1"), col("payload").as("_2"))
+        .as[(Long, Array[Byte])]
+    }
+  }
+
+  private def scanData(s: SparkSession, live: Seq[Component],
+      idRange: Option[(Long, Long)],
+      chunkBytes: Long): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
     val manifests = live.map(c => s.read.parquet(s"${c.dir}/manifest"))
       .reduceOption(_.unionByName(_))
       .getOrElse(s.emptyDataset[(Long, String, Long, Int)]
@@ -479,18 +528,20 @@ object PackStore {
     expired.foreach(id => graft.sources.GraftFs.deleteRecursively(s, snapPath(base, id)))
     // qualify both sides of the liveness check: snapshot files carry dirs
     // as written (possibly scheme-less), listStatus returns them qualified
-    val liveComps = retained.flatMap(readSnapshot(s, base, _))
-      .map(c => graft.sources.GraftFs.qualify(s, c.dir)).distinct
-    val live = liveComps.toSet
-    for (family <- Seq("packs", "deltas");
+    val allLive = retained.flatMap(readSnapshot(s, base, _))
+    val live = allLive.map(c => graft.sources.GraftFs.qualify(s, c.dir)).toSet
+    for (family <- Seq("packs", "deltas", "tombs");
          st <- {
            val (fs, q) = graft.sources.GraftFs.resolve(s, s"$base/$family")
            if (fs.exists(q)) fs.listStatus(q).toSeq else Seq.empty
          } if st.isDirectory && !live.contains(st.getPath.toString))
       graft.sources.GraftFs.deleteRecursively(s, st.getPath.toString)
-    // orphan sweep INSIDE live components: pack files written by dead task
-    // attempts (retry/speculation) are unreferenced by the committed
+    // orphan sweep INSIDE live data components: pack files written by dead
+    // task attempts (retry/speculation) are unreferenced by the committed
     // manifest — diff the dir listing against it and delete the rest
+    // (tombstone components are plain parquet dirs, no packs to sweep)
+    val liveComps = allLive.filterNot(isTombstone)
+      .map(c => graft.sources.GraftFs.qualify(s, c.dir)).distinct
     for (dir <- liveComps) {
       val referenced = s.read.parquet(s"$dir/manifest")
         .select("pack_path").distinct.collect()
@@ -573,5 +624,48 @@ ${ContainerOps.containerOracleBaseForStore}
 ORDER BY media_id"""),
   )
 
-  def defs: Seq[QueryDef] = Seq(mmPackLifecycle, mmPackTimetravel)
+  /** Delete-lifecycle store: the full corpus lands, every media_id ≡ 3
+    * (mod 10) is tombstoned, and the store is compacted + vacuumed — so
+    * the deleted objects are PHYSICALLY gone (no tombstone survives the
+    * compaction, no dropped byte survives the vacuum), and the scan must
+    * equal the oracle's `media_id % 10 <> 3` cut. Built once per scale
+    * dir behind the fingerprint guard.
+    */
+  def ensureDeleteStore(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = graft.sources.GraftFs.qualify(s,
+      s"target/graft-pack-deletes/${ContainerOps.payloadFingerprint}-p${ContainerOps.NumPacks}-s2/$tag")
+    synchronized {
+      if (!graft.sources.GraftFs.hasSuccess(s, base)) {
+        graft.sources.GraftFs.deleteRecursively(s, base)
+        import s.implicits._
+        val objs = ContainerOps.containerTable(s, dir)
+        initBase(s, base, objs, ContainerOps.NumPacks)          // snapshot 0
+        deleteIds(s, base, objs.map(_._1).filter(_ % 10 == 3L)) // snapshot 1
+        compact(s, base, ContainerOps.NumPacks)                 // snapshot 2 (physical drop)
+        vacuum(s, base)
+        graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_SUCCESS", "done")
+      }
+    }
+    base
+  }
+
+  /** DELETE path, oracle-checked end-to-end: ingest → tombstone →
+    * compact → vacuum, then the surviving store must parse to exactly
+    * the oracle's surviving-id cut — DuckDB derives the same `% 10 <> 3`
+    * predicate independently, so the subtraction, the physical drop, and
+    * the reclamation are all under the hash compare.
+    */
+  val mmPackDeletes = QueryDef(
+    "q_mm_pack_deletes",
+    (s, dir) => {
+      val base = ensureDeleteStore(s, dir)
+      scan(s, base).toDF().orderBy("media_id")
+    },
+    Some(s"""SELECT * FROM (
+${ContainerOps.containerOracleBaseForStore}
+) t WHERE media_id % 10 <> 3 ORDER BY media_id"""),
+  )
+
+  def defs: Seq[QueryDef] = Seq(mmPackLifecycle, mmPackTimetravel, mmPackDeletes)
 }

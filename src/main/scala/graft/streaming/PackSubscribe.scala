@@ -35,15 +35,25 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object PackSubscribe {
 
-  /** Objects published in snapshots (`lastSeen`, tip], each exactly once,
-    * and the new cursor. `lastSeen = -1` subscribes from the beginning.
-    * Returns an empty dataset (cursor unchanged) when already caught up.
+  /** One poll's emissions: object ADDS (id, payload), id DELETES (the
+    * changelog's retraction records, from tombstone publishes), and the
+    * new cursor to persist.
     */
-  def poll(s: SparkSession, base: String,
-      lastSeen: Long): (Dataset[(Long, Array[Byte])], Long) = {
+  final case class Changes(adds: Dataset[(Long, Array[Byte])],
+      deletes: Dataset[Long], tip: Long)
+
+  /** Changes published in snapshots (`lastSeen`, tip], each exactly
+    * once. `lastSeen = -1` subscribes from the beginning. Returns empty
+    * datasets (cursor unchanged) when already caught up. `delete`
+    * publishes emit their tombstone id set as retractions; `compact`
+    * publishes emit nothing (they also physically drop previously
+    * retracted ids — a subscriber that applied the retraction already
+    * has nothing to do).
+    */
+  def poll(s: SparkSession, base: String, lastSeen: Long): Changes = {
     import s.implicits._
     val tip = PackStore.latestSnapshotId(s, base).getOrElse(-1L)
-    if (tip <= lastSeen) (s.emptyDataset[(Long, Array[Byte])], lastSeen)
+    if (tip <= lastSeen) Changes(s.emptyDataset[(Long, Array[Byte])], s.emptyDataset[Long], lastSeen)
     else {
       val fresh = for {
         k <- (lastSeen + 1) to tip
@@ -52,7 +62,10 @@ object PackSubscribe {
                else PackStore.readSnapshot(s, base, k - 1).map(_.dir).toSet
         c <- PackStore.readSnapshot(s, base, k) if !prev.contains(c.dir)
       } yield c
-      (PackStore.scanComponents(s, fresh), tip)
+      val (tombs, data) = fresh.partition(_.dir.contains("/tombs/"))
+      val deletes = tombs.map(c => s.read.parquet(c.dir).select("media_id").as[Long])
+        .reduceOption(_.unionByName(_)).getOrElse(s.emptyDataset[Long]).distinct()
+      Changes(PackStore.scanComponents(s, data), deletes, tip)
     }
   }
 }

@@ -142,6 +142,38 @@ class PackStoreSpec extends SparkTestBase with Matchers {
     hit.map(_.media_id).toSeq shouldBe Seq(302L)
   }
 
+  test("deletes: tombstones subtract from scans but not from pre-delete snapshots; compaction drops them physically") {
+    val local = Files.createTempDirectory("graft_packstore6").toFile.getAbsolutePath
+    val base = s"$local/store"
+    val objs = ContainerOps.containerTable(spark, sfTiny).filter(_._1 <= 199)
+    PackStore.initBase(spark, base, objs, 2)                                // snap 0
+    PackStore.deleteIds(spark, base, spark.range(0, 200, 10).as[Long])      // snap 1: 0,10,...,190
+    val survivors = (0L to 199L).filterNot(_ % 10 == 0)
+
+    // live scan subtracts; the pre-delete snapshot still shows everything
+    PackStore.scan(spark, base).collect().map(_.media_id).sorted.toSeq shouldBe survivors
+    PackStore.scanAt(spark, base, 0).collect().map(_.media_id).sorted.toSeq shouldBe (0L to 199L)
+    // narrow lookup of a deleted id: empty, not a resurrection
+    PackStore.scan(spark, base, Some((50L, 50L))).count() shouldBe 0L
+
+    // compaction materializes the subtraction: no tombstone component
+    // survives, and the rewritten packs physically lack the ids
+    PackStore.compact(spark, base, 2)                                       // snap 2
+    val live = PackStore.readCurrent(spark, base)
+    live.size shouldBe 1
+    live.exists(_.dir.contains("/tombs/")) shouldBe false
+    PackStore.scan(spark, base).collect().map(_.media_id).sorted.toSeq shouldBe survivors
+    PackStore.vacuum(spark, base)
+    graft.sources.GraftFs.exists(spark, s"$base/tombs") match {
+      case true =>
+        graft.sources.GraftFs.resolve(spark, s"$base/tombs")._1
+          .listStatus(graft.sources.GraftFs.resolve(spark, s"$base/tombs")._2)
+          .length shouldBe 0
+      case false => succeed
+    }
+    PackStore.scan(spark, base).collect().map(_.media_id).sorted.toSeq shouldBe survivors
+  }
+
   test("time travel: retained snapshots read as-of; expired snapshots fail typed; retention vacuum deletes the rest") {
     val local = Files.createTempDirectory("graft_packstore3").toFile.getAbsolutePath
     val base = s"$local/store"

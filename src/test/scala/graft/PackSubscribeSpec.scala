@@ -20,30 +20,45 @@ class PackSubscribeSpec extends SparkTestBase with Matchers {
       ds.collect().map(_._1).sorted.toSeq
 
     PackStore.initBase(spark, base, objs.filter(_._1 <= 99), 2) // snap 0 (init)
-    val (d0, c0) = PackSubscribe.poll(spark, base, -1L)
-    ids(d0) shouldBe (0L to 99L)
+    val p0 = PackSubscribe.poll(spark, base, -1L)
+    ids(p0.adds) shouldBe (0L to 99L)
+    p0.deletes.count() shouldBe 0L
+    val c0 = p0.tip
     c0 shouldBe 0L
 
     // delta + compaction between polls: the delta arrives once, the
     // compaction (pure rewrite) contributes nothing
     PackStore.appendDelta(spark, base, objs.filter(o => o._1 > 99 && o._1 <= 199)) // snap 1
     PackStore.compact(spark, base, 2)                                              // snap 2
-    val (d1, c1) = PackSubscribe.poll(spark, base, c0)
-    ids(d1) shouldBe (100L to 199L)
+    val p1 = PackSubscribe.poll(spark, base, c0)
+    ids(p1.adds) shouldBe (100L to 199L)
+    p1.deletes.count() shouldBe 0L
+    val c1 = p1.tip
     c1 shouldBe 2L
 
     // caught up: empty poll, cursor unchanged
-    val (dEmpty, cSame) = PackSubscribe.poll(spark, base, c1)
-    dEmpty.count() shouldBe 0L
-    cSame shouldBe c1
+    val pE = PackSubscribe.poll(spark, base, c1)
+    pE.adds.count() shouldBe 0L
+    pE.tip shouldBe c1
 
     PackStore.appendDelta(spark, base, objs.filter(_._1 > 199)) // snap 3
-    val (d2, c2) = PackSubscribe.poll(spark, base, c1)
-    ids(d2) shouldBe (200L to 249L)
+    val p2 = PackSubscribe.poll(spark, base, c1)
+    ids(p2.adds) shouldBe (200L to 249L)
+    val c2 = p2.tip
     c2 shouldBe 3L
 
     // union over all polls == the corpus, each object exactly once
-    (ids(d0) ++ ids(d1) ++ ids(d2)) shouldBe (0L to 249L)
+    (ids(p0.adds) ++ ids(p1.adds) ++ ids(p2.adds)) shouldBe (0L to 249L)
+
+    // tombstone publish: the subscriber sees the retraction ids exactly
+    // once, and the store view subtracts them
+    import spark.implicits._
+    PackStore.deleteIds(spark, base, spark.range(0, 50).as[Long]) // snap 4
+    val p3 = PackSubscribe.poll(spark, base, c2)
+    p3.adds.count() shouldBe 0L
+    p3.deletes.collect().sorted.toSeq shouldBe (0L to 49L)
+    p3.tip shouldBe 4L
+    PackStore.scan(spark, base).collect().map(_.media_id).sorted.toSeq shouldBe (50L to 249L)
 
     // a subscriber lagging past the retention window fails typed —
     // never a silent gap, never garbage
