@@ -69,4 +69,35 @@ class PackStoreConcurrencySpec extends SparkTestBase with Matchers {
     objs.unpersist()
     ()
   }
+
+  test("vacuum vs readers: a retained-snapshot reader completes fully after GC; an expired-snapshot reader fails loudly, never partially") {
+    val base = Files.createTempDirectory("graft_packgc").toFile.getAbsolutePath + "/store"
+    val objs = ContainerOps.containerTable(spark, sfTiny).filter(_._1 <= 199)
+    PackStore.initBase(spark, base, objs.filter(_._1 <= 99), 2)  // snap 0
+    PackStore.appendDelta(spark, base, objs.filter(_._1 > 99))   // snap 1
+    PackStore.compact(spark, base, 2)                            // snap 2 (fresh dirs)
+
+    // both readers pin their component sets BEFORE the vacuum — the
+    // plan-then-GC-then-materialize ordering is the worst-case race,
+    // and unlike a thread race it is deterministic
+    val atExpired = PackStore.scanAt(spark, base, 0)  // dirs only snap 0/1 reference
+    val atRetained = PackStore.scanAt(spark, base, 2) // the surviving compaction dir
+
+    PackStore.vacuum(spark, base, retainSnapshots = 1)
+
+    // reader wins when its snapshot is retained: vacuum deletes only
+    // dirs no retained snapshot references, so the full read succeeds
+    atRetained.collect().map(_.media_id).sorted.toSeq shouldBe (0L to 199L)
+
+    // the expired reader's files are gone: materialization must THROW
+    // (missing pack/manifest surfaces as a job failure), never return a
+    // silent subset of snapshot 0's 100 rows
+    an[Exception] should be thrownBy atExpired.collect()
+
+    // and a FRESH read of the expired snapshot fails typed at plan time
+    an[IllegalArgumentException] should be thrownBy PackStore.scanAt(spark, base, 0)
+
+    // the store itself is unharmed by the failed read
+    PackStore.scan(spark, base).collect().map(_.media_id).sorted.toSeq shouldBe (0L to 199L)
+  }
 }
