@@ -1,0 +1,218 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.{GraftFunctions, Tokenize, VectorOps}
+import graft.multimodal.{ContainerOps, PackStore}
+import graft.operators.DedupQueries
+import graft.streaming.PackSubscribe
+
+/** The user-facing library surface — the step from "query tree the driver
+  * runs" to "library a user adopts". One import exposes the engine's
+  * flagship families over the caller's OWN DataFrames and paths:
+  *
+  * {{{
+  * import graft.api.implicits._
+  *
+  * val docs  = spark.read.parquet("s3://corpus/documents")
+  * val pairs = docs.graft.nearDupPairs()                  // MinHash-LSH + exact gate
+  * val kept  = docs.graft.nearDedup()                     // one survivor per near-dup cluster
+  * val store = spark.graft.packStore("s3://corpus/media") // snapshotted object store
+  * }}}
+  *
+  * Every method delegates to the same oracle-checked operator internals the
+  * registered query tree runs — the facade adds column-name parameterization
+  * and nothing else, so its results inherit the tree's correctness gates.
+  */
+object implicits {
+  implicit class GraftSessionOps(private val spark: SparkSession) extends AnyVal {
+    def graft: GraftSession = new GraftSession(spark)
+  }
+  implicit class GraftFrameOps(private val df: DataFrame) extends AnyVal {
+    def graft: GraftFrame = new GraftFrame(df)
+  }
+}
+
+/** Session-scoped entry points (catalog-level resources). Construction
+  * registers the engine's native functions and plan rules idempotently,
+  * so a facade user never needs the internal registration call.
+  */
+final class GraftSession(val spark: SparkSession) {
+  GraftFunctions.ensureRegistered(spark)
+
+  /** A snapshotted, multi-writer-safe packfile object store at `base`
+    * (time travel, tombstone deletes, changelog subscription — see
+    * [[graft.multimodal.PackStore]] for the format contract).
+    */
+  def packStore(base: String): PackStoreHandle = new PackStoreHandle(spark, base)
+}
+
+/** Handle over one pack-store base. Thin delegation — the format and
+  * concurrency contracts live on [[graft.multimodal.PackStore]].
+  */
+final class PackStoreHandle(val spark: SparkSession, val base: String) {
+
+  /** First publish: the whole batch becomes the base generation. */
+  def init(objects: Dataset[(Long, Array[Byte])], nPacks: Int = 32): Unit =
+    PackStore.initBase(spark, base, objects, nPacks)
+
+  /** Land one ingest batch as a delta component (optimistic publish —
+    * concurrent appenders all land).
+    */
+  def append(objects: Dataset[(Long, Array[Byte])], nPacks: Int = 1): Unit =
+    PackStore.appendDelta(spark, base, objects, nPacks)
+
+  /** Tombstone-delete ids: scans subtract them, pre-delete snapshots keep
+    * them, the next compaction drops them physically.
+    */
+  def delete(ids: Dataset[Long]): Unit = PackStore.deleteIds(spark, base, ids)
+
+  /** Live bytes (tombstones subtracted), optionally id-range pruned. */
+  def scan(idRange: Option[(Long, Long)] = None): Dataset[(Long, Array[Byte])] =
+    PackStore.scanBytes(spark, base, idRange)
+
+  /** Bytes exactly as snapshot `id` published them (time travel); typed
+    * failure if the snapshot was vacuumed away.
+    */
+  def scanAt(id: Long): Dataset[(Long, Array[Byte])] =
+    PackStore.scanBytes(spark, base, snapshot = Some(id))
+
+  /** Live corpus parsed as media containers (PNG/JPEG/WAV/MP4 metadata
+    * from the bytes; malformed payloads surface as typed error rows).
+    */
+  def parseContainers(): Dataset[ContainerOps.ContainerRow] = PackStore.scan(spark, base)
+
+  /** Newest published snapshot id, None for an empty store. */
+  def tip: Option[Long] = PackStore.latestSnapshotId(spark, base)
+
+  /** Changelog poll: adds + delete retractions published in snapshots
+    * (`cursor`, tip], each exactly once, and the cursor to persist.
+    */
+  def poll(cursor: Long): PackSubscribe.Changes = PackSubscribe.poll(spark, base, cursor)
+
+  /** Merge live components into one fresh generation (validated
+    * optimistic commit; concurrent deltas are never lost).
+    */
+  def compact(nPacks: Int = 32): Unit = PackStore.compact(spark, base, nPacks)
+
+  /** Expire all but the newest `retainSnapshots` snapshots and reclaim
+    * unreferenced dirs + orphaned task-attempt files.
+    */
+  def vacuum(retainSnapshots: Int = 1): Unit =
+    PackStore.vacuum(spark, base, retainSnapshots)
+}
+
+/** DataFrame-scoped operators, parameterized over the caller's column
+  * names. Defaults match the fixture schema (`doc_id`, `text`, `lang`,
+  * `vec_id`, `embedding`) so fixture-shaped frames work with zero
+  * arguments.
+  */
+final class GraftFrame(val df: DataFrame) {
+  // the frame path must be self-sufficient too — a user who never touches
+  // spark.graft still gets the native expressions and plan rules
+  GraftFunctions.ensureRegistered(df.sparkSession)
+
+  // ---------- text analysis ----------
+
+  /** Append a whitespace token count column (the engine's canonical
+    * length estimator — same segmentation as every dedup/text operator).
+    */
+  def withTokenCount(text: String = "text", out: String = "n_tokens"): DataFrame =
+    df.withColumn(out, Tokenize.tokenCount(col(text)))
+
+  /** Append the engine's document quality score (type-token ratio,
+    * stopword ratio, length saturation — the q_text_quality formula).
+    */
+  def withQualityScore(text: String = "text", out: String = "quality_score"): DataFrame = {
+    val toks = Tokenize.tokens(col(text))
+    val nTok = size(toks).cast(DoubleType)
+    val nDis = size(array_distinct(toks)).cast(DoubleType)
+    val nStop = size(filter(toks,
+      t => t.isin("the", "a", "of", "and", "in", "to"))).cast(DoubleType)
+    df.withColumn(out, round(
+      lit(0.3) * (nDis / nTok)
+        + lit(0.5) * (lit(1.0) - nStop / nTok)
+        + lit(0.2) * least(lit(1.0), nTok / lit(100.0)), 6))
+  }
+
+  // ---------- deduplication ----------
+
+  /** EXACT dedup: one surviving row per distinct `text` (the minimum-`id`
+    * row). One hash shuffle on the text + an id semi-join — no windows
+    * over the full corpus.
+    */
+  def exactDedup(id: String = "doc_id", text: String = "text"): DataFrame = {
+    val keep = df.groupBy(col(text).as("__g_text"))
+      .agg(min(col(id)).as("__g_keep"))
+      .select(col("__g_keep"))
+    df.join(keep, df(id) === keep("__g_keep"), "left_semi")
+  }
+
+  /** NEAR-dup pairs at Jaccard ≥ num/den over whitespace token sets:
+    * per-row MinHash signatures (zero shuffle), one banded-LSH shuffle
+    * for candidates, then the exact verify gate (size-band + early-exit
+    * sorted intersect) — precision 1.0 by construction, recall bounded by
+    * the banding (≈0.99 at J = 0.5 with the 16×2 default). `lang = None`
+    * treats the corpus as one block; naming a language column restricts
+    * candidate generation within it.
+    */
+  def nearDupPairs(id: String = "doc_id", text: String = "text",
+      lang: Option[String] = Some("lang"), num: Int = 1, den: Int = 2,
+      bands: Int = 16, nHashes: Int = 32): DataFrame = {
+    val langCol = lang.fold(lit(""): Column)(col)
+    val sets = df.select(col(id).as("doc_id"), langCol.as("lang"),
+      Tokenize.tokenSet(col(text)).as("toks"))
+    val cands = DedupQueries.minhashBandCandidates(sets, bands, nHashes)
+    val hashed = df.select(col(id).as("doc_id"), Tokenize.hashedTokenSet(col(text)).as("toksh"))
+    DedupQueries.verifyJaccard(cands, hashed, num, den)
+      .withColumnRenamed("doc_id1", s"${id}_1").withColumnRenamed("doc_id2", s"${id}_2")
+  }
+
+  /** Transitive near-dup clusters: verified pairs → pointer-jumping
+    * connected components (log₂-diameter rounds, never the quadratic
+    * pair space). Returns (`id`, cluster) where cluster = the minimum
+    * member id.
+    */
+  def dedupClusters(id: String = "doc_id", text: String = "text",
+      lang: Option[String] = Some("lang"), num: Int = 1, den: Int = 2,
+      bands: Int = 16, nHashes: Int = 32): DataFrame = {
+    val pairs = nearDupPairs(id, text, lang, num, den, bands, nHashes)
+      .select(col(s"${id}_1").as("doc_id1"), col(s"${id}_2").as("doc_id2"))
+    val labels = DedupQueries.connectedComponents(df.select(col(id).as("doc_id")), pairs)
+    labels.select(col("doc_id").as(id), col("cluster_id").as("cluster"))
+  }
+
+  /** NEAR dedup: one surviving row per near-dup cluster (the minimum-`id`
+    * member), singletons untouched.
+    */
+  def nearDedup(id: String = "doc_id", text: String = "text",
+      lang: Option[String] = Some("lang"), num: Int = 1, den: Int = 2,
+      bands: Int = 16, nHashes: Int = 32): DataFrame = {
+    val labels = dedupClusters(id, text, lang, num, den, bands, nHashes)
+      .filter(col(id) === col("cluster")).select(col(id).as("__g_keep"))
+    df.join(labels, df(id) === labels("__g_keep"), "left_semi")
+  }
+
+  // ---------- similarity search ----------
+
+  /** Brute-force cosine top-k of this frame (the corpus) for each row of
+    * `queries` (broadcast — keep the query side small; for corpus-sized
+    * query sets use the LSH/IVF graph operators). Emits
+    * (q_<id>, rank, <id>, cos), self-matches excluded.
+    */
+  def cosineTopK(queries: DataFrame, k: Int = 5,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(id).as(s"q_$id"), col(vec).as("__q_vec"))
+    val scored = df.select(col(id), col(vec).as("__c_vec"))
+      .crossJoin(broadcast(q))
+      .filter(col(s"q_$id") =!= col(id))
+      .withColumn("cos", round(VectorOps.cosine(col("__q_vec"), col("__c_vec")), 6))
+    val w = Window.partitionBy(s"q_$id").orderBy(desc("cos"), asc(id))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(s"q_$id"), col("rank"), col(id), col("cos"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.matchers.should.Matchers
+
+// A facade user's imports — the spec deliberately touches NO internal
+// graft.operators/multimodal symbols beyond what `graft.api.implicits._`
+// re-surfaces, proving the public import is self-sufficient.
+import graft.api.implicits._
+
+/** The library facade from a user's perspective: plain spark.read input,
+  * one import, column-name parameterization, results checked against
+  * independently-computed expectations.
+  */
+class GraftApiSpec extends SparkTestBase with Matchers {
+  import spark.implicits._
+
+  private def docsDf = spark.read.parquet(s"$sfTiny/documents.parquet")
+
+  test("text + exact dedup: token counts, quality scores, min-id survivor per duplicate text") {
+    val docs = docsDf
+    val withCols = docs.graft.withTokenCount().graft.withQualityScore()
+    withCols.columns should contain allOf ("n_tokens", "quality_score")
+    // spot-check one row against a hand count
+    val row = withCols.select("text", "n_tokens").head
+    row.getInt(1) shouldBe row.getString(0).split(" ", -1).length
+
+    val kept = docs.graft.exactDedup()
+    // survivors: one per distinct text, and exactly the min doc_id of each
+    val wantKeep = docs.groupBy("text").agg(org.apache.spark.sql.functions.min("doc_id").as("k"))
+      .select("k").as[Long].collect().sorted
+    kept.select("doc_id").as[Long].collect().sorted shouldBe wantKeep
+    kept.select("text").distinct().count() shouldBe kept.count()
+  }
+
+  test("near-dup pairs/clusters/dedup on renamed columns match the brute-force jaccard truth") {
+    // a user's frame with their OWN column names
+    val docs = docsDf.select(
+      $"doc_id".as("id"), $"lang".as("language"), $"text".as("body"))
+      .filter($"id" < 120)
+
+    val pairs = docs.graft.nearDupPairs(id = "id", text = "body", lang = Some("language"))
+    pairs.columns.toSeq shouldBe Seq("id_1", "id_2", "jaccard")
+
+    // brute-force truth: exact token-set jaccard >= 0.5 within language
+    val toks = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).distinct.toSet)).toSeq
+    val want = (for {
+      (i1, l1, t1) <- toks; (i2, l2, t2) <- toks
+      if i1 < i2 && l1 == l2
+      j = (t1 & t2).size.toDouble / (t1 | t2).size
+      if j >= 0.5
+    } yield (i1, i2)).toSet
+    val got = pairs.select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    // exact verify gate => precision 1.0 always; 16x2 banding at the J=0.5
+    // boundary => recall ~0.99 (a few barely-over-threshold pairs may miss)
+    (got -- want) shouldBe empty
+    got.size.toDouble / want.size should be >= 0.97
+
+    // clusters: transitive closure of the found pairs, labels = min member
+    val labels = docs.graft.dedupClusters(id = "id", text = "body", lang = Some("language"))
+      .as[(Long, Long)].collect().toMap
+    for ((a, b) <- got) labels(a) shouldBe labels(b)
+    labels.values.foreach(c => labels(c) shouldBe c) // representative labels itself
+
+    // nearDedup keeps exactly the representatives
+    val kept = docs.graft.nearDedup(id = "id", text = "body", lang = Some("language"))
+      .select("id").as[Long].collect().sorted
+    kept shouldBe labels.collect { case (id, c) if id == c => id }.toSeq.sorted
+  }
+
+  test("cosine top-k matches a hand-computed ranking") {
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    val got = emb.graft.cosineTopK(queries, k = 3)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+    val all = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      BigDecimal(d / math.sqrt(na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for (qid <- 0L until 3L) {
+      val q = all.find(_._1 == qid).get._2
+      val want = all.filter(_._1 != qid)
+        .map { case (i, v) => (i, cos(q, v)) }
+        .sortBy { case (i, c) => (-c, i) }.take(3).map(_._1).toSeq
+      got(qid) shouldBe want
+    }
+  }
+
+  test("pack store handle: init/append/delete/scan/time-travel/poll round-trip on arbitrary bytes") {
+    val base = Files.createTempDirectory("graft_api_store").toFile.getAbsolutePath + "/store"
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi).as[Long].map(i => (i, Array.fill((i % 7 + 1).toInt)(i.toByte)))
+
+    val store = spark.graft.packStore(base)
+    store.init(batch(0, 100), nPacks = 2)   // snap 0
+    store.append(batch(100, 150))           // snap 1
+    store.delete(spark.range(0, 150, 10).as[Long]) // snap 2
+    store.tip shouldBe Some(2L)
+
+    val survivors = (0L until 150L).filterNot(_ % 10 == 0)
+    val live = store.scan().collect().sortBy(_._1)
+    live.map(_._1).toSeq shouldBe survivors
+    // bytes round-trip exactly
+    live.foreach { case (i, b) => b.toSeq shouldBe Array.fill((i % 7 + 1).toInt)(i.toByte).toSeq }
+    // time travel: the pre-delete snapshot still holds everything
+    store.scanAt(1).collect().map(_._1).sorted.toSeq shouldBe (0L until 150L)
+
+    // changelog: one poll from scratch sees all adds and the retraction set
+    val ch = store.poll(-1L)
+    ch.tip shouldBe 2L
+    ch.adds.collect().map(_._1).sorted.toSeq shouldBe (0L until 150L)
+    ch.deletes.collect().sorted.toSeq shouldBe (0L until 150L by 10)
+
+    // compaction + vacuum: physical drop, view unchanged
+    store.compact(nPacks = 2)
+    store.vacuum(retainSnapshots = 1)
+    store.scan().collect().map(_._1).sorted.toSeq shouldBe survivors
+  }
+}
