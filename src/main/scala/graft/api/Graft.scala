@@ -196,6 +196,42 @@ final class GraftFrame(val df: DataFrame) {
     df.join(labels, df(id) === labels("__g_keep"), "left_semi")
   }
 
+  // ---------- temporal ----------
+
+  /** Native as-of join: for each row of this frame, the latest `right`
+    * row with `rightTs` ≤ `leftTs` within equal keys (the
+    * sort-merge-without-pair-blowup operator behind q_join_asof_native;
+    * one co-partitioned sort, no exchange when inputs are already
+    * key-partitioned). The right side's columns must not share attribute
+    * names with this frame — alias them first, as with a Spark
+    * self-join.
+    */
+  def asofJoin(right: DataFrame, leftOn: Seq[String], rightOn: Seq[String],
+      leftTs: String, rightTs: String): DataFrame =
+    graft.plans.AsOfJoin.asof(df, right, leftOn, rightOn, leftTs, rightTs)
+
+  /** Gap sessionization over a numeric time column: a silence longer
+    * than `gap` (same unit as `ts`) starts a new session. Emits one row
+    * per (key, session) with count and start/end. One shuffle on `key`;
+    * both window passes share the sort. Pass `tieBreak` columns when
+    * `ts` can repeat within a key, so session numbering is
+    * deterministic.
+    */
+  def sessionize(key: String = "user_id", ts: String = "ts_us",
+      gap: Long = 1800000000L, tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = col(ts) +: tieBreak.map(col)
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev_ts", lag(col(ts), 1).over(w))
+      .withColumn("__new_sess",
+        when(col("__prev_ts").isNull || col(ts) - col("__prev_ts") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("session", sum("__new_sess").over(run))
+      .groupBy(col(key), col("session"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(ts)).as(s"${ts}_start"), max(col(ts)).as(s"${ts}_end"))
+  }
+
   // ---------- similarity search ----------
 
   /** Brute-force cosine top-k of this frame (the corpus) for each row of

@@ -92,6 +92,24 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("asofJoin and sessionize on user frames match hand-computed truths") {
+    // as-of: latest quote at-or-before each trade, per symbol
+    val trades = Seq(("A", 10L, 1), ("A", 25L, 2), ("B", 7L, 3), ("B", 5L, 4))
+      .toDF("sym", "t_ts", "trade_id")
+    val quotes = Seq(("A", 9L, 90.0), ("A", 20L, 91.0), ("A", 25L, 92.0), ("B", 6L, 50.0))
+      .toDF("q_sym", "q_ts", "px")
+    val got = trades.graft.asofJoin(quotes, Seq("sym"), Seq("q_sym"), "t_ts", "q_ts")
+      .select("trade_id", "px").as[(Int, Double)].collect().toMap
+    got shouldBe Map(1 -> 90.0, 2 -> 92.0, 3 -> 50.0) // trade 4 precedes all quotes
+
+    // sessionize: gap=10 over per-user event times
+    val ev = Seq(("u1", 0L), ("u1", 5L), ("u1", 30L), ("u1", 35L), ("u2", 100L))
+      .toDF("user", "at")
+    val sess = ev.graft.sessionize(key = "user", ts = "at", gap = 10L)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    sess shouldBe Seq(("u1", 1L, 2L, 0L, 5L), ("u1", 2L, 2L, 30L, 35L), ("u2", 1L, 1L, 100L, 100L))
+  }
+
   test("pack store handle: init/append/delete/scan/time-travel/poll round-trip on arbitrary bytes") {
     val base = Files.createTempDirectory("graft_api_store").toFile.getAbsolutePath + "/store"
     def batch(lo: Long, hi: Long) =
