@@ -103,6 +103,17 @@ final class PackStoreHandle(val spark: SparkSession, val base: String) {
     */
   def vacuum(retainSnapshots: Int = 1): Unit =
     PackStore.vacuum(spark, base, retainSnapshots)
+
+  /** Attach a streaming (media_id, payload) frame to this store: one
+    * micro-batch = one delta publish, exactly-once per batchId (the id
+    * is committed inside the atomically-swapped snapshot pointer, so
+    * replays are detected and skipped), compaction + retention vacuum on
+    * a delta-count cadence. Caller sets checkpoint/trigger and starts
+    * the returned writer; one query owns a store.
+    */
+  def attachStream(stream: DataFrame, nPacks: Int = 1, maxDeltas: Int = 4,
+      retainSnapshots: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    graft.streaming.PackIngest.attach(stream, base, nPacks, maxDeltas, retainSnapshots)
 }
 
 /** DataFrame-scoped operators, parameterized over the caller's column

@@ -140,4 +140,34 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     store.vacuum(retainSnapshots = 1)
     store.scan().collect().map(_._1).sorted.toSeq shouldBe survivors
   }
+
+  test("attachStream lands a two-batch stream exactly once through the handle") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val srcDir = Files.createTempDirectory("graft_api_ssrc").toFile.getAbsolutePath
+    val cpDir = Files.createTempDirectory("graft_api_scp").toFile.getAbsolutePath
+    val base = Files.createTempDirectory("graft_api_sstore").toFile.getAbsolutePath + "/store"
+
+    def write(i: Int, lo: Long, hi: Long): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_api_sw$i").toFile.getAbsolutePath
+      spark.range(lo, hi).as[Long].map(k => (k, Array.fill(4)(k.toByte)))
+        .toDF("media_id", "payload").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, java.nio.file.Paths.get(srcDir, s"f$i.parquet"))
+      Thread.sleep(1100)
+    }
+    write(0, 0, 40); write(1, 40, 80)
+
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("payload", BinaryType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val store = spark.graft.packStore(base)
+    val q = store.attachStream(stream, nPacks = 2)
+      .option("checkpointLocation", cpDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    store.scan().collect().map(_._1).sorted.toSeq shouldBe (0L until 80L)
+  }
 }
