@@ -207,6 +207,23 @@ final class GraftFrame(val df: DataFrame) {
     df.join(labels, df(id) === labels("__g_keep"), "left_semi")
   }
 
+  /** The composed nightly curation pipeline as one declarative plan:
+    * quality gate at `minQuality` → exact dedup (min-id representative
+    * per identical text) → near-dedup (drop any doc with a lower-id
+    * quality-surviving near-twin at Jaccard ≥ num/den; LSH candidates +
+    * exact verify, never all-pairs). Returns surviving rows with
+    * `n_tokens` and `quality_score` attached. The J ≥ 0.8 / 0.5-gate
+    * instance is oracle-checked end-to-end as q_pipeline_curate.
+    */
+  def curate(id: String = "doc_id", text: String = "text",
+      lang: Option[String] = Some("lang"), minQuality: Double = 0.5,
+      num: Int = 4, den: Int = 5): DataFrame = {
+    val langCol = lang.fold(lit(""): Column)(col)
+    val canonical = df.select(col(id).as("doc_id"), langCol.as("lang"), col(text).as("text"))
+    graft.operators.CurationPipeline.curateSurvivors(canonical, minQuality, num, den)
+      .select(col("doc_id").as(id), col("lang"), col("n_tokens"), col("quality_score"))
+  }
+
   // ---------- temporal ----------
 
   /** Native as-of join: for each row of this frame, the latest `right`

@@ -39,40 +39,51 @@ object CurationPipeline {
           + lit(0.5) * (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tokens"))
           + lit(0.2) * least(lit(1.0), col("n_tokens").cast(DoubleType) / lit(100.0)), 6))
 
+  /** The pipeline core over canonical (doc_id, lang, text) columns:
+    * quality gate at `minQuality` → exact dedup → near-dedup at
+    * J ≥ num/den. Returns survivors with the scoring columns attached.
+    * Shared by the oracle-checked q_pipeline_curate (which pins
+    * minQuality = 0.5, J ≥ 4/5) and the `df.graft.curate` facade verb.
+    */
+  private[graft] def curateSurvivors(input: org.apache.spark.sql.DataFrame,
+      minQuality: Double, num: Int, den: Int): org.apache.spark.sql.DataFrame = {
+    val docs = scoredDocs(input)
+    // stage 1: quality gate
+    val quality = docs.filter(col("quality_score") >= minQuality)
+    // stage 2: exact dedup — canonical representative per identical text
+    val exact = quality
+      .withColumn("keep_id", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("text")))
+      .filter(col("doc_id") === col("keep_id"))
+    // stage 3: near-dedup — drop docs with a more-canonical near-twin.
+    // Candidate pairs come from the engine's MinHash-banded LSH (near-
+    // linear), then only candidates pay the exact sorted-merge Jaccard
+    // verification with size-band + early-exit pruning (both lossless at
+    // the num/den threshold).
+    val sets = exact.select(col("doc_id"), col("lang"), col("toks"),
+      Tokenize.hashedSetOf(col("toks")).as("th"))
+    val candidates = DedupQueries.minhashBandCandidates(
+      sets.select(col("doc_id"), col("lang"), col("toks")))
+    val t1 = sets.select(col("doc_id").as("doc_id1"), col("th").as("th1"), size(col("th")).as("sz1"))
+    val t2 = sets.select(col("doc_id").as("doc_id2"), col("th").as("th2"), size(col("th")).as("sz2"))
+    // J ≥ num/den ⟹ num·max ≤ den·min; I_min = ⌈num(s1+s2)/(num+den)⌉
+    val iMin = s"CAST(($num * (sz1 + sz2) + ${num + den - 1}) div ${num + den} AS INT)"
+    val dropIds = candidates.join(t1, "doc_id1").join(t2, "doc_id2")
+      .filter(DedupQueries.sizeBand(col("sz1"), col("sz2"), num, den))
+      .withColumn("inter", DedupQueries.intersectAtLeast(col("th1"), col("th2"), expr(iMin)))
+      .withColumn("j", col("inter").cast(DoubleType)
+        / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("j") >= num.toDouble / den)
+      .select(col("doc_id2").as("drop_id")).distinct()
+    exact.join(dropIds, col("doc_id") === col("drop_id"), "left_anti")
+  }
+
   val pipelineCurate = QueryDef(
     "q_pipeline_curate",
-    (s, dir) => {
-      val docs = scoredDocs(Tables.documents(s, dir))
-      // stage 1: quality gate
-      val quality = docs.filter(col("quality_score") >= 0.5)
-      // stage 2: exact dedup — canonical representative per identical text
-      val exact = quality
-        .withColumn("keep_id", min("doc_id").over(
-          org.apache.spark.sql.expressions.Window.partitionBy("text")))
-        .filter(col("doc_id") === col("keep_id"))
-      // stage 3: near-dedup — drop docs with a more-canonical near-twin.
-      // Candidate pairs come from the engine's MinHash-banded LSH (near-
-      // linear), then only candidates pay the exact sorted-merge Jaccard
-      // verification with size-band + early-exit pruning (both lossless at
-      // the 0.8 threshold).
-      val sets = exact.select(col("doc_id"), col("lang"), col("toks"),
-        Tokenize.hashedSetOf(col("toks")).as("th"))
-      val candidates = DedupQueries.minhashBandCandidates(
-        sets.select(col("doc_id"), col("lang"), col("toks")))
-      val t1 = sets.select(col("doc_id").as("doc_id1"), col("th").as("th1"), size(col("th")).as("sz1"))
-      val t2 = sets.select(col("doc_id").as("doc_id2"), col("th").as("th2"), size(col("th")).as("sz2"))
-      val dropIds = candidates.join(t1, "doc_id1").join(t2, "doc_id2")
-        .filter(DedupQueries.sizeBand(col("sz1"), col("sz2"), 4, 5)) // J ≥ 0.8 ⟹ 4·max ≤ 5·min
-        .withColumn("inter", DedupQueries.intersectAtLeast(col("th1"), col("th2"),
-          expr("CAST((4 * (sz1 + sz2) + 8) div 9 AS INT)"))) // I_min for t = 0.8
-        .withColumn("j", col("inter").cast(DoubleType)
-          / (col("sz1") + col("sz2") - col("inter")))
-        .filter(col("j") >= 0.8)
-        .select(col("doc_id2").as("drop_id")).distinct()
-      exact.join(dropIds, col("doc_id") === col("drop_id"), "left_anti")
+    (s, dir) =>
+      curateSurvivors(Tables.documents(s, dir), 0.5, 4, 5)
         .select("doc_id", "lang", "n_tokens", "quality_score")
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some("""
       WITH scored AS (
         SELECT doc_id, lang, text,

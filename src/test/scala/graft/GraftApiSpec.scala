@@ -92,6 +92,27 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("curate on renamed columns equals the oracle-checked pipeline instance") {
+    val docs = docsDf
+    // the facade instance at the pinned parameters must equal the
+    // registered q_pipeline_curate (oracle-checked vs DuckDB) exactly
+    val want = graft.SparkEntry.queries("q_pipeline_curate")(spark, sfTiny)
+      .collect().map(_.toString).sorted
+    val renamed = docs.select($"doc_id".as("id"), $"lang".as("language"), $"text".as("body"))
+    val got = renamed.graft.curate(id = "id", text = "body", lang = Some("language"))
+      .select($"id".as("doc_id"), $"lang", $"n_tokens", $"quality_score")
+      .collect().map(_.toString).sorted
+    got shouldBe want
+
+    // a stricter gate only ever shrinks the survivor set
+    val strict = renamed.graft.curate(id = "id", text = "body", lang = Some("language"),
+      minQuality = 0.6, num = 1, den = 2)
+    val strictIds = strict.select("id").as[Long].collect().toSet
+    val baseIds = renamed.graft.curate(id = "id", text = "body", lang = Some("language"))
+      .select("id").as[Long].collect().toSet
+    (strictIds -- baseIds) shouldBe empty
+  }
+
   test("asofJoin and sessionize on user frames match hand-computed truths") {
     // as-of: latest quote at-or-before each trade, per symbol
     val trades = Seq(("A", 10L, 1), ("A", 25L, 2), ("B", 7L, 3), ("B", 5L, 4))
