@@ -104,6 +104,36 @@ final class PackStoreHandle(val spark: SparkSession, val base: String) {
   def vacuum(retainSnapshots: Int = 1): Unit =
     PackStore.vacuum(spark, base, retainSnapshots)
 
+  /** One-row operational snapshot of the store — the numbers an
+    * operator checks before/after a compaction or vacuum: live
+    * component counts by family (base packs / deltas / tombstones),
+    * tombstoned id mass, live id range, snapshot tip and retained
+    * snapshot count. Driver-side listing of the snapshot metadata only
+    * (component dirs are never opened except tombstone manifests, whose
+    * row counts are parquet-footer reads).
+    */
+  def stats(): DataFrame = {
+    import spark.implicits._
+    val comps = PackStore.readCurrent(spark, base)
+    val (tombs, data) = comps.partition(_.dir.contains("/tombs/"))
+    val tombIds =
+      if (tombs.isEmpty) 0L
+      else tombs.map(c => spark.read.parquet(c.dir).count()).sum
+    val snaps = graft.sources.GraftFs.listFiles(spark, s"$base/snapshots")
+      .map(_.getPath.getName).count(_.startsWith("snap-"))
+    Seq((
+      PackStore.latestSnapshotId(spark, base).getOrElse(-1L),
+      snaps.toLong,
+      data.count(_.dir.contains("/packs/")).toLong,
+      data.count(_.dir.contains("/deltas/")).toLong,
+      tombs.size.toLong,
+      tombIds,
+      if (data.isEmpty) -1L else data.map(_.minId).min,
+      if (data.isEmpty) -1L else data.map(_.maxId).max,
+    )).toDF("tip", "retained_snapshots", "base_components", "delta_components",
+      "tombstone_components", "tombstoned_ids", "min_id", "max_id")
+  }
+
   /** Attach a streaming (media_id, payload) frame to this store: one
     * micro-batch = one delta publish, exactly-once per batchId (the id
     * is committed inside the atomically-swapped snapshot pointer, so

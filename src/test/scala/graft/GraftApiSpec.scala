@@ -156,10 +156,30 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     ch.adds.collect().map(_._1).sorted.toSeq shouldBe (0L until 150L)
     ch.deletes.collect().sorted.toSeq shouldBe (0L until 150L by 10)
 
+    // stats before compaction: 1 base + 1 delta + 1 tombstone component,
+    // 15 tombstoned ids, tip at snapshot 2 with all 3 snapshots retained
+    val pre = store.stats().collect().head
+    pre.getAs[Long]("tip") shouldBe 2L
+    pre.getAs[Long]("retained_snapshots") shouldBe 3L
+    pre.getAs[Long]("base_components") shouldBe 1L
+    pre.getAs[Long]("delta_components") shouldBe 1L
+    pre.getAs[Long]("tombstone_components") shouldBe 1L
+    pre.getAs[Long]("tombstoned_ids") shouldBe 15L
+    (pre.getAs[Long]("min_id"), pre.getAs[Long]("max_id")) shouldBe ((0L, 149L))
+
     // compaction + vacuum: physical drop, view unchanged
     store.compact(nPacks = 2)
     store.vacuum(retainSnapshots = 1)
     store.scan().collect().map(_._1).sorted.toSeq shouldBe survivors
+
+    // stats after: one merged base, no deltas/tombstones, one snapshot
+    val post = store.stats().collect().head
+    post.getAs[Long]("base_components") shouldBe 1L
+    post.getAs[Long]("delta_components") shouldBe 0L
+    post.getAs[Long]("tombstone_components") shouldBe 0L
+    post.getAs[Long]("tombstoned_ids") shouldBe 0L
+    post.getAs[Long]("retained_snapshots") shouldBe 1L
+    (post.getAs[Long]("min_id"), post.getAs[Long]("max_id")) shouldBe ((1L, 149L))
   }
 
   test("attachStream lands a two-batch stream exactly once through the handle") {
