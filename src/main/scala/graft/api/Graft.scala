@@ -134,6 +134,15 @@ final class PackStoreHandle(val spark: SparkSession, val base: String) {
       "tombstone_components", "tombstoned_ids", "min_id", "max_id")
   }
 
+  /** Push-based changelog subscription: a Structured Streaming query
+    * over the snapshots directory (each publish is a new file; the file
+    * source's checkpointed listing is the cursor). The handler receives
+    * each batch's Changes — at-least-once on crash-replay, exactly-once
+    * for idempotent handlers. Caller sets checkpoint/trigger and starts.
+    */
+  def followStream(handler: PackSubscribe.Changes => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    PackSubscribe.follow(spark, base)(handler)
+
   /** Attach a streaming (media_id, payload) frame to this store: one
     * micro-batch = one delta publish, exactly-once per batchId (the id
     * is committed inside the atomically-swapped snapshot pointer, so

@@ -51,21 +51,54 @@ object PackSubscribe {
     * has nothing to do).
     */
   def poll(s: SparkSession, base: String, lastSeen: Long): Changes = {
-    import s.implicits._
     val tip = PackStore.latestSnapshotId(s, base).getOrElse(-1L)
-    if (tip <= lastSeen) Changes(s.emptyDataset[(Long, Array[Byte])], s.emptyDataset[Long], lastSeen)
-    else {
-      val fresh = for {
-        k <- (lastSeen + 1) to tip
-        if PackStore.snapshotKind(s, base, k) != "compact"
-        prev = if (k == 0) Set.empty[String]
-               else PackStore.readSnapshot(s, base, k - 1).map(_.dir).toSet
-        c <- PackStore.readSnapshot(s, base, k) if !prev.contains(c.dir)
-      } yield c
-      val (tombs, data) = fresh.partition(_.dir.contains("/tombs/"))
-      val deletes = tombs.map(c => s.read.parquet(c.dir).select("media_id").as[Long])
-        .reduceOption(_.unionByName(_)).getOrElse(s.emptyDataset[Long]).distinct()
-      Changes(PackStore.scanComponents(s, data), deletes, tip)
-    }
+    if (tip <= lastSeen) changesFor(s, base, Seq.empty).copy(tip = lastSeen)
+    else changesFor(s, base, (lastSeen + 1) to tip)
+  }
+
+  /** Changes carried by an EXPLICIT snapshot-id set (each diffed against
+    * its predecessor; compact snapshots contribute nothing). The
+    * deterministic core shared by cursor-based [[poll]] and the
+    * file-stream [[follow]] — a replayed id set always yields the same
+    * Changes. `tip` is the max id (or -1 for an empty set).
+    */
+  def changesFor(s: SparkSession, base: String, ids: Seq[Long]): Changes = {
+    import s.implicits._
+    val fresh = for {
+      k <- ids.sorted
+      if PackStore.snapshotKind(s, base, k) != "compact"
+      prev = if (k == 0) Set.empty[String]
+             else PackStore.readSnapshot(s, base, k - 1).map(_.dir).toSet
+      c <- PackStore.readSnapshot(s, base, k) if !prev.contains(c.dir)
+    } yield c
+    val (tombs, data) = fresh.partition(_.dir.contains("/tombs/"))
+    val deletes = tombs.map(c => s.read.parquet(c.dir).select("media_id").as[Long])
+      .reduceOption(_.unionByName(_)).getOrElse(s.emptyDataset[Long]).distinct()
+    Changes(PackStore.scanComponents(s, data), deletes, ids.maxOption.getOrElse(-1L))
+  }
+
+  /** PUSH-based changelog: a Structured Streaming query over the store's
+    * snapshots directory. Every publish IS a new `snap-<k>` file, so the
+    * file source's checkpointed listing is the cursor — no polling loop,
+    * no cursor persistence for the caller. Each micro-batch delivers the
+    * [[Changes]] for exactly the snapshot files it contains (computed by
+    * the deterministic [[changesFor]]); on crash-replay the same files
+    * re-deliver the same Changes, so the handler gets at-least-once and
+    * an idempotent handler gets exactly-once (the same contract as any
+    * foreachBatch sink). The retention/lag SLA is [[poll]]'s: a follower
+    * resumed after its window expired fails typed on the vacuumed
+    * snapshot.
+    */
+  def follow(s: SparkSession, base: String)(
+      handler: Changes => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.input_file_name
+    s.readStream
+      .option("pathGlobFilter", "snap-*")
+      .text(s"$base/snapshots")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = batch.select(input_file_name()).distinct().collect()
+          .map(_.getString(0).split('/').last.stripPrefix("snap-").toLong).toSeq
+        if (ids.nonEmpty) handler(changesFor(batch.sparkSession, base, ids))
+      }
   }
 }

@@ -182,6 +182,41 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     (post.getAs[Long]("min_id"), post.getAs[Long]("max_id")) shouldBe ((1L, 149L))
   }
 
+  test("followStream pushes adds and retractions once per snapshot file; a resumed follower sees only new publishes") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_api_follow").toFile.getAbsolutePath + "/store"
+    val cp = Files.createTempDirectory("graft_api_fcp").toFile.getAbsolutePath
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi).as[Long].map(i => (i, Array.fill(3)(i.toByte)))
+
+    val store = spark.graft.packStore(base)
+    store.init(batch(0, 50), nPacks = 2)           // snap 0
+    store.append(batch(50, 80))                    // snap 1
+    store.delete(spark.range(0, 20, 2).as[Long])   // snap 2
+
+    val adds = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val dels = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def run(): Unit = {
+      val q = store.followStream { ch =>
+        ch.adds.collect().foreach(a => adds.add(a._1))
+        ch.deletes.collect().foreach(dels.add)
+      }.option("checkpointLocation", cp).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    adds.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted.toSeq shouldBe (0L until 80L)
+    dels.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted.toSeq shouldBe (0L until 20L by 2)
+
+    // resume from the checkpoint: only the NEW publish is delivered, and
+    // the intervening compaction (pure rewrite) contributes nothing
+    store.compact(nPacks = 2)                      // snap 3
+    store.append(batch(80, 90))                    // snap 4
+    adds.clear(); dels.clear()
+    run()
+    adds.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted.toSeq shouldBe (80L until 90L)
+    dels.isEmpty shouldBe true
+  }
+
   test("attachStream lands a two-batch stream exactly once through the handle") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
