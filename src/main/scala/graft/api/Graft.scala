@@ -70,6 +70,14 @@ final class PackStoreHandle(val spark: SparkSession, val base: String) {
     */
   def delete(ids: Dataset[Long]): Unit = PackStore.deleteIds(spark, base, ids)
 
+  /** Atomic replace-or-insert: ONE publish carries both the tombstone
+    * for the batch's ids and their new versions — readers see old or
+    * new, never a mix or a gap; changelog consumers get retractions +
+    * adds in the same poll (apply deletes first).
+    */
+  def upsert(objects: Dataset[(Long, Array[Byte])], nPacks: Int = 1): Unit =
+    PackStore.upsert(spark, base, objects, nPacks)
+
   /** Live bytes (tombstones subtracted), optionally id-range pruned. */
   def scan(idRange: Option[(Long, Long)] = None): Dataset[(Long, Array[Byte])] =
     PackStore.scanBytes(spark, base, idRange)

@@ -525,8 +525,9 @@ object ContainerOps {
     * reconstructs the re-encoded byte sequence — and its checksum — with
     * integer arithmetic, never seeing the Scala encoder.
     */
-  private def oracleBaseFor(wExpr: String, hExpr: String, srExpr: String): String = (s"""
-      WITH doc AS (SELECT doc_id, text, n_chars, octet_length(encode(text)) AS len FROM documents),
+  private def oracleBaseFor(wExpr: String, hExpr: String, srExpr: String,
+      textExpr: String = "text"): String = (s"""
+      WITH doc AS (SELECT doc_id, $textExpr AS text, n_chars, octet_length(encode($textExpr)) AS len FROM documents),
       p AS (SELECT doc_id, text, len, doc_id % 3 AS fmt_i,
               CAST($wExpr AS BIGINT) AS w,
               CAST($hExpr AS BIGINT) AS h,
@@ -591,6 +592,29 @@ object ContainerOps {
     * predicate + ORDER BY around it (time travel's snapshot cut).
     */
   private[multimodal] def containerOracleBaseForStore: String = containerOracleBase
+
+  /** The v2 oracle base for the upsert lifecycle: byte derivation with
+    * the document text REVERSED (header fields and injections unchanged —
+    * they derive from doc_id and lengths, which reverse preserves — but
+    * every body byte moves, so the checksum witnesses the new version).
+    * Mirrors [[containerTableV2]]'s Spark-side payloads.
+    */
+  private[multimodal] def containerOracleBaseV2ForStore: String =
+    oracleBaseFor("n_chars % 512 + 16", "n_chars % 384 + 16",
+      "8000 * (1 + (doc_id % 9) // 3)", textExpr = "reverse(text)")
+
+  /** Version-2 payloads for the SAME ids: identical headers, reversed
+    * body text — the replacement content [[PackStore.upsert]]'s oracle
+    * query publishes (fixture text is ASCII, so reversal is byte-exact
+    * across engines).
+    */
+  def containerTableV2(s: org.apache.spark.sql.SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select("doc_id", "text", "n_chars")
+      .as[(Long, String, Long)]
+      .map { case (id, text, n) => (id, buildPayload(id, text.reverse, n)) }
+  }
 
   /** Clean subset of the container oracle: the encode path quarantines
     * (drops) the injected-malformed rows, and every surviving row must

@@ -348,6 +348,32 @@ object PackStore {
     }
   }
 
+  /** Atomic UPSERT: replace-or-insert the batch's objects in ONE
+    * publish. The snapshot appends a tombstone for the batch's ids
+    * (subtracting every PRIOR version — position-aware scan semantics)
+    * followed by the new delta, so readers see either the old versions
+    * or the new ones, never a mix and never a gap — the non-atomic
+    * delete-then-append pair cannot promise that. Changelog consumers
+    * see the snapshot as retractions + adds in the same poll (apply
+    * deletes before adds). Insert-only rows ride along: an id with no
+    * prior version is simply added (its tombstone entry subtracts
+    * nothing). The tombstone ids are read back from the delta's own
+    * committed manifest, so a retried publish can never tombstone ids
+    * the delta doesn't carry.
+    */
+  def upsert(s: SparkSession, base: String, objs: Dataset[(Long, Array[Byte])],
+      nPacks: Int = 1, note: Option[String] = None): Unit = {
+    if (objs.isEmpty) return // an empty upsert publishes nothing
+    val token = writerToken()
+    val dDir = s"$base/deltas/d-$token"
+    val dComp = writeComponent(s, objs, dDir, nPacks)
+    val tDir = s"$base/tombs/t-$token"
+    s.read.parquet(s"$dDir/manifest").select("media_id")
+      .write.mode("overwrite").parquet(tDir)
+    val tComp = Component(tDir, dComp.minId, dComp.maxId, Some(bloomOf(s, tDir)))
+    publishWith(s, base, "upsert", note)(live => Some(live :+ tComp :+ dComp)): Unit
+  }
+
   /** Initialize the store: the whole batch becomes component packs/v0,
     * published as snapshot 0. A second concurrent init is a caller bug
     * and fails typed (the store was no longer empty at publish time).
@@ -408,21 +434,40 @@ object PackStore {
         .filter(c => hi - lo >= 64 ||
           c.bloom.forall(b => (lo to hi).exists(mightContain(b, _))))
     }
-    val (tombs, live) = pruned.partition(isTombstone)
-    val raw = scanData(s, live, idRange, chunkBytes)
-    if (tombs.isEmpty) raw
+    // POSITION-AWARE subtraction: a tombstone subtracts only from
+    // components that precede it in the live list. deleteIds appends its
+    // tombstone last (subtracts from everything live at delete time);
+    // a LATER append/upsert of the same id is NOT subtracted — the
+    // re-added version resurrects, exactly the ordered-log semantics a
+    // table format needs for atomic upserts. Components with the same
+    // number of tombstones after them share one subtractor set, so the
+    // scan degenerates to (#tombstones-in-window + 1) anti-joins at
+    // worst — and to the plain union when no tombstone is live.
+    val tombsAfter = pruned.zipWithIndex.filter(p => isTombstone(p._1))
+    if (tombsAfter.isEmpty) scanData(s, pruned, idRange, chunkBytes)
     else {
-      // distributed subtraction: tombstone parquets anti-join the scan —
-      // the id set never collects to the driver
-      val tombIds = tombs.map(c => s.read.parquet(c.dir).select("media_id"))
-        .reduce(_.unionByName(_)).distinct()
-      // rename back to tuple columns so downstream consumers (compact →
-      // writeComponent repartitions on "_1") see the same shape as the
-      // tombstone-free branch
-      raw.toDF("media_id", "payload")
-        .join(tombIds, Seq("media_id"), "left_anti")
-        .select(col("media_id").as("_1"), col("payload").as("_2"))
-        .as[(Long, Array[Byte])]
+      val segments = pruned.zipWithIndex.filterNot(p => isTombstone(p._1))
+        .groupBy { case (_, i) => tombsAfter.count(_._2 > i) }
+        .toSeq.sortBy(_._1) // deterministic plan assembly
+      if (segments.isEmpty) scanData(s, Seq.empty, idRange, chunkBytes)
+      else segments.map { case (nAfter, comps) =>
+        val raw = scanData(s, comps.map(_._1), idRange, chunkBytes)
+        if (nAfter == 0) raw
+        else {
+          // distributed subtraction: tombstone parquets anti-join the
+          // scan — the id set never collects to the driver
+          val tombIds = tombsAfter.takeRight(nAfter)
+            .map { case (c, _) => s.read.parquet(c.dir).select("media_id") }
+            .reduce(_.unionByName(_)).distinct()
+          // rename back to tuple columns so downstream consumers
+          // (compact → writeComponent repartitions on "_1") see the
+          // same shape as the tombstone-free branch
+          raw.toDF("media_id", "payload")
+            .join(tombIds, Seq("media_id"), "left_anti")
+            .select(col("media_id").as("_1"), col("payload").as("_2"))
+            .as[(Long, Array[Byte])]
+        }
+      }.reduce(_.unionByName(_))
     }
   }
 
@@ -667,5 +712,53 @@ ${ContainerOps.containerOracleBaseForStore}
 ) t WHERE media_id % 10 <> 3 ORDER BY media_id"""),
   )
 
-  def defs: Seq[QueryDef] = Seq(mmPackLifecycle, mmPackTimetravel, mmPackDeletes)
+  /** Upsert-lifecycle store: the full corpus lands, every media_id ≡ 3
+    * (mod 10) is atomically REPLACED with its v2 payload (reversed body
+    * text, identical headers) in one tombstone+delta publish, and the
+    * store is deliberately NOT compacted — so the scan must exercise the
+    * position-aware subtraction live (old versions subtracted, the new
+    * delta NOT subtracted by its own tombstone). Built once per scale
+    * dir behind the fingerprint guard.
+    */
+  def ensureUpsertStore(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = graft.sources.GraftFs.qualify(s,
+      s"target/graft-pack-upserts/${ContainerOps.payloadFingerprint}-p${ContainerOps.NumPacks}-s1/$tag")
+    synchronized {
+      if (!graft.sources.GraftFs.hasSuccess(s, base)) {
+        graft.sources.GraftFs.deleteRecursively(s, base)
+        import s.implicits._
+        val objs = ContainerOps.containerTable(s, dir)
+        initBase(s, base, objs, ContainerOps.NumPacks)                    // snapshot 0
+        upsert(s, base, ContainerOps.containerTableV2(s, dir).filter(_._1 % 10 == 3L)) // snapshot 1
+        graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_SUCCESS", "done")
+      }
+    }
+    base
+  }
+
+  /** Atomic UPSERT, oracle-checked end-to-end: ingest → one-publish
+    * replace of the ≡3 (mod 10) ids with v2 payloads → live scan. DuckDB
+    * independently derives BOTH versions' bytes (v2 = reversed body
+    * text) and mixes them on the same predicate, so the oracle pins the
+    * position-aware subtraction (old versions gone, new versions NOT
+    * subtracted by their own tombstone) checksum-for-checksum.
+    */
+  val mmPackUpserts = QueryDef(
+    "q_mm_pack_upserts",
+    (s, dir) => {
+      val base = ensureUpsertStore(s, dir)
+      scan(s, base).toDF().orderBy("media_id")
+    },
+    Some(s"""SELECT * FROM (
+${ContainerOps.containerOracleBaseForStore}
+) t WHERE media_id % 10 <> 3
+UNION ALL
+SELECT * FROM (
+${ContainerOps.containerOracleBaseV2ForStore}
+) t WHERE media_id % 10 = 3
+ORDER BY media_id"""),
+  )
+
+  def defs: Seq[QueryDef] = Seq(mmPackLifecycle, mmPackTimetravel, mmPackDeletes, mmPackUpserts)
 }

@@ -174,6 +174,46 @@ class PackStoreSpec extends SparkTestBase with Matchers {
     PackStore.scan(spark, base).collect().map(_.media_id).sorted.toSeq shouldBe survivors
   }
 
+  test("upserts: one-publish replace is atomic, position-aware (no self-subtraction), and a re-append after delete resurrects") {
+    import spark.implicits._
+    val local = Files.createTempDirectory("graft_packstore7").toFile.getAbsolutePath
+    val base = s"$local/store"
+    def objs(lo: Long, hi: Long, ver: Byte) =
+      spark.range(lo, hi).as[Long].map(i => (i, Array(ver, i.toByte)))
+
+    PackStore.initBase(spark, base, objs(0, 100, 1), 2)          // snap 0: v1 of 0..99
+    PackStore.upsert(spark, base, objs(20, 60, 2))               // snap 1: v2 of 20..59, one publish
+    PackStore.latestSnapshotId(spark, base) shouldBe Some(1L)    // atomic: ONE snapshot
+
+    val got = PackStore.scanBytes(spark, base).collect().toMap
+    got.keySet shouldBe (0L until 100L).toSet                    // no gap, no dup
+    for (i <- 0L until 100L)
+      got(i)(0) shouldBe (if (i >= 20 && i < 60) 2.toByte else 1.toByte)
+    // time travel still shows v1 everywhere
+    PackStore.scanBytes(spark, base, snapshot = Some(0L)).collect().toMap
+      .values.map(_(0)).toSet shouldBe Set(1.toByte)
+
+    // upsert can also INSERT: ids 100..109 have no prior version
+    PackStore.upsert(spark, base, objs(100, 110, 3))             // snap 2
+    PackStore.scanBytes(spark, base).count() shouldBe 110L
+
+    // delete then RE-APPEND: the later append must resurrect (the
+    // tombstone only subtracts from components that precede it)
+    PackStore.deleteIds(spark, base, spark.range(0, 10).as[Long]) // snap 3
+    PackStore.scanBytes(spark, base).count() shouldBe 100L
+    PackStore.appendDelta(spark, base, objs(0, 5, 4))             // snap 4
+    val after = PackStore.scanBytes(spark, base).collect().toMap
+    after.keySet shouldBe ((0L until 5L) ++ (10L until 110L)).toSet
+    (0L until 5L).foreach(i => after(i)(0) shouldBe 4.toByte)
+
+    // compaction materializes it all; the view is unchanged
+    PackStore.compact(spark, base, 2)
+    PackStore.vacuum(spark, base)
+    val fin = PackStore.scanBytes(spark, base).collect().toMap
+    fin.keySet shouldBe after.keySet
+    fin.foreach { case (i, b) => b.toSeq shouldBe after(i).toSeq }
+  }
+
   test("time travel: retained snapshots read as-of; expired snapshots fail typed; retention vacuum deletes the rest") {
     val local = Files.createTempDirectory("graft_packstore3").toFile.getAbsolutePath
     val base = s"$local/store"
