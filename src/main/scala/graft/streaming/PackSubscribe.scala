@@ -37,7 +37,10 @@ object PackSubscribe {
 
   /** One poll's emissions: object ADDS (id, payload), id DELETES (the
     * changelog's retraction records, from tombstone publishes), and the
-    * new cursor to persist.
+    * new cursor to persist. Apply DELETES BEFORE ADDS: an atomic upsert
+    * publish carries both a retraction and the replacement version of
+    * the same id in one poll, and delete-then-add converges to the new
+    * version while the reverse order would drop it.
     */
   final case class Changes(adds: Dataset[(Long, Array[Byte])],
       deletes: Dataset[Long], tip: Long)
