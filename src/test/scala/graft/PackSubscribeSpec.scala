@@ -60,6 +60,25 @@ class PackSubscribeSpec extends SparkTestBase with Matchers {
     p3.tip shouldBe 4L
     PackStore.scan(spark, base).collect().map(_.media_id).sorted.toSeq shouldBe (50L to 249L)
 
+    // atomic upsert publish: ONE poll carries both the retractions and
+    // the replacement versions, and deletes-before-adds converges to the
+    // new versions (a consumer state applying that order ends correct)
+    PackStore.upsert(spark, base,
+      spark.range(100, 120).as[Long].map(i => (i, Array(9.toByte, i.toByte)))) // snap 5
+    val p4 = PackSubscribe.poll(spark, base, p3.tip)
+    p4.tip shouldBe 5L
+    p4.deletes.collect().sorted.toSeq shouldBe (100L to 119L)
+    val newVs = p4.adds.collect().toMap
+    newVs.keySet shouldBe (100L to 119L).toSet
+    newVs.values.foreach(_(0) shouldBe 9.toByte)
+    var state = PackStore.scanComponents(spark,
+      PackStore.readSnapshot(spark, base, 4L)).collect().toMap // consumer at cursor 4
+    state = state -- p4.deletes.collect()                      // deletes first
+    state = state ++ newVs                                     // then adds
+    val want = PackStore.scanBytes(spark, base).collect().toMap
+    state.keySet shouldBe want.keySet
+    state.foreach { case (k, v) => v.toSeq shouldBe want(k).toSeq }
+
     // a subscriber lagging past the retention window fails typed —
     // never a silent gap, never garbage
     PackStore.vacuum(spark, base, retainSnapshots = 1)
