@@ -155,12 +155,14 @@ final class PackStoreHandle(val spark: SparkSession, val base: String) {
     * micro-batch = one delta publish, exactly-once per batchId (the id
     * is committed inside the atomically-swapped snapshot pointer, so
     * replays are detected and skipped), compaction + retention vacuum on
-    * a delta-count cadence. Caller sets checkpoint/trigger and starts
-    * the returned writer; one query owns a store.
+    * a delta-count cadence. `upsertMode` lands each batch as an atomic
+    * upsert instead — re-emitted ids REPLACE their old versions (CDC
+    * ingest). Caller sets checkpoint/trigger and starts the returned
+    * writer; one query owns a store.
     */
   def attachStream(stream: DataFrame, nPacks: Int = 1, maxDeltas: Int = 4,
-      retainSnapshots: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    graft.streaming.PackIngest.attach(stream, base, nPacks, maxDeltas, retainSnapshots)
+      retainSnapshots: Int = 2, upsertMode: Boolean = false): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    graft.streaming.PackIngest.attach(stream, base, nPacks, maxDeltas, retainSnapshots, upsertMode)
 }
 
 /** DataFrame-scoped operators, parameterized over the caller's column

@@ -48,15 +48,21 @@ object PackIngest {
   /** Land one micro-batch (media_id, payload) into the store; replayed
     * batchIds are detected via the tip snapshot's note and skipped.
     * Returns true when the batch was published (false = replay skip).
+    * `upsertMode = true` publishes each batch as an atomic UPSERT
+    * (tombstone + new versions in one snapshot) instead of a blind
+    * append — the CDC-style ingest where a re-emitted id REPLACES its
+    * old version rather than duplicating it.
     */
   def processBatch(s: SparkSession, batch: DataFrame, base: String, batchId: Long,
-      nPacks: Int = 1, maxDeltas: Int = 4, retainSnapshots: Int = 2): Boolean = {
+      nPacks: Int = 1, maxDeltas: Int = 4, retainSnapshots: Int = 2,
+      upsertMode: Boolean = false): Boolean = {
     import s.implicits._
     if (committedBatch(s, base).exists(_ >= batchId)) false
     else {
       // tuple column names: PackStore.writeComponent partitions on _1
       val objs = batch.selectExpr("media_id AS _1", "payload AS _2").as[(Long, Array[Byte])]
-      PackStore.appendDelta(s, base, objs, note = Some(batchNote(batchId)))
+      if (upsertMode) PackStore.upsert(s, base, objs, note = Some(batchNote(batchId)))
+      else PackStore.appendDelta(s, base, objs, note = Some(batchNote(batchId)))
       val deltas = PackStore.readCurrent(s, base).count(_.dir.contains("/deltas/d"))
       if (deltas > maxDeltas) {
         PackStore.compact(s, base, nPacks, note = Some(batchNote(batchId)))
@@ -68,11 +74,13 @@ object PackIngest {
 
   /** Attach a (media_id, payload) stream to a pack store via foreachBatch.
     * Single writer per base (the PackStore contract): one query owns the
-    * store; readers are never blocked by any of this.
+    * store; readers are never blocked by any of this. `upsertMode`
+    * re-emits replace, append duplicates (see [[processBatch]]).
     */
   def attach(stream: DataFrame, base: String, nPacks: Int = 1, maxDeltas: Int = 4,
-      retainSnapshots: Int = 2): DataStreamWriter[Row] =
+      retainSnapshots: Int = 2, upsertMode: Boolean = false): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      processBatch(batch.sparkSession, batch, base, batchId, nPacks, maxDeltas, retainSnapshots): Unit
+      processBatch(batch.sparkSession, batch, base, batchId, nPacks, maxDeltas,
+        retainSnapshots, upsertMode): Unit
     }
 }

@@ -246,4 +246,37 @@ class GraftApiSpec extends SparkTestBase with Matchers {
 
     store.scan().collect().map(_._1).sorted.toSeq shouldBe (0L until 80L)
   }
+
+  test("attachStream in upsertMode: a re-emitted id replaces its old version, never duplicates") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val srcDir = Files.createTempDirectory("graft_api_usrc").toFile.getAbsolutePath
+    val cpDir = Files.createTempDirectory("graft_api_ucp").toFile.getAbsolutePath
+    val base = Files.createTempDirectory("graft_api_ustore").toFile.getAbsolutePath + "/store"
+
+    def write(i: Int, lo: Long, hi: Long, ver: Byte): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_api_uw$i").toFile.getAbsolutePath
+      spark.range(lo, hi).as[Long].map(k => (k, Array(ver, k.toByte)))
+        .toDF("media_id", "payload").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, java.nio.file.Paths.get(srcDir, s"f$i.parquet"))
+      Thread.sleep(1100)
+    }
+    write(0, 0, 50, 1); write(1, 30, 70, 2) // ids 30..49 re-emitted at v2
+
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("payload", BinaryType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val store = spark.graft.packStore(base)
+    val q = store.attachStream(stream, nPacks = 2, upsertMode = true)
+      .option("checkpointLocation", cpDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = store.scan().collect().toMap
+    got.keySet shouldBe (0L until 70L).toSet // replaced, not duplicated
+    for (i <- 0L until 70L)
+      got(i)(0) shouldBe (if (i >= 30) 2.toByte else 1.toByte)
+  }
 }
