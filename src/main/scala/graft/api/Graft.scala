@@ -55,15 +55,20 @@ final class GraftSession(val spark: SparkSession) {
   */
 final class PackStoreHandle(val spark: SparkSession, val base: String) {
 
-  /** First publish: the whole batch becomes the base generation. */
-  def init(objects: Dataset[(Long, Array[Byte])], nPacks: Int = 32): Unit =
-    PackStore.initBase(spark, base, objects, nPacks)
+  /** First publish: the whole batch becomes the base generation.
+    * `meta` attaches record-level metadata (media_id + typed columns)
+    * to the component — the queryable index behind [[scanWhere]].
+    */
+  def init(objects: Dataset[(Long, Array[Byte])], nPacks: Int = 32,
+      meta: Option[DataFrame] = None): Unit =
+    PackStore.initBase(spark, base, objects, nPacks, meta)
 
   /** Land one ingest batch as a delta component (optimistic publish —
     * concurrent appenders all land).
     */
-  def append(objects: Dataset[(Long, Array[Byte])], nPacks: Int = 1): Unit =
-    PackStore.appendDelta(spark, base, objects, nPacks)
+  def append(objects: Dataset[(Long, Array[Byte])], nPacks: Int = 1,
+      meta: Option[DataFrame] = None): Unit =
+    PackStore.appendDelta(spark, base, objects, nPacks, meta = meta)
 
   /** Tombstone-delete ids: scans subtract them, pre-delete snapshots keep
     * them, the next compaction drops them physically.
@@ -75,8 +80,21 @@ final class PackStoreHandle(val spark: SparkSession, val base: String) {
     * new, never a mix or a gap; changelog consumers get retractions +
     * adds in the same poll (apply deletes first).
     */
-  def upsert(objects: Dataset[(Long, Array[Byte])], nPacks: Int = 1): Unit =
-    PackStore.upsert(spark, base, objects, nPacks)
+  def upsert(objects: Dataset[(Long, Array[Byte])], nPacks: Int = 1,
+      meta: Option[DataFrame] = None): Unit =
+    PackStore.upsert(spark, base, objects, nPacks, meta = meta)
+
+  /** Live record-level metadata (publishes' `meta` frames, version-
+    * tracked exactly like the bytes).
+    */
+  def meta(): DataFrame = PackStore.scanMeta(spark, base)
+
+  /** Metadata-pruned byte scan: fetch only objects whose live metadata
+    * row satisfies `pred` — packs with no qualifying object are never
+    * opened.
+    */
+  def scanWhere(pred: Column): Dataset[(Long, Array[Byte])] =
+    PackStore.scanBytesWhere(spark, base, pred)
 
   /** Live bytes (tombstones subtracted), optionally id-range pruned. */
   def scan(idRange: Option[(Long, Long)] = None): Dataset[(Long, Array[Byte])] =

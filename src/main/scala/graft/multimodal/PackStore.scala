@@ -362,11 +362,13 @@ object PackStore {
     * the delta doesn't carry.
     */
   def upsert(s: SparkSession, base: String, objs: Dataset[(Long, Array[Byte])],
-      nPacks: Int = 1, note: Option[String] = None): Unit = {
+      nPacks: Int = 1, note: Option[String] = None,
+      meta: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
     if (objs.isEmpty) return // an empty upsert publishes nothing
     val token = writerToken()
     val dDir = s"$base/deltas/d-$token"
     val dComp = writeComponent(s, objs, dDir, nPacks)
+    meta.foreach(writeMeta(s, dDir, _))
     val tDir = s"$base/tombs/t-$token"
     s.read.parquet(s"$dDir/manifest").select("media_id")
       .write.mode("overwrite").parquet(tDir)
@@ -379,8 +381,10 @@ object PackStore {
     * and fails typed (the store was no longer empty at publish time).
     */
   def initBase(s: SparkSession, base: String, objs: Dataset[(Long, Array[Byte])],
-      nPacks: Int): Unit = {
-    val comp = writeComponent(s, objs, s"$base/packs/v0-${writerToken()}", nPacks)
+      nPacks: Int, meta: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
+    val dir = s"$base/packs/v0-${writerToken()}"
+    val comp = writeComponent(s, objs, dir, nPacks)
+    meta.foreach(writeMeta(s, dir, _))
     val ok = publishWith(s, base, "init", None) { live =>
       if (live.nonEmpty) None else Some(Seq(comp))
     }
@@ -396,9 +400,27 @@ object PackStore {
     * wins the race — two concurrent appends both land, in some order.
     */
   def appendDelta(s: SparkSession, base: String, objs: Dataset[(Long, Array[Byte])],
-      nPacks: Int = 1, note: Option[String] = None): Unit = {
-    val comp = writeComponent(s, objs, s"$base/deltas/d-${writerToken()}", nPacks)
+      nPacks: Int = 1, note: Option[String] = None,
+      meta: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
+    val dir = s"$base/deltas/d-${writerToken()}"
+    val comp = writeComponent(s, objs, dir, nPacks)
+    meta.foreach(writeMeta(s, dir, _))
     publishWith(s, base, "delta", note)(live => Some(live :+ comp)): Unit
+  }
+
+  /** Attach the batch's record-level metadata to a component dir: a
+    * `meta/` parquet whose rows MUST cover exactly the batch's ids (the
+    * caller's contract), restricted to them by a manifest semi-join so a
+    * wider frame cannot leak rows for ids the component doesn't carry.
+    * Written BEFORE the publish, like every other component file — a
+    * crash leaves an unreferenced dir for vacuum, never a half-indexed
+    * live component.
+    */
+  private def writeMeta(s: SparkSession, dir: String,
+      meta: org.apache.spark.sql.DataFrame): Unit = {
+    val ids = s.read.parquet(s"$dir/manifest").select("media_id")
+    meta.join(ids, Seq("media_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Raw bytes of every live object whose id falls in `idRange` (all when
@@ -423,7 +445,8 @@ object PackStore {
     */
   def scanComponents(s: SparkSession, comps: Seq[Component],
       idRange: Option[(Long, Long)] = None,
-      chunkBytes: Long = 128L << 20): Dataset[(Long, Array[Byte])] = {
+      chunkBytes: Long = 128L << 20,
+      idFilter: Option[org.apache.spark.sql.DataFrame] = None): Dataset[(Long, Array[Byte])] = {
     import s.implicits._
     val pruned = idRange.fold(comps) { case (lo, hi) =>
       comps.filter(c => c.maxId >= lo && c.minId <= hi)
@@ -444,20 +467,15 @@ object PackStore {
     // scan degenerates to (#tombstones-in-window + 1) anti-joins at
     // worst — and to the plain union when no tombstone is live.
     val tombsAfter = pruned.zipWithIndex.filter(p => isTombstone(p._1))
-    if (tombsAfter.isEmpty) scanData(s, pruned, idRange, chunkBytes)
+    if (tombsAfter.isEmpty) scanData(s, pruned, idRange, chunkBytes, idFilter)
     else {
-      val segments = pruned.zipWithIndex.filterNot(p => isTombstone(p._1))
-        .groupBy { case (_, i) => tombsAfter.count(_._2 > i) }
-        .toSeq.sortBy(_._1) // deterministic plan assembly
-      if (segments.isEmpty) scanData(s, Seq.empty, idRange, chunkBytes)
-      else segments.map { case (nAfter, comps) =>
-        val raw = scanData(s, comps.map(_._1), idRange, chunkBytes)
-        if (nAfter == 0) raw
+      tombstoneSegments(pruned).map { case (comps, tombs) =>
+        val raw = scanData(s, comps, idRange, chunkBytes, idFilter)
+        if (tombs.isEmpty) raw
         else {
           // distributed subtraction: tombstone parquets anti-join the
           // scan — the id set never collects to the driver
-          val tombIds = tombsAfter.takeRight(nAfter)
-            .map { case (c, _) => s.read.parquet(c.dir).select("media_id") }
+          val tombIds = tombs.map(c => s.read.parquet(c.dir).select("media_id"))
             .reduce(_.unionByName(_)).distinct()
           // rename back to tuple columns so downstream consumers
           // (compact → writeComponent repartitions on "_1") see the
@@ -467,20 +485,42 @@ object PackStore {
             .select(col("media_id").as("_1"), col("payload").as("_2"))
             .as[(Long, Array[Byte])]
         }
-      }.reduce(_.unionByName(_))
+      }.reduceOption(_.unionByName(_))
+        .getOrElse(scanData(s, Seq.empty, idRange, chunkBytes, idFilter))
     }
+  }
+
+  /** Segment a live component list for position-aware subtraction: data
+    * components with the same tombstones-after set share one segment;
+    * segments in deterministic order. Shared by the byte scan and the
+    * metadata scan so the two views can never disagree on versioning.
+    */
+  private def tombstoneSegments(comps: Seq[Component]): Seq[(Seq[Component], Seq[Component])] = {
+    val tombsAfter = comps.zipWithIndex.filter(p => isTombstone(p._1))
+    comps.zipWithIndex.filterNot(p => isTombstone(p._1))
+      .groupBy { case (_, i) => tombsAfter.count(_._2 > i) }
+      .toSeq.sortBy(_._1) // deterministic plan assembly
+      .map { case (n, cs) => (cs.map(_._1), tombsAfter.takeRight(n).map(_._1)) }
   }
 
   private def scanData(s: SparkSession, live: Seq[Component],
       idRange: Option[(Long, Long)],
-      chunkBytes: Long): Dataset[(Long, Array[Byte])] = {
+      chunkBytes: Long,
+      idFilter: Option[org.apache.spark.sql.DataFrame] = None): Dataset[(Long, Array[Byte])] = {
     import s.implicits._
     val manifests = live.map(c => s.read.parquet(s"${c.dir}/manifest"))
       .reduceOption(_.unionByName(_))
       .getOrElse(s.emptyDataset[(Long, String, Long, Int)]
         .toDF("media_id", "pack_path", "offset", "length"))
-    val manifest = idRange.foldLeft(manifests) {
+    val ranged = idRange.foldLeft(manifests) {
       case (m, (lo, hi)) => m.filter(col("media_id").between(lo, hi))
+    }
+    // metadata-predicate pruning happens HERE, at the manifest level —
+    // entries that fail the semi-join never reach the repartition, so a
+    // pack none of whose objects qualify gets zero read tasks and is
+    // never opened (CountingFileSystem-proven)
+    val manifest = idFilter.foldLeft(ranged) {
+      (m, ids) => m.join(ids.select("media_id"), Seq("media_id"), "left_semi")
     }
     val fsImpls: Seq[(String, String)] = {
       import scala.jdk.CollectionConverters._
@@ -513,6 +553,49 @@ object PackStore {
           (id, buf)
         }
       }
+  }
+
+  /** RECORD-LEVEL METADATA over the live store: the union of every live
+    * data component's `meta/` parquet (publishes attach one via the
+    * `meta` parameter), with the SAME position-aware tombstone
+    * subtraction as the byte scan — so the metadata view and the byte
+    * view can never disagree on which version of an id is live. A
+    * queryable index: predicates on it prune byte reads (see
+    * [[scanBytesWhere]]) without touching payload bytes. Components
+    * published without metadata simply contribute no rows. Planning cost
+    * is one existence probe per live component — the same O(components)
+    * driver mass the manifest reads already pay.
+    */
+  def scanMeta(s: SparkSession, base: String): org.apache.spark.sql.DataFrame = {
+    val comps = readCurrent(s, base)
+    val withMeta = tombstoneSegments(comps).flatMap { case (data, tombs) =>
+      val metas = data.map(c => s"${c.dir}/meta")
+        .filter(graft.sources.GraftFs.exists(s, _))
+        .map(s.read.parquet(_))
+      metas.reduceOption(_.unionByName(_)).map { m =>
+        if (tombs.isEmpty) m
+        else {
+          val tombIds = tombs.map(c => s.read.parquet(c.dir).select("media_id"))
+            .reduce(_.unionByName(_)).distinct()
+          m.join(tombIds, Seq("media_id"), "left_anti")
+        }
+      }
+    }
+    withMeta.reduceOption(_.unionByName(_))
+      .getOrElse(s.emptyDataFrame.withColumn("media_id", lit(0L)).limit(0))
+  }
+
+  /** Metadata-pruned byte scan: only objects whose LIVE metadata row
+    * satisfies `pred` are fetched. The surviving id set semi-joins the
+    * manifests BEFORE the chunked fetch, so packs with no qualifying
+    * object get zero read tasks and are never opened — the point of a
+    * manifest-level index at 100 TB ("only the WAVs over 8 kHz" reads
+    * the WAV bytes, not the corpus).
+    */
+  def scanBytesWhere(s: SparkSession, base: String, pred: org.apache.spark.sql.Column,
+      chunkBytes: Long = 128L << 20): Dataset[(Long, Array[Byte])] = {
+    val ids = scanMeta(s, base).filter(pred).select("media_id")
+    scanComponents(s, readCurrent(s, base), None, chunkBytes, Some(ids))
   }
 
   /** Parsed view of the live store (the ContainerParser over scanBytes). */
@@ -760,5 +843,64 @@ ${ContainerOps.containerOracleBaseV2ForStore}
 ORDER BY media_id"""),
   )
 
-  def defs: Seq[QueryDef] = Seq(mmPackLifecycle, mmPackTimetravel, mmPackDeletes, mmPackUpserts)
+  /** Metadata-indexed store: the corpus lands with parse-derived
+    * record-level metadata attached to each publish, and the ≡3 (mod 10)
+    * ids are atomically upserted to v2 (reversed body text) WITH their
+    * v2 metadata — so the meta view must track live versions through the
+    * same position-aware subtraction as the bytes. Built once per scale
+    * dir behind the fingerprint guard.
+    */
+  def ensureMetaStore(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = graft.sources.GraftFs.qualify(s,
+      s"target/graft-pack-meta/${ContainerOps.payloadFingerprint}-p${ContainerOps.NumPacks}-s1/$tag")
+    def metaOf(objs: Dataset[(Long, Array[Byte])]): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      objs.map { case (id, b) => ContainerOps.ContainerParser.parse(id, b) }
+        .toDF().select("media_id", "format", "sample_rate", "n_bytes")
+    }
+    synchronized {
+      if (!graft.sources.GraftFs.hasSuccess(s, base)) {
+        graft.sources.GraftFs.deleteRecursively(s, base)
+        import s.implicits._
+        val v1 = ContainerOps.containerTable(s, dir)
+        initBase(s, base, v1, ContainerOps.NumPacks, meta = Some(metaOf(v1)))    // snapshot 0
+        val v2 = ContainerOps.containerTableV2(s, dir).filter(_._1 % 10 == 3L)
+        upsert(s, base, v2, meta = Some(metaOf(v2)))                             // snapshot 1
+        graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_SUCCESS", "done")
+      }
+    }
+    base
+  }
+
+  /** Metadata-pruned scan, oracle-checked end-to-end: "the 16 kHz+ WAVs"
+    * are selected on the META view (no payload bytes touched for the
+    * rest of the corpus — CountingFileSystem-proven in PackStoreSpec),
+    * fetched, and re-parsed; DuckDB derives the same cut — including the
+    * upserted v2 checksums — purely from doc columns, so the metadata
+    * index, the manifest semi-join, and the version tracking all sit
+    * under the hash compare.
+    */
+  val mmPackMeta = QueryDef(
+    "q_mm_pack_meta",
+    (s, dir) => {
+      import s.implicits._
+      val base = ensureMetaStore(s, dir)
+      scanBytesWhere(s, base, col("format") === "wav" && col("sample_rate") >= 16000)
+        .mapPartitions(_.map { case (id, bytes) => ContainerOps.ContainerParser.parse(id, bytes) })
+        .toDF().orderBy("media_id")
+    },
+    Some(s"""SELECT * FROM (
+SELECT * FROM (
+${ContainerOps.containerOracleBaseForStore}
+) t WHERE media_id % 10 <> 3
+UNION ALL
+SELECT * FROM (
+${ContainerOps.containerOracleBaseV2ForStore}
+) t WHERE media_id % 10 = 3
+) u WHERE format = 'wav' AND sample_rate >= 16000 ORDER BY media_id"""),
+  )
+
+  def defs: Seq[QueryDef] = Seq(mmPackLifecycle, mmPackTimetravel, mmPackDeletes,
+    mmPackUpserts, mmPackMeta)
 }

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.multimodal.{ContainerOps, PackStore}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.matchers.should.Matchers
 
 /** Generational pack-store lifecycle specs: immutable components + an
@@ -140,6 +140,47 @@ class PackStoreSpec extends SparkTestBase with Matchers {
     // positive control: a present id in the same range still resolves
     val hit = PackStore.scan(spark, base, Some((302L, 302L))).collect()
     hit.map(_.media_id).toSeq shouldBe Seq(302L)
+  }
+
+  test("metadata: the meta view tracks live versions; predicate scans never open unqualified packs") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcount.impl", classOf[CountingFileSystem].getName)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.AbstractFileSystem.graftcount.impl", classOf[CountingAbstractFs].getName)
+    val local = Files.createTempDirectory("graft_packstore8").toFile.getAbsolutePath
+    val base = s"graftcount:$local/store"
+    def objs(lo: Long, hi: Long, ver: Byte) =
+      spark.range(lo, hi).as[Long].map(i => (i, Array(ver, i.toByte)))
+    def meta(lo: Long, hi: Long, kind: String) =
+      spark.range(lo, hi).toDF("media_id").withColumn("kind", lit(kind))
+
+    PackStore.initBase(spark, base, objs(0, 50, 1), 2, meta = Some(meta(0, 50, "a")))
+    PackStore.appendDelta(spark, base, objs(50, 100, 1), meta = Some(meta(50, 100, "b")))
+    PackStore.upsert(spark, base, objs(40, 45, 2), meta = Some(meta(40, 45, "c")))
+
+    // live metadata: one row per live id, upserted ids carry v2's meta
+    val m = PackStore.scanMeta(spark, base).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[String]("kind")).toMap
+    m.keySet shouldBe (0L until 100L).toSet
+    (0L until 100L).foreach { i =>
+      m(i) shouldBe (if (i >= 40 && i < 45) "c" else if (i < 50) "a" else "b")
+    }
+
+    // predicate scan returns exactly the matching LIVE versions
+    val a = PackStore.scanBytesWhere(spark, base, col("kind") === "a").collect().toMap
+    a.keySet shouldBe ((0L until 40L) ++ (45L until 50L)).toSet
+    a.values.foreach(_(0) shouldBe 1.toByte)
+    PackStore.scanBytesWhere(spark, base, col("kind") === "c")
+      .collect().map(_._2(0)).toSet shouldBe Set(2.toByte)
+
+    // pruning proof: a kind='b' scan never opens the base generation's
+    // packs — the semi-join kills their manifest entries before any
+    // read task forms
+    CountingFileSystem.reset()
+    PackStore.scanBytesWhere(spark, base, col("kind") === "b").count() shouldBe 50L
+    CountingFileSystem.openedPaths
+      .filter(_.contains("pack-")).exists(_.contains("/packs/v0")) shouldBe false
   }
 
   test("deletes: tombstones subtract from scans but not from pre-delete snapshots; compaction drops them physically") {
