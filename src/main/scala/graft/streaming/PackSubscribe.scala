@@ -40,7 +40,10 @@ object PackSubscribe {
     * new cursor to persist. Apply DELETES BEFORE ADDS: an atomic upsert
     * publish carries both a retraction and the replacement version of
     * the same id in one poll, and delete-then-add converges to the new
-    * version while the reverse order would drop it.
+    * version while the reverse order would drop it. Adds are NET of the
+    * window — at most one (the newest live) version per id, and ids
+    * added-then-deleted inside the window emit nothing — so
+    * deletes-then-adds converges for ANY window split.
     */
   final case class Changes(adds: Dataset[(Long, Array[Byte])],
       deletes: Dataset[Long], tip: Long)
@@ -74,10 +77,16 @@ object PackSubscribe {
              else PackStore.readSnapshot(s, base, k - 1).map(_.dir).toSet
       c <- PackStore.readSnapshot(s, base, k) if !prev.contains(c.dir)
     } yield c
-    val (tombs, data) = fresh.partition(_.dir.contains("/tombs/"))
+    val tombs = fresh.filter(_.dir.contains("/tombs/"))
     val deletes = tombs.map(c => s.read.parquet(c.dir).select("media_id").as[Long])
       .reduceOption(_.unionByName(_)).getOrElse(s.emptyDataset[Long]).distinct()
-    Changes(PackStore.scanComponents(s, data), deletes, ids.maxOption.getOrElse(-1L))
+    // adds are NET of the window: the ordered fresh list (tombstones
+    // included) goes through the same position-aware scan as the store
+    // itself, so an id added then deleted inside one window emits no
+    // add, and an id upserted emits only its newest version — without
+    // this, deletes-before-adds would resurrect dead versions whenever
+    // a poll window spans an add and its deletion
+    Changes(PackStore.scanComponents(s, fresh), deletes, ids.maxOption.getOrElse(-1L))
   }
 
   /** PUSH-based changelog: a Structured Streaming query over the store's

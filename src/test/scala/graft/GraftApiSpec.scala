@@ -150,10 +150,11 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     // time travel: the pre-delete snapshot still holds everything
     store.scanAt(1).collect().map(_._1).sorted.toSeq shouldBe (0L until 150L)
 
-    // changelog: one poll from scratch sees all adds and the retraction set
+    // changelog: one poll from scratch sees the NET adds (ids deleted
+    // within the window never surface) and the retraction set
     val ch = store.poll(-1L)
     ch.tip shouldBe 2L
-    ch.adds.collect().map(_._1).sorted.toSeq shouldBe (0L until 150L)
+    ch.adds.collect().map(_._1).sorted.toSeq shouldBe survivors
     ch.deletes.collect().sorted.toSeq shouldBe (0L until 150L by 10)
 
     // stats before compaction: 1 base + 1 delta + 1 tombstone component,
@@ -204,7 +205,10 @@ class GraftApiSpec extends SparkTestBase with Matchers {
       q.awaitTermination()
     }
     run()
-    adds.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted.toSeq shouldBe (0L until 80L)
+    // adds are NET of the delivered window: ids deleted inside it never
+    // surface as adds (deletes-before-adds must not resurrect them)
+    adds.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted.toSeq shouldBe
+      (0L until 80L).filterNot(i => i < 20 && i % 2 == 0)
     dels.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted.toSeq shouldBe (0L until 20L by 2)
 
     // resume from the checkpoint: only the NEW publish is delivered, and
@@ -245,6 +249,51 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     q.awaitTermination()
 
     store.scan().collect().map(_._1).sorted.toSeq shouldBe (0L until 80L)
+  }
+
+  test("multi-store composition: follow source store -> filter -> upsert into replica; deletes propagate") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = spark.graft.packStore(
+      Files.createTempDirectory("graft_api_m_src").toFile.getAbsolutePath + "/store")
+    val dst = spark.graft.packStore(
+      Files.createTempDirectory("graft_api_m_dst").toFile.getAbsolutePath + "/store")
+    val cp = Files.createTempDirectory("graft_api_m_cp").toFile.getAbsolutePath
+    def batch(lo: Long, hi: Long, ver: Byte) =
+      spark.range(lo, hi).as[Long].map(i => (i, Array(ver, i.toByte)))
+
+    src.init(batch(0, 100, 1), nPacks = 2)        // snap 0
+    src.delete(spark.range(0, 10).as[Long])       // snap 1
+    src.upsert(batch(20, 30, 2))                  // snap 2
+
+    // the replication pipeline: source changelog -> keep only even ids ->
+    // apply to the replica as deletes + upserts (idempotent handler)
+    def replicate(): Unit = {
+      val q = src.followStream { ch =>
+        import spark.implicits._
+        val adds = ch.adds.filter(_._1 % 2 == 0)
+        val dels = ch.deletes.filter(_ % 2 == 0)
+        if (dst.tip.isEmpty) dst.init(adds, nPacks = 2)
+        else {
+          if (dels.count() > 0) dst.delete(dels)
+          if (adds.count() > 0) dst.upsert(adds)
+        }
+      }.option("checkpointLocation", cp).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    replicate()
+
+    // replica state = even-id projection of the source's live state
+    val want = src.scan().collect().filter(_._1 % 2 == 0).toMap
+    val got = dst.scan().collect().toMap
+    got.keySet shouldBe want.keySet
+    got.foreach { case (k, v) => v.toSeq shouldBe want(k).toSeq }
+    got(20L)(0) shouldBe 2.toByte // the upserted version, not the original
+
+    // incremental: a later source delete propagates on the next run
+    src.delete(spark.range(40, 60).as[Long])      // snap 3
+    replicate()
+    dst.scan().collect().map(_._1).sorted.toSeq shouldBe
+      src.scan().collect().map(_._1).filter(_ % 2 == 0).sorted.toSeq
   }
 
   test("attachStream in upsertMode: a re-emitted id replaces its old version, never duplicates") {
