@@ -160,6 +160,24 @@ final class PackStoreHandle(val spark: SparkSession, val base: String) {
       "tombstone_components", "tombstoned_ids", "min_id", "max_id")
   }
 
+  /** SQL access: register the store's live views in the session catalog
+    * as `<prefix>_bytes` (media_id, payload), `<prefix>_meta` (the
+    * record-level metadata), and `<prefix>_containers` (the parsed
+    * container fields) — `spark.sql("SELECT ... FROM media_meta WHERE
+    * sample_rate >= 16000")` sees exactly what the DataFrame scans see,
+    * through the same plans (tombstone subtraction, version tracking and
+    * all; deliberately NOT a custom DataSource — that would re-implement
+    * the scan outside Catalyst and hide its joins from the optimizer).
+    * Views pin the component set read at registration time — a
+    * consistent snapshot; re-register to observe later publishes.
+    */
+  def createViews(prefix: String): Unit = {
+    import spark.implicits._
+    scan().toDF("media_id", "payload").createOrReplaceTempView(s"${prefix}_bytes")
+    meta().createOrReplaceTempView(s"${prefix}_meta")
+    parseContainers().toDF().createOrReplaceTempView(s"${prefix}_containers")
+  }
+
   /** Push-based changelog subscription: a Structured Streaming query
     * over the snapshots directory (each publish is a new file; the file
     * source's checkpointed listing is the cursor). The handler receives

@@ -251,6 +251,33 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     store.scan().collect().map(_._1).sorted.toSeq shouldBe (0L until 80L)
   }
 
+  test("createViews: SQL over the store sees the same live state as the DataFrame scans") {
+    val base = Files.createTempDirectory("graft_api_sql").toFile.getAbsolutePath + "/store"
+    val store = spark.graft.packStore(base)
+    def batch(lo: Long, hi: Long, ver: Byte) =
+      spark.range(lo, hi).as[Long].map(i => (i, Array(ver, i.toByte)))
+    def meta(lo: Long, hi: Long, kind: String) =
+      spark.range(lo, hi).toDF("media_id")
+        .withColumn("kind", org.apache.spark.sql.functions.lit(kind))
+
+    store.init(batch(0, 60, 1), nPacks = 2, meta = Some(meta(0, 60, "x")))
+    store.delete(spark.range(0, 10).as[Long])
+    store.upsert(batch(20, 25, 2), meta = Some(meta(20, 25, "y")))
+    store.createViews("media")
+
+    spark.sql("SELECT count(*) AS n FROM media_bytes").head.getLong(0) shouldBe 50L
+    // SQL join of the meta view against the byte view: version-correct
+    val rows = spark.sql("""
+      SELECT b.media_id, m.kind FROM media_bytes b JOIN media_meta m USING (media_id)
+      WHERE m.kind = 'y' ORDER BY media_id""").collect()
+    rows.map(_.getLong(0)).toSeq shouldBe (20L until 25L)
+    // predicate over meta in pure SQL matches the scanWhere path
+    spark.sql("SELECT media_id FROM media_meta WHERE kind = 'x' ORDER BY media_id")
+      .collect().map(_.getLong(0)).toSeq shouldBe
+      store.scanWhere(org.apache.spark.sql.functions.col("kind") === "x")
+        .collect().map(_._1).sorted.toSeq
+  }
+
   test("multi-store composition: follow source store -> filter -> upsert into replica; deletes propagate") {
     import org.apache.spark.sql.streaming.Trigger
     val src = spark.graft.packStore(
