@@ -124,6 +124,13 @@ final class PackStoreHandle(val spark: SparkSession, val base: String) {
     */
   def compact(nPacks: Int = 32): Unit = PackStore.compact(spark, base, nPacks)
 
+  /** Fold the trailing delta/tombstone run into one delta WITHOUT
+    * rewriting the base generation — cost tracks the tail (the day's
+    * ingest), not the corpus; the physical drop of tombstoned bytes
+    * stays with full [[compact]].
+    */
+  def compactTail(nPacks: Int = 1): Unit = PackStore.compactTail(spark, base, nPacks)
+
   /** Expire all but the newest `retainSnapshots` snapshots and reclaim
     * unreferenced dirs + orphaned task-attempt files.
     */

@@ -566,8 +566,16 @@ object PackStore {
     * is one existence probe per live component — the same O(components)
     * driver mass the manifest reads already pay.
     */
-  def scanMeta(s: SparkSession, base: String): org.apache.spark.sql.DataFrame = {
-    val comps = readCurrent(s, base)
+  def scanMeta(s: SparkSession, base: String): org.apache.spark.sql.DataFrame =
+    metaOfComponents(s, readCurrent(s, base))
+
+  /** The live-metadata view of an EXPLICIT component list (the seam
+    * [[scanMeta]] and the compactions share — a fold must carry its
+    * inputs' metadata forward or the index silently dies at the first
+    * compaction).
+    */
+  private def metaOfComponents(s: SparkSession,
+      comps: Seq[Component]): org.apache.spark.sql.DataFrame = {
     val withMeta = tombstoneSegments(comps).flatMap { case (data, tombs) =>
       val metas = data.map(c => s"${c.dir}/meta")
         .filter(graft.sources.GraftFs.exists(s, _))
@@ -631,10 +639,54 @@ object PackStore {
     var done = false
     while (!done) {
       val merged = readCurrent(s, base)
-      val comp = writeComponent(s, scanComponents(s, merged),
-        s"$base/packs/v-${writerToken()}", nPacks)
+      val dir = s"$base/packs/v-${writerToken()}"
+      val comp = writeComponent(s, scanComponents(s, merged), dir, nPacks)
+      // carry the live metadata into the merged generation — a fold that
+      // dropped it would silently kill the index at the first compaction
+      val meta = metaOfComponents(s, merged)
+      if (meta.columns.length > 1) writeMeta(s, dir, meta)
       done = publishWith(s, base, "compact", note) { live =>
         if (live == merged) Some(Seq(comp)) else None
+      }.isDefined
+    }
+  }
+
+  /** TAIL compaction — the LSM L0 merge: fold the live list's trailing
+    * run of delta/tombstone components into ONE fresh delta without
+    * rewriting the base generation(s). Read amplification drops back to
+    * (prefix + tombstones + 1) opens while the corpus-sized rewrite (and
+    * the physical drop of tombstoned bytes) stays with full [[compact]] —
+    * at 100 TB a nightly tail fold costs proportional to the day's
+    * ingest, not the corpus. Semantics are preserved exactly: the tail's
+    * tombstones are REPUBLISHED ahead of the merged component (they must
+    * keep subtracting from the untouched prefix), and the merge itself
+    * is the position-aware scan of the tail, so versions/deletes inside
+    * the tail resolve before the fold. Validated optimistic commit, like
+    * full compaction.
+    */
+  def compactTail(s: SparkSession, base: String, nPacks: Int = 1,
+      note: Option[String] = None): Unit = {
+    var done = false
+    while (!done) {
+      val live = readCurrent(s, base)
+      val split = 1 + live.lastIndexWhere(c =>
+        !c.dir.contains("/deltas/") && !isTombstone(c))
+      val (prefix, tail) = live.splitAt(split)
+      // nothing to fold: a tail of at most one data component and no
+      // version/delete history to resolve
+      if (tail.count(!isTombstone(_)) <= 1 && !tail.exists(isTombstone)) return
+      val merged = scanComponents(s, tail)
+      val newTail =
+        if (merged.isEmpty) tail.filter(isTombstone) // tail data fully deleted
+        else {
+          val dir = s"$base/deltas/d-${writerToken()}"
+          val comp = writeComponent(s, merged, dir, nPacks)
+          val meta = metaOfComponents(s, tail)
+          if (meta.columns.length > 1) writeMeta(s, dir, meta)
+          tail.filter(isTombstone) :+ comp
+        }
+      done = publishWith(s, base, "compact", note) { cur =>
+        if (cur == live) Some(prefix ++ newTail) else None
       }.isDefined
     }
   }

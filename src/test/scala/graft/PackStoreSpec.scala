@@ -255,6 +255,49 @@ class PackStoreSpec extends SparkTestBase with Matchers {
     fin.foreach { case (i, b) => b.toSeq shouldBe after(i).toSeq }
   }
 
+  test("tail compaction: folds the delta/tomb tail into one delta, base untouched, meta carried, view unchanged") {
+    import spark.implicits._
+    val local = Files.createTempDirectory("graft_packstore9").toFile.getAbsolutePath
+    val base = s"$local/store"
+    def objs(lo: Long, hi: Long, ver: Byte) =
+      spark.range(lo, hi).as[Long].map(i => (i, Array(ver, i.toByte)))
+    def meta(lo: Long, hi: Long, kind: String) =
+      spark.range(lo, hi).toDF("media_id").withColumn("kind", lit(kind))
+
+    PackStore.initBase(spark, base, objs(0, 100, 1), 2, meta = Some(meta(0, 100, "base")))
+    PackStore.appendDelta(spark, base, objs(100, 130, 1), meta = Some(meta(100, 130, "d1")))
+    PackStore.upsert(spark, base, objs(50, 60, 2), meta = Some(meta(50, 60, "up")))
+    PackStore.deleteIds(spark, base, spark.range(0, 10).as[Long])
+    val before = PackStore.scanBytes(spark, base).collect().toMap
+    val beforeMeta = PackStore.scanMeta(spark, base).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[String]("kind")).toMap
+    val baseDir = PackStore.readCurrent(spark, base).head.dir
+
+    PackStore.compactTail(spark, base, 1)
+    val live = PackStore.readCurrent(spark, base)
+    live.head.dir shouldBe baseDir                                     // base NOT rewritten
+    live.count(_.dir.contains("/deltas/")) shouldBe 1                  // tail folded to one
+    live.count(_.dir.contains("/tombs/")) shouldBe 2                   // tombs republished
+    val after = PackStore.scanBytes(spark, base).collect().toMap
+    after.keySet shouldBe before.keySet
+    after.foreach { case (k, v) => v.toSeq shouldBe before(k).toSeq }
+    // the fold carried the tail's metadata; the full view is unchanged
+    PackStore.scanMeta(spark, base).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[String]("kind"))
+      .toMap shouldBe beforeMeta
+
+    // vacuum after the fold reclaims the pre-fold delta dirs, and a
+    // subsequent FULL compaction still drops the tombstones physically
+    PackStore.vacuum(spark, base)
+    PackStore.compact(spark, base, 2)
+    PackStore.readCurrent(spark, base).exists(_.dir.contains("/tombs/")) shouldBe false
+    val fin = PackStore.scanBytes(spark, base).collect().toMap
+    fin.keySet shouldBe before.keySet
+    PackStore.scanMeta(spark, base).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[String]("kind"))
+      .toMap shouldBe beforeMeta
+  }
+
   test("time travel: retained snapshots read as-of; expired snapshots fail typed; retention vacuum deletes the rest") {
     val local = Files.createTempDirectory("graft_packstore3").toFile.getAbsolutePath
     val base = s"$local/store"
