@@ -580,7 +580,20 @@ object PackStore {
       val metas = data.map(c => s"${c.dir}/meta")
         .filter(graft.sources.GraftFs.exists(s, _))
         .map(s.read.parquet(_))
-      metas.reduceOption(_.unionByName(_)).map { m =>
+      // SCHEMA EVOLUTION: publishes may widen the metadata schema over
+      // time; columns a component predates read as NULL for its rows
+      // (the Iceberg/Delta add-column semantic). TYPE changes for an
+      // existing column fail typed HERE, before any union — Spark's own
+      // union would silently coerce (string kind + int kind → runtime
+      // cast errors on data rows), and an index column must never be
+      // coerced.
+      val types = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.DataType]
+      for (m <- metas; f <- m.schema.fields) types.get(f.name) match {
+        case Some(t) if t != f.dataType => throw new IllegalArgumentException(
+          s"meta column ${f.name} changed type across publishes: $t vs ${f.dataType}")
+        case _ => types.update(f.name, f.dataType)
+      }
+      metas.reduceOption(_.unionByName(_, allowMissingColumns = true)).map { m =>
         if (tombs.isEmpty) m
         else {
           val tombIds = tombs.map(c => s.read.parquet(c.dir).select("media_id"))
@@ -589,7 +602,7 @@ object PackStore {
         }
       }
     }
-    withMeta.reduceOption(_.unionByName(_))
+    withMeta.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse(s.emptyDataFrame.withColumn("media_id", lit(0L)).limit(0))
   }
 

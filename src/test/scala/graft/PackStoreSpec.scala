@@ -255,6 +255,36 @@ class PackStoreSpec extends SparkTestBase with Matchers {
     fin.foreach { case (i, b) => b.toSeq shouldBe after(i).toSeq }
   }
 
+  test("meta schema evolution: later publishes may widen the schema (old rows read null); type changes fail typed") {
+    import spark.implicits._
+    val local = Files.createTempDirectory("graft_packstore10").toFile.getAbsolutePath
+    val base = s"$local/store"
+    def objs(lo: Long, hi: Long) =
+      spark.range(lo, hi).as[Long].map(i => (i, Array(i.toByte)))
+
+    PackStore.initBase(spark, base, objs(0, 20), 2,
+      meta = Some(spark.range(0, 20).toDF("media_id").withColumn("kind", lit("a"))))
+    // widened schema: a new score column the base component predates
+    PackStore.appendDelta(spark, base, objs(20, 30),
+      meta = Some(spark.range(20, 30).toDF("media_id")
+        .withColumn("kind", lit("b")).withColumn("score", lit(0.5))))
+
+    val m = PackStore.scanMeta(spark, base)
+    m.columns.toSet shouldBe Set("media_id", "kind", "score")
+    m.filter(col("score").isNull).count() shouldBe 20L // pre-widening rows
+    m.filter(col("score") === 0.5).count() shouldBe 10L
+    // predicates over the widened column still prune correctly
+    PackStore.scanBytesWhere(spark, base, col("score") >= 0.5)
+      .collect().map(_._1).sorted.toSeq shouldBe (20L until 30L)
+
+    // an incompatible TYPE change for an existing column fails typed at
+    // plan time — an index column is never silently coerced
+    PackStore.appendDelta(spark, base, objs(30, 35),
+      meta = Some(spark.range(30, 35).toDF("media_id").withColumn("kind", lit(7))))
+    val e = intercept[IllegalArgumentException](PackStore.scanMeta(spark, base))
+    e.getMessage should include ("kind")
+  }
+
   test("tail compaction: folds the delta/tomb tail into one delta, base untouched, meta carried, view unchanged") {
     import spark.implicits._
     val local = Files.createTempDirectory("graft_packstore9").toFile.getAbsolutePath
