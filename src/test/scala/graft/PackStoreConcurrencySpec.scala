@@ -70,6 +70,36 @@ class PackStoreConcurrencySpec extends SparkTestBase with Matchers {
     ()
   }
 
+  test("racing upserts of the same ids converge: both land, the later publish wins wholesale, no mixed versions") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_packups").toFile.getAbsolutePath + "/store"
+    def objs(ver: Byte) = spark.range(0, 50).as[Long].map(i => (i, Array(ver, i.toByte)))
+    PackStore.initBase(spark, base, objs(1), 2) // snap 0: v1
+
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq[Byte](2, 3).map { v =>
+      new Thread(() => {
+        try PackStore.upsert(spark, base, objs(v))
+        catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    errors shouldBe empty
+    PackStore.latestSnapshotId(spark, base) shouldBe Some(2L) // both landed
+
+    // an atomic upsert is all-or-nothing: the LATER snapshot's tombstone
+    // subtracts the earlier winner's delta, so every id carries exactly
+    // the later publisher's version — never a v2/v3 mix, never a dup
+    val got = PackStore.scanBytes(spark, base).collect()
+    got.length shouldBe 50
+    val versions = got.map(_._2(0)).toSet
+    versions.size shouldBe 1
+    Set[Byte](2, 3) should contain (versions.head)
+    // and the intermediate snapshot shows the earlier winner consistently
+    val mid = PackStore.scanBytes(spark, base, snapshot = Some(1L)).collect()
+    mid.map(_._2(0)).toSet.size shouldBe 1
+  }
+
   test("vacuum vs readers: a retained-snapshot reader completes fully after GC; an expired-snapshot reader fails loudly, never partially") {
     val base = Files.createTempDirectory("graft_packgc").toFile.getAbsolutePath + "/store"
     val objs = ContainerOps.containerTable(spark, sfTiny).filter(_._1 <= 199)
