@@ -71,7 +71,8 @@ object PackStore {
     * validates its merge base by comparing live sets).
     */
   final case class Component(dir: String, minId: Long, maxId: Long,
-      bloom: Option[Vector[Long]] = None)
+      bloom: Option[Vector[Long]] = None,
+      metaStats: Option[Map[String, MetaZone.ColStat]] = None)
 
   /** Bloom geometry: 4096 bits (64 longs, ~684 base64 chars per snapshot
     * line), 3 probes per id — at a typical delta of a few thousand
@@ -110,6 +111,42 @@ object PackStore {
 
   private def currentPath(base: String) = s"$base/CURRENT"
   private def snapPath(base: String, id: Long) = s"$base/snapshots/snap-$id"
+  private def checkpointPath(base: String) = s"$base/CHECKPOINT"
+
+  /** Periodic checkpoint cadence (every Nth publish refreshes
+    * CHECKPOINT). The checkpoint pins a recently-known tip id so tip
+    * discovery WITHOUT a readable CURRENT hint walks forward a bounded
+    * number of probes instead of listing the snapshots directory — at a
+    * year of 1-minute streaming publishes that listing is 5x10^5
+    * entries, the one remaining O(total-publishes) cost on the read
+    * path. Vacuum also refreshes it, preserving the invariant that the
+    * checkpoint is never older than the oldest retained snapshot (a
+    * forward walk from it can never under-read across a vacuum gap).
+    */
+  private val CheckpointEvery = 16L
+
+  /** Best-effort checkpoint refresh: a plain atomic swap (no CAS — any
+    * recorded tip is valid, the forward walk heals staleness; a lost
+    * race between two refreshers just keeps the other's tip).
+    */
+  private def writeCheckpoint(s: SparkSession, base: String, id: Long): Unit =
+    try graft.sources.GraftFs.writeSmallFileAtomic(s, checkpointPath(base), id.toString)
+    catch { case _: Exception => () }
+
+  private def readCheckpointTip(s: SparkSession, base: String): Option[Long] =
+    try graft.sources.GraftFs.readSmallFile(s, checkpointPath(base)).map(_.trim.toLong)
+    catch { case _: Exception => None }
+
+  /** Strict `snap-<digits>` name parse: listing-driven discovery must
+    * ignore anything else in the snapshots dir (tmp commit files, editor
+    * droppings) rather than crash on `toLong`.
+    */
+  private val SnapName = "snap-(\\d+)".r
+  private def snapIdOf(name: String): Option[Long] =
+    name match { case SnapName(d) => Some(d.toLong); case _ => None }
+
+  private[graft] def snapshotExists(s: SparkSession, base: String, id: Long): Boolean =
+    graft.sources.GraftFs.exists(s, snapPath(base, id))
 
   /** A snapshot file is complete (not an in-flight exclusive write) when
     * its `#eof` terminator landed — the walk-forward probe's torn-read
@@ -135,36 +172,61 @@ object PackStore {
     val hint =
       try graft.sources.GraftFs.readSmallFile(s, currentPath(base)).map(_.trim.toLong)
       catch { case _: Exception => None }
+    def walkFrom(h: Long): Long = {
+      var tip = h
+      var k = h + 1
+      while (isCompleteSnapshot(s, base, k)) { tip = k; k += 1 }
+      tip
+    }
     hint match {
-      case Some(h) =>
-        var tip = h
-        var k = h + 1
-        while (isCompleteSnapshot(s, base, k)) { tip = k; k += 1 }
-        Some(tip)
+      case Some(h) => Some(walkFrom(h))
       case None =>
-        graft.sources.GraftFs.listFiles(s, s"$base/snapshots")
-          .map(_.getPath.getName).filter(_.startsWith("snap-"))
-          .map(_.stripPrefix("snap-").toLong)
+        // no readable CURRENT: the CHECKPOINT pins a recent tip to walk
+        // forward from — O(publishes-since-checkpoint) probes, never a
+        // directory listing. Guard against a checkpoint staler than the
+        // retention window (its snap file vacuumed, nothing newer found
+        // by the walk): that walk would under-read, so fall through to
+        // the exhaustive listing instead.
+        val fromCkpt = readCheckpointTip(s, base).map(walkFrom)
           .filter(isCompleteSnapshot(s, base, _))
-          .maxOption
+        fromCkpt.orElse {
+          graft.sources.GraftFs.listFiles(s, s"$base/snapshots")
+            .flatMap(f => snapIdOf(f.getPath.getName))
+            .filter(isCompleteSnapshot(s, base, _))
+            .maxOption
+        }
     }
   }
 
   /** Components of snapshot `id`. Typed failure — not a dangling read —
     * when the snapshot was vacuumed away or never existed. Lines starting
     * with `#` are snapshot metadata (see [[snapshotNote]]), not components.
+    *
+    * The `#eof` terminator is REQUIRED: a snapshot read torn at a line
+    * boundary parses as a valid-but-shorter component list, which would
+    * silently and permanently drop that snapshot's adds from any consumer
+    * that doesn't retry (a changelog batch most of all) — so incomplete
+    * content throws typed here, at the one parse point every read path
+    * shares, and the caller's retry/replay machinery does its job.
     */
   def readSnapshot(s: SparkSession, base: String, id: Long): Seq[Component] =
     graft.sources.GraftFs.readSmallFile(s, snapPath(base, id)) match {
       case None =>
         throw new IllegalArgumentException(
           s"snapshot $id of $base is expired or was never published")
+      case Some(content) if !content.trim.endsWith("#eof") =>
+        throw new IllegalStateException(
+          s"snapshot $id of $base is incomplete (missing #eof terminator): " +
+            "torn read or abandoned write — retry, or reclaim via publish")
       case Some(content) =>
         content.split("\n").filter(l => l.nonEmpty && !l.startsWith("#")).toSeq.map { line =>
           line.split("\t") match {
             case Array(d, lo, hi) => Component(d, lo.toLong, hi.toLong)
             case Array(d, lo, hi, b64) =>
               Component(d, lo.toLong, hi.toLong, Some(decodeBloom(b64)))
+            case Array(d, lo, hi, b64, mz) =>
+              Component(d, lo.toLong, hi.toLong, Some(decodeBloom(b64)),
+                Some(MetaZone.decode(mz)))
             case other =>
               throw new IllegalStateException(s"bad snapshot line: ${other.mkString("\t")}")
           }
@@ -197,9 +259,18 @@ object PackStore {
     * the changelog subscriber keys on; `note` carries the ingest batch
     * id for replay detection. Both commit atomically with the publish.
     */
+  /** CAS attempts before the publish fails typed. Every lost attempt
+    * means SOME writer committed (progress is system-wide), so a real
+    * contender exhausts this only under pathological contention — and a
+    * store wedged by external garbage surfaces as an error, not a spin.
+    */
+  private val MaxPublishAttempts = 1000
+
   private def publishWith(s: SparkSession, base: String, kind: String,
       note: Option[String])(rebase: Seq[Component] => Option[Seq[Component]]): Option[Long] = {
-    while (true) {
+    var attempts = 0
+    while (attempts < MaxPublishAttempts) {
+      attempts += 1
       val tip = latestSnapshotId(s, base)
       val live = tip.fold(Seq.empty[Component])(readSnapshot(s, base, _))
       rebase(live) match {
@@ -207,8 +278,16 @@ object PackStore {
         case Some(comps) =>
           val id = tip.fold(0L)(_ + 1)
           val lines = Seq(s"#kind=$kind") ++ note.map(n => s"#note=$n") ++
-            comps.map(c => s"${c.dir}\t${c.minId}\t${c.maxId}" +
-              c.bloom.fold("")(b => "\t" + encodeBloom(b))) :+ "#eof"
+            comps.map { c =>
+              // meta stats ride as field 5 and need field 4 present — a
+              // component with stats always carries an id bloom in
+              // practice (writeComponent emits both)
+              val tail = c.bloom.fold("") { b =>
+                "\t" + encodeBloom(b) +
+                  c.metaStats.fold("")(m => "\t" + MetaZone.encode(m))
+              }
+              s"${c.dir}\t${c.minId}\t${c.maxId}$tail"
+            } :+ "#eof"
           if (graft.sources.GraftFs.writeSmallFileExclusive(s, snapPath(base, id),
               lines.mkString("\n"))) {
             // best-effort monotone advance; stale/torn hints are healed on read
@@ -218,12 +297,24 @@ object PackStore {
             if (cur.forall(_ < id))
               try graft.sources.GraftFs.writeSmallFileAtomic(s, currentPath(base), id.toString)
               catch { case _: Exception => () } // lost advance race: healed on read
+            if (id % CheckpointEvery == 0L) writeCheckpoint(s, base, id)
             return Some(id)
           }
-        // lost the CAS: loop — fresh tip, fresh rebase
+          // Lost the CAS. Almost always a real competing publish — but if
+          // snap-<id> exists WITHOUT its #eof terminator it is torn
+          // garbage (the rename commit exposes targets only complete, so
+          // no in-flight writer can look like this): it would block this
+          // slot forever while staying invisible to tip discovery, the
+          // permanent livelock. Reclaim it and retry; racing reclaimers
+          // are safe (delete is idempotent, the CAS re-arbitrates).
+          if (snapshotExists(s, base, id) && !isCompleteSnapshot(s, base, id))
+            graft.sources.GraftFs.deleteRecursively(s, snapPath(base, id))
+        // loop — fresh tip, fresh rebase
       }
     }
-    None
+    throw new IllegalStateException(
+      s"publish of $base failed after $MaxPublishAttempts CAS attempts — " +
+        "pathological contention or an external process wedging the snapshot log")
   }
 
   /** The publish kind of snapshot `id` (`init` / `delta` / `compact`);
@@ -305,8 +396,15 @@ object PackStore {
     manifest.write.mode("overwrite").parquet(s"$dir/manifest")
     val mm = s.read.parquet(s"$dir/manifest")
       .agg(min("media_id"), max("media_id")).head
-    Component(dir, mm.getLong(0), mm.getLong(1), Some(bloomOf(s, s"$dir/manifest")))
+    // empty input (e.g. compacting a fully-tombstoned store): an EMPTY
+    // component — inverted range so every range prune skips it, all-zero
+    // bloom — never a null-row NPE; callers may drop it from the publish
+    if (mm.isNullAt(0)) Component(dir, 0L, -1L, Some(Vector.fill(BloomBits / 64)(0L)))
+    else Component(dir, mm.getLong(0), mm.getLong(1), Some(bloomOf(s, s"$dir/manifest")))
   }
+
+  /** An empty component (inverted id range) carries no objects. */
+  private def isEmptyComponent(c: Component): Boolean = c.maxId < c.minId
 
   /** Bloom zone map over a parquet path's media_id column: distinct BIT
     * POSITIONS are collected, not ids, so the driver-side mass is
@@ -367,8 +465,8 @@ object PackStore {
     if (objs.isEmpty) return // an empty upsert publishes nothing
     val token = writerToken()
     val dDir = s"$base/deltas/d-$token"
-    val dComp = writeComponent(s, objs, dDir, nPacks)
-    meta.foreach(writeMeta(s, dDir, _))
+    val dComp0 = writeComponent(s, objs, dDir, nPacks)
+    val dComp = meta.fold(dComp0)(m => dComp0.copy(metaStats = Some(writeMeta(s, dDir, m))))
     val tDir = s"$base/tombs/t-$token"
     s.read.parquet(s"$dDir/manifest").select("media_id")
       .write.mode("overwrite").parquet(tDir)
@@ -383,8 +481,8 @@ object PackStore {
   def initBase(s: SparkSession, base: String, objs: Dataset[(Long, Array[Byte])],
       nPacks: Int, meta: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
     val dir = s"$base/packs/v0-${writerToken()}"
-    val comp = writeComponent(s, objs, dir, nPacks)
-    meta.foreach(writeMeta(s, dir, _))
+    val comp0 = writeComponent(s, objs, dir, nPacks)
+    val comp = meta.fold(comp0)(m => comp0.copy(metaStats = Some(writeMeta(s, dir, m))))
     val ok = publishWith(s, base, "init", None) { live =>
       if (live.nonEmpty) None else Some(Seq(comp))
     }
@@ -403,8 +501,12 @@ object PackStore {
       nPacks: Int = 1, note: Option[String] = None,
       meta: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
     val dir = s"$base/deltas/d-${writerToken()}"
-    val comp = writeComponent(s, objs, dir, nPacks)
-    meta.foreach(writeMeta(s, dir, _))
+    val comp0 = writeComponent(s, objs, dir, nPacks)
+    if (isEmptyComponent(comp0)) { // empty batch: publish nothing
+      graft.sources.GraftFs.deleteRecursively(s, dir)
+      return
+    }
+    val comp = meta.fold(comp0)(m => comp0.copy(metaStats = Some(writeMeta(s, dir, m))))
     publishWith(s, base, "delta", note)(live => Some(live :+ comp)): Unit
   }
 
@@ -417,10 +519,13 @@ object PackStore {
     * live component.
     */
   private def writeMeta(s: SparkSession, dir: String,
-      meta: org.apache.spark.sql.DataFrame): Unit = {
+      meta: org.apache.spark.sql.DataFrame): Map[String, MetaZone.ColStat] = {
     val ids = s.read.parquet(s"$dir/manifest").select("media_id")
     meta.join(ids, Seq("media_id"), "left_semi")
       .write.mode("overwrite").parquet(s"$dir/meta")
+    // zone maps over what actually LANDED (post-restriction), read back
+    // from the committed parquet so stats can never drift from content
+    MetaZone.statsOf(s, s.read.parquet(s"$dir/meta"))
   }
 
   /** Raw bytes of every live object whose id falls in `idRange` (all when
@@ -606,17 +711,44 @@ object PackStore {
       .getOrElse(s.emptyDataFrame.withColumn("media_id", lit(0L)).limit(0))
   }
 
+  /** Drop data components whose snapshot-line META zone maps prove the
+    * predicate can match none of their rows — BEFORE any of their files
+    * (meta parquet, manifest, packs) is opened. Tombstones always stay
+    * (they subtract, they don't match), components without stats (no
+    * meta attached, or published pre-stats) always stay — strictly
+    * conservative, so the pruned scan is value-identical to the full
+    * one. This converts the metadata read path from O(live components)
+    * file opens to O(qualifying components).
+    */
+  private def pruneByMetaStats(s: SparkSession, comps: Seq[Component],
+      pred: org.apache.spark.sql.Column): Seq[Component] = {
+    val e = org.apache.spark.sql.GraftPlanBridge.columnExpr(pred)
+    comps.filter(c => isTombstone(c) ||
+      !c.metaStats.exists(MetaZone.excludes(_, e)))
+  }
+
+  /** The live-metadata view restricted by `pred`, with zone-map
+    * component pruning applied first: only components whose stats admit
+    * a match ever have their meta parquet opened.
+    */
+  def scanMetaWhere(s: SparkSession, base: String,
+      pred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    metaOfComponents(s, pruneByMetaStats(s, readCurrent(s, base), pred)).filter(pred)
+
   /** Metadata-pruned byte scan: only objects whose LIVE metadata row
-    * satisfies `pred` are fetched. The surviving id set semi-joins the
-    * manifests BEFORE the chunked fetch, so packs with no qualifying
-    * object get zero read tasks and are never opened — the point of a
-    * manifest-level index at 100 TB ("only the WAVs over 8 kHz" reads
-    * the WAV bytes, not the corpus).
+    * satisfies `pred` are fetched. Two pruning levels compound: the
+    * snapshot-line zone maps skip whole components (meta parquet never
+    * opened — see [[scanMetaWhere]]), and the surviving id set
+    * semi-joins the manifests BEFORE the chunked fetch, so packs with
+    * no qualifying object get zero read tasks and are never opened —
+    * the point of a manifest-level index at 100 TB ("only the WAVs over
+    * 8 kHz" reads the WAV bytes, not the corpus).
     */
   def scanBytesWhere(s: SparkSession, base: String, pred: org.apache.spark.sql.Column,
       chunkBytes: Long = 128L << 20): Dataset[(Long, Array[Byte])] = {
-    val ids = scanMeta(s, base).filter(pred).select("media_id")
-    scanComponents(s, readCurrent(s, base), None, chunkBytes, Some(ids))
+    val keep = pruneByMetaStats(s, readCurrent(s, base), pred)
+    val ids = metaOfComponents(s, keep).filter(pred).select("media_id")
+    scanComponents(s, keep, None, chunkBytes, Some(ids))
   }
 
   /** Parsed view of the live store (the ContainerParser over scanBytes). */
@@ -653,13 +785,22 @@ object PackStore {
     while (!done) {
       val merged = readCurrent(s, base)
       val dir = s"$base/packs/v-${writerToken()}"
-      val comp = writeComponent(s, scanComponents(s, merged), dir, nPacks)
+      val comp0 = writeComponent(s, scanComponents(s, merged), dir, nPacks)
+      // fully-tombstoned store (every id deleted, then compacted): the
+      // merge is EMPTY — publish the empty component list (the physical
+      // drop of everything) and leave the empty generation dir as a
+      // vacuum-able orphan, instead of a component built from no rows
       // carry the live metadata into the merged generation — a fold that
       // dropped it would silently kill the index at the first compaction
-      val meta = metaOfComponents(s, merged)
-      if (meta.columns.length > 1) writeMeta(s, dir, meta)
+      val newGen =
+        if (isEmptyComponent(comp0)) Seq.empty[Component]
+        else {
+          val meta = metaOfComponents(s, merged)
+          Seq(if (meta.columns.length > 1)
+            comp0.copy(metaStats = Some(writeMeta(s, dir, meta))) else comp0)
+        }
       done = publishWith(s, base, "compact", note) { live =>
-        if (live == merged) Some(Seq(comp)) else None
+        if (live == merged) Some(newGen) else None
       }.isDefined
     }
   }
@@ -693,9 +834,10 @@ object PackStore {
         if (merged.isEmpty) tail.filter(isTombstone) // tail data fully deleted
         else {
           val dir = s"$base/deltas/d-${writerToken()}"
-          val comp = writeComponent(s, merged, dir, nPacks)
+          val comp0 = writeComponent(s, merged, dir, nPacks)
           val meta = metaOfComponents(s, tail)
-          if (meta.columns.length > 1) writeMeta(s, dir, meta)
+          val comp = if (meta.columns.length > 1)
+            comp0.copy(metaStats = Some(writeMeta(s, dir, meta))) else comp0
           tail.filter(isTombstone) :+ comp
         }
       done = publishWith(s, base, "compact", note) { cur =>
@@ -704,30 +846,60 @@ object PackStore {
     }
   }
 
+  /** Never-referenced dirs younger than this survive vacuum by default:
+    * a CONCURRENT writer's staged-but-not-yet-published component is
+    * indistinguishable from an abandoned orphan by listing alone, and
+    * optimistic concurrency explicitly allows that window — so sweeping
+    * it needs an age threshold (Iceberg remove_orphan_files' `olderThan`
+    * pattern). One hour comfortably exceeds any component write+publish.
+    */
+  val DefaultOrphanGraceMs: Long = 60L * 60 * 1000
+
   /** Expire all but the newest `retainSnapshots` snapshots, then delete
     * component dirs no retained snapshot references (safe exactly
     * because every pointer that could name them is gone first). The
     * default keeps only CURRENT's snapshot — the no-time-travel
     * behavior; a larger retention is the audit/reproducibility window,
     * priced in storage exactly like Iceberg's expire_snapshots.
+    *
+    * Unreferenced dirs come in two provably different kinds, swept under
+    * different rules:
+    *   - referenced by an EXPIRED snapshot: published and superseded —
+    *     no writer can still be filling it; deleted immediately.
+    *   - referenced by NO snapshot at all: either an abandoned orphan
+    *     (crashed writer, aborted compaction) or a concurrent writer's
+    *     IN-FLIGHT staging dir — deleted only when older than
+    *     `orphanGraceMs`, so racing a vacuum against a live appender
+    *     can never dangle the appender's winning publish.
     */
-  def vacuum(s: SparkSession, base: String, retainSnapshots: Int = 1): Unit = {
+  def vacuum(s: SparkSession, base: String, retainSnapshots: Int = 1,
+      orphanGraceMs: Long = DefaultOrphanGraceMs): Unit = {
     val snapIds = graft.sources.GraftFs.listFiles(s, s"$base/snapshots")
-      .map(_.getPath.getName).filter(_.startsWith("snap-"))
-      .map(_.stripPrefix("snap-").toLong).sorted
+      .flatMap(f => snapIdOf(f.getPath.getName)).sorted
     val (expired, retained) = snapIds.splitAt(math.max(0, snapIds.size - math.max(1, retainSnapshots)))
+    // read expired component lists BEFORE deleting their pointers: dirs
+    // they reference are provably published, hence immediately sweepable
+    val expiredRefs = expired.flatMap(readSnapshot(s, base, _))
+      .map(c => graft.sources.GraftFs.qualify(s, c.dir)).toSet
     // pointers first: an expired snapshot must be unreadable before any
     // component it references can go
     expired.foreach(id => graft.sources.GraftFs.deleteRecursively(s, snapPath(base, id)))
+    // refresh the checkpoint to the newest retained id: vacuum is the
+    // only deleter of snap files, so doing it here keeps the invariant
+    // "checkpoint >= oldest retained" that the no-listing tip walk needs
+    retained.lastOption.foreach(writeCheckpoint(s, base, _))
     // qualify both sides of the liveness check: snapshot files carry dirs
     // as written (possibly scheme-less), listStatus returns them qualified
     val allLive = retained.flatMap(readSnapshot(s, base, _))
     val live = allLive.map(c => graft.sources.GraftFs.qualify(s, c.dir)).toSet
+    val sweepBefore = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
     for (family <- Seq("packs", "deltas", "tombs");
          st <- {
            val (fs, q) = graft.sources.GraftFs.resolve(s, s"$base/$family")
            if (fs.exists(q)) fs.listStatus(q).toSeq else Seq.empty
-         } if st.isDirectory && !live.contains(st.getPath.toString))
+         } if st.isDirectory && !live.contains(st.getPath.toString)
+           if expiredRefs.contains(st.getPath.toString) ||
+              st.getModificationTime < sweepBefore)
       graft.sources.GraftFs.deleteRecursively(s, st.getPath.toString)
     // orphan sweep INSIDE live data components: pack files written by dead
     // task attempts (retry/speculation) are unreferenced by the committed
@@ -918,7 +1090,7 @@ ORDER BY media_id"""),
   def ensureMetaStore(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val base = graft.sources.GraftFs.qualify(s,
-      s"target/graft-pack-meta/${ContainerOps.payloadFingerprint}-p${ContainerOps.NumPacks}-s1/$tag")
+      s"target/graft-pack-meta/${ContainerOps.payloadFingerprint}-p${ContainerOps.NumPacks}-s2zm/$tag")
     def metaOf(objs: Dataset[(Long, Array[Byte])]): org.apache.spark.sql.DataFrame = {
       import s.implicits._
       objs.map { case (id, b) => ContainerOps.ContainerParser.parse(id, b) }

@@ -78,13 +78,26 @@ object GraftFs {
   /** Exclusive create — the compare-and-swap primitive optimistic
     * publishes race on: write `content` to `p` only if `p` does not
     * already exist; returns false when another writer got there first.
-    * Guarantees: atomic vs other processes on filesystems with true
-    * exclusive create (HDFS rejects the second create server-side);
-    * atomic vs other THREADS of this JVM everywhere (per-path mutex
-    * closes the local FS's check-then-act window). On an object store
-    * without an exclusive-create/if-none-match primitive, cross-process
-    * exclusion needs an external coordinator — the standard table-format
-    * caveat (Delta LogStore documents the same per-FS matrix).
+    *
+    * COMMIT VIA RENAME, not direct create: the content lands complete in
+    * a dot-prefixed tmp sibling first and the no-overwrite rename is the
+    * CAS — so a writer that crashes (or hits an I/O error) mid-write
+    * leaves either nothing or an ignorable tmp orphan, NEVER a torn
+    * half-written target. A torn target would wedge every future CAS on
+    * this path permanently (it exists, so exclusive create always fails,
+    * while its missing terminator keeps it invisible to readers — the
+    * livelock a direct `create(overwrite=false)` invites). The dot
+    * prefix keeps tmp orphans out of directory listings that drive
+    * snapshot discovery and out of Spark file sources (both skip
+    * `.`/`_`-prefixed names).
+    *
+    * Guarantees: atomic vs other processes on filesystems with atomic
+    * no-overwrite rename (HDFS, local FS); atomic vs other THREADS of
+    * this JVM everywhere (per-path mutex closes FileContext's
+    * check-then-act window on the local FS). On an object store without
+    * a rename/if-none-match primitive, cross-process exclusion needs an
+    * external coordinator — the standard table-format caveat (Delta
+    * LogStore documents the same per-FS matrix).
     */
   def writeSmallFileExclusive(s: SparkSession, p: String, content: String): Boolean = {
     val (fs, q) = resolve(s, p)
@@ -92,14 +105,21 @@ object GraftFs {
     lock.synchronized {
       if (fs.exists(q)) false
       else {
-        val created =
-          try Some(fs.create(q, false))
-          catch { case _: java.io.IOException if fs.exists(q) => None }
-        created match {
-          case None => false
-          case Some(out) =>
-            try out.write(content.getBytes("UTF-8")) finally out.close()
-            true
+        val tmp = new Path(q.getParent,
+          "." + q.getName + ".tmp-" + java.util.UUID.randomUUID.toString.take(8))
+        val out = fs.create(tmp, true)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        try {
+          val fc = FileContext.getFileContext(q.toUri, s.sparkContext.hadoopConfiguration)
+          fc.rename(tmp, q) // Options.Rename.NONE: fails when q exists
+          true
+        } catch {
+          case e: java.io.IOException =>
+            try fs.delete(tmp, false): Unit catch { case _: java.io.IOException => () }
+            // lost the race only if the target actually landed; any other
+            // I/O failure must surface typed, not read as CAS-lost (a
+            // publish loop would otherwise spin on a dead filesystem)
+            if (fs.exists(q)) false else throw e
         }
       }
     }

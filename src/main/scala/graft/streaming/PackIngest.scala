@@ -40,10 +40,25 @@ object PackIngest {
 
   private def batchNote(id: Long) = s"batch=$id"
 
+  /** Highest committed batch id visible in the snapshot log. Scans notes
+    * back through the whole RETAINED window — not just the tip — because
+    * any interleaved publish that carries no batch note (a manual
+    * compact/vacuum, a deleteIds, another writer landing between a
+    * batch's commit and its replay) would otherwise hide the committed
+    * id from a tip-only read and the replayed micro-batch would
+    * double-append. Cost: O(retained snapshots) small-file reads, the
+    * same window every poll already walks. The remaining contract is
+    * only that retention outlasts the replay horizon (the last batch),
+    * which `retainSnapshots >= 2` gives by construction.
+    */
   private def committedBatch(s: SparkSession, base: String): Option[Long] =
-    PackStore.latestSnapshotId(s, base)
-      .flatMap(PackStore.snapshotNote(s, base, _))
-      .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
+    PackStore.latestSnapshotId(s, base).flatMap { tip =>
+      Iterator.iterate(tip)(_ - 1)
+        .takeWhile(k => k >= 0 && PackStore.snapshotExists(s, base, k))
+        .flatMap(k => PackStore.snapshotNote(s, base, k))
+        .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
+        .maxOption
+    }
 
   /** Land one micro-batch (media_id, payload) into the store; replayed
     * batchIds are detected via the tip snapshot's note and skipped.

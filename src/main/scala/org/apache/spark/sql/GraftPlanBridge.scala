@@ -11,4 +11,11 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftPlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The Catalyst expression tree behind a [[Column]] (Spark 4 removed
+    * the public `.expr`). Used for driver-side zone-map pruning, which
+    * inspects — never executes — the tree.
+    */
+  def columnExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }
