@@ -59,6 +59,11 @@ object Bench {
     } catch { case _: Throwable => () }
     println(totalLine)
     println(line)
+    // emit the short totals line LAST as well: the driver's capture keeps
+    // the output tail when it truncates (BENCH_r07's visible suffix), so
+    // bracketing the long per-query line guarantees one parseable totals
+    // line survives truncation from either end
+    println(totalLine)
     spark.stop()
   }
 }

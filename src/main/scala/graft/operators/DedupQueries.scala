@@ -56,28 +56,87 @@ object DedupQueries {
     greatest(s1, s2) * num <= least(s1, s2) * den
 
   /** Banded MinHash signatures over (doc_id, lang, toks): `nHashes` seeded
-    * murmur3 min-hashes per doc, grouped into `bands` bands of
-    * nHashes/bands rows each → one (doc_id, lang, sz, band, sig) row per
-    * band. Signatures are computed per row with array HOFs — nHashes
-    * codegen'd array passes per doc and ZERO shuffle, vs the explode →
+    * min-hashes per doc from the PORTABLE multiplicative family
+    * (PortableHash — round-7 verdict ask #4: the whole signature pipeline,
+    * collisions included, is reproducible in DuckDB, which is what makes
+    * q_dedup_near/_bucketed/_cross/_ngram hash-match oracles possible),
+    * grouped into `bands` bands of nHashes/bands rows each → one
+    * (doc_id, lang, sz, band, sig) row per band. Signatures are computed
+    * per row with array HOFs — ONE char-fold pass per token then O(1)
+    * arithmetic per (token, seed), ZERO shuffle, vs the explode →
     * groupBy(doc) → min-aggs formulation that shuffled every token
     * (measured at sf0.1: q_pipeline_curate 20.5 → 8.8 s, q_dedup_near
     * ~20 → ~15 s warm). Shared by the pair-candidate generator below and
     * q_dedup_cluster's star-edge generator.
+    *
+    * `toks` may be array<string> (hashed here) or array<bigint> ALREADY in
+    * PortableHash base space [0, BaseMod) — the shingle family pre-hashes
+    * its grams once and reuses them across the 64-seed sweep.
     */
   private[graft] def bandedSignatures(sets: DataFrame, bands: Int,
       nHashes: Int = 32): DataFrame = {
+    import graft.functions.PortableHash
     val rows = nHashes / bands
-    val sigs = sets.select(col("doc_id") +: col("lang") +: size(col("toks")).as("sz") +:
-      (0 until nHashes).map(i =>
-        array_min(transform(col("toks"), t => hash(t, lit(i)))).as(s"mh$i")): _*)
+    require(rows == 1 || rows == 2,
+      s"banding is 1 or 2 rows/band (band sig packs collision-free into 62 bits), got $rows")
+    val hs = sets.schema("toks").dataType match {
+      case ArrayType(StringType, _) => PortableHash.tokenHashes(col("toks"))
+      case ArrayType(LongType, _) => col("toks") // contract: portable base hashes in [0, BaseMod)
+      case t => throw new IllegalArgumentException(s"toks must be array<string> or array<bigint>, got $t")
+    }
+    val sigs = sets.withColumn("__hs", hs)
+      .select(col("doc_id") +: col("lang") +: size(col("toks")).as("sz") +:
+        (0 until nHashes).map(i => PortableHash.minhash(col("__hs"), i).as(s"mh$i")): _*)
     val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        hash((b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*).as("sig"))
+      val sig = if (rows == 1) col(s"mh$b")
+        else PortableHash.bandSig(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
+      struct(lit(b).as("band"), sig.as("sig"))
     }
     sigs.select(col("doc_id"), col("lang"), col("sz"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("lang"), col("sz"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
+
+  /** DuckDB CTE fragment — the SQL twin of bandedSignatures (2 rows/band)
+    * over a `th` CTE exposing (doc_id, lang, hs BIGINT[]): seeded
+    * min-hashes then the 62-bit band pack, formula-for-formula
+    * PortableHash. Assembled into the near-dedup oracles so the two
+    * engines cannot drift independently.
+    */
+  private def bandsSql(nHashes: Int): String =
+    s"""mh AS (
+       |  SELECT doc_id, lang, i, ${graft.functions.PortableHash.minhashSql("hs", "i")} AS mh
+       |  FROM th CROSS JOIN (SELECT unnest(range($nHashes)) AS i) seeds),
+       |bands AS (
+       |  SELECT doc_id, lang, (i // 2) AS band,
+       |         max(CASE WHEN i % 2 = 0 THEN mh END) * ${graft.functions.PortableHash.SeedMod}
+       |           + max(CASE WHEN i % 2 = 1 THEN mh END) AS sig
+       |  FROM mh GROUP BY doc_id, lang, (i // 2))""".stripMargin
+
+  /** DuckDB CTE fragment: whitespace token sets + their portable hashes —
+    * `toks(doc_id, lang, toks, sz)` and `th(doc_id, lang, hs)`.
+    */
+  private def tokenThSql: String =
+    s"""toks AS (
+       |  SELECT doc_id, lang, source, list_sort(list_distinct(string_split(text, ' '))) AS toks
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, lang, list_transform(toks, t -> ${graft.functions.PortableHash.tokenHashSql("t")}) AS hs
+       |  FROM toks)""".stripMargin
+
+  /** DuckDB tail: exact-Jaccard verification of a `cand(doc_id1, doc_id2)`
+    * CTE against the `toks` sets at threshold num/den — mirrors
+    * verifyJaccard (exact unrounded threshold in WHERE, 6dp-rounded
+    * score in the output, like the q_sim_jaccard oracle).
+    */
+  private def verifySqlTail(num: Int, den: Int): String =
+    s"""sets AS (SELECT doc_id, toks, len(toks) AS sz FROM toks)
+       |SELECT c.doc_id1, c.doc_id2,
+       |       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |             / (a.sz + b.sz - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+       |FROM cand c JOIN sets a ON c.doc_id1 = a.doc_id JOIN sets b ON c.doc_id2 = b.doc_id
+       |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |      / (a.sz + b.sz - len(list_intersect(a.toks, b.toks))) >= ${num.toDouble / den}
+       |ORDER BY doc_id1, doc_id2""".stripMargin
 
   /** MinHash + banded-LSH candidate pairs over (doc_id, lang, toks) — the
     * near-linear candidate generator shared by q_dedup_near and the curation
@@ -100,6 +159,67 @@ object DedupQueries {
       // lang is implied by the ids (every caller rejoins on doc_id), so the
       // distinct shuffles only the two-long pair rows
       .select("doc_id1", "doc_id2").distinct()
+  }
+
+  /** Triangle-cell assignment for the hot-bucket self-join split: a row in
+    * block x replicates to the `blocks` cells {(i,x) : i < x} ∪ {(x,j) :
+    * j ≥ x}, i.e. cell m ↦ (min(m,x), max(m,x)). Two rows in blocks x ≠ y
+    * share EXACTLY one cell — (min(x,y), max(x,y)) — so every cross-block
+    * pair is emitted once; same-block rows share all `blocks` of their
+    * cells and the duplicates collapse in the caller's distinct. Shared
+    * with HotBandSkewSpec so the spec measures the same cells the
+    * operator shuffles.
+    */
+  private[graft] def triangleCells(blk: Column, blocks: Int): Column =
+    explode(array((0 until blocks).map { m =>
+      struct(least(lit(m), blk).as("bi"), greatest(lit(m), blk).as("bj"))
+    }: _*))
+
+  /** Skew-safe MinHash banded-LSH candidate pairs — same pair set as
+    * minhashBandCandidates (HotBandSkewSpec proves set equality), but a
+    * hot (lang, band, sig) bucket — the near-identical boilerplate corpus
+    * at 100 TB, where one bucket of n docs would put all n²/2 comparisons
+    * in ONE task — is split by deterministic block-pair (triangle)
+    * replication: members hash into `blocks` blocks by doc_id, each row
+    * replicates to its `blocks` triangle cells, and the join key grows to
+    * (lang, band, sig, bi, bj) so one bucket's pair mass spreads over
+    * blocks(blocks+1)/2 cells of ≤ (2n/blocks)²/2 comparisons each — a
+    * blocks²/2-fold straggler cut at `blocks`× replication of the skinny
+    * 4-column sig rows. Cold buckets (≤ hotThreshold members) keep the
+    * plain single-key join: the census that routes them is one
+    * aggregation over the same skinny rows, keyed exactly like the join
+    * it protects, and the hot list it broadcasts is tiny by construction
+    * (at most |sigs|/hotThreshold entries).
+    */
+  private[graft] def minhashBandCandidatesSkewSafe(sets: DataFrame, bands: Int = 16,
+      nHashes: Int = 32, hotThreshold: Int = 64, blocks: Int = 8): DataFrame = {
+    val banded = bandedSignatures(sets, bands, nHashes)
+      .select("doc_id", "lang", "band", "sig")
+    val hot = banded.groupBy("lang", "band", "sig").count()
+      .filter(col("count") > hotThreshold)
+      .select(col("lang"), col("band"), col("sig"), lit(true).as("is_hot"))
+    val flagged = banded.join(broadcast(hot), Seq("lang", "band", "sig"), "left")
+    val cold = flagged.filter(col("is_hot").isNull)
+    val coldPairs = cold.select(col("lang"), col("band"), col("sig"), col("doc_id").as("doc_id1"))
+      .join(cold.select(col("lang").as("lang2"), col("band").as("band2"),
+          col("sig").as("sig2"), col("doc_id").as("doc_id2")),
+        col("lang") === col("lang2") && col("band") === col("band2")
+          && col("sig") === col("sig2") && col("doc_id1") < col("doc_id2"))
+      .select("doc_id1", "doc_id2")
+    val hotCells = flagged.filter(col("is_hot").isNotNull)
+      .withColumn("cell", triangleCells(pmod(col("doc_id"), lit(blocks)).cast("int"), blocks))
+      .select(col("lang"), col("band"), col("sig"),
+        col("cell.bi").as("bi"), col("cell.bj").as("bj"), col("doc_id"))
+    val hotPairs = hotCells.select(col("lang"), col("band"), col("sig"),
+        col("bi"), col("bj"), col("doc_id").as("doc_id1"))
+      .join(hotCells.select(col("lang").as("lang2"), col("band").as("band2"),
+          col("sig").as("sig2"), col("bi").as("bi2"), col("bj").as("bj2"),
+          col("doc_id").as("doc_id2")),
+        col("lang") === col("lang2") && col("band") === col("band2")
+          && col("sig") === col("sig2") && col("bi") === col("bi2")
+          && col("bj") === col("bj2") && col("doc_id1") < col("doc_id2"))
+      .select("doc_id1", "doc_id2")
+    coldPairs.union(hotPairs).distinct()
   }
 
   /** Exact Jaccard ≥ num/den verification of candidate id pairs against
@@ -226,9 +346,11 @@ object DedupQueries {
     * threshold; wider bands miss borderline pairs); candidate pairs share
     * (lang, band, signature) and are then verified with exact Jaccard ≥ 0.5.
     * Candidate generation is near-linear (shuffle on band signature) — this
-    * is the 100 TB path the quadratic q_sim_jaccard validates. Non-oracle
-    * (candidate sets are hash-family-specific); ApproxOpsSpec asserts
-    * precision 1.0 and recall ≥ 0.95 against the exact join.
+    * is the 100 TB path the quadratic q_sim_jaccard validates. Oracle:
+    * the hash family is PortableHash's modular arithmetic, so DuckDB
+    * recomputes the EXACT candidate set (collisions included) and the
+    * verified pairs hash-match — plus ApproxOpsSpec keeps the
+    * precision-1.0 / recall ≥ 0.95 property belt against the exact join.
     */
   val dedupNear = QueryDef(
     "q_dedup_near",
@@ -237,7 +359,38 @@ object DedupQueries {
       verifyJaccard(candidates, docTokensHashed(s, dir), 1, 2)
         .orderBy("doc_id1", "doc_id2")
     },
-    None,
+    Some(s"""
+      WITH $tokenThSql,
+      ${bandsSql(32)},
+      cand AS (
+        SELECT DISTINCT l.doc_id AS doc_id1, r.doc_id AS doc_id2
+        FROM bands l JOIN bands r
+          ON l.lang = r.lang AND l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+      ${verifySqlTail(1, 2)}
+    """.trim),
+  )
+
+  /** q_dedup_near through the SKEW-SAFE candidate join: identical output
+    * (shares q_dedup_near's hash-match oracle — the triangle split
+    * preserves the candidate pair set exactly), but hot (lang, band, sig)
+    * buckets are spread over blocks(blocks+1)/2 triangle cells instead of
+    * one task. This is the boilerplate-corpus shape at 100 TB: the
+    * fixture itself is already skewed (sf0.1: the hottest bucket holds
+    * 1327 of 5000 docs = 880k of 21.3M candidate comparisons — 4% of the
+    * suite's pair mass in ONE task on the plain join), so the driver's
+    * oracle run exercises the split path for real (threshold 64 splits
+    * the 81 sf0.01 buckets above it). HotBandSkewSpec pins set equality,
+    * the per-cell straggler bound, and the replication factor.
+    */
+  val dedupNearSalted = QueryDef(
+    "q_dedup_near_salted",
+    (s, dir) => {
+      val candidates = minhashBandCandidatesSkewSafe(docTokens(s, dir),
+        hotThreshold = 64, blocks = 8)
+      verifyJaccard(candidates, docTokensHashed(s, dir), 1, 2)
+        .orderBy("doc_id1", "doc_id2")
+    },
+    dedupNear.oracle,
   )
 
   /** Candidate join over the PERSISTED bucketed signature layout (§7.6 #2)
@@ -265,8 +418,9 @@ object DedupQueries {
     * DedupBucketedSpec asserts row equality — but the candidate self-join
     * reads co-located buckets: signatures are computed once at ingest
     * (append-only, pure per-row), and the recurring near-dedup run pays no
-    * exchange for candidate generation. Non-oracle like q_dedup_near
-    * (candidates are hash-family-specific).
+    * exchange for candidate generation. Shares q_dedup_near's hash-match
+    * oracle (identical output by construction — DedupBucketedSpec asserts
+    * row equality, and the portable family makes both DuckDB-reproducible).
     */
   val dedupNearBucketed = QueryDef(
     "q_dedup_near_bucketed",
@@ -274,24 +428,30 @@ object DedupQueries {
       verifyJaccard(bucketedBandCandidatesStage(s, dir).distinct(),
         docTokensHashed(s, dir), 1, 2)
         .orderBy("doc_id1", "doc_id2"),
-    None,
+    dedupNear.oracle,
   )
 
-  /** SimHash near-dedup: 64-bit fingerprint from token hashes; candidates
-    * share one of four 16-bit chunks (pigeonhole covers hamming ≤ 3);
-    * verified by bit_count(xor) ≤ 3. Non-oracle; ApproxOpsSpec covers it.
+  /** SimHash near-dedup: 62-bit fingerprint from PORTABLE token hashes
+    * (PortableHash.wideHash — two affine scrambles packed, reproducible
+    * arithmetic); candidates share one of four 16-bit chunks (pigeonhole
+    * covers hamming ≤ 3 — chunk 3 carries bits 48..61); verified by
+    * bit_count(xor) ≤ 3. Hash-match oracle: DuckDB recomputes the exact
+    * fingerprints, chunks, and hamming distances; ApproxOpsSpec keeps the
+    * property belt.
     */
   val dedupSimhash = QueryDef(
     "q_dedup_simhash",
     (s, dir) => {
+      import graft.functions.PortableHash
+      val nb = PortableHash.SimhashBits
       val toks = docTokens(s, dir)
       val exploded = toks.select(col("doc_id"), col("lang"), explode(col("toks")).as("token"))
-        .withColumn("h", xxhash64(col("token")))
-      val bitSums = (0 until 64).map { i =>
+        .withColumn("h", PortableHash.wideHash(PortableHash.tokenHash(col("token"))))
+      val bitSums = (0 until nb).map { i =>
         sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
       }
       val summed = exploded.groupBy("doc_id", "lang").agg(bitSums.head, bitSums.tail: _*)
-      val fp = (0 until 64).map { i =>
+      val fp = (0 until nb).map { i =>
         when(col(s"b$i") > 0, expr(s"CAST(1 AS BIGINT) << $i")).otherwise(lit(0L))
       }.reduce(_ + _)
       val fps = summed.select(col("doc_id"), col("lang"), fp.as("fp"))
@@ -310,7 +470,31 @@ object DedupQueries {
         .filter(col("hamming") <= 3)
         .orderBy("doc_id1", "doc_id2")
     },
-    None,
+    Some(s"""
+      WITH tk AS (
+        SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, lang,
+               ${graft.functions.PortableHash.wideHashSql(graft.functions.PortableHash.tokenHashSql("t"))} AS h
+        FROM tk),
+      bits AS (
+        SELECT doc_id, lang, i,
+               CASE WHEN sum(CASE WHEN ((h >> CAST(i AS INTEGER)) & 1) = 1 THEN 1 ELSE -1 END) > 0
+                    THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE CAST(0 AS BIGINT) END AS bit
+        FROM g CROSS JOIN (SELECT unnest(range(${graft.functions.PortableHash.SimhashBits})) AS i) s
+        GROUP BY doc_id, lang, i),
+      fps AS (SELECT doc_id, lang, CAST(sum(bit) AS BIGINT) AS fp FROM bits GROUP BY doc_id, lang),
+      chunks AS (
+        SELECT doc_id, lang, fp, c, (fp >> CAST(c * 16 AS INTEGER)) & 65535 AS ck
+        FROM fps CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) s)
+      SELECT DISTINCT l.doc_id AS doc_id1, r.doc_id AS doc_id2,
+             CAST(bit_count(xor(l.fp, r.fp)) AS BIGINT) AS hamming
+      FROM chunks l JOIN chunks r
+        ON l.lang = r.lang AND l.c = r.c AND l.ck = r.ck AND l.doc_id < r.doc_id
+      WHERE bit_count(xor(l.fp, r.fp)) <= 3
+      ORDER BY doc_id1, doc_id2
+    """.trim),
   )
 
   /** Token-bigram (n-gram) Jaccard similarity join, blocked by language —
@@ -360,6 +544,18 @@ object DedupQueries {
       .select(col("doc_id"), col("lang"),
         Tokenize.hashedShingleSet(col("toks")).as("grams"))
 
+  /** Distinct bigram shingles as PORTABLE base hashes (unordered — order
+    * is irrelevant to min-hash): the signature input for the shingle-LSH
+    * family, hashed once per gram and reused across the 64-seed sweep.
+    * The xxhash64 docGrams stay the verify-side counting unit.
+    */
+  private def docGramsPortable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), Tokenize.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        transform(array_distinct(Tokenize.bigramShingles(col("toks"))),
+          g => graft.functions.PortableHash.tokenHash(g)).as("toks"))
+
   /** The full shingle → minhash → band → bucket-join pipeline: LSH
     * candidates over BIGRAM-shingle sets (order-sensitive, unlike
     * q_dedup_near's bag-of-tokens), verified with exact shingle Jaccard
@@ -369,20 +565,35 @@ object DedupQueries {
     * config was chosen on the THEORETICAL floor at the J = 0.3 threshold —
     * 1-(1-J²)^32 = 0.951 (vs 0.78 for 16×2) — at ~2× candidates and equal
     * runtime (sf0.1: 102k vs 54k candidates of 3.2M same-lang pairs).
-    * Non-oracle (hash-family-specific candidates); ApproxOpsSpec asserts
-    * precision 1.0 and recall ≥ 0.9 against the exact join.
+    * Hash-match oracle: gram hashes come from the portable family, so
+    * DuckDB recomputes the exact candidate set; ApproxOpsSpec keeps the
+    * precision-1.0 / recall ≥ 0.9 belt against the exact join.
     */
   val dedupNearNgram = QueryDef(
     "q_dedup_near_ngram",
     (s, dir) => {
       val grams = docGrams(s, dir)
-      val candidates = minhashBandCandidates(
-        grams.select(col("doc_id"), col("lang"), col("grams").as("toks")),
+      val candidates = minhashBandCandidates(docGramsPortable(s, dir),
         bands = 32, nHashes = 64)
       verifyJaccard(candidates, grams.select(col("doc_id"), col("grams").as("toksh")), 3, 10)
         .orderBy("doc_id1", "doc_id2")
     },
-    None,
+    Some(s"""
+      WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS tks FROM documents),
+      toks AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, len(tks)), i -> tks[i] || ' ' || tks[i+1])) AS toks
+        FROM tk),
+      th AS (
+        SELECT doc_id, lang, list_transform(toks, t -> ${graft.functions.PortableHash.tokenHashSql("t")}) AS hs
+        FROM toks),
+      ${bandsSql(64)},
+      cand AS (
+        SELECT DISTINCT l.doc_id AS doc_id1, r.doc_id AS doc_id2
+        FROM bands l JOIN bands r
+          ON l.lang = r.lang AND l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+      ${verifySqlTail(3, 10)}
+    """.trim),
   )
 
   /** Embedding-cosine near-duplicate pairs (≥ 0.95 on the 6dp-rounded
@@ -644,9 +855,10 @@ object DedupQueries {
     * gate verifies. At 100 TB the incoming slice is a day's ingest against
     * years of corpus: the signature table for B is the persisted bucketed
     * layout (BucketedTables.ensureSignatures) and only A's signatures are
-    * computed fresh. Non-oracle (hash-family candidates);
-    * ApproxOpsSpec-style recall/precision pinned in SketchSpec against
-    * the exact cross join.
+    * computed fresh. Hash-match oracle via the portable family (both
+    * sides' signatures are the same DuckDB-reproducible arithmetic);
+    * recall/precision stay pinned in SketchSpec against the exact cross
+    * join.
     */
   val dedupNearCross = QueryDef(
     "q_dedup_near_cross",
@@ -673,7 +885,17 @@ object DedupQueries {
       verifyJaccard(cands, docTokensHashed(s, dir).select(col("doc_id"), col("toksh")), 1, 2)
         .orderBy("doc_id1", "doc_id2")
     },
-    None,
+    Some(s"""
+      WITH $tokenThSql,
+      ${bandsSql(32)},
+      cand AS (
+        SELECT DISTINCT l.doc_id AS doc_id1, r.doc_id AS doc_id2
+        FROM bands l JOIN documents dl ON l.doc_id = dl.doc_id
+             JOIN bands r ON l.lang = r.lang AND l.band = r.band AND l.sig = r.sig
+             JOIN documents dr ON r.doc_id = dr.doc_id
+        WHERE dl.source = 'src0' AND dr.source <> 'src0'),
+      ${verifySqlTail(1, 2)}
+    """.trim),
   )
 
   /** Incremental exact dedup — the nightly-pipeline shape: an existing
@@ -713,5 +935,5 @@ object DedupQueries {
   def defs: Seq[QueryDef] = Seq(
     dedupExact, simJaccard, simJaccardBucketed, dedupNear, dedupSimhash, dedupNgram,
     dedupNearNgram, dedupEmbed, dedupCluster, dedupIncremental, dedupNearBucketed,
-    simJaccardCross, dedupNearCross)
+    simJaccardCross, dedupNearCross, dedupNearSalted)
 }

@@ -22,7 +22,13 @@ object ProbeMain {
       .select(col("doc_id"), col("lang"), Tokenize.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"), Tokenize.hashedShingleSet(col("toks")).as("grams"))
     val hashed = grams.select(col("doc_id"), col("grams").as("toksh")).cache()
-    val sets = grams.select(col("doc_id"), col("lang"), col("grams").as("toks")).cache()
+    // signature input: PORTABLE gram hashes (bandedSignatures' long-array
+    // contract); the xxhash64 grams above stay the verify counting unit
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), Tokenize.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"),
+        transform(array_distinct(Tokenize.bigramShingles(col("tk"))),
+          g => graft.functions.PortableHash.tokenHash(g)).as("toks")).cache()
     sets.count(); hashed.count()
 
     val exact = DedupQueries.dedupNgram.query(spark, dir)

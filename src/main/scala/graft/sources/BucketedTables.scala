@@ -121,7 +121,9 @@ object BucketedTables {
     }
   }
 
-  def signaturesTable(dir: String): String = s"graft_signatures_bucketed_${tag(dir)}"
+  // v2: round-8 portable hash family (PortableHash) — the version suffix
+  // invalidates any signature table persisted under the murmur3 family
+  def signaturesTable(dir: String): String = s"graft_signatures_v2_bucketed_${tag(dir)}"
 
   /** Banded MinHash signatures persisted bucketed+sorted on the LSH
     * candidate-join key (lang, band, sig) — §7.6 #2: the signature table
@@ -136,7 +138,7 @@ object BucketedTables {
   def ensureSignatures(s: SparkSession, dir: String,
       src: org.apache.spark.sql.DataFrame): Unit = synchronized {
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val path = GraftFs.qualify(s, s"target/graft-bucketed/${tag(dir)}/signatures")
+    val path = GraftFs.qualify(s, s"target/graft-bucketed/${tag(dir)}/signatures_v2")
     val table = signaturesTable(dir)
     if (!s.catalog.tableExists(table)) {
       if (GraftFs.hasSuccess(s, path) && bucketLayoutValid(s, path)) {

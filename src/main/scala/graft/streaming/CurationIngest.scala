@@ -121,7 +121,7 @@ object CurationIngest {
   private val bandedSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("lang", StringType),
     StructField("sz", IntegerType), StructField("band", IntegerType),
-    StructField("sig", IntegerType)))
+    StructField("sig", LongType)))
   private val hashedSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("th", ArrayType(LongType, containsNull = false), nullable = false)))

@@ -34,7 +34,7 @@ object IncrementalDedup {
   private val bandedSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("lang", StringType),
     StructField("sz", IntegerType), StructField("band", IntegerType),
-    StructField("sig", IntegerType)))
+    StructField("sig", LongType)))
   private val hashedSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("toksh", ArrayType(LongType, containsNull = false), nullable = false)))
