@@ -268,7 +268,7 @@ final class GraftFrame(val df: DataFrame) {
     val langCol = lang.fold(lit(""): Column)(col)
     val sets = df.select(col(id).as("doc_id"), langCol.as("lang"),
       Tokenize.tokenSet(col(text)).as("toks"))
-    val cands = DedupQueries.minhashBandCandidates(sets, bands, nHashes)
+    val cands = DedupQueries.minhashBandCandidatesSkewSafe(sets, bands, nHashes)
     val hashed = df.select(col(id).as("doc_id"), Tokenize.hashedTokenSet(col(text)).as("toksh"))
     DedupQueries.verifyJaccard(cands, hashed, num, den)
       .withColumnRenamed("doc_id1", s"${id}_1").withColumnRenamed("doc_id2", s"${id}_2")

@@ -104,6 +104,7 @@ object GraftFunctions {
   val SortedLongIntersectName = "graft_sorted_intersect_size_long"
   val ShinglesName = "graft_shingles"
   val SortedLongIntersectAtLeastName = "graft_sorted_intersect_at_least"
+  val PortableTokenHashName = "graft_portable_token_hash"
 
   private def binaryBuilder(name: String, mk: (Expression, Expression) => Expression):
       Seq[Expression] => Expression = {
@@ -131,6 +132,13 @@ object GraftFunctions {
         case Seq(a, b, m) => SortedLongIntersectAtLeast(a, b, m)
         case other => throw new IllegalArgumentException(
           s"$SortedLongIntersectAtLeastName expects 3 arguments, got ${other.size}")
+      }),
+    (FunctionIdentifier(PortableTokenHashName),
+      new ExpressionInfo(classOf[PortableTokenHash].getName, PortableTokenHashName),
+      {
+        case Seq(t) => PortableTokenHash(t)
+        case other => throw new IllegalArgumentException(
+          s"$PortableTokenHashName expects 1 argument, got ${other.size}")
       }),
   )
 

@@ -57,13 +57,24 @@ object PortableHash {
 
   /** Character-level polynomial hash of one token:
     * fold h ← (h·131 + code) mod 1e9+7 over the token's characters, init
-    * 0. `slice(split(t,""), 1, length(t))` takes exactly length(t)
-    * single-char elements — robust to Java split's trailing-empty
-    * behavior — and matches DuckDB's `string_split(t,'')` on the ASCII
-    * corpus (TESTDATA.md: documents text is pure ASCII; ascii() and
-    * ord() agree there).
+    * 0 — the native codegen'd [[PortableTokenHash]] expression (a
+    * zero-allocation byte fold; ~the cost of a murmur3 pass, vs the
+    * Column-HOF reference below that allocates one single-char UTF8String
+    * per character). Matches DuckDB's `string_split(t,'')`+`ord` fold on
+    * the ASCII corpus (TESTDATA.md: documents text is pure ASCII).
+    * Requires GraftFunctions.ensureRegistered (done in Tables.load, so
+    * every query path has it).
     */
   def tokenHash(t: Column): Column =
+    call_function(GraftFunctions.PortableTokenHashName, t)
+
+  /** The same fold as a pure built-in-Column formulation — the
+    * readable reference PortableHashSpec pins the native expression (and
+    * the DuckDB fragment) against. `slice(split(t,""), 1, length(t))`
+    * takes exactly length(t) single-char elements — robust to Java
+    * split's trailing-empty behavior.
+    */
+  def tokenHashReference(t: Column): Column =
     aggregate(
       slice(split(t, ""), lit(1), length(t)),
       lit(0L),

@@ -62,7 +62,11 @@ object CurationPipeline {
     // the num/den threshold).
     val sets = exact.select(col("doc_id"), col("lang"), col("toks"),
       Tokenize.hashedSetOf(col("toks")).as("th"))
-    val candidates = DedupQueries.minhashBandCandidates(
+    // skew-safe grid generator: identical pair set (HotBandSkewSpec), hot
+    // boilerplate buckets spread over block cells, and measurably faster
+    // even unskewed (the single-key SMJ re-scans its buffered equal-key
+    // run per left row; the grid's smaller runs stream better)
+    val candidates = DedupQueries.minhashBandCandidatesSkewSafe(
       sets.select(col("doc_id"), col("lang"), col("toks")))
     val t1 = sets.select(col("doc_id").as("doc_id1"), col("th").as("th1"), size(col("th")).as("sz1"))
     val t2 = sets.select(col("doc_id").as("doc_id2"), col("th").as("th2"), size(col("th")).as("sz2"))

@@ -149,11 +149,23 @@ object DedupQueries {
     */
   private[graft] def minhashBandCandidates(sets: DataFrame, bands: Int = 16,
       nHashes: Int = 32): DataFrame = {
+    // materialize the skinny sig rows once (both join sides + no reliance
+    // on exchange-reuse kicking in), then enumerate with a sort-merge
+    // join: SMJ streams sorted runs so the high-fanout pair enumeration
+    // (hundreds of matches per bucket) is cache-sequential, vs random
+    // hash-map chasing per match under the broadcast plan AQE would pick
+    // at fixture scale (measured sf0.1: 0.9 s vs 3.5 s raw join; whole
+    // candidate stage 9.1 s → 4.4 s). SMJ is also the only shape that
+    // exists at 100 TB. The repartition spreads the checkpoint so
+    // downstream stages inherit full parallelism, not the parquet scan's
+    // file count.
     val banded = bandedSignatures(sets, bands, nHashes)
+      .select("doc_id", "lang", "band", "sig")
+      .repartition(col("doc_id")).localCheckpoint()
     val l = banded.select(col("lang"), col("band"), col("sig"), col("doc_id").as("doc_id1"))
     val r = banded.select(col("lang").as("lang2"), col("band").as("band2"), col("sig").as("sig2"),
       col("doc_id").as("doc_id2"))
-    l.join(r,
+    l.hint("merge").join(r,
         col("lang") === col("lang2") && col("band") === col("band2")
           && col("sig") === col("sig2") && col("doc_id1") < col("doc_id2"))
       // lang is implied by the ids (every caller rejoins on doc_id), so the
@@ -161,65 +173,61 @@ object DedupQueries {
       .select("doc_id1", "doc_id2").distinct()
   }
 
-  /** Triangle-cell assignment for the hot-bucket self-join split: a row in
-    * block x replicates to the `blocks` cells {(i,x) : i < x} ∪ {(x,j) :
-    * j ≥ x}, i.e. cell m ↦ (min(m,x), max(m,x)). Two rows in blocks x ≠ y
-    * share EXACTLY one cell — (min(x,y), max(x,y)) — so every cross-block
-    * pair is emitted once; same-block rows share all `blocks` of their
-    * cells and the duplicates collapse in the caller's distinct. Shared
-    * with HotBandSkewSpec so the spec measures the same cells the
-    * operator shuffles.
-    */
-  private[graft] def triangleCells(blk: Column, blocks: Int): Column =
-    explode(array((0 until blocks).map { m =>
-      struct(least(lit(m), blk).as("bi"), greatest(lit(m), blk).as("bj"))
-    }: _*))
-
   /** Skew-safe MinHash banded-LSH candidate pairs — same pair set as
     * minhashBandCandidates (HotBandSkewSpec proves set equality), but a
     * hot (lang, band, sig) bucket — the near-identical boilerplate corpus
-    * at 100 TB, where one bucket of n docs would put all n²/2 comparisons
-    * in ONE task — is split by deterministic block-pair (triangle)
-    * replication: members hash into `blocks` blocks by doc_id, each row
-    * replicates to its `blocks` triangle cells, and the join key grows to
-    * (lang, band, sig, bi, bj) so one bucket's pair mass spreads over
-    * blocks(blocks+1)/2 cells of ≤ (2n/blocks)²/2 comparisons each — a
-    * blocks²/2-fold straggler cut at `blocks`× replication of the skinny
-    * 4-column sig rows. Cold buckets (≤ hotThreshold members) keep the
-    * plain single-key join: the census that routes them is one
-    * aggregation over the same skinny rows, keyed exactly like the join
-    * it protects, and the hot list it broadcasts is tiny by construction
-    * (at most |sigs|/hotThreshold entries).
+    * at 100 TB, where one bucket of n docs would put all n² comparisons
+    * in ONE task — is split over an ORDERED block-pair grid (the
+    * replicated theta-join scheme): members hash into `blocks` blocks by
+    * doc_id; a row in block x joins as LEFT in the `blocks` cells (x, ·)
+    * and as RIGHT in the cells (·, x), so the join key grows to
+    * (lang, band, sig, bi, bj) and cell (x, y) compares exactly block x
+    * against block y. A pair lands in exactly one surviving cell (its
+    * ordered (block₁, block₂) cell passes doc_id1 < doc_id2; the mirror
+    * cell fails it), so join OUTPUT equals the plain join's and the
+    * terminal distinct shuffles nothing extra — while per-task
+    * enumeration drops from n² to (n/blocks)², a blocks²-fold straggler
+    * cut at blocks× replication per side of the skinny 4-column sig rows.
+    * The grid applies to EVERY bucket unconditionally: replication is
+    * `blocks`× per side of the 4-column sig rows — noise next to the
+    * candidate output that dominates this join — and skipping the
+    * hot-bucket census keeps the plan one straight join (the measured
+    * two-phase alternative — census aggregation + broadcast hot-flag
+    * routing + cold/hot union over a checkpointed sig frame — cost 2×
+    * the plain join at sf0.1 in pure orchestration overhead; the
+    * unconditional grid prices at ~the plain join).
     */
   private[graft] def minhashBandCandidatesSkewSafe(sets: DataFrame, bands: Int = 16,
-      nHashes: Int = 32, hotThreshold: Int = 64, blocks: Int = 8): DataFrame = {
+      nHashes: Int = 32, blocks: Int = 8): DataFrame = {
+    // materialize the skinny sig rows once: the two grid sides shuffle on
+    // DIFFERENT keys ((…,blk,bj) vs (…,bi,blk)), so unlike the plain
+    // self-join Catalyst cannot reuse one exchange for both — without
+    // this the signature computation runs twice (measured +4 s at
+    // sf0.1). At 100 TB this materialization is the persisted signature
+    // table (BucketedTables.ensureSignatures).
     val banded = bandedSignatures(sets, bands, nHashes)
       .select("doc_id", "lang", "band", "sig")
-    val hot = banded.groupBy("lang", "band", "sig").count()
-      .filter(col("count") > hotThreshold)
-      .select(col("lang"), col("band"), col("sig"), lit(true).as("is_hot"))
-    val flagged = banded.join(broadcast(hot), Seq("lang", "band", "sig"), "left")
-    val cold = flagged.filter(col("is_hot").isNull)
-    val coldPairs = cold.select(col("lang"), col("band"), col("sig"), col("doc_id").as("doc_id1"))
-      .join(cold.select(col("lang").as("lang2"), col("band").as("band2"),
-          col("sig").as("sig2"), col("doc_id").as("doc_id2")),
-        col("lang") === col("lang2") && col("band") === col("band2")
-          && col("sig") === col("sig2") && col("doc_id1") < col("doc_id2"))
-      .select("doc_id1", "doc_id2")
-    val hotCells = flagged.filter(col("is_hot").isNotNull)
-      .withColumn("cell", triangleCells(pmod(col("doc_id"), lit(blocks)).cast("int"), blocks))
+      .withColumn("blk", pmod(col("doc_id"), lit(blocks)).cast("int"))
+      // spread before materializing: the checkpoint pins its partitioning,
+      // and the grid enumeration downstream runs AT that parallelism — a
+      // single-file parquet scan would otherwise starve it to 1-4 tasks
+      .repartition(col("doc_id"))
+      .localCheckpoint()
+    val grid = explode(array((0 until blocks).map(lit(_)): _*))
+    val l = banded.withColumn("bj", grid)
       .select(col("lang"), col("band"), col("sig"),
-        col("cell.bi").as("bi"), col("cell.bj").as("bj"), col("doc_id"))
-    val hotPairs = hotCells.select(col("lang"), col("band"), col("sig"),
-        col("bi"), col("bj"), col("doc_id").as("doc_id1"))
-      .join(hotCells.select(col("lang").as("lang2"), col("band").as("band2"),
-          col("sig").as("sig2"), col("bi").as("bi2"), col("bj").as("bj2"),
-          col("doc_id").as("doc_id2")),
+        col("blk").as("bi"), col("bj"), col("doc_id").as("doc_id1"))
+    val r = banded.withColumn("bi", grid)
+      .select(col("lang").as("lang2"), col("band").as("band2"), col("sig").as("sig2"),
+        col("bi").as("bi2"), col("blk").as("bj2"), col("doc_id").as("doc_id2"))
+    // merge hint: same rationale as minhashBandCandidates — the sorted-run
+    // enumeration is 3-7× the broadcast plan on this fanout, and SMJ is
+    // the only shape that exists at 100 TB anyway
+    l.hint("merge").join(r,
         col("lang") === col("lang2") && col("band") === col("band2")
           && col("sig") === col("sig2") && col("bi") === col("bi2")
           && col("bj") === col("bj2") && col("doc_id1") < col("doc_id2"))
-      .select("doc_id1", "doc_id2")
-    coldPairs.union(hotPairs).distinct()
+      .select("doc_id1", "doc_id2").distinct()
   }
 
   /** Exact Jaccard ≥ num/den verification of candidate id pairs against
@@ -378,15 +386,13 @@ object DedupQueries {
     * fixture itself is already skewed (sf0.1: the hottest bucket holds
     * 1327 of 5000 docs = 880k of 21.3M candidate comparisons — 4% of the
     * suite's pair mass in ONE task on the plain join), so the driver's
-    * oracle run exercises the split path for real (threshold 64 splits
-    * the 81 sf0.01 buckets above it). HotBandSkewSpec pins set equality,
-    * the per-cell straggler bound, and the replication factor.
+    * oracle run exercises the grid for real. HotBandSkewSpec pins set
+    * equality and the per-cell straggler bound.
     */
   val dedupNearSalted = QueryDef(
     "q_dedup_near_salted",
     (s, dir) => {
-      val candidates = minhashBandCandidatesSkewSafe(docTokens(s, dir),
-        hotThreshold = 64, blocks = 8)
+      val candidates = minhashBandCandidatesSkewSafe(docTokens(s, dir), blocks = 8)
       verifyJaccard(candidates, docTokensHashed(s, dir), 1, 2)
         .orderBy("doc_id1", "doc_id2")
     },

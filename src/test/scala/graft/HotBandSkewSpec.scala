@@ -14,11 +14,11 @@ import org.scalatest.matchers.should.Matchers
   *
   *   1. the fixture is genuinely bucket-hot (one bucket carries the
   *      overwhelming share of total pair mass);
-  *   2. the triangle split changes NOTHING semantically: candidate pair
+  *   2. the grid split changes NOTHING semantically: candidate pair
   *      set and verified output row-for-row equal to the plain join's;
-  *   3. the straggler is bounded and measured: max per-cell comparison
-  *      mass ≤ (2n/k)²/2 — a k²/2 cut vs the plain bucket — at exactly
-  *      k× replication of the skinny sig rows.
+  *   3. the straggler is bounded and measured: max per-cell enumeration
+  *      ≤ ⌈n/k⌉² — a k² cut vs the plain bucket's single n² task — at
+  *      k× replication per side of the skinny sig rows.
   */
 class HotBandSkewSpec extends SparkTestBase with Matchers {
 
@@ -35,8 +35,11 @@ class HotBandSkewSpec extends SparkTestBase with Matchers {
     }.toDF("doc_id", "lang", "text")
   }
 
-  private lazy val sets: DataFrame = docs.select(col("doc_id"), col("lang"),
-    graft.functions.Tokenize.tokenSet(col("text")).as("toks"))
+  private lazy val sets: DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark) // tokenHash is a registered native fn
+    docs.select(col("doc_id"), col("lang"),
+      graft.functions.Tokenize.tokenSet(col("text")).as("toks"))
+  }
 
   private lazy val banded: DataFrame =
     DedupQueries.bandedSignatures(sets, bands = 16).select("doc_id", "lang", "band", "sig")
@@ -53,10 +56,9 @@ class HotBandSkewSpec extends SparkTestBase with Matchers {
     pairMass.getDouble(1) / pairMass.getDouble(0) should be >= 0.99
   }
 
-  test("triangle split preserves the candidate pair set and the verified output exactly") {
+  test("grid split preserves the candidate pair set and the verified output exactly") {
     val plain = DedupQueries.minhashBandCandidates(sets)
-    val salted = DedupQueries.minhashBandCandidatesSkewSafe(sets,
-      hotThreshold = 32, blocks = Blocks)
+    val salted = DedupQueries.minhashBandCandidatesSkewSafe(sets, blocks = Blocks)
     salted.exceptAll(plain).count() shouldBe 0L
     plain.exceptAll(salted).count() shouldBe 0L
     // and through the exact gate (the full q_dedup_near_salted shape)
@@ -71,22 +73,23 @@ class HotBandSkewSpec extends SparkTestBase with Matchers {
     vPlain.size shouldBe Hot * (Hot - 1) / 2 // every identical pair verified at J = 1.0
   }
 
-  test("straggler bound: max triangle-cell comparison mass <= (2n/k)^2/2, a k^2/2 cut, at k× replication") {
-    // reconstruct the operator's own cells (shared triangleCells helper)
-    val cells = banded
-      .withColumn("cell", DedupQueries.triangleCells(
-        pmod(col("doc_id"), lit(Blocks)).cast("int"), Blocks))
-      .select(col("lang"), col("band"), col("sig"),
-        col("cell.bi").as("bi"), col("cell.bj").as("bj"))
-    // replication factor is exactly `blocks` per sig row
-    cells.count() shouldBe banded.count() * Blocks
-    val cellSizes = cells.groupBy("lang", "band", "sig", "bi", "bj").count()
-      .select((col("count") * (col("count") - 1) / 2).as("m"))
-    val maxCell = cellSizes.agg(max("m")).head.getDouble(0)
-    val plainHot = Hot.toDouble * (Hot - 1) / 2 // the unsplit bucket's mass
-    val bound = math.pow(2.0 * Hot / Blocks, 2) / 2
-    maxCell should be <= bound
-    // and the cut is real: ≥ k²/8 better than the plain single-task bucket
-    plainHot / maxCell should be >= (Blocks * Blocks / 8.0)
+  test("straggler bound: max grid-cell enumeration <= ceil(n/k)^2, a k^2 cut") {
+    // reconstruct the operator's grid: cell (x, y) compares block x
+    // against block y, so its enumeration mass is n_x · n_y
+    val blkSizes = banded
+      .withColumn("blk", pmod(col("doc_id"), lit(Blocks)).cast("int"))
+      .groupBy("lang", "band", "sig", "blk").count()
+    val l = blkSizes.select(col("lang"), col("band"), col("sig"),
+      col("blk").as("bi"), col("count").as("nl"))
+    val r = blkSizes.select(col("lang").as("lang2"), col("band").as("band2"),
+      col("sig").as("sig2"), col("blk").as("bj"), col("count").as("nr"))
+    val cells = l.join(r, col("lang") === col("lang2") && col("band") === col("band2")
+        && col("sig") === col("sig2"))
+      .select((col("nl") * col("nr")).as("m"))
+    val maxCell = cells.agg(max("m")).head.getLong(0)
+    val bound = math.pow(math.ceil(Hot.toDouble / Blocks), 2)
+    maxCell.toDouble should be <= bound
+    // and the cut is real vs the plain join's single-task n² enumeration
+    (Hot.toDouble * Hot) / maxCell should be >= (Blocks * Blocks / 2.0)
   }
 }

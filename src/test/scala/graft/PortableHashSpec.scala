@@ -14,8 +14,31 @@ import org.scalatest.matchers.should.Matchers
   */
 class PortableHashSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
-  private def eval(c: org.apache.spark.sql.Column): Any =
+  private def eval(c: org.apache.spark.sql.Column): Any = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     spark.range(1).select(c.as("v")).head.get(0)
+  }
+
+  test("native expression == Column-HOF reference on fixture tokens, non-ASCII, and both eval paths") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val toks = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t"))
+      // BMP samples only: beyond the BMP the HOF reference's split("")
+      // yields lone surrogates that UTF8String re-encoding mangles, so
+      // only the native fold is well-defined there (corpus is pure ASCII;
+      // parity is pinned for ASCII + BMP)
+      .union(Seq("", "café", "日本語").toDF("t"))
+    val viaNative = toks.select(col("t"), PortableHash.tokenHash(col("t")).as("h"))
+    val viaRef = toks.select(col("t").as("t2"), PortableHash.tokenHashReference(col("t")).as("h2"))
+    val joined = viaNative.join(viaRef, col("t") === col("t2"))
+      .filter(col("h") =!= col("h2"))
+    joined.count() shouldBe 0L
+    // interpreted (non-codegen) path agrees with codegen
+    val u = graft.functions.PortableTokenHash.fold(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello"))
+    u shouldBe 856916412L
+  }
 
   test("tokenHash matches DuckDB list_reduce char fold (reference literals)") {
     // reference values from: CASE WHEN t='' THEN 0 ELSE list_reduce(
