@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.{Tokenize, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -938,8 +939,117 @@ object DedupQueries {
     """.trim),
   )
 
+  /** Shared containment oracle: C(A,B) = |A∩B|/|A| ≥ 4/5 where A is the
+    * strictly-smaller token set (ties break on doc_id). The threshold is
+    * an EXACT integer comparison (I·5 ≥ |A|·4) so no float boundary can
+    * disagree between engines; the 6dp-rounded score is display-only.
+    */
+  private val containmentOracle = """
+      WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      s AS (SELECT doc_id, lang, toks, len(toks) AS sz FROM d)
+      SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+             ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / a.sz, 6) AS containment
+      FROM s a JOIN s b ON a.lang = b.lang
+        AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
+      WHERE len(list_intersect(a.toks, b.toks)) * 5 >= a.sz * 4
+      ORDER BY contained_id, container_id
+    """.trim
+
+  /** Exact containment-similarity join — quote / sub-document duplication
+    * detection: C(A,B) = |A∩B|/|A| ≥ 0.8 with A the smaller token set.
+    * The measure is ASYMMETRIC, which is exactly why it exists next to
+    * q_sim_jaccard: a short document wholly quoted inside a long one has
+    * tiny Jaccard (|A∩B|/|A∪B| shrinks with |B|) but containment ≈ 1 —
+    * the duplication mode Jaccard-gated dedup provably misses. For the
+    * same reason the symmetric size-ratio prefilter (sizeBand) is
+    * inapplicable — small-in-large is the signal, not noise — so this
+    * exact form enumerates all same-lang (smaller, larger) pairs with
+    * only the early-exit intersect (I ≥ ⌈4·|A|/5⌉ or bail) pruning work
+    * per pair. DELIBERATE exact baseline, quadratic in the lang block:
+    * the prefix-filtered twin below is the production path, and this
+    * oracle is what proves it lossless.
+    */
+  val simContainment = QueryDef(
+    "q_sim_containment",
+    (s, dir) => {
+      val t = docTokensHashed(s, dir).withColumn("sz", size(col("toksh")))
+      val a = t.select(col("lang"), col("doc_id").as("doc_id1"),
+        col("toksh").as("toks1"), col("sz").as("sz1"))
+        .repartition(col("doc_id1"))
+      val b = t.select(col("lang").as("lang2"), col("doc_id").as("doc_id2"),
+        col("toksh").as("toks2"), col("sz").as("sz2"))
+      a.join(b, col("lang") === col("lang2")
+          && (col("sz1") < col("sz2")
+            || (col("sz1") === col("sz2") && col("doc_id1") < col("doc_id2"))))
+        .withColumn("inter", intersectAtLeast(col("toks1"), col("toks2"),
+          expr("CAST((4 * sz1 + 4) div 5 AS INT)")))
+        .filter(col("inter") * 5 >= col("sz1") * 4)
+        .select(col("doc_id1").as("contained_id"), col("doc_id2").as("container_id"),
+          round(col("inter").cast(DoubleType) / col("sz1"), 6).as("containment"))
+        .orderBy("contained_id", "container_id")
+    },
+    Some(containmentOracle),
+  )
+
+  /** Prefix-filtered containment join — the 100 TB path, SAME oracle as
+    * q_sim_containment because the filter is LOSSLESS (AllPairs/PPJoin
+    * prefix principle, Bayardo et al. 2007 "Scaling Up All Pairs
+    * Similarity Search"): order each document's tokens by ascending
+    * global document frequency; if |A∩B| ≥ ⌈t·|A|⌉ then at least one
+    * shared token lies in A's first |A| − ⌈t·|A|⌉ + 1 tokens (else the
+    * shared count tops out at ⌈t·|A|⌉ − 1). Candidates therefore come
+    * from joining only A's short RARE-token prefix (~(1−t)·|A| + 1
+    * tokens) against the full posting lists — never all pairs — and
+    * because prefixes hold each doc's rarest tokens, the posting lists
+    * actually probed are the SHORT ones (a hot boilerplate token is in
+    * almost nobody's prefix). Shuffles are all linear: token explode →
+    * df count → df join → per-doc top-prefix window → (lang, token)
+    * candidate join → skinny pair distinct → exact early-exit verify of
+    * candidates only. ContainmentPrefixSpec additionally pins the
+    * candidate set against the exact pair set at fixture scale.
+    */
+  private[graft] def containmentPrefixCandidates(t: DataFrame): DataFrame = {
+    val tokRows = t.select(col("lang"), col("doc_id"), col("sz"),
+      explode(col("toksh")).as("h"))
+    val df = tokRows.groupBy("lang", "h").agg(count(lit(1)).as("df"))
+    val ranked = tokRows.join(df, Seq("lang", "h"))
+    val w = Window.partitionBy("doc_id").orderBy(asc("df"), asc("h"))
+    val prefix = ranked.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - expr("CAST((4 * sz + 4) div 5 AS INT)") + 1)
+      .select(col("lang"), col("h"), col("doc_id").as("doc_id1"), col("sz").as("sz1"))
+    val full = tokRows.select(col("lang").as("lang2"), col("h").as("h2"),
+      col("doc_id").as("doc_id2"), col("sz").as("sz2"))
+    prefix.join(full, col("lang") === col("lang2") && col("h") === col("h2")
+        && (col("sz1") < col("sz2")
+          || (col("sz1") === col("sz2") && col("doc_id1") < col("doc_id2"))))
+      .select("doc_id1", "doc_id2").distinct()
+  }
+
+  private[graft] def containmentSets(s: SparkSession, dir: String): DataFrame =
+    docTokensHashed(s, dir).withColumn("sz", size(col("toksh")))
+
+  val simContainmentPrefix = QueryDef(
+    "q_sim_containment_prefix",
+    (s, dir) => {
+      val t = containmentSets(s, dir)
+        .localCheckpoint() // token rows + verify rejoin reuse one pass
+      val cands = containmentPrefixCandidates(t)
+      val t1 = t.select(col("doc_id").as("doc_id1"), col("toksh").as("toks1"),
+        col("sz").as("sz1"))
+      val t2 = t.select(col("doc_id").as("doc_id2"), col("toksh").as("toks2"))
+      cands.join(t1, "doc_id1").join(t2, "doc_id2")
+        .withColumn("inter", intersectAtLeast(col("toks1"), col("toks2"),
+          expr("CAST((4 * sz1 + 4) div 5 AS INT)")))
+        .filter(col("inter") * 5 >= col("sz1") * 4)
+        .select(col("doc_id1").as("contained_id"), col("doc_id2").as("container_id"),
+          round(col("inter").cast(DoubleType) / col("sz1"), 6).as("containment"))
+        .orderBy("contained_id", "container_id")
+    },
+    Some(containmentOracle),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     dedupExact, simJaccard, simJaccardBucketed, dedupNear, dedupSimhash, dedupNgram,
     dedupNearNgram, dedupEmbed, dedupCluster, dedupIncremental, dedupNearBucketed,
-    simJaccardCross, dedupNearCross, dedupNearSalted)
+    simJaccardCross, dedupNearCross, dedupNearSalted, simContainment, simContainmentPrefix)
 }

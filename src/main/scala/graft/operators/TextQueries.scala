@@ -564,7 +564,50 @@ object TextQueries {
     """.trim),
   )
 
+  /** BPE tokenizer-training inner loop — corpus-weighted adjacent
+    * character-pair frequencies, top-50 (the statistic a byte-pair-
+    * encoding trainer maximizes at every merge step; Sennrich et al.
+    * 2016, "Neural Machine Translation of Rare Words with Subword
+    * Units"). The scale trick is the standard one: pairs are enumerated
+    * over the DISTINCT word vocabulary (zipfian — thousands of rows
+    * where the corpus has billions of token occurrences) and weighted by
+    * word frequency, so the expensive char-level pass is vocab-sized and
+    * the corpus contributes only a (token) count shuffle. Pair slices
+    * (`substr(i, 2)` over a codegen'd sequence) stay inside whole-stage
+    * codegen; a repeated pair inside one word ("aaa" → "aa"×2) counts
+    * every occurrence, exactly as a BPE trainer does. Top-50 is a
+    * TakeOrderedAndProject (no global sort materialization); ties break
+    * on the pair string for both engines.
+    */
+  val bpePairs = QueryDef(
+    "q_text_bpe_pairs",
+    (s, dir) => {
+      val vocab = Tables.documents(s, dir)
+        .select(explode(Tokenize.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("wc"))
+        .filter(length(col("token")) >= 2)
+      vocab.select(
+          explode(transform(sequence(lit(1), length(col("token")) - 1),
+            i => col("token").substr(i, lit(2)))).as("pair"),
+          col("wc"))
+        .groupBy("pair").agg(sum("wc").as("n"))
+        .orderBy(desc("n"), asc("pair")).limit(50)
+    },
+    Some("""
+      WITH w AS (
+        SELECT token, COUNT(*) AS wc
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token),
+      p AS (
+        SELECT unnest(list_transform(range(1, length(token)),
+                 i -> substring(token, CAST(i AS INT), 2))) AS pair, wc
+        FROM w WHERE length(token) >= 2)
+      SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM p GROUP BY pair
+      ORDER BY n DESC, pair ASC LIMIT 50
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint, textPmi,
-    textNormalize, textEntropy, textChunkify, textLmScore, textRepetition)
+    textNormalize, textEntropy, textChunkify, textLmScore, textRepetition, bpePairs)
 }

@@ -1232,7 +1232,102 @@ object VectorQueries {
     None,
   )
 
+  /** One DuckDB PageRank iteration k (reads p(k-1), defines c_k + p_k):
+    * per-edge contributions are 8dp-rounded to exact decimals BEFORE the
+    * per-node sum (decimal addition is order-free — the summation-order
+    * recipe from q_text_lm_score), so both engines sum identical exact
+    * values in any order; everything else is deterministic IEEE
+    * arithmetic on identical operands.
+    */
+  private def pagerankIterSql(k: Int): String =
+    s"""c$k AS (
+       |  SELECT ed.dst, SUM(CAST(ROUND(p.pr / d.outdeg, 8) AS DECIMAL(18,8))) AS inflow
+       |  FROM edges ed JOIN p${k - 1} p ON p.vec_id = ed.src JOIN deg d ON d.src = ed.src
+       |  GROUP BY ed.dst),
+       |p$k AS (
+       |  SELECT n.vec_id, CAST(0.15 AS DOUBLE) / nn.n
+       |           + CAST(0.85 AS DOUBLE) * COALESCE(CAST(c$k.inflow AS DOUBLE), CAST(0.0 AS DOUBLE)) AS pr
+       |  FROM nodes n CROSS JOIN nn LEFT JOIN c$k ON c$k.dst = n.vec_id)""".stripMargin
+
+  /** Fixed-iteration PageRank over the within-label kNN graph — the
+    * authority-weighting pass a training-data pipeline runs over a
+    * document/link graph to weight sources by centrality (the CommonCrawl
+    * harmonic-centrality idea) — here over the corpus's own similarity
+    * graph, where high PageRank marks vectors central to their label
+    * (prototype selection / coreset weighting). 3 damped iterations
+    * (d = 0.85, teleport-only dangling handling: leaked mass is NOT
+    * redistributed — deterministic and SQL-expressible), initial rank
+    * 1/N, final score 6dp-rounded.
+    *
+    * Scale shape: per iteration, ONE shuffle join of the skinny (src,
+    * dst, outdeg) edge list against the rank frame plus one per-dst
+    * aggregate — linear in edges, the textbook distributed PageRank.
+    * Edges are materialized once (localCheckpoint) and reused across
+    * iterations, the same lineage-cut discipline as
+    * connectedComponents' pointer-jumping loop. The exact within-label
+    * edge build is quadratic per label (the q_vec_knn_graph baseline,
+    * which is what makes the oracle possible); at 100 TB the edge
+    * source swaps for the LSH/IVF candidate graphs
+    * (q_vec_knn_graph_lsh/_ivf) — the iteration core is source-agnostic.
+    * Float parity: per-edge contributions are 8dp-rounded to exact
+    * decimals before the order-free decimal sum; all remaining ops are
+    * identical IEEE arithmetic in both engines.
+    */
+  val vecPagerank = QueryDef(
+    "q_vec_pagerank",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("label"), col("vec_id"), col("embedding"))
+      val b = e.select(col("label").as("label2"), col("vec_id").as("dst"),
+        col("embedding").as("n_emb"))
+      val scored = a.join(b, col("label") === col("label2") && col("vec_id") =!= col("dst"))
+        .withColumn("cos", round(VectorOps.cosine(col("embedding"), col("n_emb")), 6))
+      val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("dst"))
+      val edges = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("vec_id").as("src"), col("dst"))
+        .repartition(col("src")).localCheckpoint()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val ed = edges.join(deg, "src")
+      val nodes = e.select("vec_id")
+      val nTotal = nodes.agg(count(lit(1)).cast(DoubleType).as("n"))
+      var pr = nodes.crossJoin(broadcast(nTotal))
+        .select(col("vec_id").as("vid"), (lit(1.0) / col("n")).as("pr"))
+      for (_ <- 1 to 3) {
+        val inflow = ed.join(pr, col("src") === col("vid"))
+          .select(col("dst"),
+            round(col("pr") / col("outdeg"), 8).cast(DecimalType(18, 8)).as("c"))
+          .groupBy("dst").agg(sum("c").as("inflow"))
+        pr = nodes.crossJoin(broadcast(nTotal))
+          .join(inflow, col("vec_id") === col("dst"), "left")
+          .select(col("vec_id").as("vid"),
+            (lit(0.15) / col("n")
+              + lit(0.85) * coalesce(col("inflow").cast(DoubleType), lit(0.0))).as("pr"))
+      }
+      pr.select(col("vid").as("vec_id"), round(col("pr"), 6).as("pr")).orderBy("vec_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROUND(list_inner_product(a.emb, b.emb)
+                     / sqrt(list_inner_product(a.emb, a.emb) * list_inner_product(b.emb, b.emb)), 6) AS cos
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id),
+      edges AS (
+        SELECT src, dst FROM (
+          SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+          FROM scored) WHERE rn <= 3),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      nodes AS (SELECT vec_id FROM embeddings),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      p0 AS (SELECT vec_id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+      ${pagerankIterSql(1)},
+      ${pagerankIterSql(2)},
+      ${pagerankIterSql(3)}
+      SELECT vec_id, ROUND(pr, 6) AS pr FROM p3 ORDER BY vec_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, vecCentroidUdaf, annLsh, annIvf, vecQuantize,
     annFiltered, vecKnnGraph, vecKnnGraphLsh, vecKnnGraphIvf, vecCluster, vecPq, annIvfPq,
-    vecKnnGraphIncr, vecKnnGraphIncrLsh, annIvfPqIncr)
+    vecKnnGraphIncr, vecKnnGraphIncrLsh, annIvfPqIncr, vecPagerank)
 }

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{DedupQueries, TextQueries, VectorQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Round-8 operator additions — q_sim_containment(_prefix),
+  * q_text_bpe_pairs, q_vec_pagerank. The DuckDB oracles own value
+  * equality (all four are hash-match-checked); these specs pin the
+  * properties the oracles can't see: the prefix filter's candidate
+  * volume (the scale claim), containment's asymmetry vs Jaccard (the
+  * reason the operator exists), and PageRank's mass invariants.
+  */
+class NewOpsSpec extends SparkTestBase with Matchers {
+
+  test("containment: prefix twin equals the exact join exactly") {
+    val exact = DedupQueries.simContainment.query(spark, sfTiny).collect().toSet
+    val pref = DedupQueries.simContainmentPrefix.query(spark, sfTiny).collect().toSet
+    exact should not be empty
+    pref shouldBe exact
+  }
+
+  test("containment prefix filter: candidates are a strict subset of the ordered pair space") {
+    val t = DedupQueries.containmentSets(spark, sfTiny).localCheckpoint()
+    val nCands = DedupQueries.containmentPrefixCandidates(t).count()
+    // all same-lang ordered (smaller, larger) pairs — what the exact join enumerates
+    val a = t.select(col("lang"), col("doc_id").as("d1"), col("sz").as("s1"))
+    val b = t.select(col("lang").as("lang2"), col("doc_id").as("d2"), col("sz").as("s2"))
+    val nAll = a.join(b, col("lang") === col("lang2")
+        && (col("s1") < col("s2") || (col("s1") === col("s2") && col("d1") < col("d2"))))
+      .count()
+    val nOut = DedupQueries.simContainment.query(spark, sfTiny).count()
+    assert(nCands < nAll,
+      s"prefix filter prunes nothing: $nCands candidates of $nAll pairs")
+    assert(nCands >= nOut, "candidates must cover every qualifying pair")
+    info(f"candidates $nCands of $nAll ordered pairs (${100.0 * nCands / nAll}%.1f%%), $nOut qualify")
+  }
+
+  test("containment finds small-in-large pairs that Jaccard-0.5 dedup misses") {
+    val cont = DedupQueries.simContainment.query(spark, sfTiny)
+      .select(col("contained_id").as("doc_id1"), col("container_id").as("doc_id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jac = DedupQueries.simJaccard.query(spark, sfTiny)
+      .select("doc_id1", "doc_id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // asymmetric containment pairs are reported (smaller, larger) while the
+    // jaccard join reports (lower-id, higher-id): normalize to unordered
+    def unordered(p: Set[(Long, Long)]) =
+      p.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+    val only = unordered(cont) -- unordered(jac)
+    assert(only.nonEmpty,
+      "fixture has no containment-only pair — the asymmetry claim is untested")
+    info(s"${only.size} containment-≥0.8 pairs invisible to Jaccard-≥0.5")
+  }
+
+  test("q_text_bpe_pairs: well-formed top-50, counts consistent with a direct recount") {
+    val rows = TextQueries.bpePairs.query(spark, sfTiny).collect()
+    rows.length shouldBe 50
+    rows.foreach { r =>
+      r.getString(0).length shouldBe 2
+      assert(r.getLong(1) > 0)
+    }
+    val ns = rows.map(_.getLong(1)).toSeq
+    ns shouldBe ns.sorted.reverse // ordered by count desc
+    // direct per-occurrence recount of the top pair (no vocab-weighting trick)
+    val top = rows.head.getString(0)
+    val direct = Tables.documents(spark, sfTiny)
+      .select(explode(graft.functions.Tokenize.tokens(col("text"))).as("tok"))
+      .filter(org.apache.spark.sql.functions.length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("p"))
+      .filter(col("p") === top).count()
+    direct shouldBe rows.head.getLong(1)
+  }
+
+  test("q_vec_pagerank: teleport floor, mass bound, full node cover") {
+    val rows = VectorQueries.vecPagerank.query(spark, sfTiny).collect()
+    val n = Tables.embeddings(spark, sfTiny).count()
+    rows.length shouldBe n
+    val floor = 0.15 / n - 1e-6 // 6dp output rounding can dip below by 5e-7
+    rows.foreach(r => assert(r.getDouble(1) >= floor,
+      s"vec ${r.getLong(0)} below teleport floor: ${r.getDouble(1)}"))
+    val mass = rows.map(_.getDouble(1)).sum
+    // dangling leak only removes mass; rounding adds ≤ 5e-7 per node
+    assert(mass <= 1.0 + 1e-3, s"rank mass $mass exceeds 1")
+    assert(mass > 0.15, s"rank mass $mass below the teleport share")
+  }
+}
