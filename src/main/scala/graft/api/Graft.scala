@@ -111,6 +111,22 @@ final class PackStoreHandle(val spark: SparkSession, val base: String) {
     */
   def parseContainers(): Dataset[ContainerOps.ContainerRow] = PackStore.scan(spark, base)
 
+  /** Pin snapshot `id` under an immutable name (Iceberg tag semantics):
+    * a tagged snapshot — and every component it references — survives
+    * [[vacuum]] regardless of the retention window until [[dropTag]].
+    */
+  def createTag(name: String, id: Long): Unit = PackStore.createTag(spark, base, name, id)
+
+  /** Bytes exactly as the tagged snapshot published them. */
+  def scanTag(name: String): Dataset[(Long, Array[Byte])] =
+    PackStore.scanBytes(spark, base, snapshot = Some(PackStore.resolveTag(spark, base, name)))
+
+  /** All readable tags, name-sorted. */
+  def listTags(): Seq[(String, Long)] = PackStore.listTags(spark, base)
+
+  /** Remove the pin; the snapshot then expires under normal retention. */
+  def dropTag(name: String): Unit = PackStore.dropTag(spark, base, name)
+
   /** Newest published snapshot id, None for an empty store. */
   def tip: Option[Long] = PackStore.latestSnapshotId(spark, base)
 

@@ -326,6 +326,64 @@ object PackStore {
       .flatMap(_.split("\n").find(_.startsWith("#kind=")).map(_.stripPrefix("#kind=")))
       .getOrElse("delta")
 
+  // --------------------------------------------------------------------
+  // Named refs (tags) — immutable human-named pins on snapshot ids, the
+  // Iceberg tag idea (TableMetadata refs / `ALTER TABLE ... CREATE TAG`):
+  // a release, an audit point, or a training-run input is named once and
+  // stays readable regardless of the count-based retention window,
+  // because vacuum treats tagged snapshots as retained. Tag files live
+  // under refs/ with the same #eof torn-read discipline as snapshots and
+  // commit via exclusive create — immutable by construction (re-pointing
+  // a name is dropTag + createTag, both explicit).
+  // --------------------------------------------------------------------
+
+  private def tagPath(base: String, name: String) = s"$base/refs/tag-$name"
+  private val TagRefName = "tag-(.+)".r
+
+  /** Pin snapshot `id` under `name`. Fails typed if the snapshot is not
+    * complete-and-present (never tag what can't be read back) or the
+    * name is taken (tags are immutable).
+    */
+  def createTag(s: SparkSession, base: String, name: String, id: Long): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || "._-".contains(c)),
+      s"tag name must be [A-Za-z0-9._-]+: '$name'")
+    if (!isCompleteSnapshot(s, base, id))
+      throw new IllegalArgumentException(
+        s"cannot tag snapshot $id of $base: missing, torn, or expired")
+    if (!graft.sources.GraftFs.writeSmallFileExclusive(s, tagPath(base, name), s"$id\n#eof"))
+      throw new IllegalStateException(
+        s"tag '$name' already exists on $base — tags are immutable (dropTag first)")
+  }
+
+  /** The snapshot id `name` pins; typed failure on unknown or torn tag. */
+  def resolveTag(s: SparkSession, base: String, name: String): Long =
+    graft.sources.GraftFs.readSmallFile(s, tagPath(base, name)) match {
+      case Some(c) if c.trim.endsWith("#eof") => c.trim.linesIterator.next().trim.toLong
+      case Some(_) => throw new IllegalStateException(
+        s"tag '$name' of $base is torn (missing #eof terminator)")
+      case None => throw new IllegalArgumentException(s"no tag '$name' on $base")
+    }
+
+  /** All readable tags, name-sorted. Torn/foreign files are skipped (the
+    * listing must tolerate tmp droppings, like snapshot discovery).
+    */
+  def listTags(s: SparkSession, base: String): Seq[(String, Long)] =
+    graft.sources.GraftFs.listFiles(s, s"$base/refs")
+      .flatMap(_.getPath.getName match {
+        case TagRefName(n) =>
+          try Some(n -> resolveTag(s, base, n)) catch { case _: Exception => None }
+        case _ => None
+      }).sortBy(_._1)
+
+  /** Remove the pin; the snapshot then expires under normal retention. */
+  def dropTag(s: SparkSession, base: String, name: String): Unit =
+    graft.sources.GraftFs.deleteRecursively(s, tagPath(base, name))
+
+  /** Read the corpus exactly as the tagged snapshot published it. */
+  def scanTag(s: SparkSession, base: String,
+      name: String): Dataset[ContainerOps.ContainerRow] =
+    scanAt(s, base, resolveTag(s, base, name))
+
   /** Unique writer token for component staging dirs: two concurrent
     * writers must never share a dir, and a writer doesn't know its
     * snapshot id until its CAS wins — so dirs are token-named, not
@@ -876,7 +934,14 @@ object PackStore {
       orphanGraceMs: Long = DefaultOrphanGraceMs): Unit = {
     val snapIds = graft.sources.GraftFs.listFiles(s, s"$base/snapshots")
       .flatMap(f => snapIdOf(f.getPath.getName)).sorted
-    val (expired, retained) = snapIds.splitAt(math.max(0, snapIds.size - math.max(1, retainSnapshots)))
+    // tagged snapshots are pinned OUTSIDE the count window (Iceberg tag
+    // semantics): a tag holds both the snapshot file and every component
+    // it references, however old — dropTag returns it to normal retention
+    val tagged = listTags(s, base).map(_._2).toSet
+    val (windowExpired, windowRetained) =
+      snapIds.splitAt(math.max(0, snapIds.size - math.max(1, retainSnapshots)))
+    val expired = windowExpired.filterNot(tagged)
+    val retained = snapIds.filter(id => tagged(id) || windowRetained.contains(id))
     // read expired component lists BEFORE deleting their pointers: dirs
     // they reference are provably published, hence immediately sweepable
     val expiredRefs = expired.flatMap(readSnapshot(s, base, _))
@@ -987,6 +1052,26 @@ object PackStore {
 ${ContainerOps.containerOracleBaseForStore}
 ) t WHERE media_id <= (SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) * 8 // 10 FROM documents)
 ORDER BY media_id"""),
+  )
+
+  /** Named-ref read path: pin the lifecycle store's retained compaction
+    * snapshot under a tag and read THROUGH the name — resolution + the
+    * as-of scan under the same oracle as q_mm_pack_timetravel (a tag is
+    * a name for a snapshot, nothing else, and this proves it). Tag
+    * creation is first-rep-only (tags are immutable; later reps and
+    * racing creators land on the already-exists arm and just read).
+    * Vacuum protection of tagged snapshots outside the retention window
+    * is PackTagSpec's job at spec scale.
+    */
+  val mmPackTags = QueryDef(
+    "q_mm_pack_tags",
+    (s, dir) => {
+      val base = ensureLifecycleStore(s, dir)
+      try createTag(s, base, "q80", TimeTravelSnapId)
+      catch { case _: IllegalStateException => () } // already tagged: read it
+      scanTag(s, base, "q80").toDF().orderBy("media_id")
+    },
+    mmPackTimetravel.oracle,
   )
 
   /** Delete-lifecycle store: the full corpus lands, every media_id ≡ 3
@@ -1139,5 +1224,5 @@ ${ContainerOps.containerOracleBaseV2ForStore}
   )
 
   def defs: Seq[QueryDef] = Seq(mmPackLifecycle, mmPackTimetravel, mmPackDeletes,
-    mmPackUpserts, mmPackMeta)
+    mmPackUpserts, mmPackMeta, mmPackTags)
 }

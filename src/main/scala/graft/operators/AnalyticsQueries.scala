@@ -334,6 +334,50 @@ object AnalyticsQueries {
     """.trim),
   )
 
+  /** Deterministic train/val/test split — the assignment every training
+    * pipeline makes before anything else, done the only way that survives
+    * corpus growth: each document's split is a pure function of its OWN
+    * key (affine scramble of doc_id over the Mersenne prime, PortableHash
+    * family — NOT raw doc_id % 100, which would correlate with any
+    * id-ordered ingest pattern), so adding documents never reassigns
+    * existing ones (rank/percentile splits reshuffle everything on every
+    * ingest) and any engine can recompute membership from the key alone.
+    * 80/10/10 on the scrambled bucket; the assignment itself is zero
+    * shuffles and embarrassingly parallel. The audit columns (per-split
+    * doc count + char mass) come from a 3-row partial-aggregated stats
+    * frame BROADCAST back onto the rows — NOT a window partitioned by
+    * split, which would funnel 80% of a 100 TB corpus through one task.
+    */
+  val sampleSplit = QueryDef(
+    "q_sample_split",
+    (s, dir) => {
+      import graft.functions.PortableHash
+      val bucket = pmod(col("doc_id") * lit(PortableHash.A) + lit(PortableHash.BStep),
+        lit(PortableHash.SeedMod)) % 100
+      val assigned = Tables.documents(s, dir).select(
+        col("doc_id"), col("n_chars"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      val stats = assigned.groupBy("split").agg(
+        count(lit(1)).as("split_docs"), sum("n_chars").as("split_chars"))
+      assigned.join(broadcast(stats), "split")
+        .select("doc_id", "split", "split_docs", "split_chars")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH a AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id, n_chars,
+                ((doc_id * ${graft.functions.PortableHash.A} + ${graft.functions.PortableHash.BStep})
+                  % ${graft.functions.PortableHash.SeedMod}) % 100 AS b
+              FROM documents))
+      SELECT doc_id, split,
+             COUNT(*) OVER (PARTITION BY split) AS split_docs,
+             CAST(SUM(n_chars) OVER (PARTITION BY split) AS BIGINT) AS split_chars
+      FROM a ORDER BY doc_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(tsGapfill, aggMode, aggCondAgg, fnRegexp, aggMinmaxBy, sampleMod,
-    aggWeighted, aggBitops, sampleStratified, aggWinsorize)
+    aggWeighted, aggBitops, sampleStratified, aggWinsorize, sampleSplit)
 }

@@ -150,6 +150,11 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     // time travel: the pre-delete snapshot still holds everything
     store.scanAt(1).collect().map(_._1).sorted.toSeq shouldBe (0L until 150L)
 
+    // named refs: a tag reads like its snapshot and survives vacuum below
+    store.createTag("pre-delete", 1L)
+    store.listTags() shouldBe Seq("pre-delete" -> 1L)
+    store.scanTag("pre-delete").collect().map(_._1).sorted.toSeq shouldBe (0L until 150L)
+
     // changelog: one poll from scratch sees the NET adds (ids deleted
     // within the window never surface) and the retraction set
     val ch = store.poll(-1L)
@@ -168,8 +173,16 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     pre.getAs[Long]("tombstoned_ids") shouldBe 15L
     (pre.getAs[Long]("min_id"), pre.getAs[Long]("max_id")) shouldBe ((0L, 149L))
 
-    // compaction + vacuum: physical drop, view unchanged
+    // compaction + vacuum: physical drop, view unchanged — and the tagged
+    // snapshot 1 stays readable although the retention window expired it
     store.compact(nPacks = 2)
+    store.vacuum(retainSnapshots = 1)
+    store.scan().collect().map(_._1).sorted.toSeq shouldBe survivors
+    store.scanTag("pre-delete").collect().map(_._1).sorted.toSeq shouldBe (0L until 150L)
+    // release the pin: the next vacuum expires the tagged snapshot too,
+    // restoring the plain single-snapshot state the stats below assert
+    store.dropTag("pre-delete")
+    store.listTags() shouldBe Seq.empty
     store.vacuum(retainSnapshots = 1)
     store.scan().collect().map(_._1).sorted.toSeq shouldBe survivors
 
