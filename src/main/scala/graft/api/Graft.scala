@@ -315,6 +315,25 @@ final class GraftFrame(val df: DataFrame) {
     df.join(labels, df(id) === labels("__g_keep"), "left_semi")
   }
 
+  /** NEAR dedup keeping the BEST copy per cluster instead of the
+    * min-id one: the surviving row maximizes `by` (ties → lowest `id`) —
+    * e.g. `by = "quality"` after [[withQualityScore]], or a length
+    * column, so the cluster representative is the most complete copy.
+    * One `max_by` hash aggregate per cluster (partial-aggregated; a
+    * million-member cluster never funnels through one task).
+    */
+  def nearDedupBest(by: String, id: String = "doc_id", text: String = "text",
+      lang: Option[String] = Some("lang"), num: Int = 1, den: Int = 2,
+      bands: Int = 16, nHashes: Int = 32): DataFrame = {
+    val labels = dedupClusters(id, text, lang, num, den, bands, nHashes)
+    val keep = df.select(col(id), col(by))
+      .join(labels, id)
+      .groupBy("cluster")
+      .agg(max_by(col(id), struct(col(by), -col(id))).as("__g_keep"))
+      .select("__g_keep")
+    df.join(keep, df(id) === keep("__g_keep"), "left_semi")
+  }
+
   /** The composed nightly curation pipeline as one declarative plan:
     * quality gate at `minQuality` → exact dedup (min-id representative
     * per identical text) → near-dedup (drop any doc with a lower-id

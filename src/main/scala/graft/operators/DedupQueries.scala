@@ -1048,8 +1048,59 @@ object DedupQueries {
     Some(containmentOracle),
   )
 
+  /** Best-of-cluster canonical pick — the ACTION near-dedup exists for:
+    * per duplicate cluster keep exactly one representative, chosen by
+    * completeness (max n_chars — the longest copy is the least-truncated
+    * one), doc_id as the deterministic tiebreak. Composes on
+    * q_dedup_cluster's labels (whose own oracle is the recursive-CTE
+    * transitive closure); the pick itself is ONE hash aggregate per
+    * cluster (`max_by` over the strictly-unique (n_chars, −doc_id) key —
+    * no window, so a million-member boilerplate cluster is a partial
+    * aggregate, not a single-task partition). n_members rides along for
+    * the dedup-rate audit.
+    */
+  val dedupCanonical = QueryDef(
+    "q_dedup_canonical",
+    (s, dir) => {
+      val labels = dedupCluster.query(s, dir)
+      val withChars = labels
+        .join(Tables.documents(s, dir).select("doc_id", "n_chars"), "doc_id")
+      withChars.groupBy("cluster_id")
+        .agg(
+          max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("canonical_id"),
+          count(lit(1)).as("n_members"))
+        .orderBy("cluster_id")
+    },
+    Some("""
+      WITH RECURSIVE d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+        FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5),
+      e AS (SELECT doc_id1 AS a, doc_id2 AS b FROM pairs
+            UNION ALL SELECT doc_id2, doc_id1 FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      lbl AS (
+        SELECT doc_id, LEAST(doc_id, COALESCE(MIN(r.b), doc_id)) AS cluster_id
+        FROM documents LEFT JOIN reach r ON doc_id = r.a
+        GROUP BY doc_id)
+      SELECT cluster_id, canonical_id, n_members FROM (
+        SELECT l.cluster_id, l.doc_id AS canonical_id,
+               ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY dd.n_chars DESC, l.doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members
+        FROM lbl l JOIN documents dd USING (doc_id))
+      WHERE rn = 1 ORDER BY cluster_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     dedupExact, simJaccard, simJaccardBucketed, dedupNear, dedupSimhash, dedupNgram,
     dedupNearNgram, dedupEmbed, dedupCluster, dedupIncremental, dedupNearBucketed,
-    simJaccardCross, dedupNearCross, dedupNearSalted, simContainment, simContainmentPrefix)
+    simJaccardCross, dedupNearCross, dedupNearSalted, simContainment, simContainmentPrefix,
+    dedupCanonical)
 }

@@ -68,6 +68,18 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     val kept = docs.graft.nearDedup(id = "id", text = "body", lang = Some("language"))
       .select("id").as[Long].collect().sorted
     kept shouldBe labels.collect { case (id, c) if id == c => id }.toSeq.sorted
+
+    // nearDedupBest keeps the argmax-`by` member per cluster instead:
+    // brute-force the expected pick from the labels + a weight column
+    val weighted = docs.withColumn("w", org.apache.spark.sql.functions.length($"body"))
+    val wById = weighted.select("id", "w").as[(Long, Int)].collect().toMap
+    val wantBest = labels.groupBy(_._2).values.map { members =>
+      members.map(_._1).maxBy(id => (wById(id), -id))
+    }.toSeq.sorted
+    val keptBest = weighted.graft
+      .nearDedupBest(by = "w", id = "id", text = "body", lang = Some("language"))
+      .select("id").as[Long].collect().sorted
+    keptBest shouldBe wantBest
   }
 
   test("cosine top-k matches a hand-computed ranking") {
