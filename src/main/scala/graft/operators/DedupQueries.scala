@@ -1048,6 +1048,67 @@ object DedupQueries {
     Some(containmentOracle),
   )
 
+  /** Cross-corpus containment admission — the incremental form of the
+    * quote/sub-document check: is an INCOMING document (source src0)
+    * already ≥ 0.8-contained in some STANDING-corpus document? The
+    * production gate for crawl ingestion (near-exact re-crawls and
+    * quoted boilerplate rejected before they enter the corpus).
+    * Registered directly in its 100 TB shape: the lossless prefix filter
+    * (see q_sim_containment_prefix) with the roles fixed — A is always
+    * the incoming doc, so candidates join only the incoming docs'
+    * rare-token prefixes against the standing corpus's posting lists
+    * (the persisted inverted index of a real deployment); the corpus is
+    * never self-joined and the incoming batch is never all-paired.
+    * Tokens absent from the corpus have df 0 and sort FIRST in the
+    * prefix order — they occupy prefix slots and produce no candidates,
+    * and the prefix theorem holds under ANY fixed token order, so
+    * losslessness is intact (the oracle's plain exact join is the
+    * proof, hash-compared).
+    */
+  val simContainmentCross = QueryDef(
+    "q_sim_containment_cross",
+    (s, dir) => {
+      val t = docTokensHashed(s, dir)
+        .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+        .withColumn("sz", size(col("toksh")))
+        .localCheckpoint()
+      val incTok = t.filter(col("source") === "src0")
+        .select(col("lang"), col("doc_id"), col("sz"), explode(col("toksh")).as("h"))
+      val corpTok = t.filter(col("source") =!= "src0")
+        .select(col("lang"), col("doc_id"), explode(col("toksh")).as("h"))
+      val dfC = corpTok.groupBy("lang", "h").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(asc("df"), asc("h"))
+      val prefix = incTok.join(dfC, Seq("lang", "h"), "left")
+        .withColumn("df", coalesce(col("df"), lit(0L)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("sz") - expr("CAST((4 * sz + 4) div 5 AS INT)") + 1)
+        .select(col("lang"), col("h"), col("doc_id").as("doc_id1"))
+      val cands = prefix.join(
+          corpTok.select(col("lang").as("lang2"), col("h").as("h2"),
+            col("doc_id").as("doc_id2")),
+          col("lang") === col("lang2") && col("h") === col("h2"))
+        .select("doc_id1", "doc_id2").distinct()
+      val t1 = t.select(col("doc_id").as("doc_id1"), col("toksh").as("toks1"),
+        col("sz").as("sz1"))
+      val t2 = t.select(col("doc_id").as("doc_id2"), col("toksh").as("toks2"))
+      cands.join(t1, "doc_id1").join(t2, "doc_id2")
+        .withColumn("inter", intersectAtLeast(col("toks1"), col("toks2"),
+          expr("CAST((4 * sz1 + 4) div 5 AS INT)")))
+        .filter(col("inter") * 5 >= col("sz1") * 4)
+        .select(col("doc_id1"), col("doc_id2"),
+          round(col("inter").cast(DoubleType) / col("sz1"), 6).as("containment"))
+        .orderBy("doc_id1", "doc_id2")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+      SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+             ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(a.toks), 6) AS containment
+      FROM d a JOIN d b ON a.lang = b.lang AND a.source = 'src0' AND b.source <> 'src0'
+      WHERE len(list_intersect(a.toks, b.toks)) * 5 >= len(a.toks) * 4
+      ORDER BY doc_id1, doc_id2
+    """.trim),
+  )
+
   /** Best-of-cluster canonical pick — the ACTION near-dedup exists for:
     * per duplicate cluster keep exactly one representative, chosen by
     * completeness (max n_chars — the longest copy is the least-truncated
@@ -1102,5 +1163,5 @@ object DedupQueries {
     dedupExact, simJaccard, simJaccardBucketed, dedupNear, dedupSimhash, dedupNgram,
     dedupNearNgram, dedupEmbed, dedupCluster, dedupIncremental, dedupNearBucketed,
     simJaccardCross, dedupNearCross, dedupNearSalted, simContainment, simContainmentPrefix,
-    dedupCanonical)
+    dedupCanonical, simContainmentCross)
 }

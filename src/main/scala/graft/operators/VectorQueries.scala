@@ -1273,6 +1273,32 @@ object VectorQueries {
     * decimals before the order-free decimal sum; all remaining ops are
     * identical IEEE arithmetic in both engines.
     */
+  /** The iteration core, edge-source-agnostic: 3 damped rounds over any
+    * (src, dst) edge frame. Edges are materialized once and reused; each
+    * round is one skinny shuffle join + one per-dst aggregate — linear
+    * in edges regardless of where they came from.
+    */
+  private[graft] def pagerankOnEdges(nodes: DataFrame, rawEdges: DataFrame): DataFrame = {
+    val edges = rawEdges.repartition(col("src")).localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ed = edges.join(deg, "src")
+    val nTotal = nodes.agg(count(lit(1)).cast(DoubleType).as("n"))
+    var pr = nodes.crossJoin(broadcast(nTotal))
+      .select(col("vec_id").as("vid"), (lit(1.0) / col("n")).as("pr"))
+    for (_ <- 1 to 3) {
+      val inflow = ed.join(pr, col("src") === col("vid"))
+        .select(col("dst"),
+          round(col("pr") / col("outdeg"), 8).cast(DecimalType(18, 8)).as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      pr = nodes.crossJoin(broadcast(nTotal))
+        .join(inflow, col("vec_id") === col("dst"), "left")
+        .select(col("vec_id").as("vid"),
+          (lit(0.15) / col("n")
+            + lit(0.85) * coalesce(col("inflow").cast(DoubleType), lit(0.0))).as("pr"))
+    }
+    pr.select(col("vid").as("vec_id"), round(col("pr"), 6).as("pr")).orderBy("vec_id")
+  }
+
   val vecPagerank = QueryDef(
     "q_vec_pagerank",
     (s, dir) => {
@@ -1285,25 +1311,7 @@ object VectorQueries {
       val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("dst"))
       val edges = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select(col("vec_id").as("src"), col("dst"))
-        .repartition(col("src")).localCheckpoint()
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      val ed = edges.join(deg, "src")
-      val nodes = e.select("vec_id")
-      val nTotal = nodes.agg(count(lit(1)).cast(DoubleType).as("n"))
-      var pr = nodes.crossJoin(broadcast(nTotal))
-        .select(col("vec_id").as("vid"), (lit(1.0) / col("n")).as("pr"))
-      for (_ <- 1 to 3) {
-        val inflow = ed.join(pr, col("src") === col("vid"))
-          .select(col("dst"),
-            round(col("pr") / col("outdeg"), 8).cast(DecimalType(18, 8)).as("c"))
-          .groupBy("dst").agg(sum("c").as("inflow"))
-        pr = nodes.crossJoin(broadcast(nTotal))
-          .join(inflow, col("vec_id") === col("dst"), "left")
-          .select(col("vec_id").as("vid"),
-            (lit(0.15) / col("n")
-              + lit(0.85) * coalesce(col("inflow").cast(DoubleType), lit(0.0))).as("pr"))
-      }
-      pr.select(col("vid").as("vec_id"), round(col("pr"), 6).as("pr")).orderBy("vec_id")
+      pagerankOnEdges(e.select("vec_id"), edges)
     },
     Some(s"""
       WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
@@ -1327,7 +1335,26 @@ object VectorQueries {
     """.trim),
   )
 
+  /** PageRank over the LSH candidate graph — the shipped scale twin for
+    * q_vec_pagerank's quadratic exact edge build: same iteration core
+    * ([[pagerankOnEdges]]), edges from the sub-quadratic hyperplane-LSH
+    * candidate generator (q_vec_knn_graph_lsh's). Non-oracle (the edge
+    * set is hash-family-dependent); NewOpsSpec bounds top-rank agreement
+    * with the exact-edge PageRank instead.
+    */
+  val vecPagerankLsh = QueryDef(
+    "q_vec_pagerank_lsh",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+      val edges = knnGraphFromCandidates(e,
+        lshGraphCandidates(e, GraphLshTables, GraphLshBits, GraphLshRadius), 3)
+        .select(col("vec_id").as("src"), col("n_vec_id").as("dst"))
+      pagerankOnEdges(e.select("vec_id"), edges)
+    },
+    None,
+  )
+
   def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, vecCentroidUdaf, annLsh, annIvf, vecQuantize,
     annFiltered, vecKnnGraph, vecKnnGraphLsh, vecKnnGraphIvf, vecCluster, vecPq, annIvfPq,
-    vecKnnGraphIncr, vecKnnGraphIncrLsh, annIvfPqIncr, vecPagerank)
+    vecKnnGraphIncr, vecKnnGraphIncrLsh, annIvfPqIncr, vecPagerank, vecPagerankLsh)
 }

@@ -73,6 +73,24 @@ class NewOpsSpec extends SparkTestBase with Matchers {
     direct shouldBe rows.head.getLong(1)
   }
 
+  test("q_vec_pagerank_lsh: high top-rank agreement with the exact-edge PageRank") {
+    val exact = VectorQueries.vecPagerank.query(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = VectorQueries.vecPagerankLsh.query(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    lsh.keySet shouldBe exact.keySet // every node is ranked either way
+    def topK(m: Map[Long, Double], k: Int) =
+      m.toSeq.sortBy { case (id, pr) => (-pr, id) }.take(k).map(_._1).toSet
+    // the LSH graph recalls ~0.97 of the exact edges (KnnGraphSpec), so
+    // the authority ranking must carry over: measured overlap 1.0 at
+    // sf0.001 for both cuts; 0.8 leaves room for hash-family churn
+    val o20 = topK(exact, 20).intersect(topK(lsh, 20)).size / 20.0
+    val o50 = topK(exact, 50).intersect(topK(lsh, 50)).size / 50.0
+    o20 should be >= 0.8
+    o50 should be >= 0.8
+    info(f"top-20 overlap $o20%.2f, top-50 overlap $o50%.2f")
+  }
+
   test("q_vec_pagerank: teleport floor, mass bound, full node cover") {
     val rows = VectorQueries.vecPagerank.query(spark, sfTiny).collect()
     val n = Tables.embeddings(spark, sfTiny).count()
