@@ -607,7 +607,66 @@ object TextQueries {
     """.trim),
   )
 
+  /** Sliding-window substring dedup — the practical form of Lee et al.
+    * 2021 ("Deduplicating Training Data Makes Language Models Better"):
+    * per document, the fraction of its stride-1 20-token windows whose
+    * window text occurs ≥2 times ANYWHERE in the corpus (cross-doc or
+    * repeated within the doc). q_text_chunk_dedup already covers
+    * boundary-ALIGNED 20-token chunks; stride-1 windows are what catch
+    * the misaligned duplicated span (a quoted paragraph starting
+    * mid-chunk), which is the actual failure mode of fixed chunking.
+    * Scale shape: one explode (≈ one window per token position, linear),
+    * corpus counts shuffled on the window's xxhash64 — 8 bytes per key
+    * instead of a ~150-byte 20-gram string (counts per hash equal counts
+    * per gram modulo ~1e-15 collisions, the hashed-set precedent) — and
+    * one per-doc aggregate. Zero-window docs (<20 tokens) report 0/0
+    * with a NULL fraction.
+    */
+  val substringDedup = QueryDef(
+    "q_text_substring_dedup",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+      val grams = toks.select(col("doc_id"),
+          explode(Tokenize.ngramShingles(col("toks"), 20)).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      val counts = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
+      val perDoc = grams.join(counts, "gh").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("dup_windows"))
+      Tables.documents(s, dir).select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+          when(col("n_windows") > 0,
+            round(col("dup_windows").cast(DoubleType) / col("n_windows"), 6))
+            .as("dup_fraction"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(greatest(len(toks) - 19, 0)),
+                 i -> list_aggregate(toks[i+1:i+20], 'string_agg', ' '))) AS g
+        FROM t),
+      c AS (SELECT g, COUNT(*) AS cnt FROM g GROUP BY g),
+      p AS (
+        SELECT doc_id, COUNT(*) AS n_windows,
+               CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+        FROM g JOIN c USING (g) GROUP BY doc_id)
+      SELECT d.doc_id,
+             COALESCE(p.n_windows, 0) AS n_windows,
+             COALESCE(p.dup_windows, 0) AS dup_windows,
+             CASE WHEN p.n_windows > 0
+                  THEN ROUND(CAST(p.dup_windows AS DOUBLE) / p.n_windows, 6) END AS dup_fraction
+      FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint, textPmi,
-    textNormalize, textEntropy, textChunkify, textLmScore, textRepetition, bpePairs)
+    textNormalize, textEntropy, textChunkify, textLmScore, textRepetition, bpePairs,
+    substringDedup)
 }
