@@ -290,6 +290,27 @@ final class GraftFrame(val df: DataFrame) {
       .withColumnRenamed("doc_id1", s"${id}_1").withColumnRenamed("doc_id2", s"${id}_2")
   }
 
+  /** Containment pairs at |A∩B|/|A| ≥ num/den where A is the smaller
+    * token set — the ASYMMETRIC duplication mode (short doc quoted
+    * inside a long one) Jaccard-gated dedup misses. Candidates come
+    * from the lossless AllPairs prefix filter (each doc's rarest
+    * (1−t)·|A|+1 tokens joined against full posting lists — never all
+    * pairs), then the exact integer-threshold verify. Returns
+    * (contained_id, container_id, containment).
+    */
+  def containmentPairs(id: String = "doc_id", text: String = "text",
+      lang: Option[String] = Some("lang"), num: Int = 4, den: Int = 5): DataFrame = {
+    val langCol = lang.fold(lit(""): Column)(col)
+    val t = df.select(col(id).as("doc_id"), langCol.as("lang"),
+        Tokenize.hashedTokenSet(col(text)).as("toksh"))
+      .withColumn("sz", size(col("toksh")))
+      .localCheckpoint()
+    DedupQueries.verifyContainment(
+        DedupQueries.containmentPrefixCandidates(t, num, den), t, num, den)
+      .withColumnRenamed("contained_id", s"${id}_contained")
+      .withColumnRenamed("container_id", s"${id}_container")
+  }
+
   /** Transitive near-dup clusters: verified pairs → pointer-jumping
     * connected components (log₂-diameter rounds, never the quadratic
     * pair space). Returns (`id`, cluster) where cluster = the minimum

@@ -1008,14 +1008,16 @@ object DedupQueries {
     * candidates only. ContainmentPrefixSpec additionally pins the
     * candidate set against the exact pair set at fixture scale.
     */
-  private[graft] def containmentPrefixCandidates(t: DataFrame): DataFrame = {
+  private[graft] def containmentPrefixCandidates(t: DataFrame,
+      num: Int = 4, den: Int = 5): DataFrame = {
     val tokRows = t.select(col("lang"), col("doc_id"), col("sz"),
       explode(col("toksh")).as("h"))
     val df = tokRows.groupBy("lang", "h").agg(count(lit(1)).as("df"))
     val ranked = tokRows.join(df, Seq("lang", "h"))
     val w = Window.partitionBy("doc_id").orderBy(asc("df"), asc("h"))
     val prefix = ranked.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - expr("CAST((4 * sz + 4) div 5 AS INT)") + 1)
+      .filter(col("rn") <= col("sz")
+        - expr(s"CAST(($num * sz + ${den - 1}) div $den AS INT)") + 1)
       .select(col("lang"), col("h"), col("doc_id").as("doc_id1"), col("sz").as("sz1"))
     val full = tokRows.select(col("lang").as("lang2"), col("h").as("h2"),
       col("doc_id").as("doc_id2"), col("sz").as("sz2"))
@@ -1028,21 +1030,30 @@ object DedupQueries {
   private[graft] def containmentSets(s: SparkSession, dir: String): DataFrame =
     docTokensHashed(s, dir).withColumn("sz", size(col("toksh")))
 
+  /** Exact containment verify of candidate (doc_id1=contained, doc_id2=
+    * container) pairs against the hashed sets at threshold num/den —
+    * exact integer gate, 6dp display score. Shared by the registered
+    * prefix query and the facade verb.
+    */
+  private[graft] def verifyContainment(cands: DataFrame, t: DataFrame,
+      num: Int, den: Int): DataFrame = {
+    val t1 = t.select(col("doc_id").as("doc_id1"), col("toksh").as("toks1"),
+      col("sz").as("sz1"))
+    val t2 = t.select(col("doc_id").as("doc_id2"), col("toksh").as("toks2"))
+    cands.join(t1, "doc_id1").join(t2, "doc_id2")
+      .withColumn("inter", intersectAtLeast(col("toks1"), col("toks2"),
+        expr(s"CAST(($num * sz1 + ${den - 1}) div $den AS INT)")))
+      .filter(col("inter") * den >= col("sz1") * num)
+      .select(col("doc_id1").as("contained_id"), col("doc_id2").as("container_id"),
+        round(col("inter").cast(DoubleType) / col("sz1"), 6).as("containment"))
+  }
+
   val simContainmentPrefix = QueryDef(
     "q_sim_containment_prefix",
     (s, dir) => {
       val t = containmentSets(s, dir)
         .localCheckpoint() // token rows + verify rejoin reuse one pass
-      val cands = containmentPrefixCandidates(t)
-      val t1 = t.select(col("doc_id").as("doc_id1"), col("toksh").as("toks1"),
-        col("sz").as("sz1"))
-      val t2 = t.select(col("doc_id").as("doc_id2"), col("toksh").as("toks2"))
-      cands.join(t1, "doc_id1").join(t2, "doc_id2")
-        .withColumn("inter", intersectAtLeast(col("toks1"), col("toks2"),
-          expr("CAST((4 * sz1 + 4) div 5 AS INT)")))
-        .filter(col("inter") * 5 >= col("sz1") * 4)
-        .select(col("doc_id1").as("contained_id"), col("doc_id2").as("container_id"),
-          round(col("inter").cast(DoubleType) / col("sz1"), 6).as("containment"))
+      verifyContainment(containmentPrefixCandidates(t), t, 4, 5)
         .orderBy("contained_id", "container_id")
     },
     Some(containmentOracle),

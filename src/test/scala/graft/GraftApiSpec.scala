@@ -34,6 +34,23 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     kept.select("text").distinct().count() shouldBe kept.count()
   }
 
+  test("containmentPairs on renamed columns matches the brute-force containment truth") {
+    val docs = docsDf.select(
+      $"doc_id".as("id"), $"lang".as("language"), $"text".as("body"))
+      .filter($"id" < 120)
+    val got = docs.graft.containmentPairs(id = "id", text = "body", lang = Some("language"))
+    got.columns.toSeq shouldBe Seq("id_contained", "id_container", "containment")
+    val toks = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).distinct.toSet)).toSeq
+    val want = (for {
+      (i1, l1, t1) <- toks; (i2, l2, t2) <- toks
+      if l1 == l2 && (t1.size < t2.size || (t1.size == t2.size && i1 < i2))
+      if (t1 & t2).size * 5 >= t1.size * 4
+    } yield (i1, i2)).toSet
+    want should not be empty
+    got.select("id_contained", "id_container").as[(Long, Long)].collect().toSet shouldBe want
+  }
+
   test("near-dup pairs/clusters/dedup on renamed columns match the brute-force jaccard truth") {
     // a user's frame with their OWN column names
     val docs = docsDf.select(
