@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Graph analytics over the corpus similarity graph — the
+  * structure-quality probes a training-data pipeline runs on its
+  * document/link graph: triangle census (how clique-y is each region —
+  * near-dup boilerplate families show up as dense triangles) and label
+  * propagation community detection (Raghavan et al. 2007 — topical
+  * grouping without a vector-space k).
+  *
+  * Both operators are EDGE-SOURCE-AGNOSTIC cores (the pagerankOnEdges
+  * discipline): here they consume the exact within-label kNN top-3 edges
+  * (quadratic per label — that is what makes the DuckDB oracle possible;
+  * the same deliberate-baseline grade as q_vec_knn_graph), and at 100 TB
+  * the edge frame swaps for the sub-quadratic LSH/IVF candidate graphs
+  * (q_vec_knn_graph_lsh/_ivf) with the downstream plan unchanged —
+  * everything after edge construction is linear in edges (one distinct,
+  * hash aggregates, and for triangles a two-hop join whose volume is
+  * Σ deg² — bounded by k·|E| on a k-NN graph).
+  */
+object GraphQueries {
+
+  /** Shared SQL: exact within-label kNN top-3 edges, undirected-ized
+    * (a < b, distinct) — mirrors q_vec_knn_graph's oracle CTEs.
+    */
+  private val UndirectedEdgeSql =
+    """e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      |scored AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |         ROUND(list_inner_product(a.emb, b.emb)
+      |               / sqrt(list_inner_product(a.emb, a.emb) * list_inner_product(b.emb, b.emb)), 6) AS cos
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id),
+      |edges AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+      |    FROM scored) WHERE rn <= 3),
+      |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges)""".stripMargin
+
+  /** Exact within-label kNN top-3 directed edges (src, dst) — the same
+    * construction as q_vec_knn_graph / q_vec_pagerank.
+    */
+  private[graft] def exactKnnEdges(e: DataFrame): DataFrame = {
+    val a = e.select(col("label"), col("vec_id"), col("embedding"))
+    val b = e.select(col("label").as("label2"), col("vec_id").as("dst"),
+      col("embedding").as("n_emb"))
+    val scored = a.join(b, col("label") === col("label2") && col("vec_id") =!= col("dst"))
+      .withColumn("cos", round(VectorOps.cosine(col("embedding"), col("n_emb")), 6))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("dst"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("vec_id").as("src"), col("dst"))
+  }
+
+  /** Undirected-ize a directed edge frame: distinct (a < b) pairs. */
+  private[graft] def undirected(edges: DataFrame): DataFrame =
+    edges.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+
+  /** Triangle census core: per label — nodes, undirected edges, wedges
+    * (open two-paths, Σ d(d−1)/2) and triangles, plus the global
+    * clustering coefficient 3T/W. Triangles enumerate each a<b<c once
+    * via the ordered two-hop join; on a k-NN graph the two-hop volume is
+    * ≤ k·|E|, so the census is linear in edges for fixed k.
+    */
+  private[graft] def trianglesOnEdges(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val und = undirected(edges).localCheckpoint()
+    val lab = labels.select(col("vec_id"), col("label"))
+    val sym = und.select(col("a").as("v"), col("b").as("u"))
+      .union(und.select(col("b").as("v"), col("a").as("u")))
+    val deg = sym.groupBy("v").agg(count(lit(1)).as("d"))
+    val nodeStats = lab.join(deg, col("vec_id") === col("v"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("d") * (col("d") - 1) / 2, lit(0L))).cast(LongType).as("n_wedges"))
+    val edgeStats = und.join(lab, col("a") === col("vec_id"))
+      .groupBy("label").agg(count(lit(1)).as("n_edges"))
+    val e2 = und.select(col("a").as("b2"), col("b").as("c"))
+    val e3 = und.select(col("a").as("a3"), col("b").as("c3"))
+    val tri = und.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"))
+    val triStats = tri.join(lab, col("a") === col("vec_id"))
+      .groupBy("label").agg(count(lit(1)).as("n_triangles"))
+    nodeStats.join(edgeStats, Seq("label"), "left").join(triStats, Seq("label"), "left")
+      .select(col("label"),
+        col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        col("n_wedges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(round(lit(3.0) * coalesce(col("n_triangles"), lit(0L)) / col("n_wedges"), 6))
+          .as("clustering"))
+      .orderBy("label")
+  }
+
+  val graphTriangles = QueryDef(
+    "q_graph_triangles",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      trianglesOnEdges(e.select("vec_id", "label"), exactKnnEdges(e))
+    },
+    Some(s"""
+      WITH $UndirectedEdgeSql,
+      sym AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+      deg AS (SELECT v, COUNT(*) AS d FROM sym GROUP BY v),
+      ns AS (
+        SELECT label, COUNT(*) AS n_nodes,
+               CAST(SUM(COALESCE(d * (d - 1) / 2, 0)) AS BIGINT) AS n_wedges
+        FROM embeddings LEFT JOIN deg ON vec_id = v GROUP BY label),
+      es AS (
+        SELECT label, COUNT(*) AS n_edges
+        FROM und JOIN embeddings ON a = vec_id GROUP BY label),
+      tri AS (
+        SELECT e1.a
+        FROM und e1 JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      ts AS (
+        SELECT label, COUNT(*) AS n_triangles
+        FROM tri JOIN embeddings ON a = vec_id GROUP BY label)
+      SELECT ns.label AS label, n_nodes,
+             COALESCE(n_edges, 0) AS n_edges, n_wedges,
+             COALESCE(n_triangles, 0) AS n_triangles,
+             CASE WHEN n_wedges = 0 THEN 0.0
+                  ELSE ROUND(3.0 * COALESCE(n_triangles, 0) / n_wedges, 6) END AS clustering
+      FROM ns LEFT JOIN es ON ns.label = es.label LEFT JOIN ts ON ns.label = ts.label
+      ORDER BY label
+    """.trim),
+  )
+
+  /** Label-propagation core: 3 synchronous rounds of
+    * c(v) ← mode{c(u) : u ~ v} (count desc, label asc tiebreak — the
+    * deterministic variant of Raghavan's random-order LPA), init
+    * c(v) = v. Each round is one skinny edge⋈label join + a per-node
+    * mode (two hash aggregates / a count + row_number window) — linear
+    * in edges. Symmetric edges are materialized once and reused across
+    * rounds (the pagerankOnEdges lineage discipline).
+    */
+  private[graft] def labelPropOnEdges(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = undirected(edges)
+    val sym = und.select(col("a").as("v"), col("b").as("u"))
+      .union(und.select(col("b").as("v"), col("a").as("u")))
+      .repartition(col("u")).localCheckpoint()
+    var c = nodes.select(col("vec_id").as("node"), col("vec_id").as("comm"))
+    for (_ <- 1 to 3) {
+      val counts = sym.join(c, col("u") === col("node"))
+        .groupBy(col("v"), col("comm")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("v").orderBy(desc("n"), asc("comm"))
+      c = counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("v").as("node"), col("comm"))
+    }
+    // isolated nodes (a singleton label has no edges) keep their own id
+    nodes.join(c, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"), coalesce(col("comm"), col("vec_id")).as("community"))
+      .orderBy("vec_id")
+  }
+
+  private def lpaIterSql(k: Int): String =
+    s"""nc$k AS (
+       |  SELECT s.v, c.comm, COUNT(*) AS n
+       |  FROM sym s JOIN c${k - 1} c ON c.node = s.u
+       |  GROUP BY s.v, c.comm),
+       |c$k AS (
+       |  SELECT v AS node, comm FROM (
+       |    SELECT v, comm, ROW_NUMBER() OVER (PARTITION BY v ORDER BY n DESC, comm ASC) AS rn
+       |    FROM nc$k) WHERE rn = 1)""".stripMargin
+
+  val graphLabelprop = QueryDef(
+    "q_graph_labelprop",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      labelPropOnEdges(e.select("vec_id"), exactKnnEdges(e))
+    },
+    Some(s"""
+      WITH $UndirectedEdgeSql,
+      sym AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+      c0 AS (SELECT vec_id AS node, vec_id AS comm FROM embeddings),
+      ${lpaIterSql(1)},
+      ${lpaIterSql(2)},
+      ${lpaIterSql(3)}
+      SELECT vec_id, COALESCE(comm, vec_id) AS community
+      FROM embeddings LEFT JOIN c3 ON vec_id = node
+      ORDER BY vec_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(graphTriangles, graphLabelprop)
+}
