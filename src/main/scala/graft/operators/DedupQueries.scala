@@ -1170,9 +1170,119 @@ object DedupQueries {
     """.trim),
   )
 
+  // ---- Semantic dedup (SemDeDup) -------------------------------------------
+
+  private val SemPlanesPerTable = 3 // 2^3 = 8 cells per table at fixture scale
+  private val SemTables = 2
+  private val SemDim = 64
+  // Fixture-calibrated: distinct fixture embeddings top out at cos 0.48-0.60
+  // (no true near-dups), so the paper's 0.95-class epsilon never fires here;
+  // 0.4 puts 66-920 pairs over threshold at sf0.001-0.1 (the
+  // q_text_repetition fixture-p90 precedent).
+  private val SemTau = 0.4
+
+  /** Portable hyperplane weights for table `t`: integer entries in
+    * [−9, 9] derived from the PortableHash affine seed family — the same
+    * both-engines-compute-identical-constants discipline as the MinHash
+    * family, so the cell assignment (and thus the whole operator) is
+    * DuckDB-reproducible, unlike the float-random hyperplanes of
+    * q_ann_lsh. Integer×float products are exact in double (24-bit × 4-bit
+    * mantissas), and both engines fold the 64 terms in index order.
+    */
+  private[graft] def semPlaneWeights(t: Int): Seq[Seq[Double]] =
+    (0 until SemPlanesPerTable).map { h =>
+      (0 until SemDim).map { j =>
+        (((graft.functions.PortableHash.A
+          + graft.functions.PortableHash.AStep * ((t * SemPlanesPerTable + h) * SemDim + j))
+          % graft.functions.PortableHash.SeedMod) % 19 - 9).toDouble
+      }
+    }
+
+  /** Sign-signature cell id for table `t` (6dp-rounded dots before the
+    * sign test so a last-ulp fold difference cannot flip a bit).
+    */
+  private def semCellCol(t: Int): Column =
+    semPlaneWeights(t).zipWithIndex.map { case (w, h) =>
+      when(round(VectorOps.dot(col("embedding"), typedlit(w)), 6) > 0, lit(1 << h))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** (vec_id, embedding, cell0, cell1): per-table semantic cells. */
+  private[graft] def semCells(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      semCellCol(0).as("cell0"), semCellCol(1).as("cell1"))
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): embeddings
+    * bucket into semantic cells — two independent portable-hyperplane
+    * tables, the multi-table LSH discipline — and any vector with an
+    * earlier (lower-id) neighbor at cosine ≥ τ in EITHER shared cell is
+    * dropped: the paper's per-pair epsilon rule (membership depends only
+    * on a vector's own earlier in-cell neighbors, never on whether those
+    * neighbors were themselves dropped), so the pass is two equi-joins +
+    * one distinct with no iteration. Emits every vector with its cells
+    * and keep flag (the curation-pipeline admission signal).
+    *
+    * Cross-cell near-dup pairs are invisible by design (the SemDeDup
+    * approximation); SemanticDedupSpec measures the miss fraction
+    * against the exact q_dedup_embed-style pair set — ~40% in-cell on
+    * the fixture, the hard near-orthogonal regime for data-oblivious
+    * hyperplanes (the q_vec_knn_graph_lsh regime note; SemDeDup's
+    * k-means cells are data-adaptive and collide far better — our
+    * IVF codebook is that upgrade, but its construction is not
+    * DuckDB-reproducible, and THIS operator's point is the full oracle).
+    * Scale: within-cell join costs Σ|cell|² per table; cells = 2^planes
+    * GROW with the corpus (planes ∝ log N holds occupancy bounded, the
+    * q_ann_lsh table-sizing argument), and the portable integer planes
+    * let ANY engine re-derive membership — no stored index to ship.
+    */
+  val dedupSemantic = QueryDef(
+    "q_dedup_semantic",
+    (s, dir) => {
+      val cells = semCells(Tables.embeddings(s, dir))
+      def dupsVia(cellCol: String): DataFrame = {
+        val a = cells.select(col(cellCol).as("ca"), col("vec_id").as("v1"),
+          col("embedding").as("e1"))
+        val b = cells.select(col(cellCol).as("cb"), col("vec_id").as("v2"),
+          col("embedding").as("e2"))
+        a.join(b, col("ca") === col("cb") && col("v1") < col("v2"))
+          .filter(round(VectorOps.cosine(col("e1"), col("e2")), 6) >= SemTau)
+          .select(col("v2").as("dup"))
+      }
+      val dups = dupsVia("cell0").union(dupsVia("cell1")).distinct()
+      cells.join(dups, col("vec_id") === col("dup"), "left")
+        .select(col("vec_id"), col("cell0"), col("cell1"), col("dup").isNull.as("keep"))
+        .orderBy("vec_id")
+    },
+    Some {
+      def planeSql(t: Int): String = semPlaneWeights(t).zipWithIndex.map { case (w, h) =>
+        val lst = w.map(_.toLong).mkString("[", ", ", "]")
+        s"(CASE WHEN ROUND(list_inner_product(emb, CAST($lst AS DOUBLE[])), 6) > 0 THEN ${1 << h} ELSE 0 END)"
+      }.mkString(" + ")
+      val cosSql =
+        """ROUND(list_inner_product(a.emb, b.emb)
+          |             / sqrt(list_inner_product(a.emb, a.emb) * list_inner_product(b.emb, b.emb)), 6)""".stripMargin
+      s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      cells AS (SELECT vec_id, emb, ${planeSql(0)} AS cell0, ${planeSql(1)} AS cell1 FROM e),
+      dups AS (
+        SELECT DISTINCT dup FROM (
+          SELECT b.vec_id AS dup
+          FROM cells a JOIN cells b ON a.cell0 = b.cell0 AND a.vec_id < b.vec_id
+          WHERE $cosSql >= $SemTau
+          UNION ALL
+          SELECT b.vec_id AS dup
+          FROM cells a JOIN cells b ON a.cell1 = b.cell1 AND a.vec_id < b.vec_id
+          WHERE $cosSql >= $SemTau))
+      SELECT vec_id, cell0, cell1, dup IS NULL AS keep
+      FROM cells LEFT JOIN dups ON vec_id = dup
+      ORDER BY vec_id
+      """.trim
+    },
+  )
+
   def defs: Seq[QueryDef] = Seq(
     dedupExact, simJaccard, simJaccardBucketed, dedupNear, dedupSimhash, dedupNgram,
     dedupNearNgram, dedupEmbed, dedupCluster, dedupIncremental, dedupNearBucketed,
     simJaccardCross, dedupNearCross, dedupNearSalted, simContainment, simContainmentPrefix,
-    dedupCanonical, simContainmentCross)
+    dedupCanonical, simContainmentCross, dedupSemantic)
 }
