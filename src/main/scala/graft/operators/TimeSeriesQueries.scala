@@ -103,5 +103,133 @@ object TimeSeriesQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(tsEwma, tsAnomaly)
+  /** STL-style seasonal decomposition of the global hourly value series:
+    * trend = centered 25-point rows-frame moving average, seasonal =
+    * hour-of-day mean of the detrended series, residual = the rest. The
+    * classic additive decomposition (Cleveland's STL with the loess
+    * smoothers replaced by the moving-average/seasonal-means form that
+    * both engines can compute exactly).
+    *
+    * Scale shape: the raw corpus reduces to ≤ (hours in range) rows in
+    * ONE hash aggregate (exact decimal sums — order-free), and
+    * everything after operates on that bounded series: the unpartitioned
+    * rows-frame window is sound because a time-bucketed series is
+    * corpus-size-independent (720 rows/month regardless of event count
+    * — same argument as q_ts_gapfill's grid). Float parity: hourly sums
+    * are exact DECIMAL(18,2); the trend is an exact-decimal frame sum
+    * divided by the frame count; detrended values are 8dp-decimal
+    * rounded before the order-free seasonal mean; displayed components
+    * round at 6dp and the residual is recomputed from the ROUNDED
+    * components so every engine derives it from identical operands.
+    */
+  val tsStl = QueryDef(
+    "q_ts_stl",
+    (s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("h"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("ydec"))
+      val w = Window.orderBy("h").rowsBetween(-12, 12)
+      val trended = hourly
+        .withColumn("y", col("ydec").cast(DoubleType))
+        .withColumn("trend",
+          round(sum("ydec").over(w).cast(DoubleType) / count(lit(1)).over(w), 6))
+        .withColumn("sdec",
+          round(col("y") - col("trend"), 8).cast(DecimalType(18, 8)))
+      val seasonal = trended
+        .withColumn("hod", substring(col("h"), 12, 2))
+        .groupBy("hod")
+        .agg(round(sum("sdec").cast(DoubleType) / count(lit(1)), 6).as("seasonal"))
+      trended.withColumn("hod", substring(col("h"), 12, 2))
+        .join(seasonal, "hod")
+        .select(col("h"), col("y"),
+          col("trend"), col("seasonal"),
+          round(col("y") - col("trend") - col("seasonal"), 6).as("resid"))
+        .orderBy("h")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS h,
+               SUM(CAST(value AS DECIMAL(18,2))) AS ydec
+        FROM events GROUP BY 1),
+      trended AS (
+        SELECT h, CAST(ydec AS DOUBLE) AS y,
+               ROUND(CAST(SUM(ydec) OVER fr AS DOUBLE) / COUNT(*) OVER fr, 6) AS trend
+        FROM hourly
+        WINDOW fr AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      t2 AS (
+        SELECT h, y, trend,
+               CAST(ROUND(y - trend, 8) AS DECIMAL(18,8)) AS sdec,
+               substr(h, 12, 2) AS hod
+        FROM trended),
+      seas AS (
+        SELECT hod, ROUND(CAST(SUM(sdec) AS DOUBLE) / COUNT(*), 6) AS seasonal
+        FROM t2 GROUP BY hod)
+      SELECT h, y, trend, seasonal, ROUND(y - trend - seasonal, 6) AS resid
+      FROM t2 JOIN seas ON t2.hod = seas.hod
+      ORDER BY h
+    """.trim),
+  )
+
+  /** Lagged cross-correlation between the hourly 'click' and 'view'
+    * series (lags 0–6 hours): Pearson over aligned (t, t+lag) bucket
+    * pairs, computed entirely from exact decimal sums (n, Σx, Σy, Σx²,
+    * Σy², Σxy — every product of 2dp decimals is exact, every sum
+    * order-free) with ONE double expression at the end, so both engines
+    * produce identical bits before the 6dp round. The series join keys
+    * on integer hour indexes (epoch-hour), so each lag is an equi-join
+    * on a bounded, corpus-size-independent relation.
+    */
+  val tsXcorr = QueryDef(
+    "q_ts_xcorr",
+    (s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', date_trunc('hour', ts))")
+            .as("hidx"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("v"))
+      val x = hourly.filter(col("event_type") === "click")
+        .select(col("hidx"), col("v").as("x"))
+      val y = hourly.filter(col("event_type") === "view")
+        .select(col("hidx").as("hy"), col("v").as("y"))
+      val lags = s.range(0, 7).select(col("id").as("lag"))
+      val pairs = x.crossJoin(broadcast(lags))
+        .join(y, col("hy") === col("hidx") + col("lag"))
+      val sums = pairs.groupBy("lag").agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      sums.select(col("lag"), col("n"),
+          round(
+            (col("n") * col("sxy").cast(DoubleType) - col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+              sqrt((col("n") * col("sxx").cast(DoubleType) - col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) *
+                (col("n") * col("syy").cast(DoubleType) - col("sy").cast(DoubleType) * col("sy").cast(DoubleType))),
+            6).as("xcorr"))
+        .orderBy("lag")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT event_type,
+               datediff('hour', TIMESTAMP '1970-01-01 00:00:00', date_trunc('hour', ts)) AS hidx,
+               SUM(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events GROUP BY 1, 2),
+      x AS (SELECT hidx, v AS x FROM hourly WHERE event_type = 'click'),
+      y AS (SELECT hidx AS hy, v AS y FROM hourly WHERE event_type = 'view'),
+      lags AS (SELECT unnest(range(7)) AS lag),
+      pairs AS (
+        SELECT lag, x.x, y.y FROM x CROSS JOIN lags JOIN y ON y.hy = x.hidx + lag),
+      sums AS (
+        SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM pairs GROUP BY lag)
+      SELECT lag, n,
+             ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                        (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS xcorr
+      FROM sums
+      ORDER BY lag
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(tsEwma, tsAnomaly, tsStl, tsXcorr)
 }
