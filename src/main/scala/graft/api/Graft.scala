@@ -127,6 +127,32 @@ final class PackStoreHandle(val spark: SparkSession, val base: String) {
   /** Remove the pin; the snapshot then expires under normal retention. */
   def dropTag(name: String): Unit = PackStore.dropTag(spark, base, name)
 
+  /** Fork the current tip (or snapshot `at`) as writable branch `name`
+    * (Iceberg branch semantics) and return its handle — every store verb
+    * works on it, isolated from this store until [[mergeBranch]].
+    */
+  def createBranch(name: String, at: Option[Long] = None): PackStoreHandle = {
+    PackStore.createBranch(spark, base, name, at)
+    branch(name)
+  }
+
+  /** Handle on an existing branch's store. */
+  def branch(name: String): PackStoreHandle =
+    new PackStoreHandle(spark, PackStore.branchBase(base, name))
+
+  /** All readable branches, name-sorted, with their fork snapshot ids. */
+  def listBranches(): Seq[(String, Long)] = PackStore.listBranches(spark, base)
+
+  /** Strict fast-forward merge of branch `name` back into this store;
+    * typed refusal if this store's content moved since the fork.
+    */
+  def mergeBranch(name: String): Long = PackStore.mergeBranch(spark, base, name)
+
+  /** Delete the branch; typed refusal while merged-but-not-yet-compacted
+    * components under it are still referenced by this store.
+    */
+  def dropBranch(name: String): Unit = PackStore.dropBranch(spark, base, name)
+
   /** Newest published snapshot id, None for an empty store. */
   def tip: Option[Long] = PackStore.latestSnapshotId(spark, base)
 

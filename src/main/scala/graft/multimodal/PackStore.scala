@@ -384,6 +384,153 @@ object PackStore {
       name: String): Dataset[ContainerOps.ContainerRow] =
     scanAt(s, base, resolveTag(s, base, name))
 
+  // --------------------------------------------------------------------
+  // Branches — writable named forks (Iceberg branch semantics): a branch
+  // is a FULL store rooted at $base/branches/<name> whose snapshot log
+  // starts from a fork of a parent snapshot's component list. Component
+  // dirs are recorded as absolute paths, so the fork shares the parent's
+  // immutable components byte-for-byte with zero copying, and every
+  // store operation (append/delete/upsert/compact/vacuum/scan/meta/tags,
+  // even nested branches) works on the branch base unchanged. The
+  // parent's vacuum treats branch-referenced dirs as live (whatever a
+  // branch's own log has not pruned, it holds); a STRICT fast-forward
+  // mergeBranch publishes the branch's live set back onto a parent whose
+  // content has not moved since the fork; and dropBranch refuses while
+  // any parent-side snapshot still references branch-owned dirs (a
+  // parent compaction rehomes the bytes, after which the drop is clean).
+  // --------------------------------------------------------------------
+
+  private def branchRoot(base: String) = s"$base/branches"
+
+  /** The branch's store base — pass it to ANY PackStore operation. */
+  def branchBase(base: String, name: String): String = s"${branchRoot(base)}/$name"
+
+  private def forkPath(base: String, name: String) = s"${branchBase(base, name)}/FORK"
+
+  /** Fork parent snapshot `at` (default: the current tip) as writable
+    * branch `name`. The FORK file commits via exclusive create (the tag
+    * discipline) and doubles as the name lock; the branch's snapshot 0
+    * republishes the forked component list verbatim — zero bytes copied.
+    */
+  def createBranch(s: SparkSession, base: String, name: String,
+      at: Option[Long] = None): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || "._-".contains(c)),
+      s"branch name must be [A-Za-z0-9._-]+: '$name'")
+    val forkId = at.orElse(latestSnapshotId(s, base)).getOrElse(
+      throw new IllegalArgumentException(s"cannot branch empty store $base"))
+    val comps = readSnapshot(s, base, forkId) // typed if torn/expired
+    if (!graft.sources.GraftFs.writeSmallFileExclusive(s, forkPath(base, name),
+        s"$forkId\n#eof"))
+      throw new IllegalStateException(
+        s"branch '$name' already exists on $base (dropBranch first)")
+    publishWith(s, branchBase(base, name), "init", Some(s"fork:$forkId"))(_ => Some(comps))
+    forkId
+  }
+
+  /** The parent snapshot id `name` forked from; typed on unknown/torn. */
+  def branchForkId(s: SparkSession, base: String, name: String): Long =
+    graft.sources.GraftFs.readSmallFile(s, forkPath(base, name)) match {
+      case Some(c) if c.trim.endsWith("#eof") => c.trim.linesIterator.next().trim.toLong
+      case Some(_) => throw new IllegalStateException(
+        s"branch '$name' of $base has a torn FORK file")
+      case None => throw new IllegalArgumentException(s"no branch '$name' on $base")
+    }
+
+  /** All readable branches, name-sorted, with their fork ids. */
+  def listBranches(s: SparkSession, base: String): Seq[(String, Long)] = {
+    val (fs, q) = graft.sources.GraftFs.resolve(s, branchRoot(base))
+    if (!fs.exists(q)) Seq.empty
+    else fs.listStatus(q).toSeq.filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      try Some(n -> branchForkId(s, base, n)) catch { case _: Exception => None }
+    }.sortBy(_._1)
+  }
+
+  /** The live parsed view of branch `name`. */
+  def scanBranch(s: SparkSession, base: String,
+      name: String): Dataset[ContainerOps.ContainerRow] =
+    scan(s, branchBase(base, name))
+
+  /** Every component dir any on-disk snapshot of any branch (recursively)
+    * references — the parent vacuum's branch-liveness set. ALL snapshot
+    * files on disk count, not a retention window: each branch prunes its
+    * own log with its own vacuum, and whatever it has not pruned, it
+    * holds. Torn/in-flight snapshot files are skipped (their staged dirs
+    * are grace-age-protected like any in-flight write).
+    */
+  private def branchLiveRefs(s: SparkSession, base: String,
+      exclude: Option[String] = None): Set[String] = {
+    val (fs, q) = graft.sources.GraftFs.resolve(s, branchRoot(base))
+    if (!fs.exists(q)) return Set.empty
+    fs.listStatus(q).toSeq.filter(_.isDirectory).flatMap { st =>
+      val bb = st.getPath.toString
+      if (exclude.contains(bb)) Seq.empty
+      else {
+        val own = graft.sources.GraftFs.listFiles(s, s"$bb/snapshots")
+          .flatMap(f => snapIdOf(f.getPath.getName))
+          .flatMap { id =>
+            try readSnapshot(s, bb, id).map(c => graft.sources.GraftFs.qualify(s, c.dir))
+            catch { case _: Exception => Seq.empty }
+          }
+        own ++ branchLiveRefs(s, bb, None)
+      }
+    }.toSet
+  }
+
+  /** STRICT fast-forward merge: publish branch `name`'s live component
+    * list onto the parent, requiring the parent's live CONTENT to equal
+    * what the branch forked — if the parent moved, the merge refuses
+    * typed (the Iceberg fast-forward rule; rebase-by-hand is a re-fork).
+    * The fork component list resolves from the parent's fork snapshot or,
+    * when retention expired it there, from the branch's own snapshot 0 —
+    * typed failure if both are gone. The new parent snapshot references
+    * branch-owned dirs; branch liveness protects them until a parent
+    * compaction rehomes the bytes, after which [[dropBranch]] is clean.
+    */
+  def mergeBranch(s: SparkSession, base: String, name: String): Long = {
+    val forkId = branchForkId(s, base, name)
+    val forkComps =
+      try readSnapshot(s, base, forkId)
+      catch {
+        case _: Exception =>
+          try readSnapshot(s, branchBase(base, name), 0L)
+          catch {
+            case _: Exception => throw new IllegalStateException(
+              s"merge of branch '$name': fork snapshot $forkId expired on both " +
+                "the parent and the branch log — re-fork to merge")
+          }
+      }
+    val branchLive = readCurrent(s, branchBase(base, name))
+    publishWith(s, base, "delta", Some(s"merge:$name")) { mainLive =>
+      if (mainLive == forkComps) Some(branchLive) else None
+    }.getOrElse(throw new IllegalStateException(
+      s"merge of branch '$name' into $base refused: parent content diverged " +
+        s"from fork snapshot $forkId (non-fast-forward)"))
+  }
+
+  /** Delete branch `name` — refused typed while the parent store (its
+    * snapshot log or any OTHER branch) still references dirs owned by
+    * this branch, because dropping then would dangle a committed
+    * snapshot (the just-merged state). A parent compact + vacuum
+    * rehomes/releases the refs; then the drop removes the subtree.
+    */
+  def dropBranch(s: SparkSession, base: String, name: String): Unit = {
+    val bb = graft.sources.GraftFs.qualify(s, branchBase(base, name))
+    val parentRefs = graft.sources.GraftFs.listFiles(s, s"$base/snapshots")
+      .flatMap(f => snapIdOf(f.getPath.getName))
+      .flatMap { id =>
+        try readSnapshot(s, base, id).map(c => graft.sources.GraftFs.qualify(s, c.dir))
+        catch { case _: Exception => Seq.empty }
+      }.toSet ++ branchLiveRefs(s, base, exclude = Some(bb))
+    val held = parentRefs.filter(_.startsWith(bb + "/"))
+    if (held.nonEmpty)
+      throw new IllegalStateException(
+        s"dropBranch('$name') refused: ${held.size} component dir(s) under the " +
+          "branch are still referenced by the parent store (merged but not yet " +
+          "compacted away) — compact + vacuum the parent first")
+    graft.sources.GraftFs.deleteRecursively(s, bb)
+  }
+
   /** Unique writer token for component staging dirs: two concurrent
     * writers must never share a dir, and a writer doesn't know its
     * snapshot id until its CAS wins — so dirs are token-named, not
@@ -954,9 +1101,14 @@ object PackStore {
     // "checkpoint >= oldest retained" that the no-listing tip walk needs
     retained.lastOption.foreach(writeCheckpoint(s, base, _))
     // qualify both sides of the liveness check: snapshot files carry dirs
-    // as written (possibly scheme-less), listStatus returns them qualified
+    // as written (possibly scheme-less), listStatus returns them qualified.
+    // Branch-referenced dirs are live too (a fork shares the parent's
+    // components; whatever a branch's own log retains, the parent must
+    // not sweep) — this covers both the immediate expired-ref sweep and
+    // the grace-age orphan sweep.
     val allLive = retained.flatMap(readSnapshot(s, base, _))
-    val live = allLive.map(c => graft.sources.GraftFs.qualify(s, c.dir)).toSet
+    val live = allLive.map(c => graft.sources.GraftFs.qualify(s, c.dir)).toSet ++
+      branchLiveRefs(s, base)
     val sweepBefore = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
     for (family <- Seq("packs", "deltas", "tombs");
          st <- {
@@ -1223,6 +1375,60 @@ ${ContainerOps.containerOracleBaseV2ForStore}
 ) u WHERE format = 'wav' AND sample_rate >= 16000 ORDER BY media_id"""),
   )
 
+  /** Branch-lifecycle store: main lands 60% of the corpus, an `ingest`
+    * branch forks it, takes the 60–80% delta ON THE BRANCH (main never
+    * sees in-progress work — the write-audit-publish staging pattern
+    * branches exist for), fast-forward-merges back, and main then takes
+    * the final 20%, compacts (rehoming the merged branch component into
+    * main packs), vacuums, and drops the branch. The final scan must
+    * equal the full-container oracle exactly: fork/merge/drop lost and
+    * invented nothing. Built once per scale dir behind the fingerprint
+    * guard; divergence refusal, drop refusal, and parent-vacuum
+    * protection are PackBranchSpec's job at spec scale.
+    */
+  def ensureBranchStore(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = graft.sources.GraftFs.qualify(s,
+      s"target/graft-pack-branch/${ContainerOps.payloadFingerprint}-p${ContainerOps.NumPacks}/$tag")
+    synchronized {
+      if (!graft.sources.GraftFs.hasSuccess(s, base)) {
+        graft.sources.GraftFs.deleteRecursively(s, base)
+        import s.implicits._
+        val objs = ContainerOps.containerTable(s, dir)
+        val ids = objs.map(_._1)
+        val (lo, hi) = (ids.agg(min("value")).head.getLong(0), ids.agg(max("value")).head.getLong(0))
+        val c1 = lo + (hi - lo) * 6 / 10
+        val c2 = lo + (hi - lo) * 8 / 10
+        initBase(s, base, objs.filter(_._1 <= c1), ContainerOps.NumPacks)  // main snap 0
+        createBranch(s, base, "ingest")                                    // branch @ fork 0
+        appendDelta(s, branchBase(base, "ingest"),
+          objs.filter(o => o._1 > c1 && o._1 <= c2))                       // branch-only delta
+        mergeBranch(s, base, "ingest")                                     // main snap 1 (ff)
+        appendDelta(s, base, objs.filter(_._1 > c2))                       // main snap 2
+        compact(s, base, ContainerOps.NumPacks)                            // main snap 3
+        vacuum(s, base, retainSnapshots = 1, orphanGraceMs = 0L)           // expire 0-2
+        dropBranch(s, base, "ingest")                                      // refs rehomed: clean
+        vacuum(s, base, retainSnapshots = 1, orphanGraceMs = 0L)           // sweep released dirs
+        graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_SUCCESS", "done")
+      }
+    }
+    base
+  }
+
+  /** Branch lifecycle end-to-end under the full-container oracle: data
+    * staged on a branch, fast-forward-merged, compacted into main, the
+    * branch dropped — and the surviving corpus byte-identical to the
+    * oracle's independent reconstruction.
+    */
+  val mmPackBranch = QueryDef(
+    "q_mm_pack_branch",
+    (s, dir) => {
+      val base = ensureBranchStore(s, dir)
+      scan(s, base).toDF().orderBy("media_id")
+    },
+    Some(ContainerOps.containerOracleForStore),
+  )
+
   def defs: Seq[QueryDef] = Seq(mmPackLifecycle, mmPackTimetravel, mmPackDeletes,
-    mmPackUpserts, mmPackMeta, mmPackTags)
+    mmPackUpserts, mmPackMeta, mmPackTags, mmPackBranch)
 }
