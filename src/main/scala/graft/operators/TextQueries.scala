@@ -607,6 +607,91 @@ object TextQueries {
     """.trim),
   )
 
+  /** BPE tokenization apply — the encode side of q_text_bpe_pairs'
+    * trainer loop: the top-10 first-iteration merges (count desc, pair
+    * asc — the one-shot merge selection; iterative re-counting is the
+    * trainer's refinement, not the apply algorithm's) are applied to
+    * every vocabulary word by the REAL BPE encode loop: repeatedly take
+    * the lowest-rank merge with an occurrence in the piece sequence and
+    * merge its LEFTMOST occurrence, until none applies — the
+    * HuggingFace/Sennrich apply semantics, including greedy-left on
+    * overlapping chains. Emits each word's piece sequence and count.
+    *
+    * Scale shape: the vocab trick (q_text_bpe_pairs) — the corpus pays
+    * ONE token-count shuffle; the encode loop runs per DISTINCT word
+    * (zipfian vocab), and the 10-row merge table is collected to the
+    * driver and shipped in the closure exactly like a tokenizer model
+    * ships with any job (bounded by the merge budget, not the corpus).
+    * The oracle runs the SAME loop as a DuckDB recursive CTE (one merge
+    * step per recursion level, leftmost via position(), lowest-rank via
+    * a window over the applicable-merge join), so both engines encode
+    * identically or the hash compare fails.
+    */
+  val bpeEncode = QueryDef(
+    "q_text_bpe_encode",
+    (s, dir) => {
+      import s.implicits._
+      val vocab = Tables.documents(s, dir)
+        .select(explode(Tokenize.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("wc"))
+      // rank-ordered merge table: bounded driver-side metadata (10 rows)
+      val merges: Array[(String, String)] = vocab
+        .filter(length(col("token")) >= 2)
+        .select(explode(transform(sequence(lit(1), length(col("token")) - 1),
+          i => col("token").substr(i, lit(2)))).as("pair"), col("wc"))
+        .groupBy("pair").agg(sum("wc").as("n"))
+        .orderBy(desc("n"), asc("pair")).limit(10)
+        .collect().map(r => (r.getString(0).substring(0, 1), r.getString(0).substring(1, 2)))
+      val pats = merges.map { case (a, b) => (s" $a $b ", s" $a$b ") }
+      vocab.as[(String, Long)].map { case (t, wc) =>
+          var st = " " + t.map(_.toString).mkString(" ") + " "
+          var done = false
+          while (!done) pats.find { case (p, _) => st.contains(p) } match {
+            case Some((p, r)) =>
+              val i = st.indexOf(p)
+              st = st.substring(0, i) + r + st.substring(i + p.length)
+            case None => done = true
+          }
+          val pieces = st.trim
+          (t, wc, pieces, pieces.split(" ").length.toLong)
+        }.toDF("token", "wc", "pieces", "n_pieces")
+        .orderBy("token")
+    },
+    Some("""
+      WITH RECURSIVE w AS (
+        SELECT token, COUNT(*) AS wc
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token),
+      p AS (
+        SELECT unnest(list_transform(range(1, length(token)),
+                 i -> substring(token, CAST(i AS INT), 2))) AS pair, wc
+        FROM w WHERE length(token) >= 2),
+      merges AS (
+        SELECT substring(pair, 1, 1) AS a, substring(pair, 2, 1) AS b,
+               ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS rank
+        FROM (SELECT pair, SUM(wc) AS n FROM p GROUP BY pair
+              ORDER BY n DESC, pair ASC LIMIT 10)),
+      enc AS (
+        SELECT token, ' ' || list_aggregate(string_split(token, ''), 'string_agg', ' ') || ' ' AS s
+        FROM w
+        UNION ALL
+        SELECT token,
+               substr(s, 1, pos - 1) || ' ' || a || b || ' ' ||
+                 substr(s, pos + length(' ' || a || ' ' || b || ' '))
+        FROM (
+          SELECT token, s, a, b, position(' ' || a || ' ' || b || ' ' IN s) AS pos,
+                 ROW_NUMBER() OVER (PARTITION BY token ORDER BY rank) AS rn
+          FROM enc JOIN merges ON position(' ' || a || ' ' || b || ' ' IN s) > 0)
+        WHERE rn = 1)
+      SELECT e.token AS token, w.wc AS wc, trim(s) AS pieces,
+             CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_pieces
+      FROM enc e JOIN w ON e.token = w.token
+      WHERE NOT EXISTS (SELECT 1 FROM merges m
+                        WHERE position(' ' || m.a || ' ' || m.b || ' ' IN e.s) > 0)
+      ORDER BY token
+    """.trim),
+  )
+
   /** Sliding-window substring dedup — the practical form of Lee et al.
     * 2021 ("Deduplicating Training Data Makes Language Models Better"):
     * per document, the fraction of its stride-1 20-token windows whose
@@ -668,5 +753,5 @@ object TextQueries {
   def defs: Seq[QueryDef] = Seq(
     wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint, textPmi,
     textNormalize, textEntropy, textChunkify, textLmScore, textRepetition, bpePairs,
-    substringDedup)
+    bpeEncode, substringDedup)
 }

@@ -73,6 +73,25 @@ class NewOpsSpec extends SparkTestBase with Matchers {
     direct shouldBe rows.head.getLong(1)
   }
 
+  test("q_text_bpe_encode: pieces reconstruct each word; merges actually fired") {
+    val rows = TextQueries.bpeEncode.query(spark, sfTiny).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (tok, pieces, n) = (r.getString(0), r.getString(2), r.getLong(3))
+      pieces.replace(" ", "") shouldBe tok // lossless segmentation
+      pieces.split(" ").length.toLong shouldBe n
+      assert(n >= 1 && n <= tok.length)
+    }
+    // at least one word must have a multi-char piece (a merge applied)
+    assert(rows.exists(r => r.getString(2).split(" ").exists(_.length > 1)),
+      "no merge fired anywhere — the encode loop is untested")
+    // every multi-char piece decomposes into applied merges: its length-2
+    // prefix chain must exist; weak check: pieces are substrings of the word
+    rows.foreach { r =>
+      r.getString(2).split(" ").foreach(p => assert(r.getString(0).contains(p)))
+    }
+  }
+
   test("q_vec_pagerank_lsh: high top-rank agreement with the exact-edge PageRank") {
     val exact = VectorQueries.vecPagerank.query(spark, sfTiny).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
