@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.SearchQueries
+import graft.streaming.IncrementalIndex
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.matchers.should.Matchers
+
+/** Incremental inverted-index invariant: appending per-batch posting
+  * segments + merging df/cf partials over ANY batch split must equal
+  * the one-shot index — searchHeads from replayed state must be ROW
+  * IDENTICAL to q_text_index over the whole fixture.
+  */
+class IncrementalIndexSpec extends SparkTestBase with Matchers {
+
+  test("foreachBatch index maintenance over micro-batches == one-shot q_text_index") {
+    val stateBase = Files.createTempDirectory("graft_incidx_state").toFile.getAbsolutePath
+    val cpDir = Files.createTempDirectory("graft_incidx_cp").toFile.getAbsolutePath
+    val srcDir = Files.createTempDirectory("graft_incidx_src").toFile.getAbsolutePath
+
+    val docs = Tables.documents(spark, sfTiny)
+    for (i <- 0 until 3) {
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/part$i")
+      val f = new java.io.File(s"$srcDir/part$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, java.nio.file.Paths.get(srcDir, s"f$i.parquet"))
+      Thread.sleep(1100) // distinct mod times → deterministic file order
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .option("pathGlobFilter", "f*.parquet")
+      .parquet(srcDir)
+    val q = IncrementalIndex.attach(stream, stateBase)
+      .option("checkpointLocation", cpDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000) shouldBe true
+
+    // three appended posting segments, three stats versions
+    new java.io.File(s"$stateBase/postings").listFiles()
+      .count(_.getName.startsWith("b")) shouldBe 3
+    new java.io.File(s"$stateBase/stats").listFiles()
+      .count(_.getName.startsWith("v")) shouldBe 3
+
+    val got = IncrementalIndex.searchHeads(spark, stateBase).collect().map(_.toString)
+    val want = SearchQueries.textIndex.query(spark, sfTiny).collect().map(_.toString)
+    got should not be empty
+    got.toSeq shouldBe want.toSeq
+
+    // stats table is exactly the one-shot df/cf relation (no df filter)
+    val gotStats = IncrementalIndex.readStats(spark, stateBase)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val wantStats = docs
+      .select(col("doc_id"), explode(graft.functions.Tokenize.tokens(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("token").agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    gotStats shouldBe wantStats
+  }
+}
