@@ -158,5 +158,61 @@ object CdcQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(cdcUpsert, cdcUpsertBucketed, cdcDerive)
+  /** Slowly-changing-dimension Type 2 build — the warehouse-standard
+    * versioned dimension: each user's event stream is read as changes to
+    * a tracked attribute (event_type), consecutive duplicates are
+    * suppressed (a new version opens only when the value CHANGES — the
+    * SCD2 rule), and each surviving version gets its validity interval
+    * [valid_from, valid_to) from the next change, with the open tail
+    * flagged current. Validity bounds are exact epoch-micros longs, so
+    * the interval arithmetic is engine-independent by construction.
+    *
+    * Shape: ONE shuffle on user_id feeds both window passes (change
+    * detection via lag, interval close via lead) — the q_events_
+    * sessionize cost profile; nothing is corpus-quadratic and a
+    * bucketed-events layout makes it exchange-free (the _bucketed
+    * precedent).
+    */
+  val cdcScd2 = QueryDef(
+    "q_cdc_scd2",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(asc("ts_us"), asc("event_id"))
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"),
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+          .as("ts_us"))
+      val changes = ev
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(asc("ts_us"), asc("event_id"))
+      changes
+        .withColumn("valid_to_us", lead("ts_us", 1).over(w2))
+        .select(col("user_id"), col("event_type"),
+          col("ts_us").as("valid_from_us"), col("valid_to_us"),
+          col("valid_to_us").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from_us", "event_type")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type,
+               datediff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_us
+        FROM events),
+      ch AS (
+        SELECT user_id, event_id, event_type, ts_us,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        FROM ev),
+      ch2 AS (
+        SELECT user_id, event_id, event_type, ts_us FROM ch
+        WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_type, ts_us AS valid_from_us,
+             LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+             LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL AS is_current
+      FROM ch2
+      ORDER BY user_id, valid_from_us, event_type
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(cdcUpsert, cdcUpsertBucketed, cdcDerive, cdcScd2)
 }

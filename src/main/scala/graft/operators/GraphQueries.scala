@@ -188,5 +188,58 @@ object GraphQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(graphTriangles, graphLabelprop)
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003):
+    * the top-20 non-adjacent node pairs ranked by neighborhood Jaccard
+    * |N(a)∩N(b)| / |N(a)∪N(b)| — the "these two documents should be
+    * related" signal a curation pipeline uses to audit cluster
+    * boundaries. Candidates are ONLY two-hop pairs (one self-join of the
+    * symmetric edge list on the shared endpoint — Σdeg² ≤ k·|E| volume
+    * on a k-NN graph, never all pairs); existing edges leave via an
+    * anti-join; Jaccard is exact integer arithmetic with the ratio
+    * rounded for display/ranking.
+    */
+  val graphLinkpred = QueryDef(
+    "q_graph_linkpred",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val und = undirected(exactKnnEdges(e)).localCheckpoint()
+      val sym = und.select(col("a").as("v"), col("b").as("u"))
+        .union(und.select(col("b").as("v"), col("a").as("u")))
+      val deg = sym.groupBy("v").agg(count(lit(1)).as("d"))
+      // two-hop candidates through the shared neighbor u: ordered (x < y)
+      val hop = sym.select(col("u"), col("v").as("x"))
+        .join(sym.select(col("u").as("u2"), col("v").as("y")),
+          col("u") === col("u2") && col("x") < col("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("common"))
+      val cand = hop.join(und,
+          col("x") === col("a") && col("y") === col("b"), "left_anti")
+      cand
+        .join(deg.select(col("v").as("x"), col("d").as("dx")), "x")
+        .join(deg.select(col("v").as("y"), col("d").as("dy")), "y")
+        .select(col("x"), col("y"), col("common"),
+          round(col("common").cast(DoubleType) /
+            (col("dx") + col("dy") - col("common")), 6).as("jaccard"))
+        .orderBy(desc("jaccard"), asc("x"), asc("y"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH $UndirectedEdgeSql,
+      sym AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+      deg AS (SELECT v, COUNT(*) AS d FROM sym GROUP BY v),
+      hop AS (
+        SELECT s1.v AS x, s2.v AS y, COUNT(*) AS common
+        FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+        GROUP BY s1.v, s2.v),
+      cand AS (
+        SELECT x, y, common FROM hop
+        WHERE NOT EXISTS (SELECT 1 FROM und WHERE a = x AND b = y))
+      SELECT x, y, common,
+             ROUND(CAST(common AS DOUBLE) / (dx.d + dy.d - common), 6) AS jaccard
+      FROM cand JOIN deg dx ON dx.v = x JOIN deg dy ON dy.v = y
+      ORDER BY jaccard DESC, x ASC, y ASC
+      LIMIT 20
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(graphTriangles, graphLabelprop, graphLinkpred)
 }

@@ -35,6 +35,24 @@ class GraphOpsSpec extends SparkTestBase with Matchers {
     info(s"$bruteTri triangles across ${rows.length} labels, ${und.size} undirected edges")
   }
 
+  test("linkpred: top-20 non-adjacent two-hop pairs, correctly ranked, recounted") {
+    val und = undirectedEdgeSet()
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val rows = GraphQueries.graphLinkpred.query(spark, sfTiny).collect()
+    rows.length shouldBe 20
+    val js = rows.map(_.getDouble(3))
+    js.zip(js.tail).foreach { case (a, b) => assert(a >= b) }
+    rows.foreach { r =>
+      val (x, y, common, j) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(!und.contains((x, y)), s"($x,$y) is an existing edge")
+      val inter = (adj(x) & adj(y)).size
+      inter.toLong shouldBe common
+      val union = (adj(x) | adj(y)).size
+      math.abs(j - math.round(inter.toDouble / union * 1e6) / 1e6) should be < 1e-9
+    }
+  }
+
   test("labelprop: communities are connected-component-confined and non-trivial") {
     val und = undirectedEdgeSet()
     val comm = GraphQueries.graphLabelprop.query(spark, sfTiny).collect()
