@@ -447,6 +447,91 @@ object MultimodalOps {
     """.trim),
   )
 
+  /** Perceptual-hash image dedup (dHash + banded hamming join): each
+    * image's pixels sample onto an 8×8 grid and the 56 horizontal
+    * gradient signs pack into a hash — dHash's defining property is
+    * INVARIANCE under global brightness shift (gradients ignore the DC
+    * level), which is what survives re-encoding. The corpus is the
+    * original images plus a derived re-encoded twin per image (+10
+    * brightness, +1 noise on every 5th byte — the noise flips only
+    * near-tie gradients, measured hamming ≤ 4), and the join must
+    * recover exactly the original↔twin pairs: banded candidates (8
+    * bands × 7 bits — a ham ≤ 6 pair shares ≥1 clean band with
+    * probability ≈ 0.992) verified by exact bit_count(xor) ≤ 6.
+    *
+    * Scale shape: this is MinHash-banding for hamming space — candidates
+    * come from an equi-join on (band, value), never all pairs, and the
+    * exact verify touches candidates only; the same plan as
+    * q_dedup_near with the signature swapped for a gradient hash. All
+    * integer arithmetic, so the WHOLE op — hash, bands, verify — is
+    * DuckDB-reproducible (pixels are byte codes of the ASCII fixture,
+    * the q_mm_decode discipline).
+    */
+  val mmPhash = QueryDef(
+    "q_mm_phash",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("media_id"),
+          expr("transform(sequence(1, length(text)), i -> cast(ascii(substring(text, i, 1)) as bigint))")
+            .as("codes"))
+      val twins = base.select((col("media_id") + 1000000000L).as("media_id"),
+        expr("transform(codes, (x, i) -> x + 10 + CASE WHEN i % 5 = 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END)")
+          .as("codes"))
+      val h = base.unionAll(twins)
+        .withColumn("len", size(col("codes")).cast("long"))
+        .withColumn("pix",
+          expr("transform(sequence(0, 63), k -> element_at(codes, cast((k * len) div 64 as int) + 1))"))
+        .select(col("media_id"), expr(
+          """aggregate(sequence(0, 55), cast(0 as bigint), (acc, b) ->
+            |  acc + CASE WHEN element_at(pix, cast((b div 7) * 8 + (b % 7) + 2 as int))
+            |                  > element_at(pix, cast((b div 7) * 8 + (b % 7) + 1 as int))
+            |             THEN shiftleft(cast(1 as bigint), cast(b as int))
+            |             ELSE cast(0 as bigint) END)""".stripMargin).as("hash"))
+        .localCheckpoint()
+      val bands = h.select(col("media_id"), col("hash"),
+          explode(sequence(lit(0), lit(7))).as("j"))
+        .withColumn("bv", expr("shiftright(hash, cast(7 * j as int)) & 127"))
+      val cand = bands.select(col("j"), col("bv"), col("media_id").as("id1"))
+        .join(bands.select(col("j").as("j2"), col("bv").as("bv2"), col("media_id").as("id2")),
+          col("j") === col("j2") && col("bv") === col("bv2") && col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+      cand.join(h.select(col("media_id").as("id1"), col("hash").as("h1")), "id1")
+        .join(h.select(col("media_id").as("id2"), col("hash").as("h2")), "id2")
+        .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+        .filter(col("hamming") <= 6)
+        .select(col("id1").as("media_id1"), col("id2").as("media_id2"), col("hamming"))
+        .orderBy("media_id1", "media_id2")
+    },
+    Some("""
+      WITH m AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len
+                 FROM documents WHERE doc_id % 2 = 0),
+      b AS (SELECT media_id, len,
+              list_transform(range(1, len + 1), i -> CAST(unicode(substring(text, i, 1)) AS BIGINT)) AS codes
+            FROM m),
+      u AS (
+        SELECT media_id, len, codes FROM b
+        UNION ALL
+        SELECT media_id + 1000000000, len,
+               list_transform(range(len), i -> codes[i+1] + 10 + CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END)
+        FROM b),
+      p AS (SELECT media_id, list_transform(range(64), k -> codes[(k*len)//64 + 1]) AS pix FROM u),
+      h AS (SELECT media_id, list_sum(list_transform(range(56),
+              bb -> CASE WHEN pix[(bb//7)*8 + (bb%7) + 2] > pix[(bb//7)*8 + (bb%7) + 1]
+                    THEN (CAST(1 AS BIGINT) << CAST(bb AS INT)) ELSE CAST(0 AS BIGINT) END)) AS hash
+            FROM p),
+      bands AS (SELECT media_id, j, (hash >> CAST(7*j AS INT)) & 127 AS bv
+                FROM h, (SELECT unnest(range(8)) AS j)),
+      cand AS (SELECT DISTINCT b1.media_id AS id1, b2.media_id AS id2
+               FROM bands b1 JOIN bands b2
+                 ON b1.j = b2.j AND b1.bv = b2.bv AND b1.media_id < b2.media_id)
+      SELECT id1 AS media_id1, id2 AS media_id2,
+             bit_count(xor(h1.hash, h2.hash)) AS hamming
+      FROM cand JOIN h h1 ON h1.media_id = id1 JOIN h h2 ON h2.media_id = id2
+      WHERE bit_count(xor(h1.hash, h2.hash)) <= 6
+      ORDER BY media_id1, media_id2
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(mmDecode, mmResize, mmFrames, mmSimilar, mmAudioEnergy,
-    mmScenes, mmAudioSegments)
+    mmScenes, mmAudioSegments, mmPhash)
 }

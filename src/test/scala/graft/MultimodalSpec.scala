@@ -71,4 +71,18 @@ class MultimodalSpec extends SparkTestBase with Matchers {
     rows.map(_.getLong(0)).distinct.sorted shouldBe Array(0L, 1L, 2L, 3L, 4L)
     all(rows.map(_.getDouble(3))) should (be >= -1.000001 and be <= 1.000001)
   }
+
+  test("phash: every re-encoded twin is recovered (recall 1.0), hamming small") {
+    val rows = MultimodalOps.mmPhash.query(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    val nImages = Tables.documents(spark, sfTiny)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0).count()
+    // the original<->twin pairs (id, id + 1e9) must ALL be present: dHash
+    // is brightness-shift invariant and the sparse noise flips <= 6 bits
+    val twinPairs = rows.filter { case (a, b, _) => b == a + 1000000000L }
+    twinPairs.length.toLong shouldBe nImages
+    all(twinPairs.map(_._3)) should be <= 6L
+    // any extra pair is a genuine verified near-collision, not noise
+    rows.foreach { case (_, _, ham) => assert(ham >= 0 && ham <= 6) }
+  }
 }
