@@ -211,6 +211,59 @@ object TextQueries {
     """.trim),
   )
 
+  /** Model-based quality scoring — the CCNet/LLaMA-pipeline
+    * "fastText-classifier quality filter" shape: a trained linear model's
+    * weights applied to per-doc features entirely inside codegen (one
+    * narrow projection pass, no shuffle — scoring a 100 TB corpus with a
+    * shipped model is a map). Features: type-token ratio, stopword
+    * ratio, length saturation min(1, n/100), mean-word-length/10; fixed
+    * weights z = −2 + 3·ttr − 4·stop + 2·len + 1·awl, p = σ(z), keep at
+    * p ≥ 0.5. Float parity: identical double expressions both engines;
+    * exp() carries the same 1-ulp libm caveat as ln (masked by the 6dp
+    * round except exactly at a rounding boundary — unobserved at all
+    * fixture scales).
+    */
+  val qualityModel = QueryDef(
+    "q_text_quality_model",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", Tokenize.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("ttr", size(array_distinct(col("toks"))).cast(DoubleType) / col("n_tokens"))
+        .withColumn("stop_ratio", size(filter(col("toks"),
+          t => t.isin("the", "a", "of", "and", "in", "to"))).cast(DoubleType) / col("n_tokens"))
+        .withColumn("len_norm", least(lit(1.0), col("n_tokens").cast(DoubleType) / lit(100.0)))
+        .withColumn("awl_norm",
+          col("n_chars").cast(DoubleType) / col("n_tokens") / lit(10.0))
+        .withColumn("z", lit(-2.0) + lit(3.0) * col("ttr") - lit(4.0) * col("stop_ratio")
+          + lit(2.0) * col("len_norm") + lit(1.0) * col("awl_norm"))
+        .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+        .select(col("doc_id"), round(col("z"), 6).as("z"), col("p"),
+          (col("p") >= 0.5).as("keep"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS ttr,
+               CAST(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','in','to'))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stop_ratio,
+               least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) AS len_norm,
+               CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) / 10.0 AS awl_norm
+        FROM documents),
+      z AS (
+        SELECT doc_id,
+               -2.0 + 3.0 * ttr - 4.0 * stop_ratio + 2.0 * len_norm + 1.0 * awl_norm AS z
+        FROM f)
+      SELECT doc_id, ROUND(z, 6) AS z,
+             ROUND(1.0 / (1.0 + exp(-z)), 6) AS p,
+             ROUND(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+      FROM z ORDER BY doc_id
+    """.trim),
+  )
+
   /** Token counting: whitespace tokens, BPE-ish regex tokens, chars/4
     * estimate.
     */
@@ -753,5 +806,5 @@ object TextQueries {
   def defs: Seq[QueryDef] = Seq(
     wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint, textPmi,
     textNormalize, textEntropy, textChunkify, textLmScore, textRepetition, bpePairs,
-    bpeEncode, substringDedup)
+    bpeEncode, substringDedup, qualityModel)
 }
