@@ -41,23 +41,25 @@ object SearchQueries {
   /** Inverted-index build: per token, document frequency, corpus
     * frequency, and the head of its posting list (top-5 docs by term
     * frequency, doc_id tiebreak) — the df-filtered (df ≥ 5) shard an
-    * index server would persist. One (doc,token) aggregate feeds both
-    * the per-token stats and the posting window; Catalyst reuses the
-    * exchange. The df filter rides the stats join, so rare-token posting
-    * windows are never evaluated.
+    * index server would persist. The stats (df, cf) are FULL-FRAME
+    * window aggregates over the SAME token partitioning the posting-head
+    * window needs, so the whole build is one corpus tokenize + one
+    * (doc,token) aggregate shuffle + one token shuffle — a two-branch
+    * formulation (separate stats aggregate joined back) costs a second
+    * corpus scan when ReuseExchange doesn't fire, measured in the plan
+    * audit and avoided here by construction.
     */
   val textIndex = QueryDef(
     "q_text_index",
     (s, dir) => {
       val tf = tokRows(s, dir).groupBy("doc_id", "token")
         .agg(count(lit(1)).as("tf"))
-      val stats = tf.groupBy("token")
-        .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-        .filter(col("df") >= 5)
-      val w = Window.partitionBy("token").orderBy(desc("tf"), asc("doc_id"))
-      tf.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .join(stats, "token")
+      val wOrd = Window.partitionBy("token").orderBy(desc("tf"), asc("doc_id"))
+      val wAll = Window.partitionBy("token")
+      tf.withColumn("rn", row_number().over(wOrd))
+        .withColumn("df", count(lit(1)).over(wAll))
+        .withColumn("cf", sum("tf").over(wAll))
+        .filter(col("rn") <= 5 && col("df") >= 5)
         .select("token", "df", "cf", "rn", "doc_id", "tf")
         .orderBy("token", "rn")
     },
