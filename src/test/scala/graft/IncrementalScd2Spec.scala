@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.CdcQueries
+import graft.streaming.IncrementalScd2
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Incremental SCD2 invariant: closed-segment appends + current-table
+  * swaps over a TIME-ordered batch split must reproduce the one-shot
+  * q_cdc_scd2 dimension exactly — including suppression across batch
+  * seams (a batch opening with the user's current value must not open a
+  * new version).
+  */
+class IncrementalScd2Spec extends SparkTestBase with Matchers {
+
+  test("three time-split batches == one-shot q_cdc_scd2, seam suppression included") {
+    val base = Files.createTempDirectory("graft_incscd2").toFile.getAbsolutePath
+    val ev = Tables.events(spark, sfTiny)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+          .as("us"))
+    // time-ordered split (per-user order preserved): global epoch-us terciles
+    val bounds = ev.selectExpr(
+      "percentile_approx(us, 0.3333, 10000)",
+      "percentile_approx(us, 0.6667, 10000)").head
+    val (t1, t2) = (bounds.getLong(0), bounds.getLong(1))
+    val batches = Seq(
+      ev.filter(col("us") <= t1),
+      ev.filter(col("us") > t1 && col("us") <= t2),
+      ev.filter(col("us") > t2))
+    batches.map(_.count()).foreach(c => assert(c > 0, "empty batch — split is degenerate"))
+    batches.foreach(b => IncrementalScd2.processBatch(spark, b, base))
+
+    val got = IncrementalScd2.readDimension(spark, base).collect().map(_.toString)
+    val want = CdcQueries.cdcScd2.query(spark, sfTiny).collect().map(_.toString)
+    got should not be empty
+    got.toSeq shouldBe want.toSeq
+
+    // seam suppression really exercised: at least one affected user's batch
+    // must have opened with its current value somewhere — i.e. the closed
+    // row count is strictly less than a suppression-free fold would give.
+    // Weak but sufficient proxy: total versions < total events
+    val nVersions = got.length.toLong
+    val nEvents = ev.count()
+    assert(nVersions < nEvents, "no suppression anywhere — contract untested")
+  }
+}
