@@ -745,6 +745,72 @@ object TextQueries {
     """.trim),
   )
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the token co-occurrence graph — nodes are vocabulary tokens (ids =
+    * the portable char-fold hash, so the graph is engine-reproducible),
+    * edges are distinct adjacent-token pairs symmetrized (the unweighted
+    * TextRank variant), the iteration core is
+    * [[VectorQueries.pagerankOnEdges]] VERBATIM — the edge-source-
+    * agnostic design paying off across families — and the top-10 tokens
+    * by 6dp-rounded rank are the corpus keywords. Scale: the node/edge
+    * relations are vocabulary-sized (the vocab trick); the corpus
+    * contributes one linear bigram explode.
+    */
+  val textrank = QueryDef(
+    "q_text_textrank",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(Tokenize.tokens(col("text")).as("toks"))
+      val bg = toks.filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS t1, toks[i] AS t2))"))
+          .as("b"))
+        .select(col("b.t1").as("t1"), col("b.t2").as("t2"))
+        .filter(col("t1") =!= col("t2")).distinct()
+      val nodes = toks.select(explode(col("toks")).as("token")).distinct()
+        .select(col("token"), graft.functions.PortableHash.tokenHash(col("token")).as("vec_id"))
+      val e1 = bg
+        .join(nodes.select(col("token").as("t1"), col("vec_id").as("src")), "t1")
+        .join(nodes.select(col("token").as("t2"), col("vec_id").as("dst")), "t2")
+        .select("src", "dst")
+      val edges = e1.union(e1.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val pr = VectorQueries.pagerankOnEdges(nodes.select("vec_id"), edges)
+      val w = Window.orderBy(desc("pr"), asc("token"))
+      pr.join(nodes, "vec_id")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("rank", "token", "pr")
+        .orderBy("rank")
+    },
+    Some(s"""
+      WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      bgp AS (
+        SELECT DISTINCT b.t1 AS t1, b.t2 AS t2 FROM (
+          SELECT unnest(list_transform(range(len(toks) - 1),
+                   i -> struct_pack(t1 := toks[i+1], t2 := toks[i+2]))) AS b
+          FROM t WHERE len(toks) >= 2)
+        WHERE b.t1 <> b.t2),
+      nodes0 AS (SELECT DISTINCT unnest(toks) AS token FROM t),
+      nodes AS (SELECT token, ${graft.functions.PortableHash.tokenHashSql("token")} AS vec_id FROM nodes0),
+      e1 AS (
+        SELECT n1.vec_id AS src, n2.vec_id AS dst
+        FROM bgp JOIN nodes n1 ON n1.token = bgp.t1 JOIN nodes n2 ON n2.token = bgp.t2),
+      edges AS (SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      p0 AS (SELECT vec_id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+      ${VectorQueries.pagerankIterSql(1)},
+      ${VectorQueries.pagerankIterSql(2)},
+      ${VectorQueries.pagerankIterSql(3)}
+      SELECT rank, token, pr FROM (
+        SELECT n.token AS token, ROUND(p3.pr, 6) AS pr,
+               ROW_NUMBER() OVER (ORDER BY ROUND(p3.pr, 6) DESC, n.token ASC) AS rank
+        FROM p3 JOIN nodes n ON n.vec_id = p3.vec_id)
+      WHERE rank <= 10
+      ORDER BY rank
+    """.trim),
+  )
+
   /** Sliding-window substring dedup — the practical form of Lee et al.
     * 2021 ("Deduplicating Training Data Makes Language Models Better"):
     * per document, the fraction of its stride-1 20-token windows whose
@@ -806,5 +872,5 @@ object TextQueries {
   def defs: Seq[QueryDef] = Seq(
     wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint, textPmi,
     textNormalize, textEntropy, textChunkify, textLmScore, textRepetition, bpePairs,
-    bpeEncode, substringDedup, qualityModel)
+    bpeEncode, substringDedup, qualityModel, textrank)
 }

@@ -1239,7 +1239,7 @@ object VectorQueries {
     * values in any order; everything else is deterministic IEEE
     * arithmetic on identical operands.
     */
-  private def pagerankIterSql(k: Int): String =
+  private[operators] def pagerankIterSql(k: Int): String =
     s"""c$k AS (
        |  SELECT ed.dst, SUM(CAST(ROUND(p.pr / d.outdeg, 8) AS DECIMAL(18,8))) AS inflow
        |  FROM edges ed JOIN p${k - 1} p ON p.vec_id = ed.src JOIN deg d ON d.src = ed.src
