@@ -453,6 +453,63 @@ object EventQueries {
     """.trim),
   )
 
+  /** Session path analysis — the navigation-pattern mining step after
+    * sessionization: top-10 three-step event-type paths (trigrams of
+    * consecutive events inside a 30-min-gap session, the
+    * q_events_sessionize rule verbatim). One user shuffle builds
+    * sessions, two leads per row build the trigram, one path aggregate
+    * + bounded top-k — nothing corpus-quadratic; at 100 TB the
+    * user-bucketed layout removes the only exchange (the _bucketed
+    * precedent). Global top-10 orders the bounded (≤ |event_types|³)
+    * path relation.
+    */
+  val eventsPath = QueryDef(
+    "q_events_path",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = eventsUs(s, dir)
+        .withColumn("prev_ts", lag("ts_us", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("new_sess").over(run))
+      val ws = Window.partitionBy("user_id", "session_id").orderBy("ts_us", "event_id")
+      val paths = sess
+        .withColumn("t2", lead("event_type", 1).over(ws))
+        .withColumn("t3", lead("event_type", 2).over(ws))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+      val wTop = Window.orderBy(desc("n"), asc("path"))
+      paths.withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 10)
+        .select("rank", "path", "n")
+        .orderBy("rank")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      f AS (SELECT user_id, event_id, event_type, ts_us,
+              CASE WHEN lag(ts_us) OVER w IS NULL
+                     OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      g AS (SELECT user_id, event_id, event_type, ts_us,
+              CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM f),
+      tri AS (
+        SELECT event_type || '>' || lead(event_type, 1) OVER ws || '>' || lead(event_type, 2) OVER ws AS path,
+               lead(event_type, 2) OVER ws AS t3
+        FROM g WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts_us, event_id)),
+      counts AS (SELECT path, COUNT(*) AS n FROM tri WHERE t3 IS NOT NULL GROUP BY path)
+      SELECT rank, path, n FROM (
+        SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path ASC) AS rank FROM counts)
+      WHERE rank <= 10
+      ORDER BY rank
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(sessionize, funnel, retention, winRange, tsOverlap, winStreak,
-    sessionizeBucketed, funnelBucketed, winStreakBucketed, retentionBucketed, attribution)
+    sessionizeBucketed, funnelBucketed, winStreakBucketed, retentionBucketed, attribution,
+    eventsPath)
 }
