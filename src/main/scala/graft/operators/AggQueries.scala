@@ -358,7 +358,70 @@ object AggQueries {
     """.trim),
   )
 
+  /** Misra–Gries summary of one partition's tokens: every item with
+    * partition count > n_p/k survives (the MG guarantee), so the UNION
+    * of per-partition summaries is a SUPERSET of every global item with
+    * count > N/k (average argument: Σc_p > Σn_p/k ⇒ some partition is
+    * over ITS threshold). Buffer is k counters — O(k) memory per task
+    * regardless of partition size.
+    */
+  private[graft] def mgCandidates(it: Iterator[String], k: Int): Iterator[String] = {
+    val counts = scala.collection.mutable.Map[String, Long]()
+    it.foreach { t =>
+      if (counts.contains(t) || counts.size < k) counts(t) = counts.getOrElse(t, 0L) + 1
+      else {
+        // decrement-all step; drop zeros
+        val dead = scala.collection.mutable.ArrayBuffer[String]()
+        counts.keysIterator.foreach { key =>
+          val v = counts(key) - 1
+          if (v == 0) dead += key else counts(key) = v
+        }
+        dead.foreach(counts.remove)
+      }
+    }
+    counts.keysIterator.toList.iterator
+  }
+
+  /** Exact heavy hitters via the two-phase sketch+verify discipline:
+    * phase 1 streams each partition through a k=128-counter Misra–Gries
+    * summary (O(k) memory, one pass, no shuffle) whose union provably
+    * covers every token with global count > N/64; phase 2 recounts ONLY
+    * the candidates (broadcast semi-join) and filters exactly. The
+    * OUTPUT is the exact frequent-item set — candidate-set variation
+    * across partitionings can never change it, which is what keeps the
+    * operator partition-count invariant and fully oracle-checkable
+    * (the oracle is a plain count filter). At 100 TB phase 1 touches
+    * the corpus once with constant memory and phase 2 aggregates a
+    * candidate-pruned stream — the heavy-hitter pipeline every
+    * vocabulary/URL/domain frequency audit runs.
+    */
+  val aggHeavyHitters = QueryDef(
+    "q_agg_heavyhitters",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select(explode(graft.functions.Tokenize.tokens(col("text"))).as("token"))
+      val cands = toks.as[String].mapPartitions(mgCandidates(_, 128))
+        .toDF("token").distinct()
+      val total = Tables.documents(s, dir)
+        .agg(sum(graft.functions.Tokenize.tokenCount(col("text")).cast(LongType)).as("total"))
+      toks.join(broadcast(cands), "token")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .filter(col("n") * 64 > col("total"))
+        .select("token", "n")
+        .orderBy(desc("n"), asc("token"))
+    },
+    Some("""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      c AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+      t AS (SELECT COUNT(*) AS total FROM toks)
+      SELECT token, n FROM c, t WHERE n * 64 > total
+      ORDER BY n DESC, token ASC
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     aggGroupBy, aggDistinct, aggRollup, aggCube, aggGroupingSets, aggHll, aggStats, aggSalted,
-    aggHistogram, aggCorr, aggPercentile)
+    aggHistogram, aggCorr, aggPercentile, aggHeavyHitters)
 }
