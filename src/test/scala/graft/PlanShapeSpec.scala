@@ -332,4 +332,36 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     // (the centroid-array crossJoin in assignment/probing projections)
     if (plan.contains("BroadcastNestedLoopJoin")) plan should include("BroadcastExchange")
   }
+
+  test("q_text_index builds from ONE corpus scan (stats folded into the posting window)") {
+    val df = graft.operators.SearchQueries.textIndex.query(spark, sfTiny)
+    val plan = executedPlanString(df)
+    // the regression this pins: a separate stats aggregate re-scanned and
+    // re-exploded the corpus when ReuseExchange didn't fire. AQE's plan
+    // string repeats the tree under "== Initial Plan ==" — count only the
+    // final plan section.
+    "Scan parquet".r.findAllIn(plan.split("== Initial Plan ==")(0)).length shouldBe 1
+  }
+
+  test("q_text_bm25 retrieval joins are broadcast-built (query side never shuffles the corpus)") {
+    val df = graft.operators.SearchQueries.textBm25.query(spark, sfTiny)
+    val plan = executedPlanString(df)
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin" // postings meet only broadcast builds
+  }
+
+  test("q_graph_linkpred candidates come from equi-joins only (two-hop, never all pairs)") {
+    val df = graft.operators.GraphQueries.graphLinkpred.query(spark, sfTiny)
+    val plan = executedPlanString(df)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q_mm_phash banded join is an equi-join with exact verify on candidates only") {
+    val df = graft.multimodal.MultimodalOps.mmPhash.query(spark, sfTiny)
+    val plan = executedPlanString(df)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }
