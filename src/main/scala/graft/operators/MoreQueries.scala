@@ -306,7 +306,40 @@ object MoreQueries {
     """.trim),
   )
 
+  /** HLL sketch set operations — the mergeable-sketch discipline at its
+    * most load-bearing: two overlapping id sets are sketched
+    * INDEPENDENTLY (hll_sketch_agg, lgK=12, a Datasketches HLL whose
+    * register state is an order-free max-merge — partition- and
+    * batch-split-invariant by construction), their union cardinality
+    * comes from hll_union of the two sketches, and the intersection from
+    * inclusion-exclusion — never from rescanning either side. This is
+    * how a 100 TB dedup/reach pipeline answers "how many distinct across
+    * these N corpus slices" with one tiny sketch per slice: slices
+    * sketch once at ingest, every later set-algebra question is
+    * register-level arithmetic. Non-oracle by declaration (the sketch
+    * hash family is engine-specific); ApproxOpsSpec bounds the estimates
+    * against exact counts (lgK=12 → ~1.6% standard error).
+    */
+  val sketchHllSetops = QueryDef(
+    "q_sketch_hll_setops",
+    (s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val a = ids.filter(col("doc_id") % 3 =!= 0)
+        .agg(expr("hll_sketch_agg(doc_id, 12)").as("sk_a"))
+      val b = ids.filter(col("doc_id") % 2 === 0)
+        .agg(expr("hll_sketch_agg(doc_id, 12)").as("sk_b"))
+      a.crossJoin(b)
+        .select(
+          expr("hll_sketch_estimate(sk_a)").as("est_a"),
+          expr("hll_sketch_estimate(sk_b)").as("est_b"),
+          expr("hll_sketch_estimate(hll_union(sk_a, sk_b))").as("est_union"))
+        .withColumn("est_intersect",
+          col("est_a") + col("est_b") - col("est_union"))
+    },
+    None, // sketch hash family is engine-specific — accuracy spec instead
+  )
+
   def defs: Seq[QueryDef] = Seq(
     winFirstLast, joinLateral, setIntersectAll, setExceptAll, aggCollect, sketchBloom, sketchCms,
-    sketchQuantile, dqAudit)
+    sketchQuantile, dqAudit, sketchHllSetops)
 }

@@ -158,4 +158,20 @@ class ApproxOpsSpec extends SparkTestBase with Matchers {
       v shouldBe builtins(k) +- 1e-4 // UDAF is exact at 6dp, posexplode avg rounds at 4dp
     }
   }
+  test("q_sketch_hll_setops: union/intersection estimates within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.MoreQueries.sketchHllSetops.query(spark, sfTiny).head
+    val ids = Tables.documents(spark, sfTiny).select(col("doc_id"))
+    val exactA = ids.filter(col("doc_id") % 3 =!= 0).distinct().count().toDouble
+    val exactB = ids.filter(col("doc_id") % 2 === 0).distinct().count().toDouble
+    val exactU = ids.filter(col("doc_id") % 3 =!= 0 || col("doc_id") % 2 === 0)
+      .distinct().count().toDouble
+    val exactI = exactA + exactB - exactU
+    math.abs(r.getLong(0) - exactA) / exactA should be <= 0.05
+    math.abs(r.getLong(1) - exactB) / exactB should be <= 0.05
+    math.abs(r.getLong(2) - exactU) / exactU should be <= 0.05
+    math.abs(r.getLong(3) - exactI) / exactI should be <= 0.10 // inclusion-exclusion compounds error
+    info(s"est (a,b,u,i)=(${r.getLong(0)},${r.getLong(1)},${r.getLong(2)},${r.getLong(3)}) " +
+      s"exact=(${exactA.toLong},${exactB.toLong},${exactU.toLong},${exactI.toLong})")
+  }
 }
