@@ -453,4 +453,103 @@ final class GraftFrame(val df: DataFrame) {
       .filter(col("rank") <= k)
       .select(col(s"q_$id"), col("rank"), col(id), col("cos"))
   }
+
+  /** Inverted-index posting heads + per-token stats (q_text_index's
+    * shape over any (id, text) frame): (token, df, cf, rn, id, tf) for
+    * tokens with df ≥ `minDf`, top-`k` postings by tf. One tokenize +
+    * one (id, token) aggregate + one token shuffle (stats fold into the
+    * posting window partition — the single-scan build).
+    */
+  def invertedIndex(id: String = "doc_id", text: String = "text",
+      minDf: Long = 5L, k: Int = 5): DataFrame = {
+    val tf = df.select(col(id), explode(Tokenize.tokens(col(text))).as("token"))
+      .groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+    val wOrd = Window.partitionBy("token").orderBy(desc("tf"), asc(id))
+    val wAll = Window.partitionBy("token")
+    tf.withColumn("rn", row_number().over(wOrd))
+      .withColumn("df", count(lit(1)).over(wAll))
+      .withColumn("cf", sum("tf").over(wAll))
+      .filter(col("rn") <= k && col("df") >= minDf)
+      .select(col("token"), col("df"), col("cf"), col("rn"), col(id), col("tf"))
+  }
+
+  /** BM25 ranked retrieval of this corpus against a queries frame
+    * (`qid`, `qtext` — each row one query, its whitespace tokens the
+    * terms): top-`k` docs per query by the Robertson-idf BM25 score.
+    * The query term set broadcasts; corpus joins carry matching
+    * postings only (q_text_bm25's plan over arbitrary frames).
+    */
+  def bm25(queries: DataFrame, k: Int = 5,
+      id: String = "doc_id", text: String = "text",
+      qid: String = "query_id", qtext: String = "query_text",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = df.select(col(id), explode(Tokenize.tokens(col(text))).as("token"))
+    val tf = toks.groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val docs = df.select(col(id), Tokenize.tokenCount(col(text)).cast("long").as("dl"))
+    val glob = docs.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = queries.select(col(qid),
+      explode(array_distinct(Tokenize.tokens(col(qtext)))).as("token"))
+    val contrib = tf.join(broadcast(qterms), "token")
+      .join(dfRel, "token").join(docs, id).crossJoin(broadcast(glob))
+      .withColumn("__c",
+        round(log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)))
+          * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl"))),
+          8).cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+    val scores = contrib.groupBy(col(qid), col(id))
+      .agg(count(lit(1)).as("n_terms"), round(sum("__c").cast("double"), 6).as("score"))
+    val w = Window.partitionBy(qid).orderBy(desc("score"), asc(id))
+    scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qid), col("rank"), col(id), col("n_terms"), col("score"))
+  }
+
+  /** TextRank corpus keywords: top-`k` tokens by PageRank over the
+    * symmetrized adjacent-token co-occurrence graph (q_text_textrank
+    * over any text frame; node ids are portable char-fold hashes).
+    */
+  def keywords(k: Int = 10, text: String = "text"): DataFrame = {
+    val toks = df.select(Tokenize.tokens(col(text)).as("toks"))
+    val bg = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS t1, toks[i] AS t2))"))
+        .as("b"))
+      .select(col("b.t1").as("t1"), col("b.t2").as("t2"))
+      .filter(col("t1") =!= col("t2")).distinct()
+    val nodes = toks.select(explode(col("toks")).as("token")).distinct()
+      .select(col("token"), graft.functions.PortableHash.tokenHash(col("token")).as("vec_id"))
+    val e1 = bg
+      .join(nodes.select(col("token").as("t1"), col("vec_id").as("src")), "t1")
+      .join(nodes.select(col("token").as("t2"), col("vec_id").as("dst")), "t2")
+      .select("src", "dst")
+    val edges = e1.union(e1.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val pr = graft.operators.VectorQueries.pagerankOnEdges(nodes.select("vec_id"), edges)
+    val w = Window.orderBy(desc("pr"), asc("token"))
+    pr.join(nodes, "vec_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("rank", "token", "pr")
+  }
+
+  /** EXACT heavy hitters of column `c`: values with count > N/`fraction`
+    * via the two-phase Misra–Gries discipline (q_agg_heavyhitters):
+    * constant-memory per-partition summaries provably cover every heavy
+    * value, a broadcast recount filters exactly.
+    */
+  def heavyHitters(c: String, fraction: Int = 64, buffer: Int = 128): DataFrame = {
+    import df.sparkSession.implicits._
+    val vals = df.select(col(c).cast("string").as("__hh"))
+    val cands = vals.as[String]
+      .mapPartitions(graft.operators.AggQueries.mgCandidates(_, buffer))
+      .toDF("__hh").distinct()
+    val total = vals.agg(count(lit(1)).as("__total"))
+    vals.join(broadcast(cands), "__hh")
+      .groupBy("__hh").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * fraction > col("__total"))
+      .select(col("__hh").as(c), col("n"))
+  }
 }

@@ -397,4 +397,39 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     for (i <- 0L until 70L)
       got(i)(0) shouldBe (if (i >= 30) 2.toByte else 1.toByte)
   }
+  test("invertedIndex / keywords verbs equal the registered queries") {
+    val docs = Tables.documents(spark, sfTiny)
+    docs.graft.invertedIndex().orderBy("token", "rn").collect().map(_.toString).toSeq shouldBe
+      graft.operators.SearchQueries.textIndex.query(spark, sfTiny).collect().map(_.toString).toSeq
+    docs.graft.keywords().orderBy("rank").collect().map(_.toString).toSeq shouldBe
+      graft.operators.TextQueries.textrank.query(spark, sfTiny).collect().map(_.toString).toSeq
+  }
+
+  test("bm25 verb: self-query over exact-duplicate text retrieves the source doc first") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val docs = Tables.documents(spark, sfTiny)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+    val out = docs.graft.bm25(queries, k = 3).collect()
+    // the 31-token synthetic vocab makes a full-text query barely
+    // discriminative (every doc shares most terms), so assert top-3, not
+    // rank 1 (measured ranks 2-3 on the fixture)
+    out.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.exists(_.getLong(2) == q),
+        s"query $q (its own full text) does not rank its source doc top-3")
+    }
+  }
+
+  test("heavyHitters verb matches the exact frequent-value filter") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val ev = Tables.events(spark, sfTiny)
+    val got = ev.graft.heavyHitters("event_type", fraction = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val n = ev.count()
+    val want = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .filter(col("n") * 8 > n)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    want should not be empty
+    got shouldBe want
+  }
 }
