@@ -34,8 +34,22 @@ object IncrementalIndex {
     StructField("df", LongType),
     StructField("cf", LongType)))
 
+  /** _CURRENT carries `v<N>` or `v<N>:batch=<id>` — the committed batch
+    * id rides IN the atomically-swapped pointer (the PackIngest replay
+    * discipline): a foreachBatch replay after a crash between the swap
+    * and the stream's checkpoint commit is detected and skipped, so a
+    * batch's postings can never land twice.
+    */
+  private def currentPointer(s: SparkSession, base: String): Option[(String, Option[Long])] =
+    graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT").map { c =>
+      c.trim.split(":batch=") match {
+        case Array(v, b) => (v, Some(b.toLong))
+        case Array(v) => (v, None)
+      }
+    }
+
   private def currentVersion(s: SparkSession, base: String): Option[String] =
-    graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT").map(_.trim)
+    currentPointer(s, base).map(_._1)
 
   /** Current per-token stats (empty before the first batch). */
   def readStats(s: SparkSession, base: String): DataFrame =
@@ -64,9 +78,13 @@ object IncrementalIndex {
     * partials, swap the stats version. Batch cost is O(batch) — the
     * posting history is never touched.
     */
-  def processBatch(s: SparkSession, batch: DataFrame, base: String): Unit = {
+  def processBatch(s: SparkSession, batch: DataFrame, base: String,
+      batchId: Option[Long] = None): Unit = {
+    val ptr = currentPointer(s, base)
+    // replayed micro-batch (its id already committed in the pointer): skip
+    if (batchId.exists(id => ptr.flatMap(_._2).exists(_ >= id))) return
     val tf = batchTf(batch).localCheckpoint()
-    val next = currentVersion(s, base).map(_.drop(1).toLong + 1).getOrElse(0L)
+    val next = ptr.map(_._1.drop(1).toLong + 1).getOrElse(0L)
     tf.write.mode("overwrite").parquet(s"$base/postings/b$next")
     val partial = tf.groupBy("token")
       .agg(count(lit(1)).as("df2"), sum("tf").as("cf2"))
@@ -79,7 +97,8 @@ object IncrementalIndex {
         (coalesce(col("cf"), lit(0L)) + coalesce(col("cf2"), lit(0L))).as("cf"))
       .localCheckpoint()
     merged.write.mode("overwrite").parquet(s"$base/stats/v$next")
-    graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"v$next")
+    val tag = batchId.fold("")(id => s":batch=$id")
+    graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"v$next$tag")
   }
 
   /** q_text_index's output shape served from the maintained state:
@@ -96,9 +115,9 @@ object IncrementalIndex {
       .orderBy("token", "rn")
   }
 
-  /** Attach to a documents stream via foreachBatch. */
+  /** Attach to a documents stream via foreachBatch (replay-protected). */
   def attach(docs: DataFrame, base: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      processBatch(batch.sparkSession, batch, base)
+    docs.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      processBatch(batch.sparkSession, batch, base, Some(bid))
     }
 }

@@ -30,8 +30,21 @@ object IncrementalScd2 {
     StructField("event_type", StringType),
     StructField("valid_from_us", LongType)))
 
+  /** _CURRENT carries `v<N>` or `v<N>:batch=<id>` (the IncrementalIndex
+    * / PackIngest replay discipline): a foreachBatch replay after a
+    * crash between the swap and the checkpoint commit is skipped, so a
+    * batch's versions never double-land.
+    */
+  private def currentPointer(s: SparkSession, base: String): Option[(String, Option[Long])] =
+    graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT").map { c =>
+      c.trim.split(":batch=") match {
+        case Array(v, b) => (v, Some(b.toLong))
+        case Array(v) => (v, None)
+      }
+    }
+
   private def currentVersion(s: SparkSession, base: String): Option[String] =
-    graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT").map(_.trim)
+    currentPointer(s, base).map(_._1)
 
   /** Open (current) versions, one row per user seen so far. */
   def readCurrentTable(s: SparkSession, base: String): DataFrame =
@@ -60,8 +73,11 @@ object IncrementalScd2 {
           lit(null).cast(LongType).as("valid_to_us"), lit(true).as("is_current")))
       .orderBy("user_id", "valid_from_us", "event_type")
 
-  def processBatch(s: SparkSession, batch: DataFrame, base: String): Unit = {
-    val next = currentVersion(s, base).map(_.drop(1).toLong + 1).getOrElse(0L)
+  def processBatch(s: SparkSession, batch: DataFrame, base: String,
+      batchId: Option[Long] = None): Unit = {
+    val ptr = currentPointer(s, base)
+    if (batchId.exists(id => ptr.flatMap(_._2).exists(_ >= id))) return
+    val next = ptr.map(_._1.drop(1).toLong + 1).getOrElse(0L)
     val cur = readCurrentTable(s, base).localCheckpoint()
     val ev = batch.select(col("user_id"), col("event_id"), col("event_type"),
       expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
@@ -88,12 +104,13 @@ object IncrementalScd2 {
     val untouched = cur.join(affected, Seq("user_id"), "left_anti")
     newCur.unionByName(untouched).localCheckpoint()
       .write.mode("overwrite").parquet(s"$base/current/v$next")
-    graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"v$next")
+    val tag = batchId.fold("")(id => s":batch=$id")
+    graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"v$next$tag")
   }
 
-  /** Attach to an events stream via foreachBatch. */
+  /** Attach to an events stream via foreachBatch (replay-protected). */
   def attach(events: DataFrame, base: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      processBatch(batch.sparkSession, batch, base)
+    events.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      processBatch(batch.sparkSession, batch, base, Some(bid))
     }
 }

@@ -64,4 +64,20 @@ class IncrementalIndexSpec extends SparkTestBase with Matchers {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     gotStats shouldBe wantStats
   }
+
+  test("replayed micro-batch is skipped: postings never double-land") {
+    val base = Files.createTempDirectory("graft_incidx_replay").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfTiny)
+    val b0 = docs.filter(col("doc_id") < 100)
+    IncrementalIndex.processBatch(spark, b0, base, batchId = Some(0L))
+    val once = IncrementalIndex.readPostings(spark, base).count()
+    // crash-replay of the SAME committed batch id: must be a no-op
+    IncrementalIndex.processBatch(spark, b0, base, batchId = Some(0L))
+    IncrementalIndex.readPostings(spark, base).count() shouldBe once
+    new java.io.File(s"$base/postings").listFiles().length shouldBe 1
+    // the next real batch still lands
+    IncrementalIndex.processBatch(spark, docs.filter(col("doc_id") >= 100), base,
+      batchId = Some(1L))
+    IncrementalIndex.readPostings(spark, base).count() should be > once
+  }
 }

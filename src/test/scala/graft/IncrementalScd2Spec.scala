@@ -46,4 +46,15 @@ class IncrementalScd2Spec extends SparkTestBase with Matchers {
     val nEvents = ev.count()
     assert(nVersions < nEvents, "no suppression anywhere — contract untested")
   }
+
+  test("replayed micro-batch is skipped: versions never double-land") {
+    val base = Files.createTempDirectory("graft_incscd2_replay").toFile.getAbsolutePath
+    val ev = Tables.events(spark, sfTiny)
+      .select("user_id", "event_id", "event_type", "ts")
+    graft.streaming.IncrementalScd2.processBatch(spark, ev, base, batchId = Some(0L))
+    val once = graft.streaming.IncrementalScd2.readDimension(spark, base).count()
+    graft.streaming.IncrementalScd2.processBatch(spark, ev, base, batchId = Some(0L))
+    graft.streaming.IncrementalScd2.readDimension(spark, base).count() shouldBe once
+    new java.io.File(s"$base/closed").listFiles().length shouldBe 1
+  }
 }
