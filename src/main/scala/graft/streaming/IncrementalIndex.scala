@@ -115,6 +115,33 @@ object IncrementalIndex {
       .orderBy("token", "rn")
   }
 
+  /** Fold all posting segments into ONE (the LSM/compactTail analogue
+    * for the index): per-batch ingest leaves one small parquet dir per
+    * micro-batch, and a year of minutely batches is 5×10⁵ dirs whose
+    * listing tax every searchHeads pays — this rewrites the UNION into
+    * `c<N>` (content unchanged by construction: postings are disjoint
+    * (token, doc) facts, order-free), then removes the constituent
+    * segments. The window between the compacted write and the segment
+    * removals is read-inconsistent for an overlapping reader at spec
+    * scale (duplicated postings, never lost ones) — a deployment runs
+    * it from the single maintainer thread between batches, same
+    * single-admin contract as the matview rewrites. Stats are untouched
+    * (they were never per-segment).
+    */
+  def compactSegments(s: SparkSession, base: String): Unit = {
+    val (fs, q) = graft.sources.GraftFs.resolve(s, s"$base/postings")
+    if (!fs.exists(q)) return
+    val segs = fs.listStatus(q).toSeq.filter(_.isDirectory).map(_.getPath.toString)
+    if (segs.size <= 1) return
+    val next = currentVersion(s, base).map(_.drop(1).toLong + 1).getOrElse(0L)
+    val target = s"$base/postings/c$next"
+    readPostings(s, base).localCheckpoint()
+      .write.mode("overwrite").parquet(target)
+    val keep = graft.sources.GraftFs.qualify(s, target)
+    segs.filterNot(p => graft.sources.GraftFs.qualify(s, p) == keep)
+      .foreach(graft.sources.GraftFs.deleteRecursively(s, _))
+  }
+
   /** Attach to a documents stream via foreachBatch (replay-protected). */
   def attach(docs: DataFrame, base: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>

@@ -79,5 +79,13 @@ class IncrementalIndexSpec extends SparkTestBase with Matchers {
     IncrementalIndex.processBatch(spark, docs.filter(col("doc_id") >= 100), base,
       batchId = Some(1L))
     IncrementalIndex.readPostings(spark, base).count() should be > once
+
+    // segment compaction: content unchanged, one dir remains, ingest continues
+    val heads = IncrementalIndex.searchHeads(spark, base).collect().map(_.toString).toSeq
+    IncrementalIndex.compactSegments(spark, base)
+    new java.io.File(s"$base/postings").listFiles().length shouldBe 1
+    IncrementalIndex.searchHeads(spark, base).collect().map(_.toString).toSeq shouldBe heads
+    IncrementalIndex.processBatch(spark, docs.limit(0), base, batchId = Some(2L))
+    IncrementalIndex.searchHeads(spark, base).collect().map(_.toString).toSeq shouldBe heads
   }
 }
