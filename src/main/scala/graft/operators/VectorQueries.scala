@@ -1354,7 +1354,80 @@ object VectorQueries {
     None,
   )
 
+  /** k-center greedy diversity selection (Gonzalez 1985 — the coreset /
+    * diversity-sampling pass a training-data pipeline runs to pick
+    * maximally-spread exemplars): start from the min-id vector, then 9
+    * rounds of "add the point farthest (max min cosine-distance) from
+    * the chosen set" with min-id tiebreaks. Each round is ONE
+    * broadcast-join scan updating the running min-distance column (the
+    * classic 2-approximation algorithm is inherently k sequential
+    * rounds; each reads ONE picked row to the driver — the bounded
+    * 1-row-per-round collect the CC convergence loop already uses) —
+    * O(k·N) total work, never a pair matrix. Distances are 6dp-rounded
+    * before every min/argmax so rank order is engine-exact; the oracle
+    * unrolls the 10 rounds as CTE pairs (accumulate-min + argmax).
+    */
+  val vecCoreset = QueryDef(
+    "q_vec_coreset",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val first = e.orderBy("vec_id").limit(1)
+        .select(col("vec_id"), col("embedding")).head
+      var picked = Seq((1, first.getLong(0), 0.0))
+      var md = e.withColumn("md",
+        round(lit(1.0) - VectorOps.cosine(col("embedding"),
+          typedlit(first.getSeq[Float](1))), 6))
+      for (r <- 2 to 10) {
+        val p = md.filter(!col("vec_id").isInCollection(picked.map(_._2)))
+          .orderBy(desc("md"), asc("vec_id")).limit(1)
+          .select(col("vec_id"), col("embedding"), col("md")).head
+        picked = picked :+ ((r, p.getLong(0), p.getDouble(2)))
+        md = md.withColumn("md", least(col("md"),
+          round(lit(1.0) - VectorOps.cosine(col("embedding"),
+            typedlit(p.getSeq[Float](1))), 6)))
+      }
+      import s.implicits._
+      picked.toDF("rank", "vec_id", "dist_to_set").orderBy("rank")
+    },
+    Some {
+      s"""
+      WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      pick1 AS MATERIALIZED (SELECT vec_id, emb, 0.0 AS md FROM e ORDER BY vec_id ASC LIMIT 1),
+      picks1 AS MATERIALIZED (SELECT vec_id, 1 AS rank FROM pick1),
+      md1 AS MATERIALIZED (
+        SELECT m.vec_id, m.emb,
+               ROUND(1.0 - list_inner_product(m.emb, p.emb)
+                     / sqrt(list_inner_product(m.emb, m.emb) * list_inner_product(p.emb, p.emb)), 6) AS md
+        FROM e m CROSS JOIN pick1 p WHERE m.vec_id <> p.vec_id),
+      pick2 AS MATERIALIZED (SELECT vec_id, emb, md FROM md1 ORDER BY md DESC, vec_id ASC LIMIT 1),
+      picks2 AS MATERIALIZED (SELECT vec_id, rank FROM picks1 UNION ALL SELECT vec_id, 2 FROM (SELECT vec_id FROM pick2)),
+      ${(3 to 10).map { k =>
+        s"""md${k - 1}x AS MATERIALIZED (
+           |  SELECT m.vec_id, m.emb,
+           |         least(m.md, ROUND(1.0 - list_inner_product(m.emb, p.emb)
+           |               / sqrt(list_inner_product(m.emb, m.emb) * list_inner_product(p.emb, p.emb)), 6)) AS md
+           |  FROM md${if (k == 3) "1" else s"${k - 2}x"} m CROSS JOIN pick${k - 1} p
+           |  WHERE m.vec_id NOT IN (SELECT vec_id FROM picks${k - 1})),
+           |pick$k AS MATERIALIZED (SELECT vec_id, emb, md FROM md${k - 1}x ORDER BY md DESC, vec_id ASC LIMIT 1),
+           |picks$k AS MATERIALIZED (SELECT vec_id, rank FROM picks${k - 1} UNION ALL SELECT vec_id, $k FROM (SELECT vec_id FROM pick$k))""".stripMargin
+      }.mkString(",\n      ")}
+      SELECT p.rank AS rank, p.vec_id,
+             CASE WHEN p.rank = 1 THEN 0.0 ELSE pk.md END AS dist_to_set
+      FROM picks10 p
+      LEFT JOIN (
+        SELECT vec_id, md, 2 AS r FROM pick2 UNION ALL SELECT vec_id, md, 3 FROM pick3
+        UNION ALL SELECT vec_id, md, 4 FROM pick4 UNION ALL SELECT vec_id, md, 5 FROM pick5
+        UNION ALL SELECT vec_id, md, 6 FROM pick6 UNION ALL SELECT vec_id, md, 7 FROM pick7
+        UNION ALL SELECT vec_id, md, 8 FROM pick8 UNION ALL SELECT vec_id, md, 9 FROM pick9
+        UNION ALL SELECT vec_id, md, 10 FROM pick10) pk
+        ON pk.vec_id = p.vec_id AND pk.r = p.rank
+      ORDER BY rank
+      """.trim
+    },
+  )
+
   def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, vecCentroidUdaf, annLsh, annIvf, vecQuantize,
     annFiltered, vecKnnGraph, vecKnnGraphLsh, vecKnnGraphIvf, vecCluster, vecPq, annIvfPq,
-    vecKnnGraphIncr, vecKnnGraphIncrLsh, annIvfPqIncr, vecPagerank, vecPagerankLsh)
+    vecKnnGraphIncr, vecKnnGraphIncrLsh, annIvfPqIncr, vecPagerank, vecPagerankLsh, vecCoreset)
 }
