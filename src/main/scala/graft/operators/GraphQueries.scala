@@ -241,5 +241,53 @@ object GraphQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(graphTriangles, graphLabelprop, graphLinkpred)
+  /** kNN-distance outlier scoring (the Ramaswamy/Angiulli "distance to
+    * k-th / mean-of-k neighbors" rule — the embedding-space data-quality
+    * signal that flags mislabeled or corrupted vectors): each vector's
+    * outlier score is the mean cosine DISTANCE (1 − cos) to its top-3
+    * within-label neighbors; the top-20 by score surface for audit.
+    * Pure composition on the kNN edge construction (one aggregate over
+    * the edge frame) — the LSH/IVF candidate edges swap in at scale
+    * like every other consumer of the graph.
+    */
+  val graphOutliers = QueryDef(
+    "q_vec_outliers",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("label"), col("vec_id"), col("embedding"))
+      val b = e.select(col("label").as("label2"), col("vec_id").as("dst"),
+        col("embedding").as("n_emb"))
+      val scored = a.join(b, col("label") === col("label2") && col("vec_id") =!= col("dst"))
+        .withColumn("cos", round(VectorOps.cosine(col("embedding"), col("n_emb")), 6))
+      val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("dst"))
+      val knn = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      val scores = knn.groupBy(col("vec_id"), col("label"))
+        .agg(round(sum(lit(1.0) - col("cos")) / count(lit(1)), 6).as("outlier_score"))
+      val wTop = Window.orderBy(desc("outlier_score"), asc("vec_id"))
+      scores.withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 20)
+        .select("rank", "vec_id", "label", "outlier_score")
+        .orderBy("rank")
+    },
+    Some(s"""
+      WITH $UndirectedEdgeSql,
+      knn AS (
+        SELECT src, dst, cos FROM (
+          SELECT src, dst, cos, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+          FROM scored) WHERE rn <= 3),
+      sc AS (
+        SELECT e.vec_id, e.label,
+               ROUND(SUM(1.0 - k.cos) / COUNT(*), 6) AS outlier_score
+        FROM knn k JOIN embeddings e ON e.vec_id = k.src
+        GROUP BY e.vec_id, e.label)
+      SELECT rank, vec_id, label, outlier_score FROM (
+        SELECT vec_id, label, outlier_score,
+               ROW_NUMBER() OVER (ORDER BY outlier_score DESC, vec_id ASC) AS rank
+        FROM sc)
+      WHERE rank <= 20
+      ORDER BY rank
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(graphTriangles, graphLabelprop, graphLinkpred, graphOutliers)
 }
