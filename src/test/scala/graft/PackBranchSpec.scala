@@ -88,6 +88,45 @@ class PackBranchSpec extends SparkTestBase with Matchers {
     idsOf(base) shouldBe (0L until 60L)
   }
 
+  test("streaming ingest into a branch, then fast-forward merge (staging pipeline)") {
+    import graft.api.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val base = freshBase("stream")
+    PackStore.initBase(spark, base, objs(0, 20), 2)
+    val store = spark.graft.packStore(base)
+    val staging = store.createBranch("staging")
+
+    // feed two micro-batches of new objects into the BRANCH only
+    val srcDir = Files.createTempDirectory("graft_branchstream_src").toFile.getAbsolutePath
+    val cpDir = Files.createTempDirectory("graft_branchstream_cp").toFile.getAbsolutePath
+    for (i <- 0 until 2) {
+      objs(20 + i * 15, 35 + i * 15).toDF("media_id", "payload").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/part$i")
+      val f = new java.io.File(s"$srcDir/part$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, java.nio.file.Paths.get(srcDir, s"f$i.parquet"))
+      Thread.sleep(1100)
+    }
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("payload", BinaryType)))
+    val q = staging.attachStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "f*.parquet").parquet(srcDir),
+        nPacks = 2)
+      .option("checkpointLocation", cpDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000) shouldBe true
+
+    // main untouched while the stream landed on the branch
+    idsOf(base) shouldBe (0L until 20L)
+    idsOf(PackStore.branchBase(base, "staging")) shouldBe (0L until 50L)
+
+    // audit passed: merge publishes the staged corpus in one fast-forward
+    store.mergeBranch("staging")
+    idsOf(base) shouldBe (0L until 50L)
+  }
+
   test("validation: duplicate name, bad name, empty store, unknown branch") {
     val base = freshBase("val")
     PackStore.initBase(spark, base, objs(0, 10), 1)
