@@ -78,6 +78,45 @@ object SearchQueries {
     """.trim),
   )
 
+  /** q_text_index through the SKEW-SAFE two-level top-k — the zipfian
+    * reality twin: a stop-word token's posting list is a constant
+    * fraction of the corpus, so the single-key posting window straggles
+    * on exactly the tokens every real corpus has. Here the per-token
+    * head is computed in two levels (per (token, doc_id mod 16) salt
+    * window → ≤ 16·5 candidates per token → final window on the
+    * bounded candidates — the q_dedup_near_salted grid discipline
+    * applied to top-k), and df/cf come from a plain partially-aggregated
+    * groupBy (hash partials compress the hot key before it shuffles).
+    * Identical output by construction — shares q_text_index's oracle;
+    * IndexSkewSpec pins equality under an amplified hot token and the
+    * candidate bound.
+    */
+  val textIndexSalted = QueryDef(
+    "q_text_index_salted",
+    (s, dir) => saltedIndexStage(
+      tokRows(s, dir).groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))),
+    textIndex.oracle,
+  )
+
+  /** The salted two-level head build over any (doc_id, token, tf)
+    * relation (shared with IndexSkewSpec's synthetic corpus).
+    */
+  private[graft] def saltedIndexStage(tf: DataFrame, minDf: Long = 5L, k: Int = 5,
+      salts: Int = 16): DataFrame = {
+    val stats = tf.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .filter(col("df") >= minDf)
+    val w1 = Window.partitionBy(col("token"), pmod(col("doc_id"), lit(salts)))
+      .orderBy(desc("tf"), asc("doc_id"))
+    val cands = tf.withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
+    val w2 = Window.partitionBy("token").orderBy(desc("tf"), asc("doc_id"))
+    cands.withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= k)
+      .join(stats, "token")
+      .select("token", "df", "cf", "rn", "doc_id", "tf")
+      .orderBy("token", "rn")
+  }
+
   /** BM25 ranked retrieval (k1=1.2, b=0.75): the 8 query docs
     * (doc_id < 8) each contribute their top-3 tf-idf tokens as a query;
     * every corpus document is scored by the Robertson idf form
@@ -233,5 +272,5 @@ object SearchQueries {
     """.trim),
   )
 
-  val defs: Seq[QueryDef] = Seq(textIndex, textBm25, textPhrase)
+  val defs: Seq[QueryDef] = Seq(textIndex, textIndexSalted, textBm25, textPhrase)
 }
