@@ -534,6 +534,29 @@ final class GraftFrame(val df: DataFrame) {
       .select("rank", "token", "pr")
   }
 
+  /** k-center greedy diversity selection over an embeddings frame
+    * (Gonzalez 2-approximation, q_vec_coreset's rounds): `(rank, id,
+    * dist_to_set)` for `k` maximally-spread exemplars. Each round is one
+    * broadcast scan + a 1-row driver read — O(k·N), never a pair matrix.
+    */
+  def coreset(k: Int = 10, id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val e = df.select(col(id), col(vec)).localCheckpoint()
+    val first = e.orderBy(id).limit(1).head
+    var picked = Seq((1, first.getLong(0), 0.0))
+    var md = e.withColumn("__md",
+      round(lit(1.0) - VectorOps.cosine(col(vec), typedlit(first.getSeq[Float](1))), 6))
+    for (r <- 2 to k) {
+      val p = md.filter(!col(id).isInCollection(picked.map(_._2)))
+        .orderBy(desc("__md"), asc(id)).limit(1)
+        .select(col(id), col(vec), col("__md")).head
+      picked = picked :+ ((r, p.getLong(0), p.getDouble(2)))
+      md = md.withColumn("__md", least(col("__md"),
+        round(lit(1.0) - VectorOps.cosine(col(vec), typedlit(p.getSeq[Float](1))), 6)))
+    }
+    import df.sparkSession.implicits._
+    picked.toDF("rank", id, "dist_to_set")
+  }
+
   /** EXACT heavy hitters of column `c`: values with count > N/`fraction`
     * via the two-phase Misra–Gries discipline (q_agg_heavyhitters):
     * constant-memory per-partition summaries provably cover every heavy

@@ -420,6 +420,14 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("coreset verb equals q_vec_coreset on the fixture embeddings") {
+    val got = Tables.embeddings(spark, sfTiny).graft.coreset()
+      .orderBy("rank").collect().map(_.toString).toSeq
+    val want = graft.operators.VectorQueries.vecCoreset.query(spark, sfTiny)
+      .collect().map(_.toString).toSeq
+    got shouldBe want
+  }
+
   test("heavyHitters verb matches the exact frequent-value filter") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val ev = Tables.events(spark, sfTiny)
