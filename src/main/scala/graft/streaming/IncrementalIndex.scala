@@ -115,6 +115,40 @@ object IncrementalIndex {
       .orderBy("token", "rn")
   }
 
+  /** BM25 ranked retrieval served ENTIRELY from the maintained state —
+    * the build→serve loop closed: tf comes from the posting segments, df
+    * from the stats table, and document lengths / corpus averages derive
+    * from one aggregate over postings (dl = Σtf per doc — exact, since
+    * postings are whitespace-token counts). No document text is ever
+    * re-read; IncrementalIndexSpec pins row equality with the
+    * from-scratch facade bm25 after a multi-batch ingest.
+    */
+  def bm25(s: SparkSession, base: String, queries: DataFrame, k: Int = 5,
+      qid: String = "query_id", qtext: String = "query_text",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = readPostings(s, base)
+    val dfRel = readStats(s, base).select(col("token"), col("df"))
+    val docs = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val glob = docs.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = queries.select(col(qid),
+      explode(array_distinct(graft.functions.Tokenize.tokens(col(qtext)))).as("token"))
+    val contrib = tf.join(broadcast(qterms), "token")
+      .join(dfRel, "token").join(docs, "doc_id").crossJoin(broadcast(glob))
+      .withColumn("__c",
+        round(log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)))
+          * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl"))),
+          8).cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+    val scores = contrib.groupBy(col(qid), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), round(sum("__c").cast("double"), 6).as("score"))
+    val w = Window.partitionBy(qid).orderBy(desc("score"), asc("doc_id"))
+    scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qid), col("rank"), col("doc_id"), col("n_terms"), col("score"))
+  }
+
   /** Fold all posting segments into ONE (the LSM/compactTail analogue
     * for the index): per-batch ingest leaves one small parquet dir per
     * micro-batch, and a year of minutely batches is 5×10⁵ dirs whose

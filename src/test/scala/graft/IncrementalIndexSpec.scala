@@ -63,6 +63,19 @@ class IncrementalIndexSpec extends SparkTestBase with Matchers {
       .groupBy("token").agg(count(lit(1)).as("df"), sum("tf").as("cf"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     gotStats shouldBe wantStats
+
+    // the serve loop: BM25 from the maintained state equals the
+    // from-scratch facade retrieval over the same corpus and queries
+    import graft.api.implicits._
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+      .localCheckpoint()
+    val fromState = IncrementalIndex.bm25(spark, stateBase, queries)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val fromScratch = docs.graft.bm25(queries)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    fromState should not be empty
+    fromState shouldBe fromScratch
   }
 
   test("replayed micro-batch is skipped: postings never double-land") {
