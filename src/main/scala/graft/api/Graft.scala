@@ -205,8 +205,11 @@ final class PackStoreHandle(val spark: SparkSession, val base: String) {
       tombIds,
       if (data.isEmpty) -1L else data.map(_.minId).min,
       if (data.isEmpty) -1L else data.map(_.maxId).max,
+      PackStore.listTags(spark, base).size.toLong,
+      PackStore.listBranches(spark, base).size.toLong,
     )).toDF("tip", "retained_snapshots", "base_components", "delta_components",
-      "tombstone_components", "tombstoned_ids", "min_id", "max_id")
+      "tombstone_components", "tombstoned_ids", "min_id", "max_id",
+      "tags", "branches")
   }
 
   /** SQL access: register the store's live views in the session catalog
