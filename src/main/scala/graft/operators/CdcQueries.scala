@@ -214,5 +214,80 @@ object CdcQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(cdcUpsert, cdcUpsertBucketed, cdcDerive, cdcScd2)
+  /** SCD Type 2 over a COMPOSITE tracked attribute set — the standard
+    * warehouse dimension shape where several columns are versioned
+    * together. Tracks (event_type, value) per user: a new version opens
+    * when ANY tracked column changes (null-safe compare, so nulls
+    * version like values), and each version carries per-column change
+    * flags (changed_type / changed_value — a key dimension-audit field:
+    * which attribute actually moved). The first version of a key flags
+    * every column changed. Interval machinery is identical to
+    * q_cdc_scd2: exact epoch-micros [valid_from, valid_to) bounds from
+    * lead over the surviving change rows, open tail flagged current.
+    *
+    * Scale: still ONE shuffle on user_id feeding both window passes —
+    * widening the tracked set adds lag/lead columns inside the same
+    * window partition, zero extra exchanges. `value` is compared as the
+    * raw parquet double (no arithmetic), so the null-safe compare and
+    * the emitted values are bit-identical across engines.
+    */
+  val cdcScd2Multi = QueryDef(
+    "q_cdc_scd2_multi",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(asc("ts_us"), asc("event_id"))
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), col("value"),
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+          .as("ts_us"))
+      val flagged = ev
+        .withColumn("prev_id", lag("event_id", 1).over(w))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .withColumn("changed_type",
+          col("prev_id").isNull || !(col("event_type") <=> col("prev_type")))
+        .withColumn("changed_value",
+          col("prev_id").isNull || !(col("value") <=> col("prev_value")))
+        .filter(col("changed_type") || col("changed_value"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(asc("ts_us"), asc("event_id"))
+      flagged
+        .withColumn("valid_to_us", lead("ts_us", 1).over(w2))
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("changed_type"), col("changed_value"),
+          col("ts_us").as("valid_from_us"), col("valid_to_us"),
+          col("valid_to_us").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from_us", "event_type", "value")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type, value,
+               datediff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_us
+        FROM events),
+      ch AS (
+        SELECT user_id, event_id, event_type, value, ts_us,
+               LAG(event_id) OVER w AS prev_id,
+               LAG(event_type) OVER w AS prev_type,
+               LAG(value) OVER w AS prev_value
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      ver AS (
+        SELECT user_id, event_id, event_type, value, ts_us,
+               (prev_id IS NULL OR event_type IS DISTINCT FROM prev_type) AS changed_type,
+               (prev_id IS NULL OR value IS DISTINCT FROM prev_value) AS changed_value
+        FROM ch
+        WHERE prev_id IS NULL
+           OR event_type IS DISTINCT FROM prev_type
+           OR value IS DISTINCT FROM prev_value)
+      SELECT user_id, event_type, value, changed_type, changed_value,
+             ts_us AS valid_from_us,
+             LEAD(ts_us) OVER w2 AS valid_to_us,
+             LEAD(ts_us) OVER w2 IS NULL AS is_current
+      FROM ver
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      ORDER BY user_id, valid_from_us, event_type, value
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(cdcUpsert, cdcUpsertBucketed, cdcDerive, cdcScd2, cdcScd2Multi)
 }
