@@ -1427,7 +1427,128 @@ object VectorQueries {
     },
   )
 
+  /** Driver-side replica of the distributed cosine (sequential-order
+    * double accumulation, one sqrt — VectorOps.cosine's exact
+    * arithmetic), used by the mini-batch coreset's in-pool greedy so the
+    * driver trace is bit-identical to what the oracle recomputes.
+    */
+  private[graft] def cosSeq(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var i = 0
+    while (i < a.length) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    var na = 0.0; i = 0
+    while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+    var nb = 0.0; i = 0
+    while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+    dot / math.sqrt(na * nb)
+  }
+
+  /** Spark's Round(double, 6) semantics (BigDecimal HALF_UP). */
+  private[graft] def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private val CoresetPoolC = 16
+
+  /** Mini-batch k-center (the q_vec_coreset scale path): instead of k
+    * sequential cluster scans, each ROUND takes ONE distributed top-C
+    * candidate pool (TakeOrderedAndProject on (md DESC, vec_id) — C=16
+    * rows to the driver) and runs m greedy sub-picks INSIDE the pool
+    * driver-side, maintaining exact min-distances (pool md enters the
+    * round exact, and every subsequent center is in-pool, so in-pool
+    * updates keep it exact). Global md refreshes once per round against
+    * the m new centers in a single least() scan. k=10, m∈{4,5} → 3
+    * distributed passes instead of 10; at 100 TB rounds are k/m cluster
+    * jobs and the driver never holds more than C rows. Deterministic and
+    * partition-invariant (the pool is a global ORDER BY ... LIMIT, all
+    * distances 6dp-rounded with vec_id tiebreaks), so the full trace is
+    * DuckDB-unrollable — unlike a per-partition-argmax batcher, which
+    * would be layout-dependent. CoresetBatchSpec measures the
+    * approximation against the exact greedy's coverage radius.
+    */
+  val vecCoresetBatch = QueryDef(
+    "q_vec_coreset_batch",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val first = e.orderBy("vec_id").limit(1)
+        .select(col("vec_id"), col("embedding")).head
+      val seedId = first.getLong(0)
+      var picked = Vector((1, seedId, 0.0))
+      var md = e.withColumn("md",
+        round(lit(1.0) - VectorOps.cosine(col("embedding"),
+          typedlit(first.getSeq[Float](1))), 6))
+
+      // m greedy sub-picks inside a collected pool; in-pool md stays the
+      // exact distance-to-set because every new center is a pool member
+      def poolGreedy(pool0: Array[(Long, Array[Float], Double)], m: Int)
+          : Vector[(Long, Array[Float], Double)] = {
+        var pool = pool0
+        var out = Vector.empty[(Long, Array[Float], Double)]
+        while (out.size < m) {
+          val p = pool.minBy(t => (-t._3, t._1))
+          out = out :+ p
+          pool = pool.filter(_._1 != p._1).map { case (id, emb, d) =>
+            (id, emb, math.min(d, round6(1.0 - cosSeq(emb, p._2))))
+          }
+        }
+        out
+      }
+      def takePool(excl: Seq[Long]): Array[(Long, Array[Float], Double)] =
+        md.filter(!col("vec_id").isInCollection(excl))
+          .orderBy(desc("md"), asc("vec_id")).limit(CoresetPoolC)
+          .select(col("vec_id"), col("embedding"), col("md")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+
+      val picks1 = poolGreedy(takePool(Seq(seedId)), 4) // ranks 2..5
+      picked = picked ++ picks1.zipWithIndex.map { case ((id, _, d), i) => (i + 2, id, d) }
+      md = md.withColumn("md", least(col("md") +: picks1.map(p =>
+        round(lit(1.0) - VectorOps.cosine(col("embedding"),
+          typedlit(p._2.toSeq)), 6)): _*))
+      val picks2 = poolGreedy(takePool(picked.map(_._2)), 5) // ranks 6..10
+      picked = picked ++ picks2.zipWithIndex.map { case ((id, _, d), i) => (i + 6, id, d) }
+      import s.implicits._
+      picked.toDF("rank", "vec_id", "dist_to_set").orderBy("rank")
+    },
+    Some {
+      def d(m: String, p: String) =
+        s"ROUND(1.0 - list_inner_product($m.emb, $p.emb) / sqrt(list_inner_product($m.emb, $m.emb) * list_inner_product($p.emb, $p.emb)), 6)"
+      // m sub-picks inside a materialized pool CTE: s<r> = argmax, then
+      // the surviving pool rows fold the new center into their min-dist
+      def subPicks(pool: String, ranks: Range): String =
+        ranks.zipWithIndex.map { case (r, i) =>
+          val from = if (i == 0) pool else s"${pool}_$i"
+          val pick = s"s$r AS MATERIALIZED (SELECT vec_id, emb, md FROM $from ORDER BY md DESC, vec_id ASC LIMIT 1)"
+          if (i == ranks.size - 1) pick
+          else pick + s""",
+          ${pool}_${i + 1} AS MATERIALIZED (
+            SELECT m.vec_id, m.emb, least(m.md, ${d("m", "p")}) AS md
+            FROM $from m CROSS JOIN s$r p WHERE m.vec_id <> p.vec_id)"""
+        }.mkString(",\n      ")
+      s"""
+      WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      p1 AS MATERIALIZED (SELECT vec_id, emb FROM e ORDER BY vec_id ASC LIMIT 1),
+      md1 AS MATERIALIZED (
+        SELECT m.vec_id, m.emb, ${d("m", "p")} AS md
+        FROM e m CROSS JOIN p1 p WHERE m.vec_id <> p.vec_id),
+      pool1 AS MATERIALIZED (SELECT vec_id, emb, md FROM md1 ORDER BY md DESC, vec_id ASC LIMIT $CoresetPoolC),
+      ${subPicks("pool1", 2 to 5)},
+      md2 AS MATERIALIZED (
+        SELECT m.vec_id, m.emb,
+               least(m.md, ${d("m", "a")}, ${d("m", "b")}, ${d("m", "c")}, ${d("m", "dd")}) AS md
+        FROM md1 m CROSS JOIN s2 a CROSS JOIN s3 b CROSS JOIN s4 c CROSS JOIN s5 dd
+        WHERE m.vec_id NOT IN (SELECT vec_id FROM s2 UNION ALL SELECT vec_id FROM s3
+                               UNION ALL SELECT vec_id FROM s4 UNION ALL SELECT vec_id FROM s5)),
+      pool2 AS MATERIALIZED (SELECT vec_id, emb, md FROM md2 ORDER BY md DESC, vec_id ASC LIMIT $CoresetPoolC),
+      ${subPicks("pool2", 6 to 10)}
+      SELECT * FROM (
+        SELECT 1 AS rank, vec_id, 0.0 AS dist_to_set FROM p1
+        ${(2 to 10).map(r => s"UNION ALL SELECT $r, vec_id, md FROM s$r").mkString("\n        ")}
+      ) ORDER BY rank
+      """.trim
+    },
+  )
+
   def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, vecCentroidUdaf, annLsh, annIvf, vecQuantize,
     annFiltered, vecKnnGraph, vecKnnGraphLsh, vecKnnGraphIvf, vecCluster, vecPq, annIvfPq,
-    vecKnnGraphIncr, vecKnnGraphIncrLsh, annIvfPqIncr, vecPagerank, vecPagerankLsh, vecCoreset)
+    vecKnnGraphIncr, vecKnnGraphIncrLsh, annIvfPqIncr, vecPagerank, vecPagerankLsh, vecCoreset,
+    vecCoresetBatch)
 }
