@@ -447,6 +447,35 @@ object MultimodalOps {
     """.trim),
   )
 
+  /** Band geometry for a banded hamming join over a `hashBits`-bit hash
+    * at corpus size n — the SearchScaleProbe "width must grow ~log n"
+    * observation turned into code. Returns the LARGEST band count b
+    * (recall rises with b: a radius-r pair survives iff some band is
+    * flip-free, and more bands mean more chances) whose expected
+    * random-collision candidate volume stays within budget:
+    * b·n²/2^w ≤ occupancy·n with w = hashBits/b, i.e.
+    * 2^(hashBits/b) ≥ b·n/occupancy. Feasibility is monotone in b (w
+    * shrinks, the bound grows), so the answer is the last feasible b —
+    * and the binding constraint pins w ≈ log2(n), which is why 7-bit
+    * bands birthday-saturated at 10× while 14-bit bands held. If even
+    * minBands is infeasible (corpus too large for the hash length)
+    * returns (minBands, hashBits/minBands) — the least-bad layout; the
+    * right fix at that point is a longer hash, not narrower bands.
+    */
+  def hammingBands(n: Long, hashBits: Int = 56, occupancy: Double = 4.0,
+      minBands: Int = 2): (Int, Int) = {
+    require(n > 0 && hashBits >= minBands && occupancy > 0 && minBands >= 1,
+      s"hammingBands($n, $hashBits, $occupancy, $minBands)")
+    def feasible(b: Int): Boolean =
+      (hashBits / b).toDouble >= math.log(b.toDouble * n / occupancy) / math.log(2.0)
+    if (!feasible(minBands)) (minBands, hashBits / minBands)
+    else {
+      var b = minBands
+      while (b + 1 <= hashBits && feasible(b + 1)) b += 1
+      (b, hashBits / b)
+    }
+  }
+
   /** Perceptual-hash image dedup (dHash + banded hamming join): each
     * image's pixels sample onto an 8×8 grid and the 56 horizontal
     * gradient signs pack into a hash — dHash's defining property is
