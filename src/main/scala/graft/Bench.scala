@@ -57,6 +57,16 @@ object Bench {
       java.nio.file.Files.write(hist, (line + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
+    // Lossless per-query artifact (r8 verdict item 7): the driver's stdout
+    // capture truncates the 250-entry map to its alphabetical tail, so the
+    // full medians are ALSO written to a committed sibling file the judge
+    // can diff whole across rounds. Overwrite-latest (git history keeps the
+    // per-round series once the file is committed each round).
+    try {
+      val full = java.nio.file.Paths.get("bench_history/latest.json")
+      java.nio.file.Files.createDirectories(full.getParent)
+      java.nio.file.Files.write(full, (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     println(totalLine)
     println(line)
     // emit the short totals line LAST as well: the driver's capture keeps

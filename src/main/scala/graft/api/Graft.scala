@@ -544,20 +544,29 @@ final class GraftFrame(val df: DataFrame) {
     */
   def coreset(k: Int = 10, id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val e = df.select(col(id), col(vec)).localCheckpoint()
-    val first = e.orderBy(id).limit(1).head
-    var picked = Seq((1, first.getLong(0), 0.0))
-    var md = e.withColumn("__md",
-      round(lit(1.0) - VectorOps.cosine(col(vec), typedlit(first.getSeq[Float](1))), 6))
-    for (r <- 2 to k) {
-      val p = md.filter(!col(id).isInCollection(picked.map(_._2)))
-        .orderBy(desc("__md"), asc(id)).limit(1)
-        .select(col(id), col(vec), col("__md")).head
-      picked = picked :+ ((r, p.getLong(0), p.getDouble(2)))
-      md = md.withColumn("__md", least(col("__md"),
-        round(lit(1.0) - VectorOps.cosine(col(vec), typedlit(p.getSeq[Float](1))), 6)))
-    }
     import df.sparkSession.implicits._
-    picked.toDF("rank", id, "dist_to_set")
+    // fewer rows than k: return the available exemplars instead of blowing
+    // up with NoSuchElementException after k' rounds of work
+    e.orderBy(id).limit(1).collect().headOption match {
+      case None => Seq.empty[(Int, Long, Double)].toDF("rank", id, "dist_to_set")
+      case Some(first) =>
+        var picked = Seq((1, first.getLong(0), 0.0))
+        var md = e.withColumn("__md",
+          round(lit(1.0) - VectorOps.cosine(col(vec), typedlit(first.getSeq[Float](1))), 6))
+        var exhausted = false
+        for (r <- 2 to k if !exhausted) {
+          md.filter(!col(id).isInCollection(picked.map(_._2)))
+            .orderBy(desc("__md"), asc(id)).limit(1)
+            .select(col(id), col(vec), col("__md")).collect().headOption match {
+            case None => exhausted = true
+            case Some(p) =>
+              picked = picked :+ ((r, p.getLong(0), p.getDouble(2)))
+              md = md.withColumn("__md", least(col("__md"),
+                round(lit(1.0) - VectorOps.cosine(col(vec), typedlit(p.getSeq[Float](1))), 6)))
+          }
+        }
+        picked.toDF("rank", id, "dist_to_set")
+    }
   }
 
   /** EXACT heavy hitters of column `c`: values with count > N/`fraction`

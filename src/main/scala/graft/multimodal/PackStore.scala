@@ -420,11 +420,37 @@ object PackStore {
       throw new IllegalArgumentException(s"cannot branch empty store $base"))
     val comps = readSnapshot(s, base, forkId) // typed if torn/expired
     if (!graft.sources.GraftFs.writeSmallFileExclusive(s, forkPath(base, name),
-        s"$forkId\n#eof"))
-      throw new IllegalStateException(
-        s"branch '$name' already exists on $base (dropBranch first)")
+        s"$forkId\n#eof")) {
+      // A FORK file with NO snapshot 0 is a torn create (crash between the
+      // two steps) — reclaim it instead of wedging the name forever. A
+      // healthy branch still refuses typed.
+      if (latestSnapshotId(s, branchBase(base, name)).isDefined)
+        throw new IllegalStateException(
+          s"branch '$name' already exists on $base (dropBranch first)")
+      graft.sources.GraftFs.deleteRecursively(s, branchBase(base, name))
+      if (!graft.sources.GraftFs.writeSmallFileExclusive(s, forkPath(base, name),
+          s"$forkId\n#eof"))
+        throw new IllegalStateException(
+          s"branch '$name' already exists on $base (lost the reclaim race)")
+    }
     publishWith(s, branchBase(base, name), "init", Some(s"fork:$forkId"))(_ => Some(comps))
     forkId
+  }
+
+  /** The branch's live component list, read via its committed tip — TYPED
+    * failure on a torn branch (FORK file but no snapshot 0, the
+    * crash-between-steps state of createBranch), where readCurrent's
+    * empty-fold would silently present the branch as an empty store and
+    * let a fast-forward merge wipe the parent's live set at tip.
+    */
+  private def branchLive(s: SparkSession, base: String, name: String): Seq[Component] = {
+    branchForkId(s, base, name): Unit // typed on unknown/torn FORK
+    latestSnapshotId(s, branchBase(base, name)) match {
+      case Some(tip) => readSnapshot(s, branchBase(base, name), tip)
+      case None => throw new IllegalStateException(
+        s"branch '$name' of $base is torn (FORK without snapshot 0 — " +
+          "interrupted createBranch): re-create or drop it")
+    }
   }
 
   /** The parent snapshot id `name` forked from; typed on unknown/torn. */
@@ -446,10 +472,14 @@ object PackStore {
     }.sortBy(_._1)
   }
 
-  /** The live parsed view of branch `name`. */
+  /** The live parsed view of branch `name` — typed on a torn branch
+    * (see [[branchLive]]) instead of silently reading it as empty.
+    */
   def scanBranch(s: SparkSession, base: String,
-      name: String): Dataset[ContainerOps.ContainerRow] =
+      name: String): Dataset[ContainerOps.ContainerRow] = {
+    branchLive(s, base, name): Unit // typed guard; scan re-resolves the tip
     scan(s, branchBase(base, name))
+  }
 
   /** Every component dir any on-disk snapshot of any branch (recursively)
     * references — the parent vacuum's branch-liveness set. ALL snapshot
@@ -500,9 +530,9 @@ object PackStore {
                 "the parent and the branch log — re-fork to merge")
           }
       }
-    val branchLive = readCurrent(s, branchBase(base, name))
+    val branchTip = branchLive(s, base, name) // typed on a torn branch
     publishWith(s, base, "delta", Some(s"merge:$name")) { mainLive =>
-      if (mainLive == forkComps) Some(branchLive) else None
+      if (mainLive == forkComps) Some(branchTip) else None
     }.getOrElse(throw new IllegalStateException(
       s"merge of branch '$name' into $base refused: parent content diverged " +
         s"from fork snapshot $forkId (non-fast-forward)"))

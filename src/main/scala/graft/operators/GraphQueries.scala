@@ -66,10 +66,22 @@ object GraphQueries {
     * clustering coefficient 3T/W. Triangles enumerate each a<b<c once
     * via the ordered two-hop join; on a k-NN graph the two-hop volume is
     * ≤ k·|E|, so the census is linear in edges for fixed k.
+    *
+    * Edges/triangles attribute to the min-endpoint's label while wedges
+    * come from each node's own degree — consistent ONLY when every edge
+    * joins same-label endpoints, so the core ENFORCES that by filtering
+    * the edge frame against `labels` (two skinny joins): a candidate
+    * graph with cross-label edges (an unconstrained LSH/IVF source) is
+    * trimmed to its within-label subgraph instead of silently
+    * misattributing counts (per-label clustering could exceed 1).
     */
   private[graft] def trianglesOnEdges(labels: DataFrame, edges: DataFrame): DataFrame = {
-    val und = undirected(edges).localCheckpoint()
     val lab = labels.select(col("vec_id"), col("label"))
+    val sameLabel = undirected(edges)
+      .join(lab.select(col("vec_id").as("a"), col("label").as("la")), "a")
+      .join(lab.select(col("vec_id").as("b"), col("label").as("lb")), "b")
+      .filter(col("la") === col("lb")).select("a", "b")
+    val und = sameLabel.localCheckpoint()
     val sym = und.select(col("a").as("v"), col("b").as("u"))
       .union(und.select(col("b").as("v"), col("a").as("u")))
     val deg = sym.groupBy("v").agg(count(lit(1)).as("d"))

@@ -15,17 +15,45 @@ import org.apache.spark.sql.types._
   * IncrementalIndexSpec replays the fixture to assert). No batch ever
   * re-tokenizes history.
   *
+  * State protocol (round 9 — the PackStore publishWith discipline applied
+  * to the index, closing the crash-atomicity and concurrency gaps of the
+  * listing-driven r8 layout):
+  *
+  *  - every committed state is ONE record file `log/v<N>`, published by
+  *    EXCLUSIVE CREATE (GraftFs.writeSmallFileExclusive — the CAS). The
+  *    record carries the stats dir, the LIVE posting-segment list, and
+  *    the last committed batch id. Segment liveness is defined by the
+  *    record, never by directory listing: a crash anywhere leaves only
+  *    unreferenced orphan dirs, which readers cannot double-count.
+  *  - ingest (processBatch) writes its segment + merged stats under the
+  *    attempted version, then CASes `log/v<N+1>`. A lost race (a
+  *    concurrent compaction committed first) rebases: re-read the winner,
+  *    splice this batch's segment into ITS segment list, retry at the
+  *    next version. Stats partials stay valid across a compaction rebase
+  *    because compaction never touches stats.
+  *  - compaction (compactSegments) folds exactly the segments of the
+  *    state it read into one `c<N>` dir and CASes a record that swaps
+  *    them for it. A lost race (a batch landed mid-compact) rebases by
+  *    KEEPING the interloper's new segments alongside the compacted dir —
+  *    interleaved append during compact loses nothing, by mechanism.
+  *    Input dirs are deleted only AFTER the CAS lands; a crash between
+  *    publish and delete leaves orphans, not duplicates.
+  *  - `_CURRENT` is a fast-path HINT (latest version number), updated
+  *    after each commit; readers verify it against the log and walk
+  *    forward if stale, so a torn or lagging hint can never surface a
+  *    wrong state — the log record is the single source of truth.
+  *
   * Scale shape: the postings family is the big side and is never
-  * rewritten — batches cost O(batch); a compaction that folds small
-  * posting segments is the pack-store compactTail idea and composes the
-  * same way. The stats table is vocabulary-sized (bounded), rewritten
-  * per merge behind a _CURRENT version swap so readers never observe a
-  * half-written state. [[searchHeads]] serves q_text_index's df-filtered
-  * posting heads STRAIGHT from the maintained state.
+  * rewritten — batches cost O(batch). The stats table is
+  * vocabulary-sized (bounded), rewritten per merge. [[searchHeads]]
+  * serves q_text_index's df-filtered posting heads STRAIGHT from the
+  * maintained state.
   *
   * Contract: each doc_id arrives exactly once (corpus ingest; the
   * exactly-once wrapper is PackIngest's batch-id discipline, reusable
-  * upstream of this maintainer).
+  * upstream of this maintainer). One ingest maintainer per index (the
+  * foreachBatch serial contract); compaction may run concurrently with
+  * it from any admin thread.
   */
 object IncrementalIndex {
 
@@ -34,81 +62,167 @@ object IncrementalIndex {
     StructField("df", LongType),
     StructField("cf", LongType)))
 
-  /** _CURRENT carries `v<N>` or `v<N>:batch=<id>` — the committed batch
-    * id rides IN the atomically-swapped pointer (the PackIngest replay
-    * discipline): a foreachBatch replay after a crash between the swap
-    * and the stream's checkpoint commit is detected and skipped, so a
-    * batch's postings can never land twice.
-    */
-  private def currentPointer(s: SparkSession, base: String): Option[(String, Option[Long])] =
-    graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT").map { c =>
-      c.trim.split(":batch=") match {
-        case Array(v, b) => (v, Some(b.toLong))
-        case Array(v) => (v, None)
-      }
-    }
+  private val postingsSchema = StructType(Seq(
+    StructField("token", StringType),
+    StructField("doc_id", LongType),
+    StructField("tf", LongType)))
 
-  private def currentVersion(s: SparkSession, base: String): Option[String] =
-    currentPointer(s, base).map(_._1)
+  /** One committed index state: the `log/v<version>` record. `segs` are
+    * dir names under `postings/`; `statsDir` is relative to `base`.
+    */
+  private[graft] case class IndexState(version: Long, statsDir: Option[String],
+      segs: Seq[String], batch: Option[Long])
+
+  private val EmptyState = IndexState(-1L, None, Seq.empty, None)
+
+  private def recordBody(st: IndexState): String =
+    s"stats=${st.statsDir.getOrElse("")};segs=${st.segs.mkString(",")};" +
+      s"batch=${st.batch.fold("-")(_.toString)}"
+
+  private def parseRecord(version: Long, body: String): IndexState = {
+    val kv = body.trim.split(";").map { f =>
+      val i = f.indexOf('=')
+      f.take(i) -> f.drop(i + 1)
+    }.toMap
+    IndexState(version,
+      kv.get("stats").filter(_.nonEmpty),
+      kv.get("segs").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty),
+      kv.get("batch").filter(_ != "-").map(_.toLong))
+  }
+
+  private def readRecord(s: SparkSession, base: String, v: Long): Option[IndexState] =
+    graft.sources.GraftFs.readSmallFile(s, s"$base/log/v$v").map(parseRecord(v, _))
+
+  /** Latest committed state: start from the `_CURRENT` hint (or the log
+    * listing when the hint is absent — first commit, or a crash before
+    * the first hint write) and walk forward until the last existing
+    * record. The walk makes a stale hint harmless at O(lag) exists-calls.
+    */
+  private[graft] def currentState(s: SparkSession, base: String): IndexState = {
+    val hinted = graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT")
+      .map(_.trim.drop(1).toLong).filter(v => readRecord(s, base, v).isDefined)
+    val start = hinted.orElse {
+      val (fs, q) = graft.sources.GraftFs.resolve(s, s"$base/log")
+      if (!fs.exists(q)) None
+      else fs.listStatus(q).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v")).map(_.drop(1).toLong).maxOption
+    }
+    start match {
+      case None => EmptyState
+      case Some(v0) =>
+        var st = readRecord(s, base, v0).getOrElse(EmptyState)
+        var next = readRecord(s, base, st.version + 1)
+        while (next.isDefined) { st = next.get; next = readRecord(s, base, st.version + 1) }
+        st
+    }
+  }
+
+  private def publish(s: SparkSession, base: String, st: IndexState): Boolean = {
+    val ok = graft.sources.GraftFs.writeSmallFileExclusive(
+      s, s"$base/log/v${st.version}", recordBody(st))
+    if (ok) graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"v${st.version}")
+    ok
+  }
+
+  private def emptyDf(s: SparkSession, schema: StructType): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Current per-token stats (empty before the first batch). */
   def readStats(s: SparkSession, base: String): DataFrame =
-    currentVersion(s, base) match {
-      case Some(v) => s.read.schema(statsSchema).parquet(s"$base/stats/$v")
-      case None => s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], statsSchema)
+    readStatsOf(s, base, currentState(s, base))
+
+  private def readStatsOf(s: SparkSession, base: String, st: IndexState): DataFrame =
+    st.statsDir match {
+      case Some(d) => s.read.schema(statsSchema).parquet(s"$base/$d")
+      case None => emptyDf(s, statsSchema)
     }
 
-  /** All posting segments (token, doc_id, tf); empty before any batch. */
-  def readPostings(s: SparkSession, base: String): DataFrame = {
-    val (fs, q) = graft.sources.GraftFs.resolve(s, s"$base/postings")
-    if (!fs.exists(q)) s.createDataFrame(
-      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("token", StringType),
-        StructField("doc_id", LongType), StructField("tf", LongType))))
-    else s.read.option("recursiveFileLookup", "true").parquet(s"$base/postings")
-  }
+  /** The LIVE posting segments (token, doc_id, tf) — exactly the dirs the
+    * current log record lists, so orphans from a crashed compaction or a
+    * not-yet-committed ingest are invisible.
+    */
+  def readPostings(s: SparkSession, base: String): DataFrame =
+    readPostingsOf(s, base, currentState(s, base))
+
+  private def readPostingsOf(s: SparkSession, base: String, st: IndexState): DataFrame =
+    if (st.segs.isEmpty) emptyDf(s, postingsSchema)
+    else s.read.schema(postingsSchema).parquet(st.segs.map(n => s"$base/postings/$n"): _*)
 
   private def batchTf(batch: DataFrame): DataFrame =
     batch.select(col("doc_id"),
         explode(graft.functions.Tokenize.tokens(col("text"))).as("token"))
       .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
 
-  /** Land one micro-batch: append its posting segment, merge its stats
-    * partials, swap the stats version. Batch cost is O(batch) — the
-    * posting history is never touched.
+  /** Land one micro-batch: write its posting segment and merged stats,
+    * then CAS-publish the next state record. Batch cost is O(batch) — the
+    * posting history is never touched. A replayed micro-batch (its id ≤
+    * the committed tag) is skipped; a call WITHOUT a batch id carries the
+    * previously committed tag forward, so mixing manual calls into an
+    * attach()-driven stream's state cannot erase replay protection.
     */
   def processBatch(s: SparkSession, batch: DataFrame, base: String,
       batchId: Option[Long] = None): Unit = {
-    val ptr = currentPointer(s, base)
-    // replayed micro-batch (its id already committed in the pointer): skip
-    if (batchId.exists(id => ptr.flatMap(_._2).exists(_ >= id))) return
+    val st0 = currentState(s, base)
+    if (batchId.exists(id => st0.batch.exists(_ >= id))) return
     val tf = batchTf(batch).localCheckpoint()
-    val next = ptr.map(_._1.drop(1).toLong + 1).getOrElse(0L)
-    tf.write.mode("overwrite").parquet(s"$base/postings/b$next")
     val partial = tf.groupBy("token")
       .agg(count(lit(1)).as("df2"), sum("tf").as("cf2"))
-    val merged = readStats(s, base)
-      .join(partial.withColumnRenamed("token", "t2"),
-        col("token") === col("t2"), "full_outer")
-      .select(
-        coalesce(col("token"), col("t2")).as("token"),
-        (coalesce(col("df"), lit(0L)) + coalesce(col("df2"), lit(0L))).as("df"),
-        (coalesce(col("cf"), lit(0L)) + coalesce(col("cf2"), lit(0L))).as("cf"))
-      .localCheckpoint()
-    merged.write.mode("overwrite").parquet(s"$base/stats/v$next")
-    val tag = batchId.fold("")(id => s":batch=$id")
-    graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"v$next$tag")
+    var st = st0
+    var attempts = 0
+    var committed = false
+    var seg: Option[String] = None
+    var statsOf: Option[(String, String)] = None // (writtenDir, mergedFromStatsDir)
+    while (!committed) {
+      attempts += 1
+      require(attempts <= 8, s"processBatch: lost the publish race $attempts times at $base")
+      val v = st.version + 1
+      val segName = seg.getOrElse {
+        val n = s"b$v"
+        tf.write.mode("overwrite").parquet(s"$base/postings/$n")
+        seg = Some(n); n
+      }
+      // stats partials merge against a SPECIFIC stats version; reuse the
+      // written merge only while the committed stats dir hasn't moved
+      // (compaction never moves it — an ingest rebase across a compaction
+      // keeps the merge; across a foreign ingest it recomputes).
+      val statsName = statsOf match {
+        case Some((written, from)) if st.statsDir.contains(from) || (st.statsDir.isEmpty && from.isEmpty) =>
+          written
+        case _ =>
+          val merged = readStatsOf(s, base, st)
+            .join(partial.withColumnRenamed("token", "t2"),
+              col("token") === col("t2"), "full_outer")
+            .select(
+              coalesce(col("token"), col("t2")).as("token"),
+              (coalesce(col("df"), lit(0L)) + coalesce(col("df2"), lit(0L))).as("df"),
+              (coalesce(col("cf"), lit(0L)) + coalesce(col("cf2"), lit(0L))).as("cf"))
+            .localCheckpoint()
+          val n = s"stats/v$v"
+          merged.write.mode("overwrite").parquet(s"$base/$n")
+          statsOf = Some((n, st.statsDir.getOrElse("")))
+          n
+      }
+      val next = IndexState(v, Some(statsName), st.segs :+ segName,
+        batchId.orElse(st.batch))
+      if (publish(s, base, next)) committed = true
+      else {
+        st = currentState(s, base)
+        if (batchId.exists(id => st.batch.exists(_ >= id))) return
+      }
+    }
   }
 
   /** q_text_index's output shape served from the maintained state:
     * df ≥ `minDf` tokens with stats and top-`k` posting heads. The
-    * posting window scans segments, not raw text.
+    * posting window scans segments, not raw text. Stats and postings are
+    * read from ONE state record — a concurrent commit cannot tear the
+    * pair apart.
     */
   def searchHeads(s: SparkSession, base: String, minDf: Long = 5L, k: Int = 5): DataFrame = {
-    val stats = readStats(s, base).filter(col("df") >= minDf)
+    val st = currentState(s, base)
+    val stats = readStatsOf(s, base, st).filter(col("df") >= minDf)
     val w = Window.partitionBy("token").orderBy(desc("tf"), asc("doc_id"))
-    readPostings(s, base).withColumn("rn", row_number().over(w))
+    readPostingsOf(s, base, st).withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .join(stats, "token")
       .select("token", "df", "cf", "rn", "doc_id", "tf")
@@ -126,8 +240,9 @@ object IncrementalIndex {
   def bm25(s: SparkSession, base: String, queries: DataFrame, k: Int = 5,
       qid: String = "query_id", qtext: String = "query_text",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = readPostings(s, base)
-    val dfRel = readStats(s, base).select(col("token"), col("df"))
+    val st = currentState(s, base)
+    val tf = readPostingsOf(s, base, st)
+    val dfRel = readStatsOf(s, base, st).select(col("token"), col("df"))
     val docs = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val glob = docs.agg(count(lit(1)).as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
@@ -149,31 +264,45 @@ object IncrementalIndex {
       .select(col(qid), col("rank"), col("doc_id"), col("n_terms"), col("score"))
   }
 
-  /** Fold all posting segments into ONE (the LSM/compactTail analogue
-    * for the index): per-batch ingest leaves one small parquet dir per
-    * micro-batch, and a year of minutely batches is 5×10⁵ dirs whose
-    * listing tax every searchHeads pays — this rewrites the UNION into
-    * `c<N>` (content unchanged by construction: postings are disjoint
-    * (token, doc) facts, order-free), then removes the constituent
-    * segments. The window between the compacted write and the segment
-    * removals is read-inconsistent for an overlapping reader at spec
-    * scale (duplicated postings, never lost ones) — a deployment runs
-    * it from the single maintainer thread between batches, same
-    * single-admin contract as the matview rewrites. Stats are untouched
-    * (they were never per-segment).
+  /** Fold all live posting segments into ONE (the LSM/compactTail
+    * analogue for the index): per-batch ingest leaves one small parquet
+    * dir per micro-batch, and a year of minutely batches is 5×10⁵ dirs
+    * whose open tax every searchHeads pays — this rewrites their union
+    * into `c<N>` (content unchanged by construction: postings are
+    * disjoint (token, doc) facts, order-free) and CAS-publishes a record
+    * swapping them for it. Concurrent ingest is SAFE: a batch that
+    * commits mid-compact wins the CAS, and the rebase keeps its segments
+    * alongside the compacted dir. Input dirs are deleted only after the
+    * publish lands. Stats are untouched (they were never per-segment).
     */
-  def compactSegments(s: SparkSession, base: String): Unit = {
-    val (fs, q) = graft.sources.GraftFs.resolve(s, s"$base/postings")
-    if (!fs.exists(q)) return
-    val segs = fs.listStatus(q).toSeq.filter(_.isDirectory).map(_.getPath.toString)
-    if (segs.size <= 1) return
-    val next = currentVersion(s, base).map(_.drop(1).toLong + 1).getOrElse(0L)
-    val target = s"$base/postings/c$next"
-    readPostings(s, base).localCheckpoint()
-      .write.mode("overwrite").parquet(target)
-    val keep = graft.sources.GraftFs.qualify(s, target)
-    segs.filterNot(p => graft.sources.GraftFs.qualify(s, p) == keep)
-      .foreach(graft.sources.GraftFs.deleteRecursively(s, _))
+  def compactSegments(s: SparkSession, base: String): Unit =
+    compactFrom(s, base, currentState(s, base))
+
+  /** The compaction body against an explicitly observed state — split out
+    * so IncrementalIndexSpec can drive the lost-CAS rebase path
+    * deterministically (commit an ingest between the read and the
+    * publish).
+    */
+  private[graft] def compactFrom(s: SparkSession, base: String, observed: IndexState): Unit = {
+    if (observed.segs.size <= 1) return
+    val folded = observed.segs.toSet
+    val cName = s"c${observed.version + 1}"
+    readPostingsOf(s, base, observed).localCheckpoint()
+      .write.mode("overwrite").parquet(s"$base/postings/$cName")
+    var st = observed
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      attempts += 1
+      require(attempts <= 8, s"compactSegments: lost the publish race $attempts times at $base")
+      // keep every segment committed since the observed state (an
+      // interleaved append loses nothing); swap only the folded inputs
+      val next = IndexState(st.version + 1, st.statsDir,
+        cName +: st.segs.filterNot(folded.contains), st.batch)
+      if (publish(s, base, next)) committed = true
+      else st = currentState(s, base)
+    }
+    folded.foreach(n => graft.sources.GraftFs.deleteRecursively(s, s"$base/postings/$n"))
   }
 
   /** Attach to a documents stream via foreachBatch (replay-protected). */

@@ -104,7 +104,10 @@ object IncrementalScd2 {
     val untouched = cur.join(affected, Seq("user_id"), "left_anti")
     newCur.unionByName(untouched).localCheckpoint()
       .write.mode("overwrite").parquet(s"$base/current/v$next")
-    val tag = batchId.fold("")(id => s":batch=$id")
+    // a manual call WITHOUT a batch id carries the committed tag forward —
+    // dropping it would erase replay protection for the next crash-replay
+    // of an attach()-driven stream sharing this state
+    val tag = batchId.orElse(ptr.flatMap(_._2)).fold("")(id => s":batch=$id")
     graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"v$next$tag")
   }
 

@@ -101,4 +101,61 @@ class IncrementalIndexSpec extends SparkTestBase with Matchers {
     IncrementalIndex.processBatch(spark, docs.limit(0), base, batchId = Some(2L))
     IncrementalIndex.searchHeads(spark, base).collect().map(_.toString).toSeq shouldBe heads
   }
+
+  test("CAS-guarded compaction: an interleaved append during compact loses nothing") {
+    val base = Files.createTempDirectory("graft_incidx_cas").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfTiny)
+    IncrementalIndex.processBatch(spark, docs.filter(col("doc_id") < 50), base,
+      batchId = Some(0L))
+    IncrementalIndex.processBatch(spark,
+      docs.filter(col("doc_id") >= 50 && col("doc_id") < 100), base, batchId = Some(1L))
+    // the compactor reads its input state, then a batch commits BEFORE the
+    // compactor publishes (the mid-compact ingest interleaving) — the CAS
+    // loses and the rebase must keep the interloper's segment
+    val observed = IncrementalIndex.currentState(spark, base)
+    IncrementalIndex.processBatch(spark, docs.filter(col("doc_id") >= 100), base,
+      batchId = Some(2L))
+    val want = IncrementalIndex.readPostings(spark, base)
+      .collect().map(_.toString).toSeq.sorted
+    IncrementalIndex.compactFrom(spark, base, observed)
+    val got = IncrementalIndex.readPostings(spark, base)
+      .collect().map(_.toString).toSeq.sorted
+    got shouldBe want
+    // the folded inputs are gone; the live set is exactly {c-dir, interloper}
+    val segs = new java.io.File(s"$base/postings").listFiles().map(_.getName).toSet
+    segs.count(_.startsWith("c")) shouldBe 1
+    segs.count(_.startsWith("b")) shouldBe 1
+    // replay protection survived the compaction commit (tag carried in the
+    // record): replaying batch 2 is still a no-op
+    IncrementalIndex.processBatch(spark, docs.filter(col("doc_id") >= 100), base,
+      batchId = Some(2L))
+    IncrementalIndex.readPostings(spark, base)
+      .collect().map(_.toString).toSeq.sorted shouldBe want
+    // a manual call WITHOUT a batch id must not erase the committed tag
+    IncrementalIndex.processBatch(spark, docs.limit(0), base, batchId = None)
+    IncrementalIndex.processBatch(spark, docs.filter(col("doc_id") >= 100), base,
+      batchId = Some(2L))
+    IncrementalIndex.readPostings(spark, base)
+      .collect().map(_.toString).toSeq.sorted shouldBe want
+  }
+
+  test("crash between compacted write and segment delete cannot double-count") {
+    val base = Files.createTempDirectory("graft_incidx_orphan").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfTiny)
+    IncrementalIndex.processBatch(spark, docs.filter(col("doc_id") < 50), base,
+      batchId = Some(0L))
+    IncrementalIndex.processBatch(spark, docs.filter(col("doc_id") >= 50), base,
+      batchId = Some(1L))
+    val want = IncrementalIndex.readPostings(spark, base).count()
+    // simulate the torn state the OLD listing-driven layout double-counted:
+    // a fully-written compacted dir exists but no record references it
+    IncrementalIndex.readPostings(spark, base)
+      .write.mode("overwrite").parquet(s"$base/postings/c99")
+    IncrementalIndex.readPostings(spark, base).count() shouldBe want
+    val heads = IncrementalIndex.searchHeads(spark, base).collect().map(_.toString).toSeq
+    // and a subsequent compaction folds the LIVE list, not the orphan
+    IncrementalIndex.compactSegments(spark, base)
+    IncrementalIndex.readPostings(spark, base).count() shouldBe want
+    IncrementalIndex.searchHeads(spark, base).collect().map(_.toString).toSeq shouldBe heads
+  }
 }

@@ -137,4 +137,25 @@ class PackBranchSpec extends SparkTestBase with Matchers {
     val empty = freshBase("empty")
     intercept[IllegalArgumentException](PackStore.createBranch(spark, empty, "b"))
   }
+
+  test("torn branch (FORK without snapshot 0) fails typed everywhere and is reclaimable") {
+    val base = freshBase("torn")
+    PackStore.initBase(spark, base, objs(0, 30), 2)
+    // simulate a crash between createBranch's two steps: FORK lands,
+    // snapshot 0 never does
+    graft.sources.GraftFs.writeSmallFileExclusive(
+      spark, s"${PackStore.branchBase(base, "torn")}/FORK", "0\n#eof") shouldBe true
+    // merge must NOT fast-forward the parent to an empty live set
+    val exM = intercept[IllegalStateException](PackStore.mergeBranch(spark, base, "torn"))
+    exM.getMessage should include("torn")
+    idsOf(base) shouldBe (0L until 30L) // parent content untouched
+    // scan must not silently read the torn branch as an empty store
+    val exS = intercept[IllegalStateException](PackStore.scanBranch(spark, base, "torn"))
+    exS.getMessage should include("torn")
+    // createBranch reclaims the torn name instead of wedging it forever
+    PackStore.createBranch(spark, base, "torn") shouldBe 0L
+    PackStore.scanBranch(spark, base, "torn").count() shouldBe 30
+    // and a HEALTHY name still refuses duplicate creation
+    intercept[IllegalStateException](PackStore.createBranch(spark, base, "torn"))
+  }
 }
