@@ -503,6 +503,19 @@ object MultimodalOps {
     * DuckDB-reproducible (pixels are byte codes of the ASCII fixture,
     * the q_mm_decode discipline).
     */
+  /** q_mm_phash's corpus-tier sizing point: the band layout is DERIVED
+    * from [[hammingBands]] at this n (the largest fixture tier with
+    * headroom — sf0.1 yields 5000 hashed media), not hand-pinned — the
+    * r8 verdict's "knob into code" item. Both the Spark plan and the
+    * oracle SQL below are BUILT from the derived (PhashBands,
+    * PhashBandBits), so resizing the deployment tier moves both engines
+    * together; MultimodalSpec pins the derivation and its ×1/×10
+    * occupancy behavior.
+    */
+  private[graft] val PhashCorpusN = 5000L
+  private[graft] val (phashBands, phashBandBits) = hammingBands(PhashCorpusN, hashBits = 56)
+  private val phashMask = (1L << phashBandBits) - 1
+
   val mmPhash = QueryDef(
     "q_mm_phash",
     (s, dir) => {
@@ -525,8 +538,8 @@ object MultimodalOps {
             |             ELSE cast(0 as bigint) END)""".stripMargin).as("hash"))
         .localCheckpoint()
       val bands = h.select(col("media_id"), col("hash"),
-          explode(sequence(lit(0), lit(3))).as("j"))
-        .withColumn("bv", expr("shiftright(hash, cast(14 * j as int)) & 16383"))
+          explode(sequence(lit(0), lit(phashBands - 1))).as("j"))
+        .withColumn("bv", expr(s"shiftright(hash, cast($phashBandBits * j as int)) & $phashMask"))
       val cand = bands.select(col("j"), col("bv"), col("media_id").as("id1"))
         .join(bands.select(col("j").as("j2"), col("bv").as("bv2"), col("media_id").as("id2")),
           col("j") === col("j2") && col("bv") === col("bv2") && col("id1") < col("id2"))
@@ -538,7 +551,7 @@ object MultimodalOps {
         .select(col("id1").as("media_id1"), col("id2").as("media_id2"), col("hamming"))
         .orderBy("media_id1", "media_id2")
     },
-    Some("""
+    Some(s"""
       WITH m AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len
                  FROM documents WHERE doc_id % 2 = 0),
       b AS (SELECT media_id, len,
@@ -555,8 +568,8 @@ object MultimodalOps {
               bb -> CASE WHEN pix[(bb//7)*8 + (bb%7) + 2] > pix[(bb//7)*8 + (bb%7) + 1]
                     THEN (CAST(1 AS BIGINT) << CAST(bb AS INT)) ELSE CAST(0 AS BIGINT) END)) AS hash
             FROM p),
-      bands AS (SELECT media_id, j, (hash >> CAST(14*j AS INT)) & 16383 AS bv
-                FROM h, (SELECT unnest(range(4)) AS j)),
+      bands AS (SELECT media_id, j, (hash >> CAST($phashBandBits*j AS INT)) & $phashMask AS bv
+                FROM h, (SELECT unnest(range($phashBands)) AS j)),
       cand AS (SELECT DISTINCT b1.media_id AS id1, b2.media_id AS id2
                FROM bands b1 JOIN bands b2
                  ON b1.j = b2.j AND b1.bv = b2.bv AND b1.media_id < b2.media_id)

@@ -92,4 +92,26 @@ class HotBandSkewSpec extends SparkTestBase with Matchers {
     // and the cut is real vs the plain join's single-task n² enumeration
     (Hot.toDouble * Hot) / maxCell should be >= (Blocks * Blocks / 2.0)
   }
+
+  test("adaptive block sizing bounds the worst cell at the target on ANY census") {
+    // the sizing rule on this fixture's census
+    val b = DedupQueries.adaptiveBlocksFor(banded, DedupQueries.TargetCellPairs)
+    b should be >= 1
+    val hotCell = math.ceil(Hot.toDouble / b)
+    (hotCell * hotCell) should be <= DedupQueries.TargetCellPairs.toDouble
+    // the rule holds one decade of hot-bucket growth up: a 10x hotter
+    // bucket gets a bigger grid, worst cell still under budget
+    val hot10 = Hot * 10L
+    val b10 = math.max(1, math.min(64,
+      math.ceil(hot10 / math.sqrt(DedupQueries.TargetCellPairs.toDouble)).toInt))
+    b10 should be > b
+    val cell10 = math.ceil(hot10.toDouble / b10)
+    (cell10 * cell10) should be <= DedupQueries.TargetCellPairs.toDouble * 1.1
+    // and the adaptive registration's output equals the fixed-8 grid's
+    val adaptive = DedupQueries.minhashBandCandidatesSkewSafe(sets, blocks = b)
+    val fixed = DedupQueries.minhashBandCandidatesSkewSafe(sets, blocks = Blocks)
+    adaptive.exceptAll(fixed).count() shouldBe 0L
+    fixed.exceptAll(adaptive).count() shouldBe 0L
+    info(s"census-derived blocks=$b on the fixture, $b10 one decade up")
+  }
 }

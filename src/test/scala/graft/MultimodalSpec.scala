@@ -89,4 +89,30 @@ class MultimodalSpec extends SparkTestBase with Matchers {
     // any extra pair is a genuine verified near-collision, not noise
     rows.foreach { case (_, _, ham) => assert(ham >= 0 && ham <= 6) }
   }
+
+  test("hammingBands: derived layout matches the probe-proven geometry and scales with n") {
+    // the registered q_mm_phash layout is DERIVED, not pinned: at the
+    // 5000-media sizing point the rule must reproduce the 4×14 layout
+    // SearchScaleProbe validated (8×7 birthday-collapsed one decade up)
+    MultimodalOps.hammingBands(MultimodalOps.PhashCorpusN, 56) shouldBe ((4, 14))
+    (MultimodalOps.phashBands, MultimodalOps.phashBandBits) shouldBe ((4, 14))
+    // occupancy holds at ×1 and ×10: expected random-collision volume
+    // b·n²/2^w stays within occupancy·n at the chosen layout
+    for (n <- Seq(MultimodalOps.PhashCorpusN, MultimodalOps.PhashCorpusN * 10)) {
+      val (b, w) = MultimodalOps.hammingBands(n, 56)
+      val expectedCands = b.toDouble * n * n / math.pow(2, w)
+      expectedCands should be <= 4.0 * n
+      // and the NEXT-narrower band width would blow the budget (the rule
+      // returns the largest feasible b — recall-maximal within budget)
+      if (b < 56) {
+        val wNext = 56 / (b + 1)
+        ((b + 1).toDouble * n * n / math.pow(2, wNext)) should be > 4.0 * n
+      }
+    }
+    // one decade up the rule moves to FEWER, wider bands (log n growth),
+    // never to the collapsed 8×7 shape
+    val (b10, w10) = MultimodalOps.hammingBands(MultimodalOps.PhashCorpusN * 10, 56)
+    b10 should be <= 4
+    w10 should be >= 14
+  }
 }
