@@ -378,6 +378,51 @@ object AnalyticsQueries {
     """.trim),
   )
 
+  /** Distributed reservoir sampling — fixed-size k-per-stratum uniform
+    * sample as a TOP-K BY HASH PRIORITY (the standard distributed
+    * reservoir reduction: assigning each row a pseudo-random priority
+    * and keeping the k smallest per stratum is exactly reservoir
+    * sampling, but shuffle-friendly — per-partition top-k partials merge
+    * associatively instead of needing sequential stream state). Priority
+    * is two composed PortableHash affine scrambles of doc_id — engine-
+    * reproducible (unlike rand(), which no oracle could replay) while
+    * breaking the linear id structure a single affine map would leak.
+    * 20 docs per lang; ranked output so downstream joins are stable.
+    */
+  val sampleReservoir = QueryDef(
+    "q_sample_reservoir",
+    (s, dir) => {
+      val P = graft.functions.PortableHash.SeedMod
+      val pr = ((col("doc_id") * graft.functions.PortableHash.Scramble1Mul
+        + graft.functions.PortableHash.Scramble1Add) % P
+        * graft.functions.PortableHash.Scramble2Mul
+        + graft.functions.PortableHash.Scramble2Add) % P
+      val w = Window.partitionBy("lang").orderBy(asc("priority"), asc("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), pr.as("priority"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select("lang", "rank", "doc_id", "priority")
+        .orderBy("lang", "rank")
+    },
+    Some {
+      val ph = graft.functions.PortableHash
+      s"""
+      WITH pri AS (
+        SELECT lang, doc_id,
+               ((doc_id * ${ph.Scramble1Mul} + ${ph.Scramble1Add}) % ${ph.SeedMod}
+                 * ${ph.Scramble2Mul} + ${ph.Scramble2Add}) % ${ph.SeedMod} AS priority
+        FROM documents)
+      SELECT lang, rank, doc_id, priority FROM (
+        SELECT lang, doc_id, priority,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY priority ASC, doc_id ASC) AS rank
+        FROM pri)
+      WHERE rank <= 20
+      ORDER BY lang, rank
+      """.trim
+    },
+  )
+
   def defs: Seq[QueryDef] = Seq(tsGapfill, aggMode, aggCondAgg, fnRegexp, aggMinmaxBy, sampleMod,
-    aggWeighted, aggBitops, sampleStratified, aggWinsorize, sampleSplit)
+    aggWeighted, aggBitops, sampleStratified, aggWinsorize, sampleSplit, sampleReservoir)
 }

@@ -509,7 +509,50 @@ object EventQueries {
     """.trim),
   )
 
+  /** First-order Markov transition matrix over the event stream — the
+    * behavioral model behind next-action prediction and funnel-anomaly
+    * detection (a transition whose live probability drifts from this
+    * baseline is the alert): per (from, to) event-type pair, the count
+    * of consecutive-within-user occurrences and the row-normalized
+    * probability P(to | from). ONE user-keyed window pass for the lead
+    * pairing (the q_events_sessionize sort reused), one hash aggregate
+    * on the tiny (from, to) key space, probabilities via a broadcast
+    * per-from total — linear in events, and the transition matrix is
+    * #types² rows regardless of corpus size. Probability is exact
+    * integer-ratio rounded 6dp, so fully oracle-checked.
+    */
+  val eventsMarkov = QueryDef(
+    "q_events_markov",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val pairs = eventsUs(s, dir)
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy("from_type").agg(sum("n").as("from_total"))
+      pairs.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast(DoubleType) / col("from_total"), 6).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      pairs AS (
+        SELECT event_type AS from_type, lead(event_type, 1) OVER w AS to_type
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      counts AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM pairs WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      totals AS (SELECT from_type, SUM(n) AS from_total FROM counts GROUP BY from_type)
+      SELECT c.from_type, c.to_type, c.n,
+             ROUND(CAST(c.n AS DOUBLE) / t.from_total, 6) AS p
+      FROM counts c JOIN totals t ON c.from_type = t.from_type
+      ORDER BY c.from_type, c.to_type
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(sessionize, funnel, retention, winRange, tsOverlap, winStreak,
     sessionizeBucketed, funnelBucketed, winStreakBucketed, retentionBucketed, attribution,
-    eventsPath)
+    eventsPath, eventsMarkov)
 }

@@ -869,8 +869,73 @@ object TextQueries {
     """.trim),
   )
 
+  /** Corpus drift audit — Dunning's log-likelihood ratio (G², Dunning
+    * 1993) per token between two corpus slices (source src0 vs the
+    * rest): the distribution-shift check a pipeline runs between crawl
+    * snapshots or data sources before mixing them. G² = 2·Σ k·ln(k/E)
+    * over the 2-cell token row (E from the marginals), which unlike raw
+    * χ² stays calibrated for rare tokens. Top-30 most-drifted tokens
+    * (min total 10 — below that G² is noise). Scale shape: ONE
+    * (token)-keyed aggregate with conditional-sum partials (map-side
+    * combine compresses the zipfian head), a broadcast 1-row marginal,
+    * a codegen projection, and a top-k — linear in corpus tokens.
+    * Float parity: ln on identical doubles (the q_text_bm25-proven ln
+    * recipe), contributions 8dp-decimal-rounded before the final sum.
+    */
+  val textDrift = QueryDef(
+    "q_text_drift",
+    (s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(col("source"), explode(Tokenize.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ka"),
+          sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("kb"))
+        .filter(col("ka") + col("kb") >= 10)
+      val tot = counts.agg(sum("ka").as("na"), sum("kb").as("nb"))
+      def term(k: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
+          naCol: org.apache.spark.sql.Column,
+          nbCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val e = n.cast(DoubleType) * (col("ka") + col("kb")) / (naCol + nbCol)
+        when(k > 0, round(k.cast(DoubleType) * log(k.cast(DoubleType) / e), 8)
+          .cast(DecimalType(18, 8))).otherwise(lit(0.0).cast(DecimalType(18, 8)))
+      }
+      val g2 = counts.crossJoin(broadcast(tot))
+        .withColumn("g2", round((term(col("ka"), col("na"), col("na"), col("nb"))
+          + term(col("kb"), col("nb"), col("na"), col("nb"))).cast(DoubleType) * 2.0, 6))
+      val w = Window.orderBy(desc("g2"), asc("token"))
+      g2.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 30)
+        .select("rank", "token", "ka", "kb", "g2")
+        .orderBy("rank")
+    },
+    Some("""
+      WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+      counts AS (
+        SELECT token,
+               CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ka,
+               CAST(SUM(CASE WHEN source != 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS kb
+        FROM t GROUP BY token HAVING SUM(1) >= 10),
+      tot AS (SELECT SUM(ka) AS na, SUM(kb) AS nb FROM counts),
+      g AS (
+        SELECT token, ka, kb,
+               ROUND(2.0 *
+                 (CASE WHEN ka > 0 THEN CAST(ROUND(ka * ln(ka / (na * (ka + kb) / (na + nb))), 8) AS DECIMAL(18,8))
+                       ELSE CAST(0.0 AS DECIMAL(18,8)) END
+                + CASE WHEN kb > 0 THEN CAST(ROUND(kb * ln(kb / (nb * (ka + kb) / (na + nb))), 8) AS DECIMAL(18,8))
+                       ELSE CAST(0.0 AS DECIMAL(18,8)) END
+               )::DOUBLE, 6) AS g2
+        FROM counts CROSS JOIN tot)
+      SELECT rank, token, ka, kb, g2 FROM (
+        SELECT token, ka, kb, g2,
+               ROW_NUMBER() OVER (ORDER BY g2 DESC, token ASC) AS rank
+        FROM g)
+      WHERE rank <= 30
+      ORDER BY rank
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint, textPmi,
     textNormalize, textEntropy, textChunkify, textLmScore, textRepetition, bpePairs,
-    bpeEncode, substringDedup, qualityModel, textrank)
+    bpeEncode, substringDedup, qualityModel, textrank, textDrift)
 }

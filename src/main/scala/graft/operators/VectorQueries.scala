@@ -1124,7 +1124,7 @@ object VectorQueries {
       // tables/bits/radius, k, or the slice rule must miss the snapshot
       // and rebuild, never silently reuse stale state (there is no
       // content revalidation analogous to bucketLayoutValid here)
-      val fp = s"t${GraphLshTables}b${GraphLshBits}r${GraphLshRadius}k3s5"
+      val fp = s"pp1t${GraphLshTables}b${GraphLshBits}r${GraphLshRadius}k3s5" // pp1 = portable-plane family v1 (r9): a family change must miss the snapshot
       val graphBase = graft.sources.GraftFs.qualify(s, s"target/graft-knn/$tag/old_graph_lsh_$fp")
       synchronized {
         if (!graft.sources.GraftFs.hasSuccess(s, graphBase)) {
@@ -1136,7 +1136,7 @@ object VectorQueries {
       val oldGraph = s.read.parquet(graphBase)
       // home buckets depend on tables/bits and the corpus slice only
       // (radius shapes the probe fan-out at query time, k the merge)
-      val bucketsFp = s"t${GraphLshTables}b${GraphLshBits}s5"
+      val bucketsFp = s"pp1t${GraphLshTables}b${GraphLshBits}s5"
       graft.sources.BucketedTables.ensureVecBuckets(s, dir, bucketsFp,
         homeBucketsOf(old, GraphLshTables, GraphLshBits))
       val corpusBuckets = s.table(graft.sources.BucketedTables.vecBucketsTable(dir, bucketsFp))
@@ -1666,8 +1666,109 @@ object VectorQueries {
     },
   )
 
+  /** Truncated-dimension two-stage ANN (the Matryoshka/MRL serving
+    * pattern, Kusupati et al. 2022): shortlist top-50 by cosine over the
+    * FIRST 32 of 64 dims (½ the memory bandwidth — at 100 TB the
+    * truncated prefix is the column you actually scan; MRL-trained
+    * embeddings front-load information so a NARROW shortlist suffices —
+    * the synthetic fixture is the worst case, iid dims with NO
+    * front-loading, where the prefix carries only half the signal and
+    * recall@5 measures 0.74 at this width; the same pipeline shape
+    * serves both regimes, the width is the knob), then exact full-dim
+    * re-rank to top-5. Both stages are deterministic
+    * rounded arithmetic, so unlike hash-bucketed ANN the WHOLE operator
+    * is oracle-exact with no family to reproduce — DuckDB slices the
+    * same prefix. Output carries both scores so the truncation error is
+    * visible per row; NewOpsSpec bounds recall vs the full-dim top-5.
+    */
+  val vecTruncated = QueryDef(
+    "q_vec_truncated",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("n_vec_id"), col("embedding").as("n_emb"))
+      val short = c.crossJoin(broadcast(q))
+        .filter(col("q_vec_id") =!= col("n_vec_id"))
+        .withColumn("tcos", round(
+          VectorOps.cosine(slice(col("q_emb"), 1, 32), slice(col("n_emb"), 1, 32)), 6))
+      val wS = Window.partitionBy("q_vec_id").orderBy(desc("tcos"), asc("n_vec_id"))
+      val rer = short.withColumn("srn", row_number().over(wS)).filter(col("srn") <= 50)
+        .withColumn("cos", round(VectorOps.cosine(col("q_emb"), col("n_emb")), 6))
+      val w = Window.partitionBy("q_vec_id").orderBy(desc("cos"), asc("n_vec_id"))
+      rer.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("q_vec_id", "rn", "n_vec_id", "tcos", "cos")
+        .orderBy("q_vec_id", "rn")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      q AS (SELECT vec_id AS q_vec_id, emb AS q_emb FROM e WHERE vec_id < 10),
+      short AS (
+        SELECT q.q_vec_id, c.vec_id AS n_vec_id, c.emb AS n_emb, q.q_emb,
+               ROUND(list_inner_product(q.q_emb[1:32], c.emb[1:32])
+                     / sqrt(list_inner_product(q.q_emb[1:32], q.q_emb[1:32])
+                            * list_inner_product(c.emb[1:32], c.emb[1:32])), 6) AS tcos
+        FROM e c CROSS JOIN q WHERE q.q_vec_id != c.vec_id),
+      top50 AS (
+        SELECT q_vec_id, n_vec_id, q_emb, n_emb, tcos FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY tcos DESC, n_vec_id ASC) AS srn
+          FROM short) WHERE srn <= 50),
+      rer AS (
+        SELECT q_vec_id, n_vec_id, tcos,
+               ROUND(list_inner_product(q_emb, n_emb)
+                     / sqrt(list_inner_product(q_emb, q_emb) * list_inner_product(n_emb, n_emb)), 6) AS cos
+        FROM top50)
+      SELECT q_vec_id, rn, n_vec_id, tcos, cos FROM (
+        SELECT q_vec_id, n_vec_id, tcos, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, n_vec_id ASC) AS rn
+        FROM rer)
+      WHERE rn <= 5
+      ORDER BY q_vec_id, rn
+    """.trim),
+  )
+
+  /** Maximum-inner-product search (MIPS) — the UN-normalized retrieval
+    * metric (recommendation scores, learned retrieval heads where vector
+    * norm carries signal): top-5 by raw dot product, sequential-fold
+    * double arithmetic mirrored in DuckDB's list_inner_product. The
+    * broadcast-query linear-scan shape of q_sim_cosine_topk with the
+    * metric swapped — at scale the same IVF/LSH index machinery applies
+    * after the standard MIPS→cosine reduction (append a norm-completing
+    * dimension), which is why no separate index twin is registered.
+    */
+  val vecMips = QueryDef(
+    "q_vec_mips",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("n_vec_id"), col("embedding").as("n_emb"))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("q_vec_id") =!= col("n_vec_id"))
+        .withColumn("dot", round(VectorOps.dot(col("q_emb"), col("n_emb")), 6))
+      val w = Window.partitionBy("q_vec_id").orderBy(desc("dot"), asc("n_vec_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("q_vec_id", "rn", "n_vec_id", "dot")
+        .orderBy("q_vec_id", "rn")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      q AS (SELECT vec_id AS q_vec_id, emb AS q_emb FROM e WHERE vec_id < 10),
+      scored AS (
+        SELECT q.q_vec_id, c.vec_id AS n_vec_id,
+               ROUND(list_inner_product(q.q_emb, c.emb), 6) AS dot
+        FROM e c CROSS JOIN q WHERE q.q_vec_id != c.vec_id)
+      SELECT q_vec_id, rn, n_vec_id, dot FROM (
+        SELECT q_vec_id, n_vec_id, dot,
+               ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY dot DESC, n_vec_id ASC) AS rn
+        FROM scored)
+      WHERE rn <= 5
+      ORDER BY q_vec_id, rn
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, vecCentroidUdaf, annLsh, annIvf, vecQuantize,
     annFiltered, vecKnnGraph, vecKnnGraphLsh, vecKnnGraphIvf, vecCluster, vecPq, annIvfPq,
     vecKnnGraphIncr, vecKnnGraphIncrLsh, annIvfPqIncr, vecPagerank, vecPagerankLsh, vecCoreset,
-    vecCoresetBatch)
+    vecCoresetBatch, vecTruncated, vecMips)
 }
