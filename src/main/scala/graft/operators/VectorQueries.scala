@@ -1103,8 +1103,18 @@ object VectorQueries {
     * bucket mass, never Σ|label block|·|slice| (the exact variant's pair
     * space) and never |corpus|². The standing graph itself is the LSH
     * graph over the old corpus (at 100 TB: read back, not recomputed).
-    * Non-oracle (hash-family candidates); KnnGraphSpec bounds recall vs
-    * the exact full graph and asserts a cartesian-free plan.
+    *
+    * Full oracle since r9: the portable-plane family makes the candidate
+    * criterion engine-exact, and the incremental merge PROVABLY equals
+    * the full rebuild — a pair is a candidate iff its buckets differ by
+    * ≤ radius bits in some table (the same symmetric criterion both
+    * paths test), and top-3(old-old ∪ fresh-edges) = top-3(top-3(old-old)
+    * ∪ fresh-edges) because discarded old-old edges are dominated by
+    * three better-or-equal ones under the same total order. So it SHARES
+    * q_vec_knn_graph_lsh's oracle, and the driver's hash-compare proves
+    * incremental ≡ full rebuild every round. KnnGraphSpec pins the row
+    * equality directly (upgraded from the recall floor) and asserts a
+    * cartesian-free plan.
     */
   val vecKnnGraphIncrLsh = QueryDef(
     "q_vec_knn_graph_incr_lsh",
@@ -1158,7 +1168,7 @@ object VectorQueries {
           round(VectorOps.cosine(col("embedding"), col("n_emb")), 6).as("cos"))
       incrMergeTop3(oldGraph, freshEdges)
     },
-    None,
+    vecKnnGraphLsh.oracle, // incremental == full rebuild (see scaladoc)
   )
 
   /** SQL-expr form of squared L2 (for use inside `transform` lambdas where

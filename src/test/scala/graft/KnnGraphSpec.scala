@@ -73,7 +73,17 @@ class KnnGraphSpec extends SparkTestBase with Matchers {
     incr shouldBe full
   }
 
-  test("q_vec_knn_graph_incr_lsh: persisted-bucket incremental recall ≥ 0.9 of exact") {
+  test("q_vec_knn_graph_incr_lsh: incremental merge == full LSH rebuild, row for row") {
+    // r9 upgrade from the recall floor: with the portable family the
+    // candidate criterion is identical on both paths and the top-3 merge
+    // lemma makes incremental ≡ full rebuild EXACTLY (which is also why
+    // it now shares q_vec_knn_graph_lsh's oracle)
+    val incr = VectorQueries.vecKnnGraphIncrLsh.query(spark, sfTiny)
+      .collect().map(_.toString).toSeq
+    val full = VectorQueries.vecKnnGraphLsh.query(spark, sfTiny)
+      .collect().map(_.toString).toSeq
+    incr shouldBe full
+    // and the LSH graph itself still recalls ≥0.9 of exact (belt)
     val lsh = edges(VectorQueries.vecKnnGraphIncrLsh.query(spark, sfTiny))
     val recall = lsh.intersect(exact).size.toDouble / exact.size
     recall should be >= 0.9
