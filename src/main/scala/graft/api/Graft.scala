@@ -587,4 +587,71 @@ final class GraftFrame(val df: DataFrame) {
       .filter(col("n") * fraction > col("__total"))
       .select(col("__hh").as(c), col("n"))
   }
+
+  /** Deterministic k-per-stratum uniform sample (q_sample_reservoir's
+    * hash-priority reservoir): `(stratum cols..., rank, id)` for the k
+    * smallest composed-PortableHash priorities of `id` per stratum —
+    * reproducible across runs and engines, unlike rand()-based sampling.
+    */
+  def reservoirSample(k: Int = 20, id: String = "doc_id",
+      strata: Seq[String] = Seq("lang")): DataFrame = {
+    val ph = graft.functions.PortableHash
+    val pr = ((col(id) * ph.Scramble1Mul + ph.Scramble1Add) % ph.SeedMod
+      * ph.Scramble2Mul + ph.Scramble2Add) % ph.SeedMod
+    val w = Window.partitionBy(strata.map(col): _*).orderBy(asc("__pri"), asc(id))
+    df.withColumn("__pri", pr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("__pri")
+  }
+
+  /** Per-token Dunning G² drift vs another corpus slice (q_text_drift's
+    * core over arbitrary frames): top-`k` most-drifted tokens between
+    * THIS frame and `other`, with both counts. minTotal filters the
+    * noise floor.
+    */
+  def drift(other: DataFrame, k: Int = 30, text: String = "text",
+      minTotal: Long = 10L): DataFrame = {
+    val a = df.select(explode(graft.functions.Tokenize.tokens(col(text))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("ka"))
+    val b = other.select(explode(graft.functions.Tokenize.tokens(col(text))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("kb"))
+    val counts = a.join(b.withColumnRenamed("token", "t2"),
+        col("token") === col("t2"), "full_outer")
+      .select(coalesce(col("token"), col("t2")).as("token"),
+        coalesce(col("ka"), lit(0L)).as("ka"), coalesce(col("kb"), lit(0L)).as("kb"))
+      .filter(col("ka") + col("kb") >= minTotal)
+    val tot = counts.agg(sum("ka").as("na"), sum("kb").as("nb"))
+    def term(kc: Column, nc: Column): Column = {
+      val e = nc.cast("double") * (col("ka") + col("kb")) / (col("na") + col("nb"))
+      when(kc > 0, round(kc.cast("double") * log(kc.cast("double") / e), 8)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+        .otherwise(lit(0.0).cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+    }
+    val w = Window.orderBy(desc("g2"), asc("token"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("g2", round((term(col("ka"), col("na"))
+        + term(col("kb"), col("nb"))).cast("double") * 2.0, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("rank", "token", "ka", "kb", "g2")
+      .orderBy("rank")
+  }
+
+  /** First-order Markov transition matrix over an ordered-per-key event
+    * frame (q_events_markov's core): `(from_type, to_type, n, p)`.
+    */
+  def markov(key: String = "user_id", typ: String = "event_type",
+      order: Seq[String] = Seq("ts_us", "event_id")): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order.map(col): _*)
+    val pairs = df.withColumn("__to", lead(typ, 1).over(w))
+      .filter(col("__to").isNotNull)
+      .groupBy(col(typ).as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("__ft"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("__ft"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
 }

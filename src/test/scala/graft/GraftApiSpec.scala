@@ -440,4 +440,32 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     want should not be empty
     got shouldBe want
   }
+
+  test("reservoirSample / drift / markov verbs equal their registered queries") {
+    import graft.api.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = Tables.documents(spark, sfTiny)
+    // reservoir: same (lang, rank, doc_id) triples as q_sample_reservoir
+    val verb = docs.graft.reservoirSample(k = 20)
+      .select("lang", "rank", "doc_id").orderBy("lang", "rank")
+      .collect().map(_.toString).toSeq
+    val reg = graft.operators.AnalyticsQueries.sampleReservoir.query(spark, sfTiny)
+      .select("lang", "rank", "doc_id").collect().map(_.toString).toSeq
+    verb shouldBe reg
+    // drift: the verb over (src0 slice, rest) equals q_text_drift
+    val driftVerb = docs.filter(col("source") === "src0").graft
+      .drift(docs.filter(col("source") =!= "src0"))
+      .collect().map(_.toString).toSeq
+    val driftReg = graft.operators.TextQueries.textDrift.query(spark, sfTiny)
+      .collect().map(_.toString).toSeq
+    driftVerb shouldBe driftReg
+    // markov: verb over the events frame equals q_events_markov
+    val ev = Tables.events(spark, sfTiny).select(
+      col("user_id"), col("event_type"), col("event_id"),
+      expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
+    val markovVerb = ev.graft.markov().collect().map(_.toString).toSeq
+    val markovReg = graft.operators.EventQueries.eventsMarkov.query(spark, sfTiny)
+      .collect().map(_.toString).toSeq
+    markovVerb shouldBe markovReg
+  }
 }
