@@ -51,19 +51,27 @@ object PortablePlanes {
   }
 
   /** Integer weights (as doubles) of plane `h` of table `t` in a
-    * `bits`-bit family.
+    * `bits`-bit family. `family` selects a disjoint index block so two
+    * CONSUMERS (the ANN index, the graph index, the IVF sub-quantizer
+    * seed) never share planes — within one family the (t, h) indices are
+    * already distinct, but across families with different `bits` the raw
+    * indices would collide (e.g. (t=1, h=0, bits=7) and (t=1, h=1,
+    * bits=6) both map to index 448), silently correlating operators that
+    * should be independent.
     */
-  def weights(t: Int, h: Int, bits: Int): IndexedSeq[Double] =
-    (0 until Dim).map { j =>
-      (Math.floorMod(mix(FamilyOffset + (t.toLong * bits + h) * Dim + j), 19L) - 9L).toDouble
+  def weights(t: Int, h: Int, bits: Int, family: Long = 0L,
+      dim: Int = Dim): IndexedSeq[Double] =
+    (0 until dim).map { j =>
+      (Math.floorMod(mix(FamilyOffset + (family << 20)
+        + (t.toLong * bits + h) * dim + j), 19L) - 9L).toDouble
     }
 
   /** Sign-signature bucket id of `emb` under table `t`: bit h set when
     * the 6dp-rounded integer-plane dot is > 0.
     */
-  def bucketCol(emb: Column, t: Int, bits: Int): Column =
+  def bucketCol(emb: Column, t: Int, bits: Int, family: Long = 0L): Column =
     (0 until bits).map { h =>
-      when(round(VectorOps.dot(emb, typedlit(weights(t, h, bits))), 6) > 0,
+      when(round(VectorOps.dot(emb, typedlit(weights(t, h, bits, family))), 6) > 0,
         lit(1 << h)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -71,9 +79,9 @@ object PortablePlanes {
     * column expression `emb` (the list_inner_product fold matches the
     * Spark-side index-order dot exactly — the q_dedup_semantic proof).
     */
-  def bucketSql(emb: String, t: Int, bits: Int): String =
+  def bucketSql(emb: String, t: Int, bits: Int, family: Long = 0L): String =
     (0 until bits).map { h =>
-      val lst = weights(t, h, bits).map(_.toLong).mkString("[", ", ", "]")
+      val lst = weights(t, h, bits, family).map(_.toLong).mkString("[", ", ", "]")
       s"(CASE WHEN ROUND(list_inner_product($emb, CAST($lst AS DOUBLE[])), 6) > 0 THEN ${1 << h} ELSE 0 END)"
     }.mkString(" + ")
 

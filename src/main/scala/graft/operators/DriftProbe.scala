@@ -32,7 +32,7 @@ object DriftProbe {
     def recallWith(tagName: String, trainSet: DataFrame, nprobe: Int = 4): Double = {
       val centroids = VectorQueries.coarseCentroidsOf(trainSet, iters = 2)
       val codebook = VectorQueries.pqCodebookFromSubs(
-        VectorQueries.pqSubvectors(trainSet.select("vec_id", "embedding")), seed = 4242)
+        VectorQueries.pqSubvectors(trainSet.select("vec_id", "embedding")), VectorQueries.PqPlaneFamily)
       val centroidArr = centroids.agg(collect_list(struct(col("c_id"), col("c_emb"))).as("cents"))
       val assigned = VectorQueries.nearestCells(corpus, "embedding", "vec_id", centroidArr, 2)
       val codes = VectorQueries.pqCodes(corpus.select("vec_id", "embedding"), codebook)

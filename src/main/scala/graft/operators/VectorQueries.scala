@@ -271,29 +271,32 @@ object VectorQueries {
     * seed + Lloyd iterations, 4dp-rounded means), so the incremental
     * index can freeze a quantizer trained on the STANDING corpus only.
     */
+  /** Since round 9 the means come from the VectorCentroid scaled-long
+    * UDAF (exact 2⁻⁴⁴-unit integer sums, ORDER-FREE merge) instead of
+    * round(avg, 4): the 4dp round made avg()'s float-order dependence
+    * *probabilistically* stable, the integer sum makes it exact — both
+    * across shuffle orders AND across engines, which is what lets
+    * q_ann_ivf carry a full DuckDB oracle (the codebook training itself
+    * is reproduced in SQL). Same mergeable-partials scale shape as
+    * q_vec_centroid_udaf: one (64-long, count) buffer per cell per
+    * partition shuffles, never raw vectors.
+    */
   private[operators] def coarseCentroidsOf(e: DataFrame, iters: Int): DataFrame = {
-    val seed = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy("label", "dim")
-      .agg(round(avg(col("v").cast(DoubleType)), 4).as("centroid_val"))
-      .groupBy("label").agg(collect_list(struct(col("dim"), col("centroid_val"))).as("dv"))
-      .select(col("label").as("c_id"),
-        // Centroids are double arrays, so cast to float for the native
-        // expression — quantizer assignment tolerates the 1e-7 rounding.
-        expr("transform(array_sort(dv, (l, r) -> l.dim - r.dim), x -> x.centroid_val)")
-          .cast("array<float>").as("c_emb"))
+    val centroidUdaf = udaf(new VectorCentroid(64))
+    def cellMeans(assigned: DataFrame): DataFrame = assigned
+      .groupBy("c_id").agg(centroidUdaf(col("embedding")).as("cent"))
+      // Centroids round to 4dp and cast to float for the native cosine —
+      // both steps mirrored exactly in the oracle SQL.
+      .select(col("c_id"),
+        expr("transform(cent, x -> round(x, 4))").cast("array<float>").as("c_emb"))
+    val seed = cellMeans(e.select(col("label").as("c_id"), col("embedding")))
     (1 to iters).foldLeft(seed) { (cents, _) =>
       val centroidArr = cents.agg(collect_list(struct(col("c_id"), col("c_emb"))).as("cents"))
-      e.crossJoin(broadcast(centroidArr))
+      cellMeans(e.crossJoin(broadcast(centroidArr))
         .withColumn("best", expr(
           s"""array_max(transform(cents,
              |  c -> struct(${GraftCosineName}(embedding, c.c_emb) AS sim, -c.c_id AS nid)))""".stripMargin))
-        .select((-col("best.nid")).as("c_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("c_id", "dim").agg(round(avg(col("v").cast(DoubleType)), 4).as("m"))
-        .groupBy("c_id").agg(collect_list(struct(col("dim"), col("m"))).as("dv"))
-        .select(col("c_id"),
-          expr("transform(array_sort(dv, (l, r) -> l.dim - r.dim), x -> x.m)")
-            .cast("array<float>").as("c_emb"))
+        .select((-col("best.nid")).as("c_id"), col("embedding")))
     }
   }
 
@@ -310,7 +313,7 @@ object VectorQueries {
     */
   private[operators] def ivfCodebook(s: SparkSession, dir: String): DataFrame = synchronized {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val base = graft.sources.GraftFs.qualify(s, s"target/graft-ivf/$tag/codebook")
+    val base = graft.sources.GraftFs.qualify(s, s"target/graft-ivf/$tag/codebook_of2") // of2 = order-free scaled-long means (r9)
     if (!graft.sources.GraftFs.hasSuccess(s, base)) {
       ivfCentroids(s, dir, iters = 2).coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(base)
@@ -321,7 +324,8 @@ object VectorQueries {
   /** IVF-style ANN: k-means-refined coarse quantizer (per-label seed + 2
     * Lloyd iterations, `ivfCentroids`), **2-way multi-assignment** (every
     * vector joins the inverted lists of its TWO nearest centroids), queries
-    * probe their 3 nearest lists and search only those exactly. Non-oracle;
+    * probe their 3 nearest lists and search only those exactly. Full
+    * DuckDB oracle since r9 (training replayed in SQL — see IvfOracle);
     * ApproxOpsSpec bounds recall.
     *
     * Measured sweep (PERF.md round 2, recall of brute-force top-5): the old
@@ -398,7 +402,15 @@ object VectorQueries {
         .select(col("q_vec_id"), col("rn"), col("vec_id").as("n_vec_id"), col("cos"))
         .orderBy("q_vec_id", "rn")
     },
-    None,
+    // Full oracle since r9: the codebook TRAINING is replayed in SQL —
+    // scaled-long exact cell means (the q_vec_centroid_udaf recipe, now
+    // used by coarseCentroidsOf), 4dp-round + float-cast mirrored, both
+    // Lloyd iterations unrolled as argmax-assign + re-mean CTE pairs,
+    // then the 2-way assignment × nprobe-3 candidate join and exact
+    // re-rank. DuckDB derives the identical codebook bit for bit, so the
+    // driver's hash-compare also proves the PERSISTED codebook equals a
+    // fresh training run.
+    Some(IvfOracle.sql),
   )
 
 
@@ -544,28 +556,35 @@ object VectorQueries {
     * (k2 × #labels rows) so it always broadcasts; at 100 TB it is trained
     * once per corpus snapshot and persisted like ivfCodebook.
     */
+  /** The r9 engine-exact construction (mirrors coarseCentroidsOf): seed
+    * cells from the PORTABLE plane family (family block 1 — disjoint
+    * from the ANN/graph index planes), cell means from the scaled-long
+    * VectorCentroid UDAF (order-free exact sums) — so the whole
+    * per-label sub-quantizer training is DuckDB-reproducible and
+    * q_vec_knn_graph_ivf carries a full oracle.
+    */
+  private[graft] val SubCodebookPlaneFamily = 1L
+
   private[graft] def subCodebook(e: DataFrame, k2: Int, iters: Int): DataFrame = {
     val bits = math.max(1, (math.log(k2) / math.log(2)).ceil.toInt)
-    val planes = hyperplanesFor(1, bits)
-    def rebuild(assigned: DataFrame): DataFrame = assigned
-      .groupBy("label", "cell", "dim").agg(round(avg(col("v").cast(DoubleType)), 4).as("m"))
-      .groupBy("label", "cell").agg(collect_list(struct(col("dim"), col("m"))).as("dv"))
+    val centroidUdaf = udaf(new VectorCentroid(64))
+    def cellMeans(assigned: DataFrame): DataFrame = assigned
+      .groupBy("label", "cell").agg(centroidUdaf(col("embedding")).as("cent"))
       .select(col("label"), col("cell"),
-        expr("transform(array_sort(dv, (l, r) -> l.dim - r.dim), x -> x.m)")
-          .cast("array<float>").as("c_emb"))
-    val seed = rebuild(e.select(col("label"),
-      bucketId(planes, bits, col("embedding"), 0).as("cell"),
-      posexplode(col("embedding")).as(Seq("dim", "v"))))
+        expr("transform(cent, x -> round(x, 4))").cast("array<float>").as("c_emb"))
+    val seed = cellMeans(e.select(col("label"),
+      graft.functions.PortablePlanes
+        .bucketCol(col("embedding"), 0, bits, SubCodebookPlaneFamily).as("cell"),
+      col("embedding")))
     (1 to iters).foldLeft(seed) { (cents, _) =>
       val cb = cents.groupBy("label")
         .agg(collect_list(struct(col("cell"), col("c_emb"))).as("cells"))
         .agg(collect_list(struct(col("label").as("l"), col("cells"))).as("cb"))
-      rebuild(e.crossJoin(broadcast(cb))
+      cellMeans(e.crossJoin(broadcast(cb))
         .withColumn("best", expr(
           s"""array_max(transform(filter(cb, x -> x.l = label)[0].cells,
              |  c -> struct(${GraftCosineName}(embedding, c.c_emb) AS sim, -c.cell AS nc)))""".stripMargin))
-        .select(col("label"), (-col("best.nc")).as("cell"),
-          posexplode(col("embedding")).as(Seq("dim", "v"))))
+        .select(col("label"), (-col("best.nc")).as("cell"), col("embedding")))
     }
   }
 
@@ -578,7 +597,8 @@ object VectorQueries {
   private[operators] def subCodebookPersisted(s: SparkSession, dir: String,
       k2: Int): DataFrame = synchronized {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val base = graft.sources.GraftFs.qualify(s, s"target/graft-ivf/$tag/subcodebook_k$k2")
+    // of2: portable seed + order-free means (r9)
+    val base = graft.sources.GraftFs.qualify(s, s"target/graft-ivf/$tag/subcodebook_of2_k$k2")
     if (!graft.sources.GraftFs.hasSuccess(s, base)) {
       subCodebook(Tables.embeddings(s, dir).select("vec_id", "label", "embedding"),
           k2, iters = 2)
@@ -773,7 +793,8 @@ object VectorQueries {
     * so growing k2 ~ √|class| (standard IVF sizing) holds per-list size
     * at √|class| and total candidate work at Σ|class|^1.5 — sub-quadratic
     * with NO recall cliff, because cell boundaries are data-adaptive and
-    * multi-assignment covers them. Non-oracle; KnnGraphSpec bounds recall.
+    * multi-assignment covers them. Full oracle since r9 (IvfOracle.graphSql
+    * replays the portable-seeded training); KnnGraphSpec bounds recall.
     */
   val vecKnnGraphIvf = QueryDef(
     "q_vec_knn_graph_ivf",
@@ -782,7 +803,13 @@ object VectorQueries {
       val cb = subCodebookPersisted(s, dir, GraphIvfCells)
       knnGraphFromCandidates(e, ivfGraphCandidates(e, cb, GraphIvfAssign), 3)
     },
-    None,
+    // Full oracle since r9: the per-label sub-quantizer training replays
+    // in SQL (portable-plane seed cells + scaled-long exact means, both
+    // Lloyd refinements unrolled), so the data-ADAPTIVE index path gets
+    // the same engine-exact treatment as the hash-bucketed ones — and
+    // the hash-compare proves the persisted sub-codebook equals a fresh
+    // training run every round.
+    Some(IvfOracle.graphSql(bits = 4, assign = GraphIvfAssign, SubCodebookPlaneFamily)),
   )
 
   /** LSH-bucketed edge generation + connected components for the ≥0.95-
@@ -914,10 +941,10 @@ object VectorQueries {
     aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double"))
       * (x.cast("double") - y.cast("double"))), lit(0.0), (acc, v) => acc + v)
 
-  private val PqM = 8      // subspaces (64 dims → 8×8)
-  private val PqSub = 8    // dims per subspace
-  private val PqBits = 5   // 32 centroids per subspace
-  private val PqShortlist = 200
+  private[operators] val PqM = 8      // subspaces (64 dims → 8×8)
+  private[operators] val PqSub = 8    // dims per subspace
+  private[operators] val PqBits = 5   // 32 centroids per subspace
+  private[operators] val PqShortlist = 200
 
   /** Per-(key, subspace) rows: key cols + (m, sub) with sub = the m-th
     * 8-dim slice of `vecCol`. Key columns (everything except `vecCol`)
@@ -946,28 +973,33 @@ object VectorQueries {
     * residuals for q_ann_ivfpq (distinct plane seeds keep the two
     * codebooks decorrelated).
     */
-  private[operators] def pqCodebookFromSubs(subs: DataFrame, seed: Int): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes = IndexedSeq.fill(PqM)(IndexedSeq.fill(PqBits)(Array.fill(PqSub)(rnd.nextGaussian())))
+  /** r9 engine-exact form: portable integer planes (8-dim, per-subspace
+    * table index m — `planeFamily` blocks keep the plain-embedding and
+    * residual codebooks decorrelated), 6dp-rounded sign dots (the
+    * standard portable recipe), and scaled-long exact means
+    * (VectorCentroid in 8 dims) — so PQ training replays in DuckDB and
+    * q_vec_pq carries a full oracle.
+    */
+  private[operators] def pqCodebookFromSubs(subs: DataFrame, planeFamily: Long): DataFrame = {
+    val sub8 = udaf(new VectorCentroid(PqSub))
     val sig = (0 until PqBits).map { b =>
-      val plane = (m: Column) => {
-        // per-subspace plane lookup: array literal of the 8 plane vectors
-        val perM = (0 until PqM).map(mi => array(planes(mi)(b).map(lit(_)): _*))
-        element_at(array(perM: _*), m + 1)
-      }
-      when(VectorOps.dot(col("sub"), plane(col("m"))) >= 0, lit(1 << b)).otherwise(lit(0))
+      val perM = (0 until PqM).map(mi =>
+        typedlit(graft.functions.PortablePlanes.weights(mi, b, PqBits, planeFamily, PqSub)))
+      when(round(VectorOps.dot(col("sub"), element_at(array(perM: _*), col("m") + 1)), 6) > 0,
+        lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
     subs.withColumn("bucket", sig)
-      .select(col("m"), col("bucket"), posexplode(col("sub")).as(Seq("dim", "v")))
-      .groupBy("m", "bucket", "dim").agg(round(avg(col("v").cast("double")), 6).as("cv"))
-      .groupBy("m", "bucket").agg(collect_list(struct(col("dim"), col("cv"))).as("dv"))
+      .groupBy("m", "bucket").agg(sub8(col("sub")).as("cent"))
       .select(col("m"), col("bucket").as("code"),
-        expr("transform(array_sort(dv, (l, r) -> l.dim - r.dim), x -> x.cv)").as("c_sub"))
+        expr("transform(cent, x -> round(x, 6))").as("c_sub"))
   }
+
+  private[operators] val PqPlaneFamily = 2L      // plain-embedding codebook
+  private[operators] val PqResidualFamily = 3L   // ivfpq residual codebook
 
   private[operators] def pqCodebook(s: SparkSession, dir: String): DataFrame =
     pqCodebookFromSubs(
-      pqSubvectors(Tables.embeddings(s, dir).select("vec_id", "embedding")), seed = 4242)
+      pqSubvectors(Tables.embeddings(s, dir).select("vec_id", "embedding")), PqPlaneFamily)
 
   /** PQ codes: per (vec, subspace) the L2-nearest codebook centroid —
     * 64 floats compress to 8 5-bit codes (51× smaller). Encoding joins
@@ -987,7 +1019,8 @@ object VectorQueries {
     * re-ranked by EXACT L2 on the original embeddings, emitting top-5.
     * At 100 TB the scan side touches only 4-byte codes (64× less IO than
     * raw vectors), and exact vectors are fetched for 200 rows per query (measured: recall@5 0.98 mean / 0.80 min at both SFs).
-    * Non-oracle (quantization is construction-dependent); KnnGraphSpec
+    * Full oracle since r9 (IvfOracle.pqSql replays the portable PQ
+    * training, ADC sums are order-free decimals); KnnGraphSpec
     * bounds recall@5 vs exact brute-force L2.
     */
   val vecPq = QueryDef(
@@ -999,14 +1032,17 @@ object VectorQueries {
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
       // per-query LUT: d(q, m, code) = ||q_sub_m − centroid(m, code)||²
+      // LUT entries 8dp-round to exact decimals so the 8-term ADC sum is
+      // ORDER-FREE (the lm_score recipe) — engine-exact, which is what
+      // lets the shortlist boundary hash-match in the oracle
       val lut = pqSubvectors(q.select(col("q_vec_id").as("vec_id"), col("q_emb").as("embedding")))
         .join(broadcast(codebook), Seq("m"))
         .select(col("vec_id").as("q_vec_id"), col("m"), col("code"),
-          l2sq(col("sub"), col("c_sub")).as("d"))
+          round(l2sq(col("sub"), col("c_sub")), 8).cast(DecimalType(18, 8)).as("d"))
       val adc = codes.join(broadcast(lut), Seq("m", "code"))
         .filter(col("vec_id") =!= col("q_vec_id"))
         .groupBy("q_vec_id", "vec_id")
-        .agg(round(sum("d"), 6).as("adist"))
+        .agg(round(sum("d").cast(DoubleType), 6).as("adist"))
       val wShort = Window.partitionBy("q_vec_id").orderBy(asc("adist"), asc("vec_id"))
       val shortlist = adc.withColumn("srn", row_number().over(wShort)).filter(col("srn") <= PqShortlist)
       // exact re-rank of the 50-deep shortlist
@@ -1019,7 +1055,7 @@ object VectorQueries {
         .select(col("q_vec_id"), col("rn"), col("vec_id").as("n_vec_id"), col("dist"))
         .orderBy("q_vec_id", "rn")
     },
-    None,
+    Some(IvfOracle.pqSql(PqPlaneFamily)), // full training replay - see IvfOracle
   )
 
   /** Incremental kNN-graph maintenance — the nightly-ingest shape for the
@@ -1218,7 +1254,7 @@ object VectorQueries {
     * does not further prune lists — recall is bounded by coarse probing.
     * Measured end-to-end recall@5: 0.88 mean (sf0.001) / 0.84 (sf0.1) —
     * ABOVE whole-corpus q_vec_pq (0.82 at sf0.1) at 1/40th the ADC scan.
-    * Non-oracle (construction-dependent); KnnGraphSpec bounds recall@5.
+    * Full oracle since r9 (IvfOracle.ivfPqSql); KnnGraphSpec bounds recall@5.
     */
   val annIvfPq = QueryDef(
     "q_ann_ivfpq",
@@ -1241,11 +1277,11 @@ object VectorQueries {
       val lut = subSlices(q.select(col("q_vec_id"), col("q_emb")), "q_emb")
         .join(broadcast(codebook), Seq("m"))
         .select(col("q_vec_id"), col("m"), col("code"),
-          l2sq(col("sub"), col("c_sub")).as("d"))
+          round(l2sq(col("sub"), col("c_sub")), 8).cast(DecimalType(18, 8)).as("d"))
       val adc = cands.join(codes, Seq("vec_id"))
         .join(broadcast(lut), Seq("q_vec_id", "m", "code"))
         .groupBy("q_vec_id", "vec_id")
-        .agg(round(sum("d"), 6).as("adist"))
+        .agg(round(sum("d").cast(DoubleType), 6).as("adist"))
       // deeper shortlist than q_vec_pq: the probed-list mass is ~1,300
       // candidates, so 400 exact fetches still re-rank under a third of it
       val wShort = Window.partitionBy("q_vec_id").orderBy(asc("adist"), asc("vec_id"))
@@ -1260,7 +1296,7 @@ object VectorQueries {
         .select(col("q_vec_id"), col("rn"), col("vec_id").as("n_vec_id"), col("dist"))
         .orderBy("q_vec_id", "rn")
     },
-    None,
+    Some(IvfOracle.ivfPqSql(PqPlaneFamily)), // coarse + PQ training replay - see IvfOracle
   )
 
   /** IVF-PQ over the incremental ingest path: the quantizer artifacts
@@ -1276,7 +1312,8 @@ object VectorQueries {
     * everything-trained codebooks in KnnGraphSpec and PERF.md (the
     * fixture's slices are iid, so drift here is small by construction;
     * the operator exists so drift is MEASURABLE when ingest shifts).
-    * Non-oracle; KnnGraphSpec bounds recall@5.
+    * Full oracle since r9 (IvfOracle.ivfPqIncrSql replays the frozen-slice
+    * training); KnnGraphSpec bounds recall@5.
     */
   val annIvfPqIncr = QueryDef(
     "q_ann_ivfpq_incr",
@@ -1288,8 +1325,8 @@ object VectorQueries {
       // fan-out, slice rule) relocates ALL artifacts and rebuilds them
       // coherently — mixed-generation reuse is impossible by path. The
       // fingerprint is assembled from the SAME vals the builds consume.
-      val (lloydIters, pqSeed, assignK, sliceMod) = (2, 4242, 2, 5)
-      val fp = s"it${lloydIters}_seed${pqSeed}_a${assignK}_s$sliceMod"
+      val (lloydIters, assignK, sliceMod) = (2, 2, 5)
+      val fp = s"of2pf${PqPlaneFamily}it${lloydIters}_a${assignK}_s$sliceMod" // of2/pf: order-free means + portable PQ planes (r9)
       val isNew = col("vec_id") % sliceMod === 0
       val old = e.filter(!isNew)
       val fresh = e.filter(isNew)
@@ -1304,7 +1341,7 @@ object VectorQueries {
       // frozen-at-index-build artifacts, trained on the standing corpus only
       val centroids = persisted("centroids") { coarseCentroidsOf(old, iters = lloydIters).coalesce(1) }
       val codebook = persisted("codebook") {
-        pqCodebookFromSubs(pqSubvectors(old.select("vec_id", "embedding")), seed = pqSeed)
+        pqCodebookFromSubs(pqSubvectors(old.select("vec_id", "embedding")), PqPlaneFamily)
           .coalesce(1)
       }
       val centroidArr = centroids.agg(collect_list(struct(col("c_id"), col("c_emb"))).as("cents"))
@@ -1327,11 +1364,11 @@ object VectorQueries {
       val lut = subSlices(q.select(col("q_vec_id"), col("q_emb")), "q_emb")
         .join(broadcast(codebook), Seq("m"))
         .select(col("q_vec_id"), col("m"), col("code"),
-          l2sq(col("sub"), col("c_sub")).as("d"))
+          round(l2sq(col("sub"), col("c_sub")), 8).cast(DecimalType(18, 8)).as("d"))
       val adc = cands.join(codes, Seq("vec_id"))
         .join(broadcast(lut), Seq("q_vec_id", "m", "code"))
         .groupBy("q_vec_id", "vec_id")
-        .agg(round(sum("d"), 6).as("adist"))
+        .agg(round(sum("d").cast(DoubleType), 6).as("adist"))
       val wShort = Window.partitionBy("q_vec_id").orderBy(asc("adist"), asc("vec_id"))
       val shortlist = adc.withColumn("srn", row_number().over(wShort))
         .filter(col("srn") <= 2 * PqShortlist)
@@ -1345,7 +1382,7 @@ object VectorQueries {
         .select(col("q_vec_id"), col("rn"), col("vec_id").as("n_vec_id"), col("dist"))
         .orderBy("q_vec_id", "rn")
     },
-    None,
+    Some(IvfOracle.ivfPqIncrSql(PqPlaneFamily, sliceMod = 5)), // frozen-training replay - see IvfOracle
   )
 
   /** One DuckDB PageRank iteration k (reads p(k-1), defines c_k + p_k):
