@@ -1520,6 +1520,76 @@ object VectorQueries {
     """.trim),
   )
 
+  /** Personalized PageRank (Haveliwala 2002 / the PPR-push literature's
+    * power-iteration form): random-walk-with-restart mass from a SEED
+    * SET instead of the uniform teleport — "how relevant is every
+    * document to THESE documents", the seed-expansion primitive behind
+    * related-content retrieval, label propagation from a trusted core,
+    * and contamination-neighborhood audits. Teleport vector t(v) =
+    * 1/|S| on seeds (vec_id < 10, the fixture query-set convention),
+    * 0 elsewhere; 3 damped iterations pr ← 0.15·t + 0.85·W·pr, init
+    * pr = t. Same skinny edge-join + order-free decimal-contribution
+    * shape as [[pagerankOnEdges]] — linear in edges — over the
+    * PERSISTED portable-LSH kNN graph, and fully oracle-checked (the
+    * SQL rebuilds edges from scratch and unrolls the seeded
+    * iterations).
+    */
+  private[graft] def personalizedPagerankOnEdges(nodes: DataFrame, rawEdges: DataFrame,
+      isSeed: Column): DataFrame = {
+    val edges = rawEdges.repartition(col("src")).localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ed = edges.join(deg, "src")
+    val seeded = nodes.withColumn("__s", when(isSeed, lit(1.0)).otherwise(lit(0.0)))
+    val nSeed = seeded.agg(sum("__s").as("ns"))
+    val tele = seeded.crossJoin(broadcast(nSeed))
+      .select(col("vec_id"), (col("__s") / col("ns")).as("t"))
+      .localCheckpoint()
+    var pr = tele.select(col("vec_id").as("vid"), col("t").as("pr"))
+    for (_ <- 1 to 3) {
+      val inflow = ed.join(pr, col("src") === col("vid"))
+        .select(col("dst"),
+          round(col("pr") / col("outdeg"), 8).cast(DecimalType(18, 8)).as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      pr = tele.join(inflow, col("vec_id") === col("dst"), "left")
+        .select(col("vec_id").as("vid"),
+          (lit(0.15) * col("t")
+            + lit(0.85) * coalesce(col("inflow").cast(DoubleType), lit(0.0))).as("pr"))
+    }
+    pr.select(col("vid").as("vec_id"), round(col("pr"), 6).as("pr")).orderBy("vec_id")
+  }
+
+  private def pprIterSql(k: Int): String =
+    s"""c$k AS (
+       |  SELECT ed.dst, SUM(CAST(ROUND(p.pr / d.outdeg, 8) AS DECIMAL(18,8))) AS inflow
+       |  FROM edges ed JOIN p${k - 1} p ON p.vec_id = ed.src JOIN deg d ON d.src = ed.src
+       |  GROUP BY ed.dst),
+       |p$k AS (
+       |  SELECT te.vec_id, CAST(0.15 AS DOUBLE) * te.t
+       |           + CAST(0.85 AS DOUBLE) * COALESCE(CAST(c$k.inflow AS DOUBLE), CAST(0.0 AS DOUBLE)) AS pr
+       |  FROM tele te LEFT JOIN c$k ON c$k.dst = te.vec_id)""".stripMargin
+
+  val vecPagerankPers = QueryDef(
+    "q_vec_pagerank_pers",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val edges = lshKnnEdgesPersisted(s, dir)
+        .select(col("vec_id").as("src"), col("n_vec_id").as("dst"))
+      personalizedPagerankOnEdges(e.select("vec_id"), edges, col("vec_id") < 10)
+    },
+    Some(s"""
+      WITH $PortableLshEdgeSql,
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      seeds AS (SELECT vec_id, CASE WHEN vec_id < 10 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS s FROM embeddings),
+      ns AS (SELECT SUM(s) AS ns FROM seeds),
+      tele AS (SELECT vec_id, s / ns.ns AS t FROM seeds CROSS JOIN ns),
+      p0 AS (SELECT vec_id, t AS pr FROM tele),
+      ${pprIterSql(1)},
+      ${pprIterSql(2)},
+      ${pprIterSql(3)}
+      SELECT vec_id, ROUND(pr, 6) AS pr FROM p3 ORDER BY vec_id
+    """.trim),
+  )
+
   /** k-center greedy diversity selection (Gonzalez 1985 — the coreset /
     * diversity-sampling pass a training-data pipeline runs to pick
     * maximally-spread exemplars): start from the min-id vector, then 9
@@ -1817,5 +1887,5 @@ object VectorQueries {
   def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, vecCentroidUdaf, annLsh, annIvf, vecQuantize,
     annFiltered, vecKnnGraph, vecKnnGraphLsh, vecKnnGraphIvf, vecCluster, vecPq, annIvfPq,
     vecKnnGraphIncr, vecKnnGraphIncrLsh, annIvfPqIncr, vecPagerank, vecPagerankLsh, vecCoreset,
-    vecCoresetBatch, vecTruncated, vecMips)
+    vecCoresetBatch, vecTruncated, vecMips, vecPagerankPers)
 }
