@@ -379,6 +379,59 @@ object GraphQueries {
     Some(s"WITH ${VectorQueries.PortableLshEdgeSql},\n$OutliersBodySql"),
   )
 
+  /** The persisted-LSH undirected edge frame (a < b, distinct) — the
+    * edge source every `_lsh` graph operator consumes; exposed for the
+    * spec's driver-side recounts.
+    */
+  private[graft] def lshUndirectedEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    undirected(VectorQueries.lshKnnEdgesPersisted(s, dir)
+      .select(col("vec_id").as("src"), col("n_vec_id").as("dst")))
+
+  /** Connected components of the persisted portable-LSH kNN graph — the
+    * "how many similarity islands does this corpus have" census (cluster
+    * count drives mixture decisions; giant-component emergence flags
+    * boilerplate floods). Exposes the min-label pointer-jumping CC core
+    * ([[DedupQueries.connectedComponents]] — O(log D) rounds, lineage
+    * cut per round) as a first-class graph operator over the maintained
+    * edge frame; emits every node's component plus the component size
+    * (one extra hash aggregate + broadcast join). Full oracle: DuckDB
+    * reaches the same min-reachable-id labels through a recursive CTE
+    * over the engine-reproduced LSH edges (the q_dedup_canonical
+    * closure recipe).
+    */
+  val graphComponentsLsh = QueryDef(
+    "q_graph_components_lsh",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val und = lshUndirectedEdges(s, dir)
+      val labels = DedupQueries.connectedComponents(
+        e.select(col("vec_id").as("doc_id")),
+        und.select(col("a").as("doc_id1"), col("b").as("doc_id2")))
+      val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("component_size"))
+      labels.join(broadcast(sizes), "cluster_id")
+        .select(col("doc_id").as("vec_id"), col("cluster_id").as("component"),
+          col("component_size"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH RECURSIVE ${VectorQueries.PortableLshEdgeSql},
+      bi AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+      reach(a, b) AS (
+        SELECT a, b FROM bi
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN bi e2 ON r.b = e2.a),
+      lbl AS (
+        SELECT vec_id, LEAST(vec_id, COALESCE(MIN(r.b), vec_id)) AS component
+        FROM embeddings LEFT JOIN reach r ON vec_id = r.a
+        GROUP BY vec_id),
+      sizes AS (SELECT component, COUNT(*) AS component_size FROM lbl GROUP BY component)
+      SELECT vec_id, lbl.component, component_size
+      FROM lbl JOIN sizes ON lbl.component = sizes.component
+      ORDER BY vec_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(graphTriangles, graphLabelprop, graphLinkpred, graphOutliers,
-    graphTrianglesLsh, graphLabelpropLsh, graphLinkpredLsh, graphOutliersLsh)
+    graphTrianglesLsh, graphLabelpropLsh, graphLinkpredLsh, graphOutliersLsh,
+    graphComponentsLsh)
 }

@@ -114,6 +114,38 @@ class GraphOpsSpec extends SparkTestBase with Matchers {
     info(f"pair Rand index $rand%.3f over ${pairs.size} pairs")
   }
 
+  test("components_lsh: labels match a driver-side union-find recount exactly") {
+    // the DuckDB oracle owns value equality per round; this is an
+    // INDEPENDENT in-JVM recount — union-find over the same LSH edge
+    // set, min-id canonical labels, class sizes — so a CC-core
+    // regression surfaces even if both engines drifted together
+    val und = GraphQueries.lshUndirectedEdges(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    und.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = Tables.embeddings(spark, sfTiny).select("vec_id")
+      .collect().map(_.getLong(0))
+    // canonical label = min id reachable (union by min above keeps roots minimal)
+    val expected = nodes.map(v => v -> find(v)).toMap
+    val sizes = expected.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rows = GraphQueries.graphComponentsLsh.query(spark, sfTiny).collect()
+    rows.length shouldBe nodes.length
+    rows.foreach { r =>
+      val (v, c, sz) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      c shouldBe expected(v)
+      sz shouldBe sizes(c)
+    }
+    info(s"${sizes.size} components over ${nodes.length} nodes, " +
+      s"largest ${sizes.values.max}")
+  }
+
   test("linkpred_lsh and outliers_lsh: top-set overlap with exact ≥ 0.5") {
     // top-k lists over a slightly different edge set shuffle at the tail;
     // the floor asserts the twins surface substantially the SAME story
