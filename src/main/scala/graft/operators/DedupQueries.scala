@@ -684,8 +684,11 @@ object DedupQueries {
       .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
     // labels only ever decrease, so the label sum strictly decreases
-    // until the fixpoint — a one-scan convergence check, no join
-    var prevSum = labels.agg(sum("cluster_id")).collect().head.getLong(0)
+    // until the fixpoint — a one-scan convergence check, no join.
+    // coalesce: an EMPTY node frame (e.g. an empty incremental batch)
+    // sums to NULL and must read as the already-converged 0, not crash
+    var prevSum = labels.agg(coalesce(sum("cluster_id"), lit(0L)))
+      .collect().head.getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -703,7 +706,8 @@ object DedupQueries {
           least(stepped("cluster_id"), coalesce(col("l_cluster"), stepped("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
-      val sumNow = next.agg(sum("cluster_id")).collect().head.getLong(0)
+      val sumNow = next.agg(coalesce(sum("cluster_id"), lit(0L)))
+        .collect().head.getLong(0)
       labels = next
       converged = sumNow == prevSum
       prevSum = sumNow
