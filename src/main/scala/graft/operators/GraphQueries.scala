@@ -454,7 +454,84 @@ object GraphQueries {
     """.trim),
   )
 
+  /** One-row health summary of the persisted LSH similarity graph — the
+    * dashboard numbers a corpus pipeline alerts on between full analytics
+    * runs: size (nodes/edges/degrees), fragmentation (component count +
+    * giant-component fraction — a rising giant fraction is the boilerplate
+    * flood signal), and degree assortativity (Newman 2002 — do hubs link
+    * hubs? near-dup families flip it positive). Everything reduces to
+    * integer sums over the edge list: degrees are counts, assortativity's
+    * Pearson r comes from the five exact integer moments of the directed
+    * edge list (Σx, Σxy, Σx² with x = deg(src), y = deg(dst); symmetric,
+    * so Σx=Σy), and only the final divisions touch doubles (round 6 —
+    * cross-engine exact from identical integer inputs). Components read
+    * the persisted label table; one scan of a 2-column edge frame plus
+    * 1-row crossJoins. Scale: every aggregate is a map-side-combined sum;
+    * nothing materializes beyond the degree table.
+    */
+  val graphStatsLsh = QueryDef(
+    "q_graph_stats_lsh",
+    (s, dir) => {
+      val und = lshUndirectedEdges(s, dir).localCheckpoint()
+      val sym = und.select(col("a").as("v"), col("b").as("u"))
+        .union(und.select(col("b").as("v"), col("a").as("u")))
+      val deg = sym.groupBy("v").agg(count(lit(1)).as("d"))
+      val base = Tables.embeddings(s, dir).agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(deg.agg(max(col("d")).as("max_degree")))
+      val comp = componentLabelsPersisted(s, dir)
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_components"), max(col("sz")).as("giant_size"))
+      // assortativity moments: directed edge list joined to both endpoint
+      // degrees; x = deg(v), y = deg(u); by symmetry Σx=Σy and Σx²=Σy²
+      val dl = deg.select(col("v"), col("d").as("x"))
+      val dr = deg.select(col("v").as("u"), col("d").as("y"))
+      val mom = sym.join(dl, Seq("v")).join(dr, Seq("u"))
+        .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      base.crossJoin(broadcast(comp)).crossJoin(broadcast(mom))
+        .select(
+          col("n_nodes"), col("n_edges"),
+          round(col("n_edges") * lit(2).cast(DoubleType) / col("n_nodes"), 6).as("avg_degree"),
+          col("max_degree"), col("n_components"), col("giant_size"),
+          round(col("giant_size").cast(DoubleType) / col("n_nodes"), 6).as("giant_frac"),
+          round((col("m") * col("sxy") - col("sx") * col("sx")).cast(DoubleType)
+            / (col("m") * col("sxx") - col("sx") * col("sx")).cast(DoubleType), 6)
+            .as("assortativity"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${VectorQueries.PortableLshEdgeSql},
+      sym AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+      deg AS (SELECT v, COUNT(*) AS d FROM sym GROUP BY v),
+      reach(a, b) AS (
+        SELECT v, u FROM sym
+        UNION
+        SELECT r.a, s2.u FROM reach r JOIN sym s2 ON r.b = s2.v),
+      lbl AS (
+        SELECT vec_id, LEAST(vec_id, COALESCE(MIN(r.b), vec_id)) AS component
+        FROM embeddings LEFT JOIN reach r ON vec_id = r.a
+        GROUP BY vec_id),
+      comp AS (SELECT COUNT(*) AS n_components, MAX(sz) AS giant_size FROM
+        (SELECT component, COUNT(*) AS sz FROM lbl GROUP BY component)),
+      mom AS (
+        SELECT COUNT(*) AS m, SUM(dx.d) AS sx, SUM(dx.d * dy.d) AS sxy,
+               SUM(dx.d * dx.d) AS sxx
+        FROM sym JOIN deg dx ON sym.v = dx.v JOIN deg dy ON sym.u = dy.v),
+      base AS (
+        SELECT (SELECT COUNT(*) FROM embeddings) AS n_nodes,
+               (SELECT COUNT(*) FROM und) AS n_edges,
+               (SELECT MAX(d) FROM deg) AS max_degree)
+      SELECT n_nodes, n_edges,
+             ROUND(n_edges * 2.0 / n_nodes, 6) AS avg_degree,
+             max_degree, n_components, giant_size,
+             ROUND(CAST(giant_size AS DOUBLE) / n_nodes, 6) AS giant_frac,
+             ROUND(CAST(m * sxy - sx * sx AS DOUBLE)
+                   / CAST(m * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+      FROM base, comp, mom
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(graphTriangles, graphLabelprop, graphLinkpred, graphOutliers,
     graphTrianglesLsh, graphLabelpropLsh, graphLinkpredLsh, graphOutliersLsh,
-    graphComponentsLsh)
+    graphComponentsLsh, graphStatsLsh)
 }

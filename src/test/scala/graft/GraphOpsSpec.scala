@@ -146,6 +146,37 @@ class GraphOpsSpec extends SparkTestBase with Matchers {
       s"largest ${sizes.values.max}")
   }
 
+  test("stats_lsh: one-row summary matches a driver-side recount") {
+    val und = GraphQueries.lshUndirectedEdges(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deg = (und.toSeq ++ und.toSeq.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.size }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    und.foreach { case (a, b) => parent(find(math.max(find(a), find(b)))) = math.min(find(a), find(b)) }
+    val nodes = Tables.embeddings(spark, sfTiny).select("vec_id").collect().map(_.getLong(0))
+    val comps = nodes.groupBy(find).map { case (k, v) => k -> v.length }
+    // assortativity from the exact integer moments over the directed list
+    val dir = und.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val xs = dir.map { case (v, u) => (deg(v).toLong, deg(u).toLong) }
+    val m = xs.size.toLong
+    val sx = xs.map(_._1).sum; val sxy = xs.map(p => p._1 * p._2).sum
+    val sxx = xs.map(p => p._1 * p._1).sum
+    val expAssort = math.round((m * sxy - sx * sx).toDouble / (m * sxx - sx * sx) * 1e6) / 1e6
+
+    val r = GraphQueries.graphStatsLsh.query(spark, sfTiny).collect().head
+    r.getLong(r.fieldIndex("n_nodes")) shouldBe nodes.length.toLong
+    r.getLong(r.fieldIndex("n_edges")) shouldBe und.size.toLong
+    r.getLong(r.fieldIndex("max_degree")) shouldBe deg.values.max.toLong
+    r.getLong(r.fieldIndex("n_components")) shouldBe comps.size.toLong
+    r.getLong(r.fieldIndex("giant_size")) shouldBe comps.values.max.toLong
+    r.getDouble(r.fieldIndex("assortativity")) shouldBe expAssort
+    info(s"stats row: ${r.mkString(", ")}")
+  }
+
   test("linkpred_lsh and outliers_lsh: top-set overlap with exact ≥ 0.5") {
     // top-k lists over a slightly different edge set shuffle at the tail;
     // the floor asserts the twins surface substantially the SAME story
