@@ -531,7 +531,98 @@ object GraphQueries {
     """.trim),
   )
 
+  /** Landmark count / hop cap for q_graph_closeness_lsh — part of the
+    * operator contract (distances are "within HopCap hops of the
+    * Landmarks-sized portable sample"), so both engines run the same
+    * bounded computation.
+    */
+  private val ClosenessLandmarks = 8
+  private val ClosenessHopCap = 10
+
+  /** Landmark-approximated harmonic closeness centrality over the
+    * persisted LSH graph — "which documents sit central in their
+    * similarity neighborhood" at corpus scale: exact all-pairs closeness
+    * is O(V·E) and dead at 100 TB, so the standard scale path (HyperBall
+    * -family landmark sampling) runs BFS from a small fixed landmark set
+    * and scores each node by the harmonic sum Σ 1/d over landmarks reached.
+    * Landmarks are the 8 smallest composed-affine-scramble priorities
+    * (the q_sample_reservoir scheme — engine-reproducible, id-structure
+    * -free); BFS is frontier relaxation with early exit, ≤ HopCap rounds
+    * of one skinny join + anti-join each (frontier rows ≤ landmarks ×
+    * nodes, never corpus²). Harmonic contributions land as 8dp decimals
+    * (the bm25 recipe) so the sum is order-free cross-engine; the oracle
+    * replays the BFS as a depth-capped recursive CTE with MIN(d).
+    */
+  val graphClosenessLsh = QueryDef(
+    "q_graph_closeness_lsh",
+    (s, dir) => {
+      val ph = graft.functions.PortableHash
+      val und = lshUndirectedEdges(s, dir).localCheckpoint()
+      val sym = und.select(col("a").as("sv"), col("b").as("su"))
+        .union(und.select(col("b").as("sv"), col("a").as("su")))
+        .localCheckpoint()
+      val pr = ((col("vec_id") * ph.Scramble1Mul + ph.Scramble1Add) % ph.SeedMod
+        * ph.Scramble2Mul + ph.Scramble2Add) % ph.SeedMod
+      val nodes = Tables.embeddings(s, dir).select("vec_id")
+      val landmarks = nodes.select(col("vec_id").as("l"), pr.as("priority"))
+        .orderBy(asc("priority"), asc("l")).limit(ClosenessLandmarks)
+        .select("l").localCheckpoint()
+      var dist = landmarks.select(col("l"), col("l").as("v"), lit(0).as("d"))
+        .localCheckpoint()
+      var frontier = dist
+      var hop = 0
+      while (hop < ClosenessHopCap && !frontier.isEmpty) {
+        hop += 1
+        val cand = frontier.join(sym, frontier("v") === sym("sv"))
+          .select(frontier("l"), col("su").as("v"), lit(hop).as("d"))
+          .distinct()
+        // BFS by level: first sight IS the min distance
+        frontier = cand.join(dist.select("l", "v"), Seq("l", "v"), "left_anti")
+          .localCheckpoint()
+        dist = dist.unionByName(frontier).localCheckpoint()
+      }
+      val agg = dist.filter(col("d") >= 1)
+        .groupBy(col("v").as("vec_id"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum(round(lit(1.0) / col("d"), 8).cast(DecimalType(18, 8))).as("h"))
+      nodes.join(agg, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+          round(coalesce(col("h"), lit(0).cast(DecimalType(18, 8)))
+            .cast(DoubleType), 6).as("harmonic"))
+        .orderBy("vec_id")
+    },
+    Some {
+      val ph = graft.functions.PortableHash
+      s"""
+      WITH RECURSIVE ${VectorQueries.PortableLshEdgeSql},
+      sym AS (SELECT a AS sv, b AS su FROM und UNION ALL SELECT b, a FROM und),
+      lm AS (
+        SELECT vec_id AS l FROM (
+          SELECT vec_id,
+                 ((vec_id * ${ph.Scramble1Mul} + ${ph.Scramble1Add}) % ${ph.SeedMod}
+                   * ${ph.Scramble2Mul} + ${ph.Scramble2Add}) % ${ph.SeedMod} AS priority
+          FROM embeddings)
+        ORDER BY priority ASC, vec_id ASC LIMIT $ClosenessLandmarks),
+      walk(l, v, d) AS (
+        SELECT l, l, 0 FROM lm
+        UNION
+        SELECT w.l, s.su, w.d + 1 FROM walk w JOIN sym s ON w.v = s.sv
+        WHERE w.d < $ClosenessHopCap),
+      dist AS (SELECT l, v, MIN(d) AS d FROM walk GROUP BY l, v),
+      agg AS (
+        SELECT v AS vec_id, COUNT(*) AS n_reached,
+               SUM(CAST(ROUND(1.0 / d, 8) AS DECIMAL(18, 8))) AS h
+        FROM dist WHERE d >= 1 GROUP BY v)
+      SELECT e.vec_id, COALESCE(n_reached, 0) AS n_reached,
+             ROUND(CAST(COALESCE(h, 0) AS DOUBLE), 6) AS harmonic
+      FROM embeddings e LEFT JOIN agg ON e.vec_id = agg.vec_id
+      ORDER BY e.vec_id
+      """.trim
+    },
+  )
+
   def defs: Seq[QueryDef] = Seq(graphTriangles, graphLabelprop, graphLinkpred, graphOutliers,
     graphTrianglesLsh, graphLabelpropLsh, graphLinkpredLsh, graphOutliersLsh,
-    graphComponentsLsh, graphStatsLsh)
+    graphComponentsLsh, graphStatsLsh, graphClosenessLsh)
 }

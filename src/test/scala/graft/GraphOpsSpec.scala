@@ -177,6 +177,43 @@ class GraphOpsSpec extends SparkTestBase with Matchers {
     info(s"stats row: ${r.mkString(", ")}")
   }
 
+  test("closeness_lsh: landmark-BFS harmonic scores match a driver recount") {
+    val und = GraphQueries.lshUndirectedEdges(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    val nodes = Tables.embeddings(spark, sfTiny).select("vec_id")
+      .collect().map(_.getLong(0))
+    val ph = graft.functions.PortableHash
+    val landmarks = nodes
+      .map(v => (((v * ph.Scramble1Mul + ph.Scramble1Add) % ph.SeedMod
+        * ph.Scramble2Mul + ph.Scramble2Add) % ph.SeedMod, v))
+      .sorted.take(8).map(_._2)
+    // per-landmark BFS, depth cap 10
+    val dist = scala.collection.mutable.Map[(Long, Long), Int]()
+    for (l <- landmarks) {
+      var frontier = Set(l); dist((l, l)) = 0; var d = 0
+      while (frontier.nonEmpty && d < 10) {
+        d += 1
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+          .filter(u => !dist.contains((l, u)))
+        frontier.foreach(u => dist((l, u)) = d)
+      }
+    }
+    val expected = nodes.map { v =>
+      val ds = landmarks.flatMap(l => dist.get((l, v))).filter(_ >= 1)
+      val h = ds.map(d => BigDecimal(1.0 / d).setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum
+      v -> (ds.length.toLong, math.round(h.toDouble * 1e6) / 1e6)
+    }.toMap
+    val rows = GraphQueries.graphClosenessLsh.query(spark, sfTiny).collect()
+    rows.length shouldBe nodes.length
+    rows.foreach { r =>
+      val (v, n, h) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      (n, h) shouldBe expected(v)
+    }
+    info(s"${rows.count(_.getLong(1) > 0)} of ${nodes.length} nodes reach ≥1 landmark")
+  }
+
   test("linkpred_lsh and outliers_lsh: top-set overlap with exact ≥ 0.5") {
     // top-k lists over a slightly different edge set shuffle at the tail;
     // the floor asserts the twins surface substantially the SAME story
