@@ -214,6 +214,67 @@ class GraphOpsSpec extends SparkTestBase with Matchers {
     info(s"${rows.count(_.getLong(1) > 0)} of ${nodes.length} nodes reach ≥1 landmark")
   }
 
+  test("modularity_lsh: per-community Q matches a driver recount; ΣQ sane") {
+    val und = GraphQueries.lshUndirectedEdges(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lab = GraphQueries.graphLabelpropLsh.query(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val m = und.size
+    val deg = (und.toSeq ++ und.toSeq.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.size }
+    val rows = GraphQueries.graphModularityLsh.query(spark, sfTiny).collect()
+    rows.map(_.getLong(1)).sum shouldBe lab.size // every node in exactly one community
+    val cut = m.toLong - rows.map(_.getLong(2)).sum // Σe_c + cut edges = m
+    assert(cut >= 0 && cut < m, s"internal edges exceed the graph ($cut cut)")
+    var total = 0.0
+    rows.foreach { r =>
+      val (c, nNodes, eC, dC, q) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      val members = lab.collect { case (v, cc) if cc == c => v }.toSet
+      members.size.toLong shouldBe nNodes
+      und.count { case (a, b) => members(a) && members(b) }.toLong shouldBe eC
+      members.toSeq.map(v => deg.getOrElse(v, 0)).sum.toLong shouldBe dC
+      val expectQ = eC.toDouble / m - math.pow(dC.toDouble / (2.0 * m), 2)
+      math.abs(q - math.round(expectQ * 1e6) / 1e6) should be < 1e-9
+      total += expectQ
+    }
+    assert(total > 0.0 && total <= 1.0, s"partition no better than random: Q=$total")
+    info(f"Q=$total%.4f over ${rows.length} communities, $m edges")
+  }
+
+  test("dbscan_lsh: roles and min-core-id clusters match a driver union-find") {
+    val und = GraphQueries.lshUndirectedEdges(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = Tables.embeddings(spark, sfTiny).select("vec_id")
+      .collect().map(_.getLong(0))
+    val core = nodes.filter(v => adj.getOrElse(v, Set.empty).size >= 4).toSet
+    // min-reachable-core-id labels via driver union-find on core-core edges
+    val parent = scala.collection.mutable.Map(core.toSeq.map(v => v -> v): _*)
+    def find(v: Long): Long = { var r = v; while (parent(r) != r) r = parent(r); r }
+    for ((a, b) <- und if core(a) && core(b)) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clab = core.map(v => v -> find(v)).toMap
+    val rows = GraphQueries.vecDbscanLsh.query(spark, sfTiny).collect()
+    rows.length shouldBe nodes.length
+    rows.foreach { r =>
+      val (v, role, c) = (r.getLong(0), r.getString(1), r.getLong(2))
+      if (core(v)) { role shouldBe "core"; c shouldBe clab(v) }
+      else {
+        val coreNbrs = adj.getOrElse(v, Set.empty).filter(core)
+        if (coreNbrs.nonEmpty) { role shouldBe "border"; c shouldBe coreNbrs.map(clab).min }
+        else { role shouldBe "noise"; c shouldBe -1L }
+      }
+    }
+    val mix = rows.groupBy(_.getString(1)).map { case (k, v) => k -> v.length }
+    assert(mix.getOrElse("core", 0) > 0 && mix.keySet.size >= 2,
+      s"degenerate role mix: $mix")
+    info(s"mix=$mix clusters=${clab.values.toSet.size}")
+  }
+
   test("linkpred_lsh and outliers_lsh: top-set overlap with exact ≥ 0.5") {
     // top-k lists over a slightly different edge set shuffle at the tail;
     // the floor asserts the twins surface substantially the SAME story
