@@ -654,4 +654,123 @@ final class GraftFrame(val df: DataFrame) {
         round(col("n").cast("double") / col("__ft"), 6).as("p"))
       .orderBy("from_type", "to_type")
   }
+
+  /** Treat this frame as an EDGE LIST and open the graph-analytics
+    * family over it (q_graph_* / q_vec_dbscan's edge-source-agnostic
+    * cores): components, LPA communities, modularity, triangle census,
+    * link prediction, PageRank, DBSCAN roles, landmark closeness. Node
+    * ids must be integral (LONG); `nodes` widens the vertex set beyond
+    * the edge endpoints (isolated nodes score as singletons/noise).
+    *
+    * {{{
+    * val g = edges.graft.graph(src = "from_id", dst = "to_id")
+    * val comp = g.components()       // similarity islands
+    * val q    = g.modularity()       // are the LPA communities real?
+    * val dense = g.dbscan(minPts = 4) // core/border/noise roles
+    * }}}
+    */
+  def graph(src: String = "src", dst: String = "dst",
+      nodes: Option[DataFrame] = None, id: String = "id"): GraphHandle = {
+    val edges = df.select(col(src).as("src"), col(dst).as("dst"))
+    val nodeDf = nodes.map(n => n.select(col(id).cast("long").as("vec_id")))
+      .getOrElse(edges.select(col("src").as("vec_id"))
+        .union(edges.select(col("dst").as("vec_id"))).distinct())
+    new GraphHandle(edges, nodeDf, id)
+  }
+}
+
+/** Graph-analytics handle over one edge frame — every verb delegates to
+  * the same edge-source-agnostic core its registered oracle-checked
+  * query runs (GraphQueries / VectorQueries), so facade results inherit
+  * the query tree's correctness gates; the output id columns take the
+  * caller's `id` name. Edges are undirected-ized ((min,max), distinct)
+  * once per verb except [[pagerank]]/[[personalizedPagerank]], which
+  * follow the directed-edge contract of their cores.
+  */
+final class GraphHandle private[api] (edges: DataFrame, nodes: DataFrame, id: String) {
+  import graft.operators.{DedupQueries, GraphQueries}
+  import graft.operators.VectorQueries
+
+  private def und = GraphQueries.undirected(edges)
+
+  /** Connected components labeled by min member id, with a size census —
+    * (`id`, component, component_size), q_graph_components_lsh's shape.
+    */
+  def components(): DataFrame = {
+    val labels = DedupQueries.connectedComponents(
+      nodes.select(col("vec_id").as("doc_id")),
+      und.select(col("a").as("doc_id1"), col("b").as("doc_id2")))
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("component_size"))
+    labels.join(broadcast(sizes), "cluster_id")
+      .select(col("doc_id").as(id), col("cluster_id").as("component"),
+        col("component_size"))
+      .orderBy(id)
+  }
+
+  /** Deterministic synchronous label propagation (Raghavan 2007) —
+    * (`id`, community).
+    */
+  def communities(iters: Int = 3): DataFrame =
+    GraphQueries.labelPropOnEdges(nodes, edges, iters)
+      .withColumnRenamed("vec_id", id)
+
+  /** Per-community Newman modularity Q_c = e_c/m − (d_c/2m)² over the
+    * given (`id`, community) labels — default labels = [[communities]].
+    */
+  def modularity(labels: Option[DataFrame] = None, iters: Int = 3): DataFrame = {
+    val lab = labels.map(_.select(col(id).as("vec_id"), col("community")))
+      .getOrElse(GraphQueries.labelPropOnEdges(nodes, edges, iters))
+    GraphQueries.modularityOnEdges(und.localCheckpoint(), lab.localCheckpoint())
+  }
+
+  /** Triangle census (nodes / edges / wedges / triangles / clustering
+    * coefficient), per label when a (`id`, label) frame is given, else
+    * one global row (label 0).
+    */
+  def triangles(labels: Option[DataFrame] = None): DataFrame = {
+    val lab = labels.map(_.select(col(id).as("vec_id"), col("label")))
+      .getOrElse(nodes.select(col("vec_id"), lit(0L).as("label")))
+    GraphQueries.trianglesOnEdges(lab, edges)
+  }
+
+  /** Top-k non-adjacent two-hop pairs by neighborhood Jaccard
+    * (Liben-Nowell & Kleinberg 2003) — (x, y, common, jaccard).
+    */
+  def linkPredict(k: Int = 20): DataFrame = GraphQueries.linkpredOnEdges(edges, k)
+
+  /** 3-iteration damped PageRank (d = 0.85) over the DIRECTED edges —
+    * (`id`, pr).
+    */
+  def pagerank(): DataFrame =
+    VectorQueries.pagerankOnEdges(nodes, edges).withColumnRenamed("vec_id", id)
+
+  /** Personalized PageRank: teleport mass restricted to the seed node
+    * ids (Haveliwala 2002) — (`id`, pr). Seed sets are small by contract
+    * (they parameterize the teleport vector), so they ride as a literal
+    * IN-list into the codegen'd predicate.
+    */
+  def personalizedPagerank(seeds: Seq[Long]): DataFrame =
+    VectorQueries.personalizedPagerankOnEdges(nodes, edges,
+        col("vec_id").isin(seeds: _*))
+      .withColumnRenamed("vec_id", id)
+
+  /** DBSCAN roles over the graph (Ester 1996, shared-nearest-neighbor
+    * formulation): core = degree ≥ minPts, clusters = min-core-id
+    * components of the core subgraph, border = min adjacent core label,
+    * noise = −1 — (`id`, role, cluster).
+    */
+  def dbscan(minPts: Int = 4): DataFrame = {
+    val u = und.localCheckpoint()
+    GraphQueries.dbscanOnEdges(nodes, u, GraphQueries.dbscanCoreLabels(u, minPts))
+      .withColumnRenamed("vec_id", id)
+  }
+
+  /** Landmark-approximated harmonic closeness (HyperBall-family scale
+    * path): BFS from `landmarks` portable-priority sample nodes, score =
+    * Σ 1/d over landmarks reached within `hopCap` — (`id`, n_reached,
+    * harmonic).
+    */
+  def closeness(landmarks: Int = 8, hopCap: Int = 10): DataFrame =
+    GraphQueries.closenessOnEdges(nodes, und.localCheckpoint(), landmarks, hopCap)
+      .withColumnRenamed("vec_id", id)
 }

@@ -180,13 +180,14 @@ object GraphQueries {
     * in edges. Symmetric edges are materialized once and reused across
     * rounds (the pagerankOnEdges lineage discipline).
     */
-  private[graft] def labelPropOnEdges(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  private[graft] def labelPropOnEdges(nodes: DataFrame, edges: DataFrame,
+      iters: Int = 3): DataFrame = {
     val und = undirected(edges)
     val sym = und.select(col("a").as("v"), col("b").as("u"))
       .union(und.select(col("b").as("v"), col("a").as("u")))
       .repartition(col("u")).localCheckpoint()
     var c = nodes.select(col("vec_id").as("node"), col("vec_id").as("comm"))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to iters) {
       val counts = sym.join(c, col("u") === col("node"))
         .groupBy(col("v"), col("comm")).agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("v").orderBy(desc("n"), asc("comm"))
@@ -256,7 +257,7 @@ object GraphQueries {
   /** The edge-source-agnostic core: top-20 non-adjacent pairs by
     * neighborhood Jaccard over two-hop candidates only.
     */
-  private[graft] def linkpredOnEdges(edges: DataFrame): DataFrame = {
+  private[graft] def linkpredOnEdges(edges: DataFrame, k: Int = 20): DataFrame = {
     val und = undirected(edges).localCheckpoint()
     val sym = und.select(col("a").as("v"), col("b").as("u"))
       .union(und.select(col("b").as("v"), col("a").as("u")))
@@ -275,7 +276,7 @@ object GraphQueries {
         round(col("common").cast(DoubleType) /
           (col("dx") + col("dy") - col("common")), 6).as("jaccard"))
       .orderBy(desc("jaccard"), asc("x"), asc("y"))
-      .limit(20)
+      .limit(k)
   }
 
   private val LinkpredBodySql =
@@ -553,45 +554,58 @@ object GraphQueries {
     * (the bm25 recipe) so the sum is order-free cross-engine; the oracle
     * replays the BFS as a depth-capped recursive CTE with MIN(d).
     */
+  /** The edge-source-agnostic core: landmark-BFS harmonic closeness over
+    * an undirected (a,b) edge frame. Landmarks are the `landmarks`
+    * smallest composed-affine-scramble priorities of the node id (the
+    * q_sample_reservoir scheme — engine-reproducible, id-structure-free);
+    * BFS is frontier relaxation with early exit, ≤ hopCap rounds of one
+    * skinny join + anti-join (frontier rows ≤ landmarks × nodes, never
+    * corpus²); harmonic Σ1/d contributions land as 8dp decimals (the bm25
+    * recipe) so the sum is order-free across shuffles AND engines.
+    */
+  private[graft] def closenessOnEdges(nodes: DataFrame, und: DataFrame,
+      landmarkCount: Int = ClosenessLandmarks,
+      hopCap: Int = ClosenessHopCap): DataFrame = {
+    val ph = graft.functions.PortableHash
+    val sym = und.select(col("a").as("sv"), col("b").as("su"))
+      .union(und.select(col("b").as("sv"), col("a").as("su")))
+      .localCheckpoint()
+    val pr = ((col("vec_id") * ph.Scramble1Mul + ph.Scramble1Add) % ph.SeedMod
+      * ph.Scramble2Mul + ph.Scramble2Add) % ph.SeedMod
+    val landmarks = nodes.select(col("vec_id").as("l"), pr.as("priority"))
+      .orderBy(asc("priority"), asc("l")).limit(landmarkCount)
+      .select("l").localCheckpoint()
+    var dist = landmarks.select(col("l"), col("l").as("v"), lit(0).as("d"))
+      .localCheckpoint()
+    var frontier = dist
+    var hop = 0
+    while (hop < hopCap && !frontier.isEmpty) {
+      hop += 1
+      val cand = frontier.join(sym, frontier("v") === sym("sv"))
+        .select(frontier("l"), col("su").as("v"), lit(hop).as("d"))
+        .distinct()
+      // BFS by level: first sight IS the min distance
+      frontier = cand.join(dist.select("l", "v"), Seq("l", "v"), "left_anti")
+        .localCheckpoint()
+      dist = dist.unionByName(frontier).localCheckpoint()
+    }
+    val agg = dist.filter(col("d") >= 1)
+      .groupBy(col("v").as("vec_id"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(round(lit(1.0) / col("d"), 8).cast(DecimalType(18, 8))).as("h"))
+    nodes.join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        round(coalesce(col("h"), lit(0).cast(DecimalType(18, 8)))
+          .cast(DoubleType), 6).as("harmonic"))
+      .orderBy("vec_id")
+  }
+
   val graphClosenessLsh = QueryDef(
     "q_graph_closeness_lsh",
-    (s, dir) => {
-      val ph = graft.functions.PortableHash
-      val und = lshUndirectedEdges(s, dir).localCheckpoint()
-      val sym = und.select(col("a").as("sv"), col("b").as("su"))
-        .union(und.select(col("b").as("sv"), col("a").as("su")))
-        .localCheckpoint()
-      val pr = ((col("vec_id") * ph.Scramble1Mul + ph.Scramble1Add) % ph.SeedMod
-        * ph.Scramble2Mul + ph.Scramble2Add) % ph.SeedMod
-      val nodes = Tables.embeddings(s, dir).select("vec_id")
-      val landmarks = nodes.select(col("vec_id").as("l"), pr.as("priority"))
-        .orderBy(asc("priority"), asc("l")).limit(ClosenessLandmarks)
-        .select("l").localCheckpoint()
-      var dist = landmarks.select(col("l"), col("l").as("v"), lit(0).as("d"))
-        .localCheckpoint()
-      var frontier = dist
-      var hop = 0
-      while (hop < ClosenessHopCap && !frontier.isEmpty) {
-        hop += 1
-        val cand = frontier.join(sym, frontier("v") === sym("sv"))
-          .select(frontier("l"), col("su").as("v"), lit(hop).as("d"))
-          .distinct()
-        // BFS by level: first sight IS the min distance
-        frontier = cand.join(dist.select("l", "v"), Seq("l", "v"), "left_anti")
-          .localCheckpoint()
-        dist = dist.unionByName(frontier).localCheckpoint()
-      }
-      val agg = dist.filter(col("d") >= 1)
-        .groupBy(col("v").as("vec_id"))
-        .agg(count(lit(1)).as("n_reached"),
-          sum(round(lit(1.0) / col("d"), 8).cast(DecimalType(18, 8))).as("h"))
-      nodes.join(agg, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("n_reached"), lit(0L)).as("n_reached"),
-          round(coalesce(col("h"), lit(0).cast(DecimalType(18, 8)))
-            .cast(DoubleType), 6).as("harmonic"))
-        .orderBy("vec_id")
-    },
+    (s, dir) => closenessOnEdges(
+      Tables.embeddings(s, dir).select("vec_id"),
+      lshUndirectedEdges(s, dir).localCheckpoint()),
     Some {
       val ph = graft.functions.PortableHash
       s"""
@@ -637,35 +651,42 @@ object GraphQueries {
     * community aggregate — all hash partials, linear in edges; LPA
     * itself is the already-priced labelPropOnEdges core.
     */
+  /** The edge-source-agnostic core: per-community Newman modularity
+    * Q_c = e_c/m − (d_c/2m)² over an undirected (a,b) edge frame and a
+    * (vec_id, community) label frame — all exact integer moments until
+    * the final per-row division (round 6).
+    */
+  private[graft] def modularityOnEdges(und: DataFrame, lab: DataFrame): DataFrame = {
+    val mDf = und.agg(count(lit(1)).as("m"))
+    val sym = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+    val deg = sym.groupBy("v").agg(count(lit(1)).as("d"))
+    val dc = lab.join(deg, lab("vec_id") === deg("v"), "left")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("d"), lit(0L))).as("total_degree"))
+    val la = lab.select(col("vec_id").as("na"), col("community").as("ca"))
+    val lb = lab.select(col("vec_id").as("nb"), col("community").as("cb"))
+    val ec = und.join(la, col("a") === col("na")).join(lb, col("b") === col("nb"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("internal_edges"))
+    dc.join(ec, Seq("community"), "left").crossJoin(mDf)
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("total_degree"),
+        round(coalesce(col("internal_edges"), lit(0L)) / col("m").cast(DoubleType)
+          - pow(col("total_degree") / (lit(2.0) * col("m")), 2), 6).as("modularity"))
+      .orderBy("community")
+  }
+
   val graphModularityLsh = QueryDef(
     "q_graph_modularity_lsh",
-    (s, dir) => {
-      val und = lshUndirectedEdges(s, dir).localCheckpoint()
-      val lab = labelPropOnEdges(
+    (s, dir) => modularityOnEdges(
+      lshUndirectedEdges(s, dir).localCheckpoint(),
+      labelPropOnEdges(
           Tables.embeddings(s, dir).select("vec_id"),
           VectorQueries.lshKnnEdgesPersisted(s, dir)
             .select(col("vec_id").as("src"), col("n_vec_id").as("dst")))
-        .localCheckpoint()
-      val mDf = und.agg(count(lit(1)).as("m"))
-      val sym = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
-      val deg = sym.groupBy("v").agg(count(lit(1)).as("d"))
-      val dc = lab.join(deg, lab("vec_id") === deg("v"), "left")
-        .groupBy("community")
-        .agg(count(lit(1)).as("n_nodes"),
-          sum(coalesce(col("d"), lit(0L))).as("total_degree"))
-      val la = lab.select(col("vec_id").as("na"), col("community").as("ca"))
-      val lb = lab.select(col("vec_id").as("nb"), col("community").as("cb"))
-      val ec = und.join(la, col("a") === col("na")).join(lb, col("b") === col("nb"))
-        .filter(col("ca") === col("cb"))
-        .groupBy(col("ca").as("community")).agg(count(lit(1)).as("internal_edges"))
-      dc.join(ec, Seq("community"), "left").crossJoin(mDf)
-        .select(col("community"), col("n_nodes"),
-          coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
-          col("total_degree"),
-          round(coalesce(col("internal_edges"), lit(0L)) / col("m").cast(DoubleType)
-            - pow(col("total_degree") / (lit(2.0) * col("m")), 2), 6).as("modularity"))
-        .orderBy("community")
-    },
+        .localCheckpoint()),
     Some(s"""
       WITH ${VectorQueries.PortableLshEdgeSql},
       sym AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
@@ -728,41 +749,56 @@ object GraphQueries {
       val base = graft.sources.GraftFs.qualify(s,
         s"target/graft-ivf/$tag/dbscan_db1_mp${DbscanMinPts}_p${VectorQueries.GraphLshTables}x${VectorQueries.GraphLshBits}r${VectorQueries.GraphLshRadius}")
       if (!graft.sources.GraftFs.hasSuccess(s, base)) {
-        val und = lshUndirectedEdges(s, dir).localCheckpoint()
-        val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
-          .groupBy("v").agg(count(lit(1)).as("d"))
-        val core = deg.filter(col("d") >= DbscanMinPts).select("v").localCheckpoint()
-        val ce = und
-          .join(core.select(col("v").as("ca")), col("a") === col("ca"))
-          .join(core.select(col("v").as("cb")), col("b") === col("cb"))
-          .select(col("a").as("doc_id1"), col("b").as("doc_id2"))
-        DedupQueries.connectedComponents(core.select(col("v").as("doc_id")), ce)
+        dbscanCoreLabels(lshUndirectedEdges(s, dir).localCheckpoint(), DbscanMinPts)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(base)
       }
       s.read.parquet(base)
     }
 
+  /** The core-cluster label build: degree census → core filter (degree ≥
+    * minPts) → min-core-id pointer-jumping CC on the core-core subgraph.
+    * Returns (doc_id, cluster_id) with one row per CORE node.
+    */
+  private[graft] def dbscanCoreLabels(und: DataFrame, minPts: Int): DataFrame = {
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val core = deg.filter(col("d") >= minPts).select("v").localCheckpoint()
+    val ce = und
+      .join(core.select(col("v").as("ca")), col("a") === col("ca"))
+      .join(core.select(col("v").as("cb")), col("b") === col("cb"))
+      .select(col("a").as("doc_id1"), col("b").as("doc_id2"))
+    DedupQueries.connectedComponents(core.select(col("v").as("doc_id")), ce)
+  }
+
+  /** The role/assignment fold over a prebuilt core-label frame: core =
+    * labeled, border = non-core adjacent to a core (min adjacent core
+    * label — deterministic, unlike visit-order classic DBSCAN), noise =
+    * the rest (cluster −1).
+    */
+  private[graft] def dbscanOnEdges(nodes: DataFrame, und: DataFrame,
+      coreLabels: DataFrame): DataFrame = {
+    val sym = und.select(col("a").as("v"), col("b").as("u"))
+      .union(und.select(col("b").as("v"), col("a").as("u")))
+    val clab = coreLabels.select(col("doc_id").as("cv"), col("cluster_id"))
+    val bord = sym.join(clab, col("u") === col("cv"))
+      .join(clab.select(col("cv").as("xc")), col("v") === col("xc"), "left_anti")
+      .groupBy(col("v").as("bv")).agg(min(col("cluster_id")).as("bcluster"))
+    nodes.join(clab, nodes("vec_id") === clab("cv"), "left")
+      .join(bord, nodes("vec_id") === bord("bv"), "left")
+      .select(col("vec_id"),
+        when(col("cluster_id").isNotNull, lit("core"))
+          .when(col("bcluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("cluster_id"), col("bcluster"), lit(-1L)).as("cluster"))
+      .orderBy("vec_id")
+  }
+
   val vecDbscanLsh = QueryDef(
     "q_vec_dbscan_lsh",
-    (s, dir) => {
-      val und = lshUndirectedEdges(s, dir)
-      val sym = und.select(col("a").as("v"), col("b").as("u"))
-        .union(und.select(col("b").as("v"), col("a").as("u")))
-      val clab = dbscanCoreLabelsPersisted(s, dir)
-        .select(col("doc_id").as("cv"), col("cluster_id"))
-      val bord = sym.join(clab, col("u") === col("cv"))
-        .join(clab.select(col("cv").as("xc")), col("v") === col("xc"), "left_anti")
-        .groupBy(col("v").as("bv")).agg(min(col("cluster_id")).as("bcluster"))
-      val e = Tables.embeddings(s, dir).select("vec_id")
-      e.join(clab, e("vec_id") === clab("cv"), "left")
-        .join(bord, e("vec_id") === bord("bv"), "left")
-        .select(col("vec_id"),
-          when(col("cluster_id").isNotNull, lit("core"))
-            .when(col("bcluster").isNotNull, lit("border"))
-            .otherwise(lit("noise")).as("role"),
-          coalesce(col("cluster_id"), col("bcluster"), lit(-1L)).as("cluster"))
-        .orderBy("vec_id")
-    },
+    (s, dir) => dbscanOnEdges(
+      Tables.embeddings(s, dir).select("vec_id"),
+      lshUndirectedEdges(s, dir),
+      dbscanCoreLabelsPersisted(s, dir)),
     Some(s"""
       WITH RECURSIVE ${VectorQueries.PortableLshEdgeSql},
       sym AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),

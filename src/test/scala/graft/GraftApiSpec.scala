@@ -34,6 +34,49 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     kept.select("text").distinct().count() shouldBe kept.count()
   }
 
+  test("graph handle: components/dbscan/communities/modularity/closeness on a hand graph") {
+    // two triangles bridged by one edge, plus a pendant and an isolate:
+    //   0-1-2-0   2-3   3-4-5-3   5-6   (7 isolated via nodes frame)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 3L), (5L, 6L))
+      .toDF("from_id", "to_id")
+    val nodes = (0L to 7L).toDF("nid")
+    val g = edges.graft.graph(src = "from_id", dst = "to_id",
+      nodes = Some(nodes), id = "nid")
+
+    val comp = g.components().collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    comp.toMap shouldBe (0L to 6L).map(_ -> (0L, 7L)).toMap + (7L -> (7L, 1L))
+
+    val roles = g.dbscan(minPts = 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // degrees: 0,1,4→2; 6→1; cores = {2,3,5} (degree 3), all in one
+    // core-chain 2-3-5 → cluster = min core id = 2
+    roles(2L) shouldBe ("core", 2L)
+    roles(3L) shouldBe ("core", 2L) // 2-3 edge joins the cores
+    roles(5L) shouldBe ("core", 2L)
+    roles(0L)._1 shouldBe "border" // adjacent to core 2
+    roles(6L) shouldBe ("border", 2L)
+    roles(4L)._1 shouldBe "border"
+    roles(7L) shouldBe ("noise", -1L)
+
+    val tri = g.triangles().collect()
+    tri.length shouldBe 1 // global census row
+    tri.head.getLong(4) shouldBe 2L // two triangles
+
+    val q = g.modularity()
+    val tot = q.collect().map(_.getDouble(4)).sum
+    assert(tot > -1.0 && tot <= 1.0)
+    q.columns shouldBe Array("community", "n_nodes", "internal_edges", "total_degree", "modularity")
+
+    val close = g.closeness(landmarks = 8, hopCap = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    close.length shouldBe 8
+    // the isolate reaches no landmark but itself (d>=1 excluded)
+    val iso = close.find(_._1 == 7L).get
+    iso._2 should be <= 1L // at most itself-as-landmark... zero non-self reaches
+    close.filter(c => c._1 <= 6L).foreach(c => assert(c._3 > 0.0))
+  }
+
   test("containmentPairs on renamed columns matches the brute-force containment truth") {
     val docs = docsDf.select(
       $"doc_id".as("id"), $"lang".as("language"), $"text".as("body"))

@@ -275,6 +275,24 @@ class GraphOpsSpec extends SparkTestBase with Matchers {
     info(s"mix=$mix clusters=${clab.values.toSet.size}")
   }
 
+  test("graph facade over the LSH edge frame is row-equal to the registered queries") {
+    import graft.api.implicits._
+    val edges = GraphQueries.lshUndirectedEdges(spark, sfTiny)
+      .select(org.apache.spark.sql.functions.col("a").as("x"),
+        org.apache.spark.sql.functions.col("b").as("y"))
+    val nodes = Tables.embeddings(spark, sfTiny)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("nid"))
+    val g = edges.graft.graph(src = "x", dst = "y", nodes = Some(nodes), id = "nid")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    // the facade instance must equal the oracle-checked registered query
+    rows(g.components()) shouldBe rows(GraphQueries.graphComponentsLsh.query(spark, sfTiny))
+    rows(g.dbscan(minPts = 4)) shouldBe rows(GraphQueries.vecDbscanLsh.query(spark, sfTiny))
+    rows(g.closeness()) shouldBe rows(GraphQueries.graphClosenessLsh.query(spark, sfTiny))
+    rows(g.communities()) shouldBe rows(GraphQueries.graphLabelpropLsh.query(spark, sfTiny))
+    rows(g.modularity()) shouldBe rows(GraphQueries.graphModularityLsh.query(spark, sfTiny))
+  }
+
   test("linkpred_lsh and outliers_lsh: top-set overlap with exact ≥ 0.5") {
     // top-k lists over a slightly different edge set shuffle at the tail;
     // the floor asserts the twins surface substantially the SAME story
