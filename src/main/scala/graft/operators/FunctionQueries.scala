@@ -406,7 +406,69 @@ object FunctionQueries {
     """.trim),
   )
 
+  /** XML family (Spark 4 structured-ingest surface): from_xml with an
+    * explicit schema plus the xpath_* scalar extractors, over an XML
+    * document synthesized from event fields. DuckDB has no XML functions,
+    * so the oracle computes each expected component directly from the
+    * same base columns (the q_fn_url independent-expected-value pattern);
+    * a malformed-document probe pins the PERMISSIVE null-field behavior
+    * (the try_* philosophy applied to parsing).
+    */
+  val fnXml = QueryDef(
+    "q_fn_xml",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("xml", concat(
+          lit("<e><t>"), col("event_type"), lit("</t><u>"), col("user_id"),
+          lit("</u></e>")))
+        .select(col("event_id"),
+          expr("xpath_string(xml, '/e/t')").as("t_path"),
+          expr("xpath_long(xml, '/e/u')").as("u_path"),
+          from_xml(col("xml"), StructType(Seq(
+            StructField("t", StringType), StructField("u", LongType)))).as("parsed"),
+          from_xml(concat(lit("<broken"), col("xml")), StructType(Seq(
+            StructField("t", StringType)))).as("broken"))
+        .select(col("event_id"), col("t_path"), col("u_path"),
+          col("parsed.t").as("t_struct"), col("parsed.u").as("u_struct"),
+          col("broken.t").isNull.as("broken_failed"))
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             event_type AS t_path,
+             user_id AS u_path,
+             event_type AS t_struct,
+             user_id AS u_struct,
+             true AS broken_failed
+      FROM events ORDER BY event_id
+    """.trim),
+  )
+
+  /** VARIANT family (Spark 4 semi-structured type): parse_json into an
+    * open-schema VARIANT, typed field extraction via variant_get, the
+    * try_parse_json null-on-malformed probe, and the compact to_json
+    * round-trip. The oracle rebuilds each expected value from the source
+    * JSON text with DuckDB's json functions — including the canonical
+    * compact serialization.
+    */
+  val fnVariant = QueryDef(
+    "q_fn_variant",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
+          expr("try_parse_json('{nope')").isNull.as("bad_is_null"), // malformed → NULL, never a task failure
+          expr("to_json(parse_json(props))").as("compact"))
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             true AS bad_is_null,
+             '{"k":' || json_extract_string(props, '$.k') || '}' AS compact
+      FROM events ORDER BY event_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     fnString, fnDate, fnDate2, fnMath, fnCond, fnJson, fnArray, fnMap, fnExplode, fnTryCast,
-    fnFromJson, fnUrl, fnEncode, fnStruct)
+    fnFromJson, fnUrl, fnEncode, fnStruct, fnXml, fnVariant)
 }

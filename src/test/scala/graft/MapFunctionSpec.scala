@@ -21,4 +21,24 @@ class MapFunctionSpec extends SparkTestBase with Matchers {
     val again = FunctionQueries.fnMap.query(spark, sfTiny).limit(5).collect()
     rows.toSeq shouldBe again.toSeq
   }
+
+  test("q_fn_xml: xpath and from_xml agree; malformed doc yields null fields") {
+    val rows = FunctionQueries.fnXml.query(spark, sfTiny).limit(20).collect()
+    rows should have size 20
+    rows.foreach { r =>
+      r.getString(1) shouldBe r.getString(3) // xpath_string == struct field
+      r.getLong(2) shouldBe r.getLong(4)     // xpath_long == struct field
+      r.getBoolean(5) shouldBe true          // broken doc parsed to null field
+      Set("click", "view", "signup", "purchase", "error") should contain(r.getString(1))
+    }
+  }
+
+  test("q_fn_variant: typed extraction matches the JSON text; compact round-trip") {
+    val rows = FunctionQueries.fnVariant.query(spark, sfTiny).limit(20).collect()
+    rows should have size 20
+    rows.foreach { r =>
+      r.getBoolean(2) shouldBe true // try_parse_json('{nope') is NULL
+      r.getString(3) shouldBe s"""{"k":${r.getInt(1)}}""" // compact serialization
+    }
+  }
 }
