@@ -773,4 +773,12 @@ final class GraphHandle private[api] (edges: DataFrame, nodes: DataFrame, id: St
   def closeness(landmarks: Int = 8, hopCap: Int = 10): DataFrame =
     GraphQueries.closenessOnEdges(nodes, und.localCheckpoint(), landmarks, hopCap)
       .withColumnRenamed("vec_id", id)
+
+  /** HITS hubs & authorities (Kleinberg 1999) over the DIRECTED edges,
+    * unnormalized integer iterations (exact, rank-equivalent) with one
+    * max-normalization at the end — (`id`, hub, auth, hub_norm,
+    * auth_norm).
+    */
+  def hits(iters: Int = 3): DataFrame =
+    GraphQueries.hitsOnEdges(nodes, edges, iters).withColumnRenamed("vec_id", id)
 }

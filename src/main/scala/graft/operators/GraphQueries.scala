@@ -831,7 +831,84 @@ object GraphQueries {
     """.trim),
   )
 
+  /** The edge-source-agnostic core: `iters` rounds of UNNORMALIZED HITS
+    * (Kleinberg 1999) over a DIRECTED (src,dst) edge frame — h_k(v) =
+    * Σ_{v→u} a_{k-1}(u), then a_k(v) = Σ_{u→v} h_k(u) (the classic
+    * in-iteration ordering). Skipping the per-round norm keeps every
+    * score an exact INTEGER (bounded by k^{2·iters} on a k-NN graph —
+    * corpus-size-independent, no overflow), so both engines agree
+    * bit-for-bit; ranks are norm-invariant, and display normalization
+    * (one division by the integer max, round 6) happens once at the end
+    * — the q_graph_stats_lsh moments discipline applied to an iterative
+    * algorithm. Each round is two skinny join+aggregate passes, linear
+    * in edges.
+    */
+  private[graft] def hitsOnEdges(nodes: DataFrame, edges: DataFrame,
+      iters: Int = 3): DataFrame = {
+    val nv = nodes.select(col("vec_id").as("v")).localCheckpoint()
+    val ed = edges.select(col("src"), col("dst")).localCheckpoint()
+    var a = nv.select(col("v"), lit(1L).as("a"))
+    var h = nv.select(col("v"), lit(1L).as("h"))
+    for (_ <- 1 to iters) {
+      val hN = ed.join(a, ed("dst") === a("v"))
+        .groupBy(ed("src").as("nv")).agg(sum("a").as("nh"))
+      h = nv.join(hN, col("v") === col("nv"), "left")
+        .select(col("v"), coalesce(col("nh"), lit(0L)).as("h")).localCheckpoint()
+      val aN = ed.join(h, ed("src") === h("v"))
+        .groupBy(ed("dst").as("nv")).agg(sum("h").as("na"))
+      a = nv.join(aN, col("v") === col("nv"), "left")
+        .select(col("v"), coalesce(col("na"), lit(0L)).as("a")).localCheckpoint()
+    }
+    val joined = h.join(a, "v")
+    val mx = joined.agg(max("h").as("mh"), max("a").as("ma"))
+    joined.crossJoin(broadcast(mx))
+      .select(col("v").as("vec_id"), col("h").as("hub"), col("a").as("auth"),
+        round(col("h") / col("mh").cast(DoubleType), 6).as("hub_norm"),
+        round(col("a") / col("ma").cast(DoubleType), 6).as("auth_norm"))
+      .orderBy("vec_id")
+  }
+
+  private def hitsIterSql(k: Int): String =
+    s"""h$k AS (
+       |  SELECT n.vec_id AS v, CAST(COALESCE(SUM(p.a), 0) AS BIGINT) AS h
+       |  FROM nodes n LEFT JOIN edges e ON e.src = n.vec_id
+       |  LEFT JOIN a${k - 1} p ON p.v = e.dst GROUP BY n.vec_id),
+       |a$k AS (
+       |  SELECT n.vec_id AS v, CAST(COALESCE(SUM(q.h), 0) AS BIGINT) AS a
+       |  FROM nodes n LEFT JOIN edges e2 ON e2.dst = n.vec_id
+       |  LEFT JOIN h$k q ON q.v = e2.src GROUP BY n.vec_id)""".stripMargin
+
+  /** HITS hubs & authorities over the persisted LSH kNN graph — the
+    * directed-role complement to PageRank on a similarity graph: a HUB
+    * is a document whose nearest-neighbor list points at well-pointed-to
+    * documents (a survey/boilerplate signature), an AUTHORITY is one
+    * many such lists converge on (a canonical-version signature — the
+    * natural "which copy do I keep" prior for near-dup families).
+    */
+  val graphHitsLsh = QueryDef(
+    "q_graph_hits_lsh",
+    (s, dir) => hitsOnEdges(
+      Tables.embeddings(s, dir).select("vec_id"),
+      VectorQueries.lshKnnEdgesPersisted(s, dir)
+        .select(col("vec_id").as("src"), col("n_vec_id").as("dst"))),
+    Some(s"""
+      WITH ${VectorQueries.PortableLshEdgeSql},
+      nodes AS (SELECT vec_id FROM embeddings),
+      a0 AS (SELECT vec_id AS v, CAST(1 AS BIGINT) AS a FROM nodes),
+      ${hitsIterSql(1)},
+      ${hitsIterSql(2)},
+      ${hitsIterSql(3)},
+      mx AS (SELECT (SELECT MAX(h) FROM h3) AS mh, (SELECT MAX(a) FROM a3) AS ma)
+      SELECT h3.v AS vec_id, h3.h AS hub, a3.a AS auth,
+             ROUND(h3.h / CAST(mh AS DOUBLE), 6) AS hub_norm,
+             ROUND(a3.a / CAST(ma AS DOUBLE), 6) AS auth_norm
+      FROM h3 JOIN a3 ON h3.v = a3.v CROSS JOIN mx
+      ORDER BY vec_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(graphTriangles, graphLabelprop, graphLinkpred, graphOutliers,
     graphTrianglesLsh, graphLabelpropLsh, graphLinkpredLsh, graphOutliersLsh,
-    graphComponentsLsh, graphStatsLsh, graphClosenessLsh, graphModularityLsh, vecDbscanLsh)
+    graphComponentsLsh, graphStatsLsh, graphClosenessLsh, graphModularityLsh, vecDbscanLsh,
+    graphHitsLsh)
 }

@@ -743,7 +743,7 @@ object VectorQueries {
     * n_vec_id, cos) parquet back. The family config is part of the dir
     * name so a constant change can never serve a stale graph.
     */
-  private[operators] def lshKnnEdgesPersisted(s: SparkSession, dir: String): DataFrame = synchronized {
+  private[graft] def lshKnnEdgesPersisted(s: SparkSession, dir: String): DataFrame = synchronized {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val base = graft.sources.GraftFs.qualify(s,
       s"target/graft-ivf/$tag/lshknn_p${GraphLshTables}x${GraphLshBits}r$GraphLshRadius")

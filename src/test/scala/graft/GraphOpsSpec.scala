@@ -275,6 +275,32 @@ class GraphOpsSpec extends SparkTestBase with Matchers {
     info(s"mix=$mix clusters=${clab.values.toSet.size}")
   }
 
+  test("hits_lsh: integer hub/auth iterations match a driver recount") {
+    val edges = graft.operators.VectorQueries.lshKnnEdgesPersisted(spark, sfTiny)
+      .select("vec_id", "n_vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = Tables.embeddings(spark, sfTiny).select("vec_id")
+      .collect().map(_.getLong(0))
+    val outAdj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val inAdj = edges.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    var a = nodes.map(_ -> 1L).toMap
+    var h = Map.empty[Long, Long]
+    for (_ <- 1 to 3) {
+      h = nodes.map(v => v -> outAdj.getOrElse(v, Array.empty[Long]).map(a).sum).toMap
+      a = nodes.map(v => v -> inAdj.getOrElse(v, Array.empty[Long]).map(h).sum).toMap
+    }
+    val (mh, ma) = (h.values.max, a.values.max)
+    val rows = GraphQueries.graphHitsLsh.query(spark, sfTiny).collect()
+    rows.length shouldBe nodes.length
+    rows.foreach { r =>
+      val v = r.getLong(0)
+      r.getLong(1) shouldBe h(v)
+      r.getLong(2) shouldBe a(v)
+      r.getDouble(3) shouldBe math.round(h(v).toDouble / mh * 1e6) / 1e6
+      r.getDouble(4) shouldBe math.round(a(v).toDouble / ma * 1e6) / 1e6
+    }
+    info(s"max hub=$mh max auth=$ma over ${edges.length} directed edges")
+  }
+
   test("graph facade over the LSH edge frame is row-equal to the registered queries") {
     import graft.api.implicits._
     val edges = GraphQueries.lshUndirectedEdges(spark, sfTiny)
@@ -291,6 +317,14 @@ class GraphOpsSpec extends SparkTestBase with Matchers {
     rows(g.closeness()) shouldBe rows(GraphQueries.graphClosenessLsh.query(spark, sfTiny))
     rows(g.communities()) shouldBe rows(GraphQueries.graphLabelpropLsh.query(spark, sfTiny))
     rows(g.modularity()) shouldBe rows(GraphQueries.graphModularityLsh.query(spark, sfTiny))
+    // hits/pagerank follow the DIRECTED-edge contract — pin on the raw frame
+    val directed = graft.operators.VectorQueries.lshKnnEdgesPersisted(spark, sfTiny)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("x"),
+        org.apache.spark.sql.functions.col("n_vec_id").as("y"))
+    val gd = directed.graft.graph(src = "x", dst = "y", nodes = Some(nodes), id = "nid")
+    rows(gd.hits()) shouldBe rows(GraphQueries.graphHitsLsh.query(spark, sfTiny))
+    rows(gd.pagerank()) shouldBe rows(
+      graft.SparkEntry.queries("q_vec_pagerank_lsh")(spark, sfTiny))
   }
 
   test("linkpred_lsh and outliers_lsh: top-set overlap with exact ≥ 0.5") {
