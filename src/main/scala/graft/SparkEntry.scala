@@ -18,7 +18,8 @@ object SparkEntry {
       StreamQueries.defs ++ MultimodalOps.defs ++ ContainerOps.defs ++ graft.multimodal.PackStore.defs ++ VideoContainerOps.defs ++ ExtraQueries.defs ++ SubqueryQueries.defs ++
       MoreQueries.defs ++ CurationPipeline.defs ++ AnalyticsQueries.defs ++ TpchQueries.defs ++
       EventQueries.defs ++ CurationQueries.defs ++ SourceQueries.defs ++
-      TimeSeriesQueries.defs ++ CdcQueries.defs ++ SearchQueries.defs ++ GraphQueries.defs
+      TimeSeriesQueries.defs ++ CdcQueries.defs ++ SearchQueries.defs ++ GraphQueries.defs ++
+      MiningQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

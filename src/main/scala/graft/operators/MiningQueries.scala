@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pattern-mining operators: frequent itemset pairs over order baskets and
+  * an edit-distance similarity self-join over document prefixes. Both are
+  * "candidate pruning before the quadratic step" designs — the only shape
+  * that survives 100 TB:
+  *
+  *   - q_mine_itemsets prunes with the apriori monotonicity (a pair can
+  *     only be frequent if both items are), so the self-join runs over the
+  *     support-filtered fact only, and the frequent-item dimension is
+  *     broadcast (it is small BY CONSTRUCTION: at most |baskets|·maxlen /
+  *     minsup items can pass the threshold).
+  *   - q_sim_editdist prunes with the PassJoin pigeonhole (Li, Deng, Feng:
+  *     "PASS-JOIN: a partition-based method for similarity joins", VLDB
+  *     2012): if ed(s,t) <= K and s is split into K+1 segments, t contains
+  *     some segment of s verbatim, starting within +-K of its position in
+  *     s. Candidates come from one equi-shuffle on (segment-index, gram);
+  *     the quadratic levenshtein verify runs only on that candidate set.
+  */
+object MiningQueries {
+
+  /** Minimum basket support for a single item (apriori prefilter). */
+  private val MinItemSup = 25
+  /** Minimum basket support for an emitted pair. */
+  private val MinPairSup = 2
+
+  /** Frequent item-pair mining over lineitem baskets (basket = order,
+    * item = part). Plan: one distinct shuffle to basket-item grain, a
+    * hash-aggregate for item supports, a BROADCAST semi-join to keep only
+    * frequent items, then the within-basket self-join (co-partitioned on
+    * the basket key — one shuffle feeds both sides) and a pair-count
+    * aggregate. Per-basket pair fan-out is C(len,2) with len bounded by
+    * basket size (7 here; bounded in any real catalog), so no skew salt is
+    * needed on the basket key. At production scale minsup is a FRACTION of
+    * basket count; the fixture pins absolute counts for determinism.
+    */
+  val mineItemsets = QueryDef(
+    "q_mine_itemsets",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val freq = li.groupBy("pk").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= MinItemSup).select("pk")
+      val fli = li.join(broadcast(freq), "pk").select("ok", "pk")
+      fli.as("a").join(fli.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= MinPairSup)
+        .orderBy(desc("support"), col("p1"), col("p2"))
+    },
+    oracle = Some(s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      freq AS (SELECT pk FROM li GROUP BY pk HAVING count(*) >= $MinItemSup),
+      fli AS (SELECT ok, pk FROM li WHERE pk IN (SELECT pk FROM freq))
+      SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+      FROM fli a JOIN fli b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= $MinPairSup
+      ORDER BY support DESC, p1, p2
+    """.trim),
+  )
+
+  /** Edit-distance threshold. */
+  private val EdK = 3
+  /** Compared prefix length (chars) and segment length. */
+  private val PrefixLen = 40
+  private val NumSeg = EdK + 1        // pigeonhole: K+1 segments
+  private val SegLen = PrefixLen / NumSeg
+
+  /** Valid (segment-index, 1-based probe start) pairs: starts within +-K
+    * of the segment position, clipped so the gram fits in the prefix
+    * (matches outside the clip cannot exist, so clipping keeps the
+    * pigeonhole complete).
+    */
+  private val probeStarts: Seq[(Int, Int)] = for {
+    i <- 0 until NumSeg
+    d <- -EdK to EdK
+    st = i * SegLen + 1 + d
+    if st >= 1 && st + SegLen - 1 <= PrefixLen
+  } yield (i, st)
+
+  /** Edit-distance similarity self-join on 40-char document prefixes
+    * (ed <= 3): the fuzzy-matching primitive for near-identical headers /
+    * boilerplate variants that hash dedup misses by one typo. Candidates
+    * from the PassJoin pigeonhole: the index side emits each doc's K+1
+    * fixed segments, the probe side emits grams at +-K shifted starts, one
+    * equi-shuffle on (segment, gram) joins them (each doc plays both
+    * roles, so the pigeonhole holds whichever side of a pair is "s").
+    * Only the deduplicated candidate pairs pay the O(len^2) levenshtein
+    * DP. Skew note: a corpus-hot gram (shared boilerplate) fattens one
+    * (seg, gram) key; the standing census-salt recipe (q_dedup_near_salted)
+    * applies unchanged because the join is a plain equi-join. Oracle:
+    * DuckDB re-derives the same pigeonhole candidates (levenshtein on the
+    * 12.5M-pair cross product is not viable even at sf0.01);
+    * MiningSpec proves candidate-set completeness against the brute-force
+    * cross product at sf0.001.
+    */
+  val simEditdist = QueryDef(
+    "q_sim_editdist",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("n_chars") >= PrefixLen)
+        .select(col("doc_id"), substring(col("text"), 1, PrefixLen).as("p"))
+      val segs = docs.select(col("doc_id").as("id_a"),
+        explode(array((0 until NumSeg).map(i =>
+          struct(lit(i).as("seg"), substring(col("p"), i * SegLen + 1, SegLen).as("g"))): _*)).as("sg"))
+        .select(col("id_a"), col("sg.seg").as("seg"), col("sg.g").as("g"))
+      val probes = docs.select(col("doc_id").as("id_b"),
+        explode(array(probeStarts.map { case (i, st) =>
+          struct(lit(i).as("seg"), substring(col("p"), st, SegLen).as("g"))
+        }: _*)).as("pr"))
+        .select(col("id_b"), col("pr.seg").as("seg"), col("pr.g").as("g"))
+      val cand = segs.join(probes, Seq("seg", "g"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as("doc_id1"),
+                greatest(col("id_a"), col("id_b")).as("doc_id2"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("doc_id1"), col("p").as("pa")), "doc_id1")
+        .join(docs.select(col("doc_id").as("doc_id2"), col("p").as("pb")), "doc_id2")
+        .select(col("doc_id1"), col("doc_id2"),
+                // long: BIGINT parity with DuckDB's levenshtein (driver
+                // compares schemas, not just values)
+                levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+        .filter(col("dist") <= EdK)
+        .orderBy(col("doc_id1"), col("doc_id2"))
+    },
+    oracle = Some {
+      val probesSql = probeStarts.map { case (i, st) => s"($i, $st)" }.mkString(", ")
+      val segsSql = (0 until NumSeg).map(i => s"($i, ${i * SegLen + 1})").mkString(", ")
+      s"""
+      WITH d AS (SELECT doc_id, substr(text, 1, $PrefixLen) AS p
+                 FROM documents WHERE n_chars >= $PrefixLen),
+      segs AS (SELECT doc_id AS id_a, s.seg, substr(p, s.st, $SegLen) AS g
+               FROM d, (VALUES $segsSql) AS s(seg, st)),
+      probes AS (SELECT doc_id AS id_b, s.seg, substr(p, s.st, $SegLen) AS g
+                 FROM d, (VALUES $probesSql) AS s(seg, st)),
+      cand AS (SELECT DISTINCT least(id_a, id_b) AS doc_id1,
+                               greatest(id_a, id_b) AS doc_id2
+               FROM segs JOIN probes USING (seg, g) WHERE id_a <> id_b)
+      SELECT c.doc_id1, c.doc_id2, levenshtein(a.p, b.p) AS dist
+      FROM cand c JOIN d a ON a.doc_id = c.doc_id1 JOIN d b ON b.doc_id = c.doc_id2
+      WHERE levenshtein(a.p, b.p) <= $EdK
+      ORDER BY doc_id1, doc_id2
+      """.trim
+    },
+  )
+
+  def defs: Seq[QueryDef] = Seq(mineItemsets, simEditdist)
+}

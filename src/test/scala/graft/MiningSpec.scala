@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.MiningQueries
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Mining family (q_mine_itemsets / q_sim_editdist). The DuckDB oracles own
+  * value equality at sf0.01; these pin the pruning-correctness claims the
+  * oracle construction shares with the engine plan:
+  *   - PassJoin candidate COMPLETENESS vs the brute-force cross product
+  *     (the oracle re-derives the same pigeonhole, so it cannot catch a
+  *     missed pair — this test can).
+  *   - apriori prefilter losslessness: pair support >= MinPairSup with
+  *     both items frequent is exactly what the unfiltered self-join finds.
+  */
+class MiningSpec extends SparkTestBase with Matchers {
+
+  test("q_sim_editdist: PassJoin candidates are complete vs brute force") {
+    val docs = Tables.documents(spark, sfTiny)
+      .filter(col("n_chars") >= 40)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+      .cache()
+    val brute = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
+              levenshtein(col("a.p"), col("b.p")).as("dist"))
+      .filter(col("dist") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val passjoin = MiningQueries.simEditdist.query(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
+    passjoin shouldBe brute
+    info(s"${brute.size} true pairs at sf0.001, all recovered via pigeonhole")
+  }
+
+  test("q_mine_itemsets: apriori prefilter is lossless for the emitted tier") {
+    val li = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct().cache()
+    // unfiltered pair supports (no item prefilter)
+    val all = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val itemSup = li.groupBy("pk").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sf0.001 fixture is small: scale the item threshold the way production
+    // would (fraction of baskets); re-run the operator logic inline at that
+    // threshold and compare against the brute-force pair table.
+    val minItem = 3L
+    val minPair = 2L
+    val expected = all.filter { case ((p1, p2), sup) =>
+      sup >= minPair && itemSup(p1) >= minItem && itemSup(p2) >= minItem
+    }
+    val freq = li.groupBy("pk").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minItem).select("pk")
+    val fli = li.join(broadcast(freq), "pk").select("ok", "pk")
+    val mined = fli.as("a").join(fli.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minPair)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    mined shouldBe expected
+    // and every emitted pair's support is exact (not an estimate)
+    mined.foreach { case (k, sup) => all(k) shouldBe sup }
+    info(s"${mined.size} frequent pairs at sf0.001 (item>=3, pair>=2), all exact")
+  }
+
+  test("q_mine_itemsets: registered query is non-degenerate at sf0.001") {
+    // the registered thresholds are pinned for sf0.01+; at sf0.001 the
+    // item filter may empty the frame — assert it degrades to empty-or-
+    // valid rather than throwing, and the schema is stable.
+    val df = MiningQueries.mineItemsets.query(spark, sfTiny)
+    df.columns.toSeq shouldBe Seq("p1", "p2", "support")
+    df.collect().foreach(r => assert(r.getLong(2) >= 2))
+  }
+}
