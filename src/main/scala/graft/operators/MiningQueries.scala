@@ -64,6 +64,68 @@ object MiningQueries {
     """.trim),
   )
 
+  /** Minimum confidence for an emitted association rule. */
+  private val MinConf = 0.10
+
+  /** Association rules from the frequent pairs (both directions of every
+    * pair), with confidence = sup(pair)/sup(antecedent) and lift =
+    * sup(pair)·|baskets| / (sup(ant)·sup(cons)). The plan extends
+    * q_mine_itemsets with two joins against the (already broadcast-sized)
+    * frequent-item support dim and the one-row basket count — the
+    * quadratic step is shared, everything after it is dimension-sized.
+    * Float parity: confidence and lift are each ONE IEEE division of
+    * exact integer operands (products < 2^53), written with identical
+    * association in both engines, so no rounding is needed; ordering ties
+    * on the rational values break on (antecedent, consequent).
+    */
+  val mineRules = QueryDef(
+    "q_mine_rules",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val sup = li.groupBy("pk").agg(count(lit(1)).as("s"))
+        .filter(col("s") >= MinItemSup)
+      val fli = li.join(broadcast(sup.select("pk")), "pk").select("ok", "pk")
+      val nb = li.select(countDistinct(col("ok")).as("nb"))
+      val pairs = fli.as("a").join(fli.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= MinPairSup)
+      val rules = pairs.select(col("p1").as("ant"), col("p2").as("cons"), col("c"))
+        .union(pairs.select(col("p2").as("ant"), col("p1").as("cons"), col("c")))
+      rules
+        .join(broadcast(sup.select(col("pk").as("ant"), col("s").as("sa"))), "ant")
+        .join(broadcast(sup.select(col("pk").as("cons"), col("s").as("sc"))), "cons")
+        .crossJoin(broadcast(nb))
+        .select(col("ant"), col("cons"), col("c").as("support"),
+                (col("c").cast("double") / col("sa")).as("confidence"),
+                ((col("c") * col("nb")).cast("double") / (col("sa") * col("sc"))).as("lift"))
+        .filter(col("confidence") >= MinConf)
+        .orderBy(desc("confidence"), col("ant"), col("cons"))
+    },
+    oracle = Some(s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      sup AS (SELECT pk, count(*) AS s FROM li GROUP BY pk HAVING count(*) >= $MinItemSup),
+      fli AS (SELECT ok, li.pk FROM li JOIN sup USING (pk)),
+      nb AS (SELECT count(DISTINCT ok) AS nb FROM li),
+      pairs AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS c
+                FROM fli a JOIN fli b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2 HAVING count(*) >= $MinPairSup),
+      rules AS (SELECT p1 AS ant, p2 AS cons, c FROM pairs
+                UNION ALL
+                SELECT p2, p1, c FROM pairs)
+      SELECT ant, cons, c AS support,
+             CAST(c AS DOUBLE) / sa.s AS confidence,
+             CAST(c * nb.nb AS DOUBLE) / (sa.s * sc.s) AS lift
+      FROM rules
+      JOIN sup sa ON sa.pk = ant JOIN sup sc ON sc.pk = cons, nb
+      WHERE CAST(c AS DOUBLE) / sa.s >= $MinConf
+      ORDER BY confidence DESC, ant, cons
+    """.trim),
+  )
+
   /** Edit-distance threshold. */
   private val EdK = 3
   /** Compared prefix length (chars) and segment length. */
@@ -150,5 +212,5 @@ object MiningQueries {
     },
   )
 
-  def defs: Seq[QueryDef] = Seq(mineItemsets, simEditdist)
+  def defs: Seq[QueryDef] = Seq(mineItemsets, mineRules, simEditdist)
 }
