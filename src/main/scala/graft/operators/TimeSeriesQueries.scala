@@ -231,5 +231,91 @@ object TimeSeriesQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(tsEwma, tsAnomaly, tsStl, tsXcorr)
+  /** CUSUM slack below/above the series mean (value units). */
+  private val CusumSlack = 25
+  /** CUSUM alarm threshold (value units of normalized cumulative drift). */
+  private val CusumH = 250
+
+  /** Two-sided CUSUM changepoint detection per user series (Page 1954):
+    * the sustained-drift complement to q_ts_anomaly's point outliers — a
+    * level shift of many small steps never trips a z-score but integrates
+    * into a CUSUM alarm. The textbook recursion s_t = max(0, s_{t-1} +
+    * (x_t − μ) − κ) looks inherently sequential, but it has the exact
+    * prefix closed form s_t = P_t − min(0, min_{j<t} P_j) with
+    * P_t = Σ_{i≤t}((x_i − μ) − κ), so the whole operator is ONE shuffle on
+    * the series key and two window passes (cumulative sum, running min) —
+    * no recursion, no per-row state, frame O(1).
+    *
+    * Exactness: μ = S/n is rational, so everything is scaled by n —
+    * P'_t = n·cumsum(v) − t·(S ± n·κ) — and stays an exact decimal in
+    * both engines; the alarm compare (s' > n·H) is decimal-exact, and
+    * only the final normalized output value touches floats — computed as
+    * unscaled-integer / (100·n), ONE IEEE division of exact integer
+    * operands, bit-identical cross-engine. Neither a decimal→double cast
+    * (engines differ by an ulp: two-step hugeint·0.01 vs correctly-rounded
+    * BigDecimal) nor a 6dp round (ties at rational digit boundaries split
+    * the engines' ROUND implementations) survives the hash compare; the
+    * integer route sidesteps both. Both drift directions
+    * are tracked; the fixture's right-skewed values fire only the upward
+    * side (the oracle checks both arms either way).
+    */
+  val tsChangepoint = QueryDef(
+    "q_ts_changepoint",
+    (s, dir) => {
+      val byTime = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value").cast(DecimalType(9, 2)).as("v"))
+        .withColumn("rn", row_number().over(byTime))
+      val st = e.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast(DecimalType(38, 2)).as("sv"))
+      val byRn = Window.partitionBy("user_id").orderBy("rn")
+      val prior = byRn.rowsBetween(Window.unboundedPreceding, -1)
+      val zero = lit(0).cast(DecimalType(38, 2))
+      val p = e.join(st, "user_id")
+        .withColumn("cum", sum(col("v")).over(byRn).cast(DecimalType(38, 2)))
+        .withColumn("ppos", col("n") * col("cum") - col("rn") * (col("sv") + col("n") * lit(CusumSlack)))
+        .withColumn("pneg", col("n") * col("cum") - col("rn") * (col("sv") - col("n") * lit(CusumSlack)))
+      val c = p
+        .withColumn("cpos", col("ppos") - least(zero, coalesce(min(col("ppos")).over(prior), zero)))
+        .withColumn("cneg", greatest(zero, coalesce(max(col("pneg")).over(prior), zero)) - col("pneg"))
+      val up = c.filter(col("cpos") > col("n") * lit(CusumH))
+        .select(col("user_id"), col("event_id"),
+          ((col("cpos") * 100).cast(LongType).cast(DoubleType) / (col("n") * 100)).as("cusum"), lit("up").as("drift"))
+      val down = c.filter(col("cneg") > col("n") * lit(CusumH))
+        .select(col("user_id"), col("event_id"),
+          ((col("cneg") * 100).cast(LongType).cast(DoubleType) / (col("n") * 100)).as("cusum"), lit("down").as("drift"))
+      up.unionAll(down).orderBy("user_id", "event_id", "drift")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(value AS DECIMAL(9,2)) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+      st AS (SELECT user_id, count(*) AS n, CAST(sum(v) AS DECIMAL(38,2)) AS sv FROM e GROUP BY 1),
+      p AS (
+        SELECT e.user_id, event_id, rn, n,
+               n * SUM(v) OVER w - rn * (sv + n * $CusumSlack) AS ppos,
+               n * SUM(v) OVER w - rn * (sv - n * $CusumSlack) AS pneg
+        FROM e JOIN st USING (user_id)
+        WINDOW w AS (PARTITION BY e.user_id ORDER BY rn)),
+      c AS (
+        SELECT user_id, event_id, n,
+               ppos - LEAST(CAST(0 AS DECIMAL(38,2)),
+                 COALESCE(MIN(ppos) OVER wp, CAST(0 AS DECIMAL(38,2)))) AS cpos,
+               GREATEST(CAST(0 AS DECIMAL(38,2)),
+                 COALESCE(MAX(pneg) OVER wp, CAST(0 AS DECIMAL(38,2)))) - pneg AS cneg
+        FROM p
+        WINDOW wp AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT user_id, event_id, cusum, drift FROM (
+        SELECT user_id, event_id, CAST(CAST(cpos * 100 AS BIGINT) AS DOUBLE) / (n * 100) AS cusum, 'up' AS drift
+        FROM c WHERE cpos > n * $CusumH
+        UNION ALL
+        SELECT user_id, event_id, CAST(CAST(cneg * 100 AS BIGINT) AS DOUBLE) / (n * 100), 'down'
+        FROM c WHERE cneg > n * $CusumH)
+      ORDER BY user_id, event_id, drift
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(tsEwma, tsAnomaly, tsStl, tsXcorr, tsChangepoint)
 }
