@@ -655,6 +655,60 @@ final class GraftFrame(val df: DataFrame) {
       .orderBy("from_type", "to_type")
   }
 
+  /** Frequent item pairs over this frame's (basket, item) columns —
+    * q_mine_itemsets' apriori-prefiltered core: `(p1, p2, support)`.
+    * Thresholds are absolute basket counts.
+    */
+  def frequentPairs(basket: String = "ok", item: String = "pk",
+      minItemSup: Long = 25, minPairSup: Long = 2): DataFrame =
+    graft.operators.MiningQueries.frequentPairsOn(
+      df.select(col(basket).as("ok"), col(item).as("pk")).distinct(),
+      minItemSup, minPairSup)
+
+  /** Association rules from this frame's frequent pairs — q_mine_rules'
+    * core: `(ant, cons, support, confidence, lift)`.
+    */
+  def associationRules(basket: String = "ok", item: String = "pk",
+      minItemSup: Long = 25, minPairSup: Long = 2, minConf: Double = 0.10): DataFrame =
+    graft.operators.MiningQueries.rulesOn(
+      df.select(col(basket).as("ok"), col(item).as("pk")).distinct(),
+      minItemSup, minPairSup, minConf)
+
+  /** Edit-distance (≤ 3) near-pairs on 40-char text prefixes —
+    * q_sim_editdist's PassJoin core: `(doc_id1, doc_id2, dist)`. Rows
+    * whose text is shorter than the prefix are excluded (the pigeonhole
+    * segmentation needs fixed length).
+    */
+  def fuzzyPairs(id: String = "doc_id", text: String = "text"): DataFrame = {
+    val mq = graft.operators.MiningQueries
+    mq.editDistancePairsOn(
+      df.filter(length(col(text)) >= mq.PrefixLen)
+        .select(col(id).as("doc_id"), substring(col(text), 1, mq.PrefixLen).as("p")))
+  }
+
+  /** Attach the Morton z-order key of two non-negative integral columns
+    * as a `z` column — q_layout_zorder's core. Hand the result to
+    * `repartitionByRange($"z")` + sortWithinPartitions before a write and
+    * per-file min/max footers prune on BOTH columns at once.
+    */
+  def zorderKey(x: String, y: String): DataFrame =
+    graft.operators.LayoutQueries.withZKey(df, x, y)
+
+  /** Two-sided CUSUM changepoint alarms per series — q_ts_changepoint's
+    * closed-form core: `(<key>, <rid>, cusum, drift)`. `slack` (κ) and
+    * `h` are in value units; `value` is exact-decimal quantized at 2dp.
+    */
+  def cusum(key: String = "user_id", rid: String = "event_id",
+      value: String = "value", order: Seq[String] = Seq("ts", "event_id"),
+      slack: Int = 25, h: Int = 250): DataFrame =
+    graft.operators.TimeSeriesQueries.cusumOn(
+        df.select(Seq(col(key).as("k"), col(rid).as("rid"),
+          col(value).cast("decimal(9,2)").as("v")) ++
+          order.filterNot(c => c == rid || c == key).map(col): _*),
+        order.map(c => if (c == rid) asc("rid") else asc(c)),
+        slack, h)
+      .withColumnsRenamed(Map("k" -> key, "rid" -> rid))
+
   /** Treat this frame as an EDGE LIST and open the graph-analytics
     * family over it (q_graph_* / q_vec_dbscan's edge-source-agnostic
     * cores): components, LPA communities, modularity, triangle census,

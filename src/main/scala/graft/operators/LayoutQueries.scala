@@ -45,15 +45,25 @@ object LayoutQueries {
         shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
 
+  /** Attach the Morton z-key for two non-negative integral columns as a
+    * `z` column — the write-side clustering key a caller hands to
+    * repartitionByRange/sortWithinPartitions. Shared by q_layout_zorder
+    * and the `zorderKey` facade verb. One broadcast domain scan; the key
+    * itself is a codegen'd scalar projection.
+    */
+  private[graft] def withZKey(df: org.apache.spark.sql.DataFrame,
+      xCol: String, yCol: String): org.apache.spark.sql.DataFrame = {
+    val dom = df.agg(max(col(xCol)).as("__maxx"), max(col(yCol)).as("__maxy"))
+    df.crossJoin(broadcast(dom))
+      .withColumn("z", morton(norm(xCol, "__maxx"), norm(yCol, "__maxy")))
+      .drop("__maxx", "__maxy")
+  }
+
   val layoutZorder = QueryDef(
     "q_layout_zorder",
     (s, dir) => {
-      val li = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
-      val dom = li.agg(max(col("l_partkey")).as("maxp"), max(col("l_suppkey")).as("maxs"))
-      li.crossJoin(broadcast(dom))
-        .select(col("l_partkey"), col("l_suppkey"),
-          morton(norm("l_partkey", "maxp"),
-                 norm("l_suppkey", "maxs")).as("z"))
+      withZKey(Tables.lineitem(s, dir).select("l_partkey", "l_suppkey"),
+          "l_partkey", "l_suppkey")
         .groupBy(shiftright(col("z"), 2 * DimBits - 4).as("bucket"))
         .agg(count(lit(1)).as("n"),
           min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),

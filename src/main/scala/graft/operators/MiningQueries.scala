@@ -27,6 +27,52 @@ object MiningQueries {
   /** Minimum basket support for an emitted pair. */
   private val MinPairSup = 2
 
+  /** Frequent-pair core over an arbitrary (basket, item) frame — the
+    * edge-source-agnostic core the registered query AND the
+    * `frame.graft.frequentPairs(...)` facade verb both run. Input frame
+    * must already be at distinct basket-item grain.
+    */
+  private[graft] def frequentPairsOn(bi: org.apache.spark.sql.DataFrame,
+      minItemSup: Long, minPairSup: Long): org.apache.spark.sql.DataFrame = {
+    val freq = bi.groupBy("pk").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minItemSup).select("pk")
+    val fli = bi.join(broadcast(freq), "pk").select("ok", "pk")
+    fli.as("a").join(fli.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minPairSup)
+      .orderBy(desc("support"), col("p1"), col("p2"))
+  }
+
+  /** Association-rule core: both directions of every frequent pair with
+    * confidence and lift (one IEEE division each of exact integer
+    * operands). Shared by q_mine_rules and the facade verb.
+    */
+  private[graft] def rulesOn(bi: org.apache.spark.sql.DataFrame,
+      minItemSup: Long, minPairSup: Long, minConf: Double): org.apache.spark.sql.DataFrame = {
+    val sup = bi.groupBy("pk").agg(count(lit(1)).as("s"))
+      .filter(col("s") >= minItemSup)
+    val fli = bi.join(broadcast(sup.select("pk")), "pk").select("ok", "pk")
+    val nb = bi.select(countDistinct(col("ok")).as("nb"))
+    val pairs = fli.as("a").join(fli.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minPairSup)
+    val rules = pairs.select(col("p1").as("ant"), col("p2").as("cons"), col("c"))
+      .union(pairs.select(col("p2").as("ant"), col("p1").as("cons"), col("c")))
+    rules
+      .join(broadcast(sup.select(col("pk").as("ant"), col("s").as("sa"))), "ant")
+      .join(broadcast(sup.select(col("pk").as("cons"), col("s").as("sc"))), "cons")
+      .crossJoin(broadcast(nb))
+      .select(col("ant"), col("cons"), col("c").as("support"),
+              (col("c").cast("double") / col("sa")).as("confidence"),
+              ((col("c") * col("nb")).cast("double") / (col("sa") * col("sc"))).as("lift"))
+      .filter(col("confidence") >= minConf)
+      .orderBy(desc("confidence"), col("ant"), col("cons"))
+  }
+
   /** Frequent item-pair mining over lineitem baskets (basket = order,
     * item = part). Plan: one distinct shuffle to basket-item grain, a
     * hash-aggregate for item supports, a BROADCAST semi-join to keep only
@@ -39,20 +85,11 @@ object MiningQueries {
     */
   val mineItemsets = QueryDef(
     "q_mine_itemsets",
-    (s, dir) => {
-      val li = Tables.lineitem(s, dir)
+    (s, dir) => frequentPairsOn(
+      Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val freq = li.groupBy("pk").agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= MinItemSup).select("pk")
-      val fli = li.join(broadcast(freq), "pk").select("ok", "pk")
-      fli.as("a").join(fli.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= MinPairSup)
-        .orderBy(desc("support"), col("p1"), col("p2"))
-    },
+        .distinct(),
+      MinItemSup, MinPairSup),
     oracle = Some(s"""
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       freq AS (SELECT pk FROM li GROUP BY pk HAVING count(*) >= $MinItemSup),
@@ -80,31 +117,11 @@ object MiningQueries {
     */
   val mineRules = QueryDef(
     "q_mine_rules",
-    (s, dir) => {
-      val li = Tables.lineitem(s, dir)
+    (s, dir) => rulesOn(
+      Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val sup = li.groupBy("pk").agg(count(lit(1)).as("s"))
-        .filter(col("s") >= MinItemSup)
-      val fli = li.join(broadcast(sup.select("pk")), "pk").select("ok", "pk")
-      val nb = li.select(countDistinct(col("ok")).as("nb"))
-      val pairs = fli.as("a").join(fli.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-        .agg(count(lit(1)).as("c"))
-        .filter(col("c") >= MinPairSup)
-      val rules = pairs.select(col("p1").as("ant"), col("p2").as("cons"), col("c"))
-        .union(pairs.select(col("p2").as("ant"), col("p1").as("cons"), col("c")))
-      rules
-        .join(broadcast(sup.select(col("pk").as("ant"), col("s").as("sa"))), "ant")
-        .join(broadcast(sup.select(col("pk").as("cons"), col("s").as("sc"))), "cons")
-        .crossJoin(broadcast(nb))
-        .select(col("ant"), col("cons"), col("c").as("support"),
-                (col("c").cast("double") / col("sa")).as("confidence"),
-                ((col("c") * col("nb")).cast("double") / (col("sa") * col("sc"))).as("lift"))
-        .filter(col("confidence") >= MinConf)
-        .orderBy(desc("confidence"), col("ant"), col("cons"))
-    },
+        .distinct(),
+      MinItemSup, MinPairSup, MinConf),
     oracle = Some(s"""
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       sup AS (SELECT pk, count(*) AS s FROM li GROUP BY pk HAVING count(*) >= $MinItemSup),
@@ -127,9 +144,9 @@ object MiningQueries {
   )
 
   /** Edit-distance threshold. */
-  private val EdK = 3
+  private[graft] val EdK = 3
   /** Compared prefix length (chars) and segment length. */
-  private val PrefixLen = 40
+  private[graft] val PrefixLen = 40
   private val NumSeg = EdK + 1        // pigeonhole: K+1 segments
   private val SegLen = PrefixLen / NumSeg
 
@@ -161,36 +178,42 @@ object MiningQueries {
     * MiningSpec proves candidate-set completeness against the brute-force
     * cross product at sf0.001.
     */
+  /** PassJoin core over a (doc_id, p) frame whose `p` strings are all
+    * exactly PrefixLen chars (the caller truncates/filters) — shared by
+    * q_sim_editdist and the `fuzzyPairs` facade verb.
+    */
+  private[graft] def editDistancePairsOn(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val segs = docs.select(col("doc_id").as("id_a"),
+      explode(array((0 until NumSeg).map(i =>
+        struct(lit(i).as("seg"), substring(col("p"), i * SegLen + 1, SegLen).as("g"))): _*)).as("sg"))
+      .select(col("id_a"), col("sg.seg").as("seg"), col("sg.g").as("g"))
+    val probes = docs.select(col("doc_id").as("id_b"),
+      explode(array(probeStarts.map { case (i, st) =>
+        struct(lit(i).as("seg"), substring(col("p"), st, SegLen).as("g"))
+      }: _*)).as("pr"))
+      .select(col("id_b"), col("pr.seg").as("seg"), col("pr.g").as("g"))
+    val cand = segs.join(probes, Seq("seg", "g"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_id1"),
+              greatest(col("id_a"), col("id_b")).as("doc_id2"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_id1"), col("p").as("pa")), "doc_id1")
+      .join(docs.select(col("doc_id").as("doc_id2"), col("p").as("pb")), "doc_id2")
+      .select(col("doc_id1"), col("doc_id2"),
+              // long: BIGINT parity with DuckDB's levenshtein (driver
+              // compares schemas, not just values)
+              levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+      .filter(col("dist") <= EdK)
+      .orderBy(col("doc_id1"), col("doc_id2"))
+  }
+
   val simEditdist = QueryDef(
     "q_sim_editdist",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
+    (s, dir) => editDistancePairsOn(
+      Tables.documents(s, dir)
         .filter(col("n_chars") >= PrefixLen)
-        .select(col("doc_id"), substring(col("text"), 1, PrefixLen).as("p"))
-      val segs = docs.select(col("doc_id").as("id_a"),
-        explode(array((0 until NumSeg).map(i =>
-          struct(lit(i).as("seg"), substring(col("p"), i * SegLen + 1, SegLen).as("g"))): _*)).as("sg"))
-        .select(col("id_a"), col("sg.seg").as("seg"), col("sg.g").as("g"))
-      val probes = docs.select(col("doc_id").as("id_b"),
-        explode(array(probeStarts.map { case (i, st) =>
-          struct(lit(i).as("seg"), substring(col("p"), st, SegLen).as("g"))
-        }: _*)).as("pr"))
-        .select(col("id_b"), col("pr.seg").as("seg"), col("pr.g").as("g"))
-      val cand = segs.join(probes, Seq("seg", "g"))
-        .filter(col("id_a") =!= col("id_b"))
-        .select(least(col("id_a"), col("id_b")).as("doc_id1"),
-                greatest(col("id_a"), col("id_b")).as("doc_id2"))
-        .distinct()
-      cand
-        .join(docs.select(col("doc_id").as("doc_id1"), col("p").as("pa")), "doc_id1")
-        .join(docs.select(col("doc_id").as("doc_id2"), col("p").as("pb")), "doc_id2")
-        .select(col("doc_id1"), col("doc_id2"),
-                // long: BIGINT parity with DuckDB's levenshtein (driver
-                // compares schemas, not just values)
-                levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
-        .filter(col("dist") <= EdK)
-        .orderBy(col("doc_id1"), col("doc_id2"))
-    },
+        .select(col("doc_id"), substring(col("text"), 1, PrefixLen).as("p"))),
     oracle = Some {
       val probesSql = probeStarts.map { case (i, st) => s"($i, $st)" }.mkString(", ")
       val segsSql = (0 until NumSeg).map(i => s"($i, ${i * SegLen + 1})").mkString(", ")

@@ -259,34 +259,45 @@ object TimeSeriesQueries {
     * are tracked; the fixture's right-skewed values fire only the upward
     * side (the oracle checks both arms either way).
     */
+  /** CUSUM core over an arbitrary keyed series frame — columns (key `k`,
+    * row id `rid`, exact DECIMAL(9,2) value `v`, plus ordering columns) —
+    * shared by q_ts_changepoint and the `cusum` facade verb. Emits
+    * (k, rid, cusum, drift) alarm rows.
+    */
+  private[graft] def cusumOn(series: org.apache.spark.sql.DataFrame,
+      order: Seq[org.apache.spark.sql.Column],
+      slack: Int, h: Int): org.apache.spark.sql.DataFrame = {
+    val byTime = Window.partitionBy("k").orderBy(order: _*)
+    val e = series.withColumn("rn", row_number().over(byTime))
+    val st = e.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast(DecimalType(38, 2)).as("sv"))
+    val byRn = Window.partitionBy("k").orderBy("rn")
+    val prior = byRn.rowsBetween(Window.unboundedPreceding, -1)
+    val zero = lit(0).cast(DecimalType(38, 2))
+    val p = e.join(st, "k")
+      .withColumn("cum", sum(col("v")).over(byRn).cast(DecimalType(38, 2)))
+      .withColumn("ppos", col("n") * col("cum") - col("rn") * (col("sv") + col("n") * lit(slack)))
+      .withColumn("pneg", col("n") * col("cum") - col("rn") * (col("sv") - col("n") * lit(slack)))
+    val c = p
+      .withColumn("cpos", col("ppos") - least(zero, coalesce(min(col("ppos")).over(prior), zero)))
+      .withColumn("cneg", greatest(zero, coalesce(max(col("pneg")).over(prior), zero)) - col("pneg"))
+    val up = c.filter(col("cpos") > col("n") * lit(h))
+      .select(col("k"), col("rid"),
+        ((col("cpos") * 100).cast(LongType).cast(DoubleType) / (col("n") * 100)).as("cusum"), lit("up").as("drift"))
+    val down = c.filter(col("cneg") > col("n") * lit(h))
+      .select(col("k"), col("rid"),
+        ((col("cneg") * 100).cast(LongType).cast(DoubleType) / (col("n") * 100)).as("cusum"), lit("down").as("drift"))
+    up.unionAll(down).orderBy("k", "rid", "drift")
+  }
+
   val tsChangepoint = QueryDef(
     "q_ts_changepoint",
-    (s, dir) => {
-      val byTime = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
-      val e = Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), col("ts"),
-          col("value").cast(DecimalType(9, 2)).as("v"))
-        .withColumn("rn", row_number().over(byTime))
-      val st = e.groupBy("user_id")
-        .agg(count(lit(1)).as("n"), sum(col("v")).cast(DecimalType(38, 2)).as("sv"))
-      val byRn = Window.partitionBy("user_id").orderBy("rn")
-      val prior = byRn.rowsBetween(Window.unboundedPreceding, -1)
-      val zero = lit(0).cast(DecimalType(38, 2))
-      val p = e.join(st, "user_id")
-        .withColumn("cum", sum(col("v")).over(byRn).cast(DecimalType(38, 2)))
-        .withColumn("ppos", col("n") * col("cum") - col("rn") * (col("sv") + col("n") * lit(CusumSlack)))
-        .withColumn("pneg", col("n") * col("cum") - col("rn") * (col("sv") - col("n") * lit(CusumSlack)))
-      val c = p
-        .withColumn("cpos", col("ppos") - least(zero, coalesce(min(col("ppos")).over(prior), zero)))
-        .withColumn("cneg", greatest(zero, coalesce(max(col("pneg")).over(prior), zero)) - col("pneg"))
-      val up = c.filter(col("cpos") > col("n") * lit(CusumH))
-        .select(col("user_id"), col("event_id"),
-          ((col("cpos") * 100).cast(LongType).cast(DoubleType) / (col("n") * 100)).as("cusum"), lit("up").as("drift"))
-      val down = c.filter(col("cneg") > col("n") * lit(CusumH))
-        .select(col("user_id"), col("event_id"),
-          ((col("cneg") * 100).cast(LongType).cast(DoubleType) / (col("n") * 100)).as("cusum"), lit("down").as("drift"))
-      up.unionAll(down).orderBy("user_id", "event_id", "drift")
-    },
+    (s, dir) => cusumOn(
+        Tables.events(s, dir)
+          .select(col("user_id").as("k"), col("event_id").as("rid"), col("ts"),
+            col("value").cast(DecimalType(9, 2)).as("v")),
+        Seq(asc("ts"), asc("rid")), CusumSlack, CusumH)
+      .withColumnsRenamed(Map("k" -> "user_id", "rid" -> "event_id")),
     Some(s"""
       WITH e AS (
         SELECT user_id, event_id, CAST(value AS DECIMAL(9,2)) AS v,

@@ -511,4 +511,42 @@ class GraftApiSpec extends SparkTestBase with Matchers {
       .collect().map(_.toString).toSeq
     markovVerb shouldBe markovReg
   }
+
+  test("mining / layout / cusum verbs equal their registered queries") {
+    import graft.api.implicits._
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sfTiny)
+    val pairsVerb = li.graft.frequentPairs(basket = "l_orderkey", item = "l_partkey")
+      .collect().map(_.toString).toSeq
+    val pairsReg = graft.operators.MiningQueries.mineItemsets.query(spark, sfTiny)
+      .collect().map(_.toString).toSeq
+    pairsVerb shouldBe pairsReg
+    val rulesVerb = li.graft.associationRules(basket = "l_orderkey", item = "l_partkey")
+      .collect().map(_.toString).toSeq
+    val rulesReg = graft.operators.MiningQueries.mineRules.query(spark, sfTiny)
+      .collect().map(_.toString).toSeq
+    rulesVerb shouldBe rulesReg
+    val docs = Tables.documents(spark, sfTiny)
+    val fuzzyVerb = docs.graft.fuzzyPairs().collect().map(_.toString).toSeq
+    val fuzzyReg = graft.operators.MiningQueries.simEditdist.query(spark, sfTiny)
+      .collect().map(_.toString).toSeq
+    fuzzyVerb shouldBe fuzzyReg
+    // zorderKey: grouping the verb's z column reproduces q_layout_zorder
+    import org.apache.spark.sql.functions._
+    val zVerb = li.select("l_partkey", "l_suppkey").graft.zorderKey("l_partkey", "l_suppkey")
+      .groupBy(shiftright(col("z"), 16).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+        min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+      .orderBy("bucket").collect().map(_.toString).toSeq
+    val zReg = graft.operators.LayoutQueries.layoutZorder.query(spark, sfTiny)
+      .collect().map(_.toString).toSeq
+    zVerb shouldBe zReg
+    val cusumVerb = Tables.events(spark, sfTiny).graft.cusum()
+      .collect().map(_.toString).toSeq
+    val cusumReg = graft.operators.TimeSeriesQueries.tsChangepoint.query(spark, sfTiny)
+      .collect().map(_.toString).toSeq
+    cusumVerb shouldBe cusumReg
+    assert(cusumVerb.nonEmpty)
+  }
 }
