@@ -175,6 +175,49 @@ object StreamQueries {
     graft.operators.EventQueries.attribution.oracle,
   )
 
+  /** Streaming fixed-reference CUSUM (TimeSeriesState.cusumTws) in batch
+    * mode: Page's known-in-control-mean form (μ0=50, κ=25, H=250) — the
+    * ONE-PASS companion to q_ts_changepoint's self-referenced batch
+    * variant. Per-user state is two integer cent counters; the recursion
+    * commutes with batch boundaries, so stream ≡ batch by construction.
+    * Oracle: the exact prefix closed form over integer cents, alarm rows
+    * from both arms.
+    */
+  val cusumTws = QueryDef(
+    "q_stream_cusum_tws",
+    (s, dir) => {
+      StreamOps.ensureStateStoreCoordinator(s)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      TimeSeriesState.cusumTws(Tables.events(s, dir))
+        .orderBy("user_id", "event_id", "drift")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT) AS vc,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+      p AS (
+        SELECT user_id, event_id, rn,
+               SUM(vc - 7500) OVER w AS ppos,
+               SUM(2500 - vc) OVER w AS pneg
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+      c AS (
+        SELECT user_id, event_id,
+               ppos - LEAST(0, COALESCE(MIN(ppos) OVER wp, 0)) AS cpos,
+               pneg - LEAST(0, COALESCE(MIN(pneg) OVER wp, 0)) AS cneg
+        FROM p
+        WINDOW wp AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT user_id, event_id, cusum, drift FROM (
+        SELECT user_id, event_id, CAST(cpos AS DOUBLE) / 100 AS cusum, 'up' AS drift
+        FROM c WHERE cpos > 25000
+        UNION ALL
+        SELECT user_id, event_id, CAST(cneg AS DOUBLE) / 100, 'down'
+        FROM c WHERE cneg > 25000)
+      ORDER BY user_id, event_id, drift
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, session, dedup, stateful, statefulTws,
-    ewmaTws, anomalyTws, attributionTws)
+    ewmaTws, anomalyTws, attributionTws, cusumTws)
 }

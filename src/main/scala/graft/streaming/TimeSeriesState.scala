@@ -112,6 +112,57 @@ object TimeSeriesState {
     }
   }
 
+  /** Fixed-reference CUSUM parameters, in integer CENTS: drift terms are
+    * vc − (μ0+κ)·100 and (μ0−κ)·100 − vc with μ0 = 50, κ = 25; alarm at
+    * 250·100. Fixed μ0 is what makes the operator ONE-PASS (Page's
+    * original in-control-mean form): the self-referenced variant
+    * (q_ts_changepoint) needs the full series for μ and stays batch.
+    */
+  private val CusumUpRef = 7500L
+  private val CusumDownRef = 2500L
+  private val CusumAlarmCents = 25000L
+
+  /** One-pass two-sided CUSUM per user against the fixed reference.
+    * State: two LONGS (cents) — the recursion s = max(0, s + drift) is
+    * exactly associative with batch boundaries, so stream ≡ batch by
+    * construction; all arithmetic is integer (the 2dp quantization makes
+    * every drift an exact cent count), so stream ≡ oracle closed form
+    * bit-for-bit, and the only double op is the final cents/100 display
+    * division — the same single IEEE op the oracle performs.
+    */
+  private class CusumProcessor extends StatefulProcessor[Long, Ev, (Long, Long, Double, String)] {
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("cusum",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[(Long, Long, Double, String)] = {
+      val batch = rows.toArray.sortBy(r => (r._2, r._3))
+      var (sPos, sNeg) = if (st.exists()) st.get() else (0L, 0L)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, String)]()
+      for (r <- batch) {
+        val vc = JBD.valueOf(r._4).setScale(2, RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()
+        sPos = math.max(0L, sPos + (vc - CusumUpRef))
+        sNeg = math.max(0L, sNeg + (CusumDownRef - vc))
+        if (sPos > CusumAlarmCents) out += ((key, r._3, sPos.toDouble / 100, "up"))
+        if (sNeg > CusumAlarmCents) out += ((key, r._3, sNeg.toDouble / 100, "down"))
+      }
+      st.update((sPos, sNeg))
+      out.iterator
+    }
+  }
+
+  def cusumTws(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+        col("event_id"), col("value"))
+      .as[Ev]
+      .groupByKey(_._1)
+      .transformWithState(new CusumProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "event_id", "cusum", "drift")
+  }
+
   def ewmaTws(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     events.select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("ts_us"),

@@ -364,4 +364,17 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("q_mine_itemsets broadcasts the frequent-item prefilter dim") {
+    val plan = executedPlanString(graft.operators.MiningQueries.mineItemsets.query(spark, sfTiny))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q_sim_editdist candidate generation is a pure equi-join (no pair blowup)") {
+    val plan = executedPlanString(graft.operators.MiningQueries.simEditdist.query(spark, sfTiny))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }

@@ -354,6 +354,46 @@ class StreamingSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("s_cusum: multi-batch TWS fixed-reference CUSUM stream == batch twin (exact)") {
+    import graft.streaming.TimeSeriesState
+    val dir = Files.createTempDirectory("graft_cusum_stream").toFile.getAbsolutePath
+    val raw = Tables.eventsRawNanos(spark, sfTiny)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val parts = raw.withColumn("part", ntile(3).over(w)).cache()
+    (1 to 3).foreach { i =>
+      val tmp = Files.createTempDirectory(s"graft_cusum_w$i").toFile.getAbsolutePath
+      parts.filter(col("part") === i).drop("part")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(dir, s"f$i.parquet"))
+      Thread.sleep(1100) // distinct mod times → deterministic file order
+    }
+    parts.unpersist()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def src() = StreamOps.normalizeTs(
+        spark.readStream.schema(StreamOps.eventsRawSchema)
+          .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+          .parquet(dir))
+      // integer-cents state: s = max(0, s + drift) commutes with batch
+      // boundaries, so the union of per-batch emissions must equal the
+      // one-shot batch run EXACTLY
+      val got = runToMemory(TimeSeriesState.cusumTws(src()), "t_cusum_tws", "update")
+      val want = TimeSeriesState.cusumTws(Tables.events(spark, sfTiny))
+      rowsOf(got) shouldBe rowsOf(want)
+      want.count() should be > 0L
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("s_session_timer: event-time timers emit sessions on inactivity timeout == batch session set") {
     import graft.streaming.SessionTimerState
     val dir = Files.createTempDirectory("graft_sess_timer").toFile.getAbsolutePath
