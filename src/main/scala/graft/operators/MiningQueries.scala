@@ -101,6 +101,51 @@ object MiningQueries {
     """.trim),
   )
 
+  /** Basket-size cap for the guarded twin. */
+  private val MaxBasket = 20
+
+  /** q_mine_itemsets with the MEGA-BASKET guard a production run needs:
+    * baskets above MaxBasket items are excluded BEFORE the self-join, so
+    * per-basket pair fan-out is bounded by C(MaxBasket,2) regardless of
+    * input — one pathological 100k-item basket would otherwise emit 5e9
+    * join rows through a single key (the quadratic skew mode; salting
+    * does not help because the blowup is within one basket, not across
+    * reducers). On the fixture no basket exceeds 7 items, so the shared
+    * oracle ALSO proves the cap is a no-op on healthy data; MiningSpec
+    * injects a synthetic 1000-item basket and pins both the bound and
+    * the untouched remainder.
+    */
+  val mineItemsetsCapped = QueryDef(
+    "q_mine_itemsets_capped",
+    (s, dir) => frequentPairsCappedOn(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct(),
+      MinItemSup, MinPairSup, MaxBasket),
+    oracle = Some(s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      ok_sized AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= $MaxBasket),
+      li2 AS (SELECT ok, pk FROM li WHERE ok IN (SELECT ok FROM ok_sized)),
+      freq AS (SELECT pk FROM li2 GROUP BY pk HAVING count(*) >= $MinItemSup),
+      fli AS (SELECT ok, pk FROM li2 WHERE pk IN (SELECT pk FROM freq))
+      SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+      FROM fli a JOIN fli b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= $MinPairSup
+      ORDER BY support DESC, p1, p2
+    """.trim),
+  )
+
+  /** The capped core: drop baskets above `maxBasket` items (one extra
+    * basket-keyed aggregate + semi-join on the already-shuffled grain),
+    * then the frequentPairsOn plan unchanged.
+    */
+  private[graft] def frequentPairsCappedOn(bi: org.apache.spark.sql.DataFrame,
+      minItemSup: Long, minPairSup: Long, maxBasket: Int): org.apache.spark.sql.DataFrame = {
+    val sized = bi.groupBy("ok").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBasket).select("ok")
+    frequentPairsOn(bi.join(sized, "ok"), minItemSup, minPairSup)
+  }
+
   /** Minimum confidence for an emitted association rule. */
   private val MinConf = 0.10
 
@@ -235,5 +280,5 @@ object MiningQueries {
     },
   )
 
-  def defs: Seq[QueryDef] = Seq(mineItemsets, mineRules, simEditdist)
+  def defs: Seq[QueryDef] = Seq(mineItemsets, mineItemsetsCapped, mineRules, simEditdist)
 }

@@ -65,6 +65,32 @@ class MiningSpec extends SparkTestBase with Matchers {
     info(s"${mined.size} frequent pairs at sf0.001 (item>=3, pair>=2), all exact")
   }
 
+  test("q_mine_itemsets_capped: mega-basket guard bounds fan-out, leaves healthy baskets untouched") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // fixture baskets are all small -> cap must be a NO-OP
+    val plain = graft.operators.MiningQueries.mineItemsets.query(spark, sfTiny)
+      .collect().map(_.toString).toSeq
+    val capped = graft.operators.MiningQueries.mineItemsetsCapped.query(spark, sfTiny)
+      .collect().map(_.toString).toSeq
+    capped shouldBe plain
+    // inject one synthetic 1000-item basket: UNCAPPED pair volume through
+    // that single basket key would be C(1000,2) ~ 5e5; the capped core
+    // must drop exactly that basket and reproduce the healthy-only result
+    val mega = (1 to 1000).map(i => (999999L, 100000L + i)).toDF("ok", "pk")
+    val poisoned = li.union(mega)
+    val guarded = graft.operators.MiningQueries
+      .frequentPairsCappedOn(poisoned, 3, 2, 20)
+      .collect().map(_.toString).toSeq
+    val healthyOnly = graft.operators.MiningQueries
+      .frequentPairsCappedOn(li, 3, 2, 20)
+      .collect().map(_.toString).toSeq
+    guarded shouldBe healthyOnly
+    // and none of the synthetic items leak into the output
+    assert(!guarded.exists(_.contains("10000")))
+  }
+
   test("q_mine_itemsets: registered query is non-degenerate at sf0.001") {
     // the registered thresholds are pinned for sf0.01+; at sf0.001 the
     // item filter may empty the frame — assert it degrades to empty-or-
