@@ -660,10 +660,16 @@ final class GraftFrame(val df: DataFrame) {
     * Thresholds are absolute basket counts.
     */
   def frequentPairs(basket: String = "ok", item: String = "pk",
-      minItemSup: Long = 25, minPairSup: Long = 2): DataFrame =
-    graft.operators.MiningQueries.frequentPairsOn(
-      df.select(col(basket).as("ok"), col(item).as("pk")).distinct(),
-      minItemSup, minPairSup)
+      minItemSup: Long = 25, minPairSup: Long = 2,
+      maxBasket: Option[Int] = None): DataFrame = {
+    val bi = df.select(col(basket).as("ok"), col(item).as("pk")).distinct()
+    maxBasket match {
+      case Some(cap) =>
+        graft.operators.MiningQueries.frequentPairsCappedOn(bi, minItemSup, minPairSup, cap)
+      case None =>
+        graft.operators.MiningQueries.frequentPairsOn(bi, minItemSup, minPairSup)
+    }
+  }
 
   /** Association rules from this frame's frequent pairs — q_mine_rules'
     * core: `(ant, cons, support, confidence, lift)`.
