@@ -692,6 +692,19 @@ final class GraftFrame(val df: DataFrame) {
         .select(col(id).as("doc_id"), substring(col(text), 1, mq.PrefixLen).as("p")))
   }
 
+  /** 2-D Pareto skyline per group: rows no same-group row beats on BOTH
+    * `cost` (≤) and `gain` (≥, one strict) — q_win_skyline's sweep core
+    * (one aggregate + one window over distinct costs + one join back;
+    * never a pair join). All original columns survive.
+    */
+  def skyline(cost: String, gain: String, by: String): DataFrame = {
+    val renamed = df.withColumnRenamed(by, "grp")
+      .withColumnRenamed(cost, "cost").withColumnRenamed(gain, "gain")
+    graft.operators.WindowQueries.skylineOn(renamed)
+      .withColumnRenamed("grp", by)
+      .withColumnRenamed("cost", cost).withColumnRenamed("gain", gain)
+  }
+
   /** Attach the Morton z-order key of two non-negative integral columns
     * as a `z` column — q_layout_zorder's core. Hand the result to
     * `repartitionByRange($"z")` + sortWithinPartitions before a write and

@@ -117,5 +117,56 @@ object WindowQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(winRank, winLagLead, winFrame, winTopk)
+  /** 2-D skyline core over (grp, id, cost, gain) — the Pareto-dominance
+    * filter (p survives iff no q in its group has cost ≤ AND gain ≥ with
+    * one strict). The textbook formulation is a quadratic NOT EXISTS
+    * self-join; in 2-D it collapses to a SWEEP: group to one row per
+    * (grp, cost) with the group's max gain, one running max over
+    * strictly-cheaper cost rows (rows-frame over the DISTINCT-cost
+    * relation, so "1 preceding" IS strict-cost), and p is dominated iff
+    * maxBelow ≥ gain OR its own cost group's max > gain. One hash
+    * aggregate + one per-group window over distinct costs + one
+    * equi-join back — linear in rows, never a pair join; partitioned by
+    * `grp`, so it scales on the group key like every window here.
+    * Shared by q_win_skyline and the `skyline` facade verb.
+    */
+  private[graft] def skylineOn(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val perCost = df.groupBy("grp", "cost").agg(max(col("gain")).as("mx"))
+    val below = Window.partitionBy("grp").orderBy("cost")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dom = perCost.withColumn("max_below", max(col("mx")).over(below))
+    df.join(dom, Seq("grp", "cost"))
+      .filter(coalesce(col("max_below") < col("gain"), lit(true)) &&
+        !(col("mx") > col("gain")))
+      .drop("mx", "max_below")
+  }
+
+  /** Per-brand price/size skyline of the part catalog: the parts no
+    * same-brand part beats on BOTH price (lower-or-equal) and size
+    * (higher-or-equal, one strict) — the multi-criteria shortlist
+    * operator (cheapest-per-capability frontier). Oracle: the INDEPENDENT
+    * quadratic NOT-EXISTS form, so the hash-compare proves the sweep
+    * reformulation, not just reproduces it.
+    */
+  val winSkyline = QueryDef(
+    "q_win_skyline",
+    (s, dir) => skylineOn(
+        Tables.part(s, dir).select(col("p_brand").as("grp"),
+          col("p_partkey"), col("p_retailprice").as("cost"), col("p_size").as("gain")))
+      .select(col("grp").as("p_brand"), col("p_partkey"),
+        col("cost").as("p_retailprice"), col("gain").as("p_size"))
+      .orderBy("p_brand", "p_partkey"),
+    Some("""
+      SELECT a.p_brand, a.p_partkey, a.p_retailprice, a.p_size
+      FROM part a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_brand = a.p_brand
+          AND b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+      ORDER BY p_brand, p_partkey
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(winRank, winLagLead, winFrame, winTopk, winSkyline)
 }

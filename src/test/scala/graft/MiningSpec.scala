@@ -91,6 +91,32 @@ class MiningSpec extends SparkTestBase with Matchers {
     assert(!guarded.exists(_.contains("10000")))
   }
 
+  test("q_win_skyline: sweep formulation equals brute-force dominance; facade verb row-equal") {
+    import graft.api.implicits._
+    val parts = Tables.part(spark, sfTiny)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("p_size"))
+    // brute force: collect and filter by the dominance definition
+    val rows = parts.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val brute = rows.filter { case (b, _, pr, sz) =>
+      !rows.exists { case (b2, _, pr2, sz2) =>
+        b2 == b && pr2 <= pr && sz2 >= sz && (pr2 < pr || sz2 > sz)
+      }
+    }.map(t => s"${t._1}|${t._2}|${t._3}|${t._4}").sorted.toSeq
+    val sweep = graft.operators.WindowQueries.winSkyline.query(spark, sfTiny)
+      .collect().map(r => s"${r.getString(0)}|${r.getLong(1)}|${r.getDouble(2)}|${r.getInt(3)}")
+      .sorted.toSeq
+    sweep shouldBe brute
+    assert(sweep.nonEmpty)
+    // facade verb: same rows through the renamed-column path
+    val verb = parts.graft.skyline(cost = "p_retailprice", gain = "p_size", by = "p_brand")
+      .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+      .collect().map(r => s"${r.getString(0)}|${r.getLong(1)}|${r.getDouble(2)}|${r.getInt(3)}")
+      .sorted.toSeq
+    verb shouldBe brute
+    info(s"${sweep.size} skyline rows at sf0.001, sweep ≡ brute force ≡ verb")
+  }
+
   test("q_mine_itemsets: registered query is non-degenerate at sf0.001") {
     // the registered thresholds are pinned for sf0.01+; at sf0.001 the
     // item filter may empty the frame — assert it degrades to empty-or-
