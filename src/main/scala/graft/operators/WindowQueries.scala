@@ -141,6 +141,19 @@ object WindowQueries {
       .drop("mx", "max_below")
   }
 
+  /** Insert-only incremental skyline maintenance: because dominance is
+    * MONOTONE under inserts (a dominated point stays dominated; new
+    * points only add dominators), skyline(S ∪ B) = skyline(skyline(S) ∪
+    * B) — so the maintained state is just the current skyline (tiny) and
+    * each arriving batch costs one sweep over state ∪ batch, never a
+    * rescan of history. MiningSpec proves 3-batch incremental ≡ full
+    * recompute. (Deletes break monotonicity — a delete-capable variant
+    * must keep the full set or a layered skyline; out of scope.)
+    */
+  private[graft] def skylineMerge(state: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    skylineOn(state.unionByName(batch))
+
   /** Per-brand price/size skyline of the part catalog: the parts no
     * same-brand part beats on BOTH price (lower-or-equal) and size
     * (higher-or-equal, one strict) — the multi-criteria shortlist

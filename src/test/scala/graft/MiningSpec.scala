@@ -117,6 +117,24 @@ class MiningSpec extends SparkTestBase with Matchers {
     info(s"${sweep.size} skyline rows at sf0.001, sweep ≡ brute force ≡ verb")
   }
 
+  test("skyline: insert-only incremental maintenance equals full recompute") {
+    val parts = Tables.part(spark, sfTiny)
+      .select(col("p_brand").as("grp"), col("p_partkey"),
+        col("p_retailprice").as("cost"), col("p_size").as("gain"))
+    val full = graft.operators.WindowQueries.skylineOn(parts)
+      .collect().map(_.toString).sorted.toSeq
+    // feed the same rows in 3 batches through the monotone merge
+    val batches = (0 until 3).map(i => parts.filter(pmod(col("p_partkey"), lit(3)) === i))
+    var state = graft.operators.WindowQueries.skylineOn(batches(0))
+    for (b <- batches.drop(1))
+      state = graft.operators.WindowQueries.skylineMerge(state, b).localCheckpoint()
+    val incr = state.collect().map(_.toString).sorted.toSeq
+    incr shouldBe full
+    // and the maintained state is the skyline itself — tiny vs the corpus
+    assert(incr.size < parts.count() / 2)
+    info(s"${incr.size} skyline rows maintained across 3 batches ≡ full recompute")
+  }
+
   test("q_mine_itemsets: registered query is non-degenerate at sf0.001") {
     // the registered thresholds are pinned for sf0.01+; at sf0.001 the
     // item filter may empty the frame — assert it degrades to empty-or-
