@@ -339,7 +339,136 @@ object MoreQueries {
     None, // sketch hash family is engine-specific — accuracy spec instead
   )
 
-  def defs: Seq[QueryDef] = Seq(
+  /** Column-profile audit over orders — the "describe my table" primitive
+    * a pipeline runs before trusting a new corpus drop: per column, row
+    * count, nulls, exact distinct count, and min/max (numeric columns in
+    * a DOUBLE lane, string columns in a STRING lane — never a
+    * cross-engine number-to-string format). ONE aggregate computes every
+    * stat (Spark expands the multi-countDistinct into one shuffle); the
+    * per-column rows are a constant-width unpivot of that single row, so
+    * the whole profile is one corpus pass at any scale.
+    */
+  val dqProfile = QueryDef(
+    "q_dq_profile",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val agg = o.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nn_ok"),
+        countDistinct(col("o_orderkey")).as("nd_ok"),
+        min(col("o_orderkey")).cast(DoubleType).as("mn_ok"),
+        max(col("o_orderkey")).cast(DoubleType).as("mx_ok"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn_ck"),
+        countDistinct(col("o_custkey")).as("nd_ck"),
+        min(col("o_custkey")).cast(DoubleType).as("mn_ck"),
+        max(col("o_custkey")).cast(DoubleType).as("mx_ck"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nn_tp"),
+        countDistinct(col("o_totalprice")).as("nd_tp"),
+        min(col("o_totalprice")).as("mn_tp"),
+        max(col("o_totalprice")).as("mx_tp"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nn_st"),
+        countDistinct(col("o_orderstatus")).as("nd_st"),
+        min(col("o_orderstatus")).as("mn_st"),
+        max(col("o_orderstatus")).as("mx_st"))
+      def numRow(name: String, sfx: String) = agg.select(
+        lit(name).as("col_name"), col("n"), col(s"nn_$sfx").as("n_null"),
+        col(s"nd_$sfx").as("n_distinct"),
+        col(s"mn_$sfx").as("min_num"), col(s"mx_$sfx").as("max_num"),
+        lit(null).cast(StringType).as("min_str"), lit(null).cast(StringType).as("max_str"))
+      val strRow = agg.select(
+        lit("o_orderstatus").as("col_name"), col("n"), col("nn_st").as("n_null"),
+        col("nd_st").as("n_distinct"),
+        lit(null).cast(DoubleType).as("min_num"), lit(null).cast(DoubleType).as("max_num"),
+        col("mn_st").as("min_str"), col("mx_st").as("max_str"))
+      numRow("o_orderkey", "ok").unionAll(numRow("o_custkey", "ck"))
+        .unionAll(numRow("o_totalprice", "tp")).unionAll(strRow)
+        .orderBy("col_name")
+    },
+    Some("""
+      WITH a AS (
+        SELECT count(*) AS n,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ok,
+               count(DISTINCT o_orderkey) AS nd_ok,
+               CAST(min(o_orderkey) AS DOUBLE) AS mn_ok, CAST(max(o_orderkey) AS DOUBLE) AS mx_ok,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ck,
+               count(DISTINCT o_custkey) AS nd_ck,
+               CAST(min(o_custkey) AS DOUBLE) AS mn_ck, CAST(max(o_custkey) AS DOUBLE) AS mx_ck,
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_tp,
+               count(DISTINCT o_totalprice) AS nd_tp,
+               min(o_totalprice) AS mn_tp, max(o_totalprice) AS mx_tp,
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_st,
+               count(DISTINCT o_orderstatus) AS nd_st,
+               min(o_orderstatus) AS mn_st, max(o_orderstatus) AS mx_st
+        FROM orders)
+      SELECT 'o_orderkey' AS col_name, n, nn_ok AS n_null, nd_ok AS n_distinct,
+             mn_ok AS min_num, mx_ok AS max_num, NULL AS min_str, NULL AS max_str FROM a
+      UNION ALL
+      SELECT 'o_custkey', n, nn_ck, nd_ck, mn_ck, mx_ck, NULL, NULL FROM a
+      UNION ALL
+      SELECT 'o_totalprice', n, nn_tp, nd_tp, mn_tp, mx_tp, NULL, NULL FROM a
+      UNION ALL
+      SELECT 'o_orderstatus', n, nn_st, nd_st, NULL, NULL, mn_st, mx_st FROM a
+      ORDER BY col_name
+    """.trim),
+  )
+
+  /** Benford first-digit expected frequencies, log10(1+1/d) pinned as 6dp
+    * LITERALS in both engines (computing log10 at runtime would compare
+    * two libm implementations under an exact hash). */
+  private val BenfordExp: Map[Int, Double] = Map(
+    1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+    5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153, 9 -> 0.045757)
+
+  /** Benford first-digit audit of o_totalprice — the synthetic-data /
+    * fabricated-numbers detector (a corpus whose amounts were generated
+    * uniformly, like this fixture's, FAILS Benford loudly — the audit's
+    * point is to measure that deviation, whichever way it falls). The
+    * first significant digit is extracted EXACTLY: cents as BIGINT, then
+    * the first character of the integer's decimal string (bigint→string
+    * is scientific-notation-free in both engines) — never floor(log10)
+    * at a power-of-ten boundary. One hash aggregate; frequencies and
+    * deviations are single IEEE ops over exact counts and pinned
+    * literals.
+    */
+  val dqBenford = QueryDef(
+    "q_dq_benford",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 0)
+        .select(substring(
+          (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).cast(StringType),
+          1, 1).cast(IntegerType).as("digit"))
+      val counts = o.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val expDf = s.createDataFrame(BenfordExp.toSeq.sortBy(_._1))
+        .toDF("digit", "expected")
+      val total = counts.agg(sum("n_obs").as("n")).select(col("n"))
+      counts.join(broadcast(expDf), "digit").crossJoin(broadcast(total))
+        .select(col("digit"), col("n_obs"),
+          (col("n_obs").cast(DoubleType) / col("n")).as("freq"),
+          col("expected"),
+          (col("n_obs").cast(DoubleType) / col("n") - col("expected")).as("deviation"))
+        .orderBy("digit")
+    },
+    Some {
+      val expVals = BenfordExp.toSeq.sortBy(_._1)
+        .map { case (d, e) => s"($d, $e)" }.mkString(", ")
+      s"""
+      WITH d AS (
+        SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice > 0),
+      counts AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+      t AS (SELECT sum(n_obs) AS n FROM counts),
+      exp AS (SELECT * FROM (VALUES $expVals) AS e(digit, expected))
+      SELECT counts.digit AS digit, n_obs,
+             CAST(n_obs AS DOUBLE) / n AS freq,
+             expected,
+             CAST(n_obs AS DOUBLE) / n - expected AS deviation
+      FROM counts JOIN exp ON counts.digit = exp.digit, t
+      ORDER BY counts.digit
+      """.trim
+    },
+  )
+
+  def defs: Seq[QueryDef] = Seq(dqProfile, dqBenford,
     winFirstLast, joinLateral, setIntersectAll, setExceptAll, aggCollect, sketchBloom, sketchCms,
     sketchQuantile, dqAudit, sketchHllSetops)
 }
