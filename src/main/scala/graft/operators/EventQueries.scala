@@ -552,7 +552,79 @@ object EventQueries {
     """.trim),
   )
 
+  /** Two-proportion A/B test over a deterministic user split: arm =
+    * user_id parity (the hash-bucket assignment an experimentation system
+    * uses — reproducible, balanced), conversion = the user purchased
+    * within their first 10 events (early-activation; the bare "ever
+    * purchased" is 100% on this fixture, which makes the pooled variance
+    * 0 and the statistic undefined). Output: one row per arm (users, conversions, rate)
+    * plus the pooled two-proportion z statistic on both rows (analysts
+    * read it off either arm). Everything reduces to exact integer counts;
+    * rate, pooled rate, and z are IEEE-deterministic (divisions and ONE
+    * sqrt — sqrt is correctly rounded by IEEE 754, not a libm freedom, so
+    * no rounding is needed cross-engine). One aggregate over users, one
+    * 2-row cross join: corpus-size-independent after the per-user
+    * reduction.
+    */
+  val eventsAbTest = QueryDef(
+    "q_events_ab_test",
+    (s, dir) => {
+      val byTime = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      val users = Tables.events(s, dir)
+        .withColumn("rn", row_number().over(byTime))
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" && col("rn") <= 10, 1L)
+          .otherwise(0L)).as("converted"))
+        .withColumn("arm", (col("user_id") % 2).cast(IntegerType))
+      val arms = users.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+      val a = arms.filter(col("arm") === 0)
+        .select(col("n_users").as("n0"), col("n_conv").as("c0"))
+      val b = arms.filter(col("arm") === 1)
+        .select(col("n_users").as("n1"), col("n_conv").as("c1"))
+      val z = a.crossJoin(b).select(
+        (col("c0").cast(DoubleType) / col("n0")).as("p0"),
+        (col("c1").cast(DoubleType) / col("n1")).as("p1"),
+        ((col("c0") + col("c1")).cast(DoubleType) / (col("n0") + col("n1"))).as("pp"),
+        col("n0"), col("c0"), col("n1"), col("c1"))
+        .select(col("n0"), col("c0"), col("p0"), col("n1"), col("c1"), col("p1"),
+          ((col("p0") - col("p1")) /
+            sqrt(col("pp") * (lit(1.0) - col("pp")) *
+              (lit(1.0) / col("n0") + lit(1.0) / col("n1")))).as("z"))
+      arms.crossJoin(broadcast(z.select("z")))
+        .select(col("arm"), col("n_users"), col("n_conv"),
+          (col("n_conv").cast(DoubleType) / col("n_users")).as("rate"), col("z"))
+        .orderBy("arm")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+      users AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' AND rn <= 10 THEN 1 ELSE 0 END) AS converted,
+               CAST(user_id % 2 AS INTEGER) AS arm
+        FROM e GROUP BY user_id),
+      arms AS (SELECT arm, count(*) AS n_users, CAST(sum(converted) AS BIGINT) AS n_conv
+               FROM users GROUP BY arm),
+      ab AS (SELECT
+               (SELECT n_users FROM arms WHERE arm = 0) AS n0,
+               (SELECT n_conv  FROM arms WHERE arm = 0) AS c0,
+               (SELECT n_users FROM arms WHERE arm = 1) AS n1,
+               (SELECT n_conv  FROM arms WHERE arm = 1) AS c1),
+      zs AS (SELECT
+               (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1) /
+               sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)) AS z
+             FROM ab)
+      SELECT arm, n_users, n_conv, CAST(n_conv AS DOUBLE) / n_users AS rate, z
+      FROM arms, zs
+      ORDER BY arm
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(sessionize, funnel, retention, winRange, tsOverlap, winStreak,
     sessionizeBucketed, funnelBucketed, winStreakBucketed, retentionBucketed, attribution,
-    eventsPath, eventsMarkov)
+    eventsPath, eventsMarkov, eventsAbTest)
 }
