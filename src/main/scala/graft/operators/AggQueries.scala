@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -421,7 +422,84 @@ object AggQueries {
     """.trim),
   )
 
+  /** Per-user Shannon entropy (bits) of the event-type distribution — the
+    * behavioral-diversity signal (a bot hammering one endpoint scores 0;
+    * uniform browsing scores log2 k). Two hash aggregates; float parity
+    * via the lm_score recipe: each −p·log2 p term is 8dp-rounded to an
+    * exact decimal BEFORE the order-free decimal sum (log2 is libm-backed
+    * and may differ by an ulp between engines; p itself is one exact-
+    * operand IEEE division), display round at 6dp.
+    */
+  val aggEntropy = QueryDef(
+    "q_agg_entropy",
+    (s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy("user_id").agg(sum("c").as("n"))
+      counts.join(totals, "user_id")
+        .withColumn("p", col("c").cast(DoubleType) / col("n"))
+        .withColumn("term", round(-col("p") * log2(col("p")), 8).cast(DecimalType(18, 8)))
+        .groupBy("user_id")
+        .agg(max(col("n")).as("n_events"),
+          round(sum("term").cast(DoubleType), 6).as("entropy"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH counts AS (
+        SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+      totals AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+      terms AS (
+        SELECT counts.user_id, n,
+               CAST(ROUND(-(CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n), 8) AS DECIMAL(18,8)) AS term
+        FROM counts JOIN totals ON counts.user_id = totals.user_id)
+      SELECT user_id, max(n) AS n_events, ROUND(CAST(sum(term) AS DOUBLE), 6) AS entropy
+      FROM terms GROUP BY user_id ORDER BY user_id
+    """.trim),
+  )
+
+  /** Per-priority Gini coefficient of order amounts — the concentration
+    * audit (how unequal is spend within a tier; a flood of identical
+    * synthetic amounts scores 0). The sorted-rank closed form
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over cents-exact integers: one
+    * rank window per group + one aggregate, and the ONLY float op is the
+    * final division of two exact longs — no libm, no rounding. Σ i·xᵢ is
+    * permutation-invariant among tied amounts, so the rank tiebreak
+    * can't leak into the value.
+    */
+  val aggGini = QueryDef(
+    "q_agg_gini",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(asc("cents"), asc("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+        .withColumn("i", row_number().over(w))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sx"),
+          sum(col("i") * col("cents")).as("six"))
+        .select(col("o_orderpriority"), col("n"),
+          ((lit(2L) * col("six") - (col("n") + 1) * col("sx")).cast(DoubleType) /
+            (col("n") * col("sx"))).as("gini"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      WITH c AS (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT), o_orderkey) AS i
+        FROM orders),
+      a AS (SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sx, CAST(sum(i * cents) AS BIGINT) AS six
+            FROM c GROUP BY 1)
+      SELECT o_orderpriority, n,
+             CAST(2 * six - (n + 1) * sx AS DOUBLE) / (n * sx) AS gini
+      FROM a ORDER BY o_orderpriority
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     aggGroupBy, aggDistinct, aggRollup, aggCube, aggGroupingSets, aggHll, aggStats, aggSalted,
-    aggHistogram, aggCorr, aggPercentile, aggHeavyHitters)
+    aggHistogram, aggCorr, aggPercentile, aggHeavyHitters, aggEntropy, aggGini)
 }
