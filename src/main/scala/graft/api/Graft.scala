@@ -692,6 +692,43 @@ final class GraftFrame(val df: DataFrame) {
         .select(col(id).as("doc_id"), substring(col(text), 1, mq.PrefixLen).as("p")))
   }
 
+  /** Per-key Shannon entropy (bits) of a categorical column —
+    * q_agg_entropy's core (8dp-rounded log2 terms before the order-free
+    * decimal sum): `(<key>, n_events, entropy)`.
+    */
+  def entropy(key: String = "user_id", cat: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val counts = df.groupBy(col(key).as("k"), col(cat).as("c0")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("k").agg(sum("c").as("n"))
+    counts.join(totals, "k")
+      .withColumn("p", col("c").cast(DoubleType) / col("n"))
+      .withColumn("term", round(-col("p") * log2(col("p")), 8).cast(DecimalType(18, 8)))
+      .groupBy("k")
+      .agg(max(col("n")).as("n_events"),
+        round(sum("term").cast(DoubleType), 6).as("entropy"))
+      .withColumnRenamed("k", key)
+      .orderBy(key)
+  }
+
+  /** Per-group Gini coefficient of a non-negative numeric column —
+    * q_agg_gini's all-integer sorted-rank core: `(<by>, n, gini)`.
+    * `value` is cents-quantized at 2dp.
+    */
+  def gini(value: String, by: String, tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val w = Window.partitionBy("g").orderBy(asc("cents"), asc("tb"))
+    df.select(col(by).as("g"), col(tieBreak).as("tb"),
+        (col(value).cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+      .withColumn("i", row_number().over(w))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sx"),
+        sum(col("i") * col("cents")).as("six"))
+      .select(col("g").as(by), col("n"),
+        ((lit(2L) * col("six") - (col("n") + 1) * col("sx")).cast(DoubleType) /
+          (col("n") * col("sx"))).as("gini"))
+      .orderBy(by)
+  }
+
   /** 2-D Pareto skyline per group: rows no same-group row beats on BOTH
     * `cost` (≤) and `gain` (≥, one strict) — q_win_skyline's sweep core
     * (one aggregate + one window over distinct costs + one join back;

@@ -549,4 +549,20 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     cusumVerb shouldBe cusumReg
     assert(cusumVerb.nonEmpty)
   }
+
+  test("entropy / gini verbs equal their registered queries") {
+    import graft.api.implicits._
+    val ev = Tables.events(spark, sfTiny)
+    val entVerb = ev.graft.entropy().collect().map(_.toString).toSeq
+    val entReg = graft.operators.AggQueries.aggEntropy.query(spark, sfTiny)
+      .collect().map(_.toString).toSeq
+    entVerb shouldBe entReg
+    val o = Tables.orders(spark, sfTiny)
+    val giniVerb = o.graft.gini(value = "o_totalprice", by = "o_orderpriority",
+        tieBreak = "o_orderkey").collect().map(_.toString).toSeq
+    val giniReg = graft.operators.AggQueries.aggGini.query(spark, sfTiny)
+      .collect().map(_.toString).toSeq
+    giniVerb shouldBe giniReg
+    assert(entVerb.nonEmpty && giniVerb.nonEmpty)
+  }
 }
