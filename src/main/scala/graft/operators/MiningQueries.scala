@@ -118,10 +118,7 @@ object MiningQueries {
   val mineItemsetsCapped = QueryDef(
     "q_mine_itemsets_capped",
     (s, dir) => frequentPairsCappedOn(
-      Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct(),
-      MinItemSup, MinPairSup, MaxBasket),
+      basketItemsPersisted(s, dir), MinItemSup, MinPairSup, MaxBasket),
     oracle = Some(s"""
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       ok_sized AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= $MaxBasket),
@@ -164,19 +161,21 @@ object MiningQueries {
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = synchronized {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val base = graft.sources.GraftFs.qualify(s,
-      s"target/graft-mine/$tag/pairs_v1_i${MinItemSup}_p$MinPairSup")
+      s"target/graft-mine/$tag/pairs_v2_i${MinItemSup}_p$MinPairSup")
     if (!graft.sources.GraftFs.hasSuccess(s, base)) {
       graft.sources.GraftFs.deleteRecursively(s, base)
       val bi = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val sup = bi.groupBy("pk").agg(count(lit(1)).as("s"))
+      bi.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base/bi")
+      val biR = s.read.parquet(s"$base/bi")
+      val sup = biR.groupBy("pk").agg(count(lit(1)).as("s"))
         .filter(col("s") >= MinItemSup)
       sup.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base/sup")
       bi.select(countDistinct(col("ok")).as("nb"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base/nb")
       val supR = s.read.parquet(s"$base/sup")
-      val fli = bi.join(broadcast(supR.select("pk")), "pk").select("ok", "pk")
+      val fli = biR.join(broadcast(supR.select("pk")), "pk").select("ok", "pk")
       fli.as("a").join(fli.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
@@ -186,6 +185,19 @@ object MiningQueries {
       graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_SUCCESS", "done")
     }
     (s.read.parquet(s"$base/pairs"), s.read.parquet(s"$base/sup"), s.read.parquet(s"$base/nb"))
+  }
+
+  /** The persisted distinct basket-item grain from the same store — the
+    * input the guarded twin re-reads instead of re-paying the lineitem
+    * scan + distinct shuffle (oracle still derives from raw lineitem, so
+    * the hash-compare proves persisted ≡ fresh).
+    */
+  private[graft] def basketItemsPersisted(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    minePairsPersisted(s, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = graft.sources.GraftFs.qualify(s,
+      s"target/graft-mine/$tag/pairs_v2_i${MinItemSup}_p$MinPairSup")
+    s.read.parquet(s"$base/bi")
   }
 
   /** Association rules from the frequent pairs (both directions of every
