@@ -934,8 +934,47 @@ object TextQueries {
     """.trim),
   )
 
+  /** Per-source vocabulary statistics — the Heaps'-law inputs a corpus
+    * curator tracks across snapshots: total tokens, distinct types, hapax
+    * legomena (types seen exactly once — a rising hapax rate flags noisy
+    * or OCR-corrupted ingest; a falling one flags templated/duplicated
+    * text), type-token ratio, hapax rate. One tokenize explode + one
+    * (source, token) aggregate + one per-source aggregate — all exact
+    * counts; the two ratios are single IEEE divisions of exact longs.
+    */
+  val textVocab = QueryDef(
+    "q_text_vocab",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("source"), explode(Tokenize.tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").cast(LongType).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          (col("n_types").cast(DoubleType) / col("n_tokens")).as("ttr"),
+          (col("n_hapax").cast(DoubleType) / col("n_types")).as("hapax_rate"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH tc AS (
+        SELECT source, token, count(*) AS c
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY source, token),
+      v AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        FROM tc GROUP BY source)
+      SELECT source, n_tokens, n_types, n_hapax,
+             CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+             CAST(n_hapax AS DOUBLE) / n_types AS hapax_rate
+      FROM v ORDER BY source
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint, textPmi,
     textNormalize, textEntropy, textChunkify, textLmScore, textRepetition, bpePairs,
-    bpeEncode, substringDedup, qualityModel, textrank, textDrift)
+    bpeEncode, substringDedup, qualityModel, textrank, textDrift, textVocab)
 }
