@@ -765,6 +765,63 @@ final class GraftFrame(val df: DataFrame) {
         slack, h)
       .withColumnsRenamed(Map("k" -> key, "rid" -> rid))
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) between two samples of a numeric
+    * column — q_stat_mannwhitney's core: one row
+    * `(n1, n2, u1, u2, z)`. `sample1` names the `group` value forming
+    * sample 1; every other value is sample 2. Values are cents-quantized
+    * at 2dp (the gini discipline) so midranks are exact integers.
+    */
+  def mannWhitney(group: String, value: String, sample1: String): DataFrame =
+    graft.operators.StatQueries.mannWhitneyOn(statBase(group, value), sample1)
+
+  /** Two-sample Kolmogorov-Smirnov D — q_stat_ks's core: one row
+    * `(n1, n2, d_num, d)` with d = d_num/(n1·n2) exact.
+    */
+  def ksTest(group: String, value: String, sample1: String): DataFrame =
+    graft.operators.StatQueries.ksOn(statBase(group, value), sample1)
+
+  /** Kruskal-Wallis H across the groups of `group` —
+    * q_stat_kruskal's core: per-group `(grp, n_g, r_g, h, h_adj)`.
+    */
+  def kruskal(group: String, value: String): DataFrame =
+    graft.operators.StatQueries.kruskalOn(statBase(group, value))
+
+  /** Spearman rank correlation between two numeric columns —
+    * q_stat_spearman's core: one row `(n, sxy, sxx, syy, rho)` with the
+    * centered-rank moments exact longs. `x` is integer-cast; `y` is
+    * cents-quantized at 2dp.
+    */
+  def spearman(x: String, y: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    graft.operators.StatQueries.spearmanOn(
+      df.select(col(x).cast(LongType).as("x"),
+        (col(y).cast(DecimalType(12, 2)) * 100).cast(LongType).as("y")))
+  }
+
+  /** Chi-square test of independence between two categorical columns —
+    * q_stat_chisq's core: one row `(n, dof, chisq, cramers_v)`.
+    */
+  def chisq(a: String, b: String): DataFrame =
+    graft.operators.StatQueries.chisqOn(df.select(col(a).as("a"), col(b).as("b")))
+
+  /** Per-group simple OLS of `y` (cents-quantized at 2dp) on integer `x`
+    * — q_stat_ols's core: per-group `(grp, n, slope, intercept, r2)`,
+    * slope in cents of y per unit x, everything exact integer arithmetic
+    * until the final 1e6-scaled display divisions.
+    */
+  def ols(group: String, x: String, y: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    graft.operators.StatQueries.olsOn(
+      df.select(col(group).as("grp"), col(x).cast(LongType).as("x"),
+        (col(y).cast(DecimalType(12, 2)) * 100).cast(LongType).as("y")))
+  }
+
+  private def statBase(group: String, value: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    df.select(col(group).as("grp"),
+      (col(value).cast(DecimalType(12, 2)) * 100).cast(LongType).as("v"))
+  }
+
   /** Treat this frame as an EDGE LIST and open the graph-analytics
     * family over it (q_graph_* / q_vec_dbscan's edge-source-agnostic
     * cores): components, LPA communities, modularity, triangle census,

@@ -1,0 +1,502 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Classical statistical hypothesis tests as engine operators — the
+  * inference layer every experimentation / data-quality platform runs on
+  * top of its aggregates: Mann-Whitney U, two-sample Kolmogorov-Smirnov,
+  * Kruskal-Wallis H, Spearman rank correlation, chi-square independence,
+  * and per-group OLS regression.
+  *
+  * Determinism discipline (the house rule — see AggQueries header,
+  * q_events_ab_test, q_ts_changepoint): every statistic reduces to EXACT
+  * integer/decimal moments first; the only floating-point ops are final
+  * closed-form combinations whose expression trees are written identically
+  * in Spark and the DuckDB oracle — long→double casts (exactly-rounded,
+  * hardware-deterministic, unlike decimal→double which goes through
+  * radix-10 paths), +,-,*,/ (IEEE correctly rounded), and sqrt (correctly
+  * rounded by IEEE 754, not a libm freedom). Where a sum of per-group
+  * float terms is needed (Kruskal), each term is 8dp-rounded to an exact
+  * decimal BEFORE the order-free decimal sum (the lm_score/entropy
+  * recipe), and the decimal total is kept small enough (≤15 significant
+  * digits) that its double render is exact. Where a quotient of
+  * beyond-double integers is needed (OLS), it is produced by EXACT
+  * integer division at 1e6 scale (the q_ts_changepoint recipe) — floor
+  * division applied to non-negative operands so Spark `div` (truncate)
+  * and DuckDB `//` agree by construction.
+  *
+  * Rank machinery at 100 TB: ranking is the classic distributed-sort
+  * shape. All rank-based tests here (MW / KS / KW / Spearman) rank via a
+  * VALUE-DISTINCT aggregate (one shuffle, output bounded by value
+  * cardinality, never row count) followed by a bucketed two-pass
+  * cumulative: per-bucket windows run in parallel, only the ≤1024-row
+  * bucket-total frame sees a global window. No operator ever sorts the
+  * full fact in one task.
+  */
+object StatQueries {
+
+  /** Exact cents of a fixture money double (the q_agg_gini cast). */
+  private def cents(c: org.apache.spark.sql.Column) =
+    (c.cast(DecimalType(12, 2)) * 100).cast(LongType)
+
+  /** Bucketed two-pass exclusive cumulative sums over a distinct-value
+    * frame. `vals` has one row per `v` (long) plus count columns; for each
+    * requested column c this appends `cb_<c>` = Σ of c over all rows with
+    * smaller v. Pass 1: per-bucket window (parallel, bucket = value range
+    * from a broadcast min/max — 1024 buckets). Pass 2: a global window
+    * over the ≤1024-row bucket-total frame, broadcast back. This is how a
+    * distributed engine computes a global ECDF without a single-task sort.
+    */
+  private[operators] def withCumBefore(vals: DataFrame, cols: Seq[String]): DataFrame = {
+    val mm = vals.agg(min("v").as("lo"), max("v").as("hi"))
+    val b = vals.crossJoin(broadcast(mm))
+      .withColumn("bkt", expr("((v - lo) * 1024) div (hi - lo + 1)"))
+      .drop("lo", "hi")
+    val wIn = Window.partitionBy("bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withIn = cols.foldLeft(b) { (df, c) =>
+      df.withColumn(s"in_$c", coalesce(sum(col(c)).over(wIn), lit(0L)))
+    }
+    val btAggs = cols.map(c => sum(col(c)).as(s"bt_$c"))
+    val bt = b.groupBy("bkt").agg(btAggs.head, btAggs.tail: _*)
+    val wB = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val pre = cols.foldLeft(bt) { (df, c) =>
+      df.withColumn(s"pre_$c", coalesce(sum(col(s"bt_$c")).over(wB), lit(0L)))
+    }.select(col("bkt") +: cols.map(c => col(s"pre_$c")): _*)
+    val joined = withIn.join(broadcast(pre), "bkt")
+    cols.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"cb_$c", col(s"in_$c") + col(s"pre_$c"))
+        .drop(s"in_$c", s"pre_$c")
+    }.drop("bkt")
+  }
+
+  /** Two-sample distinct-value grain: input (grp, v) rows, output one row
+    * per v with total count t and sample-1 count t1. The first shuffle of
+    * both MW and KS.
+    */
+  private def twoSampleValsOn(base: DataFrame, sample1: String): DataFrame =
+    base.groupBy("v").agg(
+      count(lit(1)).as("t"),
+      sum(when(col("grp") === sample1, 1L).otherwise(0L)).as("t1"))
+
+  /** Mann-Whitney core over a (grp, v) frame — see q_stat_mannwhitney. */
+  private[graft] def mannWhitneyOn(base: DataFrame, sample1: String): DataFrame = {
+    val ranked = withCumBefore(twoSampleValsOn(base, sample1), Seq("t"))
+    ranked.agg(
+        sum(col("t1")).cast(LongType).as("n1"),
+        sum(col("t") - col("t1")).cast(LongType).as("n2"),
+        sum(col("t1") * (lit(2L) * col("cb_t") + col("t") + 1)).cast(LongType).as("r1x2"),
+        sum(col("t") * col("t") * col("t") - col("t")).cast(LongType).as("tie"))
+      .withColumn("u1", (col("r1x2") - col("n1") * (col("n1") + 1)).cast(DoubleType) / lit(2.0))
+      .withColumn("u2", (col("n1") * col("n2")).cast(DoubleType) - col("u1"))
+      .withColumn("z",
+        (col("u1") - (col("n1") * col("n2")).cast(DoubleType) / lit(2.0)) /
+          sqrt((col("n1").cast(DoubleType) * col("n2").cast(DoubleType) / lit(12.0)) *
+            ((col("n1") + col("n2") + 1).cast(DoubleType) -
+              col("tie").cast(DoubleType) /
+                ((col("n1") + col("n2")).cast(DoubleType) * (col("n1") + col("n2") - 1).cast(DoubleType)))))
+      .select("n1", "n2", "u1", "u2", "z")
+  }
+
+  /** KS core over a (grp, v) frame — see q_stat_ks. */
+  private[graft] def ksOn(base: DataFrame, sample1: String): DataFrame = {
+    val ranked = withCumBefore(twoSampleValsOn(base, sample1), Seq("t", "t1"))
+      .withColumn("c1", col("cb_t1") + col("t1"))
+      .withColumn("c2", col("cb_t") + col("t") - col("cb_t1") - col("t1"))
+    val tot = ranked.agg(sum("t1").cast(LongType).as("n1"),
+      sum(col("t") - col("t1")).cast(LongType).as("n2"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("d_num"))
+      .withColumn("d", col("d_num").cast(DoubleType) / (col("n1") * col("n2")).cast(DoubleType))
+      .select("n1", "n2", "d_num", "d")
+  }
+
+  /** Kruskal-Wallis core over a (grp, v) frame — see q_stat_kruskal. */
+  private[graft] def kruskalOn(base: DataFrame): DataFrame = {
+    val vals = base.groupBy("v").agg(count(lit(1)).as("t"))
+    val ranked = withCumBefore(vals, Seq("t"))
+      .withColumn("rank2", lit(2L) * col("cb_t") + col("t") + 1)
+    val perGrp = base.groupBy("grp", "v").agg(count(lit(1)).as("tg"))
+      .join(ranked.select("v", "rank2"), "v")
+      .groupBy("grp")
+      .agg(sum("tg").cast(LongType).as("n_g"),
+        sum(col("tg") * col("rank2")).cast(LongType).as("rg2"))
+    val tot = ranked.agg(sum("t").cast(LongType).as("n"),
+      sum(col("t") * col("t") * col("t") - col("t")).cast(LongType).as("tie"))
+    val terms = perGrp.crossJoin(broadcast(tot))
+      .withColumn("term",
+        round(lit(12.0) * (col("rg2").cast(DoubleType) / lit(2.0)) * (col("rg2").cast(DoubleType) / lit(2.0)) /
+          (col("n_g").cast(DoubleType) * col("n").cast(DoubleType) * (col("n") + 1).cast(DoubleType)), 8)
+          .cast(DecimalType(24, 8)))
+    val h = terms.agg(max("n").as("n"), max("tie").as("tie"),
+        sum("term").cast(DoubleType).as("s"))
+      .withColumn("h", col("s") - lit(3.0) * (col("n") + 1).cast(DoubleType))
+      .withColumn("h_adj", col("h") /
+        (lit(1.0) - col("tie").cast(DoubleType) /
+          (col("n") * col("n") * col("n") - col("n")).cast(DoubleType)))
+      .select("h", "h_adj")
+    perGrp.crossJoin(broadcast(h))
+      .select(col("grp"), col("n_g"),
+        (col("rg2").cast(DoubleType) / lit(2.0)).as("r_g"), col("h"), col("h_adj"))
+      .orderBy("grp")
+  }
+
+  /** Spearman core over an (x, y) long-column frame — see q_stat_spearman. */
+  private[graft] def spearmanOn(rows: DataFrame): DataFrame = {
+    val xr = withCumBefore(
+      rows.groupBy(col("x").as("v")).agg(count(lit(1)).as("t")), Seq("t"))
+      .select(col("v").as("x"), (lit(2L) * col("cb_t") + col("t") + 1).as("rx2"))
+    val yr = withCumBefore(
+      rows.groupBy(col("y").as("v")).agg(count(lit(1)).as("t")), Seq("t"))
+      .select(col("v").as("y"), (lit(2L) * col("cb_t") + col("t") + 1).as("ry2"))
+    val n1 = rows.agg(count(lit(1)).as("n"))
+    rows.join(xr, "x").join(yr, "y")
+      .crossJoin(broadcast(n1))
+      .select(((col("rx2") - (col("n") + 1)).as("cx")),
+        (col("ry2") - (col("n") + 1)).as("cy"), col("n"))
+      .agg(max("n").as("n"),
+        sum(col("cx") * col("cy")).cast(LongType).as("sxy"),
+        sum(col("cx") * col("cx")).cast(LongType).as("sxx"),
+        sum(col("cy") * col("cy")).cast(LongType).as("syy"))
+      .withColumn("rho", col("sxy").cast(DoubleType) /
+        (sqrt(col("sxx").cast(DoubleType)) * sqrt(col("syy").cast(DoubleType))))
+      .select("n", "sxy", "sxx", "syy", "rho")
+  }
+
+  /** Chi-square core over an (a, b) categorical frame — see q_stat_chisq. */
+  private[graft] def chisqOn(base: DataFrame): DataFrame = {
+    val cells = base.groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val ra = base.groupBy("a").agg(count(lit(1)).as("r"))
+    val cb = base.groupBy("b").agg(count(lit(1)).as("c"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      countDistinct("a").as("nr"), countDistinct("b").as("nc"))
+    cells.join(broadcast(ra), "a").join(broadcast(cb), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("dv", (col("o") * col("n") - col("r") * col("c")).cast(DoubleType))
+      .withColumn("term",
+        round(col("dv") * col("dv") / (col("r") * col("c") * col("n")).cast(DoubleType), 8)
+          .cast(DecimalType(24, 8)))
+      .agg(max("n").as("n"), max("nr").as("nr"), max("nc").as("nc"),
+        sum("term").cast(DoubleType).as("chisq"))
+      .withColumn("dof", ((col("nr") - 1) * (col("nc") - 1)).cast(LongType))
+      .withColumn("cramers_v",
+        sqrt(col("chisq") / (col("n").cast(DoubleType) * least(col("nr") - 1, col("nc") - 1).cast(DoubleType))))
+      .select("n", "dof", "chisq", "cramers_v")
+  }
+
+  /** OLS core over a (grp, x, y) long-column frame — see q_stat_ols. */
+  private[graft] def olsOn(base0: DataFrame): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    val base = base0.select(col("grp"), col("x").cast(D38).as("x"), col("y").cast(D38).as("y"))
+    val m = base.groupBy("grp").agg(
+      count(lit(1)).cast(D38).as("n"),
+      sum("x").cast(D38).as("sx"), sum("y").cast(D38).as("sy"),
+      sum(col("x") * col("y")).cast(D38).as("sxy"),
+      sum(col("x") * col("x")).cast(D38).as("sxx"),
+      sum(col("y") * col("y")).cast(D38).as("syy"))
+    m.withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy")).cast(D38))
+      .withColumn("den", (col("n") * col("sxx") - col("sx") * col("sx")).cast(D38))
+      .withColumn("deny", (col("n") * col("syy") - col("sy") * col("sy")).cast(D38))
+      .withColumn("anum", abs(col("num")))
+      .withColumn("sgn", when(col("num") < 0, lit(-1L)).otherwise(lit(1L)))
+      .withColumn("slope_e6", col("sgn") * expr("(anum * 1000000) div den"))
+      .withColumn("inum", (col("sy") * col("den") - col("num") * col("sx")).cast(D38))
+      .withColumn("intercept_e6",
+        when(col("inum") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(abs(inum) * 1000000) div (n * den)"))
+      .withColumn("a2", expr("anum div den").cast(D38))
+      .withColumn("rem", (col("anum") - col("a2") * col("den")).cast(D38))
+      .withColumn("nsqd",
+        (col("a2") * col("anum") + expr("(rem * anum) div den").cast(D38)).cast(D38))
+      .withColumn("r2_e6", expr("(nsqd * 1000000) div deny"))
+      .select(col("grp"), col("n").cast(LongType).as("n"),
+        (col("slope_e6").cast(DoubleType) / lit(1000000.0)).as("slope"),
+        (col("intercept_e6").cast(DoubleType) / lit(1000000.0)).as("intercept"),
+        (col("r2_e6").cast(DoubleType) / lit(1000000.0)).as("r2"))
+      .orderBy("grp")
+  }
+
+  /** Mann-Whitney U (Wilcoxon rank-sum), 'O' vs 'F' order amounts. Ranks
+    * use midranks for ties, carried as rank2 = 2·avgrank = 2·cumBefore +
+    * t + 1 — an exact INTEGER per distinct value — so the rank sum, the U
+    * statistics, and the tie term Σ(t³−t) are all exact longs; u1/u2 are
+    * halves of even/odd longs (one exact-operand IEEE division by 2.0)
+    * and z is the textbook normal approximation with tie-corrected
+    * variance, written as the identical double expression in both
+    * engines (one sqrt). One value-distinct shuffle + the bucketed
+    * cumulative: rank cost is bounded by distinct amounts, not rows.
+    */
+  val statMannWhitney = QueryDef(
+    "q_stat_mannwhitney",
+    (s, dir) => mannWhitneyOn(
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus").isin("O", "F"))
+        .select(col("o_orderstatus").as("grp"), cents(col("o_totalprice")).as("v")),
+      "O"),
+    Some("""
+      WITH base AS (
+        SELECT o_orderstatus AS grp,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        FROM orders WHERE o_orderstatus IN ('O','F')),
+      vals AS (
+        SELECT v, COUNT(*) AS t,
+               SUM(CASE WHEN grp = 'O' THEN 1 ELSE 0 END) AS t1
+        FROM base GROUP BY v),
+      ranked AS (
+        SELECT v, t, t1,
+               COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb_t
+        FROM vals),
+      agg AS (
+        SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+               CAST(SUM(t - t1) AS BIGINT) AS n2,
+               CAST(SUM(t1 * (2 * cb_t + t + 1)) AS BIGINT) AS r1x2,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie
+        FROM ranked),
+      u AS (
+        SELECT n1, n2, r1x2, tie,
+               CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1
+        FROM agg)
+      SELECT n1, n2, u1,
+             CAST(n1 * n2 AS DOUBLE) - u1 AS u2,
+             (u1 - CAST(n1 * n2 AS DOUBLE) / 2.0) /
+             sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) *
+                  (CAST(n1 + n2 + 1 AS DOUBLE) -
+                   CAST(tie AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))) AS z
+      FROM u
+    """.trim),
+  )
+
+  /** Two-sample Kolmogorov-Smirnov over the same 'O'/'F' amounts. The
+    * statistic is computed as an exact integer: D = max_v |F1(v) − F2(v)|
+    * = max_v |c1(v)·n2 − c2(v)·n1| / (n1·n2) where c1/c2 are INCLUSIVE
+    * cumulative counts — the numerator and n1·n2 are exact longs, so d is
+    * one exact-operand IEEE division. Same value-distinct + bucketed-
+    * cumulative shape as MW: the ECDF never materializes per row.
+    */
+  val statKs = QueryDef(
+    "q_stat_ks",
+    (s, dir) => ksOn(
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus").isin("O", "F"))
+        .select(col("o_orderstatus").as("grp"), cents(col("o_totalprice")).as("v")),
+      "O"),
+    Some("""
+      WITH base AS (
+        SELECT o_orderstatus AS grp,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        FROM orders WHERE o_orderstatus IN ('O','F')),
+      vals AS (
+        SELECT v, COUNT(*) AS t,
+               SUM(CASE WHEN grp = 'O' THEN 1 ELSE 0 END) AS t1
+        FROM base GROUP BY v),
+      ranked AS (
+        SELECT v, t, t1,
+               CAST(SUM(t1) OVER (ORDER BY v) AS BIGINT) AS c1,
+               CAST(SUM(t - t1) OVER (ORDER BY v) AS BIGINT) AS c2
+        FROM vals),
+      tot AS (SELECT CAST(SUM(t1) AS BIGINT) AS n1, CAST(SUM(t - t1) AS BIGINT) AS n2 FROM vals)
+      SELECT n1, n2,
+             CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num,
+             CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d
+      FROM ranked, tot GROUP BY n1, n2
+    """.trim),
+  )
+
+  /** Kruskal-Wallis H across the five order priorities. Midranks via the
+    * same integer rank2; per-group rank sums Rg2 are exact longs and
+    * r_g = Rg2/2.0 is an exact half. The H sum needs per-group float
+    * terms combined order-free, so each term
+    * 12·R_g²/(n_g·N·(N+1)) is computed as an identical double expression
+    * (Rg2 ≤ 2·N·n_g keeps the long→double cast exact at fixture scales),
+    * 8dp-rounded to decimal, decimal-summed (order-free), and the total —
+    * ≈3(N+1)+H, ≤15 significant digits — renders back to double exactly.
+    * H = S − 3(N+1); the tie correction divides by the exact long N³−N.
+    */
+  val statKruskal = QueryDef(
+    "q_stat_kruskal",
+    (s, dir) => kruskalOn(
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"), cents(col("o_totalprice")).as("v"))),
+    Some("""
+      WITH base AS (
+        SELECT o_orderpriority AS grp,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        FROM orders),
+      vals AS (SELECT v, COUNT(*) AS t FROM base GROUP BY v),
+      ranked AS (
+        SELECT v, t,
+               2 * COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS rank2
+        FROM vals),
+      pergrp AS (
+        SELECT grp, CAST(SUM(tg) AS BIGINT) AS n_g, CAST(SUM(tg * rank2) AS BIGINT) AS rg2
+        FROM (SELECT grp, v, COUNT(*) AS tg FROM base GROUP BY grp, v) g
+        JOIN ranked USING (v) GROUP BY grp),
+      tot AS (
+        SELECT CAST(SUM(t) AS BIGINT) AS n,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie
+        FROM vals),
+      terms AS (
+        SELECT grp, n_g, rg2, n, tie,
+               CAST(ROUND(12.0 * (CAST(rg2 AS DOUBLE) / 2.0) * (CAST(rg2 AS DOUBLE) / 2.0) /
+                          (CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)), 8) AS DECIMAL(24,8)) AS term
+        FROM pergrp, tot),
+      hh AS (
+        SELECT MAX(n) AS n, MAX(tie) AS tie, CAST(SUM(term) AS DOUBLE) AS s
+        FROM terms),
+      h2 AS (
+        SELECT s - 3.0 * CAST(n + 1 AS DOUBLE) AS h,
+               (s - 3.0 * CAST(n + 1 AS DOUBLE)) /
+               (1.0 - CAST(tie AS DOUBLE) / CAST(n * n * n - n AS DOUBLE)) AS h_adj
+        FROM hh)
+      SELECT grp, n_g, CAST(rg2 AS DOUBLE) / 2.0 AS r_g, h, h_adj
+      FROM pergrp, h2 ORDER BY grp
+    """.trim),
+  )
+
+  /** Spearman rank correlation between lineitem quantity and extended
+    * price. Midranks carried as integer rank2; the key exactness trick:
+    * the mean of rank2 over N rows is EXACTLY N+1 (Σ rank2 = N(N+1)), so
+    * centered ranks cx = rank2 − (N+1) are exact integers and the three
+    * Pearson moments Σcx·cy, Σcx², Σcy² are exact longs (|cx| ≤ N keeps
+    * Σ ≤ N³ within int64 an order of magnitude past sf0.1). rho is then
+    * one identical double expression with two sqrt. Ranking is the
+    * value-distinct shape per variable; the quantity rank map (50 rows)
+    * broadcasts, the price rank map joins on its value key.
+    */
+  val statSpearman = QueryDef(
+    "q_stat_spearman",
+    (s, dir) => spearmanOn(
+      Tables.lineitem(s, dir)
+        .select(col("l_quantity").cast(LongType).as("x"), cents(col("l_extendedprice")).as("y"))),
+    Some("""
+      WITH rows_ AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        FROM lineitem),
+      xr AS (
+        SELECT v AS x, 2 * COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS rx2
+        FROM (SELECT x AS v, COUNT(*) AS t FROM rows_ GROUP BY x) q),
+      yr AS (
+        SELECT v AS y, 2 * COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS ry2
+        FROM (SELECT y AS v, COUNT(*) AS t FROM rows_ GROUP BY y) q),
+      nn AS (SELECT COUNT(*) AS n FROM rows_),
+      cent AS (
+        SELECT rx2 - (n + 1) AS cx, ry2 - (n + 1) AS cy, n
+        FROM rows_ JOIN xr USING (x) JOIN yr USING (y), nn),
+      agg AS (
+        SELECT MAX(n) AS n,
+               CAST(SUM(cx * cy) AS BIGINT) AS sxy,
+               CAST(SUM(cx * cx) AS BIGINT) AS sxx,
+               CAST(SUM(cy * cy) AS BIGINT) AS syy
+        FROM cent)
+      SELECT n, sxy, sxx, syy,
+             CAST(sxy AS DOUBLE) / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))) AS rho
+      FROM agg
+    """.trim),
+  )
+
+  /** Chi-square test of independence over the orderstatus × orderpriority
+    * contingency table. Each cell's term (O − E)²/E is algebraically
+    * (O·N − r·c)²/(r·c·N): O·N − r·c and r·c·N are exact longs whose
+    * double casts are exact at fixture scales, the term is an identical
+    * double expression, 8dp-rounded to decimal for the order-free sum
+    * over the 15 cells, and the small total renders to double exactly.
+    * Cramér's V adds one sqrt on the rounded statistic. Two hash
+    * aggregates (cells + margins, both broadcast); the contingency table
+    * is #statuses × #priorities regardless of corpus size.
+    */
+  val statChisq = QueryDef(
+    "q_stat_chisq",
+    (s, dir) => chisqOn(
+      Tables.orders(s, dir).select(col("o_orderstatus").as("a"), col("o_orderpriority").as("b"))),
+    Some("""
+      WITH base AS (SELECT o_orderstatus AS a, o_orderpriority AS b FROM orders),
+      cells AS (SELECT a, b, COUNT(*) AS o FROM base GROUP BY a, b),
+      ra AS (SELECT a, COUNT(*) AS r FROM base GROUP BY a),
+      cb AS (SELECT b, COUNT(*) AS c FROM base GROUP BY b),
+      tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT a) AS nr, COUNT(DISTINCT b) AS nc FROM base),
+      terms AS (
+        SELECT n, nr, nc,
+               CAST(ROUND(CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE) /
+                          CAST(r * c * n AS DOUBLE), 8) AS DECIMAL(24,8)) AS term
+        FROM cells JOIN ra USING (a) JOIN cb USING (b), tot),
+      agg AS (
+        SELECT MAX(n) AS n, MAX(nr) AS nr, MAX(nc) AS nc,
+               CAST(SUM(term) AS DOUBLE) AS chisq
+        FROM terms)
+      SELECT n, CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof, chisq,
+             sqrt(chisq / (CAST(n AS DOUBLE) * CAST(LEAST(nr - 1, nc - 1) AS DOUBLE))) AS cramers_v
+      FROM agg
+    """.trim),
+  )
+
+  /** Per-priority OLS regression of order value (cents) on basket size
+    * (lineitem count per order) — slope = marginal cents per additional
+    * line item. ZERO float ops until display: the five moments are exact
+    * DECIMAL(38,0) sums; num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)²,
+    * deny = n·Σy² − (Σy)² are exact decimals; slope/intercept/r² are
+    * produced by exact integer division at 1e6 scale on NON-NEGATIVE
+    * operands (sign reapplied), so Spark `div` and DuckDB `//` agree by
+    * construction. r² = num²/(den·deny) decomposes as
+    * floor(num²/den) = a2·|num| + floor(rem·|num|/den) (a2 = |num| div
+    * den, rem = |num| − a2·den — exact because num² = (a2·den+rem)·|num|),
+    * keeping every `div` quotient within int64 while DuckDB mirrors it
+    * with plain HUGEINT floor division — identical results since the
+    * decomposition is exact. Final display columns are scaled-int / 1e6
+    * — one exact-operand IEEE division each (the changepoint recipe).
+    * One join shuffle (basket size onto orders) + one hash aggregate.
+    */
+  val statOls = QueryDef(
+    "q_stat_ols",
+    (s, dir) => {
+      val nx = Tables.lineitem(s, dir).groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("x"))
+      olsOn(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority").as("grp"), cents(col("o_totalprice")).as("y"))
+        .join(nx, "o_orderkey")
+        .select(col("grp"), col("x"), col("y")))
+    },
+    Some("""
+      WITH nx AS (SELECT l_orderkey AS o_orderkey, COUNT(*) AS x FROM lineitem GROUP BY l_orderkey),
+      base AS (
+        SELECT o_orderpriority AS grp, CAST(x AS HUGEINT) AS x,
+               CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT) AS y
+        FROM orders JOIN nx USING (o_orderkey)),
+      m AS (
+        SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx,
+               CAST(SUM(y * y) AS HUGEINT) AS syy
+        FROM base GROUP BY grp),
+      d AS (
+        SELECT grp, n,
+               n * sxy - sx * sy AS num,
+               n * sxx - sx * sx AS den,
+               n * syy - sy * sy AS deny,
+               sy, sx
+        FROM m),
+      e AS (
+        SELECT grp, n, num, den, deny,
+               CASE WHEN num < 0 THEN -1 ELSE 1 END * ((abs(num) * 1000000) // den) AS slope_e6,
+               CASE WHEN sy * den - num * sx < 0 THEN -1 ELSE 1 END *
+                 ((abs(sy * den - num * sx) * 1000000) // (n * den)) AS intercept_e6,
+               (((abs(num) // den) * abs(num) +
+                 ((abs(num) - (abs(num) // den) * den) * abs(num)) // den) * 1000000) // deny AS r2_e6
+        FROM d)
+      SELECT grp, CAST(n AS BIGINT) AS n,
+             CAST(slope_e6 AS DOUBLE) / 1000000.0 AS slope,
+             CAST(intercept_e6 AS DOUBLE) / 1000000.0 AS intercept,
+             CAST(r2_e6 AS DOUBLE) / 1000000.0 AS r2
+      FROM e ORDER BY grp
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(statMannWhitney, statKs, statKruskal,
+    statSpearman, statChisq, statOls)
+}

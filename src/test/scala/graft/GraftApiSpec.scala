@@ -565,4 +565,39 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     giniVerb shouldBe giniReg
     assert(entVerb.nonEmpty && giniVerb.nonEmpty)
   }
+
+  test("statistical-test verbs equal their registered queries") {
+    import graft.api.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val o = Tables.orders(spark, sfTiny)
+    val of = o.filter(col("o_orderstatus").isin("O", "F"))
+    of.graft.mannWhitney("o_orderstatus", "o_totalprice", "O")
+      .collect().map(_.toString).toSeq shouldBe
+      graft.operators.StatQueries.statMannWhitney.query(spark, sfTiny)
+        .collect().map(_.toString).toSeq
+    of.graft.ksTest("o_orderstatus", "o_totalprice", "O")
+      .collect().map(_.toString).toSeq shouldBe
+      graft.operators.StatQueries.statKs.query(spark, sfTiny)
+        .collect().map(_.toString).toSeq
+    o.graft.kruskal("o_orderpriority", "o_totalprice")
+      .collect().map(_.toString).toSeq shouldBe
+      graft.operators.StatQueries.statKruskal.query(spark, sfTiny)
+        .collect().map(_.toString).toSeq
+    Tables.lineitem(spark, sfTiny).graft.spearman("l_quantity", "l_extendedprice")
+      .collect().map(_.toString).toSeq shouldBe
+      graft.operators.StatQueries.statSpearman.query(spark, sfTiny)
+        .collect().map(_.toString).toSeq
+    o.graft.chisq("o_orderstatus", "o_orderpriority")
+      .collect().map(_.toString).toSeq shouldBe
+      graft.operators.StatQueries.statChisq.query(spark, sfTiny)
+        .collect().map(_.toString).toSeq
+    val nx = Tables.lineitem(spark, sfTiny)
+      .groupBy(col("l_orderkey").as("o_orderkey")).agg(count(lit(1)).as("x"))
+    val olsVerb = o.join(nx, "o_orderkey").graft
+      .ols("o_orderpriority", "x", "o_totalprice")
+      .collect().map(_.toString).toSeq
+    olsVerb shouldBe graft.operators.StatQueries.statOls.query(spark, sfTiny)
+      .collect().map(_.toString).toSeq
+    assert(olsVerb.nonEmpty)
+  }
 }
