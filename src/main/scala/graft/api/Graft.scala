@@ -816,6 +816,41 @@ final class GraftFrame(val df: DataFrame) {
         (col(y).cast(DecimalType(12, 2)) * 100).cast(LongType).as("y")))
   }
 
+  /** Welch two-sample t-test between `sample1` and `sample2` values of
+    * `group` on a numeric column — q_stat_ttest's core: one row
+    * `(n1, n2, mean_diff, t, df)`, mean_diff in the column's units,
+    * df by Welch–Satterthwaite. Exact integer moments; see the
+    * StatQueries magnitude audit.
+    */
+  def ttest(group: String, value: String, sample1: String, sample2: String): DataFrame =
+    graft.operators.StatQueries.ttestOn(
+      statBase(group, value).filter(col("grp").isin(sample1, sample2)), sample1)
+
+  /** One-way ANOVA of a numeric column across the groups of `group` —
+    * q_stat_anova's core: one row `(k, n, f, eta2)` on the floored-SS
+    * definition (exact integers end-to-end).
+    */
+  def anova(group: String, value: String): DataFrame =
+    graft.operators.StatQueries.anovaOn(statBase(group, value))
+
+  /** Kaplan-Meier churn survival — q_stat_survival's core: treat each
+    * `subject`'s activity span at hour grain as a lifetime, mark
+    * subjects idle for more than `churnHours` before the corpus's last
+    * activity as churned (observed), the rest right-censored, and emit
+    * the life table `(dur, n_risk, n_event, n_censor, log2_surv)` at
+    * event durations. `ts` must be a timestamp column.
+    */
+  def kaplanMeier(subject: String, ts: String, churnHours: Int = 24): DataFrame = {
+    val hours = df.select(col(subject).as("s"),
+      expr(s"unix_micros(cast($ts as timestamp)) div 3600000000").as("h"))
+    val u = hours.groupBy("s").agg(min("h").as("fh"), max("h").as("lh"))
+    val m = u.agg(max("lh").as("mh"))
+    graft.operators.StatQueries.kaplanMeierOn(
+      u.crossJoin(broadcast(m))
+        .select((col("lh") - col("fh")).as("dur"),
+          when(col("mh") - col("lh") > churnHours, 1L).otherwise(0L).as("event")))
+  }
+
   private def statBase(group: String, value: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, LongType}
     df.select(col(group).as("grp"),

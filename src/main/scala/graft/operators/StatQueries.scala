@@ -497,6 +497,251 @@ object StatQueries {
     """.trim),
   )
 
+  /** Welch t-test core over a (grp, v) long frame with exactly two group
+    * values — see q_stat_ttest. Per-group exact moments (n, Σv, Σv² in
+    * D38); a_g = se² component ·1e6 and dm_e6 = mean-diff ·1e6 come from
+    * exact integer division on non-negative operands (sign reapplied) so
+    * Spark `div` and DuckDB `//` agree by construction; the quotients fit
+    * int64/2^53 by the magnitude audit in the registration scaladoc. t
+    * and the Welch–Satterthwaite df are then identical double expressions
+    * over those exactly-cast longs (+,·,/, one sqrt — all IEEE
+    * correctly rounded).
+    */
+  private[graft] def ttestOn(base: DataFrame, sample1: String): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    val m = base
+      .withColumn("g", when(col("grp") === sample1, lit(1)).otherwise(lit(2)))
+      .groupBy("g").agg(
+        count(lit(1)).cast(D38).as("n"),
+        sum(col("v").cast(D38)).as("s"),
+        sum((col("v").cast(D38) * col("v").cast(D38))).as("ss"))
+      .withColumn("vnum", (col("n") * col("ss") - col("s") * col("s")).cast(D38))
+      // a = floor(1e6 · vnum / (n·(n−1)·n)) — exact, identical floor both engines
+      .withColumn("a", expr("(vnum * 1000000) div (n * (n - 1) * n)"))
+    val one = m.filter(col("g") === 1).select(
+      col("n").cast(LongType).as("n1"), col("s").as("s1"), col("a").as("a1"))
+    val two = m.filter(col("g") === 2).select(
+      col("n").cast(LongType).as("n2"), col("s").as("s2"), col("a").as("a2"))
+    one.crossJoin(broadcast(two))
+      .withColumn("dnum", (col("s1") * col("n2") - col("s2") * col("n1")).cast(D38))
+      .withColumn("dm_e6",
+        when(col("dnum") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(abs(dnum) * 1000000) div (cast(n1 as decimal(38,0)) * n2)"))
+      .withColumn("se", sqrt((col("a1") + col("a2")).cast(DoubleType) / lit(1000000.0)))
+      .withColumn("mean_diff", col("dm_e6").cast(DoubleType) / lit(1000000.0))
+      .withColumn("t", col("mean_diff") / col("se"))
+      .withColumn("df",
+        ((col("a1") + col("a2")).cast(DoubleType) * (col("a1") + col("a2")).cast(DoubleType)) /
+          (col("a1").cast(DoubleType) * col("a1").cast(DoubleType) / (col("n1") - 1).cast(DoubleType) +
+           col("a2").cast(DoubleType) * col("a2").cast(DoubleType) / (col("n2") - 1).cast(DoubleType)))
+      .select("n1", "n2", "mean_diff", "t", "df")
+  }
+
+  /** One-way ANOVA core over a (grp, v) long frame — see q_stat_anova.
+    * The statistic is DEFINED on floored sums of squares so every
+    * intermediate is an exact integer: floor(s²/n) is decomposed as
+    * q·s + floor(r·s/n) with q = s div n, r = s − q·n (exact since
+    * s² = (q·n + r)·s), which keeps each `div` QUOTIENT within int64
+    * while the decimal terms live in D38. T = Σ_g floor(s_g²/n_g),
+    * SSN = floor(S²/N), SSB = T − SSN, SSW = Σv² − T; F and η² are
+    * 1e6-scaled exact integer divisions rendered by one exact-operand
+    * IEEE division each.
+    */
+  private[graft] def anovaOn(base: DataFrame): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    def floorSqDiv(s: String, n: String) =
+      // floor(s²/n) with int64-bounded quotients; operands non-negative
+      expr(s"($s div $n) * $s + (($s - ($s div $n) * $n) * $s) div $n").cast(D38)
+    val g = base.groupBy("grp").agg(
+      count(lit(1)).cast(D38).as("ng"),
+      sum(col("v").cast(D38)).as("sg"),
+      sum(col("v").cast(D38) * col("v").cast(D38)).as("ssg"))
+    val agg = g.agg(
+      count(lit(1)).cast(LongType).as("k"),
+      sum("ng").cast(D38).as("n"),
+      sum("sg").cast(D38).as("s"),
+      sum("ssg").cast(D38).as("ssq"),
+      sum(floorSqDiv("sg", "ng")).cast(D38).as("t"))
+    agg
+      .withColumn("ssn", floorSqDiv("s", "n"))
+      .withColumn("ssb", (col("t") - col("ssn")).cast(D38))
+      .withColumn("ssw", (col("ssq") - col("t")).cast(D38))
+      .withColumn("f_e6",
+        expr("(ssb * (n - k) * 1000000) div (ssw * (k - 1))"))
+      .withColumn("eta2_e6",
+        expr("(ssb * 1000000) div (ssq - ssn)"))
+      .select(col("k"), col("n").cast(LongType).as("n"),
+        (col("f_e6").cast(DoubleType) / lit(1000000.0)).as("f"),
+        (col("eta2_e6").cast(DoubleType) / lit(1000000.0)).as("eta2"))
+  }
+
+  /** Kaplan-Meier core over a per-subject (dur, event) frame (dur: long
+    * duration grain, event: 1 = observed terminal event, 0 = right-
+    * censored) — see q_stat_survival. The life table is exact integers
+    * (n_risk via the bucketed cumulative, never a per-row ECDF); the
+    * survival curve is carried in LOG2 space: each factor
+    * log2((n_r − d)/n_r) is one exactly-cast-operand IEEE division and a
+    * libm log2 masked by the house 8dp rounding (the entropy recipe), and
+    * the running sum over event times is an order-FIXED decimal window on
+    * the ≤|distinct durations| life-table frame.
+    */
+  private[graft] def kaplanMeierOn(subjects: DataFrame): DataFrame = {
+    val vals = subjects.groupBy(col("dur").as("v")).agg(
+      sum(col("event")).as("d"),
+      sum(lit(1L) - col("event")).as("c"))
+    val n = subjects.agg(count(lit(1)).cast(LongType).as("n"))
+    val lifeTable = withCumBefore(vals, Seq("d", "c"))
+      .crossJoin(broadcast(n))
+      .withColumn("n_risk", col("n") - col("cb_d") - col("cb_c"))
+      .filter(col("d") > 0)
+      .withColumn("term",
+        round(log2((col("n_risk") - col("d")).cast(DoubleType) / col("n_risk").cast(DoubleType)), 8)
+          .cast(DecimalType(24, 8)))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    lifeTable
+      .withColumn("log2_surv", sum(col("term")).over(w).cast(DoubleType))
+      .select(col("v").as("dur"), col("n_risk"),
+        col("d").as("n_event"), col("c").as("n_censor"), col("log2_surv"))
+      .orderBy("dur")
+  }
+
+  /** Welch two-sample t-test on customer account balance (cents),
+    * BUILDING vs MACHINERY market segments. Magnitude audit at sf0.1
+    * (the binding scale): n_g ≈ 3·10³, Σv ≈ 1.4·10⁹, Σv² ≈ 9.5·10¹⁴ —
+    * vnum = n·Σv² − (Σv)² ≈ 2.8·10¹⁸ exact in D38; the div quotients
+    * a_g = 1e6·var_g/n_g ≈ 10¹⁴ and dm_e6 ≈ 7·10⁹ are inside int64 AND
+    * 2^53, so their double casts are exact. One hash aggregate to the
+    * 2-row moment frame; everything after is driver-free scalar algebra
+    * on a 1-row crossJoin of broadcast 1-row frames.
+    */
+  val statTtest = QueryDef(
+    "q_stat_ttest",
+    (s, dir) => ttestOn(
+      Tables.customer(s, dir)
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_mktsegment").as("grp"), cents(col("c_acctbal")).as("v")),
+      "BUILDING"),
+    Some("""
+      WITH base AS (
+        SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END AS g,
+               CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT) AS v
+        FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY')),
+      m AS (
+        SELECT g, CAST(COUNT(*) AS HUGEINT) AS n, SUM(v) AS s, SUM(v * v) AS ss
+        FROM base GROUP BY g),
+      a AS (
+        SELECT g, n, s,
+               ((n * ss - s * s) * 1000000) // (n * (n - 1) * n) AS a
+        FROM m),
+      j AS (
+        SELECT m1.n AS n1, m2.n AS n2, m1.s AS s1, m2.s AS s2, m1.a AS a1, m2.a AS a2
+        FROM (SELECT * FROM a WHERE g = 1) m1, (SELECT * FROM a WHERE g = 2) m2),
+      e AS (
+        SELECT n1, n2, a1, a2,
+               CASE WHEN s1 * n2 - s2 * n1 < 0 THEN -1 ELSE 1 END *
+                 ((abs(s1 * n2 - s2 * n1) * 1000000) // (n1 * n2)) AS dm_e6
+        FROM j)
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CAST(dm_e6 AS DOUBLE) / 1000000.0 AS mean_diff,
+             (CAST(dm_e6 AS DOUBLE) / 1000000.0) /
+               sqrt(CAST(a1 + a2 AS DOUBLE) / 1000000.0) AS t,
+             (CAST(a1 + a2 AS DOUBLE) * CAST(a1 + a2 AS DOUBLE)) /
+               (CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE) / CAST(n1 - 1 AS DOUBLE) +
+                CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE) / CAST(n2 - 1 AS DOUBLE)) AS df
+      FROM e
+    """.trim),
+  )
+
+  /** One-way ANOVA of order value (cents) across the five order
+    * priorities. Floored-SS definition (see anovaOn): at sf0.1 the
+    * decomposition's div quotients are q = s_g div n_g ≈ 2.5·10⁷ and
+    * floor(r·s_g/n_g) < s_g ≈ 7.5·10¹¹ — both comfortably int64 — while
+    * the D38 terms reach only ~10¹⁹ against the 10³⁸ ceiling; another
+    * 1000× of data still fits. One hash aggregate per grain (group, then
+    * global); F and η² render from ≤1e6-ish scaled longs.
+    */
+  val statAnova = QueryDef(
+    "q_stat_anova",
+    (s, dir) => anovaOn(
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"), cents(col("o_totalprice")).as("v"))),
+    Some("""
+      WITH base AS (
+        SELECT o_orderpriority AS grp,
+               CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT) AS v
+        FROM orders),
+      g AS (
+        SELECT grp, CAST(COUNT(*) AS HUGEINT) AS ng, SUM(v) AS sg, SUM(v * v) AS ssg
+        FROM base GROUP BY grp),
+      agg AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS k, SUM(ng) AS n, SUM(sg) AS s, SUM(ssg) AS ssq,
+               SUM((sg // ng) * sg + ((sg - (sg // ng) * ng) * sg) // ng) AS t
+        FROM g),
+      e AS (
+        SELECT k, n, ssq, t,
+               (s // n) * s + ((s - (s // n) * n) * s) // n AS ssn
+        FROM agg),
+      f AS (
+        SELECT k, n, t - ssn AS ssb, ssq - t AS ssw, ssq - ssn AS sst
+        FROM e)
+      SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+             CAST((ssb * (n - k) * 1000000) // (ssw * (k - 1)) AS DOUBLE) / 1000000.0 AS f,
+             CAST((ssb * 1000000) // sst AS DOUBLE) / 1000000.0 AS eta2
+      FROM f
+    """.trim),
+  )
+
+  /** Kaplan-Meier churn survival over the events stream: a user's
+    * lifetime runs from first to last activity hour; users whose last
+    * activity is more than 24 h before the corpus end are CHURNED
+    * (observed event), the rest right-censored. Hour grain =
+    * epoch_us div 3.6e9, floor on positive operands both engines. The
+    * life table (n_risk / n_event / n_censor per churn duration) is
+    * exact integers; log2-survival accumulates 8dp-rounded factors in an
+    * order-fixed decimal window over the ≤720-row duration frame. One
+    * user aggregate + one tiny duration aggregate; nothing per-event
+    * survives the first shuffle.
+    */
+  val statSurvival = QueryDef(
+    "q_stat_survival",
+    (s, dir) => {
+      val hours = Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"))
+      val u = hours.groupBy("user_id").agg(min("h").as("fh"), max("h").as("lh"))
+      val m = u.agg(max("lh").as("mh"))
+      kaplanMeierOn(
+        u.crossJoin(broadcast(m))
+          .select((col("lh") - col("fh")).as("dur"),
+            when(col("mh") - col("lh") > 24, 1L).otherwise(0L).as("event")))
+    },
+    Some("""
+      WITH hours AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h FROM events),
+      u AS (SELECT user_id, MIN(h) AS fh, MAX(h) AS lh FROM hours GROUP BY user_id),
+      m AS (SELECT MAX(lh) AS mh FROM u),
+      subj AS (
+        SELECT lh - fh AS dur,
+               CASE WHEN mh - lh > 24 THEN 1 ELSE 0 END AS event
+        FROM u, m),
+      vals AS (
+        SELECT dur AS v, CAST(SUM(event) AS BIGINT) AS d,
+               CAST(SUM(1 - event) AS BIGINT) AS c
+        FROM subj GROUP BY dur),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
+      lt AS (
+        SELECT v, d, c,
+               n - COALESCE(SUM(d + c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        FROM vals, nn),
+      ev AS (
+        SELECT v, d, c, n_risk,
+               CAST(ROUND(log2(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 8) AS DECIMAL(24,8)) AS term
+        FROM lt WHERE d > 0)
+      SELECT v AS dur, n_risk, d AS n_event, c AS n_censor,
+             CAST(SUM(term) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS log2_surv
+      FROM ev ORDER BY dur
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(statMannWhitney, statKs, statKruskal,
-    statSpearman, statChisq, statOls)
+    statSpearman, statChisq, statOls, statTtest, statAnova, statSurvival)
 }

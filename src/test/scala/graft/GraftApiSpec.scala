@@ -598,6 +598,19 @@ class GraftApiSpec extends SparkTestBase with Matchers {
       .collect().map(_.toString).toSeq
     olsVerb shouldBe graft.operators.StatQueries.statOls.query(spark, sfTiny)
       .collect().map(_.toString).toSeq
+    Tables.customer(spark, sfTiny).graft
+      .ttest("c_mktsegment", "c_acctbal", "BUILDING", "MACHINERY")
+      .collect().map(_.toString).toSeq shouldBe
+      graft.operators.StatQueries.statTtest.query(spark, sfTiny)
+        .collect().map(_.toString).toSeq
+    o.graft.anova("o_orderpriority", "o_totalprice")
+      .collect().map(_.toString).toSeq shouldBe
+      graft.operators.StatQueries.statAnova.query(spark, sfTiny)
+        .collect().map(_.toString).toSeq
+    Tables.events(spark, sfTiny).graft.kaplanMeier("user_id", "ts")
+      .collect().map(_.toString).toSeq shouldBe
+      graft.operators.StatQueries.statSurvival.query(spark, sfTiny)
+        .collect().map(_.toString).toSeq
     assert(olsVerb.nonEmpty)
   }
 }

@@ -206,4 +206,102 @@ class StatSpec extends SparkTestBase with Matchers {
     }
     info(expected.map { case (g, n, s, _, r2) => f"$g: n=$n slope=$s%.0f r2=$r2%.3f" }.mkString("; "))
   }
+
+  test("q_stat_ttest matches an exact BigInt recomputation") {
+    val rows = Tables.customer(spark, sfTiny)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment"),
+        (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast(LongType))
+      .collect().toSeq.map(r => (r.getString(0), BigInt(r.getLong(1))))
+    def moments(g: String) = {
+      val vs = rows.filter(_._1 == g).map(_._2)
+      val n = BigInt(vs.size)
+      val s = vs.sum
+      val ss = vs.map(v => v * v).sum
+      // a = floor(1e6 · (n·Σv² − (Σv)²) / (n·(n−1)·n))
+      (n, s, ((n * ss - s * s) * 1000000) / (n * (n - 1) * n))
+    }
+    val (n1, s1, a1) = moments("BUILDING")
+    val (n2, s2, a2) = moments("MACHINERY")
+    val dnum = s1 * n2 - s2 * n1
+    def sgn(b: BigInt) = if (b < 0) BigInt(-1) else BigInt(1)
+    val dmE6 = sgn(dnum) * ((dnum.abs * 1000000) / (n1 * n2))
+    val meanDiff = dmE6.toLong.toDouble / 1000000.0
+    val t = meanDiff / math.sqrt((a1 + a2).toLong.toDouble / 1000000.0)
+    val df = ((a1 + a2).toLong.toDouble * (a1 + a2).toLong.toDouble) /
+      (a1.toLong.toDouble * a1.toLong.toDouble / (n1 - 1).toLong.toDouble +
+        a2.toLong.toDouble * a2.toLong.toDouble / (n2 - 1).toLong.toDouble)
+    val got = StatQueries.statTtest.query(spark, sfTiny).collect()
+    got.length shouldBe 1
+    got(0).getLong(0) shouldBe n1.toLong
+    got(0).getLong(1) shouldBe n2.toLong
+    got(0).getDouble(2) shouldBe meanDiff
+    got(0).getDouble(3) shouldBe t
+    got(0).getDouble(4) shouldBe df
+    // Welch df must land between min(n)−1 and n1+n2−2
+    df should (be >= (n1.min(n2) - 1).toDouble and be <= (n1 + n2 - 2).toDouble)
+    info(f"n1=$n1 n2=$n2 mean_diff=$meanDiff%.2f t=$t%.4f df=$df%.1f")
+  }
+
+  test("q_stat_anova matches an exact BigInt recomputation") {
+    val rows = centsOf("orders", "o_totalprice", Seq("o_orderpriority"))
+      .map(r => (r._1.head, BigInt(r._2)))
+    def floorSqDiv(s: BigInt, n: BigInt) = (s / n) * s + ((s - (s / n) * n) * s) / n
+    val gs = rows.groupBy(_._1).values.toSeq
+    val n = BigInt(rows.size)
+    val k = BigInt(gs.size)
+    val s = rows.map(_._2).sum
+    val ssq = rows.map(r => r._2 * r._2).sum
+    val t = gs.map(g => floorSqDiv(g.map(_._2).sum, BigInt(g.size))).sum
+    val ssn = floorSqDiv(s, n)
+    val (ssb, ssw, sst) = (t - ssn, ssq - t, ssq - ssn)
+    // floored-SS decomposition must be internally consistent: SSB + SSW = SST
+    (ssb + ssw) shouldBe sst
+    val f = ((ssb * (n - k) * 1000000) / (ssw * (k - 1))).toLong.toDouble / 1000000.0
+    val eta2 = ((ssb * 1000000) / sst).toLong.toDouble / 1000000.0
+    val got = StatQueries.statAnova.query(spark, sfTiny).collect()
+    got.length shouldBe 1
+    got(0).getLong(0) shouldBe k.toLong
+    got(0).getLong(1) shouldBe n.toLong
+    got(0).getDouble(2) shouldBe f
+    got(0).getDouble(3) shouldBe eta2
+    eta2 should (be >= 0.0 and be <= 1.0)
+    info(f"k=$k n=$n F=$f%.4f eta2=$eta2%.4f")
+  }
+
+  test("q_stat_survival matches a first-principles Kaplan-Meier life table") {
+    val hours = Tables.events(spark, sfTiny)
+      .select(col("user_id"), expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val perUser = hours.groupBy(_._1).view.mapValues(hs => (hs.map(_._2).min, hs.map(_._2).max)).toMap
+    val mh = perUser.values.map(_._2).max
+    val subjects = perUser.values.toSeq.map { case (fh, lh) =>
+      (lh - fh, if (mh - lh > 24) 1L else 0L)
+    }
+    val nTotal = subjects.size.toLong
+    val byDur = subjects.groupBy(_._1).view
+      .mapValues(ss => (ss.map(_._2).sum, ss.size - ss.map(_._2).sum)).toSeq.sortBy(_._1)
+    var seen = 0L
+    var log2Surv = BigDecimal(0)
+    val expected = byDur.flatMap { case (dur, (d, c)) =>
+      val nRisk = nTotal - seen
+      seen += d + c
+      if (d > 0) {
+        log2Surv += BigDecimal(java.math.BigDecimal.valueOf(
+          math.log((nRisk - d).toDouble / nRisk.toDouble) / math.log(2.0)))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        Some((dur, nRisk, d, c, log2Surv.toDouble))
+      } else None
+    }
+    val got = StatQueries.statSurvival.query(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    got shouldBe expected
+    // survival is non-increasing: log2_surv weakly decreases down the table
+    expected.map(_._5).sliding(2).foreach {
+      case Seq(a, b) => b should be <= a
+      case _         =>
+    }
+    info(s"${expected.size} event times over $nTotal subjects; " +
+      f"final log2 S = ${expected.lastOption.map(_._5).getOrElse(0.0)}%.4f")
+  }
 }
