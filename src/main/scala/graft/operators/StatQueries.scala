@@ -84,8 +84,17 @@ object StatQueries {
       sum(when(col("grp") === sample1, 1L).otherwise(0L)).as("t1"))
 
   /** Mann-Whitney core over a (grp, v) frame — see q_stat_mannwhitney. */
-  private[graft] def mannWhitneyOn(base: DataFrame, sample1: String): DataFrame = {
-    val ranked = withCumBefore(twoSampleValsOn(base, sample1), Seq("t"))
+  private[graft] def mannWhitneyOn(base: DataFrame, sample1: String): DataFrame =
+    mannWhitneyOnVals(twoSampleValsOn(base, sample1))
+
+  /** Mann-Whitney over the value-distinct grain (v, t, t1) directly —
+    * the entry point for serve-from-state (IncrementalStats): the
+    * histogram is the ONLY state the test needs, and every step from
+    * here is exact, so state-served ≡ one-shot by arithmetic, not
+    * tolerance.
+    */
+  private[graft] def mannWhitneyOnVals(vals: DataFrame): DataFrame = {
+    val ranked = withCumBefore(vals, Seq("t"))
     ranked.agg(
         sum(col("t1")).cast(LongType).as("n1"),
         sum(col("t") - col("t1")).cast(LongType).as("n2"),
@@ -103,8 +112,14 @@ object StatQueries {
   }
 
   /** KS core over a (grp, v) frame — see q_stat_ks. */
-  private[graft] def ksOn(base: DataFrame, sample1: String): DataFrame = {
-    val ranked = withCumBefore(twoSampleValsOn(base, sample1), Seq("t", "t1"))
+  private[graft] def ksOn(base: DataFrame, sample1: String): DataFrame =
+    ksOnVals(twoSampleValsOn(base, sample1))
+
+  /** KS over the value-distinct grain (v, t, t1) — serve-from-state
+    * entry point, see mannWhitneyOnVals.
+    */
+  private[graft] def ksOnVals(vals: DataFrame): DataFrame = {
+    val ranked = withCumBefore(vals, Seq("t", "t1"))
       .withColumn("c1", col("cb_t1") + col("t1"))
       .withColumn("c2", col("cb_t") + col("t") - col("cb_t1") - col("t1"))
     val tot = ranked.agg(sum("t1").cast(LongType).as("n1"),
@@ -117,11 +132,18 @@ object StatQueries {
   }
 
   /** Kruskal-Wallis core over a (grp, v) frame — see q_stat_kruskal. */
-  private[graft] def kruskalOn(base: DataFrame): DataFrame = {
-    val vals = base.groupBy("v").agg(count(lit(1)).as("t"))
+  private[graft] def kruskalOn(base: DataFrame): DataFrame =
+    kruskalOnHist(base.groupBy("grp", "v").agg(count(lit(1)).as("tg")))
+
+  /** Kruskal-Wallis over the (grp, v, tg) histogram grain — the
+    * serve-from-state entry point (IncrementalStats). Exact: Σtg per v
+    * reproduces the row counts bit-for-bit.
+    */
+  private[graft] def kruskalOnHist(hist: DataFrame): DataFrame = {
+    val vals = hist.groupBy("v").agg(sum("tg").cast(LongType).as("t"))
     val ranked = withCumBefore(vals, Seq("t"))
       .withColumn("rank2", lit(2L) * col("cb_t") + col("t") + 1)
-    val perGrp = base.groupBy("grp", "v").agg(count(lit(1)).as("tg"))
+    val perGrp = hist
       .join(ranked.select("v", "rank2"), "v")
       .groupBy("grp")
       .agg(sum("tg").cast(LongType).as("n_g"),
@@ -509,12 +531,32 @@ object StatQueries {
     */
   private[graft] def ttestOn(base: DataFrame, sample1: String): DataFrame = {
     val D38 = DecimalType(38, 0)
-    val m = base
+    ttestFromMoments(base
       .withColumn("g", when(col("grp") === sample1, lit(1)).otherwise(lit(2)))
       .groupBy("g").agg(
         count(lit(1)).cast(D38).as("n"),
         sum(col("v").cast(D38)).as("s"),
-        sum((col("v").cast(D38) * col("v").cast(D38))).as("ss"))
+        sum((col("v").cast(D38) * col("v").cast(D38))).as("ss")))
+  }
+
+  /** Welch t-test over the (grp, v, t) histogram grain — serve-from-
+    * state entry point: the three moments are exact Σt, Σt·v, Σt·v², so
+    * histogram-served ≡ row-aggregated bit-for-bit.
+    */
+  private[graft] def ttestOnHist(hist: DataFrame, sample1: String): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    ttestFromMoments(hist
+      .withColumn("g", when(col("grp") === sample1, lit(1)).otherwise(lit(2)))
+      .groupBy("g").agg(
+        sum(col("t").cast(D38)).cast(D38).as("n"),
+        sum(col("t").cast(D38) * col("v").cast(D38)).cast(D38).as("s"),
+        sum(col("t").cast(D38) * col("v").cast(D38) * col("v").cast(D38)).cast(D38).as("ss")))
+  }
+
+  /** Shared Welch closed form over the 2-row (g, n, s, ss) moment frame. */
+  private def ttestFromMoments(m0: DataFrame): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    val m = m0
       .withColumn("vnum", (col("n") * col("ss") - col("s") * col("s")).cast(D38))
       // a = floor(1e6 · vnum / (n·(n−1)·n)) — exact, identical floor both engines
       .withColumn("a", expr("(vnum * 1000000) div (n * (n - 1) * n)"))
@@ -549,13 +591,29 @@ object StatQueries {
     */
   private[graft] def anovaOn(base: DataFrame): DataFrame = {
     val D38 = DecimalType(38, 0)
+    anovaFromGroupMoments(base.groupBy("grp").agg(
+      count(lit(1)).cast(D38).as("ng"),
+      sum(col("v").cast(D38)).as("sg"),
+      sum(col("v").cast(D38) * col("v").cast(D38)).as("ssg")))
+  }
+
+  /** One-way ANOVA over the (grp, v, t) histogram grain — serve-from-
+    * state entry point; see ttestOnHist for the exactness argument.
+    */
+  private[graft] def anovaOnHist(hist: DataFrame): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    anovaFromGroupMoments(hist.groupBy("grp").agg(
+      sum(col("t").cast(D38)).cast(D38).as("ng"),
+      sum(col("t").cast(D38) * col("v").cast(D38)).cast(D38).as("sg"),
+      sum(col("t").cast(D38) * col("v").cast(D38) * col("v").cast(D38)).cast(D38).as("ssg")))
+  }
+
+  /** Shared floored-SS ANOVA closed form over (grp, ng, sg, ssg). */
+  private def anovaFromGroupMoments(g: DataFrame): DataFrame = {
+    val D38 = DecimalType(38, 0)
     def floorSqDiv(s: String, n: String) =
       // floor(s²/n) with int64-bounded quotients; operands non-negative
       expr(s"($s div $n) * $s + (($s - ($s div $n) * $n) * $s) div $n").cast(D38)
-    val g = base.groupBy("grp").agg(
-      count(lit(1)).cast(D38).as("ng"),
-      sum(col("v").cast(D38)).as("sg"),
-      sum(col("v").cast(D38) * col("v").cast(D38)).as("ssg"))
     val agg = g.agg(
       count(lit(1)).cast(LongType).as("k"),
       sum("ng").cast(D38).as("n"),

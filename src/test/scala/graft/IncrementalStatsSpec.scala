@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.StatQueries
+import graft.streaming.IncrementalStats
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.matchers.should.Matchers
+
+/** One histogram state serves the whole inference layer: replay the
+  * fixture in three micro-batches through IncrementalStats.processBatch
+  * (the attach() wiring is the same foreachBatch passthrough
+  * IncrementalAggSpec proves end-to-end) and assert each state-served
+  * statistic equals its one-shot query EXACTLY — row strings, not
+  * tolerances. This is the point of the value-distinct state design:
+  * everything downstream of the histogram is exact arithmetic, so
+  * incremental ≡ batch is an identity, not an approximation.
+  */
+class IncrementalStatsSpec extends SparkTestBase with Matchers {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    (c.cast(DecimalType(12, 2)) * 100).cast(LongType)
+
+  private def replay(base0: DataFrame, keyCol: String): String = {
+    val stateBase = Files.createTempDirectory("graft_incstats").toFile.getAbsolutePath
+    for (i <- 0 until 3)
+      IncrementalStats.processBatch(spark,
+        base0.filter(abs(hash(col(keyCol))) % 3 === i), stateBase)
+    stateBase
+  }
+
+  test("state-served MW / KS / Welch t equal their one-shot twins exactly") {
+    val base = Tables.orders(spark, sfTiny)
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .select(col("o_orderkey"), col("o_orderstatus").as("grp"),
+        cents(col("o_totalprice")).as("v"))
+    val stateBase = replay(base, "o_orderkey")
+    // three merges → three state versions behind _CURRENT
+    new java.io.File(stateBase).listFiles()
+      .count(_.getName.startsWith("v")) should be >= 3
+    def rows(df: DataFrame) = df.collect().map(_.toString).toSeq
+    val b = base.select("grp", "v")
+    rows(IncrementalStats.serveMannWhitney(spark, stateBase, "O")) shouldBe
+      rows(StatQueries.mannWhitneyOn(b, "O"))
+    rows(IncrementalStats.serveKs(spark, stateBase, "O")) shouldBe
+      rows(StatQueries.ksOn(b, "O"))
+    rows(IncrementalStats.serveTtest(spark, stateBase, "O")) shouldBe
+      rows(StatQueries.ttestOn(b, "O"))
+  }
+
+  test("state-served Kruskal-Wallis / ANOVA equal their one-shot twins exactly") {
+    val base = Tables.orders(spark, sfTiny)
+      .select(col("o_orderkey"), col("o_orderpriority").as("grp"),
+        cents(col("o_totalprice")).as("v"))
+    val stateBase = replay(base, "o_orderkey")
+    def rows(df: DataFrame) = df.collect().map(_.toString).toSeq
+    val b = base.select("grp", "v")
+    rows(IncrementalStats.serveKruskal(spark, stateBase)) shouldBe
+      rows(StatQueries.kruskalOn(b))
+    rows(IncrementalStats.serveAnova(spark, stateBase)) shouldBe
+      rows(StatQueries.anovaOn(b))
+    // the registered one-shot queries themselves are untouched by the
+    // histogram refactor: q_stat_anova still matches its own run
+    rows(StatQueries.statAnova.query(spark, sfTiny)) shouldBe
+      rows(StatQueries.anovaOn(b))
+  }
+}
