@@ -51,7 +51,12 @@ object StatQueries {
     * over the ≤1024-row bucket-total frame, broadcast back. This is how a
     * distributed engine computes a global ECDF without a single-task sort.
     */
-  private[operators] def withCumBefore(vals: DataFrame, cols: Seq[String]): DataFrame = {
+  private[operators] def withCumBefore(vals0: DataFrame, cols: Seq[String]): DataFrame = {
+    // The value-distinct frame is the design's bounded-size object
+    // (cardinality of v, never rows) — materialize it ONCE so the
+    // min/max probe, the bucket pass, and the bucket totals don't each
+    // re-scan and re-aggregate the fact underneath.
+    val vals = vals0.localCheckpoint()
     val mm = vals.agg(min("v").as("lo"), max("v").as("hi"))
     val b = vals.crossJoin(broadcast(mm))
       .withColumn("bkt", expr("((v - lo) * 1024) div (hi - lo + 1)"))
