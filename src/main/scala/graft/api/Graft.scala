@@ -48,6 +48,44 @@ final class GraftSession(val spark: SparkSession) {
     * [[graft.multimodal.PackStore]] for the format contract).
     */
   def packStore(base: String): PackStoreHandle = new PackStoreHandle(spark, base)
+
+  /** Handle over one IncrementalStats histogram state base — the
+    * accreting value-distinct state that serves the statistical-test
+    * family exactly (see [[graft.streaming.IncrementalStats]]).
+    */
+  def statsState(base: String): StatsStateHandle = new StatsStateHandle(spark, base)
+}
+
+/** Handle over one statistical-test histogram state. `ingest` merges a
+  * (grp, v) micro-batch; the serve verbs answer from state alone and
+  * equal their one-shot [[GraftFrame]] twins bit-for-bit
+  * (IncrementalStatsSpec).
+  */
+final class StatsStateHandle(val spark: SparkSession, val base: String) {
+  import graft.streaming.IncrementalStats
+
+  /** Merge one batch of observations: `group` is the sample label,
+    * `value` a numeric quantized to cents (the family's discipline).
+    */
+  def ingest(df: DataFrame, group: String, value: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    IncrementalStats.processBatch(spark,
+      df.select(col(group).as("grp"),
+        (col(value).cast(DecimalType(12, 2)) * 100).cast(LongType).as("v")),
+      base)
+  }
+
+  /** The current histogram (grp, v cents, t). */
+  def state: DataFrame = IncrementalStats.readState(spark, base)
+
+  def mannWhitney(sample1: String): DataFrame =
+    IncrementalStats.serveMannWhitney(spark, base, sample1)
+  def ksTest(sample1: String): DataFrame =
+    IncrementalStats.serveKs(spark, base, sample1)
+  def kruskal: DataFrame = IncrementalStats.serveKruskal(spark, base)
+  def ttest(sample1: String): DataFrame =
+    IncrementalStats.serveTtest(spark, base, sample1)
+  def anova: DataFrame = IncrementalStats.serveAnova(spark, base)
 }
 
 /** Handle over one pack-store base. Thin delegation — the format and

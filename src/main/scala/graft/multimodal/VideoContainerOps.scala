@@ -389,5 +389,11 @@ object VideoContainerOps {
     Some(videoOracle),
   )
 
-  def defs: Seq[QueryDef] = Seq(mmVideo, mmVideoEncode, mmVideoPacked)
+  // mmVideoEncode is NOT registered: the encode round-trip is proven
+  // equal to the clean subset of the video oracle every test run
+  // (ContainerSpec) and its loose-object listing tax duplicates
+  // mmEncode's registered price tag; retired from the registered bench
+  // in r9 per the bench-budget worksheet. mmVideo + mmVideoPacked keep
+  // the modality's oracle coverage registered.
+  def defs: Seq[QueryDef] = Seq(mmVideo, mmVideoPacked)
 }

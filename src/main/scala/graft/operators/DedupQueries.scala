@@ -1336,8 +1336,14 @@ object DedupQueries {
     },
   )
 
+  // dedupNgram is NOT registered: it is the labeled exact-quadratic
+  // recall baseline ApproxOpsSpec measures q_dedup_near_ngram against
+  // every test run (sf0.001, precision 1.0 / recall ≥0.9 floor), and was
+  // retired from the registered bench in r9 per the bench-budget
+  // worksheet (the size-banded pair join IS its cost — no amortization
+  // lever, NgProbe) once its LSH twin carried the full DuckDB oracle.
   def defs: Seq[QueryDef] = Seq(
-    dedupExact, simJaccard, simJaccardBucketed, dedupNear, dedupSimhash, dedupNgram,
+    dedupExact, simJaccard, simJaccardBucketed, dedupNear, dedupSimhash,
     dedupNearNgram, dedupEmbed, dedupCluster, dedupIncremental, dedupNearBucketed,
     simJaccardCross, dedupNearCross, dedupNearSalted, simContainment, simContainmentPrefix,
     dedupCanonical, simContainmentCross, dedupSemantic)

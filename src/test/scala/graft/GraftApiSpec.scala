@@ -611,6 +611,23 @@ class GraftApiSpec extends SparkTestBase with Matchers {
       .collect().map(_.toString).toSeq shouldBe
       graft.operators.StatQueries.statSurvival.query(spark, sfTiny)
         .collect().map(_.toString).toSeq
-    assert(olsVerb.nonEmpty)
+  }
+
+  test("statsState handle: ingest + serve equals the one-shot verbs") {
+    import graft.api.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_statehandle")
+      .toFile.getAbsolutePath
+    val of = Tables.orders(spark, sfTiny).filter(col("o_orderstatus").isin("O", "F"))
+    val h = spark.graft.statsState(base)
+    for (i <- 0 until 2)
+      h.ingest(of.filter(col("o_orderkey") % 2 === i), "o_orderstatus", "o_totalprice")
+    h.mannWhitney("O").collect().map(_.toString).toSeq shouldBe
+      of.graft.mannWhitney("o_orderstatus", "o_totalprice", "O")
+        .collect().map(_.toString).toSeq
+    h.ttest("O").collect().map(_.toString).toSeq shouldBe
+      of.graft.ttest("o_orderstatus", "o_totalprice", "O", "F")
+        .collect().map(_.toString).toSeq
+    h.state.count() should be > 0L
   }
 }
