@@ -973,8 +973,95 @@ object TextQueries {
     """.trim),
   )
 
+  /** Zipf exponent of the corpus vocabulary: weighted OLS of log2(freq)
+    * on log2(rank) over the DISTINCT-FREQUENCY grain — the
+    * corpus-health companion to q_text_vocab (a healthy natural-language
+    * corpus fits slope ≈ −1; templated or synthetic text drifts).
+    *
+    * Scale shape: one tokenize + token count (the wordcount shuffle),
+    * then everything lives on distinct FREQUENCIES (zipfian ⇒ hundreds
+    * of rows even for a billion-type vocabulary): ranks come from the
+    * bucketed cumulative (StatQueries.withCumBefore) over v = −freq, so
+    * rank 1 = most frequent and ties take their exact integer midrank
+    * rank2 = 2·cumBefore + t + 1 — each distinct frequency is ONE
+    * weighted regression point (weight t = #types), which is exactly the
+    * tie-collapsed Zipf fit. Determinism: log2(rank2/2) and log2(f) are
+    * 4dp-rounded to exact decimals (libm mask), carried as 1e4-scaled
+    * longs; the five weighted moments are exact D38 sums and slope /
+    * intercept come from 1e6-scale exact floor division on non-negative
+    * operands (sign reapplied) — the audited D38 ceiling holds to ~10⁶
+    * distinct frequencies.
+    */
+  val textZipf = QueryDef(
+    "q_text_zipf",
+    (s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, LongType, DoubleType}
+      val D38 = DecimalType(38, 0)
+      val counts = tokens(s, dir).groupBy("token").agg(count(lit(1)).as("f"))
+      val vf = counts.groupBy("f").agg(count(lit(1)).as("t"))
+        .select((-col("f")).as("v"), col("t"), col("f"))
+      val ranked = StatQueries.withCumBefore(vf, Seq("t"))
+        .withColumn("rank2", lit(2L) * col("cb_t") + col("t") + 1)
+        .withColumn("xs",
+          (round(log2(col("rank2").cast(DoubleType) / lit(2.0)), 4)
+            .cast(DecimalType(14, 4)) * 10000).cast(LongType))
+        .withColumn("ys",
+          (round(log2(col("f").cast(DoubleType)), 4)
+            .cast(DecimalType(14, 4)) * 10000).cast(LongType))
+      val m = ranked.agg(
+        sum(col("t")).cast(D38).as("n"),
+        sum(col("t") * col("xs")).cast(D38).as("sx"),
+        sum(col("t") * col("ys")).cast(D38).as("sy"),
+        sum(col("t").cast(D38) * col("xs") * col("ys")).cast(D38).as("sxy"),
+        sum(col("t").cast(D38) * col("xs") * col("xs")).cast(D38).as("sxx"))
+      m.withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy")).cast(D38))
+        .withColumn("den", (col("n") * col("sxx") - col("sx") * col("sx")).cast(D38))
+        .withColumn("slope_e6",
+          when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("(abs(num) * 1000000) div den"))
+        .withColumn("inum", (col("sy") * col("den") - col("num") * col("sx")).cast(D38))
+        .withColumn("intercept_e2",
+          when(col("inum") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("(abs(inum) * 100) div (n * den)"))
+        .select(col("n").cast(LongType).as("n_types"),
+          (col("slope_e6").cast(DoubleType) / lit(1000000.0)).as("slope"),
+          // inum/(n·den) = intercept·1e4 (the xs/ys scale), so the
+          // ·100 floor division yields intercept·1e6 — same render as slope
+          (col("intercept_e2").cast(DoubleType) / lit(1000000.0)).as("intercept"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT token, COUNT(*) AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token),
+      vf AS (SELECT -f AS v, CAST(COUNT(*) AS BIGINT) AS t, f FROM counts GROUP BY f),
+      ranked AS (
+        SELECT f, t,
+               2 * COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS rank2
+        FROM vf),
+      pts AS (
+        SELECT t,
+               CAST(CAST(ROUND(log2(CAST(rank2 AS DOUBLE) / 2.0), 4) AS DECIMAL(14,4)) * 10000 AS HUGEINT) AS xs,
+               CAST(CAST(ROUND(log2(CAST(f AS DOUBLE)), 4) AS DECIMAL(14,4)) * 10000 AS HUGEINT) AS ys
+        FROM ranked),
+      m AS (
+        SELECT CAST(SUM(t) AS HUGEINT) AS n,
+               CAST(SUM(t * xs) AS HUGEINT) AS sx, CAST(SUM(t * ys) AS HUGEINT) AS sy,
+               CAST(SUM(t * xs * ys) AS HUGEINT) AS sxy,
+               CAST(SUM(t * xs * xs) AS HUGEINT) AS sxx
+        FROM pts),
+      d AS (
+        SELECT n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den, sy, sx
+        FROM m)
+      SELECT CAST(n AS BIGINT) AS n_types,
+             CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END * ((abs(num) * 1000000) // den) AS DOUBLE) / 1000000.0 AS slope,
+             CAST(CASE WHEN sy * den - num * sx < 0 THEN -1 ELSE 1 END * ((abs(sy * den - num * sx) * 100) // (n * den)) AS DOUBLE) / 1000000.0 AS intercept
+      FROM d
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint, textPmi,
     textNormalize, textEntropy, textChunkify, textLmScore, textRepetition, bpePairs,
-    bpeEncode, substringDedup, qualityModel, textrank, textDrift, textVocab)
+    bpeEncode, substringDedup, qualityModel, textrank, textDrift, textVocab, textZipf)
 }

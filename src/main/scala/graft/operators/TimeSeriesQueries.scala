@@ -328,5 +328,77 @@ object TimeSeriesQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(tsEwma, tsAnomaly, tsStl, tsXcorr, tsChangepoint)
+  /** Autocorrelation function at lags 1..3 of each event type's hourly
+    * value series — the seasonality/persistence diagnostic next to
+    * q_ts_xcorr's cross-series form. EXACT mean-centering without a
+    * single float: with n hours and series sum S, y_t = n·x_t − S is an
+    * exact integer and ACF_k = Σ y_t·y_{t+k} / Σ y_t² — the n² factors
+    * cancel EXACTLY, so no mean is ever materialized. Lag pairing is an
+    * equi-join on (type, h+k) (gap-correct — a missing hour pairs with
+    * nothing, unlike a lead() that would silently bridge it), the
+    * denominator one aggregate on the same tiny hourly grain, and the
+    * quotient is a 1e6-scale exact floor division on non-negative
+    * operands (sign reapplied). One events shuffle to the (type, hour)
+    * grain; everything after lives on ≤ #types·#hours rows.
+    */
+  val tsAcf = QueryDef(
+    "q_ts_acf",
+    (s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, LongType, DoubleType}
+      val D38 = DecimalType(38, 0)
+      val hourly = Tables.events(s, dir)
+        .select(col("event_type").as("g"),
+          expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"),
+          (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType).as("x"))
+        .groupBy("g", "h").agg(sum("x").as("x"))
+      val tot = hourly.groupBy("g").agg(
+        count(lit(1)).cast(D38).as("n"), sum("x").cast(D38).as("sx"))
+      val y = hourly.join(tot, "g")
+        .select(col("g"), col("h"), (col("n") * col("x") - col("sx")).cast(D38).as("y"))
+        .localCheckpoint()
+      val den = y.groupBy("g").agg(sum(col("y") * col("y")).cast(D38).as("den"))
+      val lags = (1 to 3).map { k =>
+        val b = y.select(col("g").as("g2"), (col("h") - k).as("h"), col("y").as("yk"))
+        y.join(b, col("g") === col("g2") && y("h") === b("h"))
+          .groupBy("g").agg(
+            count(lit(1)).cast(LongType).as("n_pairs"),
+            sum(col("y") * col("yk")).cast(D38).as("num"))
+          .withColumn("lag", lit(k))
+      }.reduce(_ unionByName _)
+      lags.join(den, "g")
+        .withColumn("acf_e6",
+          when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("(abs(num) * 1000000) div den"))
+        .select(col("g").as("event_type"), col("lag"), col("n_pairs"),
+          (col("acf_e6").cast(DoubleType) / lit(1000000.0)).as("acf"))
+        .orderBy("event_type", "lag")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT event_type AS g, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+               SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS x
+        FROM events GROUP BY 1, 2),
+      tot AS (
+        SELECT g, CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS sx
+        FROM hourly GROUP BY g),
+      y AS (
+        SELECT g, h, n * x - sx AS y
+        FROM hourly JOIN tot USING (g)),
+      den AS (SELECT g, SUM(y * y) AS den FROM y GROUP BY g),
+      lags AS (
+        SELECT a.g, k.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               SUM(a.y * b.y) AS num
+        FROM (VALUES (1), (2), (3)) k(lag)
+        JOIN y a ON TRUE
+        JOIN y b ON b.g = a.g AND b.h = a.h + k.lag
+        GROUP BY a.g, k.lag)
+      SELECT g AS event_type, lag, n_pairs,
+             CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END *
+                  ((abs(num) * 1000000) // den) AS DOUBLE) / 1000000.0 AS acf
+      FROM lags JOIN den USING (g)
+      ORDER BY event_type, lag
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(tsEwma, tsAnomaly, tsStl, tsXcorr, tsChangepoint, tsAcf)
 }

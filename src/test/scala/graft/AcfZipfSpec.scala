@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{TextQueries, TimeSeriesQueries}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.matchers.should.Matchers
+
+/** q_ts_acf and q_text_zipf pinned against driver-side BigInt/BigDecimal
+  * recomputations (the StatSpec discipline): the DuckDB oracle owns
+  * cross-engine equality, these prove the distributed formulations
+  * implement the textbook definitions exactly.
+  */
+class AcfZipfSpec extends SparkTestBase with Matchers {
+
+  test("q_ts_acf matches an exact BigInt recomputation and is bounded by 1") {
+    val hourly = Tables.events(spark, sfTiny)
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType).as("x"))
+      .groupBy("event_type", "h").agg(sum("x").as("x"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1), BigInt(r.getLong(2))))
+    val expected = hourly.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val n = BigInt(rows.size)
+      val sx = rows.map(_._3).sum
+      val y = rows.map { case (_, h, x) => h -> (n * x - sx) }.toMap
+      val den = y.values.map(v => v * v).sum
+      (1 to 3).map { k =>
+        val pairs = y.toSeq.flatMap { case (h, v) => y.get(h + k).map(v2 => v * v2) }
+        val num = pairs.sum
+        val sgn = if (num < 0) BigInt(-1) else BigInt(1)
+        val acf = (sgn * ((num.abs * 1000000) / den)).toLong.toDouble / 1000000.0
+        ((g, k), (pairs.size.toLong, acf))
+      }
+    }.toMap
+    val got = TimeSeriesQueries.tsAcf.query(spark, sfTiny).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    got shouldBe expected
+    // an autocorrelation is a cosine: |acf| ≤ 1 always
+    got.values.foreach { case (_, a) => math.abs(a) should be <= 1.0 }
+    info(got.toSeq.sortBy(_._1).take(3)
+      .map { case ((g, k), (_, a)) => f"$g@$k=$a%.3f" }.mkString(", "))
+  }
+
+  test("q_text_zipf matches an exact recomputation and slopes downward") {
+    val counts = Tables.documents(spark, sfTiny)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("f"))
+      .collect().toSeq.map(r => r.getLong(1))
+    val vf = counts.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy(-_._1) // rank 1 = most frequent
+    var cum = 0L
+    def s4(d: Double): BigInt =
+      (BigDecimal(java.math.BigDecimal.valueOf(d))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toBigIntExact.get
+    val pts = vf.map { case (f, t) =>
+      val rank2 = 2 * cum + t + 1; cum += t
+      (BigInt(t),
+        s4(math.log(rank2.toDouble / 2.0) / math.log(2.0)),
+        s4(math.log(f.toDouble) / math.log(2.0)))
+    }
+    val n = pts.map(_._1).sum
+    val sx = pts.map(p => p._1 * p._2).sum
+    val sy = pts.map(p => p._1 * p._3).sum
+    val sxy = pts.map(p => p._1 * p._2 * p._3).sum
+    val sxx = pts.map(p => p._1 * p._2 * p._2).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    def sgn(b: BigInt) = if (b < 0) BigInt(-1) else BigInt(1)
+    val slope = (sgn(num) * ((num.abs * 1000000) / den)).toLong.toDouble / 1000000.0
+    val inum = sy * den - num * sx
+    val intercept = (sgn(inum) * ((inum.abs * 100) / (n * den))).toLong.toDouble / 1000000.0
+    val got = TextQueries.textZipf.query(spark, sfTiny).collect()
+    got.length shouldBe 1
+    got(0).getLong(0) shouldBe n.toLong
+    got(0).getDouble(1) shouldBe slope
+    got(0).getDouble(2) shouldBe intercept
+    // Zipf: frequency falls with rank
+    slope should be < 0.0
+    info(f"n_types=$n slope=$slope%.4f intercept=$intercept%.4f")
+  }
+}
