@@ -889,6 +889,29 @@ final class GraftFrame(val df: DataFrame) {
           when(col("mh") - col("lh") > churnHours, 1L).otherwise(0L).as("event")))
   }
 
+  /** Autocorrelation at lags 1..maxLag of each group's hourly series of
+    * summed `value` (cents-quantized) — q_ts_acf's core:
+    * `(event_type, lag, n_pairs, acf)` with exact integer
+    * mean-centering (y = n·x − S) and a gap-correct lag equi-join.
+    */
+  def acf(group: String, ts: String, value: String, maxLag: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    graft.operators.TimeSeriesQueries.acfOn(
+      df.select(col(group).as("g"),
+        expr(s"unix_micros(cast($ts as timestamp)) div 3600000000").as("h"),
+        (col(value).cast(DecimalType(12, 2)) * 100).cast(LongType).as("x"))
+        .groupBy("g", "h").agg(sum("x").as("x")), maxLag)
+  }
+
+  /** Zipf exponent of the whitespace-token vocabulary of a text column —
+    * q_text_zipf's core: one row `(n_types, slope, intercept)` from a
+    * weighted OLS of log2(freq) on log2(rank) over distinct frequencies.
+    */
+  def zipf(text: String): DataFrame =
+    graft.operators.TextQueries.zipfOn(
+      df.select(explode(graft.functions.Tokenize.tokens(col(text))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("f")))
+
   private def statBase(group: String, value: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, LongType}
     df.select(col(group).as("grp"),

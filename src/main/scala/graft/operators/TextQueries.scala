@@ -992,13 +992,13 @@ object TextQueries {
     * operands (sign reapplied) — the audited D38 ceiling holds to ~10⁶
     * distinct frequencies.
     */
-  val textZipf = QueryDef(
-    "q_text_zipf",
-    (s, dir) => {
-      import org.apache.spark.sql.types.{DecimalType, LongType, DoubleType}
-      val D38 = DecimalType(38, 0)
-      val counts = tokens(s, dir).groupBy("token").agg(count(lit(1)).as("f"))
-      val vf = counts.groupBy("f").agg(count(lit(1)).as("t"))
+  /** Zipf-fit core over a (token, f) frequency frame — the q_text_zipf
+    * machinery, reused by the GraftFrame.zipf verb.
+    */
+  private[graft] def zipfOn(counts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, DoubleType}
+    val D38 = DecimalType(38, 0)
+    val vf = counts.groupBy("f").agg(count(lit(1)).as("t"))
         .select((-col("f")).as("v"), col("t"), col("f"))
       val ranked = StatQueries.withCumBefore(vf, Seq("t"))
         .withColumn("rank2", lit(2L) * col("cb_t") + col("t") + 1)
@@ -1028,7 +1028,11 @@ object TextQueries {
           // inum/(n·den) = intercept·1e4 (the xs/ys scale), so the
           // ·100 floor division yields intercept·1e6 — same render as slope
           (col("intercept_e2").cast(DoubleType) / lit(1000000.0)).as("intercept"))
-    },
+  }
+
+  val textZipf = QueryDef(
+    "q_text_zipf",
+    (s, dir) => zipfOn(tokens(s, dir).groupBy("token").agg(count(lit(1)).as("f"))),
     Some("""
       WITH counts AS (
         SELECT token, COUNT(*) AS f

@@ -341,37 +341,44 @@ object TimeSeriesQueries {
     * operands (sign reapplied). One events shuffle to the (type, hour)
     * grain; everything after lives on ≤ #types·#hours rows.
     */
+  /** ACF core over a regular (g, h, x) series grid (x exact long) —
+    * the q_ts_acf machinery, reused by the GraftFrame.acf verb.
+    */
+  private[graft] def acfOn(hourly: org.apache.spark.sql.DataFrame, maxLag: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, DoubleType}
+    val D38 = DecimalType(38, 0)
+    val tot = hourly.groupBy("g").agg(
+      count(lit(1)).cast(D38).as("n"), sum("x").cast(D38).as("sx"))
+    val y = hourly.join(tot, "g")
+      .select(col("g"), col("h"), (col("n") * col("x") - col("sx")).cast(D38).as("y"))
+      .localCheckpoint()
+    val den = y.groupBy("g").agg(sum(col("y") * col("y")).cast(D38).as("den"))
+    val lags = (1 to maxLag).map { k =>
+      val b = y.select(col("g").as("g2"), (col("h") - k).as("h"), col("y").as("yk"))
+      y.join(b, col("g") === col("g2") && y("h") === b("h"))
+        .groupBy("g").agg(
+          count(lit(1)).cast(LongType).as("n_pairs"),
+          sum(col("y") * col("yk")).cast(D38).as("num"))
+        .withColumn("lag", lit(k))
+    }.reduce(_ unionByName _)
+    lags.join(den, "g")
+      .withColumn("acf_e6",
+        when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(abs(num) * 1000000) div den"))
+      .select(col("g").as("event_type"), col("lag"), col("n_pairs"),
+        (col("acf_e6").cast(DoubleType) / lit(1000000.0)).as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
   val tsAcf = QueryDef(
     "q_ts_acf",
     (s, dir) => {
-      import org.apache.spark.sql.types.{DecimalType, LongType, DoubleType}
-      val D38 = DecimalType(38, 0)
-      val hourly = Tables.events(s, dir)
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      acfOn(Tables.events(s, dir)
         .select(col("event_type").as("g"),
           expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"),
           (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType).as("x"))
-        .groupBy("g", "h").agg(sum("x").as("x"))
-      val tot = hourly.groupBy("g").agg(
-        count(lit(1)).cast(D38).as("n"), sum("x").cast(D38).as("sx"))
-      val y = hourly.join(tot, "g")
-        .select(col("g"), col("h"), (col("n") * col("x") - col("sx")).cast(D38).as("y"))
-        .localCheckpoint()
-      val den = y.groupBy("g").agg(sum(col("y") * col("y")).cast(D38).as("den"))
-      val lags = (1 to 3).map { k =>
-        val b = y.select(col("g").as("g2"), (col("h") - k).as("h"), col("y").as("yk"))
-        y.join(b, col("g") === col("g2") && y("h") === b("h"))
-          .groupBy("g").agg(
-            count(lit(1)).cast(LongType).as("n_pairs"),
-            sum(col("y") * col("yk")).cast(D38).as("num"))
-          .withColumn("lag", lit(k))
-      }.reduce(_ unionByName _)
-      lags.join(den, "g")
-        .withColumn("acf_e6",
-          when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
-            expr("(abs(num) * 1000000) div den"))
-        .select(col("g").as("event_type"), col("lag"), col("n_pairs"),
-          (col("acf_e6").cast(DoubleType) / lit(1000000.0)).as("acf"))
-        .orderBy("event_type", "lag")
+        .groupBy("g", "h").agg(sum("x").as("x")), 3)
     },
     Some("""
       WITH hourly AS (

@@ -630,4 +630,16 @@ class GraftApiSpec extends SparkTestBase with Matchers {
         .collect().map(_.toString).toSeq
     h.state.count() should be > 0L
   }
+
+  test("acf / zipf verbs equal their registered queries") {
+    import graft.api.implicits._
+    Tables.events(spark, sfTiny).graft.acf("event_type", "ts", "value")
+      .collect().map(_.toString).toSeq shouldBe
+      graft.operators.TimeSeriesQueries.tsAcf.query(spark, sfTiny)
+        .collect().map(_.toString).toSeq
+    Tables.documents(spark, sfTiny).graft.zipf("text")
+      .collect().map(_.toString).toSeq shouldBe
+      graft.operators.TextQueries.textZipf.query(spark, sfTiny)
+        .collect().map(_.toString).toSeq
+  }
 }
