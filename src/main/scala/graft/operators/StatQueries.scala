@@ -793,7 +793,7 @@ object StatQueries {
       nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
       lt AS (
         SELECT v, d, c,
-               n - COALESCE(SUM(d + c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+               CAST(n - COALESCE(SUM(d + c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
         FROM vals, nn),
       ev AS (
         SELECT v, d, c, n_risk,
