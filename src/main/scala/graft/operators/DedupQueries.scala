@@ -1342,8 +1342,12 @@ object DedupQueries {
   // retired from the registered bench in r9 per the bench-budget
   // worksheet (the size-banded pair join IS its cost — no amortization
   // lever, NgProbe) once its LSH twin carried the full DuckDB oracle.
+  // simJaccard likewise: the plain exact pair join stays in code as the
+  // recall/equivalence baseline four specs anchor on (ApproxOpsSpec ×2,
+  // NewOpsSpec, PlanShapeSpec bucketed ≡ plain) while
+  // q_sim_jaccard_bucketed carries the IDENTICAL oracle registered.
   def defs: Seq[QueryDef] = Seq(
-    dedupExact, simJaccard, simJaccardBucketed, dedupNear, dedupSimhash,
+    dedupExact, simJaccardBucketed, dedupNear, dedupSimhash,
     dedupNearNgram, dedupEmbed, dedupCluster, dedupIncremental, dedupNearBucketed,
     simJaccardCross, dedupNearCross, dedupNearSalted, simContainment, simContainmentPrefix,
     dedupCanonical, simContainmentCross, dedupSemantic)
