@@ -66,4 +66,42 @@ class IncrementalStatsSpec extends SparkTestBase with Matchers {
     rows(StatQueries.statAnova.query(spark, sfTiny)) shouldBe
       rows(StatQueries.anovaOn(b))
   }
+
+  test("foreachBatch attach over a real file stream == one-shot (Kruskal + ANOVA)") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.streaming.Trigger
+    val stateBase = Files.createTempDirectory("graft_incstats_state").toFile.getAbsolutePath
+    val cpDir = Files.createTempDirectory("graft_incstats_cp").toFile.getAbsolutePath
+    val srcDir = Files.createTempDirectory("graft_incstats_src").toFile.getAbsolutePath
+    val events = Tables.eventsRawNanos(spark, sfTiny)
+    for (i <- 0 until 3) {
+      events.filter(abs(hash(col("event_id"))) % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/part$i")
+      val f = new java.io.File(s"$srcDir/part$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, java.nio.file.Paths.get(srcDir, s"f$i.parquet"))
+      Thread.sleep(1100) // distinct mod times → deterministic file order
+    }
+    val stream = StreamOps.normalizeTs(
+      spark.readStream.schema(StreamOps.eventsRawSchema)
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+        .option("pathGlobFilter", "f*.parquet")
+        .parquet(srcDir))
+      .select(col("event_type").as("grp"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType).as("v"))
+    val q = IncrementalStats.attach(stream, stateBase)
+      .option("checkpointLocation", cpDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000) shouldBe true
+    new java.io.File(stateBase).listFiles()
+      .count(_.getName.startsWith("v")) should be >= 3
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    val oneShot = Tables.events(spark, sfTiny)
+      .select(col("event_type").as("grp"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType).as("v"))
+    rows(IncrementalStats.serveKruskal(spark, stateBase)) shouldBe
+      rows(StatQueries.kruskalOn(oneShot))
+    rows(IncrementalStats.serveAnova(spark, stateBase)) shouldBe
+      rows(StatQueries.anovaOn(oneShot))
+  }
 }
