@@ -107,12 +107,15 @@ object StatQueries {
         sum(col("t") * col("t") * col("t") - col("t")).cast(LongType).as("tie"))
       .withColumn("u1", (col("r1x2") - col("n1") * (col("n1") + 1)).cast(DoubleType) / lit(2.0))
       .withColumn("u2", (col("n1") * col("n2")).cast(DoubleType) - col("u1"))
-      .withColumn("z",
-        (col("u1") - (col("n1") * col("n2")).cast(DoubleType) / lit(2.0)) /
-          sqrt((col("n1").cast(DoubleType) * col("n2").cast(DoubleType) / lit(12.0)) *
-            ((col("n1") + col("n2") + 1).cast(DoubleType) -
-              col("tie").cast(DoubleType) /
-                ((col("n1") + col("n2")).cast(DoubleType) * (col("n1") + col("n2") - 1).cast(DoubleType)))))
+      // try_divide: an empty sample (or an all-tied pooled sample) has
+      // zero rank variance — the statistic is undefined and must surface
+      // as NULL, not an ANSI DIVIDE_BY_ZERO crash (StatDegenerateSpec);
+      // identical to plain division whenever the denominator is nonzero
+      .withColumn("z", expr(
+        "try_divide(u1 - cast(n1 * n2 as double) / 2.0D, " +
+          "sqrt((cast(n1 as double) * cast(n2 as double) / 12.0D) * " +
+          "(cast(n1 + n2 + 1 as double) - try_divide(cast(tie as double), " +
+          "cast(n1 + n2 as double) * cast(n1 + n2 - 1 as double)))))"))
       .select("n1", "n2", "u1", "u2", "z")
   }
 
@@ -132,7 +135,9 @@ object StatQueries {
     ranked.crossJoin(broadcast(tot))
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
         max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("d_num"))
-      .withColumn("d", col("d_num").cast(DoubleType) / (col("n1") * col("n2")).cast(DoubleType))
+      // try_divide: an empty sample (n1·n2 = 0) leaves D undefined →
+      // NULL, not a crash; identical otherwise
+      .withColumn("d", expr("try_divide(cast(d_num as double), cast(n1 * n2 as double))"))
       .select("n1", "n2", "d_num", "d")
   }
 
@@ -163,9 +168,10 @@ object StatQueries {
     val h = terms.agg(max("n").as("n"), max("tie").as("tie"),
         sum("term").cast(DoubleType).as("s"))
       .withColumn("h", col("s") - lit(3.0) * (col("n") + 1).cast(DoubleType))
-      .withColumn("h_adj", col("h") /
-        (lit(1.0) - col("tie").cast(DoubleType) /
-          (col("n") * col("n") * col("n") - col("n")).cast(DoubleType)))
+      // try_divide: an all-tied sample (tie = n³−n) or n ≤ 1 leaves the
+      // correction undefined → NULL, not a crash; identical otherwise
+      .withColumn("h_adj", expr(
+        "try_divide(h, 1.0D - try_divide(cast(tie as double), cast(n * n * n - n as double)))"))
       .select("h", "h_adj")
     perGrp.crossJoin(broadcast(h))
       .select(col("grp"), col("n_g"),
@@ -190,8 +196,10 @@ object StatQueries {
         sum(col("cx") * col("cy")).cast(LongType).as("sxy"),
         sum(col("cx") * col("cx")).cast(LongType).as("sxx"),
         sum(col("cy") * col("cy")).cast(LongType).as("syy"))
-      .withColumn("rho", col("sxy").cast(DoubleType) /
-        (sqrt(col("sxx").cast(DoubleType)) * sqrt(col("syy").cast(DoubleType))))
+      // try_divide: a constant column has zero rank variance → rho NULL
+      // (not a crash); identical to / when sxx·syy > 0
+      .withColumn("rho", expr(
+        "try_divide(cast(sxy as double), sqrt(cast(sxx as double)) * sqrt(cast(syy as double)))"))
       .select("n", "sxy", "sxx", "syy", "rho")
   }
 
@@ -231,16 +239,20 @@ object StatQueries {
       .withColumn("deny", (col("n") * col("syy") - col("sy") * col("sy")).cast(D38))
       .withColumn("anum", abs(col("num")))
       .withColumn("sgn", when(col("num") < 0, lit(-1L)).otherwise(lit(1L)))
-      .withColumn("slope_e6", col("sgn") * expr("(anum * 1000000) div den"))
+      // when-guards (den/deny = 0: constant x or constant y in a group)
+      // → NULL statistics, not a crash; untouched otherwise
+      .withColumn("slope_e6", when(col("den") =!= 0,
+        col("sgn") * expr("(anum * 1000000) div den")))
       .withColumn("inum", (col("sy") * col("den") - col("num") * col("sx")).cast(D38))
-      .withColumn("intercept_e6",
+      .withColumn("intercept_e6", when(col("den") =!= 0,
         when(col("inum") < 0, lit(-1L)).otherwise(lit(1L)) *
-          expr("(abs(inum) * 1000000) div (n * den)"))
-      .withColumn("a2", expr("anum div den").cast(D38))
+          expr("(abs(inum) * 1000000) div (n * den)")))
+      .withColumn("a2", when(col("den") =!= 0, expr("anum div den")).cast(D38))
       .withColumn("rem", (col("anum") - col("a2") * col("den")).cast(D38))
       .withColumn("nsqd",
-        (col("a2") * col("anum") + expr("(rem * anum) div den").cast(D38)).cast(D38))
-      .withColumn("r2_e6", expr("(nsqd * 1000000) div deny"))
+        (col("a2") * col("anum") + when(col("den") =!= 0,
+          expr("(rem * anum) div den")).cast(D38)).cast(D38))
+      .withColumn("r2_e6", when(col("deny") =!= 0, expr("(nsqd * 1000000) div deny")))
       .select(col("grp"), col("n").cast(LongType).as("n"),
         (col("slope_e6").cast(DoubleType) / lit(1000000.0)).as("slope"),
         (col("intercept_e6").cast(DoubleType) / lit(1000000.0)).as("intercept"),
@@ -563,8 +575,11 @@ object StatQueries {
     val D38 = DecimalType(38, 0)
     val m = m0
       .withColumn("vnum", (col("n") * col("ss") - col("s") * col("s")).cast(D38))
-      // a = floor(1e6 · vnum / (n·(n−1)·n)) — exact, identical floor both engines
-      .withColumn("a", expr("(vnum * 1000000) div (n * (n - 1) * n)"))
+      // a = floor(1e6 · vnum / (n·(n−1)·n)) — exact, identical floor both
+      // engines; when-guard: a single-row sample has no variance → NULL
+      // (StatDegenerateSpec), untouched otherwise
+      .withColumn("a", when(col("n") > 1,
+        expr("(vnum * 1000000) div (n * (n - 1) * n)")))
     val one = m.filter(col("g") === 1).select(
       col("n").cast(LongType).as("n1"), col("s").as("s1"), col("a").as("a1"))
     val two = m.filter(col("g") === 2).select(
@@ -576,11 +591,13 @@ object StatQueries {
           expr("(abs(dnum) * 1000000) div (cast(n1 as decimal(38,0)) * n2)"))
       .withColumn("se", sqrt((col("a1") + col("a2")).cast(DoubleType) / lit(1000000.0)))
       .withColumn("mean_diff", col("dm_e6").cast(DoubleType) / lit(1000000.0))
-      .withColumn("t", col("mean_diff") / col("se"))
-      .withColumn("df",
-        ((col("a1") + col("a2")).cast(DoubleType) * (col("a1") + col("a2")).cast(DoubleType)) /
-          (col("a1").cast(DoubleType) * col("a1").cast(DoubleType) / (col("n1") - 1).cast(DoubleType) +
-           col("a2").cast(DoubleType) * col("a2").cast(DoubleType) / (col("n2") - 1).cast(DoubleType)))
+      // try_divide: two zero-variance samples (se = 0) leave t/df
+      // undefined → NULL, not a crash; identical when variances exist
+      .withColumn("t", expr("try_divide(mean_diff, se)"))
+      .withColumn("df", expr(
+        "try_divide(cast(a1 + a2 as double) * cast(a1 + a2 as double), " +
+          "try_divide(cast(a1 as double) * cast(a1 as double), cast(n1 - 1 as double)) + " +
+          "try_divide(cast(a2 as double) * cast(a2 as double), cast(n2 - 1 as double)))"))
       .select("n1", "n2", "mean_diff", "t", "df")
   }
 
@@ -629,10 +646,16 @@ object StatQueries {
       .withColumn("ssn", floorSqDiv("s", "n"))
       .withColumn("ssb", (col("t") - col("ssn")).cast(D38))
       .withColumn("ssw", (col("ssq") - col("t")).cast(D38))
+      // when-guards: zero within-group variance (SSW = 0) or a single
+      // group (k = 1) or zero total variance leave F/η² undefined →
+      // NULL, not an ANSI DIVIDE_BY_ZERO crash (StatDegenerateSpec);
+      // the guarded branch is untouched on non-degenerate input
       .withColumn("f_e6",
-        expr("(ssb * (n - k) * 1000000) div (ssw * (k - 1))"))
+        when(col("k") > 1 && col("ssw") =!= 0,
+          expr("(ssb * (n - k) * 1000000) div (ssw * (k - 1))")))
       .withColumn("eta2_e6",
-        expr("(ssb * 1000000) div (ssq - ssn)"))
+        when((col("ssq") - col("ssn")) =!= 0,
+          expr("(ssb * 1000000) div (ssq - ssn)")))
       .select(col("k"), col("n").cast(LongType).as("n"),
         (col("f_e6").cast(DoubleType) / lit(1000000.0)).as("f"),
         (col("eta2_e6").cast(DoubleType) / lit(1000000.0)).as("eta2"))
