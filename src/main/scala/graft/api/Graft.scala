@@ -903,6 +903,17 @@ final class GraftFrame(val df: DataFrame) {
         .groupBy("g", "h").agg(sum("x").as("x")), maxLag)
   }
 
+  /** Equi-depth histogram of a numeric column (cents-quantized), the
+    * ANALYZE-style optimizer statistic — q_agg_histogram_eqdepth's
+    * core: per bucket exact `(bucket, lo, hi, n_rows, n_distinct)`.
+    */
+  def equiDepthHistogram(value: String, buckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    graft.operators.StatQueries.eqdepthOn(
+      df.select((col(value).cast(DecimalType(12, 2)) * 100).cast(LongType).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("t")), buckets)
+  }
+
   /** Zipf exponent of the whitespace-token vocabulary of a text column —
     * q_text_zipf's core: one row `(n_types, slope, intercept)` from a
     * weighted OLS of log2(freq) on log2(rank) over distinct frequencies.

@@ -499,7 +499,43 @@ object AggQueries {
     """.trim),
   )
 
+  /** Equi-depth (equi-height) histogram of order amounts, 16 buckets —
+    * the ANALYZE-style optimizer statistic (each bucket holds ~N/16
+    * rows; boundaries land where the data is dense, unlike
+    * q_agg_histogram's fixed-width grid). EXACT by construction: a
+    * distinct value v with exclusive cumulative count cb is assigned
+    * bucket floor(cb·16/N) — all integer arithmetic over the
+    * value-distinct grain (StatQueries.withCumBefore: one shuffle
+    * bounded by value cardinality + the bucketed two-pass cumulative,
+    * never a single-task sort). A value heavier than N/16 simply owns
+    * its bucket — the classic equi-depth skew semantics. Output per
+    * bucket: exact (lo, hi, n_rows, n_distinct) in cents.
+    */
+  val aggHistogramEqdepth = QueryDef(
+    "q_agg_histogram_eqdepth",
+    (s, dir) => StatQueries.eqdepthOn(
+      Tables.orders(s, dir)
+        .select((col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("t")), 16),
+    Some("""
+      WITH vals AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v, COUNT(*) AS t
+        FROM orders GROUP BY 1),
+      nn AS (SELECT CAST(SUM(t) AS BIGINT) AS n FROM vals),
+      ranked AS (
+        SELECT v, t,
+               COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb_t
+        FROM vals)
+      SELECT CAST((cb_t * 16) // n AS BIGINT) AS bucket,
+             MIN(v) AS lo, MAX(v) AS hi,
+             CAST(SUM(t) AS BIGINT) AS n_rows, COUNT(*) AS n_distinct
+      FROM ranked, nn
+      GROUP BY 1 ORDER BY bucket
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     aggGroupBy, aggDistinct, aggRollup, aggCube, aggGroupingSets, aggHll, aggStats, aggSalted,
-    aggHistogram, aggCorr, aggPercentile, aggHeavyHitters, aggEntropy, aggGini)
+    aggHistogram, aggCorr, aggPercentile, aggHeavyHitters, aggEntropy, aggGini,
+    aggHistogramEqdepth)
 }

@@ -79,6 +79,23 @@ object StatQueries {
     }.drop("bkt")
   }
 
+  /** Equi-depth histogram core over a (v, t) value-distinct frame —
+    * q_agg_histogram_eqdepth's machinery, reused by the
+    * GraftFrame.equiDepthHistogram verb: bucket(v) = floor(cb·k/N) over
+    * the exclusive cumulative, all exact integers.
+    */
+  private[graft] def eqdepthOn(vals: DataFrame, k: Int): DataFrame = {
+    val n = vals.agg(sum("t").cast(LongType).as("n"))
+    withCumBefore(vals, Seq("t"))
+      .crossJoin(broadcast(n))
+      .withColumn("bucket", expr(s"(cb_t * $k) div n"))
+      .groupBy("bucket").agg(
+        min("v").as("lo"), max("v").as("hi"),
+        sum("t").cast(LongType).as("n_rows"),
+        count(lit(1)).as("n_distinct"))
+      .orderBy("bucket")
+  }
+
   /** Two-sample distinct-value grain: input (grp, v) rows, output one row
     * per v with total count t and sample-1 count t1. The first shuffle of
     * both MW and KS.

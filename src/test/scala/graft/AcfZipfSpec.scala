@@ -5,12 +5,40 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.matchers.should.Matchers
 
-/** q_ts_acf and q_text_zipf pinned against driver-side BigInt/BigDecimal
-  * recomputations (the StatSpec discipline): the DuckDB oracle owns
+/** q_ts_acf, q_text_zipf, and q_agg_histogram_eqdepth pinned against
+  * driver-side BigInt/BigDecimal recomputations and structural
+  * invariants (the StatSpec discipline): the DuckDB oracle owns
   * cross-engine equality, these prove the distributed formulations
   * implement the textbook definitions exactly.
   */
 class AcfZipfSpec extends SparkTestBase with Matchers {
+
+  test("q_agg_histogram_eqdepth: buckets partition N with ~N/16 mass each") {
+    val got = graft.operators.AggQueries.aggHistogramEqdepth.query(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = got.map(_._4).sum
+    n shouldBe Tables.orders(spark, sfTiny).count()
+    // bucket ids are a prefix of 0..15, boundaries strictly increase,
+    // and intervals never overlap
+    got.map(_._1).toSeq shouldBe got.map(_._1).toSeq.sorted
+    all(got.map(_._1)) should (be >= 0L and be <= 15L)
+    got.sliding(2).foreach {
+      case Array(a, b) => b._2 should be > a._3 // next lo > prev hi
+      case _           =>
+    }
+    // equi-depth: every bucket holds ≥ floor(N/16) − maxSingleValueMass
+    // and the assignment rule caps a bucket's EXCESS over N/16 by its
+    // heaviest single value (a heavy value owns its bucket)
+    val maxT = Tables.orders(spark, sfTiny)
+      .select((col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("v"))
+      .groupBy("v").count().agg(max("count")).collect()(0).getLong(0)
+    val target = n / 16
+    got.foreach { case (_, _, _, rows, _) =>
+      rows should be >= math.max(1L, target - maxT)
+      rows should be <= target + maxT
+    }
+    info(s"${got.length} buckets, N=$n, target=$target, maxValueMass=$maxT")
+  }
 
   test("q_ts_acf matches an exact BigInt recomputation and is bounded by 1") {
     val hourly = Tables.events(spark, sfTiny)

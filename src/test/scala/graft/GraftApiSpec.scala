@@ -641,5 +641,9 @@ class GraftApiSpec extends SparkTestBase with Matchers {
       .collect().map(_.toString).toSeq shouldBe
       graft.operators.TextQueries.textZipf.query(spark, sfTiny)
         .collect().map(_.toString).toSeq
+    Tables.orders(spark, sfTiny).graft.equiDepthHistogram("o_totalprice")
+      .collect().map(_.toString).toSeq shouldBe
+      graft.operators.AggQueries.aggHistogramEqdepth.query(spark, sfTiny)
+        .collect().map(_.toString).toSeq
   }
 }
