@@ -20,7 +20,42 @@ object Bench {
     // isn't charged session startup; deterministic name order keeps
     // per-round numbers comparable.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // --- environment fingerprint (r9 verdict item 1b) ---------------------
+    // The round-9 driver artifact read 1.5x the judge/builder band purely
+    // from box contention; a canonical artifact must be self-labeling. A
+    // FIXED calibration query (lineitem group-agg, plan pinned since r1) is
+    // timed at suite start / middle / end, with /proc/loadavg snapshots, so
+    // any reading carries proof of band position: calib medians near the
+    // committed reference (~0.35 s on a quiet box, PERF.md) certify a clean
+    // run; inflated calib numbers certify contention, not plan regressions.
+    def loadAvg(): String =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split(" ")
+        s"[${s(0)},${s(1)},${s(2)}]"
+      } catch { case _: Throwable => "[]" }
+    def calibrate(): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(org.apache.spark.sql.functions.sum("l_quantity"),
+              org.apache.spark.sql.functions.avg("l_extendedprice"),
+              org.apache.spark.sql.functions.count("*"))
+            .count()
+        } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    val loadStart = loadAvg()
+    val calibStart = calibrate()
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val midIdx = sortedQueries.length / 2
+    var calibMid = -1.0
+    val results = sortedQueries.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi == midIdx) calibMid = calibrate()
       var failed = false
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -48,18 +83,22 @@ object Bench {
       } catch { case _: Throwable => () }
       name -> median
     }
+    val calibEnd = calibrate()
+    val loadEnd = loadAvg()
+    val calib = s"""{"start":$calibStart,"mid":$calibMid,"end":$calibEnd,""" +
+      s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${failedNames.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"cpus":"$cpus"}"""
+      s""""failed":${failedNames.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"cpus":"$cpus","calib":$calib}"""
     // The driver's capture truncates very long lines (BENCH_r06 lost its
     // total to `parsed: null` because the 200+-entry queries map came
     // first). Emit a SHORT total-metric line FIRST — always parseable —
     // then the full line with the per-query map for humans/BenchDiff.
     val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},""" +
-      s""""failed":${failedNames.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"cpus":"$cpus"}"""
+      s""""failed":${failedNames.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"cpus":"$cpus","calib":$calib}"""
     // append to the local history log (per-query regression tracking across
     // runs — read by BenchDiff). History failures must never fail the bench.
     try {

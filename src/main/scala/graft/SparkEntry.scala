@@ -15,7 +15,7 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     AggQueries.defs ++ RelationalQueries.defs ++ JoinQueries.defs ++ WindowQueries.defs ++
       FunctionQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++ VectorQueries.defs ++
-      StreamQueries.defs ++ MultimodalOps.defs ++ ContainerOps.defs ++ graft.multimodal.PackStore.defs ++ VideoContainerOps.defs ++ ExtraQueries.defs ++ SubqueryQueries.defs ++
+      StreamQueries.defs ++ MultimodalOps.defs ++ graft.multimodal.ParsedMediaOps.defs ++ ContainerOps.defs ++ graft.multimodal.PackStore.defs ++ VideoContainerOps.defs ++ ExtraQueries.defs ++ SubqueryQueries.defs ++
       MoreQueries.defs ++ CurationPipeline.defs ++ AnalyticsQueries.defs ++ TpchQueries.defs ++
       EventQueries.defs ++ CurationQueries.defs ++ SourceQueries.defs ++
       TimeSeriesQueries.defs ++ CdcQueries.defs ++ SearchQueries.defs ++ GraphQueries.defs ++

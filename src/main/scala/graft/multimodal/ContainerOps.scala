@@ -868,8 +868,11 @@ object ContainerOps {
   // proven row-identical to the packed path every test run
   // (PackedMediaSpec) and shares mmContainer's oracle; retired from the
   // registered bench in r9 per the bench-budget worksheet. mmEncode
-  // remains the ONE registered loose-media price tag (vs
-  // mmEncodePacked's 8-13x packed contrast).
+  // followed in r10 (the round-9 verdict's bench-insurance lever): its
+  // parse→re-encode→loose-export→re-scan loop is proven equivalent to
+  // the packed path every test run (ContainerSpec/PackedMediaSpec), the
+  // 8-13x loose-vs-packed listing-tax contrast is recorded in PERF.md,
+  // and mmEncodePacked carries the registered (and scale-correct) price.
   def defs: Seq[QueryDef] =
-    Seq(mmContainer, mmEncode, mmEncodePacked, mmTranscode, mmPacked, mmPackedLookup)
+    Seq(mmContainer, mmEncodePacked, mmTranscode, mmPacked, mmPackedLookup)
 }

@@ -581,6 +581,12 @@ object MultimodalOps {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(mmDecode, mmResize, mmFrames, mmSimilar, mmAudioEnergy,
+  // mmDecode / mmResize / mmFrames GRADUATED in r10: the registered
+  // q_mm_decode / q_mm_resize / q_mm_framesample now live in
+  // ParsedMediaOps, computing from the REAL parsed container bodies at
+  // header-parsed geometry (r9 verdict item 2). The text-byte stub
+  // versions here remain the code-level baselines MultimodalSpec pins
+  // (schema/batch-shape contracts of the StubDecoder boundary).
+  def defs: Seq[QueryDef] = Seq(mmSimilar, mmAudioEnergy,
     mmScenes, mmAudioSegments, mmPhash)
 }

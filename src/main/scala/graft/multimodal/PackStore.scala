@@ -412,6 +412,14 @@ object PackStore {
     * discipline) and doubles as the name lock; the branch's snapshot 0
     * republishes the forked component list verbatim — zero bytes copied.
     */
+  /** A torn FORK younger than this is indistinguishable from a CONCURRENT
+    * createBranch sitting between its exclusive FORK write and its
+    * snapshot-0 publish — reclaiming it would delete the winner's lock
+    * and type every later read of the branch as torn. Only a FORK older
+    * than the grace window is treated as a crashed create.
+    */
+  private[graft] val TornReclaimGraceMs = 30000L
+
   def createBranch(s: SparkSession, base: String, name: String,
       at: Option[Long] = None): Long = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || "._-".contains(c)),
@@ -422,11 +430,20 @@ object PackStore {
     if (!graft.sources.GraftFs.writeSmallFileExclusive(s, forkPath(base, name),
         s"$forkId\n#eof")) {
       // A FORK file with NO snapshot 0 is a torn create (crash between the
-      // two steps) — reclaim it instead of wedging the name forever. A
+      // two steps) — reclaim it instead of wedging the name forever, but
+      // ONLY once it has aged past the grace window: a young FORK may be
+      // a concurrent create that has not published snapshot 0 yet. A
       // healthy branch still refuses typed.
       if (latestSnapshotId(s, branchBase(base, name)).isDefined)
         throw new IllegalStateException(
           s"branch '$name' already exists on $base (dropBranch first)")
+      val age = graft.sources.GraftFs.modificationTime(s, forkPath(base, name))
+        .map(System.currentTimeMillis() - _)
+      if (age.exists(_ < TornReclaimGraceMs))
+        throw new IllegalStateException(
+          s"branch '$name' on $base has a FORK younger than the reclaim " +
+            s"grace (${age.get} ms < $TornReclaimGraceMs ms): a concurrent " +
+            "createBranch may be mid-publish — retry later or dropBranch")
       graft.sources.GraftFs.deleteRecursively(s, branchBase(base, name))
       if (!graft.sources.GraftFs.writeSmallFileExclusive(s, forkPath(base, name),
           s"$forkId\n#eof"))

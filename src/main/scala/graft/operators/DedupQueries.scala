@@ -1346,8 +1346,14 @@ object DedupQueries {
   // recall/equivalence baseline four specs anchor on (ApproxOpsSpec ×2,
   // NewOpsSpec, PlanShapeSpec bucketed ≡ plain) while
   // q_sim_jaccard_bucketed carries the IDENTICAL oracle registered.
+  // dedupNear (the plain banded-SMJ variant) is NOT registered as of r10:
+  // the family consolidated to dedupNearSalted (census-adaptive skew-safe
+  // grid — the 100 TB primary) + dedupNearBucketed (persisted-layout
+  // pricing twin), all three sharing ONE oracle; the plain variant stays
+  // the code-level baseline ApproxOpsSpec (:28) and PlanShapeSpec (:88)
+  // consume every test run.
   def defs: Seq[QueryDef] = Seq(
-    dedupExact, simJaccardBucketed, dedupNear, dedupSimhash,
+    dedupExact, simJaccardBucketed, dedupSimhash,
     dedupNearNgram, dedupEmbed, dedupCluster, dedupIncremental, dedupNearBucketed,
     simJaccardCross, dedupNearCross, dedupNearSalted, simContainment, simContainmentPrefix,
     dedupCanonical, simContainmentCross, dedupSemantic)

@@ -624,7 +624,131 @@ object EventQueries {
     """.trim),
   )
 
+  // ------------------------------------------------------------- seqmine
+
+  /** GSP/apriori-style frequent-SUBSEQUENCE mining core over a
+    * (user_id, day, sym, ts_us) occurrence frame: length-2 patterns
+    * a>b = "some a occurs strictly before some b within a session",
+    * length-3 candidates generated apriori-style from frequent pairs
+    * ((a,b) ∧ (b,c) frequent ⇒ try a>b>c) and verified exactly.
+    *
+    * The scale move (and what makes this correct at 100 TB): support
+    * tests never touch event pairs. A session supports a>b iff
+    * first(a) < last(b), so the whole pair stage runs on the
+    * (session, symbol) FIRST/LAST grain — bounded by the alphabet (≤6
+    * symbols here), NOT by session length; a million-event mega-session
+    * contributes the same ≤6 rows as a 10-event one. The triple verify
+    * needs one existential — some b occurrence inside (first(a),
+    * last(c)) — which is a semi-join of RAW b occurrences against the
+    * alphabet-bounded candidate windows: linear in occurrences, never
+    * occurrences². Patterns use pairwise-distinct symbols (repeated-
+    * symbol patterns collapse to first<last on the same grain row and
+    * are excluded by construction, documented).
+    */
+  private[graft] def seqmineOn(occ: org.apache.spark.sql.DataFrame,
+      minSupFloor: Int = 2, supDivisor: Int = 20): org.apache.spark.sql.DataFrame = {
+    val g = occ.groupBy("user_id", "day", "sym")
+      .agg(min("ts_us").as("first_us"), max("ts_us").as("last_us"))
+    val tot = occ.select("user_id", "day").distinct()
+      .agg(greatest((count(lit(1)) / supDivisor).cast(LongType), lit(minSupFloor.toLong))
+        .as("minsup"))
+    val a = g.select(col("user_id"), col("day"), col("sym").as("sa"), col("first_us").as("fa"))
+    val b = g.select(col("user_id").as("ub"), col("day").as("db"),
+      col("sym").as("sb"), col("last_us").as("lb"))
+    val pairSup = a.join(b, col("user_id") === col("ub") && col("day") === col("db")
+        && col("sa") =!= col("sb") && col("fa") < col("lb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("support"))
+    val freq2 = pairSup.join(broadcast(tot), col("support") >= col("minsup"))
+      .select("sa", "sb", "support")
+    val cand = freq2.select(col("sa"), col("sb"))
+      .join(freq2.select(col("sa").as("sb"), col("sb").as("sc")), "sb")
+      .filter(col("sa") =!= col("sc"))
+      .select("sa", "sb", "sc")
+    val cEnd = g.select(col("user_id").as("uc"), col("day").as("dc"),
+      col("sym").as("sc"), col("last_us").as("lc"))
+    val windows = a.join(cEnd, col("user_id") === col("uc") && col("day") === col("dc")
+        && col("fa") < col("lc"))
+      .join(broadcast(cand), Seq("sa", "sc"))
+      .select("user_id", "day", "sa", "sb", "sc", "fa", "lc")
+    val bOcc = occ.select(col("user_id").as("u2"), col("day").as("d2"),
+      col("sym").as("s2"), col("ts_us").as("t2"))
+    val tripleSup = windows.join(bOcc,
+        col("user_id") === col("u2") && col("day") === col("d2") && col("sb") === col("s2")
+          && col("t2") > col("fa") && col("t2") < col("lc"), "left_semi")
+      .groupBy("sa", "sb", "sc").agg(count(lit(1)).as("support"))
+    val freq3 = tripleSup.join(broadcast(tot), col("support") >= col("minsup"))
+      .select("sa", "sb", "sc", "support")
+    freq2.select(concat(col("sa"), lit(">"), col("sb")).as("pattern"),
+        lit(2).as("len"), col("support"))
+      .unionByName(freq3.select(
+        concat(col("sa"), lit(">"), col("sb"), lit(">"), col("sc")).as("pattern"),
+        lit(3).as("len"), col("support")))
+      .orderBy(col("len"), desc("support"), col("pattern"))
+  }
+
+  /** Frequent event-type subsequences per (user, day) session. The
+    * fixture's 5 uniform event types are degenerate for sequence mining
+    * (every pattern is equally frequent — SURVEY round-9 note), so the
+    * symbol alphabet is SYNTHESIZED skewed from event_id by pure integer
+    * threshold compares (the q_fn_url / q_text_normalize
+    * synthesize-then-process house pattern): a 6-symbol ~geometric
+    * distribution (e5 ≈ 48% … e0 ≈ 5%), exact in both engines — no
+    * floats, no log2 ULP hazards. Sessions are (user, WEEK): measured on
+    * the fixture, day-grain sessions have median length 2 (no triple
+    * ever survives minsup) and whole-user "sessions" saturate every
+    * pattern at support ≈ #users; week-grain gives median length 13-14
+    * with a 24-of-30 distinct pair-support spread and ~110 surviving
+    * triples — the non-degenerate operating point at both sf0.001 and
+    * sf0.01. minsup = max(#sessions/20, 2).
+    */
+  val eventsSeqmine = QueryDef(
+    "q_events_seqmine",
+    (s, dir) => {
+      val v = col("event_id") % 64
+      val sym = when(v >= 33, "e5").when(v >= 17, "e4").when(v >= 9, "e3")
+        .when(v >= 5, "e2").when(v >= 3, "e1").otherwise("e0")
+      seqmineOn(eventsUs(s, dir).select(col("user_id"),
+        expr("ts_us div 604800000000").as("day"), sym.as("sym"), col("ts_us")))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS day,
+               CASE WHEN event_id % 64 >= 33 THEN 'e5' WHEN event_id % 64 >= 17 THEN 'e4'
+                    WHEN event_id % 64 >= 9 THEN 'e3' WHEN event_id % 64 >= 5 THEN 'e2'
+                    WHEN event_id % 64 >= 3 THEN 'e1' ELSE 'e0' END AS sym
+        FROM events),
+      g AS (SELECT user_id, day, sym, MIN(ts_us) AS first_us, MAX(ts_us) AS last_us
+            FROM e GROUP BY 1, 2, 3),
+      ns AS (SELECT GREATEST(COUNT(*) // 20, 2) AS minsup
+             FROM (SELECT DISTINCT user_id, day FROM e)),
+      p AS (SELECT a.sym AS sa, b.sym AS sb, COUNT(*) AS support
+            FROM g a JOIN g b ON a.user_id = b.user_id AND a.day = b.day
+              AND a.sym != b.sym AND a.first_us < b.last_us
+            GROUP BY 1, 2),
+      f2 AS (SELECT sa, sb, support FROM p CROSS JOIN ns WHERE support >= minsup),
+      cand AS (SELECT x.sa, x.sb, y.sb AS sc FROM f2 x JOIN f2 y ON x.sb = y.sa
+               WHERE x.sa != y.sb),
+      w AS (SELECT a.user_id, a.day, cand.sa, cand.sb, cand.sc,
+                   a.first_us AS fa, c.last_us AS lc
+            FROM cand
+            JOIN g a ON a.sym = cand.sa
+            JOIN g c ON c.sym = cand.sc AND c.user_id = a.user_id AND c.day = a.day
+            WHERE a.first_us < c.last_us),
+      t3 AS (SELECT sa, sb, sc, COUNT(*) AS support
+             FROM w WHERE EXISTS (SELECT 1 FROM e b
+               WHERE b.user_id = w.user_id AND b.day = w.day AND b.sym = w.sb
+                 AND b.ts_us > w.fa AND b.ts_us < w.lc)
+             GROUP BY 1, 2, 3),
+      f3 AS (SELECT sa, sb, sc, support FROM t3 CROSS JOIN ns WHERE support >= minsup)
+      SELECT sa || '>' || sb AS pattern, 2 AS len, support FROM f2
+      UNION ALL
+      SELECT sa || '>' || sb || '>' || sc AS pattern, 3 AS len, support FROM f3
+      ORDER BY len, support DESC, pattern
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(sessionize, funnel, retention, winRange, tsOverlap, winStreak,
     sessionizeBucketed, funnelBucketed, winStreakBucketed, retentionBucketed, attribution,
-    eventsPath, eventsMarkov, eventsAbTest)
+    eventsPath, eventsMarkov, eventsAbTest, eventsSeqmine)
 }

@@ -907,7 +907,15 @@ object GraphQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(graphTriangles, graphLabelprop, graphLinkpred, graphOutliers,
+  // graphTriangles / graphLabelprop / graphLinkpred / graphOutliers are NOT
+  // registered (retired r10 per the bench-budget worksheet, same de-pricing
+  // as q_dedup_ngram in r9): each is the exact-edge-census correctness
+  // baseline its _lsh twin is proven against EVERY test run (GraphOpsSpec
+  // exact-vs-LSH agreement at :85/:105/:333/:338) now that the twins carry
+  // full DuckDB oracles. The exact builds rebuild the quadratic
+  // same-class edge set per run — the documented scale-killer; the
+  // registered twins read the persisted LSH graph.
+  def defs: Seq[QueryDef] = Seq(
     graphTrianglesLsh, graphLabelpropLsh, graphLinkpredLsh, graphOutliersLsh,
     graphComponentsLsh, graphStatsLsh, graphClosenessLsh, graphModularityLsh, vecDbscanLsh,
     graphHitsLsh)

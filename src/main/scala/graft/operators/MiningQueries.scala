@@ -346,5 +346,10 @@ object MiningQueries {
     },
   )
 
-  def defs: Seq[QueryDef] = Seq(mineItemsets, mineItemsetsCapped, mineRules, simEditdist)
+  // mineItemsets (uncapped) is NOT registered: the capped variant is the
+  // primary (r10 swap per the round-9 verdict) — the uncapped within-basket
+  // C(n,2) fan-out is unbounded on a single mega-basket (salting cannot fix
+  // a single-key blowup), while the cap is proven lossless on healthy data
+  // by MiningSpec's plain-vs-capped equality every test run (:73-75).
+  def defs: Seq[QueryDef] = Seq(mineItemsetsCapped, mineRules, simEditdist)
 }

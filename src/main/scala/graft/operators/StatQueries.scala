@@ -155,6 +155,11 @@ object StatQueries {
       // try_divide: an empty sample (n1·n2 = 0) leaves D undefined →
       // NULL, not a crash; identical otherwise
       .withColumn("d", expr("try_divide(cast(d_num as double), cast(n1 * n2 as double))"))
+      // EMPTY input (both samples absent): Spark's global agg emits one
+      // all-NULL row while the oracle's GROUP BY n1, n2 emits zero rows —
+      // drop it so one-shot, state-served (serveKs before batch 0), and
+      // oracle all agree on the zero-row empty shape (StatDegenerateSpec)
+      .filter(col("n1").isNotNull)
       .select("n1", "n2", "d_num", "d")
   }
 

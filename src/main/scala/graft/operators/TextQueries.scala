@@ -1016,13 +1016,17 @@ object TextQueries {
         sum(col("t").cast(D38) * col("xs") * col("xs")).cast(D38).as("sxx"))
       m.withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy")).cast(D38))
         .withColumn("den", (col("n") * col("sxx") - col("sx") * col("sx")).cast(D38))
+        // den = 0 (a single distinct frequency) → NULL slope/intercept,
+        // never an ANSI DIVIDE_BY_ZERO — the degenerate-input contract
         .withColumn("slope_e6",
-          when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
-            expr("(abs(num) * 1000000) div den"))
+          when(col("den") =!= 0,
+            when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+              expr("(abs(num) * 1000000) div den")))
         .withColumn("inum", (col("sy") * col("den") - col("num") * col("sx")).cast(D38))
         .withColumn("intercept_e2",
-          when(col("inum") < 0, lit(-1L)).otherwise(lit(1L)) *
-            expr("(abs(inum) * 100) div (n * den)"))
+          when(col("den") =!= 0,
+            when(col("inum") < 0, lit(-1L)).otherwise(lit(1L)) *
+              expr("(abs(inum) * 100) div (n * den)")))
         .select(col("n").cast(LongType).as("n_types"),
           (col("slope_e6").cast(DoubleType) / lit(1000000.0)).as("slope"),
           // inum/(n·den) = intercept·1e4 (the xs/ys scale), so the

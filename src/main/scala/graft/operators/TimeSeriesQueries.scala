@@ -363,8 +363,11 @@ object TimeSeriesQueries {
     }.reduce(_ unionByName _)
     lags.join(den, "g")
       .withColumn("acf_e6",
-        when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
-          expr("(abs(num) * 1000000) div den"))
+        // den = 0 (zero-variance series) → NULL acf, never an ANSI
+        // DIVIDE_BY_ZERO — the docs/API.md degenerate-input contract
+        when(col("den") =!= 0,
+          when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("(abs(num) * 1000000) div den")))
       .select(col("g").as("event_type"), col("lag"), col("n_pairs"),
         (col("acf_e6").cast(DoubleType) / lit(1000000.0)).as("acf"))
       .orderBy("event_type", "lag")

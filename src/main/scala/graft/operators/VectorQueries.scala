@@ -706,14 +706,20 @@ object VectorQueries {
     * portable-plane bucketing is engine-exact; cosine/rounding follow the
     * q_vec_knn_graph proof).
     */
-  private[operators] lazy val PortableLshEdgeSql: String = {
+  private[operators] lazy val PortableLshEdgeSql: String =
+    portableLshEdgeSqlAt(GraphLshTables, GraphLshBits)
+
+  /** The same edge-graph prelude at an explicit (tables, bits) operating
+    * point — the 24×5 perfect-recall dial registers through this.
+    */
+  private[operators] def portableLshEdgeSqlAt(tables: Int, bits: Int): String = {
     val pp = graft.functions.PortablePlanes
     s"""e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
        |hb AS (
-       |${pp.homeBucketsSql("vec_id, label, emb", "e", GraphLshTables, GraphLshBits)}),
+       |${pp.homeBucketsSql("vec_id, label, emb", "e", tables, bits)}),
        |pr_probe AS (
        |  SELECT label, vec_id, t, xor(b, m.m) AS b2
-       |  FROM hb CROSS JOIN ${pp.probeMasksSql(GraphLshBits)} m),
+       |  FROM hb CROSS JOIN ${pp.probeMasksSql(bits)} m),
        |cand AS (
        |  SELECT DISTINCT h.vec_id, p.vec_id AS n_vec_id
        |  FROM hb h JOIN pr_probe p
@@ -778,6 +784,29 @@ object VectorQueries {
     },
     Some(s"""
       WITH $PortableLshEdgeSql
+      SELECT src AS vec_id, rn, dst AS n_vec_id, cos FROM knn
+      ORDER BY vec_id, rn
+    """.trim),
+  )
+
+  /** The SECOND measured LSH operating point, registered so the recall/
+    * cost tradeoff is a benched fact rather than one sweep's assertion
+    * (GraphOpPointProbe, PERF.md): 24 tables × 5 bits recalls 1.000 of
+    * the exact within-label top-3 at BOTH sf0.01 and sf0.1 — the
+    * perfect-recall dial — at +20% candidate-verify volume and +26%
+    * build wall over the shipped 16×6 (0.957/0.982 recall). Same
+    * machinery, same oracle prelude at the (24, 5) point; a deployment
+    * gating on graph quality flips two constants.
+    */
+  val vecKnnGraphLsh24 = QueryDef(
+    "q_vec_knn_graph_lsh24",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+      knnGraphFromCandidates(e,
+        lshGraphCandidates(e, 24, 5, GraphLshRadius), 3)
+    },
+    Some(s"""
+      WITH ${portableLshEdgeSqlAt(24, 5)}
       SELECT src AS vec_id, rn, dst AS n_vec_id, cos FROM knn
       ORDER BY vec_id, rn
     """.trim),
@@ -1885,7 +1914,7 @@ object VectorQueries {
   )
 
   def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, vecCentroidUdaf, annLsh, annIvf, vecQuantize,
-    annFiltered, vecKnnGraph, vecKnnGraphLsh, vecKnnGraphIvf, vecCluster, vecPq, annIvfPq,
+    annFiltered, vecKnnGraph, vecKnnGraphLsh, vecKnnGraphLsh24, vecKnnGraphIvf, vecCluster, vecPq, annIvfPq,
     vecKnnGraphIncr, vecKnnGraphIncrLsh, annIvfPqIncr, vecPagerank, vecPagerankLsh, vecCoreset,
     vecCoresetBatch, vecTruncated, vecMips, vecPagerankPers)
 }

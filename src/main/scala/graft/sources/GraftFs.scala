@@ -33,6 +33,12 @@ object GraftFs {
   /** Committed-write marker: `_SUCCESS` under a datasource output dir. */
   def hasSuccess(s: SparkSession, p: String): Boolean = exists(s, s"$p/_SUCCESS")
 
+  /** Modification time of `p` in epoch millis; None if absent. */
+  def modificationTime(s: SparkSession, p: String): Option[Long] = {
+    val (fs, q) = resolve(s, p)
+    if (fs.exists(q)) Some(fs.getFileStatus(q).getModificationTime) else None
+  }
+
   def deleteRecursively(s: SparkSession, p: String): Unit = {
     val (fs, q) = resolve(s, p)
     if (fs.exists(q)) fs.delete(q, true): Unit

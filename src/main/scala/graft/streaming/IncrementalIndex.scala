@@ -287,6 +287,14 @@ object IncrementalIndex {
     if (observed.segs.size <= 1) return
     val folded = observed.segs.toSet
     val cName = s"c${observed.version + 1}"
+    // Fast-path duplicate guard: if another compaction of this same
+    // observed state already published (live record lists cName, or every
+    // folded input is already swapped out — and possibly DELETED, so the
+    // read below would fail), this invocation is a race replay; abort
+    // before the read/write. The same guards re-run inside the CAS loop
+    // for races that land between here and the publish.
+    val live = currentState(s, base)
+    if (live.segs.contains(cName) || !live.segs.exists(folded.contains)) return
     readPostingsOf(s, base, observed).localCheckpoint()
       .write.mode("overwrite").parquet(s"$base/postings/$cName")
     var st = observed
@@ -295,10 +303,22 @@ object IncrementalIndex {
     while (!committed) {
       attempts += 1
       require(attempts <= 8, s"compactSegments: lost the publish race $attempts times at $base")
+      // Rebase guards: if the race winner was ANOTHER compaction of the
+      // same observed state, the live record may already list cName (re-
+      // prepending would double-count every posting in the compacted dir)
+      // or may have swapped out every folded input under a different
+      // name (publishing our duplicate would double-count them all).
+      // Abort in both cases — the winner owns the folded-dir cleanup; our
+      // unreferenced duplicate dir is removed when we never published it.
+      if (st.segs.contains(cName)) return
+      if (!st.segs.exists(folded.contains)) {
+        graft.sources.GraftFs.deleteRecursively(s, s"$base/postings/$cName")
+        return
+      }
       // keep every segment committed since the observed state (an
       // interleaved append loses nothing); swap only the folded inputs
       val next = IndexState(st.version + 1, st.statsDir,
-        cName +: st.segs.filterNot(folded.contains), st.batch)
+        (cName +: st.segs.filterNot(folded.contains)).distinct, st.batch)
       if (publish(s, base, next)) committed = true
       else st = currentState(s, base)
     }

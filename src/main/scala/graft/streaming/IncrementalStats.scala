@@ -35,13 +35,22 @@ object IncrementalStats {
     StructField("v", LongType),
     StructField("t", LongType)))
 
-  private def currentVersion(s: SparkSession, base: String): Option[String] =
-    graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT").map(_.trim)
+  /** `_CURRENT` carries `v<N>[:batch=<id>]` — the version plus the last
+    * committed foreachBatch id (the IncrementalDrift/IncrementalScd2
+    * replay-protection discipline).
+    */
+  private def currentPointer(s: SparkSession, base: String): Option[(String, Option[Long])] =
+    graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT").map { c =>
+      c.trim.split(":batch=") match {
+        case Array(v, b) => (v, Some(b.toLong))
+        case Array(v) => (v, None)
+      }
+    }
 
   /** Read the current histogram state (empty frame before batch 0). */
   def readState(s: SparkSession, base: String): DataFrame =
-    currentVersion(s, base) match {
-      case Some(ver) => s.read.schema(stateSchema).parquet(s"$base/$ver")
+    currentPointer(s, base) match {
+      case Some((ver, _)) => s.read.schema(stateSchema).parquet(s"$base/$ver")
       case None => s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
     }
@@ -49,8 +58,16 @@ object IncrementalStats {
   /** Merge one micro-batch of (grp, v) observations into the histogram
     * and swap versions. The full-outer merge touches only |distinct
     * (grp, v)| rows; raw rows are aggregated once on the batch side.
+    * A batch whose id is <= the committed `:batch=` tag is a crash
+    * replay and is skipped — re-merging the same partials would silently
+    * corrupt every state-served statistic (exactly-once, not at-least-
+    * once, is what makes serve-from-state bit-equal to one-shot).
     */
-  def processBatch(s: SparkSession, batch: DataFrame, base: String): DataFrame = {
+  def processBatch(s: SparkSession, batch: DataFrame, base: String,
+      batchId: Option[Long] = None): DataFrame = {
+    val ptr = currentPointer(s, base)
+    if (batchId.exists(id => ptr.flatMap(_._2).exists(_ >= id)))
+      return readState(s, base)
     val partial = batch.groupBy(col("grp").as("g2"), col("v").as("v2"))
       .agg(count(lit(1)).as("t2"))
     val merged = readState(s, base)
@@ -61,16 +78,19 @@ object IncrementalStats {
         (coalesce(col("t"), lit(0L)) + coalesce(col("t2"), lit(0L))).as("t"))
       // materialize BEFORE touching the directory tree the plan reads from
       .localCheckpoint()
-    val next = s"v${currentVersion(s, base).map(_.drop(1).toLong + 1).getOrElse(0L)}"
+    val next = s"v${ptr.map(_._1.drop(1).toLong + 1).getOrElse(0L)}"
     merged.write.mode("overwrite").parquet(s"$base/$next")
-    graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", next)
+    val tag = batchId.orElse(ptr.flatMap(_._2)).fold("")(id => s":batch=$id")
+    graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"$next$tag")
     merged
   }
 
-  /** Attach to a stream of (grp, v) rows via foreachBatch. */
+  /** Attach to a stream of (grp, v) rows via foreachBatch; the batch id
+    * is threaded into the committed pointer for crash-replay idempotence.
+    */
   def attach(rows: DataFrame, base: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    rows.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      processBatch(batch.sparkSession, batch, base): Unit
+    rows.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      processBatch(batch.sparkSession, batch, base, Some(bid)): Unit
     }
 
   /** The two-sample value-distinct grain (v, t, t1) from state. */

@@ -139,6 +139,30 @@ class IncrementalIndexSpec extends SparkTestBase with Matchers {
       .collect().map(_.toString).toSeq.sorted shouldBe want
   }
 
+  test("duplicate compaction of the same observed state aborts, never double-counts") {
+    val base = Files.createTempDirectory("graft_incidx_dup").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfTiny)
+    IncrementalIndex.processBatch(spark, docs.filter(col("doc_id") < 50), base,
+      batchId = Some(0L))
+    IncrementalIndex.processBatch(spark, docs.filter(col("doc_id") >= 50), base,
+      batchId = Some(1L))
+    // two admin threads observe the SAME state and both compact: the race
+    // loser's rebase must NOT list the compacted dir twice (double-counting
+    // every posting in it) nor re-publish a duplicate under another name
+    val observed = IncrementalIndex.currentState(spark, base)
+    val want = IncrementalIndex.readPostings(spark, base)
+      .collect().map(_.toString).toSeq.sorted
+    val heads = IncrementalIndex.searchHeads(spark, base).collect().map(_.toString).toSeq
+    IncrementalIndex.compactFrom(spark, base, observed) // winner
+    IncrementalIndex.compactFrom(spark, base, observed) // loser replay
+    IncrementalIndex.readPostings(spark, base)
+      .collect().map(_.toString).toSeq.sorted shouldBe want
+    IncrementalIndex.searchHeads(spark, base).collect().map(_.toString).toSeq shouldBe heads
+    // exactly ONE live compacted segment in the record
+    IncrementalIndex.currentState(spark, base).segs
+      .count(_.startsWith("c")) shouldBe 1
+  }
+
   test("crash between compacted write and segment delete cannot double-count") {
     val base = Files.createTempDirectory("graft_incidx_orphan").toFile.getAbsolutePath
     val docs = Tables.documents(spark, sfTiny)

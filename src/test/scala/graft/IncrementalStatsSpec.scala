@@ -67,6 +67,27 @@ class IncrementalStatsSpec extends SparkTestBase with Matchers {
       rows(StatQueries.anovaOn(b))
   }
 
+  test("crash-replay of a committed batch id is skipped, not re-merged") {
+    val stateBase = Files.createTempDirectory("graft_incstats_rp").toFile.getAbsolutePath
+    val base = Tables.orders(spark, sfTiny)
+      .select(col("o_orderpriority").as("grp"), cents(col("o_totalprice")).as("v"))
+    val b0 = base.filter(abs(hash(col("v"))) % 2 === 0)
+    val b1 = base.filter(abs(hash(col("v"))) % 2 === 1)
+    IncrementalStats.processBatch(spark, b0, stateBase, Some(0L))
+    IncrementalStats.processBatch(spark, b1, stateBase, Some(1L))
+    def hist(df: DataFrame) = df.orderBy("grp", "v").collect().map(_.toString).toSeq
+    def rows(df: DataFrame) = df.collect().map(_.toString).toSeq
+    val committed = hist(IncrementalStats.readState(spark, stateBase))
+    // a crash between the state swap and the sink commit re-delivers the
+    // SAME batch: re-merging would double every (grp, v) count and
+    // silently corrupt every state-served statistic — it must be a no-op
+    IncrementalStats.processBatch(spark, b1, stateBase, Some(1L))
+    IncrementalStats.processBatch(spark, b0, stateBase, Some(0L))
+    hist(IncrementalStats.readState(spark, stateBase)) shouldBe committed
+    rows(IncrementalStats.serveKruskal(spark, stateBase)) shouldBe
+      rows(StatQueries.kruskalOn(base))
+  }
+
   test("foreachBatch attach over a real file stream == one-shot (Kruskal + ANOVA)") {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.streaming.Trigger

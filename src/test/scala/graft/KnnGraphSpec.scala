@@ -28,6 +28,18 @@ class KnnGraphSpec extends SparkTestBase with Matchers {
     recall should be >= 0.9 // measured 0.976 (sf0.001) / 0.987 (sf0.1)
   }
 
+  test("q_vec_knn_graph_lsh24: the perfect-recall dial dominates 16x6 and clears 0.99") {
+    val lsh24 = edges(VectorQueries.vecKnnGraphLsh24.query(spark, sfTiny))
+    val lsh16 = edges(VectorQueries.vecKnnGraphLsh.query(spark, sfTiny))
+    exact should not be empty
+    val r24 = lsh24.intersect(exact).size.toDouble / exact.size
+    val r16 = lsh16.intersect(exact).size.toDouble / exact.size
+    // the TRADEOFF claim, asserted not prosed: more tables at fewer bits
+    // buys recall (measured 1.000 at sf0.01 AND sf0.1, GraphOpPointProbe)
+    r24 should be >= 0.99
+    r24 should be >= r16
+  }
+
   test("q_vec_knn_graph_ivf: recall ≥ 0.85 of the exact within-label top-3") {
     val ivf = edges(VectorQueries.vecKnnGraphIvf.query(spark, sfTiny))
     val recall = ivf.intersect(exact).size.toDouble / exact.size

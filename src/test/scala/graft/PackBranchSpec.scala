@@ -152,7 +152,16 @@ class PackBranchSpec extends SparkTestBase with Matchers {
     // scan must not silently read the torn branch as an empty store
     val exS = intercept[IllegalStateException](PackStore.scanBranch(spark, base, "torn"))
     exS.getMessage should include("torn")
-    // createBranch reclaims the torn name instead of wedging it forever
+    // a FRESH torn FORK is NOT reclaimed: it may be a CONCURRENT
+    // createBranch mid-publish, and deleting its lock would wedge the
+    // winner (grace-window guard)
+    val exG = intercept[IllegalStateException](PackStore.createBranch(spark, base, "torn"))
+    exG.getMessage should include("grace")
+    // age the FORK past the grace window (the crashed-in-the-past state)
+    val (fs, fq) = graft.sources.GraftFs.resolve(
+      spark, s"${PackStore.branchBase(base, "torn")}/FORK")
+    fs.setTimes(fq, System.currentTimeMillis() - PackStore.TornReclaimGraceMs - 1000, -1)
+    // createBranch reclaims the aged torn name instead of wedging it forever
     PackStore.createBranch(spark, base, "torn") shouldBe 0L
     PackStore.scanBranch(spark, base, "torn").count() shouldBe 30
     // and a HEALTHY name still refuses duplicate creation

@@ -1,0 +1,97 @@
+package graft
+
+import graft.multimodal.{ContainerOps, ParsedMediaOps}
+import org.scalatest.matchers.should.Matchers
+
+/** The graduated decode family (ParsedMediaOps): the quarantine
+  * arithmetic of the malformed-payload injection, a full Scala
+  * brute-force twin of the PCM sample decode (independent of both the
+  * Spark plan and the DuckDB oracle), sign-branch coverage (the decode
+  * must see genuinely negative samples), and geometry provenance (the
+  * scanline width used by framesample is the header-parsed one).
+  */
+class ParsedMediaSpec extends SparkTestBase with Matchers {
+
+  private lazy val docs: Seq[(Long, String, Long)] =
+    Tables.documents(spark, sfTiny)
+      .select("doc_id", "text", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  test("malformed payloads quarantine out: decode rows == docs minus injections") {
+    val expected = docs.count { case (id, _, _) => id % 97 != 0 && id % 89 != 0 }
+    val rows = ParsedMediaOps.mmDecode.query(spark, sfTiny).collect()
+    rows.length shouldBe expected
+    val ids = rows.map(_.getLong(0)).toSet
+    ids.exists(id => id % 97 == 0 || id % 89 == 0) shouldBe false
+  }
+
+  test("pcm decode == Scala brute-force twin (frames, sign, mean), with real negatives") {
+    val got = ParsedMediaOps.mmPcm.query(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    got.size shouldBe docs.size
+    var totalNeg = 0L
+    var mixedRows = 0
+    docs.foreach { case (id, text, _) =>
+      val body = text.getBytes("UTF-8").map(b =>
+        if ((b & 0xff) % 2 == 1) (b ^ 0x80).toByte else b)
+      val ch = (1 + id % 2).toInt
+      val ba = ch * 2
+      val nf = body.length / ba
+      val samples = (0 until nf).map { f =>
+        val u = (body(f * ba) & 0xff) | ((body(f * ba + 1) & 0xff) << 8)
+        if (u >= 32768) u - 65536 else u
+      }
+      val r = got(id)
+      r.getInt(1) shouldBe ch
+      r.getInt(2) shouldBe (8000 << (id % 3)).toInt
+      r.getInt(3) shouldBe nf
+      r.getLong(5) shouldBe samples.count(_ < 0).toLong
+      if (nf > 0)
+        r.getDouble(6) shouldBe samples.map(_.toLong).sum.toDouble / nf
+      totalNeg += samples.count(_ < 0)
+      if (samples.exists(_ < 0) && samples.exists(_ >= 0)) mixedRows += 1
+    }
+    // the sign branch must be EXERCISED, not vacuous: negatives exist and
+    // most rows mix signs (odd/even high bytes in real text)
+    totalNeg should be > 0L
+    mixedRows should be > docs.size / 2
+  }
+
+  test("framesample scanlines use the HEADER-PARSED width, not a fixed window") {
+    val rows = ParsedMediaOps.mmFrames.query(spark, sfTiny).collect()
+    rows should not be empty
+    val byId = docs.map { case (id, t, n) => id -> ((t.getBytes("UTF-8").length, n)) }.toMap
+    rows.foreach { r =>
+      val (len, nChars) = byId(r.getLong(0))
+      val w = (nChars % 512 + 16).toInt
+      r.getInt(2) shouldBe w // the geometry the parser read out of IHDR/SOF0
+      r.getInt(1) % 4 shouldBe 0
+      r.getInt(1) should be < len / w
+    }
+  }
+
+  test("resize output bytes == stride-2 of the parsed body (checksum twin)") {
+    val got = ParsedMediaOps.mmResize.query(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    docs.filter { case (id, _, _) => id % 97 != 0 && id % 89 != 0 }.foreach {
+      case (id, text, _) =>
+        val body = text.getBytes("UTF-8")
+        val down = Array.tabulate((body.length + 1) / 2)(i => body(2 * i))
+        var acc = 1L
+        down.foreach(b => acc = (acc * 31 + (b & 0xff)) % 1000000007L)
+        got(id).getLong(3) shouldBe acc
+        got(id).getInt(2) shouldBe down.length
+    }
+  }
+
+  test("the parse is load-bearing: a corrupted header changes what decode sees") {
+    // same body, different header bytes → different parsed geometry; the
+    // decode family reads geometry from the BYTES, so this must differ
+    val body = "0123456789abcdef0123456789abcdef".getBytes("US-ASCII")
+    val p1 = ContainerOps.ContainerParser.parseFull(1L, ContainerOps.pngBytes(8, 4, body))
+    val p2 = ContainerOps.ContainerParser.parseFull(1L, ContainerOps.pngBytes(16, 2, body))
+    p1.row.width shouldBe Some(8)
+    p2.row.width shouldBe Some(16)
+    p1.bodyOffset shouldBe p2.bodyOffset // same layout, different geometry
+  }
+}

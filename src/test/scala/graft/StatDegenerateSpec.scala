@@ -26,9 +26,10 @@ class StatDegenerateSpec extends SparkTestBase with Matchers {
     val mw = StatQueries.mannWhitneyOn(e, "A").collect()
     mw.length shouldBe 1
     mw(0).isNullAt(0) shouldBe true // n1 null — unmissable
-    val ks = StatQueries.ksOn(e, "A").collect()
-    ks.length shouldBe 1
-    ks(0).isNullAt(0) shouldBe true
+    // KS on EMPTY input emits ZERO rows (not one all-null row): the
+    // DuckDB oracle's GROUP BY n1, n2 shape, and what serveKs must show
+    // before the first batch (one-shot ≡ state-served ≡ oracle)
+    StatQueries.ksOn(e, "A").collect().length shouldBe 0
     StatQueries.kruskalOn(e).collect().length shouldBe 0
     StatQueries.anovaOn(e).collect().length shouldBe 1
   }
@@ -61,5 +62,24 @@ class StatDegenerateSpec extends SparkTestBase with Matchers {
     an.length shouldBe 1
     // SSW = 0 → F's div by zero → null (Spark div) — pinned as null
     an(0).isNullAt(2) shouldBe true
+  }
+
+  test("zero-variance series: acf yields NULL, never an ANSI divide-by-zero") {
+    import spark.implicits._
+    // constant hourly values → den = Σy² = 0 → acf NULL per lag
+    val const = (0L until 8L).map(h => ("E", h, 500L)).toDF("g", "h", "x")
+    val acf = graft.operators.TimeSeriesQueries.acfOn(const, 2).collect()
+    acf.length shouldBe 2
+    acf.foreach(_.isNullAt(3) shouldBe true) // acf undefined, unmissable
+  }
+
+  test("single distinct frequency: zipf yields NULL slope/intercept, never throws") {
+    import spark.implicits._
+    // every token appears exactly twice → one (f, t) point → den = 0
+    val counts = Seq(("a", 2L), ("b", 2L), ("c", 2L)).toDF("token", "f")
+    val z = graft.operators.TextQueries.zipfOn(counts).collect()
+    z.length shouldBe 1
+    z(0).isNullAt(1) shouldBe true // slope
+    z(0).isNullAt(2) shouldBe true // intercept
   }
 }
