@@ -748,7 +748,66 @@ object EventQueries {
     """.trim),
   )
 
+  /** RFM segmentation (recency-frequency-monetary — the classic customer
+    * scoring every event warehouse ships): per user R = days since last
+    * event (vs the corpus max — a fixed anchor, reproducible), F = event
+    * count, M = Σ value cents (exact long). Scores 1–5 by exact rank
+    * quintile: sort each metric worst-first with user_id tiebreak,
+    * score = ⌊(rn−1)·5/n⌋ + 1 — pure integer arithmetic (NO NTILE: its
+    * remainder-spreading is a cross-engine hazard; this formula is the
+    * eqdepth bucket rule and reproduces bit-for-bit). The windows run on
+    * the USER grain (one row per user, never events); at extreme user
+    * counts the same scores come from the bucketed cumulative
+    * (StatQueries.withCumBeforeBy) — the machinery exists and is benched.
+    */
+  val eventsRfm = QueryDef(
+    "q_events_rfm",
+    (s, dir) => {
+      val peru = eventsUs(s, dir)
+        .groupBy("user_id")
+        .agg(max("ts_us").as("last_us"), count(lit(1)).as("f"),
+          sum((col("value").cast(DecimalType(12, 2)) * 100).cast(LongType)).as("m"))
+      val anchor = peru.agg(max("last_us").as("now_us"), count(lit(1)).as("n"))
+      val base = peru.crossJoin(broadcast(anchor))
+        .withColumn("r_days", expr("(now_us - last_us) div 86400000000"))
+      val scored = base
+        .withColumn("rn_r", row_number().over(
+          Window.orderBy(desc("r_days"), asc("user_id"))))
+        .withColumn("rn_f", row_number().over(
+          Window.orderBy(asc("f"), asc("user_id"))))
+        .withColumn("rn_m", row_number().over(
+          Window.orderBy(asc("m"), asc("user_id"))))
+        // exact integer quintile: never float division near a bucket edge
+        .withColumn("r_score", expr("cast((rn_r - 1) * 5 div n as int) + 1"))
+        .withColumn("f_score", expr("cast((rn_f - 1) * 5 div n as int) + 1"))
+        .withColumn("m_score", expr("cast((rn_m - 1) * 5 div n as int) + 1"))
+      scored.select(col("user_id"), col("r_days"), col("f"), col("m"),
+          col("r_score"), col("f_score"), col("m_score"),
+          concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                 FROM events),
+      peru AS (SELECT user_id, MAX(ts_us) AS last_us, COUNT(*) AS f,
+                      CAST(SUM(cents) AS BIGINT) AS m
+               FROM e GROUP BY user_id),
+      anchor AS (SELECT MAX(last_us) AS now_us, COUNT(*) AS n FROM peru),
+      base AS (SELECT user_id, (now_us - last_us) // 86400000000 AS r_days, f, m, n
+               FROM peru, anchor),
+      scored AS (SELECT user_id, r_days, f, m,
+                   CAST((ROW_NUMBER() OVER (ORDER BY r_days DESC, user_id) - 1) * 5 // n AS INTEGER) + 1 AS r_score,
+                   CAST((ROW_NUMBER() OVER (ORDER BY f ASC, user_id) - 1) * 5 // n AS INTEGER) + 1 AS f_score,
+                   CAST((ROW_NUMBER() OVER (ORDER BY m ASC, user_id) - 1) * 5 // n AS INTEGER) + 1 AS m_score
+                 FROM base)
+      SELECT user_id, r_days, f, m, r_score, f_score, m_score,
+             CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
+      FROM scored ORDER BY user_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(sessionize, funnel, retention, winRange, tsOverlap, winStreak,
     sessionizeBucketed, funnelBucketed, winStreakBucketed, retentionBucketed, attribution,
-    eventsPath, eventsMarkov, eventsAbTest, eventsSeqmine)
+    eventsPath, eventsMarkov, eventsAbTest, eventsSeqmine, eventsRfm)
 }

@@ -254,6 +254,57 @@ object MiningQueries {
     """.trim),
   )
 
+  /** Item-item top-3 recommendations from the co-occurrence pairs (the
+    * collaborative-filtering primitive behind "customers also bought"):
+    * cosine(i, j) = c_ij / √(s_i·s_j) over basket co-occurrence counts,
+    * ranked per item. Consumes the SAME persisted pair store as
+    * q_mine_rules (built once per corpus snapshot; q_mine_itemsets
+    * prices the inline build) — steady state is skinny parquet reads +
+    * broadcast support dims + one item-keyed window, never a basket
+    * re-scan. Float parity: √ of an exact-int product (< 2⁵³) and ONE
+    * division, rounded to 6dp before ranking (the cosine recipe), with
+    * the neighbor id as tiebreak — deterministic in both engines.
+    */
+  val mineRecs = QueryDef(
+    "q_mine_recs",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (pairs, sup, _) = minePairsPersisted(s, dir)
+      val sym = pairs.select(col("p1").as("item"), col("p2").as("rec"), col("c"))
+        .union(pairs.select(col("p2").as("item"), col("p1").as("rec"), col("c")))
+      val scored = sym
+        .join(broadcast(sup.select(col("pk").as("item"), col("s").as("si"))), "item")
+        .join(broadcast(sup.select(col("pk").as("rec"), col("s").as("sr"))), "rec")
+        .withColumn("cosine",
+          round(col("c").cast("double") / sqrt((col("si") * col("sr")).cast("double")), 6))
+      val w = Window.partitionBy("item").orderBy(desc("cosine"), asc("rec"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("item"), col("rank"), col("rec"), col("c").as("support"), col("cosine"))
+        .orderBy("item", "rank")
+    },
+    oracle = Some(s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      sup AS (SELECT pk, count(*) AS s FROM li GROUP BY pk HAVING count(*) >= $MinItemSup),
+      fli AS (SELECT ok, li.pk FROM li JOIN sup USING (pk)),
+      pairs AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS c
+                FROM fli a JOIN fli b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2 HAVING count(*) >= $MinPairSup),
+      sym AS (SELECT p1 AS item, p2 AS rec, c FROM pairs
+              UNION ALL
+              SELECT p2, p1, c FROM pairs),
+      scored AS (SELECT item, rec, c,
+                        ROUND(CAST(c AS DOUBLE) / sqrt(CAST(si.s * sr.s AS DOUBLE)), 6) AS cosine
+                 FROM sym JOIN sup si ON si.pk = item JOIN sup sr ON sr.pk = rec)
+      SELECT item, rank, rec, c AS support, cosine FROM (
+        SELECT item, rec, c, cosine,
+               ROW_NUMBER() OVER (PARTITION BY item ORDER BY cosine DESC, rec ASC) AS rank
+        FROM scored)
+      WHERE rank <= 3
+      ORDER BY item, rank
+    """.trim),
+  )
+
   /** Edit-distance threshold. */
   private[graft] val EdK = 3
   /** Compared prefix length (chars) and segment length. */
@@ -351,5 +402,5 @@ object MiningQueries {
   // C(n,2) fan-out is unbounded on a single mega-basket (salting cannot fix
   // a single-key blowup), while the cap is proven lossless on healthy data
   // by MiningSpec's plain-vs-capped equality every test run (:73-75).
-  def defs: Seq[QueryDef] = Seq(mineItemsetsCapped, mineRules, simEditdist)
+  def defs: Seq[QueryDef] = Seq(mineItemsetsCapped, mineRules, mineRecs, simEditdist)
 }

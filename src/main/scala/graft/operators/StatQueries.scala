@@ -79,6 +79,133 @@ object StatQueries {
     }.drop("bkt")
   }
 
+  /** Per-PARTITION twin of [[withCumBefore]]: exclusive cumulative of
+    * `cols` over ascending `v` WITHIN each `part` group, same bucketed
+    * two-pass shape (per-group 1024-bucket grid from a per-group min/max
+    * probe; the within-bucket window sorts only one bucket's distinct
+    * values, the bucket-prefix window only the ≤1024 bucket totals per
+    * group) — no single task ever sorts a group's full distinct-value
+    * set. `part` must be low-cardinality enough to broadcast its
+    * min/max dim (group-keyed statistics always are).
+    */
+  private[operators] def withCumBeforeBy(vals0: DataFrame, part: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    val vals = vals0.localCheckpoint()
+    val mm = vals.groupBy(part.map(col): _*).agg(min("v").as("lo"), max("v").as("hi"))
+    val b = vals.join(broadcast(mm), part)
+      .withColumn("bkt", expr("((v - lo) * 1024) div (hi - lo + 1)"))
+      .drop("lo", "hi")
+    val wIn = Window.partitionBy((part :+ "bkt").map(col): _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withIn = cols.foldLeft(b) { (df, c) =>
+      df.withColumn(s"in_$c", coalesce(sum(col(c)).over(wIn), lit(0L)))
+    }
+    val btAggs = cols.map(c => sum(col(c)).as(s"bt_$c"))
+    val bt = b.groupBy((part :+ "bkt").map(col): _*).agg(btAggs.head, btAggs.tail: _*)
+    val wB = Window.partitionBy(part.map(col): _*).orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = cols.foldLeft(bt) { (df, c) =>
+      df.withColumn(s"pre_$c", coalesce(sum(col(s"bt_$c")).over(wB), lit(0L)))
+    }.select((part :+ "bkt").map(col) ++ cols.map(c => col(s"pre_$c")): _*)
+    val joined = withIn.join(broadcast(pre), part :+ "bkt")
+    cols.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"cb_$c", col(s"in_$c") + col(s"pre_$c"))
+        .drop(s"in_$c", s"pre_$c")
+    }.drop("bkt")
+  }
+
+  /** Per-group exact weighted median over a (grp, v, t) histogram, in
+    * DOUBLED units so the even-count midpoint average stays an integer:
+    * med2 = v@⌊(n−1)/2⌋ + v@⌊n/2⌋ (0-based positions over the cumulative).
+    */
+  private def median2On(hist: DataFrame): DataFrame =
+    withCumBeforeBy(hist, Seq("grp"), Seq("t"))
+      .withColumn("n", sum("t").over(Window.partitionBy("grp")))
+      .withColumn("m1", expr("(n - 1) div 2"))
+      .withColumn("m2", expr("n div 2"))
+      .groupBy("grp").agg(
+        max("n").cast(LongType).as("n"),
+        (sum(when(col("cb_t") <= col("m1")
+            && col("m1") < col("cb_t") + col("t"), col("v")).otherwise(0L))
+          + sum(when(col("cb_t") <= col("m2")
+            && col("m2") < col("cb_t") + col("t"), col("v")).otherwise(0L)))
+          .cast(LongType).as("med2"))
+
+  /** MAD core over a (grp, v) frame — all-integer: median in 2× units,
+    * deviations d = |2v − med2| (2× units), MAD-median in 4× units, the
+    * outlier test 2d > 3·mad4 an exact integer compare. Both medians run
+    * on value-distinct grains through the bucketed two-pass cumulative.
+    */
+  private[graft] def madOn(base: DataFrame): DataFrame = {
+    val hist = base.groupBy("grp", "v").agg(count(lit(1)).as("t"))
+    val med = median2On(hist)
+    val dev = hist.join(broadcast(med), "grp")
+      .groupBy(col("grp"), abs(lit(2L) * col("v") - col("med2")).as("v"))
+      .agg(sum("t").cast(LongType).as("t"))
+    val mad = median2On(dev).select(col("grp"), col("med2").as("mad4"))
+    val outliers = dev.join(broadcast(mad), "grp")
+      .groupBy("grp").agg(
+        sum(when(lit(2L) * col("v") > lit(3L) * col("mad4"), col("t")).otherwise(0L))
+          .cast(LongType).as("n_outliers"))
+    med.join(mad, "grp").join(outliers, "grp")
+      .select(col("grp"), col("n"),
+        (col("med2").cast(DoubleType) / 2.0).as("median"),
+        (col("mad4").cast(DoubleType) / 4.0).as("mad"),
+        col("n_outliers"))
+      .orderBy("grp")
+  }
+
+  /** Median absolute deviation per order priority — the robust
+    * dispersion/outlier statistic (Hampel's 3-MAD rule): median and MAD
+    * exact via the doubled/quadrupled integer units (no float midpoint
+    * averaging anywhere), outlier count from an exact integer compare.
+    * Everything runs on value-distinct grains (bounded by value
+    * cardinality, never rows) through the per-group bucketed two-pass
+    * cumulative — the stat-family scale contract.
+    */
+  val statMad = QueryDef(
+    "q_stat_mad",
+    (s, dir) => madOn(
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"), cents(col("o_totalprice")).as("v"))),
+    Some("""
+      WITH base AS (
+        SELECT o_orderpriority AS grp,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        FROM orders),
+      h AS (SELECT grp, v, COUNT(*) AS t FROM base GROUP BY grp, v),
+      r AS (SELECT grp, v, t,
+              COALESCE(SUM(t) OVER (PARTITION BY grp ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+              SUM(t) OVER (PARTITION BY grp) AS n
+            FROM h),
+      med AS (SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN cb <= (n - 1) // 2 AND (n - 1) // 2 < cb + t THEN v ELSE 0 END)
+                   + SUM(CASE WHEN cb <= n // 2 AND n // 2 < cb + t THEN v ELSE 0 END) AS BIGINT) AS med2
+              FROM r GROUP BY grp),
+      dh AS (SELECT b.grp, ABS(2 * b.v - m.med2) AS v, COUNT(*) AS t
+             FROM base b JOIN med m USING (grp) GROUP BY 1, 2),
+      r2 AS (SELECT grp, v, t,
+               COALESCE(SUM(t) OVER (PARTITION BY grp ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+               SUM(t) OVER (PARTITION BY grp) AS n
+             FROM dh),
+      mad AS (SELECT grp,
+                CAST(SUM(CASE WHEN cb <= (n - 1) // 2 AND (n - 1) // 2 < cb + t THEN v ELSE 0 END)
+                   + SUM(CASE WHEN cb <= n // 2 AND n // 2 < cb + t THEN v ELSE 0 END) AS BIGINT) AS mad4
+              FROM r2 GROUP BY grp),
+      outl AS (SELECT dh.grp,
+                 CAST(SUM(CASE WHEN 2 * dh.v > 3 * mad.mad4 THEN dh.t ELSE 0 END) AS BIGINT) AS n_outliers
+               FROM dh JOIN mad USING (grp) GROUP BY dh.grp)
+      SELECT med.grp, med.n,
+             CAST(med.med2 AS DOUBLE) / 2.0 AS median,
+             CAST(mad.mad4 AS DOUBLE) / 4.0 AS mad,
+             outl.n_outliers
+      FROM med JOIN mad USING (grp) JOIN outl ON outl.grp = med.grp
+      ORDER BY med.grp
+    """.trim),
+  )
+
   /** Equi-depth histogram core over a (v, t) value-distinct frame —
     * q_agg_histogram_eqdepth's machinery, reused by the
     * GraftFrame.equiDepthHistogram verb: bucket(v) = floor(cb·k/N) over
@@ -851,5 +978,5 @@ object StatQueries {
   )
 
   def defs: Seq[QueryDef] = Seq(statMannWhitney, statKs, statKruskal,
-    statSpearman, statChisq, statOls, statTtest, statAnova, statSurvival)
+    statSpearman, statChisq, statOls, statTtest, statAnova, statSurvival, statMad)
 }
