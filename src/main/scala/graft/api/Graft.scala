@@ -86,6 +86,7 @@ final class StatsStateHandle(val spark: SparkSession, val base: String) {
   def ttest(sample1: String): DataFrame =
     IncrementalStats.serveTtest(spark, base, sample1)
   def anova: DataFrame = IncrementalStats.serveAnova(spark, base)
+  def mad: DataFrame = IncrementalStats.serveMad(spark, base)
 }
 
 /** Handle over one pack-store base. Thin delegation — the format and
@@ -928,6 +929,28 @@ final class GraftFrame(val df: DataFrame) {
     df.select(col(group).as("grp"),
       (col(value).cast(DecimalType(12, 2)) * 100).cast(LongType).as("v"))
   }
+
+  /** Per-group median absolute deviation + Hampel 3-MAD outlier counts
+    * (cents-quantized) — q_stat_mad's core: `(grp, n, median, mad,
+    * n_outliers)`, all-integer exact medians (doubled/quadrupled units).
+    */
+  def mad(group: String, value: String): DataFrame =
+    graft.operators.StatQueries.madOn(statBase(group, value))
+
+  /** GSP-style frequent subsequences of a symbol column within
+    * (subject, window) sessions — q_events_seqmine's core:
+    * `(pattern, len, support)` at minsup = max(#sessions/supDivisor,
+    * minSupFloor); supports computed on the alphabet-bounded
+    * (session, symbol) first/last grain.
+    */
+  def seqmine(subject: String, ts: String, symbol: String,
+      windowDays: Int = 7, minSupFloor: Int = 2, supDivisor: Int = 20): DataFrame =
+    graft.operators.EventQueries.seqmineOn(
+      df.select(col(subject).as("user_id"),
+        expr(s"unix_micros(cast($ts as timestamp)) div ${windowDays * 86400000000L}").as("day"),
+        col(symbol).as("sym"),
+        expr(s"unix_micros(cast($ts as timestamp))").as("ts_us")),
+      minSupFloor, supDivisor)
 
   /** Treat this frame as an EDGE LIST and open the graph-analytics
     * family over it (q_graph_* / q_vec_dbscan's edge-source-agnostic

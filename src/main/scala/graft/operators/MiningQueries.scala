@@ -23,9 +23,9 @@ import org.apache.spark.sql.functions._
 object MiningQueries {
 
   /** Minimum basket support for a single item (apriori prefilter). */
-  private val MinItemSup = 25
+  private[graft] val MinItemSup = 25
   /** Minimum basket support for an emitted pair. */
-  private val MinPairSup = 2
+  private[graft] val MinPairSup = 2
 
   /** Frequent-pair core over an arbitrary (basket, item) frame — the
     * edge-source-agnostic core the registered query AND the
@@ -144,7 +144,7 @@ object MiningQueries {
   }
 
   /** Minimum confidence for an emitted association rule. */
-  private val MinConf = 0.10
+  private[graft] val MinConf = 0.10
 
   /** The frequent-pair tables persisted per scale dir — the graph-index
     * amortization contract applied to basket mining: a deployment mines
@@ -217,21 +217,31 @@ object MiningQueries {
     * proves persisted ≡ fresh every round, and GraftApiSpec pins the
     * fresh-path facade verb row-equal to this persisted-path query.
     */
+  /** The rules tail over explicit (pairs, sup, nb) tables — shared by the
+    * persisted-path registered query and IncrementalMine.serveRules (so
+    * state-served is the same expression tree, bit for bit).
+    */
+  private[graft] def rulesFromTables(pairs: org.apache.spark.sql.DataFrame,
+      sup: org.apache.spark.sql.DataFrame,
+      nb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rules = pairs.select(col("p1").as("ant"), col("p2").as("cons"), col("c"))
+      .union(pairs.select(col("p2").as("ant"), col("p1").as("cons"), col("c")))
+    rules
+      .join(broadcast(sup.select(col("pk").as("ant"), col("s").as("sa"))), "ant")
+      .join(broadcast(sup.select(col("pk").as("cons"), col("s").as("sc"))), "cons")
+      .crossJoin(broadcast(nb))
+      .select(col("ant"), col("cons"), col("c").as("support"),
+              (col("c").cast("double") / col("sa")).as("confidence"),
+              ((col("c") * col("nb")).cast("double") / (col("sa") * col("sc"))).as("lift"))
+      .filter(col("confidence") >= MinConf)
+      .orderBy(desc("confidence"), col("ant"), col("cons"))
+  }
+
   val mineRules = QueryDef(
     "q_mine_rules",
     (s, dir) => {
       val (pairs, sup, nb) = minePairsPersisted(s, dir)
-      val rules = pairs.select(col("p1").as("ant"), col("p2").as("cons"), col("c"))
-        .union(pairs.select(col("p2").as("ant"), col("p1").as("cons"), col("c")))
-      rules
-        .join(broadcast(sup.select(col("pk").as("ant"), col("s").as("sa"))), "ant")
-        .join(broadcast(sup.select(col("pk").as("cons"), col("s").as("sc"))), "cons")
-        .crossJoin(broadcast(nb))
-        .select(col("ant"), col("cons"), col("c").as("support"),
-                (col("c").cast("double") / col("sa")).as("confidence"),
-                ((col("c") * col("nb")).cast("double") / (col("sa") * col("sc"))).as("lift"))
-        .filter(col("confidence") >= MinConf)
-        .orderBy(desc("confidence"), col("ant"), col("cons"))
+      rulesFromTables(pairs, sup, nb)
     },
     oracle = Some(s"""
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -265,23 +275,31 @@ object MiningQueries {
     * division, rounded to 6dp before ranking (the cosine recipe), with
     * the neighbor id as tiebreak — deterministic in both engines.
     */
+  /** The recommendations tail over explicit (pairs, sup) tables — shared
+    * by the registered query and IncrementalMine.serveRecs.
+    */
+  private[graft] def recsFromTables(pairs: org.apache.spark.sql.DataFrame,
+      sup: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = pairs.select(col("p1").as("item"), col("p2").as("rec"), col("c"))
+      .union(pairs.select(col("p2").as("item"), col("p1").as("rec"), col("c")))
+    val scored = sym
+      .join(broadcast(sup.select(col("pk").as("item"), col("s").as("si"))), "item")
+      .join(broadcast(sup.select(col("pk").as("rec"), col("s").as("sr"))), "rec")
+      .withColumn("cosine",
+        round(col("c").cast("double") / sqrt((col("si") * col("sr")).cast("double")), 6))
+    val w = Window.partitionBy("item").orderBy(desc("cosine"), asc("rec"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("item"), col("rank"), col("rec"), col("c").as("support"), col("cosine"))
+      .orderBy("item", "rank")
+  }
+
   val mineRecs = QueryDef(
     "q_mine_recs",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val (pairs, sup, _) = minePairsPersisted(s, dir)
-      val sym = pairs.select(col("p1").as("item"), col("p2").as("rec"), col("c"))
-        .union(pairs.select(col("p2").as("item"), col("p1").as("rec"), col("c")))
-      val scored = sym
-        .join(broadcast(sup.select(col("pk").as("item"), col("s").as("si"))), "item")
-        .join(broadcast(sup.select(col("pk").as("rec"), col("s").as("sr"))), "rec")
-        .withColumn("cosine",
-          round(col("c").cast("double") / sqrt((col("si") * col("sr")).cast("double")), 6))
-      val w = Window.partitionBy("item").orderBy(desc("cosine"), asc("rec"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("item"), col("rank"), col("rec"), col("c").as("support"), col("cosine"))
-        .orderBy("item", "rank")
+      recsFromTables(pairs, sup)
     },
     oracle = Some(s"""
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -136,13 +136,26 @@ object StatQueries {
     * outlier test 2d > 3·mad4 an exact integer compare. Both medians run
     * on value-distinct grains through the bucketed two-pass cumulative.
     */
-  private[graft] def madOn(base: DataFrame): DataFrame = {
-    val hist = base.groupBy("grp", "v").agg(count(lit(1)).as("t"))
-    val med = median2On(hist)
+  private[graft] def madOn(base: DataFrame): DataFrame =
+    madOnHist(base.groupBy("grp", "v").agg(count(lit(1)).as("t")))
+
+  /** MAD over the (grp, v, t) histogram grain directly — the
+    * serve-from-state entry point (IncrementalStats.serveMad): the same
+    * value-distinct histogram that serves the rank tests serves MAD, and
+    * every step is exact integer arithmetic, so state-served ≡ one-shot
+    * bit-for-bit.
+    */
+  private[graft] def madOnHist(hist: DataFrame): DataFrame = {
+    // each small intermediate is consumed by 2-3 downstream subtrees —
+    // materialize once or the med/dev/mad DAGs re-evaluate per consumer
+    // (measured 5.6 s -> ~2 s at sf0.1)
+    val med = median2On(hist).localCheckpoint()
     val dev = hist.join(broadcast(med), "grp")
       .groupBy(col("grp"), abs(lit(2L) * col("v") - col("med2")).as("v"))
       .agg(sum("t").cast(LongType).as("t"))
+      .localCheckpoint()
     val mad = median2On(dev).select(col("grp"), col("med2").as("mad4"))
+      .localCheckpoint()
     val outliers = dev.join(broadcast(mad), "grp")
       .groupBy("grp").agg(
         sum(when(lit(2L) * col("v") > lit(3L) * col("mad4"), col("t")).otherwise(0L))

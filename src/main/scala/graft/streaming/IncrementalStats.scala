@@ -119,4 +119,10 @@ object IncrementalStats {
   /** One-way ANOVA from state — ≡ q_stat_anova one-shot. */
   def serveAnova(s: SparkSession, base: String): DataFrame =
     graft.operators.StatQueries.anovaOnHist(readState(s, base))
+
+  /** Median absolute deviation + 3-MAD outlier counts from state —
+    * ≡ q_stat_mad one-shot (all-integer medians over the histogram).
+    */
+  def serveMad(s: SparkSession, base: String): DataFrame =
+    graft.operators.StatQueries.madOnHist(readState(s, base))
 }

@@ -646,4 +646,23 @@ class GraftApiSpec extends SparkTestBase with Matchers {
       graft.operators.AggQueries.aggHistogramEqdepth.query(spark, sfTiny)
         .collect().map(_.toString).toSeq
   }
+
+  test("mad / seqmine verbs equal their registered queries") {
+    import graft.api.implicits._
+    import org.apache.spark.sql.functions._
+    Tables.orders(spark, sfTiny).graft.mad("o_orderpriority", "o_totalprice")
+      .collect().map(_.toString).toSeq shouldBe
+      graft.operators.StatQueries.statMad.query(spark, sfTiny)
+        .collect().map(_.toString).toSeq
+    // verb on a user-supplied symbol column == the registered query's
+    // synthesized alphabet when fed the same synthesis
+    val v = col("event_id") % 64
+    val sym = when(v >= 33, "e5").when(v >= 17, "e4").when(v >= 9, "e3")
+      .when(v >= 5, "e2").when(v >= 3, "e1").otherwise("e0")
+    Tables.events(spark, sfTiny).withColumn("sym", sym)
+      .graft.seqmine("user_id", "ts", "sym")
+      .collect().map(_.toString).toSeq shouldBe
+      graft.operators.EventQueries.eventsSeqmine.query(spark, sfTiny)
+        .collect().map(_.toString).toSeq
+  }
 }

@@ -61,6 +61,11 @@ class IncrementalStatsSpec extends SparkTestBase with Matchers {
       rows(StatQueries.kruskalOn(b))
     rows(IncrementalStats.serveAnova(spark, stateBase)) shouldBe
       rows(StatQueries.anovaOn(b))
+    // r10: the SAME histogram serves MAD — state-served ≡ one-shot exactly
+    rows(IncrementalStats.serveMad(spark, stateBase)) shouldBe
+      rows(StatQueries.madOn(b))
+    rows(StatQueries.statMad.query(spark, sfTiny)) shouldBe
+      rows(StatQueries.madOn(b))
     // the registered one-shot queries themselves are untouched by the
     // histogram refactor: q_stat_anova still matches its own run
     rows(StatQueries.statAnova.query(spark, sfTiny)) shouldBe
