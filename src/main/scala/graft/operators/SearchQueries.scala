@@ -130,45 +130,47 @@ object SearchQueries {
     * contributions — no join ever carries more than (matching postings)
     * rows, which is the inverted-index retrieval shape.
     */
-  val textBm25 = QueryDef(
-    "q_text_bm25",
-    (s, dir) => {
-      val toks = tokRows(s, dir)
-      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dfRel = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), Tokenize.tokenCount(col("text")).cast(LongType).as("dl"))
-      val glob = docs.agg(count(lit(1)).as("n_docs"),
-        (sum("dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
-      // query terms: top-3 tf-idf tokens of each doc with doc_id < 8
-      val scoredQ = tf.filter(col("doc_id") < 8).join(dfRel, "token")
-        .crossJoin(broadcast(glob.select("n_docs")))
-        .withColumn("s", round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
-      val wq = Window.partitionBy("doc_id").orderBy(desc("s"), asc("token"))
-      val qterms = scoredQ.withColumn("rn", row_number().over(wq))
-        .filter(col("rn") <= 3)
-        .select(col("doc_id").as("query_id"), col("token"))
-      // score all docs against the broadcast query set
-      val contrib = tf.join(broadcast(qterms), "token")
-        .join(dfRel, "token")
-        .join(docs, "doc_id")
-        .crossJoin(broadcast(glob))
-        .withColumn("idf", log(lit(1.0) +
-          (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-        .withColumn("c", round(
-          col("idf") * (col("tf") * lit(K1 + 1.0)) /
-            (col("tf") + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl").cast(DoubleType) / col("avgdl"))),
-          8).cast(DecimalType(18, 8)))
-      val scores = contrib.groupBy("query_id", "doc_id")
-        .agg(count(lit(1)).as("n_terms"), round(sum("c").cast(DoubleType), 6).as("score"))
-      val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
-      scores.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select("query_id", "rn", "doc_id", "n_terms", "score")
-        .orderBy("query_id", "rn")
-    },
-    Some(s"""
-      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+  /** The BM25 scoring stage over the 8-doc query set (everything up to
+    * the final rank/limit) — shared by q_text_bm25 and the q_text_hybrid
+    * RRF fusion, so the lexical ranking fused there is bit-identical to
+    * the registered retrieval's.
+    */
+  private[graft] def bm25ScoresStage(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val toks = tokRows(s, dir)
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), Tokenize.tokenCount(col("text")).cast(LongType).as("dl"))
+    val glob = docs.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+    // query terms: top-3 tf-idf tokens of each doc with doc_id < 8
+    val scoredQ = tf.filter(col("doc_id") < 8).join(dfRel, "token")
+      .crossJoin(broadcast(glob.select("n_docs")))
+      .withColumn("s", round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
+    val wq = Window.partitionBy("doc_id").orderBy(desc("s"), asc("token"))
+    val qterms = scoredQ.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id").as("query_id"), col("token"))
+    // score all docs against the broadcast query set
+    val contrib = tf.join(broadcast(qterms), "token")
+      .join(dfRel, "token")
+      .join(docs, "doc_id")
+      .crossJoin(broadcast(glob))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("c", round(
+        col("idf") * (col("tf") * lit(K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl").cast(DoubleType) / col("avgdl"))),
+        8).cast(DecimalType(18, 8)))
+    contrib.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), round(sum("c").cast(DoubleType), 6).as("score"))
+  }
+
+  /** The BM25 oracle CTE chain up to `scores(query_id, doc_id, n_terms,
+    * score)` — shared by the q_text_bm25 and q_text_hybrid oracles.
+    */
+  private[graft] val Bm25ScoreCtes: String = s"""
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
       tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
       dfr AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
       docs AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
@@ -197,7 +199,20 @@ object SearchQueries {
       scores AS (
         SELECT query_id, doc_id, COUNT(*) AS n_terms,
                ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
-        FROM contrib GROUP BY query_id, doc_id)
+        FROM contrib GROUP BY query_id, doc_id)""".stripMargin
+
+  val textBm25 = QueryDef(
+    "q_text_bm25",
+    (s, dir) => {
+      val scores = bm25ScoresStage(s, dir)
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+      scores.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("query_id", "rn", "doc_id", "n_terms", "score")
+        .orderBy("query_id", "rn")
+    },
+    Some(s"""
+      WITH $Bm25ScoreCtes
       SELECT query_id, rn, doc_id, n_terms, score FROM (
         SELECT query_id, doc_id, n_terms, score,
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
@@ -272,5 +287,82 @@ object SearchQueries {
     """.trim),
   )
 
-  val defs: Seq[QueryDef] = Seq(textIndex, textIndexSalted, textBm25, textPhrase)
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack/Clarke/Büttcher
+    * 2009, the RAG-stack staple): the 8 query docs are ranked BOTH
+    * lexically (the exact bm25ScoresStage ranking, top-20) and by
+    * embedding cosine (vec_id-aligned, top-20), then fused per (query,
+    * doc) as rrf = 1/(60+lex_rank) + 1/(60+vec_rank) (absent list ⇒ 0
+    * term), top-10 per query. Float parity: each term is ONE division of
+    * exact integer operands and the sum has a fixed two-term order — no
+    * rounding needed anywhere, the raw double is deterministic in both
+    * engines.
+    *
+    * Scale shape: the lexical side is the inverted-index retrieval plan
+    * (postings ⋈ broadcast query terms); the vector side is a
+    * broadcast-query scan (the q_sim_cosine_topk shape — an ANN index
+    * swaps in at corpus scale, the q_ann_* family); the fusion itself
+    * joins two ≤ 20·|queries|-row rank lists — negligible at any scale.
+    */
+  val textHybrid = QueryDef(
+    "q_text_hybrid",
+    (s, dir) => {
+      val wl = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+      val lex = bm25ScoresStage(s, dir)
+        .withColumn("lex_rank", row_number().over(wl))
+        .filter(col("lex_rank") <= 20)
+        .select("query_id", "doc_id", "lex_rank")
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("doc_id"), col("embedding").as("n_emb"))
+      val wv = Window.partitionBy("query_id").orderBy(desc("cos"), asc("doc_id"))
+      val vec = c.crossJoin(broadcast(q))
+        .withColumn("cos", round(graft.functions.VectorOps.cosine(col("q_emb"), col("n_emb")), 6))
+        .withColumn("vec_rank", row_number().over(wv))
+        .filter(col("vec_rank") <= 20)
+        .select("query_id", "doc_id", "vec_rank")
+      val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+      val wf = Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id"))
+      fused.withColumn("rank", row_number().over(wf))
+        .filter(col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", "lex_rank", "vec_rank", "rrf")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH $Bm25ScoreCtes,
+      lex AS (SELECT query_id, doc_id, rn AS lex_rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+        FROM scores) WHERE rn <= 20),
+      e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      qv AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 8),
+      vsc AS (
+        SELECT qv.query_id, c.vec_id AS doc_id,
+               ROUND(list_inner_product(q_emb, c.emb)
+                     / sqrt(list_inner_product(q_emb, q_emb) * list_inner_product(c.emb, c.emb)), 6) AS cos
+        FROM e c CROSS JOIN qv),
+      vec AS (SELECT query_id, doc_id, rn AS vec_rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rn
+        FROM vsc) WHERE rn <= 20),
+      fused AS (
+        SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+               COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+               lex_rank, vec_rank,
+               COALESCE(1.0 / (60 + lex_rank), 0) + COALESCE(1.0 / (60 + vec_rank), 0) AS rrf
+        FROM lex FULL OUTER JOIN vec
+          ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
+      SELECT query_id, rank, doc_id, lex_rank, vec_rank, rrf FROM (
+        SELECT query_id, doc_id, lex_rank, vec_rank, rrf,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+        FROM fused)
+      WHERE rank <= 10
+      ORDER BY query_id, rank
+    """.trim),
+  )
+
+  val defs: Seq[QueryDef] = Seq(textIndex, textIndexSalted, textBm25, textPhrase, textHybrid)
 }

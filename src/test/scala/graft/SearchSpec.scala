@@ -46,6 +46,31 @@ class SearchSpec extends SparkTestBase with Matchers {
     info(s"$selfHits/8 queries self-retrieve in their top-5")
   }
 
+  test("hybrid RRF: fusion arithmetic recounts from the two rank lists; vector self-hit is rank 1") {
+    val rows = SearchQueries.textHybrid.query(spark, sfTiny).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.keySet shouldBe (0L until 8L).toSet
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      sorted.length shouldBe 10
+      // rrf recount: 1/(60+lex) + 1/(60+vec), absent list = 0 term
+      sorted.foreach { r =>
+        val lex = if (r.isNullAt(3)) 0.0 else 1.0 / (60 + r.getInt(3))
+        val vec = if (r.isNullAt(4)) 0.0 else 1.0 / (60 + r.getInt(4))
+        r.getDouble(5) shouldBe (lex + vec)
+      }
+      // fused scores non-increasing in rank
+      val f = sorted.map(_.getDouble(5))
+      f.zip(f.tail).foreach { case (a, b) => assert(a >= b) }
+      // the query doc's own embedding has cosine 1 with itself -> vector
+      // rank 1, so the self doc must appear in the fused top-10
+      assert(sorted.exists(_.getLong(2) == q), s"query $q lost its own doc")
+    }
+    // and fusion must actually MIX evidence: some fused row exists that
+    // only one of the two rankers surfaced (a null rank on the other)
+    rows.exists(r => r.isNullAt(3) ^ r.isNullAt(4)) shouldBe true
+  }
+
   test("phrase: occurrence counts match an independent substring recount") {
     val out = SearchQueries.textPhrase.query(spark, sfTiny)
     val phrases = out.select("phrase").distinct().collect().map(_.getString(0))
