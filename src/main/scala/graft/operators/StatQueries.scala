@@ -118,7 +118,7 @@ object StatQueries {
     * DOUBLED units so the even-count midpoint average stays an integer:
     * med2 = v@⌊(n−1)/2⌋ + v@⌊n/2⌋ (0-based positions over the cumulative).
     */
-  private def median2On(hist: DataFrame): DataFrame =
+  private[operators] def median2On(hist: DataFrame): DataFrame =
     withCumBeforeBy(hist, Seq("grp"), Seq("t"))
       .withColumn("n", sum("t").over(Window.partitionBy("grp")))
       .withColumn("m1", expr("(n - 1) div 2"))

@@ -410,5 +410,94 @@ object TimeSeriesQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(tsEwma, tsAnomaly, tsStl, tsXcorr, tsChangepoint, tsAcf)
+  /** Mann-Kendall trend test + Sen's slope per event-type hourly series
+    * (Mann 1945 / Kendall 1975 / Sen 1968 — the standard nonparametric
+    * "is this metric drifting" monitor). S = Σ sign(x_j − x_i) over
+    * time-ordered pairs, tie-corrected variance, Z = (S ∓ 1)/√Var; Sen
+    * slope = the exact median of the pairwise slopes, quantized to 1e-6
+    * via floor(slope·1e6) so the median selection runs on the all-integer
+    * machinery (StatQueries.median2On over the value-distinct grain) —
+    * floor of exact-input IEEE products is cross-engine deterministic,
+    * unlike half-case rounding.
+    *
+    * Scale shape: the pair join is bounded by the TIME GRAIN (720 hourly
+    * points/series here — C(n,2) ≈ 259k pairs regardless of corpus rows,
+    * the q_ts_acf contract); everything downstream is value-distinct or
+    * per-group scalar.
+    */
+  val tsTrend = QueryDef(
+    "q_ts_trend",
+    (s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .select(col("event_type").as("g"),
+          expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"),
+          (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType).as("x"))
+        .groupBy("g", "h").agg(sum("x").cast(LongType).as("x"))
+        .localCheckpoint() // feeds pairs(a,b) + n + ties: 4 consumers
+      val b = hourly.select(col("g").as("g2"), col("h").as("hb"), col("x").as("xb"))
+      val pairs = hourly.join(b, col("g") === col("g2") && col("h") < col("hb"))
+        .select(col("g"), (col("xb") - col("x")).as("dx"), (col("hb") - col("h")).as("dh"))
+        .withColumn("sgn", when(col("dx") > 0, 1L).when(col("dx") < 0, -1L).otherwise(0L))
+        .withColumn("slope_q",
+          expr("cast(floor((cast(dx as double) / dh) * 1000000.0) as bigint)"))
+        .localCheckpoint() // feeds the S aggregate + the Sen median
+      val sAgg = pairs.groupBy("g").agg(
+        sum("sgn").cast(LongType).as("s"), count(lit(1)).cast(LongType).as("n_pairs"))
+      val nAgg = hourly.groupBy("g").agg(count(lit(1)).cast(LongType).as("n"))
+      val ties = hourly.groupBy("g", "x").agg(count(lit(1)).as("t"))
+        .groupBy("g").agg(
+          sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).cast(LongType).as("tie"))
+      val sen = StatQueries.median2On(
+          pairs.groupBy(col("g").as("grp"), col("slope_q").as("v"))
+            .agg(count(lit(1)).as("t")))
+        .select(col("grp").as("g"), col("med2"))
+      sAgg.join(nAgg, "g").join(ties, "g").join(sen, "g")
+        .withColumn("var18",
+          (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("tie"))
+            .cast(DoubleType) / 18.0)
+        .withColumn("z", when(col("var18") > 0.0,
+          when(col("s") > 0, (col("s") - 1).cast(DoubleType) / sqrt(col("var18")))
+            .when(col("s") < 0, (col("s") + 1).cast(DoubleType) / sqrt(col("var18")))
+            .otherwise(lit(0.0))))
+        .select(col("g").as("event_type"), col("n"), col("n_pairs"), col("s"), col("z"),
+          (col("med2").cast(DoubleType) / 2000000.0).as("sen_slope"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT event_type AS g, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.g, b.x - a.x AS dx, b.h - a.h AS dh,
+               CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
+               CAST(FLOOR((CAST(b.x - a.x AS DOUBLE) / (b.h - a.h)) * 1000000.0) AS BIGINT) AS slope_q
+        FROM hourly a JOIN hourly b ON a.g = b.g AND a.h < b.h),
+      sagg AS (SELECT g, CAST(SUM(sgn) AS BIGINT) AS s, COUNT(*) AS n_pairs FROM pairs GROUP BY g),
+      nagg AS (SELECT g, COUNT(*) AS n FROM hourly GROUP BY g),
+      ties AS (SELECT g, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie FROM (
+                 SELECT g, x, COUNT(*) AS t FROM hourly GROUP BY g, x) GROUP BY g),
+      sh AS (SELECT g, slope_q AS v, COUNT(*) AS t FROM pairs GROUP BY g, slope_q),
+      sr AS (SELECT g, v, t,
+               COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+               SUM(t) OVER (PARTITION BY g) AS np
+             FROM sh),
+      sen AS (SELECT g,
+                CAST(SUM(CASE WHEN cb <= (np - 1) // 2 AND (np - 1) // 2 < cb + t THEN v ELSE 0 END)
+                   + SUM(CASE WHEN cb <= np // 2 AND np // 2 < cb + t THEN v ELSE 0 END) AS BIGINT) AS med2
+              FROM sr GROUP BY g)
+      SELECT sagg.g AS event_type, n, n_pairs, s,
+             CASE WHEN (n * (n - 1) * (2 * n + 5) - tie) > 0 THEN
+               CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie AS DOUBLE) / 18.0)
+                    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie AS DOUBLE) / 18.0)
+                    ELSE 0.0 END
+             END AS z,
+             CAST(med2 AS DOUBLE) / 2000000.0 AS sen_slope
+      FROM sagg JOIN nagg USING (g) JOIN ties USING (g) JOIN sen USING (g)
+      ORDER BY event_type
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(tsEwma, tsAnomaly, tsStl, tsXcorr, tsChangepoint, tsAcf, tsTrend)
 }

@@ -71,6 +71,39 @@ class R10OpsSpec extends SparkTestBase with Matchers {
     d(0).getLong(4) shouldBe 0L
   }
 
+  test("q_ts_trend: Mann-Kendall S/Z and Sen slope == brute-force over the hourly series") {
+    val got = graft.operators.TimeSeriesQueries.tsTrend.query(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val hourly = Tables.events(spark, sfTiny)
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100).cast("long").as("x"))
+      .groupBy("event_type", "h").agg(sum("x").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._2, t._3))).toMap
+    hourly.foreach { case (g, series) =>
+      val n = series.length
+      val pairs = for (i <- series.indices; j <- i + 1 until n) yield (series(i), series(j))
+      val s = pairs.map { case ((_, xi), (_, xj)) => java.lang.Long.signum(xj - xi).toLong }.sum
+      val slopes = pairs.map { case ((hi, xi), (hj, xj)) =>
+        math.floor((xj - xi).toDouble / (hj - hi) * 1e6).toLong }.sorted
+      val med2 = slopes((slopes.length - 1) / 2) + slopes(slopes.length / 2)
+      val tie = series.groupBy(_._2).values.map(_.length.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      val varS = (n.toLong * (n - 1) * (2L * n + 5) - tie) / 18.0
+      val r = got(g)
+      r.getLong(1) shouldBe n.toLong
+      r.getLong(2) shouldBe pairs.length.toLong
+      r.getLong(3) shouldBe s
+      r.getDouble(5) shouldBe med2 / 2e6
+      if (varS > 0) {
+        val z = if (s > 0) (s - 1) / math.sqrt(varS)
+        else if (s < 0) (s + 1) / math.sqrt(varS) else 0.0
+        r.getDouble(4) shouldBe z
+      }
+    }
+  }
+
   test("q_events_rfm: scores are balanced exact quintiles and recount per user") {
     val rows = EventQueries.eventsRfm.query(spark, sfTiny).collect()
     rows should not be empty
