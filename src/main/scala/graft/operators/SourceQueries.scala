@@ -110,5 +110,40 @@ object SourceQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanCompacted)
+  /** Schema-evolution scan: two parquet generations of the same logical
+    * table — gen0 written BEFORE a column existed (even order keys,
+    * three columns), gen1 after (odd keys, + o_orderpriority) — read
+    * back as ONE frame via mergeSchema, the missing column null-filled
+    * for gen0 rows. This is the append-only table-evolution contract
+    * every long-lived 100 TB dataset needs (columns arrive, history
+    * doesn't rewrite); the oracle reconstructs the unified view from the
+    * fixture with the same parity rule, so the driver verifies the
+    * merged read end-to-end, nulls included.
+    */
+  val scanEvolved = QueryDef(
+    "q_scan_evolved",
+    (s, dir) => {
+      val gen0 = scratch(s, dir, "orders_gen0")
+      val gen1 = scratch(s, dir, "orders_gen1")
+      ensure(s, gen0) {
+        Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(gen0)
+      }
+      ensure(s, gen1) {
+        Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(gen1)
+      }
+      s.read.option("mergeSchema", "true").parquet(gen0, gen1)
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+      FROM orders ORDER BY o_orderkey
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(scanCsv, scanJson, scanOrc, scanCompacted, scanEvolved)
 }
