@@ -635,18 +635,23 @@ object DedupQueries {
     * score). Deliberately brute-force as the oracle-checked baseline; the
     * LSH-bucketed q_ann_lsh is the 100 TB candidate-generation path.
     */
+  /** The brute-force core over any (vec_id, embedding) frame — kept as
+    * the semantics pin ApproxOpsSpec exercises on crafted vectors (the
+    * fixture output is empty at every scale; see the defs note).
+    */
+  private[graft] def embedPairsOn(e: DataFrame): DataFrame = {
+    val a = e.select(col("vec_id").as("vec_id1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("vec_id2"), col("embedding").as("e2"))
+    a.join(b, col("vec_id1") < col("vec_id2"))
+      .withColumn("cos", round(VectorOps.cosine(col("e1"), col("e2")), 6))
+      .filter(col("cos") >= 0.95)
+      .select("vec_id1", "vec_id2", "cos")
+      .orderBy("vec_id1", "vec_id2")
+  }
+
   val dedupEmbed = QueryDef(
     "q_dedup_embed",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val a = e.select(col("vec_id").as("vec_id1"), col("embedding").as("e1"))
-      val b = e.select(col("vec_id").as("vec_id2"), col("embedding").as("e2"))
-      a.join(b, col("vec_id1") < col("vec_id2"))
-        .withColumn("cos", round(VectorOps.cosine(col("e1"), col("e2")), 6))
-        .filter(col("cos") >= 0.95)
-        .select("vec_id1", "vec_id2", "cos")
-        .orderBy("vec_id1", "vec_id2")
-    },
+    (s, dir) => embedPairsOn(Tables.embeddings(s, dir)),
     Some("""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)
       SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
@@ -1352,9 +1357,18 @@ object DedupQueries {
   // pricing twin), all three sharing ONE oracle; the plain variant stays
   // the code-level baseline ApproxOpsSpec (:28) and PlanShapeSpec (:88)
   // consume every test run.
+  // dedupEmbed and simContainment are NOT registered as of r10 (closing
+  // sweep): the last two weak-graded exact baselines whose twins carry
+  // full oracles — simContainment is the quadratic truth
+  // simContainmentPrefix shares an oracle with and NewOpsSpec proves
+  // lossless against every run (:17); dedupEmbed is the brute cosine
+  // pair join whose fixture output is EMPTY at every scale (no ≥0.95
+  // pair exists in the near-uniform embeddings — 3.2 s of bench for zero
+  // rows) and whose threshold semantics ApproxOpsSpec now pins on
+  // crafted vectors with known duplicates.
   def defs: Seq[QueryDef] = Seq(
     dedupExact, simJaccardBucketed, dedupSimhash,
-    dedupNearNgram, dedupEmbed, dedupCluster, dedupIncremental, dedupNearBucketed,
-    simJaccardCross, dedupNearCross, dedupNearSalted, simContainment, simContainmentPrefix,
+    dedupNearNgram, dedupCluster, dedupIncremental, dedupNearBucketed,
+    simJaccardCross, dedupNearCross, dedupNearSalted, simContainmentPrefix,
     dedupCanonical, simContainmentCross, dedupSemantic)
 }

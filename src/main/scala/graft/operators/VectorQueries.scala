@@ -1913,8 +1913,15 @@ object VectorQueries {
     """.trim),
   )
 
+  // vecKnnGraph and vecPagerank are NOT registered as of r10 (closing
+  // sweep, the last weak rows): each is the exact-edge baseline its
+  // _lsh/_ivf twins (all full-oracle) are proven against EVERY test run
+  // — vecKnnGraph is KnnGraphSpec's `exact` recall truth, vecPagerank is
+  // NewOpsSpec's rank-agreement truth (:96/:124). Oracles retained on
+  // the unregistered QueryDefs; the registered twins read the persisted
+  // graph (the 100 TB plan).
   def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, vecCentroidUdaf, annLsh, annIvf, vecQuantize,
-    annFiltered, vecKnnGraph, vecKnnGraphLsh, vecKnnGraphLsh24, vecKnnGraphIvf, vecCluster, vecPq, annIvfPq,
-    vecKnnGraphIncr, vecKnnGraphIncrLsh, annIvfPqIncr, vecPagerank, vecPagerankLsh, vecCoreset,
+    annFiltered, vecKnnGraphLsh, vecKnnGraphLsh24, vecKnnGraphIvf, vecCluster, vecPq, annIvfPq,
+    vecKnnGraphIncr, vecKnnGraphIncrLsh, annIvfPqIncr, vecPagerankLsh, vecCoreset,
     vecCoresetBatch, vecTruncated, vecMips, vecPagerankPers)
 }

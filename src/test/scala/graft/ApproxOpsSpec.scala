@@ -22,6 +22,23 @@ class ApproxOpsSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("dedup_embed core: crafted near-duplicate vectors recovered exactly; fixture output empty") {
+    import spark.implicits._
+    // v0 ~ v1 (cos ~ 0.9998), v2 orthogonal-ish: exactly the (0,1) pair
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.5f)),
+      (1L, Seq(0.99f, 0.01f, 0.5f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = DedupQueries.embedPairsOn(e).collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((0L, 1L))
+    pairs.head.getDouble(2) should be >= 0.99
+    // the RETIREMENT rationale, pinned: the fixture embeddings are
+    // near-uniform — no >= 0.95 pair exists, so the registered bench row
+    // bought 3 s of all-pairs join for zero output rows at every scale
+    DedupQueries.dedupEmbed.query(spark, sfTiny).count() shouldBe 0L
+  }
+
   test("q_dedup_near: MinHash candidates recover ≥90% of exact Jaccard pairs") {
     val exact = DedupQueries.simJaccard.query(spark, sfTiny).select("doc_id1", "doc_id2")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
