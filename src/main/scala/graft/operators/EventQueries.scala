@@ -760,13 +760,12 @@ object EventQueries {
     * counts the same scores come from the bucketed cumulative
     * (StatQueries.withCumBeforeBy) — the machinery exists and is benched.
     */
-  val eventsRfm = QueryDef(
-    "q_events_rfm",
-    (s, dir) => {
-      val peru = eventsUs(s, dir)
-        .groupBy("user_id")
-        .agg(max("ts_us").as("last_us"), count(lit(1)).as("f"),
-          sum((col("value").cast(DecimalType(12, 2)) * 100).cast(LongType)).as("m"))
+  /** The RFM scoring tail over an explicit per-user (user_id, last_us,
+    * f, m) frame — shared by the registered query and
+    * IncrementalRfm.serveRfm (the per-user triple is an associative
+    * (max, count-sum, sum) merge, so state-served ≡ one-shot exactly).
+    */
+  private[graft] def rfmFromUsers(peru: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val anchor = peru.agg(max("last_us").as("now_us"), count(lit(1)).as("n"))
       val base = peru.crossJoin(broadcast(anchor))
         .withColumn("r_days", expr("(now_us - last_us) div 86400000000"))
@@ -785,7 +784,14 @@ object EventQueries {
           col("r_score"), col("f_score"), col("m_score"),
           concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
         .orderBy("user_id")
-    },
+  }
+
+  val eventsRfm = QueryDef(
+    "q_events_rfm",
+    (s, dir) => rfmFromUsers(eventsUs(s, dir)
+      .groupBy("user_id")
+      .agg(max("ts_us").as("last_us"), count(lit(1)).as("f"),
+        sum((col("value").cast(DecimalType(12, 2)) * 100).cast(LongType)).as("m"))),
     Some("""
       WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
                         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents

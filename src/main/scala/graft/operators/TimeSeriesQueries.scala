@@ -425,15 +425,13 @@ object TimeSeriesQueries {
     * the q_ts_acf contract); everything downstream is value-distinct or
     * per-group scalar.
     */
-  val tsTrend = QueryDef(
-    "q_ts_trend",
-    (s, dir) => {
-      val hourly = Tables.events(s, dir)
-        .select(col("event_type").as("g"),
-          expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"),
-          (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType).as("x"))
-        .groupBy("g", "h").agg(sum("x").cast(LongType).as("x"))
-        .localCheckpoint() // feeds pairs(a,b) + n + ties: 4 consumers
+  /** The MK/Sen tail over an explicit (g, h, x) hourly-grain frame —
+    * shared by the registered query and IncrementalTrend.serveTrend
+    * (the hourly grain is an associative per-(g, h) sum, so
+    * state-served ≡ one-shot exactly).
+    */
+  private[graft] def trendFromHourly(hourly0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val hourly = hourly0.localCheckpoint() // feeds pairs(a,b) + n + ties: 4 consumers
       val b = hourly.select(col("g").as("g2"), col("h").as("hb"), col("x").as("xb"))
       val pairs = hourly.join(b, col("g") === col("g2") && col("h") < col("hb"))
         .select(col("g"), (col("xb") - col("x")).as("dx"), (col("hb") - col("h")).as("dh"))
@@ -462,7 +460,15 @@ object TimeSeriesQueries {
         .select(col("g").as("event_type"), col("n"), col("n_pairs"), col("s"), col("z"),
           (col("med2").cast(DoubleType) / 2000000.0).as("sen_slope"))
         .orderBy("event_type")
-    },
+  }
+
+  val tsTrend = QueryDef(
+    "q_ts_trend",
+    (s, dir) => trendFromHourly(Tables.events(s, dir)
+      .select(col("event_type").as("g"),
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType).as("x"))
+      .groupBy("g", "h").agg(sum("x").cast(LongType).as("x"))),
     Some("""
       WITH hourly AS (
         SELECT event_type AS g, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
