@@ -377,4 +377,35 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("q_events_seqmine: every join is an equi-join on session keys (no pair blowup)") {
+    val plan = executedPlanString(graft.operators.EventQueries.eventsSeqmine.query(spark, sfTiny))
+    plan should not include "CartesianProduct"
+    // the existential triple verify is a LEFT SEMI, not a row-multiplying join
+    plan should include("LeftSemi")
+  }
+
+  test("q_stat_mad: value-distinct machinery, no cartesian, broadcast med/mad dims") {
+    val plan = executedPlanString(graft.operators.StatQueries.statMad.query(spark, sfTiny))
+    plan should not include "CartesianProduct"
+    plan should include("BroadcastHashJoin") // the 5-row med/mad dims broadcast
+  }
+
+  test("q_text_hybrid: vector side broadcasts the 8-doc query set; fusion is key-equi") {
+    val plan = executedPlanString(graft.operators.SearchQueries.textHybrid.query(spark, sfTiny))
+    plan should not include "CartesianProduct"
+    // the cosine scan is a broadcast of the tiny query side over the corpus
+    plan should include("BroadcastNestedLoopJoin")
+    // fused rank lists meet in a key-equi full outer merge, never a loop join
+    plan should include("FullOuter")
+  }
+
+  test("q_mine_recs reads the persisted pair store (skinny scans, no basket re-scan)") {
+    val df = graft.operators.MiningQueries.mineRecs.query(spark, sfTiny)
+    val plan = executedPlanString(df)
+    plan should not include "CartesianProduct"
+    // steady state scans the persisted pairs/sup parquet, not lineitem
+    plan.toLowerCase should include("graft-mine")
+    plan.toLowerCase should not include "lineitem.parquet"
+  }
 }
