@@ -54,6 +54,62 @@ final class GraftSession(val spark: SparkSession) {
     * family exactly (see [[graft.streaming.IncrementalStats]]).
     */
   def statsState(base: String): StatsStateHandle = new StatsStateHandle(spark, base)
+
+  /** Handle over one IncrementalMine basket-mining state base — the
+    * unfiltered co-occurrence state that serves association rules and
+    * item-item recommendations exactly (see
+    * [[graft.streaming.IncrementalMine]]).
+    */
+  def mineState(base: String): MineStateHandle = new MineStateHandle(spark, base)
+
+  /** Handle over one IncrementalTrend state base — the hourly trend
+    * grain + per-user RFM triple that serve MK/Sen trend and RFM
+    * segmentation exactly (see [[graft.streaming.IncrementalTrend]]).
+    */
+  def trendState(base: String): TrendStateHandle = new TrendStateHandle(spark, base)
+}
+
+/** Handle over one basket-mining state. `ingest` merges a micro-batch
+  * of WHOLE baskets (basket atomicity contract); the serve verbs answer
+  * from state alone and equal the registered q_mine_rules / q_mine_recs
+  * bit-for-bit (IncrementalMineSpec).
+  */
+final class MineStateHandle(val spark: SparkSession, val base: String) {
+  import graft.streaming.IncrementalMine
+
+  /** Merge one batch of (basket, item) rows. */
+  def ingest(df: DataFrame, basket: String, item: String): Unit =
+    IncrementalMine.processBatch(spark,
+      df.select(col(basket).as("ok"), col(item).as("pk")), base)
+
+  def rules: DataFrame = IncrementalMine.serveRules(spark, base)
+  def recommendations: DataFrame = IncrementalMine.serveRecs(spark, base)
+}
+
+/** Handle over one trend/RFM state. `ingest` merges a micro-batch of
+  * raw events; the serve verbs answer from state alone and equal the
+  * registered q_ts_trend / q_events_rfm bit-for-bit
+  * (IncrementalTrendSpec).
+  */
+final class TrendStateHandle(val spark: SparkSession, val base: String) {
+  import graft.streaming.IncrementalTrend
+
+  /** Merge one batch of events: `group` the series key, `ts` the event
+    * time, `value` a numeric quantized to cents.
+    */
+  def ingest(df: DataFrame, subject: String, group: String, ts: String,
+      value: String): Unit = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    IncrementalTrend.processBatch(spark,
+      df.select(col(subject).as("user_id"), col(group).as("g"),
+        expr(s"unix_micros(cast($ts as timestamp)) div 3600000000").as("h"),
+        (col(value).cast(DecimalType(12, 2)) * 100).cast(LongType).as("x"),
+        expr(s"unix_micros(cast($ts as timestamp))").as("ts_us"),
+        (col(value).cast(DecimalType(12, 2)) * 100).cast(LongType).as("m")), base)
+  }
+
+  def trend: DataFrame = IncrementalTrend.serveTrend(spark, base)
+  def rfm: DataFrame = IncrementalTrend.serveRfm(spark, base)
 }
 
 /** Handle over one statistical-test histogram state. `ingest` merges a

@@ -647,6 +647,31 @@ class GraftApiSpec extends SparkTestBase with Matchers {
         .collect().map(_.toString).toSeq
   }
 
+  test("mineState / trendState handles: ingest + serve equal the registered queries") {
+    import graft.api.implicits._
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    val mBase = java.nio.file.Files.createTempDirectory("graft_api_mine").toFile.getAbsolutePath
+    val mh = spark.graft.mineState(mBase)
+    val li = Tables.lineitem(spark, sfTiny)
+    for (i <- 0 until 2)
+      mh.ingest(li.filter(abs(hash(col("l_orderkey"))) % 2 === i), "l_orderkey", "l_partkey")
+    rows(mh.rules) shouldBe
+      rows(graft.operators.MiningQueries.mineRules.query(spark, sfTiny))
+    rows(mh.recommendations) shouldBe
+      rows(graft.operators.MiningQueries.mineRecs.query(spark, sfTiny))
+    val tBase = java.nio.file.Files.createTempDirectory("graft_api_trend").toFile.getAbsolutePath
+    val th = spark.graft.trendState(tBase)
+    val ev = Tables.events(spark, sfTiny)
+    for (i <- 0 until 2)
+      th.ingest(ev.filter(abs(hash(col("event_id"))) % 2 === i),
+        "user_id", "event_type", "ts", "value")
+    rows(th.trend) shouldBe
+      rows(graft.operators.TimeSeriesQueries.tsTrend.query(spark, sfTiny))
+    rows(th.rfm) shouldBe
+      rows(graft.operators.EventQueries.eventsRfm.query(spark, sfTiny))
+  }
+
   test("mad / seqmine verbs equal their registered queries") {
     import graft.api.implicits._
     import org.apache.spark.sql.functions._
