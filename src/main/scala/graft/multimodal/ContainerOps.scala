@@ -116,6 +116,12 @@ object ContainerOps {
 
   private def be32(v: Int): Array[Byte] =
     Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  /** One PNG chunk: BE32 length + type + data + CRC (zero, per the
+    * documented fast-path deviation) — used by the real-IDAT builder.
+    */
+  private[multimodal] def beChunk(tpe: String, data: Array[Byte]): Array[Byte] =
+    be32(data.length) ++ tpe.getBytes("US-ASCII") ++ data ++ be32(0)
   private def be16(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
   private def le32(v: Int): Array[Byte] =
     Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)

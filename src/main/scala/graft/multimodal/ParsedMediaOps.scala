@@ -270,5 +270,144 @@ object ParsedMediaOps {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(mmDecode, mmResize, mmFrames, mmPcm)
+  final case class PngIdatOut(
+      media_id: Long, width: Int, height: Int, idat_len: Int, adler32: Long,
+      n_pixels: Int, checksum: Long, mean_pixel: Double)
+
+  /** REAL zlib-coded PNG pipeline (SURVEY r10 candidate 2): the IDAT
+    * stream is a genuine zlib stream — java.util.zip.Deflater at
+    * NO_COMPRESSION over real filter-0 scanlines (one filter byte + w
+    * pixels per row, last row zero-padded, exactly PNG's raw layout) —
+    * and the DECODE side runs a real Inflater, checks every scanline's
+    * filter byte, and reads pixels at the IHDR-parsed geometry. The
+    * deliberate-fake boundary has moved: the pixel VALUES are stand-in
+    * bytes, but the compression layer is the real codec.
+    *
+    * The oracle verifies the COMPRESSED CONTAINER byte-exactly without
+    * inflating anything: a single-stored-block zlib stream's length is
+    * arithmetic (2 header + 5 block framing + raw + 4 trailer; docs are
+    * ≤ 577 B so one block is guaranteed, and the builder REQUIREs it),
+    * and the Adler-32 trailer is a closed-form modular sum the SQL
+    * recomputes from the raw scanline bytes — so if Java's Deflater ever
+    * framed differently, the hash compare (and the builder require)
+    * would catch it, not mask it. Pixel features are over the
+    * Inflater-DECODED matrix (pad included — what a real decoder sees).
+    */
+  val mmPngIdat = QueryDef(
+    "q_mm_png_idat",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .as[(Long, String, Long)]
+        .mapPartitions(_.map { case (id, text, nChars) =>
+          val px = text.getBytes("UTF-8")
+          val w = (nChars % 512 + 16).toInt
+          val nrows = (px.length + w - 1) / w
+          // raw scanlines: filter byte 0 + w pixels per row (PNG layout)
+          val raw = new Array[Byte](nrows * (w + 1))
+          var r = 0
+          while (r < nrows) {
+            raw(r * (w + 1)) = 0
+            var c = 0
+            while (c < w) {
+              val j = r * w + c
+              raw(r * (w + 1) + 1 + c) = if (j < px.length) px(j) else 0
+              c += 1
+            }
+            r += 1
+          }
+          val defl = new java.util.zip.Deflater(java.util.zip.Deflater.NO_COMPRESSION)
+          defl.setInput(raw); defl.finish()
+          val zbuf = new Array[Byte](raw.length + 64)
+          val zlen = defl.deflate(zbuf)
+          defl.end()
+          require(zlen == raw.length + 11,
+            s"expected one stored block (${raw.length} + 11), got $zlen")
+          val zbytes = java.util.Arrays.copyOf(zbuf, zlen)
+          val idat = ContainerOps.beChunk("IDAT", zbytes)
+          val iend = ContainerOps.beChunk("IEND", Array.emptyByteArray)
+          val payload = ContainerOps.pngBytes(w, nrows, idat ++ iend,
+            bitDepth = 8, colorType = 0)
+          // ---- the real decode: parse headers, walk chunks, INFLATE ----
+          val pr = ContainerOps.ContainerParser.parseFull(id, payload)
+          val pw = pr.row.width.get
+          val ph = pr.row.height.get
+          val body = payload.drop(pr.bodyOffset)
+          // chunk walk to the IDAT data (len BE32 + type + data + crc)
+          var off = 0
+          var zdata: Array[Byte] = null
+          while (zdata == null) {
+            val clen = ((body(off) & 0xff) << 24) | ((body(off + 1) & 0xff) << 16) |
+              ((body(off + 2) & 0xff) << 8) | (body(off + 3) & 0xff)
+            val ctype = new String(body, off + 4, 4, "US-ASCII")
+            if (ctype == "IDAT")
+              zdata = java.util.Arrays.copyOfRange(body, off + 8, off + 8 + clen)
+            else off += 12 + clen
+          }
+          val adler = ((zdata(zdata.length - 4) & 0xffL) << 24) |
+            ((zdata(zdata.length - 3) & 0xffL) << 16) |
+            ((zdata(zdata.length - 2) & 0xffL) << 8) |
+            (zdata(zdata.length - 1) & 0xffL)
+          val infl = new java.util.zip.Inflater()
+          infl.setInput(zdata)
+          val out = new Array[Byte](ph * (pw + 1))
+          val n = infl.inflate(out)
+          require(n == out.length && infl.finished(), s"inflate short: $n")
+          infl.end()
+          var acc = 1L
+          var sum = 0L
+          var rr = 0
+          while (rr < ph) {
+            require(out(rr * (pw + 1)) == 0, "non-zero filter byte")
+            var c = 0
+            while (c < pw) {
+              val b = out(rr * (pw + 1) + 1 + c) & 0xff
+              acc = (acc * 31 + b) % 1000000007L
+              sum += b
+              c += 1
+            }
+            rr += 1
+          }
+          PngIdatOut(id, pw, ph, zdata.length, adler, pw * ph, acc,
+            sum.toDouble / (pw * ph))
+        }).toDF().orderBy("media_id")
+    },
+    Some("""
+      WITH m AS (SELECT doc_id AS media_id, text, n_chars,
+                        octet_length(encode(text)) AS len,
+                        CAST(n_chars % 512 + 16 AS INTEGER) AS w
+                 FROM documents),
+      g AS (SELECT media_id, text, len, w, CAST((len + w - 1) // w AS INTEGER) AS nrows FROM m),
+      -- padded pixel list (row-major, last row zero-padded) and the raw
+      -- scanline list (filter byte 0 before each row) as byte-code lists
+      px AS (SELECT media_id, w, nrows, len, w * nrows AS npx,
+                    nrows * (w + 1) AS rawlen, text
+             FROM g),
+      lists AS (
+        SELECT media_id, w, nrows, npx, rawlen,
+               list_transform(range(0, npx), j ->
+                 CASE WHEN j < len THEN CAST(unicode(substring(text, CAST(j + 1 AS INTEGER), 1)) AS BIGINT)
+                      ELSE 0 END) AS pix,
+               list_transform(range(0, rawlen), i ->
+                 CASE WHEN i % (w + 1) = 0 THEN 0
+                      WHEN (i // (w + 1)) * w + (i % (w + 1)) - 1 < len
+                        THEN CAST(unicode(substring(text,
+                               CAST((i // (w + 1)) * w + (i % (w + 1)) AS INTEGER), 1)) AS BIGINT)
+                      ELSE 0 END) AS raw
+        FROM px)
+      SELECT media_id, w AS width, nrows AS height,
+             CAST(rawlen + 11 AS INTEGER) AS idat_len,
+             (CAST((rawlen + list_sum(list_transform(range(0, rawlen),
+                      i -> (rawlen - i) * raw[CAST(i + 1 AS INTEGER)]))) % 65521 AS BIGINT)) * 65536
+               + CAST((1 + list_sum(raw)) % 65521 AS BIGINT) AS adler32,
+             CAST(npx AS INTEGER) AS n_pixels,
+             list_reduce(list_prepend(CAST(1 AS BIGINT), pix),
+                         (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
+             CAST(list_sum(pix) AS DOUBLE) / npx AS mean_pixel
+      FROM lists ORDER BY media_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(mmDecode, mmResize, mmFrames, mmPcm, mmPngIdat)
 }

@@ -84,6 +84,33 @@ class ParsedMediaSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("png idat: the zlib layer is real — Adler32 class recomputes the trailer, pixels round-trip") {
+    val rows = ParsedMediaOps.mmPngIdat.query(spark, sfTiny).collect()
+    rows.length shouldBe docs.size
+    val byId = docs.map { case (id, t, n) => id -> ((t.getBytes("UTF-8"), n)) }.toMap
+    rows.foreach { r =>
+      val (px, nChars) = byId(r.getLong(0))
+      val w = (nChars % 512 + 16).toInt
+      val nrows = (px.length + w - 1) / w
+      r.getInt(1) shouldBe w
+      r.getInt(2) shouldBe nrows
+      // independent Adler-32: the JDK's own checksum class over the raw
+      // scanlines must equal the trailer the query READ FROM THE STREAM
+      val raw = new Array[Byte](nrows * (w + 1))
+      for (rr <- 0 until nrows; c <- 0 until w) {
+        val j = rr * w + c
+        raw(rr * (w + 1) + 1 + c) = if (j < px.length) px(j) else 0
+      }
+      val ad = new java.util.zip.Adler32(); ad.update(raw)
+      r.getLong(4) shouldBe ad.getValue
+      // single-stored-block container arithmetic
+      r.getInt(3) shouldBe raw.length + 11
+      // decoded pixel mean == direct computation over padded matrix
+      val sum = px.map(_ & 0xff).map(_.toLong).sum
+      r.getDouble(7) shouldBe sum.toDouble / (w * nrows)
+    }
+  }
+
   test("the parse is load-bearing: a corrupted header changes what decode sees") {
     // same body, different header bytes → different parsed geometry; the
     // decode family reads geometry from the BYTES, so this must differ
