@@ -395,5 +395,116 @@ object VideoContainerOps {
   // mmEncode's registered price tag; retired from the registered bench
   // in r9 per the bench-budget worksheet. mmVideo + mmVideoPacked keep
   // the modality's oracle coverage registered.
-  def defs: Seq[QueryDef] = Seq(mmVideo, mmVideoPacked)
+  // ------------------------------------------------ sample-table frames
+
+  /** One box: BE32 size + type + payload. */
+  private def box(t: String, payload: Array[Byte]): Array[Byte] =
+    be32(8 + payload.length) ++ tpe(t) ++ payload
+
+  /** Minimal MP4 with a REAL sample table: ftyp +
+    * moov(trak(mdia(minf(stbl(stsz))))) + mdat. stsz is the genuine
+    * ISO/IEC 14496-12 §8.7.3.2 layout (version/flags, sample_size = 0 ⇒
+    * per-sample table, count, BE32 sizes); samples are the doc's
+    * whitespace tokens and mdat is their concatenation.
+    */
+  private[graft] def mp4WithSamples(samples: Seq[Array[Byte]]): Array[Byte] = {
+    val stszPayload = be32(0) ++ be32(0) ++ be32(samples.length) ++
+      samples.flatMap(s => be32(s.length)).toArray
+    val moov = box("moov", box("trak", box("mdia", box("minf",
+      box("stbl", box("stsz", stszPayload))))))
+    val ftyp = be32(16) ++ tpe("ftyp") ++ tpe("isom") ++ be32(0x200)
+    val mdat = box("mdat", samples.flatten.toArray)
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Descend a box path (each step a direct child scan, sizes checked —
+    * the real demuxer walk); returns the payload range of the last box.
+    */
+  private[graft] def findBox(p: Array[Byte], start: Int, end: Int,
+      path: List[String]): Option[(Int, Int)] = path match {
+    case Nil => Some((start, end))
+    case t :: rest =>
+      var i = start
+      while (i + 8 <= end) {
+        val size = ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+          ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+        if (size < 8 || i + size > end) return None
+        if (new String(p, i + 4, 4, "US-ASCII") == t)
+          return findBox(p, i + 8, i + size, rest)
+        i += size
+      }
+      None
+  }
+
+  /** Frame extraction at SAMPLE-TABLE-parsed boundaries — the video twin
+    * of the PNG-geometry graduation: the decoder walks the real box tree
+    * (moov→trak→mdia→minf→stbl→stsz), reads the per-sample size table,
+    * and slices mdat at the CUMULATIVE PARSED OFFSETS — exactly how a
+    * demuxer locates frames; nothing about the split is known a priori.
+    * Every 4th sample emits (size, mean byte, poly checksum). The oracle
+    * reconstructs the same samples from the tokenization, so a one-byte
+    * error anywhere in build → box walk → stsz decode → offset slicing
+    * breaks the hash compare.
+    */
+  val mmVideoFrames = QueryDef(
+    "q_mm_video_frames",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val samples = text.split(" ", -1).filter(_.nonEmpty).map(_.getBytes("UTF-8")).toSeq
+          val p = mp4WithSamples(samples)
+          // ---- the real decode ----
+          val (ss, se) = findBox(p, 0, p.length,
+            List("moov", "trak", "mdia", "minf", "stbl", "stsz")).get
+          require(se - ss >= 12, "stsz too small")
+          def rBe(i: Int): Int = ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+            ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+          require(rBe(ss) == 0 && rBe(ss + 4) == 0, "fixed-size profile unexpected")
+          val n = rBe(ss + 8)
+          val sizes = (0 until n).map(k => rBe(ss + 12 + 4 * k))
+          val (ms, me) = findBox(p, 0, p.length, List("mdat")).get
+          require(me - ms == sizes.sum, "mdat size != stsz total")
+          var off = ms
+          (0 until n).flatMap { k =>
+            val sz = sizes(k)
+            val o = off
+            off += sz
+            if (k % 4 == 0) {
+              var sum = 0L
+              var acc = 1L
+              var i = o
+              while (i < o + sz) {
+                val b = p(i) & 0xff
+                sum += b; acc = (acc * 31 + b) % 1000000007L; i += 1
+              }
+              Some((id, k, sz, acc, sum.toDouble / sz))
+            } else None
+          }
+        }).toDF("media_id", "sample_idx", "n_bytes", "checksum", "sample_mean")
+        .orderBy("media_id", "sample_idx")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id AS media_id, t.tok, t.k - 1 AS sample_idx FROM (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok,
+                 generate_subscripts(list_filter(string_split(text, ' '), x -> len(x) > 0), 1) AS k
+          FROM documents) t(doc_id, tok, k)),
+      f AS (SELECT media_id, sample_idx, tok, octet_length(encode(tok)) AS n_bytes
+            FROM toks WHERE sample_idx % 4 = 0)
+      SELECT media_id, CAST(sample_idx AS INTEGER) AS sample_idx,
+             CAST(n_bytes AS INTEGER) AS n_bytes,
+             list_reduce(list_prepend(CAST(1 AS BIGINT),
+               list_transform(range(1, n_bytes + 1), i -> CAST(unicode(substring(tok, CAST(i AS INTEGER), 1)) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
+             CAST(list_sum(list_transform(range(1, n_bytes + 1),
+               i -> unicode(substring(tok, CAST(i AS INTEGER), 1)))) AS DOUBLE) / n_bytes AS sample_mean
+      FROM f ORDER BY media_id, sample_idx
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(mmVideo, mmVideoPacked, mmVideoFrames)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.ContainerOps
+import graft.multimodal.{ContainerOps, VideoContainerOps}
 import graft.multimodal.ContainerOps.{ContainerEncoder, ContainerParser}
 import org.apache.spark.sql.functions._
 import org.scalatest.matchers.should.Matchers
@@ -314,5 +314,27 @@ class ContainerSpec extends SparkTestBase with Matchers {
     // parse is a narrow map: no shuffle before the sort
     val plan = ContainerOps.mmContainer.query(spark, sfTiny).queryExecution.executedPlan.toString
     plan.split("Exchange").length - 1 shouldBe 1 // only the final orderBy range exchange
+  }
+
+  test("stsz sample table: box walk is load-bearing, slicing matches the crafted samples") {
+    val samples = Seq("alpha", "bee", "ccccc", "dd").map(_.getBytes("US-ASCII"))
+    val p = VideoContainerOps.mp4WithSamples(samples)
+    // the nested walk finds stsz through the real moov>trak>mdia>minf>stbl path
+    val Some((ss, se)) = VideoContainerOps.findBox(p, 0, p.length,
+      List("moov", "trak", "mdia", "minf", "stbl", "stsz")): @unchecked
+    def rBe(i: Int): Int = ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+      ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+    rBe(ss + 8) shouldBe 4 // sample_count
+    (0 until 4).map(k => rBe(ss + 12 + 4 * k)) shouldBe Seq(5, 3, 5, 2)
+    se - ss shouldBe 12 + 16
+    // mdat slicing at the parsed offsets reproduces the samples
+    val Some((ms, me)) = VideoContainerOps.findBox(p, 0, p.length, List("mdat")): @unchecked
+    new String(p, ms, me - ms, "US-ASCII") shouldBe "alphabeecccccdd"
+    // a corrupted child size makes the walk REFUSE (None), never loop/misread
+    val bad = p.clone()
+    val Some((moovS, _)) = VideoContainerOps.findBox(bad, 0, bad.length, List("moov")): @unchecked
+    bad(moovS) = 0; bad(moovS + 1) = 0; bad(moovS + 2) = 0; bad(moovS + 3) = 1 // trak size 1 < 8
+    VideoContainerOps.findBox(bad, 0, bad.length,
+      List("moov", "trak", "mdia", "minf", "stbl", "stsz")) shouldBe None
   }
 }
