@@ -272,7 +272,21 @@ object ParsedMediaOps {
 
   final case class PngIdatOut(
       media_id: Long, width: Int, height: Int, idat_len: Int, adler32: Long,
-      n_pixels: Int, checksum: Long, mean_pixel: Double)
+      crc32: Long, n_pixels: Int, checksum: Long, mean_pixel: Double)
+
+  /** The standard CRC-32 table (polynomial 0xEDB88320, ISO 3309 / PNG
+    * §D) as a SQL list literal — lets the oracle RECOMPUTE the chunk CRC
+    * from the reconstructed bytes (DuckDB has no crc32 builtin).
+    */
+  private lazy val CrcTableSql: String = {
+    val t = Array.tabulate(256) { n =>
+      var c = n.toLong
+      var k = 0
+      while (k < 8) { c = if ((c & 1) != 0) 0xEDB88320L ^ (c >>> 1) else c >>> 1; k += 1 }
+      c
+    }
+    t.mkString("[", ",", "]")
+  }
 
   /** REAL zlib-coded PNG pipeline (SURVEY r10 candidate 2): the IDAT
     * stream is a genuine zlib stream — java.util.zip.Deflater at
@@ -325,7 +339,14 @@ object ParsedMediaOps {
           require(zlen == raw.length + 11,
             s"expected one stored block (${raw.length} + 11), got $zlen")
           val zbytes = java.util.Arrays.copyOf(zbuf, zlen)
-          val idat = ContainerOps.beChunk("IDAT", zbytes)
+          // REAL chunk CRC (PNG §5.3: over type + data) — this query
+          // closes the zero-CRC deviation for the chunks it writes
+          val crcW = new java.util.zip.CRC32()
+          crcW.update("IDAT".getBytes("US-ASCII")); crcW.update(zbytes)
+          val idat = ((zlen >>> 24) :: (zlen >>> 16) :: (zlen >>> 8) :: zlen :: Nil)
+            .map(_.toByte).toArray ++ "IDAT".getBytes("US-ASCII") ++ zbytes ++
+            Array((crcW.getValue >>> 24).toByte, (crcW.getValue >>> 16).toByte,
+              (crcW.getValue >>> 8).toByte, crcW.getValue.toByte)
           val iend = ContainerOps.beChunk("IEND", Array.emptyByteArray)
           val payload = ContainerOps.pngBytes(w, nrows, idat ++ iend,
             bitDepth = 8, colorType = 0)
@@ -337,13 +358,22 @@ object ParsedMediaOps {
           // chunk walk to the IDAT data (len BE32 + type + data + crc)
           var off = 0
           var zdata: Array[Byte] = null
+          var storedCrc = 0L
           while (zdata == null) {
             val clen = ((body(off) & 0xff) << 24) | ((body(off + 1) & 0xff) << 16) |
               ((body(off + 2) & 0xff) << 8) | (body(off + 3) & 0xff)
             val ctype = new String(body, off + 4, 4, "US-ASCII")
-            if (ctype == "IDAT")
+            if (ctype == "IDAT") {
               zdata = java.util.Arrays.copyOfRange(body, off + 8, off + 8 + clen)
-            else off += 12 + clen
+              storedCrc = ((body(off + 8 + clen) & 0xffL) << 24) |
+                ((body(off + 9 + clen) & 0xffL) << 16) |
+                ((body(off + 10 + clen) & 0xffL) << 8) |
+                (body(off + 11 + clen) & 0xffL)
+              // REAL CRC validation — what a strict PNG reader does
+              val crcR = new java.util.zip.CRC32()
+              crcR.update(body, off + 4, 4 + clen)
+              require(crcR.getValue == storedCrc, "IDAT crc mismatch")
+            } else off += 12 + clen
           }
           val adler = ((zdata(zdata.length - 4) & 0xffL) << 24) |
             ((zdata(zdata.length - 3) & 0xffL) << 16) |
@@ -369,11 +399,11 @@ object ParsedMediaOps {
             }
             rr += 1
           }
-          PngIdatOut(id, pw, ph, zdata.length, adler, pw * ph, acc,
+          PngIdatOut(id, pw, ph, zdata.length, adler, storedCrc, pw * ph, acc,
             sum.toDouble / (pw * ph))
         }).toDF().orderBy("media_id")
     },
-    Some("""
+    Some(s"""
       WITH m AS (SELECT doc_id AS media_id, text, n_chars,
                         octet_length(encode(text)) AS len,
                         CAST(n_chars % 512 + 16 AS INTEGER) AS w
@@ -395,17 +425,37 @@ object ParsedMediaOps {
                         THEN CAST(unicode(substring(text,
                                CAST((i // (w + 1)) * w + (i % (w + 1)) AS INTEGER), 1)) AS BIGINT)
                       ELSE 0 END) AS raw
-        FROM px)
+        FROM px),
+      ad AS (
+        SELECT *,
+               CAST((rawlen + list_sum(list_transform(range(0, rawlen),
+                      i -> (rawlen - i) * raw[CAST(i + 1 AS INTEGER)]))) % 65521 AS BIGINT) AS s2,
+               CAST((1 + list_sum(raw)) % 65521 AS BIGINT) AS s1
+        FROM lists),
+      -- the COMPLETE zlib stream, reconstructed byte-for-byte: header
+      -- 78 01, one stored block (01, LEN le16, NLEN le16), raw, adler BE —
+      -- then the chunk CRC input 'IDAT' || stream
+      z AS (
+        SELECT *,
+               list_concat(list_concat(
+                 [CAST(73 AS BIGINT), 68, 65, 84, 120, 1, 1,
+                  rawlen % 256, rawlen // 256,
+                  (65535 - rawlen) % 256, (65535 - rawlen) // 256],
+                 raw),
+                 [s2 // 256, s2 % 256, s1 // 256, s1 % 256]) AS crcin
+        FROM ad)
       SELECT media_id, w AS width, nrows AS height,
              CAST(rawlen + 11 AS INTEGER) AS idat_len,
-             (CAST((rawlen + list_sum(list_transform(range(0, rawlen),
-                      i -> (rawlen - i) * raw[CAST(i + 1 AS INTEGER)]))) % 65521 AS BIGINT)) * 65536
-               + CAST((1 + list_sum(raw)) % 65521 AS BIGINT) AS adler32,
+             s2 * 65536 + s1 AS adler32,
+             xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT), crcin),
+                 (acc, x) -> xor(acc >> 8,
+                   ($CrcTableSql)[CAST((xor(acc, CAST(x AS BIGINT)) & 255) AS INTEGER) + 1])),
+               4294967295) AS crc32,
              CAST(npx AS INTEGER) AS n_pixels,
              list_reduce(list_prepend(CAST(1 AS BIGINT), pix),
                          (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
              CAST(list_sum(pix) AS DOUBLE) / npx AS mean_pixel
-      FROM lists ORDER BY media_id
+      FROM z ORDER BY media_id
     """.trim),
   )
 

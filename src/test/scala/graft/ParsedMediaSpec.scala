@@ -103,11 +103,20 @@ class ParsedMediaSpec extends SparkTestBase with Matchers {
       }
       val ad = new java.util.zip.Adler32(); ad.update(raw)
       r.getLong(4) shouldBe ad.getValue
+      // independent CRC-32: the JDK class over type+stream must equal the
+      // chunk CRC the query READ from the container (and validated)
+      val defl = new java.util.zip.Deflater(java.util.zip.Deflater.NO_COMPRESSION)
+      defl.setInput(raw); defl.finish()
+      val zb = new Array[Byte](raw.length + 64)
+      val zl = defl.deflate(zb); defl.end()
+      val crc = new java.util.zip.CRC32()
+      crc.update("IDAT".getBytes("US-ASCII")); crc.update(zb, 0, zl)
+      r.getLong(5) shouldBe crc.getValue
       // single-stored-block container arithmetic
       r.getInt(3) shouldBe raw.length + 11
       // decoded pixel mean == direct computation over padded matrix
       val sum = px.map(_ & 0xff).map(_.toLong).sum
-      r.getDouble(7) shouldBe sum.toDouble / (w * nrows)
+      r.getDouble(8) shouldBe sum.toDouble / (w * nrows)
     }
   }
 
