@@ -993,6 +993,34 @@ final class GraftFrame(val df: DataFrame) {
   def mad(group: String, value: String): DataFrame =
     graft.operators.StatQueries.madOn(statBase(group, value))
 
+  /** RFM segmentation of this frame's events (cents-quantized) —
+    * q_events_rfm's core: `(user_id, r_days, f, m, r/f/m_score,
+    * segment)` with exact integer rank quintiles.
+    */
+  def rfm(subject: String, ts: String, value: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    graft.operators.EventQueries.rfmFromUsers(
+      df.select(col(subject).as("user_id"),
+        expr(s"unix_micros(cast($ts as timestamp))").as("ts_us"),
+        (col(value).cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+        .groupBy("user_id")
+        .agg(max("ts_us").as("last_us"), count(lit(1)).as("f"),
+          sum("cents").as("m")))
+  }
+
+  /** Mann-Kendall trend + Sen slope of each group's hourly value series
+    * (cents-quantized) — q_ts_trend's core:
+    * `(event_type, n, n_pairs, s, z, sen_slope)`.
+    */
+  def trend(group: String, ts: String, value: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    graft.operators.TimeSeriesQueries.trendFromHourly(
+      df.select(col(group).as("g"),
+        expr(s"unix_micros(cast($ts as timestamp)) div 3600000000").as("h"),
+        (col(value).cast(DecimalType(12, 2)) * 100).cast(LongType).as("x"))
+        .groupBy("g", "h").agg(sum("x").cast(LongType).as("x")))
+  }
+
   /** GSP-style frequent subsequences of a symbol column within
     * (subject, window) sessions — q_events_seqmine's core:
     * `(pattern, len, support)` at minsup = max(#sessions/supDivisor,

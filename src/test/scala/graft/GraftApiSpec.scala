@@ -689,5 +689,13 @@ class GraftApiSpec extends SparkTestBase with Matchers {
       .collect().map(_.toString).toSeq shouldBe
       graft.operators.EventQueries.eventsSeqmine.query(spark, sfTiny)
         .collect().map(_.toString).toSeq
+    Tables.events(spark, sfTiny).graft.rfm("user_id", "ts", "value")
+      .collect().map(_.toString).toSeq shouldBe
+      graft.operators.EventQueries.eventsRfm.query(spark, sfTiny)
+        .collect().map(_.toString).toSeq
+    Tables.events(spark, sfTiny).graft.trend("event_type", "ts", "value")
+      .collect().map(_.toString).toSeq shouldBe
+      graft.operators.TimeSeriesQueries.tsTrend.query(spark, sfTiny)
+        .collect().map(_.toString).toSeq
   }
 }
