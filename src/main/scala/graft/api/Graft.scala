@@ -77,10 +77,16 @@ final class GraftSession(val spark: SparkSession) {
 final class MineStateHandle(val spark: SparkSession, val base: String) {
   import graft.streaming.IncrementalMine
 
-  /** Merge one batch of (basket, item) rows. */
-  def ingest(df: DataFrame, basket: String, item: String): Unit =
+  /** Merge one batch of (basket, item) rows. Pass the caller's
+    * monotonically-increasing `batchId` (e.g. foreachBatch's) to get the
+    * streaming path's replay protection — a retried/double-called ingest
+    * with the same id is skipped instead of double-counting every
+    * support and pair. Callers without one get at-least-once semantics.
+    */
+  def ingest(df: DataFrame, basket: String, item: String,
+      batchId: Option[Long] = None): Unit =
     IncrementalMine.processBatch(spark,
-      df.select(col(basket).as("ok"), col(item).as("pk")), base)
+      df.select(col(basket).as("ok"), col(item).as("pk")), base, batchId)
 
   def rules: DataFrame = IncrementalMine.serveRules(spark, base)
   def recommendations: DataFrame = IncrementalMine.serveRecs(spark, base)
@@ -95,17 +101,22 @@ final class TrendStateHandle(val spark: SparkSession, val base: String) {
   import graft.streaming.IncrementalTrend
 
   /** Merge one batch of events: `group` the series key, `ts` the event
-    * time, `value` a numeric quantized to cents.
+    * time, `value` a numeric quantized to cents. Pass the caller's
+    * monotonically-increasing `batchId` (e.g. foreachBatch's) to get the
+    * streaming path's replay protection — a retried/double-called ingest
+    * with the same id is skipped instead of double-counting every hourly
+    * x and per-user f/m. Callers without one get at-least-once semantics.
     */
   def ingest(df: DataFrame, subject: String, group: String, ts: String,
-      value: String): Unit = {
+      value: String, batchId: Option[Long] = None): Unit = {
     import org.apache.spark.sql.types.{DecimalType, LongType}
     IncrementalTrend.processBatch(spark,
       df.select(col(subject).as("user_id"), col(group).as("g"),
         expr(s"unix_micros(cast($ts as timestamp)) div 3600000000").as("h"),
         (col(value).cast(DecimalType(12, 2)) * 100).cast(LongType).as("x"),
         expr(s"unix_micros(cast($ts as timestamp))").as("ts_us"),
-        (col(value).cast(DecimalType(12, 2)) * 100).cast(LongType).as("m")), base)
+        (col(value).cast(DecimalType(12, 2)) * 100).cast(LongType).as("m")),
+      base, batchId)
   }
 
   def trend: DataFrame = IncrementalTrend.serveTrend(spark, base)
@@ -122,13 +133,17 @@ final class StatsStateHandle(val spark: SparkSession, val base: String) {
 
   /** Merge one batch of observations: `group` is the sample label,
     * `value` a numeric quantized to cents (the family's discipline).
+    * Pass the caller's monotonically-increasing `batchId` to get the
+    * streaming path's replay protection; callers without one get
+    * at-least-once semantics.
     */
-  def ingest(df: DataFrame, group: String, value: String): DataFrame = {
+  def ingest(df: DataFrame, group: String, value: String,
+      batchId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, LongType}
     IncrementalStats.processBatch(spark,
       df.select(col(group).as("grp"),
         (col(value).cast(DecimalType(12, 2)) * 100).cast(LongType).as("v")),
-      base)
+      base, batchId)
   }
 
   /** The current histogram (grp, v cents, t). */

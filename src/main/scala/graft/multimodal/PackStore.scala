@@ -437,13 +437,27 @@ object PackStore {
       if (latestSnapshotId(s, branchBase(base, name)).isDefined)
         throw new IllegalStateException(
           s"branch '$name' already exists on $base (dropBranch first)")
+      // Age from the STORAGE clock (a fresh probe file's mtime), not the
+      // client clock: on a remote/NFS-style FS, client/storage skew would
+      // otherwise misclassify a live concurrent createBranch as
+      // reclaimable (or keep a genuinely torn FORK perpetually "young").
       val age = graft.sources.GraftFs.modificationTime(s, forkPath(base, name))
-        .map(System.currentTimeMillis() - _)
+        .map(graft.sources.GraftFs.storageNowMs(s, branchRoot(base)) - _)
       if (age.exists(_ < TornReclaimGraceMs))
         throw new IllegalStateException(
           s"branch '$name' on $base has a FORK younger than the reclaim " +
             s"grace (${age.get} ms < $TornReclaimGraceMs ms): a concurrent " +
             "createBranch may be mid-publish — retry later or dropBranch")
+      // Claim the torn FORK by renaming it aside: exactly ONE of N
+      // past-grace reclaimers wins the rename, so a loser can never
+      // delete the winner's freshly-recreated FORK out from under it.
+      // The exclusive re-create below stays the final arbiter against
+      // creators that slip in after the claim.
+      if (!graft.sources.GraftFs.renameNoOverwrite(s, forkPath(base, name),
+          s"${branchBase(base, name)}/.FORK-reclaimed-" +
+            java.util.UUID.randomUUID.toString.take(8)))
+        throw new IllegalStateException(
+          s"branch '$name' already exists on $base (lost the reclaim race)")
       graft.sources.GraftFs.deleteRecursively(s, branchBase(base, name))
       if (!graft.sources.GraftFs.writeSmallFileExclusive(s, forkPath(base, name),
           s"$forkId\n#eof"))

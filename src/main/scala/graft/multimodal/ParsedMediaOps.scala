@@ -84,7 +84,7 @@ object ParsedMediaOps {
   final case class DecodeOut(
       media_id: Long, format: String, n_bytes: Int, checksum: Long,
       width: Option[Int], height: Option[Int], sample_rate: Option[Int],
-      mean_intensity: Double)
+      mean_intensity: Option[Double])
 
   /** Decode = locate the coded body via the real header walk, then
     * summarize it: byte count, polynomial checksum, mean intensity —
@@ -101,7 +101,10 @@ object ParsedMediaOps {
         DecodeOut(m.media_id, m.format, m.body.length,
           polyChecksum(m.body.iterator.map(b => (b & 0xff).toLong)),
           m.width, m.height, m.sample_rate,
-          m.body.iterator.map(b => (b & 0xff).toLong).sum.toDouble / m.body.length)
+          // n==0 guard (the mmPcm pattern): an empty body must agree with
+          // the oracle's NULL (list_sum of an empty list), not print NaN
+          if (m.body.isEmpty) None
+          else Some(m.body.iterator.map(b => (b & 0xff).toLong).sum.toDouble / m.body.length))
       }).toDF().orderBy("media_id")
     },
     Some(s"""
@@ -272,7 +275,7 @@ object ParsedMediaOps {
 
   final case class PngIdatOut(
       media_id: Long, width: Int, height: Int, idat_len: Int, adler32: Long,
-      crc32: Long, n_pixels: Int, checksum: Long, mean_pixel: Double)
+      crc32: Long, n_pixels: Int, checksum: Long, mean_pixel: Option[Double])
 
   /** The standard CRC-32 table (polynomial 0xEDB88320, ISO 3309 / PNG
     * §D) as a SQL list literal — lets the oracle RECOMPUTE the chunk CRC
@@ -382,8 +385,15 @@ object ParsedMediaOps {
           val infl = new java.util.zip.Inflater()
           infl.setInput(zdata)
           val out = new Array[Byte](ph * (pw + 1))
-          val n = infl.inflate(out)
-          require(n == out.length && infl.finished(), s"inflate short: $n")
+          if (out.nonEmpty) {
+            val n = infl.inflate(out)
+            require(n == out.length && infl.finished(), s"inflate short: $n")
+          } else {
+            // empty image (0 rows): drain the empty stored block so the
+            // stream is still validated end-to-end
+            val scratch = new Array[Byte](1)
+            require(infl.inflate(scratch) == 0 && infl.finished(), "empty inflate")
+          }
           infl.end()
           var acc = 1L
           var sum = 0L
@@ -400,7 +410,8 @@ object ParsedMediaOps {
             rr += 1
           }
           PngIdatOut(id, pw, ph, zdata.length, adler, storedCrc, pw * ph, acc,
-            sum.toDouble / (pw * ph))
+            // zero-pixel guard: NULL (like the oracle's empty list_sum), not NaN
+            if (pw * ph == 0) None else Some(sum.toDouble / (pw * ph)))
         }).toDF().orderBy("media_id")
     },
     Some(s"""

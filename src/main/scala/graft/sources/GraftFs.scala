@@ -59,6 +59,32 @@ object GraftFs {
     }
   }
 
+  /** Storage-clock "now" for the filesystem holding `dir`: the mtime of
+    * a freshly-written probe file — the SAME clock domain as every other
+    * mtime under that FS, so age comparisons against it are immune to
+    * client/storage clock skew (a remote store stamps mtimes with its
+    * own clock, not the caller's System.currentTimeMillis). The probe is
+    * removed before returning; falls back to the client clock only if
+    * the FS reports no mtime.
+    */
+  def storageNowMs(s: SparkSession, dir: String): Long = {
+    val probe = s"$dir/.clock-probe-" + java.util.UUID.randomUUID.toString.take(8)
+    writeSmallFileAtomic(s, probe, "")
+    try modificationTime(s, probe).getOrElse(System.currentTimeMillis())
+    finally deleteRecursively(s, probe)
+  }
+
+  /** Rename `from` to `to` without overwrite; false if the source is
+    * missing or the destination exists — the one-winner claim primitive
+    * (exactly one of N concurrent renamers of the same source succeeds).
+    */
+  def renameNoOverwrite(s: SparkSession, from: String, to: String): Boolean = {
+    val (fs, q) = resolve(s, from)
+    val (_, qTo) = resolve(s, to)
+    try fs.exists(q) && fs.rename(q, qTo)
+    catch { case _: java.io.IOException => false }
+  }
+
   /** Write `content` to `p` atomically: tmp file + rename-with-overwrite
     * (atomic on HDFS and the local FS — the swap readers may race on).
     */

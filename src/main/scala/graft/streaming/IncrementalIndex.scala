@@ -286,31 +286,45 @@ object IncrementalIndex {
   private[graft] def compactFrom(s: SparkSession, base: String, observed: IndexState): Unit = {
     if (observed.segs.size <= 1) return
     val folded = observed.segs.toSet
-    val cName = s"c${observed.version + 1}"
+    // WRITER-UNIQUE compacted dir name (still `c`-prefixed for operators):
+    // two same-observed compactors write to DIFFERENT dirs, so the loser
+    // can never overwrite an already-published winner in place (the
+    // transient-partial-directory race) — it just deletes its own
+    // unreferenced dir on abort.
+    val cName = s"c${observed.version + 1}-" +
+      java.util.UUID.randomUUID.toString.take(8)
     // Fast-path duplicate guard: if another compaction of this same
-    // observed state already published (live record lists cName, or every
-    // folded input is already swapped out — and possibly DELETED, so the
-    // read below would fail), this invocation is a race replay; abort
-    // before the read/write. The same guards re-run inside the CAS loop
-    // for races that land between here and the publish.
+    // observed state already published, every folded input has been
+    // swapped out atomically (and possibly DELETED, so the read below
+    // would fail) — abort before the read/write. The same guard re-runs
+    // inside the CAS loop for races that land between here and the
+    // publish.
     val live = currentState(s, base)
-    if (live.segs.contains(cName) || !live.segs.exists(folded.contains)) return
-    readPostingsOf(s, base, observed).localCheckpoint()
-      .write.mode("overwrite").parquet(s"$base/postings/$cName")
+    if (!live.segs.exists(folded.contains)) return
+    // TOCTOU window: a concurrent winner can publish AND delete the
+    // folded dirs between the guard above and this read — treat a read/
+    // write failure whose live state confirms the swap as a lost race,
+    // not an error.
+    try {
+      readPostingsOf(s, base, observed).localCheckpoint()
+        .write.mode("overwrite").parquet(s"$base/postings/$cName")
+    } catch {
+      case e: Exception =>
+        graft.sources.GraftFs.deleteRecursively(s, s"$base/postings/$cName")
+        if (!currentState(s, base).segs.exists(folded.contains)) return
+        throw e
+    }
     var st = observed
     var attempts = 0
     var committed = false
     while (!committed) {
       attempts += 1
       require(attempts <= 8, s"compactSegments: lost the publish race $attempts times at $base")
-      // Rebase guards: if the race winner was ANOTHER compaction of the
-      // same observed state, the live record may already list cName (re-
-      // prepending would double-count every posting in the compacted dir)
-      // or may have swapped out every folded input under a different
-      // name (publishing our duplicate would double-count them all).
-      // Abort in both cases — the winner owns the folded-dir cleanup; our
-      // unreferenced duplicate dir is removed when we never published it.
-      if (st.segs.contains(cName)) return
+      // Rebase guard: if the race winner was ANOTHER compaction of the
+      // same observed state, it swapped out every folded input
+      // (publishing our duplicate would double-count them all). Abort —
+      // the winner owns the folded-dir cleanup; we remove our
+      // never-published duplicate dir.
       if (!st.segs.exists(folded.contains)) {
         graft.sources.GraftFs.deleteRecursively(s, s"$base/postings/$cName")
         return
