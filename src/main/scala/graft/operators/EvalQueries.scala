@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Tokenize
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Retrieval-quality evaluation — the family that PRICES the quality of
+  * the ANN indexes and the hybrid retrieval the pipeline ships (r10
+  * verdict ask 2). A pipeline that builds approximate indexes must
+  * measure what the approximation costs; until this round that truth
+  * lived only in specs and probes (KnnGraphSpec recall floors,
+  * RecallProbe) — these two operators register it as oracle-checked
+  * rows, so the driver's hash-compare proves the METRIC computation
+  * itself, not just the rankings it consumes.
+  *
+  * Both metrics are exact integer/fixed-literal arithmetic over
+  * engine-reproducible rankings (the portable-plane candidate criteria
+  * and the shared Bm25ScoreCtes prelude), so both carry FULL DuckDB
+  * oracles — the oracle re-derives the approximate ranking, the ground
+  * truth, and the metric end-to-end in SQL.
+  *
+  * Scale shape: the ground-truth side is the broadcast-query brute-force
+  * scan (exactly q_sim_cosine_topk's plan — linear in the corpus, run
+  * once per eval batch, the industry-standard way ANN recall is audited:
+  * exact top-k for a SAMPLED query set, never all-pairs); the metric
+  * joins are over ≤ k·|queries| rank-list rows — negligible at any
+  * corpus size.
+  */
+object EvalQueries {
+
+  /** nDCG discount table 1/log2(rank+1) for ranks 1..10, shared with the
+    * oracle as shortest-round-trip literals (Double.toString round-trips
+    * exactly, so both engines multiply the SAME operand bits — no libm
+    * log2 call happens at query time in either engine).
+    */
+  private val Disc: IndexedSeq[Double] =
+    (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  private def discCaseSql(rankCol: String): String =
+    (1 to 10).map(i => s"WHEN $i THEN ${Disc(i - 1)}")
+      .mkString(s"(CASE $rankCol ", " ", " END)")
+
+  /** Relevance grade → gain 2^rel − 1 as an exact integer (0/1/3/7). */
+  private def gain(rel: Column): Column =
+    when(rel === 1, 1L).when(rel === 2, 3L).when(rel === 3, 7L).otherwise(0L)
+
+  /** recall@5 of the two registered ANN indexes against brute-force
+    * ground truth IN EACH INDEX'S OWN METRIC — q_ann_lsh (cosine) vs the
+    * q_sim_cosine_topk ranking, q_ann_ivfpq (L2) vs the exact L2 top-5
+    * (the KnnGraphSpec/RecallProbe convention): one row per (system,
+    * query), n_hits = |approx top-5 ∩ exact top-5|, recall = n_hits/5.
+    * The approximate rankings are the REGISTERED queries' own plans
+    * (annLsh/annIvfPq vals reused verbatim), so this row prices the
+    * quality of exactly what the index rows serve.
+    */
+  val evalRecall = QueryDef(
+    "q_eval_recall",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
+      val truthCos = VectorQueries.cosineTopk.query(s, dir)
+        .select("q_vec_id", "n_vec_id")
+      val wL2 = Window.partitionBy("q_vec_id").orderBy(asc("dist"), asc("n_vec_id"))
+      val truthL2 = e.select(col("vec_id").as("n_vec_id"), col("embedding").as("n_emb"))
+        .crossJoin(broadcast(q))
+        .filter(col("q_vec_id") =!= col("n_vec_id"))
+        .withColumn("dist", round(VectorQueries.l2sq(col("q_emb"), col("n_emb")), 6))
+        .withColumn("rn", row_number().over(wL2)).filter(col("rn") <= 5)
+        .select("q_vec_id", "n_vec_id")
+      def recallOf(system: String, approx: DataFrame, truth: DataFrame): DataFrame = {
+        val hits = approx.select("q_vec_id", "n_vec_id")
+          .join(truth, Seq("q_vec_id", "n_vec_id"), "left_semi")
+          .groupBy("q_vec_id").agg(count(lit(1)).as("h"))
+        q.select("q_vec_id").join(hits, Seq("q_vec_id"), "left")
+          .select(lit(system).as("system"), col("q_vec_id"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)).cast(DoubleType) / 5).as("recall_at_5"))
+      }
+      recallOf("ann_lsh", VectorQueries.annLsh.query(s, dir), truthCos)
+        .union(recallOf("ann_ivfpq", VectorQueries.annIvfPq.query(s, dir), truthL2))
+        .orderBy("system", "q_vec_id")
+    },
+    Some(s"""
+      WITH truth_cos AS (SELECT q_vec_id, n_vec_id FROM (
+        ${VectorQueries.cosineTopk.oracle.get})),
+      approx_lsh AS (SELECT q_vec_id, n_vec_id FROM (
+        ${VectorQueries.annLsh.oracle.get})),
+      approx_pq AS (SELECT q_vec_id, n_vec_id FROM (
+        ${VectorQueries.annIvfPq.oracle.get})),
+      ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      qv AS (SELECT vec_id AS q_vec_id, emb AS q_emb FROM ev WHERE vec_id < 10),
+      l2s AS (
+        SELECT qv.q_vec_id, c.vec_id AS n_vec_id,
+               ROUND(list_sum(list_transform(range(64),
+                 i -> (q_emb[i+1] - c.emb[i+1]) * (q_emb[i+1] - c.emb[i+1]))), 6) AS dist
+        FROM ev c CROSS JOIN qv WHERE c.vec_id != qv.q_vec_id),
+      truth_l2 AS (SELECT q_vec_id, n_vec_id FROM (
+        SELECT q_vec_id, n_vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY dist ASC, n_vec_id ASC) AS rn
+        FROM l2s) WHERE rn <= 5),
+      pairs AS (
+        SELECT 'ann_lsh' AS system, a.q_vec_id,
+               CASE WHEN t.n_vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM approx_lsh a LEFT JOIN truth_cos t
+          ON t.q_vec_id = a.q_vec_id AND t.n_vec_id = a.n_vec_id
+        UNION ALL
+        SELECT 'ann_ivfpq' AS system, a.q_vec_id,
+               CASE WHEN t.n_vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM approx_pq a LEFT JOIN truth_l2 t
+          ON t.q_vec_id = a.q_vec_id AND t.n_vec_id = a.n_vec_id),
+      hits AS (SELECT system, q_vec_id, SUM(hit) AS h FROM pairs GROUP BY system, q_vec_id),
+      grid AS (SELECT s.system, qv.q_vec_id
+               FROM qv CROSS JOIN (SELECT unnest(['ann_lsh', 'ann_ivfpq']) AS system) s)
+      SELECT g.system, g.q_vec_id,
+             CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+             CAST(COALESCE(h.h, 0) AS DOUBLE) / 5 AS recall_at_5
+      FROM grid g LEFT JOIN hits h
+        ON h.system = g.system AND h.q_vec_id = g.q_vec_id
+      ORDER BY g.system, g.q_vec_id
+    """.trim),
+  )
+
+  /** nDCG@10 of the registered RRF hybrid retrieval (q_text_hybrid's
+    * exact plan) against a DETERMINISTIC graded-relevance rule derived
+    * from the corpus itself: rel(query, doc) = how many of the query's 3
+    * tf-idf query terms (the exact Bm25ScoreCtes `qterms` the hybrid
+    * ranked with) appear in the doc — grades 0..3, gain 2^rel − 1,
+    * discounts 1/log2(rank+1) as shared literals, per-rank terms
+    * 8dp-rounded to exact decimals before the order-free sum (the
+    * lm_score recipe), so DCG, ideal DCG, and their ratio are
+    * engine-exact. One row per query: (query_id, n_rel, dcg, idcg,
+    * ndcg).
+    */
+  val evalNdcg = QueryDef(
+    "q_eval_ndcg",
+    (s, dir) => {
+      val qterms = SearchQueries.bm25QueryTerms(s, dir)
+      val docToks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("token"))
+        .distinct()
+      // rel feeds THREE consumers (DCG join, ideal ranking, n_rel) — cut
+      // the lineage once; the grade table is ≤ |queries| × |docs| skinny
+      // integer rows (8·|docs| here), one hash aggregate to build
+      val rel = docToks.join(broadcast(qterms), "token")
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
+        .localCheckpoint()
+      val hyb = SearchQueries.textHybrid.query(s, dir)
+        .select("query_id", "rank", "doc_id")
+      val discArr = array(Disc.map(lit): _*)
+      val dterm = hyb.join(rel, Seq("query_id", "doc_id"), "left")
+        .withColumn("g", gain(coalesce(col("rel"), lit(0L))))
+        .withColumn("t", round(col("g").cast(DoubleType)
+          * element_at(discArr, col("rank").cast("int")), 8).cast(DecimalType(18, 8)))
+      val dcg = dterm.groupBy("query_id")
+        .agg(round(sum("t").cast(DoubleType), 6).as("dcg"))
+      val wI = Window.partitionBy("query_id").orderBy(desc("rel"), asc("doc_id"))
+      val iterm = rel.withColumn("irank", row_number().over(wI)).filter(col("irank") <= 10)
+        .withColumn("g", gain(col("rel")))
+        .withColumn("t", round(col("g").cast(DoubleType)
+          * element_at(discArr, col("irank").cast("int")), 8).cast(DecimalType(18, 8)))
+      val idcg = iterm.groupBy("query_id")
+        .agg(round(sum("t").cast(DoubleType), 6).as("idcg"))
+      val nrel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+      dcg.join(idcg, "query_id").join(nrel, "query_id")
+        .select(col("query_id"), col("n_rel"), col("dcg"), col("idcg"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg"))
+        .orderBy("query_id")
+    },
+    Some(s"""
+      WITH ${SearchQueries.Bm25ScoreCtes},
+      dt AS (SELECT DISTINCT doc_id, token FROM toks),
+      rel AS (SELECT q.query_id, dt.doc_id, COUNT(*) AS rel
+              FROM dt JOIN qterms q ON dt.token = q.token
+              GROUP BY q.query_id, dt.doc_id),
+      hyb AS (SELECT query_id, rank, doc_id FROM (
+        ${SearchQueries.textHybrid.oracle.get})),
+      dterm AS (
+        SELECT h.query_id,
+               CAST(ROUND((CASE COALESCE(r.rel, 0) WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 7 ELSE 0 END)
+                 * ${discCaseSql("h.rank")}, 8) AS DECIMAL(18,8)) AS t
+        FROM hyb h LEFT JOIN rel r ON r.query_id = h.query_id AND r.doc_id = h.doc_id),
+      dcg AS (SELECT query_id, ROUND(CAST(SUM(t) AS DOUBLE), 6) AS dcg
+              FROM dterm GROUP BY query_id),
+      ideal AS (SELECT query_id, rel,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS irank
+                FROM rel),
+      iterm AS (SELECT query_id,
+                       CAST(ROUND((CASE rel WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END)
+                         * ${discCaseSql("irank")}, 8) AS DECIMAL(18,8)) AS t
+                FROM ideal WHERE irank <= 10),
+      idcg AS (SELECT query_id, ROUND(CAST(SUM(t) AS DOUBLE), 6) AS idcg
+               FROM iterm GROUP BY query_id),
+      nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM rel GROUP BY query_id)
+      SELECT d.query_id, CAST(n.n_rel AS BIGINT) AS n_rel, d.dcg, i.idcg,
+             ROUND(d.dcg / i.idcg, 6) AS ndcg
+      FROM dcg d
+      JOIN idcg i ON i.query_id = d.query_id
+      JOIN nrel n ON n.query_id = d.query_id
+      ORDER BY d.query_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(evalRecall, evalNdcg)
+}

@@ -201,6 +201,27 @@ toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
                ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
         FROM contrib GROUP BY query_id, doc_id)""".stripMargin
 
+  /** The corpus-derived query-term set alone — (query_id, token), the
+    * top-3 tf-idf tokens of each doc_id < 8, exactly the `qterms` stage
+    * of [[bm25ScoresStage]]/Bm25ScoreCtes. Exposed for the retrieval-
+    * quality eval family: q_eval_ndcg's graded-relevance rule counts
+    * matches against THESE terms, so the grades judge the same queries
+    * the hybrid retrieval ran.
+    */
+  private[graft] def bm25QueryTerms(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val toks = tokRows(s, dir)
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scoredQ = tf.filter(col("doc_id") < 8).join(dfRel, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("s", round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
+    val wq = Window.partitionBy("doc_id").orderBy(desc("s"), asc("token"))
+    scoredQ.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id").as("query_id"), col("token"))
+  }
+
   val textBm25 = QueryDef(
     "q_text_bm25",
     (s, dir) => {

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{EvalQueries, SearchQueries, VectorQueries}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The registered retrieval-quality metrics must EQUAL the
+  * independently-computed (driver-side, set-arithmetic) metrics the
+  * specs and probes have always measured — the eval rows are the same
+  * truth, priced and oracle-checked, not a parallel definition.
+  */
+class EvalSpec extends SparkTestBase with Matchers {
+
+  private def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("q_vec_id", "n_vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+
+  test("q_eval_recall equals the set-arithmetic recall of the registered rankings") {
+    val got = EvalQueries.evalRecall.query(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    // independent ground truths, computed the RecallProbe way
+    val truthCos = topSets(VectorQueries.cosineTopk.query(spark, sfTiny))
+    val e = Tables.embeddings(spark, sfTiny).select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q"), col("embedding").as("qe"))
+    val truthL2 = topSets(e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q"))
+      .withColumn("dist", round(expr(
+        "aggregate(zip_with(embedding, qe, (x,y) -> (CAST(x AS DOUBLE)-CAST(y AS DOUBLE))*(CAST(x AS DOUBLE)-CAST(y AS DOUBLE))), 0D, (a,v) -> a+v)"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q").orderBy(asc("dist"), asc("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("q").as("q_vec_id"), col("vec_id").as("n_vec_id")))
+
+    val lsh = topSets(VectorQueries.annLsh.query(spark, sfTiny))
+    val pq = topSets(VectorQueries.annIvfPq.query(spark, sfTiny))
+
+    got.size shouldBe 20
+    for (k <- 0L until 10L) {
+      val hLsh = lsh.getOrElse(k, Set.empty).intersect(truthCos.getOrElse(k, Set.empty)).size
+      got(("ann_lsh", k)) shouldBe ((hLsh.toLong, hLsh / 5.0))
+      val hPq = pq.getOrElse(k, Set.empty).intersect(truthL2.getOrElse(k, Set.empty)).size
+      got(("ann_ivfpq", k)) shouldBe ((hPq.toLong, hPq / 5.0))
+    }
+  }
+
+  test("q_eval_ndcg equals a driver-side recomputation from the hybrid ranking and the grade rule") {
+    val rows = EvalQueries.evalNdcg.query(spark, sfTiny).collect()
+    rows.length shouldBe 8
+
+    val qterms = SearchQueries.bm25QueryTerms(spark, sfTiny).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    val docToks = Tables.documents(spark, sfTiny).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    def rel(qid: Long, d: Long): Int = qterms(qid).count(docToks(d).contains)
+    def gain(r: Int): Long = (1L << r) - 1
+    def disc(rank: Int): Double = 1.0 / (math.log(rank + 1.0) / math.log(2.0))
+    def dround(x: Double, p: Int): Double =
+      BigDecimal(x).setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val hyb = SearchQueries.textHybrid.query(spark, sfTiny)
+      .select("query_id", "rank", "doc_id").collect()
+      .groupBy(_.getLong(0))
+    for (row <- rows) {
+      val qid = row.getLong(0)
+      val dcg = dround(hyb(qid).map(h =>
+        dround(gain(rel(qid, h.getLong(2))) * disc(h.getInt(1)), 8)).sum, 6)
+      val ideal = docToks.keys.map(d => (rel(qid, d), d)).filter(_._1 > 0).toSeq
+        .sortBy { case (r, d) => (-r, d) }.take(10)
+      val idcg = dround(ideal.zipWithIndex.map { case ((r, _), i) =>
+        dround(gain(r) * disc(i + 1), 8) }.sum, 6)
+      row.getLong(1) shouldBe docToks.keys.count(d => rel(qid, d) > 0).toLong
+      row.getDouble(2) shouldBe dcg +- 1e-9
+      row.getDouble(3) shouldBe idcg +- 1e-9
+      row.getDouble(4) shouldBe dround(dcg / idcg, 6) +- 1e-9
+    }
+  }
+}
