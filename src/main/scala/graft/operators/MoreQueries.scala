@@ -494,7 +494,78 @@ object MoreQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(dqProfile, dqBenford, dqKanon,
+  /** Deterministic Laplace noise for one group key: an inverse-CDF draw
+    * whose uniform comes from the PortableHash affine scramble of the
+    * canonical key string (q_sample_reservoir's priority recipe — the
+    * scramble is an affine permutation of Z_p, so u is equidistributed
+    * over (0,1) across keys), b = sensitivity/eps = 1/eps for counts,
+    * 6dp-rounded so both engines agree past any last-ulp ln drift.
+    * Deterministic-by-key is the reproducibility contract of this
+    * engine's whole sketch/sample family — a release pipeline that must
+    * re-randomize per release concatenates a release nonce into the key.
+    */
+  private[graft] def laplaceNoise(key: Column, eps: Double): Column = {
+    val ph = graft.functions.PortableHash
+    val pr = ((ph.tokenHash(key) * ph.Scramble1Mul + ph.Scramble1Add) % ph.SeedMod
+      * ph.Scramble2Mul + ph.Scramble2Add) % ph.SeedMod
+    val u = (pr.cast(DoubleType) + lit(1.0)) / lit(ph.SeedMod.toDouble + 1.0)
+    val c = u - lit(0.5)
+    round(lit(-1.0 / eps) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c)), 6)
+  }
+
+  /** The SQL twin of [[laplaceNoise]] over a VARCHAR key expression. */
+  private[graft] def laplaceNoiseSql(key: String, eps: Double): String = {
+    val ph = graft.functions.PortableHash
+    val pr = s"((((${ph.tokenHashSql(key)}) * ${ph.Scramble1Mul} + ${ph.Scramble1Add}) % ${ph.SeedMod})" +
+      s" * ${ph.Scramble2Mul} + ${ph.Scramble2Add}) % ${ph.SeedMod}"
+    s"ROUND(${-1.0 / eps} * sign((($pr) + 1.0) / 2147483648.0 - 0.5)" +
+      s" * ln(1.0 - 2.0 * abs((($pr) + 1.0) / 2147483648.0 - 0.5)), 6)"
+  }
+
+  /** Differentially-noised release of the q_dq_kanon QI group counts —
+    * the privacy family's RELEASE mechanism (r10 verdict ask 4): after
+    * the k-anonymity audit says which groups are risky, what a pipeline
+    * actually publishes is eps-DP noised counts, never raw ones. Laplace
+    * mechanism at eps = 1 (count sensitivity 1), noise drawn
+    * deterministically per group by [[laplaceNoise]] — fully
+    * engine-reproducible, so unlike textbook rand() DP this row carries
+    * a FULL DuckDB oracle; DpNoiseSpec proves the draw actually has
+    * Laplace's magnitude distribution and that eps scales it. `released`
+    * clamps at 0 (counts are non-negative; clamping is post-processing,
+    * DP-safe). Same bounded-domain grain as the audit: |QI domain|
+    * groups at any corpus size.
+    */
+  val dqDpnoise = QueryDef(
+    "q_dq_dpnoise",
+    (s, dir) => {
+      val g = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          (col("c_acctbal") >= 0).as("acct_nonneg"))
+        .agg(count(lit(1)).as("n"))
+      val key = concat_ws("|", col("c_nationkey"), col("c_mktsegment"),
+        when(col("acct_nonneg"), lit(1)).otherwise(lit(0)))
+      g.withColumn("noise", laplaceNoise(key, eps = 1.0))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("acct_nonneg"),
+          round(col("n") + col("noise"), 6).as("noised_count"),
+          round(greatest(col("n") + col("noise"), lit(0.0)), 6).as("released"))
+        .orderBy("c_nationkey", "c_mktsegment", "acct_nonneg")
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT c_nationkey, c_mktsegment, c_acctbal >= 0 AS acct_nonneg, COUNT(*) AS n
+        FROM customer GROUP BY 1, 2, 3),
+      k AS (SELECT *, CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment || '|' ||
+              (CASE WHEN acct_nonneg THEN '1' ELSE '0' END) AS gkey FROM g),
+      nz AS (SELECT *, ${laplaceNoiseSql("gkey", eps = 1.0)} AS noise FROM k)
+      SELECT c_nationkey, c_mktsegment, acct_nonneg,
+             ROUND(n + noise, 6) AS noised_count,
+             ROUND(greatest(n + noise, 0.0), 6) AS released
+      FROM nz
+      ORDER BY c_nationkey, c_mktsegment, acct_nonneg
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(dqProfile, dqBenford, dqKanon, dqDpnoise,
     winFirstLast, joinLateral, setIntersectAll, setExceptAll, aggCollect, sketchBloom, sketchCms,
     sketchQuantile, dqAudit, sketchHllSetops)
 }
