@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.Tokenize
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -869,6 +870,96 @@ object TextQueries {
     """.trim),
   )
 
+  /** Span-provenance core over an arbitrary (doc_id, text) frame — see
+    * [[textSpanSource]] for the semantics; factored so SpanSourceSpec
+    * can drive a crafted corpus with KNOWN copy directions.
+    */
+  private[graft] def spanSourceOn(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+    val grams = toks.select(col("doc_id"),
+        explode(Tokenize.ngramShingles(col("toks"), 20)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    // counts AND canonical holder in ONE aggregate on the existing
+    // window-hash shuffle — the only cost this adds over substringDedup
+    val winStats = grams.groupBy("gh")
+      .agg(count(lit(1)).as("cnt"), min("doc_id").as("src"))
+    val dup = grams.join(winStats, "gh")
+      .filter(col("cnt") >= 2 && col("src") < col("doc_id"))
+      .localCheckpoint() // feeds the mass aggregate AND the per-source top
+    val nWin = grams.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val copiedMass = dup.groupBy("doc_id").agg(count(lit(1)).as("copied_windows"))
+    val perSrc = dup.groupBy("doc_id", "src").agg(count(lit(1)).as("w"))
+    val wTop = Window.partitionBy("doc_id").orderBy(desc("w"), asc("src"))
+    val top = perSrc.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("src").as("top_source"), col("w").as("top_source_windows"))
+    docs.select("doc_id")
+      .join(nWin, Seq("doc_id"), "left")
+      .join(copiedMass, Seq("doc_id"), "left")
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("copied_windows"), lit(0L)).as("copied_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0,
+          round(coalesce(col("copied_windows"), lit(0L)).cast(DoubleType)
+            / col("n_windows"), 6)).as("copied_fraction"),
+        col("top_source"),
+        coalesce(col("top_source_windows"), lit(0L)).as("top_source_windows"))
+      .orderBy("doc_id")
+  }
+
+  /** Span provenance — WHO COPIED WHOM (r10 verdict ask 5): for every
+    * duplicated stride-1 20-token window (exactly q_text_substring_dedup's
+    * grain), the canonical source is the MINIMUM doc_id holding the
+    * window; each document then reports how much of its window mass is
+    * copied from earlier documents (src < doc_id — the deterministic
+    * earlier-wins direction convention) and its single top contaminating
+    * source (most shared windows, ties → lowest source id). This is the
+    * curation ACTION substring-dedup only counts: the audit row that says
+    * "drop/attribute doc d, it is 62% doc s". Scale shape: substring-
+    * dedup's linear window explode and 8-byte window-hash shuffle with
+    * the min-holder folded into the SAME aggregate (one extra long per
+    * window key), a doc-keyed mass aggregate, and a (doc, src)-keyed
+    * top-1 window; nothing quadratic — window keys fan out to holders
+    * only for duplicated windows. The oracle attributes on the window
+    * STRING (counts-per-hash ≡ counts-per-gram modulo ~1e-15 xxhash64
+    * collisions — the q_text_substring_dedup precedent).
+    */
+  val textSpanSource = QueryDef(
+    "q_text_span_source",
+    (s, dir) => spanSourceOn(Tables.documents(s, dir).select("doc_id", "text")),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(greatest(len(toks) - 19, 0)),
+                 i -> list_aggregate(toks[i+1:i+20], 'string_agg', ' '))) AS g
+        FROM t),
+      ws AS (SELECT g, COUNT(*) AS cnt, MIN(doc_id) AS src FROM g GROUP BY g),
+      dup AS (SELECT g.doc_id, ws.src FROM g JOIN ws USING (g)
+              WHERE ws.cnt >= 2 AND ws.src < g.doc_id),
+      nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM g GROUP BY doc_id),
+      cm AS (SELECT doc_id, COUNT(*) AS copied_windows FROM dup GROUP BY doc_id),
+      ps AS (SELECT doc_id, src, COUNT(*) AS w FROM dup GROUP BY doc_id, src),
+      top AS (SELECT doc_id, src AS top_source, w AS top_source_windows FROM (
+        SELECT doc_id, src, w,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, src ASC) AS rn
+        FROM ps) WHERE rn = 1)
+      SELECT d.doc_id,
+             COALESCE(nw.n_windows, 0) AS n_windows,
+             COALESCE(cm.copied_windows, 0) AS copied_windows,
+             CASE WHEN COALESCE(nw.n_windows, 0) > 0
+                  THEN ROUND(CAST(COALESCE(cm.copied_windows, 0) AS DOUBLE) / nw.n_windows, 6)
+             END AS copied_fraction,
+             top.top_source,
+             COALESCE(top.top_source_windows, 0) AS top_source_windows
+      FROM documents d
+      LEFT JOIN nw USING (doc_id)
+      LEFT JOIN cm USING (doc_id)
+      LEFT JOIN top USING (doc_id)
+      ORDER BY d.doc_id
+    """.trim),
+  )
+
   /** Corpus drift audit — Dunning's log-likelihood ratio (G², Dunning
     * 1993) per token between two corpus slices (source src0 vs the
     * rest): the distribution-shift check a pipeline runs between crawl
@@ -1071,5 +1162,6 @@ object TextQueries {
   def defs: Seq[QueryDef] = Seq(
     wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint, textPmi,
     textNormalize, textEntropy, textChunkify, textLmScore, textRepetition, bpePairs,
-    bpeEncode, substringDedup, qualityModel, textrank, textDrift, textVocab, textZipf)
+    bpeEncode, substringDedup, textSpanSource, qualityModel, textrank, textDrift,
+    textVocab, textZipf)
 }
