@@ -645,8 +645,16 @@ object EventQueries {
     * symbol patterns collapse to first<last on the same grain row and
     * are excluded by construction, documented).
     */
-  private[graft] def seqmineOn(occ: org.apache.spark.sql.DataFrame,
-      minSupFloor: Int = 2, supDivisor: Int = 20): org.apache.spark.sql.DataFrame = {
+  /** Shared session/pattern stages of the sequence-mining family: the
+    * (session, symbol) first/last grain `g`, the minsup scalar, and the
+    * frequent length-2 patterns — one (session, symbol) aggregate + one
+    * alphabet-bounded grain self-join, reused verbatim by [[seqmineOn]]
+    * and [[nextstepOn]] so the two operators share the priced shuffles
+    * AND the support semantics by construction.
+    */
+  private def seqFreq2(occ: org.apache.spark.sql.DataFrame,
+      minSupFloor: Int, supDivisor: Int): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val g = occ.groupBy("user_id", "day", "sym")
       .agg(min("ts_us").as("first_us"), max("ts_us").as("last_us"))
     val tot = occ.select("user_id", "day").distinct()
@@ -660,10 +668,18 @@ object EventQueries {
       .groupBy("sa", "sb").agg(count(lit(1)).as("support"))
     val freq2 = pairSup.join(broadcast(tot), col("support") >= col("minsup"))
       .select("sa", "sb", "support")
-    val cand = freq2.select(col("sa"), col("sb"))
-      .join(freq2.select(col("sa").as("sb"), col("sb").as("sc")), "sb")
-      .filter(col("sa") =!= col("sc"))
-      .select("sa", "sb", "sc")
+    (g, tot, freq2)
+  }
+
+  /** Sessions supporting each (sa, sb, sc) candidate triple: the a/c
+    * first/last window join on the grain plus the one existential
+    * semi-join of raw b occurrences — shared by the seqmine triple
+    * verify and the nextstep distribution.
+    */
+  private def tripleSupportOf(occ: org.apache.spark.sql.DataFrame,
+      g: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val a = g.select(col("user_id"), col("day"), col("sym").as("sa"), col("first_us").as("fa"))
     val cEnd = g.select(col("user_id").as("uc"), col("day").as("dc"),
       col("sym").as("sc"), col("last_us").as("lc"))
     val windows = a.join(cEnd, col("user_id") === col("uc") && col("day") === col("dc")
@@ -672,10 +688,20 @@ object EventQueries {
       .select("user_id", "day", "sa", "sb", "sc", "fa", "lc")
     val bOcc = occ.select(col("user_id").as("u2"), col("day").as("d2"),
       col("sym").as("s2"), col("ts_us").as("t2"))
-    val tripleSup = windows.join(bOcc,
+    windows.join(bOcc,
         col("user_id") === col("u2") && col("day") === col("d2") && col("sb") === col("s2")
           && col("t2") > col("fa") && col("t2") < col("lc"), "left_semi")
       .groupBy("sa", "sb", "sc").agg(count(lit(1)).as("support"))
+  }
+
+  private[graft] def seqmineOn(occ: org.apache.spark.sql.DataFrame,
+      minSupFloor: Int = 2, supDivisor: Int = 20): org.apache.spark.sql.DataFrame = {
+    val (g, tot, freq2) = seqFreq2(occ, minSupFloor, supDivisor)
+    val cand = freq2.select(col("sa"), col("sb"))
+      .join(freq2.select(col("sa").as("sb"), col("sb").as("sc")), "sb")
+      .filter(col("sa") =!= col("sc"))
+      .select("sa", "sb", "sc")
+    val tripleSup = tripleSupportOf(occ, g, cand)
     val freq3 = tripleSup.join(broadcast(tot), col("support") >= col("minsup"))
       .select("sa", "sb", "sc", "support")
     freq2.select(concat(col("sa"), lit(">"), col("sb")).as("pattern"),
@@ -748,6 +774,83 @@ object EventQueries {
     """.trim),
   )
 
+  /** Next-step distribution conditioned on a MINED pattern — the
+    * recommendation twin of the single-symbol transition matrix
+    * (q_events_markov) built on the seqmine grain (r10 verdict ask 6):
+    * for every frequent length-2 pattern sa>sb and every OTHER alphabet
+    * symbol sc, the session support of sa>sb>sc (the exact seqmine
+    * subsequence semantics, shared code) over the pair's support —
+    * p(next = sc | session exhibits sa>sb). Unlike seqmine's freq3, the
+    * next candidates are NOT minsup-gated (a recommendation needs the
+    * whole conditional distribution, tail included); unlike markov, the
+    * condition is a mined multi-event pattern, not one event. Composes
+    * [[seqFreq2]] + [[tripleSupportOf]] — the same (session, symbol)
+    * grain aggregate and alphabet-bounded joins, no new shuffle shape.
+    */
+  private[graft] def nextstepOn(occ: org.apache.spark.sql.DataFrame,
+      minSupFloor: Int = 2, supDivisor: Int = 20): org.apache.spark.sql.DataFrame = {
+    val (g, _, freq2) = seqFreq2(occ, minSupFloor, supDivisor)
+    val syms = g.select(col("sym").as("sc")).distinct()
+    val cand = freq2.select(col("sa"), col("sb"))
+      .crossJoin(broadcast(syms))
+      .filter(col("sc") =!= col("sa") && col("sc") =!= col("sb"))
+    tripleSupportOf(occ, g, cand)
+      .join(freq2.select(col("sa"), col("sb"), col("support").as("pair_support")),
+        Seq("sa", "sb"))
+      .select(concat(col("sa"), lit(">"), col("sb")).as("pattern"),
+        col("sc").as("next_sym"), col("support"), col("pair_support"),
+        round(col("support").cast(DoubleType) / col("pair_support"), 6).as("p"))
+      .orderBy("pattern", "next_sym")
+  }
+
+  val eventsNextstep = QueryDef(
+    "q_events_nextstep",
+    (s, dir) => {
+      val v = col("event_id") % 64
+      val sym = when(v >= 33, "e5").when(v >= 17, "e4").when(v >= 9, "e3")
+        .when(v >= 5, "e2").when(v >= 3, "e1").otherwise("e0")
+      nextstepOn(eventsUs(s, dir).select(col("user_id"),
+        expr("ts_us div 604800000000").as("day"), sym.as("sym"), col("ts_us")))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS day,
+               CASE WHEN event_id % 64 >= 33 THEN 'e5' WHEN event_id % 64 >= 17 THEN 'e4'
+                    WHEN event_id % 64 >= 9 THEN 'e3' WHEN event_id % 64 >= 5 THEN 'e2'
+                    WHEN event_id % 64 >= 3 THEN 'e1' ELSE 'e0' END AS sym
+        FROM events),
+      g AS (SELECT user_id, day, sym, MIN(ts_us) AS first_us, MAX(ts_us) AS last_us
+            FROM e GROUP BY 1, 2, 3),
+      ns AS (SELECT GREATEST(COUNT(*) // 20, 2) AS minsup
+             FROM (SELECT DISTINCT user_id, day FROM e)),
+      p AS (SELECT a.sym AS sa, b.sym AS sb, COUNT(*) AS support
+            FROM g a JOIN g b ON a.user_id = b.user_id AND a.day = b.day
+              AND a.sym != b.sym AND a.first_us < b.last_us
+            GROUP BY 1, 2),
+      f2 AS (SELECT sa, sb, support FROM p CROSS JOIN ns WHERE support >= minsup),
+      syms AS (SELECT DISTINCT sym AS sc FROM g),
+      cand AS (SELECT f2.sa, f2.sb, syms.sc FROM f2 CROSS JOIN syms
+               WHERE syms.sc != f2.sa AND syms.sc != f2.sb),
+      w AS (SELECT a.user_id, a.day, cand.sa, cand.sb, cand.sc,
+                   a.first_us AS fa, c.last_us AS lc
+            FROM cand
+            JOIN g a ON a.sym = cand.sa
+            JOIN g c ON c.sym = cand.sc AND c.user_id = a.user_id AND c.day = a.day
+            WHERE a.first_us < c.last_us),
+      t3 AS (SELECT sa, sb, sc, COUNT(*) AS support
+             FROM w WHERE EXISTS (SELECT 1 FROM e b
+               WHERE b.user_id = w.user_id AND b.day = w.day AND b.sym = w.sb
+                 AND b.ts_us > w.fa AND b.ts_us < w.lc)
+             GROUP BY 1, 2, 3)
+      SELECT t3.sa || '>' || t3.sb AS pattern, t3.sc AS next_sym,
+             t3.support AS support, f2.support AS pair_support,
+             ROUND(CAST(t3.support AS DOUBLE) / f2.support, 6) AS p
+      FROM t3 JOIN f2 ON f2.sa = t3.sa AND f2.sb = t3.sb
+      ORDER BY pattern, next_sym
+    """.trim),
+  )
+
   /** RFM segmentation (recency-frequency-monetary — the classic customer
     * scoring every event warehouse ships): per user R = days since last
     * event (vs the corpus max — a fixed anchor, reproducible), F = event
@@ -815,5 +918,5 @@ object EventQueries {
 
   def defs: Seq[QueryDef] = Seq(sessionize, funnel, retention, winRange, tsOverlap, winStreak,
     sessionizeBucketed, funnelBucketed, winStreakBucketed, retentionBucketed, attribution,
-    eventsPath, eventsMarkov, eventsAbTest, eventsSeqmine, eventsRfm)
+    eventsPath, eventsMarkov, eventsAbTest, eventsSeqmine, eventsNextstep, eventsRfm)
 }
