@@ -324,34 +324,42 @@ toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
     * swaps in at corpus scale, the q_ann_* family); the fusion itself
     * joins two ≤ 20·|queries|-row rank lists — negligible at any scale.
     */
+  /** The RRF fusion tail over an explicit lexical score relation
+    * (query_id, doc_id, score) and an embeddings frame — factored so the
+    * state-served path (IncrementalIndex.serveHybrid) runs the IDENTICAL
+    * rank/fuse/top-k plan as the registered query and differs only in
+    * where the lexical scores come from; bit-equality between the two is
+    * then a claim about the score stage alone (IncrementalIndexSpec).
+    */
+  private[graft] def hybridFrom(lexScores: DataFrame, emb: DataFrame): DataFrame = {
+    val wl = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    val lex = lexScores
+      .withColumn("lex_rank", row_number().over(wl))
+      .filter(col("lex_rank") <= 20)
+      .select("query_id", "doc_id", "lex_rank")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = emb.select(col("vec_id").as("doc_id"), col("embedding").as("n_emb"))
+    val wv = Window.partitionBy("query_id").orderBy(desc("cos"), asc("doc_id"))
+    val vec = c.crossJoin(broadcast(q))
+      .withColumn("cos", round(graft.functions.VectorOps.cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("vec_rank", row_number().over(wv))
+      .filter(col("vec_rank") <= 20)
+      .select("query_id", "doc_id", "vec_rank")
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+    val wf = Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id"))
+    fused.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "doc_id", "lex_rank", "vec_rank", "rrf")
+      .orderBy("query_id", "rank")
+  }
+
   val textHybrid = QueryDef(
     "q_text_hybrid",
-    (s, dir) => {
-      val wl = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
-      val lex = bm25ScoresStage(s, dir)
-        .withColumn("lex_rank", row_number().over(wl))
-        .filter(col("lex_rank") <= 20)
-        .select("query_id", "doc_id", "lex_rank")
-      val e = Tables.embeddings(s, dir)
-      val q = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val c = e.select(col("vec_id").as("doc_id"), col("embedding").as("n_emb"))
-      val wv = Window.partitionBy("query_id").orderBy(desc("cos"), asc("doc_id"))
-      val vec = c.crossJoin(broadcast(q))
-        .withColumn("cos", round(graft.functions.VectorOps.cosine(col("q_emb"), col("n_emb")), 6))
-        .withColumn("vec_rank", row_number().over(wv))
-        .filter(col("vec_rank") <= 20)
-        .select("query_id", "doc_id", "vec_rank")
-      val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
-        .withColumn("rrf",
-          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
-      val wf = Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id"))
-      fused.withColumn("rank", row_number().over(wf))
-        .filter(col("rank") <= 10)
-        .select("query_id", "rank", "doc_id", "lex_rank", "vec_rank", "rrf")
-        .orderBy("query_id", "rank")
-    },
+    (s, dir) => hybridFrom(bm25ScoresStage(s, dir), Tables.embeddings(s, dir)),
     Some(s"""
       WITH $Bm25ScoreCtes,
       lex AS (SELECT query_id, doc_id, rn AS lex_rank FROM (

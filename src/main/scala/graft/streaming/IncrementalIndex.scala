@@ -264,6 +264,51 @@ object IncrementalIndex {
       .select(col(qid), col("rank"), col("doc_id"), col("n_terms"), col("score"))
   }
 
+  /** RRF hybrid retrieval served from the maintained state — the RAG
+    * build→serve loop closed end-to-end (r10 verdict ask 3): the lexical
+    * side re-derives q_text_hybrid's corpus queries (doc_id < 8, top-3
+    * tf-idf terms) and their full BM25 score relation ENTIRELY from the
+    * state's postings + stats (tf from segments, df from the stats
+    * table, dl = Σtf per doc, n_docs/avgdl from one postings aggregate —
+    * exact for whitespace-token corpora, the [[bm25]] argument), then
+    * hands the scores to the REGISTERED query's own fusion tail
+    * (SearchQueries.hybridFrom), so the rank/fuse/top-k plan is shared
+    * code and the state-served result is bit-equal to q_text_hybrid once
+    * the ingested batches cover the corpus (IncrementalIndexSpec pins
+    * this across a 3-batch split + crash replay). The embedding side
+    * stays a caller-provided frame: vectors are not index state here —
+    * an ANN index (q_ann_* family) swaps in at corpus scale.
+    */
+  def serveHybrid(s: SparkSession, base: String, embeddings: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val st = currentState(s, base)
+    val tf = readPostingsOf(s, base, st)
+    val dfRel = readStatsOf(s, base, st).select(col("token"), col("df"))
+    val docs = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val glob = docs.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+    // corpus-derived query terms — bm25ScoresStage's qterms with tf/df
+    // read from state instead of re-tokenized text
+    val scoredQ = tf.filter(col("doc_id") < 8).join(dfRel, "token")
+      .crossJoin(broadcast(glob.select("n_docs")))
+      .withColumn("s", round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
+    val wq = Window.partitionBy("doc_id").orderBy(desc("s"), asc("token"))
+    val qterms = scoredQ.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id").as("query_id"), col("token"))
+    val contrib = tf.join(broadcast(qterms), "token")
+      .join(dfRel, "token").join(docs, "doc_id").crossJoin(broadcast(glob))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("c", round(
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast(DoubleType) / col("avgdl"))),
+        8).cast(DecimalType(18, 8)))
+    val lexScores = contrib.groupBy("query_id", "doc_id")
+      .agg(round(sum("c").cast(DoubleType), 6).as("score"))
+    graft.operators.SearchQueries.hybridFrom(lexScores, embeddings)
+  }
+
   /** Fold all live posting segments into ONE (the LSM/compactTail
     * analogue for the index): per-batch ingest leaves one small parquet
     * dir per micro-batch, and a year of minutely batches is 5×10⁵ dirs

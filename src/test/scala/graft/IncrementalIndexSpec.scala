@@ -76,6 +76,23 @@ class IncrementalIndexSpec extends SparkTestBase with Matchers {
       .orderBy("query_id", "rank").collect().map(_.toString).toSeq
     fromState should not be empty
     fromState shouldBe fromScratch
+
+    // the HYBRID serve loop (r10 verdict ask 3): RRF fusion whose lexical
+    // side is served ENTIRELY from the 3-batch state must be bit-equal to
+    // the registered q_text_hybrid over the same corpus
+    val emb = Tables.embeddings(spark, sfTiny)
+    val hybridFromState = IncrementalIndex.serveHybrid(spark, stateBase, emb)
+      .collect().map(_.toString).toSeq
+    val hybridOneShot = SearchQueries.textHybrid.query(spark, sfTiny)
+      .collect().map(_.toString).toSeq
+    hybridFromState should not be empty
+    hybridFromState shouldBe hybridOneShot
+    // crash-replay no-op: re-landing an already-committed batch id leaves
+    // the served hybrid bit-identical
+    IncrementalIndex.processBatch(spark, docs.filter(col("doc_id") % 3 === 2),
+      stateBase, batchId = Some(2L))
+    IncrementalIndex.serveHybrid(spark, stateBase, emb)
+      .collect().map(_.toString).toSeq shouldBe hybridFromState
   }
 
   test("replayed micro-batch is skipped: postings never double-land") {
