@@ -67,6 +67,58 @@ final class GraftSession(val spark: SparkSession) {
     * segmentation exactly (see [[graft.streaming.IncrementalTrend]]).
     */
   def trendState(base: String): TrendStateHandle = new TrendStateHandle(spark, base)
+
+  /** Handle over one IncrementalIndex inverted-index state base — the
+    * append-only posting segments + merged stats that serve search
+    * heads, BM25, and the RRF hybrid exactly (see
+    * [[graft.streaming.IncrementalIndex]]).
+    */
+  def indexState(base: String): IndexStateHandle = new IndexStateHandle(spark, base)
+}
+
+/** Handle over one inverted-index state. `ingest` lands a micro-batch of
+  * documents append-only (each doc_id exactly once across batches — the
+  * corpus-ingest contract); the serve verbs answer from state alone and
+  * equal their one-shot registered twins bit-for-bit
+  * (IncrementalIndexSpec): [[searchHeads]] ≡ q_text_index, [[bm25]] ≡
+  * the facade bm25, [[hybrid]] ≡ q_text_hybrid.
+  */
+final class IndexStateHandle(val spark: SparkSession, val base: String) {
+  import graft.streaming.IncrementalIndex
+
+  /** Land one batch of (id, text) documents. Pass the caller's
+    * monotonically-increasing `batchId` for replay protection; the
+    * streaming path ([[attachStream]]) supplies it automatically.
+    */
+  def ingest(df: DataFrame, id: String = "doc_id", text: String = "text",
+      batchId: Option[Long] = None): Unit =
+    IncrementalIndex.processBatch(spark,
+      df.select(col(id).as("doc_id"), col(text).as("text")), base, batchId)
+
+  /** Attach a streaming documents frame: one micro-batch = one posting
+    * segment, exactly-once per batchId. Caller sets checkpoint/trigger.
+    */
+  def attachStream(stream: DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    IncrementalIndex.attach(stream, base)
+
+  /** q_text_index's df-filtered posting heads, served from state. */
+  def searchHeads(minDf: Long = 5L, k: Int = 5): DataFrame =
+    IncrementalIndex.searchHeads(spark, base, minDf, k)
+
+  /** BM25 top-k over the indexed corpus for a (query_id, query_text)
+    * frame, served from state.
+    */
+  def bm25(queries: DataFrame, k: Int = 5): DataFrame =
+    IncrementalIndex.bm25(spark, base, queries, k)
+
+  /** RRF hybrid retrieval (state-served lexical ranking fused with the
+    * cosine scan of `embeddings`), bit-equal to q_text_hybrid.
+    */
+  def hybrid(embeddings: DataFrame): DataFrame =
+    IncrementalIndex.serveHybrid(spark, base, embeddings)
+
+  /** Fold all live posting segments into one (the LSM compaction). */
+  def compact(): Unit = IncrementalIndex.compactSegments(spark, base)
 }
 
 /** Handle over one basket-mining state. `ingest` merges a micro-batch
@@ -1035,6 +1087,44 @@ final class GraftFrame(val df: DataFrame) {
         (col(value).cast(DecimalType(12, 2)) * 100).cast(LongType).as("x"))
         .groupBy("g", "h").agg(sum("x").cast(LongType).as("x")))
   }
+
+  /** Span provenance over this frame's (id, text): per document, how
+    * much of its stride-1 20-token window mass is copied from
+    * earlier-id documents and the top contaminating source —
+    * q_text_span_source's core (canonical source = min id holding the
+    * window).
+    */
+  def spanProvenance(id: String = "doc_id", text: String = "text"): DataFrame =
+    graft.operators.TextQueries.spanSourceOn(
+        df.select(col(id).as("doc_id"), col(text).as("text")))
+      .withColumnRenamed("doc_id", id)
+
+  /** eps-DP Laplace-noised group counts of `by` — q_dq_dpnoise's core:
+    * `(by..., noised_count, released)` with deterministic per-key noise
+    * (concatenate a release nonce into a group column to re-randomize).
+    */
+  def noisedCounts(by: Seq[String], eps: Double = 1.0): DataFrame = {
+    val g = df.groupBy(by.map(col): _*).agg(count(lit(1)).as("n"))
+    val key = concat_ws("|", by.map(c => col(c).cast("string")): _*)
+    g.withColumn("noise", graft.operators.MoreQueries.laplaceNoise(key, eps))
+      .select(by.map(col) ++ Seq(
+        round(col("n") + col("noise"), 6).as("noised_count"),
+        round(greatest(col("n") + col("noise"), lit(0.0)), 6).as("released")): _*)
+      .orderBy(by.map(col): _*)
+  }
+
+  /** Next-event distribution conditioned on frequent mined patterns —
+    * q_events_nextstep's core on this frame's events:
+    * `(pattern, next_sym, support, pair_support, p)`.
+    */
+  def nextStep(subject: String, ts: String, symbol: String,
+      windowDays: Int = 7, minSupFloor: Int = 2, supDivisor: Int = 20): DataFrame =
+    graft.operators.EventQueries.nextstepOn(
+      df.select(col(subject).as("user_id"),
+        expr(s"unix_micros(cast($ts as timestamp)) div ${windowDays * 86400000000L}").as("day"),
+        col(symbol).as("sym"),
+        expr(s"unix_micros(cast($ts as timestamp))").as("ts_us")),
+      minSupFloor, supDivisor)
 
   /** GSP-style frequent subsequences of a symbol column within
     * (subject, window) sessions — q_events_seqmine's core:

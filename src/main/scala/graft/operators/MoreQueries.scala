@@ -542,8 +542,11 @@ object MoreQueries {
         .groupBy(col("c_nationkey"), col("c_mktsegment"),
           (col("c_acctbal") >= 0).as("acct_nonneg"))
         .agg(count(lit(1)).as("n"))
-      val key = concat_ws("|", col("c_nationkey"), col("c_mktsegment"),
-        when(col("acct_nonneg"), lit(1)).otherwise(lit(0)))
+      // canonical key = '|'-joined string casts of the group values —
+      // EXACTLY the GraftFrame.noisedCounts verb's derivation (booleans
+      // render 'true'/'false' in both engines), so verb ≡ registered row
+      val key = concat_ws("|", col("c_nationkey").cast(StringType),
+        col("c_mktsegment").cast(StringType), col("acct_nonneg").cast(StringType))
       g.withColumn("noise", laplaceNoise(key, eps = 1.0))
         .select(col("c_nationkey"), col("c_mktsegment"), col("acct_nonneg"),
           round(col("n") + col("noise"), 6).as("noised_count"),
@@ -555,7 +558,7 @@ object MoreQueries {
         SELECT c_nationkey, c_mktsegment, c_acctbal >= 0 AS acct_nonneg, COUNT(*) AS n
         FROM customer GROUP BY 1, 2, 3),
       k AS (SELECT *, CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment || '|' ||
-              (CASE WHEN acct_nonneg THEN '1' ELSE '0' END) AS gkey FROM g),
+              CAST(acct_nonneg AS VARCHAR) AS gkey FROM g),
       nz AS (SELECT *, ${laplaceNoiseSql("gkey", eps = 1.0)} AS noise FROM k)
       SELECT c_nationkey, c_mktsegment, acct_nonneg,
              ROUND(n + noise, 6) AS noised_count,

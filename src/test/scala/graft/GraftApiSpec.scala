@@ -698,4 +698,41 @@ class GraftApiSpec extends SparkTestBase with Matchers {
       graft.operators.TimeSeriesQueries.tsTrend.query(spark, sfTiny)
         .collect().map(_.toString).toSeq
   }
+
+  test("r11 verbs (spanProvenance / noisedCounts / nextStep) equal their registered queries") {
+    import graft.api.implicits._
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    rows(Tables.documents(spark, sfTiny).graft.spanProvenance()) shouldBe
+      rows(graft.operators.TextQueries.textSpanSource.query(spark, sfTiny))
+    rows(Tables.customer(spark, sfTiny)
+      .withColumn("acct_nonneg", col("c_acctbal") >= 0)
+      .graft.noisedCounts(Seq("c_nationkey", "c_mktsegment", "acct_nonneg"))) shouldBe
+      rows(graft.operators.MoreQueries.dqDpnoise.query(spark, sfTiny))
+    val v = col("event_id") % 64
+    val sym = when(v >= 33, "e5").when(v >= 17, "e4").when(v >= 9, "e3")
+      .when(v >= 5, "e2").when(v >= 3, "e1").otherwise("e0")
+    rows(Tables.events(spark, sfTiny).withColumn("sym", sym)
+      .graft.nextStep("user_id", "ts", "sym")) shouldBe
+      rows(graft.operators.EventQueries.eventsNextstep.query(spark, sfTiny))
+  }
+
+  test("indexState handle: ingest + serve equals the registered retrieval queries") {
+    import graft.api.implicits._
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft_api_index").toFile.getAbsolutePath
+    val h = spark.graft.indexState(base)
+    val docs = Tables.documents(spark, sfTiny)
+    for (i <- 0 until 2)
+      h.ingest(docs.filter(col("doc_id") % 2 === i), batchId = Some(i.toLong))
+    rows(h.searchHeads()) shouldBe
+      rows(graft.operators.SearchQueries.textIndex.query(spark, sfTiny))
+    rows(h.hybrid(Tables.embeddings(spark, sfTiny))) shouldBe
+      rows(graft.operators.SearchQueries.textHybrid.query(spark, sfTiny))
+    // compaction folds segments without changing the served results
+    h.compact()
+    rows(h.hybrid(Tables.embeddings(spark, sfTiny))) shouldBe
+      rows(graft.operators.SearchQueries.textHybrid.query(spark, sfTiny))
+  }
 }
