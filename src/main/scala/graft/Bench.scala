@@ -108,7 +108,11 @@ object Bench {
     // box has demonstrably calmed by then — and if the post-suite probe
     // is still out-of-band, keep the smaller of the two medians: both
     // windows were contended and the lower bound is the honest number).
-    val BandHi = 1.8
+    // SPARK_GRAFT_BENCH_BAND_HI overrides the threshold so the re-measure
+    // path is PROVABLE without a genuinely contended box (set it below
+    // the calibration floor to force the full self-heal machinery; the
+    // committed default is the in-band reference's upper edge).
+    val BandHi = sys.env.get("SPARK_GRAFT_BENCH_BAND_HI").map(_.toDouble).getOrElse(1.8)
     val ProbeEvery = 20
     var contendedUntil = if (calibStart > BandHi) midIdx else 0
     var calibMid = -1.0

@@ -74,6 +74,32 @@ final class GraftSession(val spark: SparkSession) {
     * [[graft.streaming.IncrementalIndex]]).
     */
   def indexState(base: String): IndexStateHandle = new IndexStateHandle(spark, base)
+
+  /** Handle over one IncrementalSpan state base — the append-only window
+    * occurrences + merged (count, min-holder) stats that serve the span
+    * provenance audit exactly (see [[graft.streaming.IncrementalSpan]]).
+    */
+  def spanState(base: String): SpanStateHandle = new SpanStateHandle(spark, base)
+}
+
+/** Handle over one span-provenance state. `ingest` lands a micro-batch
+  * of documents (each doc_id exactly once across batches); [[provenance]]
+  * answers from state alone and equals the registered q_text_span_source
+  * bit-for-bit (IncrementalSpanSpec).
+  */
+final class SpanStateHandle(val spark: SparkSession, val base: String) {
+  import graft.streaming.IncrementalSpan
+
+  /** Land one batch of (id, text) documents; `batchId` enables replay
+    * protection (at-least-once without one).
+    */
+  def ingest(df: DataFrame, id: String = "doc_id", text: String = "text",
+      batchId: Option[Long] = None): Unit =
+    IncrementalSpan.processBatch(spark,
+      df.select(col(id).as("doc_id"), col(text).as("text")), base, batchId)
+
+  /** The full who-copied-whom audit over everything ingested. */
+  def provenance: DataFrame = IncrementalSpan.serveSpanSource(spark, base)
 }
 
 /** Handle over one inverted-index state. `ingest` lands a micro-batch of

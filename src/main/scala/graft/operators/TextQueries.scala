@@ -870,41 +870,64 @@ object TextQueries {
     """.trim),
   )
 
-  /** Span-provenance core over an arbitrary (doc_id, text) frame — see
-    * [[textSpanSource]] for the semantics; factored so SpanSourceSpec
-    * can drive a crafted corpus with KNOWN copy directions.
+  /** Stride-1 20-token window occurrences of a (doc_id, text) frame as
+    * 8-byte hash rows — the shared grain of substring dedup and span
+    * provenance (one explode per token position, linear).
     */
-  private[graft] def spanSourceOn(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
-    val grams = toks.select(col("doc_id"),
+  private[graft] def windowGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
         explode(Tokenize.ngramShingles(col("toks"), 20)).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-    // counts AND canonical holder in ONE aggregate on the existing
-    // window-hash shuffle — the only cost this adds over substringDedup
-    val winStats = grams.groupBy("gh")
-      .agg(count(lit(1)).as("cnt"), min("doc_id").as("src"))
-    val dup = grams.join(winStats, "gh")
+
+  /** The span-provenance attribution tail over EXPLICIT sufficient
+    * statistics — `docIds` (doc_id, n_windows) the per-doc window mass,
+    * `occ` (gh, doc_id, k) the per-doc window occurrence counts, `stats`
+    * (gh, cnt, src) the per-window totals + canonical min holder —
+    * shared by the one-shot [[spanSourceOn]] and the incremental
+    * maintainer's serve (graft.streaming.IncrementalSpan), so
+    * state-served ≡ one-shot is a claim about the associative partials
+    * alone.
+    */
+  private[graft] def spanSourceFromTables(docIds: DataFrame, occ: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val dup = occ.join(stats, "gh")
       .filter(col("cnt") >= 2 && col("src") < col("doc_id"))
       .localCheckpoint() // feeds the mass aggregate AND the per-source top
-    val nWin = grams.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
-    val copiedMass = dup.groupBy("doc_id").agg(count(lit(1)).as("copied_windows"))
-    val perSrc = dup.groupBy("doc_id", "src").agg(count(lit(1)).as("w"))
+    val copiedMass = dup.groupBy("doc_id").agg(sum("k").as("copied_windows"))
+    val perSrc = dup.groupBy("doc_id", "src").agg(sum("k").as("w"))
     val wTop = Window.partitionBy("doc_id").orderBy(desc("w"), asc("src"))
     val top = perSrc.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
       .select(col("doc_id"), col("src").as("top_source"), col("w").as("top_source_windows"))
-    docs.select("doc_id")
-      .join(nWin, Seq("doc_id"), "left")
+    docIds
       .join(copiedMass, Seq("doc_id"), "left")
       .join(top, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        col("n_windows"),
         coalesce(col("copied_windows"), lit(0L)).as("copied_windows"),
-        when(coalesce(col("n_windows"), lit(0L)) > 0,
+        when(col("n_windows") > 0,
           round(coalesce(col("copied_windows"), lit(0L)).cast(DoubleType)
             / col("n_windows"), 6)).as("copied_fraction"),
         col("top_source"),
         coalesce(col("top_source_windows"), lit(0L)).as("top_source_windows"))
       .orderBy("doc_id")
+  }
+
+  /** Span-provenance core over an arbitrary (doc_id, text) frame — see
+    * [[textSpanSource]] for the semantics; factored so SpanSourceSpec
+    * can drive a crafted corpus with KNOWN copy directions.
+    */
+  private[graft] def spanSourceOn(docs: DataFrame): DataFrame = {
+    // counts AND canonical holder fold into ONE aggregate on the
+    // window-hash shuffle — the only cost this adds over substringDedup
+    val occ = windowGrams(docs).groupBy("gh", "doc_id")
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint() // feeds stats, per-doc mass, and the dup join
+    val stats = occ.groupBy("gh").agg(sum("k").as("cnt"), min("doc_id").as("src"))
+    val nWin = occ.groupBy("doc_id").agg(sum("k").as("n_windows"))
+    val docIds = docs.select("doc_id").join(nWin, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_windows"), lit(0L)).as("n_windows"))
+    spanSourceFromTables(docIds, occ, stats)
   }
 
   /** Span provenance — WHO COPIED WHOM (r10 verdict ask 5): for every

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.TextQueries
+import graft.streaming.IncrementalSpan
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Incremental span-provenance invariant: appending per-batch window
+  * occurrences + merging the associative (count, min-holder) partials
+  * over ANY batch split must equal the one-shot audit — serve from
+  * replayed state must be ROW IDENTICAL to q_text_span_source over the
+  * whole fixture, and a crash-replayed batch must be a no-op.
+  */
+class IncrementalSpanSpec extends SparkTestBase with Matchers {
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toString).toSeq
+
+  test("3-batch ingest == one-shot q_text_span_source; replay is a no-op") {
+    val base = java.nio.file.Files.createTempDirectory("graft_span_state")
+      .toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfTiny)
+    for (i <- 0 until 3)
+      IncrementalSpan.processBatch(spark, docs.filter(col("doc_id") % 3 === i),
+        base, batchId = Some(i.toLong))
+    val served = rows(IncrementalSpan.serveSpanSource(spark, base))
+    served should not be empty
+    served shouldBe rows(TextQueries.textSpanSource.query(spark, sfTiny))
+    // crash-replay of a committed batch id: bit-identical serve
+    IncrementalSpan.processBatch(spark, docs.filter(col("doc_id") % 3 === 2),
+      base, batchId = Some(2L))
+    rows(IncrementalSpan.serveSpanSource(spark, base)) shouldBe served
+  }
+
+  test("cross-batch copy directions attribute to the true earliest holder") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_span_crafted")
+      .toFile.getAbsolutePath
+    val block = (0 until 25).map(i => s"w$i").mkString(" ")
+    // original lands in batch 0; the copier arrives TWO batches later —
+    // the min-holder merge must still attribute across the batch gap
+    IncrementalSpan.processBatch(spark,
+      Seq((1L, block)).toDF("doc_id", "text"), base, Some(0L))
+    IncrementalSpan.processBatch(spark,
+      Seq((2L, (0 until 22).map(i => s"x$i").mkString(" "))).toDF("doc_id", "text"),
+      base, Some(1L))
+    IncrementalSpan.processBatch(spark,
+      Seq((3L, block + " tail0 tail1")).toDF("doc_id", "text"), base, Some(2L))
+    val got = IncrementalSpan.serveSpanSource(spark, base).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    got(1L).getLong(2) shouldBe 0L // the original copied nothing
+    got(3L).getLong(2) shouldBe 6L // all 6 shared windows attributed
+    got(3L).getLong(4) shouldBe 1L // to the batch-0 original
+    // facade handle serves the same rows
+    import graft.api.implicits._
+    rows(spark.graft.spanState(base).provenance) shouldBe
+      rows(IncrementalSpan.serveSpanSource(spark, base))
+  }
+}
