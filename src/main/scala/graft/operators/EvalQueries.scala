@@ -204,5 +204,67 @@ object EvalQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(evalRecall, evalNdcg)
+  /** MRR@10 and precision@5 of the registered hybrid — the remaining
+    * two standard retrieval metrics, on q_eval_ndcg's exact grade rule
+    * with a binary cutoff (relevant = rel ≥ 2 of the 3 query terms; the
+    * self-match always grades 3, so every query has relevant docs and
+    * MRR is never 0/0 — and since both rankers surface the self-doc at
+    * rank 1 on this fixture, MRR saturates at 1.0 here; precision@5
+    * carries the fixture's discriminating signal, and first_rel_rank
+    * would register any future ranking regression). One row per query:
+    * (query_id, first_rel_rank, mrr, rel_at_5, precision_at_5) — MRR is
+    * 1/first_rel_rank (0 when no relevant doc surfaces in the top-10),
+    * both metrics exact rationals of small ints (6dp display round).
+    */
+  val evalMrr = QueryDef(
+    "q_eval_mrr",
+    (s, dir) => {
+      val qterms = SearchQueries.bm25QueryTerms(s, dir)
+      val docToks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("token"))
+        .distinct()
+      val rel = docToks.join(broadcast(qterms), "token")
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
+      val hyb = SearchQueries.textHybrid.query(s, dir)
+        .select("query_id", "rank", "doc_id")
+      val graded = hyb.join(rel, Seq("query_id", "doc_id"), "left")
+        .withColumn("is_rel", coalesce(col("rel"), lit(0L)) >= 2)
+      graded.groupBy("query_id")
+        .agg(min(when(col("is_rel"), col("rank"))).as("first_rel_rank"),
+          sum(when(col("is_rel") && col("rank") <= 5, 1L).otherwise(0L)).as("rel_at_5"))
+        .select(col("query_id"),
+          coalesce(col("first_rel_rank"), lit(0)).as("first_rel_rank"),
+          coalesce(round(lit(1.0) / col("first_rel_rank"), 6), lit(0.0)).as("mrr"),
+          col("rel_at_5"),
+          (col("rel_at_5").cast(DoubleType) / 5).as("precision_at_5"))
+        .orderBy("query_id")
+    },
+    Some(s"""
+      WITH ${SearchQueries.Bm25ScoreCtes},
+      dt AS (SELECT DISTINCT doc_id, token FROM toks),
+      rel AS (SELECT q.query_id, dt.doc_id, COUNT(*) AS rel
+              FROM dt JOIN qterms q ON dt.token = q.token
+              GROUP BY q.query_id, dt.doc_id),
+      hyb AS (SELECT query_id, rank, doc_id FROM (
+        ${SearchQueries.textHybrid.oracle.get})),
+      graded AS (
+        SELECT h.query_id, h.rank,
+               COALESCE(r.rel, 0) >= 2 AS is_rel
+        FROM hyb h LEFT JOIN rel r ON r.query_id = h.query_id AND r.doc_id = h.doc_id),
+      agg AS (
+        SELECT query_id,
+               MIN(CASE WHEN is_rel THEN rank END) AS frr,
+               CAST(SUM(CASE WHEN is_rel AND rank <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS rel_at_5
+        FROM graded GROUP BY query_id)
+      SELECT query_id,
+             CAST(COALESCE(frr, 0) AS INTEGER) AS first_rel_rank,
+             COALESCE(ROUND(CAST(1.0 AS DOUBLE) / frr, 6), CAST(0.0 AS DOUBLE)) AS mrr,
+             rel_at_5,
+             CAST(rel_at_5 AS DOUBLE) / 5 AS precision_at_5
+      FROM agg
+      ORDER BY query_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(evalRecall, evalNdcg, evalMrr)
 }

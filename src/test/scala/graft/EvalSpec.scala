@@ -77,4 +77,29 @@ class EvalSpec extends SparkTestBase with Matchers {
       row.getDouble(4) shouldBe dround(dcg / idcg, 6) +- 1e-9
     }
   }
+
+  test("q_eval_mrr equals a driver-side recomputation on the binary-cutoff grade rule") {
+    val rows = EvalQueries.evalMrr.query(spark, sfTiny).collect()
+    rows.length shouldBe 8
+    val qterms = SearchQueries.bm25QueryTerms(spark, sfTiny).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    val docToks = Tables.documents(spark, sfTiny).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    def isRel(qid: Long, d: Long): Boolean = qterms(qid).count(docToks(d).contains) >= 2
+    val hyb = SearchQueries.textHybrid.query(spark, sfTiny)
+      .select("query_id", "rank", "doc_id").collect().groupBy(_.getLong(0))
+    for (row <- rows) {
+      val qid = row.getLong(0)
+      val ranked = hyb(qid).sortBy(_.getInt(1))
+      val frr = ranked.find(h => isRel(qid, h.getLong(2))).map(_.getInt(1)).getOrElse(0)
+      row.getInt(1) shouldBe frr
+      row.getDouble(2) shouldBe (if (frr == 0) 0.0
+        else math.round(1.0 / frr * 1e6) / 1e6)
+      val p5 = ranked.filter(_.getInt(1) <= 5).count(h => isRel(qid, h.getLong(2)))
+      row.getLong(3) shouldBe p5.toLong
+      row.getDouble(4) shouldBe p5 / 5.0
+    }
+    // the fixture's signal lives in precision@5 — it must actually vary
+    rows.map(_.getDouble(4)).distinct.length should be > 1
+  }
 }
