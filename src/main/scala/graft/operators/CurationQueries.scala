@@ -605,7 +605,75 @@ object CurationQueries {
     """.trim),
   )
 
+  /** Novelty core over an explicit incoming predicate — see
+    * [[textNovelty]]; factored so NoveltySpec can drive a crafted split
+    * with known shared/new window masses.
+    */
+  private[graft] def noveltyOn(docs: org.apache.spark.sql.DataFrame,
+      isNew: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val standing = TextQueries.windowGrams(docs.filter(!isNew)).select("gh").distinct()
+    val incoming = docs.filter(isNew)
+    // grams feed the per-doc mass AND the anti-join — cut the lineage once
+    val grams = TextQueries.windowGrams(incoming).localCheckpoint()
+    val novel = grams.join(standing, Seq("gh"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("novel_windows"))
+    val nWin = grams.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    incoming.select("doc_id")
+      .join(nWin, Seq("doc_id"), "left")
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("novel_windows"), lit(0L)).as("novel_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0,
+          round(coalesce(col("novel_windows"), lit(0L)).cast(DoubleType)
+            / col("n_windows"), 6)).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** Incoming-slice NOVELTY — the admission-gate complement of the
+    * provenance audit: per incoming document (doc_id % 5 == 0, the house
+    * slice rule), the fraction of its stride-1 20-token windows that
+    * occur NOWHERE in the standing corpus — "how much new information
+    * does this slice actually carry" (a slice that is 95% known windows
+    * is re-crawl/copy mass and wastes training tokens; cf. the
+    * substring-dedup grain, Lee et al. 2021). Scale shape: the standing
+    * side is one distinct over the window-hash shuffle (at 100 TB: the
+    * PERSISTED window-hash set IncrementalSpan's stats already maintain
+    * — serve it from state instead of rebuilding); the incoming side is
+    * slice-linear; the anti-join keys on 8-byte hashes. Oracle on the
+    * window strings (the hashed-count precedent).
+    */
+  val textNovelty = QueryDef(
+    "q_text_novelty",
+    (s, dir) => noveltyOn(Tables.documents(s, dir).select("doc_id", "text"),
+      col("doc_id") % 5 === 0),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(greatest(len(toks) - 19, 0)),
+                 i -> list_aggregate(toks[i+1:i+20], 'string_agg', ' '))) AS g
+        FROM t),
+      standing AS (SELECT DISTINCT g FROM g WHERE doc_id % 5 != 0),
+      inc AS (SELECT doc_id, g FROM g WHERE doc_id % 5 = 0),
+      novel AS (SELECT inc.doc_id, COUNT(*) AS novel_windows
+                FROM inc LEFT JOIN standing s ON s.g = inc.g
+                WHERE s.g IS NULL GROUP BY inc.doc_id),
+      nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM inc GROUP BY doc_id)
+      SELECT d.doc_id,
+             COALESCE(nw.n_windows, 0) AS n_windows,
+             COALESCE(nv.novel_windows, 0) AS novel_windows,
+             CASE WHEN COALESCE(nw.n_windows, 0) > 0
+                  THEN ROUND(CAST(COALESCE(nv.novel_windows, 0) AS DOUBLE) / nw.n_windows, 6)
+             END AS novelty
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+      LEFT JOIN nw USING (doc_id)
+      LEFT JOIN novel nv USING (doc_id)
+      ORDER BY d.doc_id
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(pipelineDecontam, textBoilerplate, pipelineMix, pipelineAudit,
     textChunkDedup, textPii, pipelinePack, pipelineMixTemp, sampleWeighted, qualityCalib,
-    pipelineShards)
+    pipelineShards, textNovelty)
 }

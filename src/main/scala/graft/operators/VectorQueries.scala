@@ -1925,8 +1925,103 @@ object VectorQueries {
   // NewOpsSpec's rank-agreement truth (:96/:124). Oracles retained on
   // the unregistered QueryDefs; the registered twins read the persisted
   // graph (the 100 TB plan).
+  /** Sequential-fold inner product over two double-array columns (same
+    * summation order as DuckDB's list_inner_product — the
+    * q_vec_quantize-proven parity).
+    */
+  private def innerFoldSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+  private def cosFoldSql(a: String, b: String): String =
+    s"round(${innerFoldSql(a, b)} / sqrt(${innerFoldSql(a, a)} * ${innerFoldSql(b, b)}), 6)"
+
+  /** Embedding distribution-shift monitor — the VECTOR twin of
+    * q_text_drift (an embedding pipeline must watch its incoming slice
+    * the way a text pipeline watches token distributions: encoder
+    * version bumps, upstream corpus shifts, and silently re-normalized
+    * vectors all surface here first). Per label, between the standing
+    * corpus (vec_id % 5 != 0 — the house slice rule) and the incoming
+    * slice: slice sizes, the cosine between slice centroids, each
+    * slice's mean member-cosine to the STANDING centroid (the fixed
+    * reference frame), and drift = mean_cos_old − mean_cos_new — how
+    * much farther from the standing center the incoming vectors sit.
+    *
+    * Scale shape: two exact scaled-long centroid aggregates
+    * (VectorCentroid — mergeable partials, order-free) + one linear
+    * member scan against the broadcast per-label centroids; output is
+    * label-grain. Float parity: centroids 6dp-rounded per dim (identical
+    * operand bits both engines), member cosines 6dp-rounded to exact
+    * decimals before the order-free mean (the lm_score recipe).
+    */
+  val vecDrift = QueryDef(
+    "q_vec_drift",
+    (s, dir) => {
+      val centroidUdaf = udaf(new VectorCentroid(64))
+      val sliced = Tables.embeddings(s, dir)
+        .select(col("label"), col("vec_id"), col("embedding"))
+        .withColumn("slice", when(col("vec_id") % 5 === 0, lit("new")).otherwise(lit("old")))
+      val cents = sliced.groupBy("label", "slice")
+        .agg(centroidUdaf(col("embedding")).as("c0"), count(lit(1)).as("n"))
+        .select(col("label"), col("slice"), col("n"),
+          expr("transform(c0, x -> round(x, 6))").as("c"))
+        .localCheckpoint() // feeds the centroid-pair join AND the member scan
+      val co = cents.filter(col("slice") === "old")
+        .select(col("label"), col("n").as("n_old"), col("c").as("c_old"))
+      val cn = cents.filter(col("slice") === "new")
+        .select(col("label").as("l2"), col("n").as("n_new"), col("c").as("c_new"))
+      val memb = sliced.join(broadcast(co.select(col("label"), col("c_old"))), "label")
+        .withColumn("emb_d", expr("transform(embedding, x -> cast(x as double))"))
+        .withColumn("cos", expr(cosFoldSql("emb_d", "c_old")).cast(DecimalType(18, 8)))
+      val means = memb.groupBy("label", "slice")
+        .agg(round(sum("cos").cast(DoubleType) / count(lit(1)), 6).as("m"))
+      val mo = means.filter(col("slice") === "old").select(col("label"), col("m").as("mean_cos_old"))
+      val mn = means.filter(col("slice") === "new").select(col("label").as("l3"), col("m").as("mean_cos_new"))
+      co.join(cn, col("label") === col("l2"))
+        .withColumn("cos_centroids", expr(cosFoldSql("c_old", "c_new")))
+        .join(mo, "label")
+        .join(mn, col("label") === col("l3"))
+        .select(col("label"), col("n_old"), col("n_new"), col("cos_centroids"),
+          col("mean_cos_old"), col("mean_cos_new"),
+          round(col("mean_cos_old") - col("mean_cos_new"), 6).as("drift"))
+        .orderBy("label")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label,
+                        CASE WHEN vec_id % 5 = 0 THEN 'new' ELSE 'old' END AS slice,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      x AS (SELECT label, slice, CAST(i - 1 AS INTEGER) AS dim,
+                   CAST(CAST(emb[i] AS DOUBLE) * 17592186044416 AS BIGINT) AS sv
+            FROM e CROSS JOIN generate_series(1, 64) AS t(i)),
+      g AS (SELECT label, slice, dim, COUNT(*) AS n, SUM(sv) AS s FROM x GROUP BY 1, 2, 3),
+      cent AS (SELECT label, slice, CAST(MAX(n) AS BIGINT) AS n,
+                      list(ROUND(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 17592186044416), 6)
+                           ORDER BY dim) AS c
+               FROM g GROUP BY label, slice),
+      co AS (SELECT label, n AS n_old, c AS c_old FROM cent WHERE slice = 'old'),
+      cn AS (SELECT label, n AS n_new, c AS c_new FROM cent WHERE slice = 'new'),
+      memb AS (SELECT e.label, e.slice,
+                      CAST(ROUND(list_inner_product(emb, c_old)
+                        / sqrt(list_inner_product(emb, emb) * list_inner_product(c_old, c_old)),
+                        6) AS DECIMAL(18,8)) AS cos
+               FROM e JOIN co ON co.label = e.label),
+      means AS (SELECT label, slice, ROUND(CAST(SUM(cos) AS DOUBLE) / COUNT(*), 6) AS m
+                FROM memb GROUP BY label, slice)
+      SELECT co.label, n_old, n_new,
+             ROUND(list_inner_product(c_old, c_new)
+               / sqrt(list_inner_product(c_old, c_old) * list_inner_product(c_new, c_new)), 6) AS cos_centroids,
+             mo.m AS mean_cos_old, mn.m AS mean_cos_new,
+             ROUND(mo.m - mn.m, 6) AS drift
+      FROM co
+      JOIN cn ON cn.label = co.label
+      JOIN means mo ON mo.label = co.label AND mo.slice = 'old'
+      JOIN means mn ON mn.label = co.label AND mn.slice = 'new'
+      ORDER BY co.label
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(cosineTopk, vecCentroid, vecCentroidUdaf, annLsh, annIvf, vecQuantize,
     annFiltered, vecKnnGraphLsh, vecKnnGraphLsh24, vecKnnGraphIvf, vecCluster, vecPq, annIvfPq,
     vecKnnGraphIncr, vecKnnGraphIncrLsh, annIvfPqIncr, vecPagerankLsh, vecCoreset,
-    vecCoresetBatch, vecTruncated, vecMips, vecPagerankPers)
+    vecCoresetBatch, vecTruncated, vecMips, vecPagerankPers, vecDrift)
 }
