@@ -95,47 +95,55 @@ object Bench {
       median
     }
 
-    // --- contended-start self-healing (r10 verdict item 1) ---------------
-    // Both contended driver artifacts (r9, r10) share one shape: an
-    // out-of-band START probe that decays to in-band by mid-suite, so the
-    // inflation sits entirely in the alphabetically-early block while the
-    // steady tail matches clean runs query-for-query. A reading like that
-    // must not just self-LABEL — it must self-HEAL: when the start probe
-    // reads beyond the committed in-band reference (1.26–1.78 s, PERF.md
-    // r10; threshold 1.8 s), re-probe every `ProbeEvery` queries until a
-    // probe reads in-band again, remember where the contended window
-    // ended, and RE-RUN that block's reps after the suite finishes (the
-    // box has demonstrably calmed by then — and if the post-suite probe
-    // is still out-of-band, keep the smaller of the two medians: both
-    // windows were contended and the lower bound is the honest number).
+    // --- contended-window self-healing (r10 verdict item 1) --------------
+    // Contended readings on this box come in transient WINDOWS: the r9/r10
+    // driver artifacts were suite-start windows (out-of-band start probe
+    // decaying to in-band by mid), and an r11 builder run caught a
+    // MID-SUITE window (start/end probes in-band, mid 2.49 s, +20%
+    // uniform inflation on the surrounding block). A reading like that
+    // must not just self-LABEL — it must self-HEAL: whenever a sentinel
+    // probe (suite start, suite middle) reads beyond the committed
+    // in-band reference (1.26–1.78 s, PERF.md r10; threshold 1.8 s), a
+    // contended window OPENS there; cheap single-shot probes every
+    // `ProbeEvery` queries find where it CLOSES (one in-band reading is
+    // enough — a false "still contended" just re-measures a few more
+    // queries); and after the suite finishes every query inside a
+    // contended window RE-RUNS its reps (the box has demonstrably calmed
+    // by then — and if the post-suite probe is still out-of-band, the
+    // smaller of the two medians is kept: both windows were contended
+    // and the lower bound is the honest number).
     // SPARK_GRAFT_BENCH_BAND_HI overrides the threshold so the re-measure
     // path is PROVABLE without a genuinely contended box (set it below
     // the calibration floor to force the full self-heal machinery; the
     // committed default is the in-band reference's upper edge).
     val BandHi = sys.env.get("SPARK_GRAFT_BENCH_BAND_HI").map(_.toDouble).getOrElse(1.8)
     val ProbeEvery = 20
-    var contendedUntil = if (calibStart > BandHi) midIdx else 0
+    val contended = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var windowFrom = if (calibStart > BandHi) 0 else -1
     var calibMid = -1.0
     val firstPass = sortedQueries.zipWithIndex.map { case ((name, fn), qi) =>
-      if (qi == midIdx) calibMid = calibrate()
-      else if (qi > 0 && qi < contendedUntil && qi % ProbeEvery == 0) {
-        // cheap single-shot probe (not median-of-3): one in-band reading
-        // is enough to close the window — a false "still contended" just
-        // re-measures a few more queries
-        if (calibrate(shots = 1) <= BandHi) contendedUntil = qi
+      if (qi == midIdx) {
+        calibMid = calibrate()
+        if (windowFrom >= 0) { contended += ((windowFrom, qi)); windowFrom = -1 }
+        if (calibMid > BandHi) windowFrom = qi
+      } else if (windowFrom >= 0 && qi > windowFrom
+          && (qi - windowFrom) % ProbeEvery == 0) {
+        if (calibrate(shots = 1) <= BandHi) {
+          contended += ((windowFrom, qi)); windowFrom = -1
+        }
       }
       name -> measure(fn)
     }
-    // calibEnd doubles as the re-measure window's certification: in-band
+    if (windowFrom >= 0) contended += ((windowFrom, sortedQueries.length))
+    // calibEnd doubles as the re-measure pass's certification: in-band
     // means the re-run medians are clean readings and REPLACE the
-    // contended-window ones; still out-of-band means both windows were
-    // contended and the smaller median is the honest number.
+    // contended-window ones; still out-of-band means min-of-two.
     val calibEnd = calibrate()
     var requeried = 0
     val results =
-      if (contendedUntil <= 0) firstPass
+      if (contended.isEmpty) firstPass
       else firstPass.zipWithIndex.map { case ((name, median), qi) =>
-        if (qi >= contendedUntil || median < 0) name -> median
+        if (!contended.exists(w => qi >= w._1 && qi < w._2) || median < 0) name -> median
         else {
           requeried += 1
           val re = measure(sortedQueries(qi)._2)
