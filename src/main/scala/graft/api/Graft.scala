@@ -100,6 +100,15 @@ final class SpanStateHandle(val spark: SparkSession, val base: String) {
 
   /** The full who-copied-whom audit over everything ingested. */
   def provenance: DataFrame = IncrementalSpan.serveSpanSource(spark, base)
+
+  /** Novelty of a candidate (id, text) slice against the ingested
+    * corpus — the admission question asked from state, WITHOUT ingesting
+    * the slice (q_text_novelty's 100 TB path).
+    */
+  def noveltyOf(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    IncrementalSpan.serveNovelty(spark, base,
+        df.select(col(id).as("doc_id"), col(text).as("text")))
+      .withColumnRenamed("doc_id", id)
 }
 
 /** Handle over one inverted-index state. `ingest` lands a micro-batch of
@@ -1124,6 +1133,23 @@ final class GraftFrame(val df: DataFrame) {
     graft.operators.TextQueries.spanSourceOn(
         df.select(col(id).as("doc_id"), col(text).as("text")))
       .withColumnRenamed("doc_id", id)
+
+  /** Novelty of THIS frame's documents against a standing corpus frame —
+    * q_text_novelty's core over caller frames: per doc of this frame,
+    * the fraction of its stride-1 20-token windows absent from `other`.
+    */
+  def novelty(other: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val inc = df.select(col(id).as("doc_id"), col(text).as("text"))
+      .withColumn("__new", lit(true))
+    val standing = other.select(col(id).as("doc_id"), col(text).as("text"))
+      .withColumn("__new", lit(false))
+    // the slice predicate rides as a column, so the two frames stay
+    // apart even when their ids collide (an id present in both sides is
+    // scored only on THIS frame's windows, against other's window set)
+    graft.operators.CurationQueries.noveltyOn(
+        standing.unionByName(inc), col("__new"))
+      .withColumnRenamed("doc_id", id)
+  }
 
   /** eps-DP Laplace-noised group counts of `by` — q_dq_dpnoise's core:
     * `(by..., noised_count, released)` with deterministic per-key noise

@@ -107,6 +107,38 @@ object IncrementalSpan {
           s.read.schema(statsSchema).parquet(s"$base/$v/stats"))
     }
 
+  /** NOVELTY of a candidate slice against the STANDING state — the
+    * q_text_novelty semantics with the standing window set served from
+    * the maintained stats instead of re-tokenizing the corpus (the
+    * operator's documented 100 TB path): per candidate doc, the fraction
+    * of its stride-1 20-token windows absent from every ingested
+    * document's window set. The slice is NOT ingested by this call — it
+    * is the admission question ("how much new information would this
+    * slice add"), asked before committing it.
+    */
+  def serveNovelty(s: SparkSession, base: String, candidates: DataFrame): DataFrame = {
+    val standing = (currentPointer(s, base) match {
+      case Some((v, _)) => s.read.schema(statsSchema).parquet(s"$base/$v/stats")
+      case None => empty(s, statsSchema)
+    }).select("gh")
+    val grams = graft.operators.TextQueries.windowGrams(
+        candidates.select(col("doc_id"), col("text")))
+      .localCheckpoint() // feeds the per-doc mass AND the anti-join
+    val novel = grams.join(standing, Seq("gh"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("novel_windows"))
+    val nWin = grams.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    candidates.select("doc_id")
+      .join(nWin, Seq("doc_id"), "left")
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("novel_windows"), lit(0L)).as("novel_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0,
+          round(coalesce(col("novel_windows"), lit(0L)).cast(DoubleType)
+            / col("n_windows"), 6)).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Attach to a documents stream via foreachBatch (replay-protected). */
   def attach(docs: DataFrame, base: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>

@@ -56,4 +56,25 @@ class IncrementalSpanSpec extends SparkTestBase with Matchers {
     rows(spark.graft.spanState(base).provenance) shouldBe
       rows(IncrementalSpan.serveSpanSource(spark, base))
   }
+
+  test("serveNovelty from state == the registered q_text_novelty over the same split") {
+    val base = java.nio.file.Files.createTempDirectory("graft_span_novelty")
+      .toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfTiny)
+    // ingest ONLY the standing slice (the registered query's %5 rule),
+    // in two batches; the incoming slice is the admission candidate
+    for (i <- 0 until 2)
+      IncrementalSpan.processBatch(spark,
+        docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 === i),
+        base, batchId = Some(i.toLong))
+    val served = rows(IncrementalSpan.serveNovelty(spark, base,
+      docs.filter(col("doc_id") % 5 === 0)))
+    served should not be empty
+    served shouldBe rows(
+      graft.operators.CurationQueries.textNovelty.query(spark, sfTiny))
+    // the facade verb over two explicit frames agrees too
+    import graft.api.implicits._
+    rows(docs.filter(col("doc_id") % 5 === 0)
+      .graft.novelty(docs.filter(col("doc_id") % 5 =!= 0))) shouldBe served
+  }
 }
