@@ -135,11 +135,17 @@ class ApproxOpsSpec extends SparkTestBase with Matchers {
   test("q_dedup_cluster: LSH star+sweep labels ≡ exhaustive-join labels") {
     // the scale path (star edges + cross-component sweep) must reach the
     // exact same fixpoint as components over the full quadratic pair join
-    val lsh = DedupQueries.dedupCluster.query(spark, sfTiny).collect()
+    val lsh = DedupQueries.clusterLabelsFresh(spark, sfTiny).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val exhaustive = DedupQueries.dedupClusterExhaustive(spark, sfTiny).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     lsh shouldBe exhaustive
+    // the registered row reads the PERSISTED label table (r12, the
+    // lsh24-edge amortization contract) — prove the readback is the
+    // fresh derivation bit-for-bit every run, not just at oracle time
+    val persisted = DedupQueries.dedupCluster.query(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    persisted shouldBe lsh
   }
 
   test("q_dedup_cluster: labels are a fixpoint of the similarity graph") {

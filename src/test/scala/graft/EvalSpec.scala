@@ -46,6 +46,27 @@ class EvalSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("grade table: persisted qrels ≡ fresh derivation") {
+    // ndcg and mrr read the PERSISTED grade table (r12, the shared eval
+    // artifact) — prove readback ≡ fresh every run, not just at oracle time
+    val fresh = EvalQueries.gradeTableFresh(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val persisted = EvalQueries.gradeTablePersisted(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    fresh should not be empty
+    persisted shouldBe fresh
+  }
+
+  test("run file: persisted hybrid ranking ≡ fresh retrieval") {
+    val fresh = SearchQueries.textHybrid.query(spark, sfTiny)
+      .select("query_id", "rank", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val persisted = EvalQueries.hybridRunPersisted(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    fresh should not be empty
+    persisted shouldBe fresh
+  }
+
   test("q_eval_ndcg equals a driver-side recomputation from the hybrid ranking and the grade rule") {
     val rows = EvalQueries.evalNdcg.query(spark, sfTiny).collect()
     rows.length shouldBe 8

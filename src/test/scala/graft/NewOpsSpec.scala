@@ -20,6 +20,18 @@ class NewOpsSpec extends SparkTestBase with Matchers {
     pref shouldBe exact
   }
 
+  test("containment: persisted prefix relation ≡ fresh prefix derivation") {
+    // the registered row reads the PERSISTED df-ordered prefix (r12, the
+    // index-amortization contract) — prove readback ≡ fresh every run
+    val t = DedupQueries.containmentSets(spark, sfTiny)
+    val fresh = DedupQueries.containmentPrefixTable(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val persisted = DedupQueries.containmentPrefixPersisted(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    fresh should not be empty
+    persisted shouldBe fresh
+  }
+
   test("containment prefix filter: candidates are a strict subset of the ordered pair space") {
     val t = DedupQueries.containmentSets(spark, sfTiny).localCheckpoint()
     val nCands = DedupQueries.containmentPrefixCandidates(t).count()
