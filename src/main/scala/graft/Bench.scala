@@ -135,38 +135,63 @@ object Bench {
       name -> measure(fn)
     }
     if (windowFrom >= 0) contended += ((windowFrom, sortedQueries.length))
-    // calibEnd doubles as the re-measure pass's certification: in-band
-    // means the re-run medians are clean readings and REPLACE the
-    // contended-window ones; still out-of-band means min-of-two.
     val calibEnd = calibrate()
+    // The re-measure pass is certified by a probe taken AFTER it runs
+    // (calibPost) — calibEnd reads before any re-run executes, so it
+    // cannot rule out contention RESUMING during the re-measure pass
+    // (r11 advice): post-pass in-band means the re-run medians are clean
+    // readings and REPLACE the contended-window ones; out-of-band means
+    // both windows were contended and min-of-two is the honest number.
+    var calibPost = -1.0
     var requeried = 0
     val results =
       if (contended.isEmpty) firstPass
-      else firstPass.zipWithIndex.map { case ((name, median), qi) =>
-        if (!contended.exists(w => qi >= w._1 && qi < w._2) || median < 0) name -> median
-        else {
-          requeried += 1
-          val re = measure(sortedQueries(qi)._2)
-          if (re < 0) name -> median
-          else if (calibEnd <= BandHi) name -> re
-          else name -> math.min(median, re)
+      else {
+        val reRuns = firstPass.zipWithIndex.map { case ((_, median), qi) =>
+          if (!contended.exists(w => qi >= w._1 && qi < w._2) || median < 0) None
+          else { requeried += 1; Some(measure(sortedQueries(qi)._2)) }
+        }
+        calibPost = calibrate()
+        firstPass.zipWithIndex.map { case ((name, median), qi) =>
+          reRuns(qi) match {
+            case Some(re) if re >= 0 =>
+              if (calibPost <= BandHi) name -> re
+              else name -> math.min(median, re)
+            case _ => name -> median
+          }
         }
       }
     val loadEnd = loadAvg()
     val calib = s"""{"start":$calibStart,"mid":$calibMid,"end":$calibEnd,""" +
-      s""""requeried":$requeried,""" +
+      s""""post":$calibPost,"requeried":$requeried,""" +
       s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // Calibration-normalized total (r11 verdict item 2): the same tree
+    // read 155 s on a low-band box phase and 198 s on a mid-band one —
+    // a ±27% swing INSIDE the committed in-band window (1.26–1.78 s),
+    // which made raw cross-round totals a phase lottery. The probes are
+    // the phase sensor, so divide it out: total × (calibRefMid /
+    // median(probes)) with calibRefMid = 1.52, the in-band midpoint.
+    // Raw stays the headline of record for continuity; the 2×-rule audit
+    // reads the normalized number (BASELINE.md r11 adjudication). The
+    // reference is sf0.1-specific (the probe is ~1.5 s there); at other
+    // scale factors the normalized field is not comparable to anything.
+    val CalibRefMid = 1.52
+    val probes = Seq(calibStart, calibMid, calibEnd).filter(_ > 0).sorted
+    val calibMedian = if (probes.isEmpty) CalibRefMid else probes(probes.length / 2)
+    val totalNorm = total * (CalibRefMid / calibMedian)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""value_normalized":$totalNorm,"calib_ref_mid":$CalibRefMid,"queries":$qs,""" +
       s""""failed":${failedNames.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"cpus":"$cpus","calib":$calib}"""
     // The driver's capture truncates very long lines (BENCH_r06 lost its
     // total to `parsed: null` because the 200+-entry queries map came
     // first). Emit a SHORT total-metric line FIRST — always parseable —
     // then the full line with the per-query map for humans/BenchDiff.
-    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},""" +
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""value_normalized":$totalNorm,"calib_ref_mid":$CalibRefMid,"n_queries":${results.length},""" +
       s""""failed":${failedNames.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"cpus":"$cpus","calib":$calib}"""
     // append to the local history log (per-query regression tracking across
     // runs — read by BenchDiff). History failures must never fail the bench.
@@ -185,6 +210,17 @@ object Bench {
       val full = java.nio.file.Paths.get("bench_history/latest.json")
       java.nio.file.Files.createDirectories(full.getParent)
       java.nio.file.Files.write(full, (line + "\n").getBytes("UTF-8"))
+      // Append-only sibling (r11 verdict item 6): two same-round runs
+      // were destroying each other's per-query maps in latest.json —
+      // recoverable only via git archaeology. Each run also writes a
+      // uniquely-named file keyed by wall-clock and the calibration
+      // fingerprint, so every reading survives on disk.
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd-HHmmss").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      val uniq = java.nio.file.Paths.get(
+        f"bench_history/run-$stamp-c$calibMedian%.2f.json")
+      java.nio.file.Files.write(uniq, (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(totalLine)
     println(line)
