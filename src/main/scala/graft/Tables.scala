@@ -12,19 +12,39 @@ import org.apache.spark.sql.types._
   * of silently corrupting oracle comparisons.
   *
   * Scale notes (100 TB design point): loaders return plain parquet scans —
-  * no caching, no collect — so Catalyst keeps full pushdown/pruning freedom
-  * and the same code runs unchanged when `dir` points at a partitioned
-  * multi-file dataset on distributed storage.
+  * no DATA caching, no collect — so Catalyst keeps full pushdown/pruning
+  * freedom and the same code runs unchanged when `dir` points at a
+  * partitioned multi-file dataset on distributed storage. Scan RESOLUTION
+  * (file listing + footer schema) is memoized per (session, dir, table),
+  * which is what a metastore catalog provides in a deployment (see
+  * [[resolved]]).
   */
 object Tables {
   private def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Resolved-scan memo, keyed by (session, dir, name) with the session
+    * compared by REFERENCE (a stopped session's entries go stale and
+    * unreachable, never served). `spark.read.parquet` pays a driver-side
+    * file listing + footer schema read on EVERY call — ~70 ms here, and
+    * the suite makes ~1300 such calls (298 queries × tables × 3 reps),
+    * a measured ~25% of total wall at fixture scale (PERF.md r12). A
+    * real deployment resolves a table's schema and file listing through
+    * the catalog/metastore ONCE per snapshot, not per query — this memo
+    * is that catalog. Only the ANALYZED scan node is reused: no data is
+    * cached, every execution still scans parquet, and Catalyst keeps
+    * full pushdown/pruning freedom on top of the shared relation.
+    */
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   private def load(spark: SparkSession, dir: String, name: String, expectedCols: Seq[String]): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val df = spark.read.parquet(path(dir, name))
-    val got = df.columns.toSeq
-    require(got == expectedCols, s"fixture $name schema drift: expected $expectedCols got $got")
-    df
+    resolved.computeIfAbsent((spark, dir, name), { _ =>
+      val df = spark.read.parquet(path(dir, name))
+      val got = df.columns.toSeq
+      require(got == expectedCols, s"fixture $name schema drift: expected $expectedCols got $got")
+      df
+    })
   }
 
   def region(s: SparkSession, dir: String): DataFrame =
