@@ -32,6 +32,69 @@ class IncrementalSpanSpec extends SparkTestBase with Matchers {
     rows(IncrementalSpan.serveSpanSource(spark, base)) shouldBe served
   }
 
+  test("compaction: folded segments serve identically; interleaved ingest rebase loses nothing") {
+    val base = java.nio.file.Files.createTempDirectory("graft_span_compact")
+      .toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfTiny)
+    for (i <- 0 until 3)
+      IncrementalSpan.processBatch(spark, docs.filter(col("doc_id") % 4 === i),
+        base, batchId = Some(i.toLong))
+    val before = rows(IncrementalSpan.serveSpanSource(spark, base))
+    IncrementalSpan.compactSegments(spark, base)
+    val stC = IncrementalSpan.currentState(spark, base)
+    stC.occSegs.length shouldBe 1 // three batch segments folded into one
+    stC.docSegs.length shouldBe 1
+    rows(IncrementalSpan.serveSpanSource(spark, base)) shouldBe before
+    // lost-CAS rebase: a batch commits BETWEEN a compactor's read and its
+    // publish — the compactor must keep the interloper's segments
+    val observed = IncrementalSpan.currentState(spark, base)
+    IncrementalSpan.processBatch(spark, docs.filter(col("doc_id") % 4 === 3),
+      base, batchId = Some(3L))
+    val full = rows(IncrementalSpan.serveSpanSource(spark, base))
+    full shouldBe rows(TextQueries.textSpanSource.query(spark, sfTiny))
+    IncrementalSpan.compactFrom(spark, base, observed)
+    rows(IncrementalSpan.serveSpanSource(spark, base)) shouldBe full
+    // replay after compaction is still a no-op
+    IncrementalSpan.processBatch(spark, docs.filter(col("doc_id") % 4 === 3),
+      base, batchId = Some(3L))
+    rows(IncrementalSpan.serveSpanSource(spark, base)) shouldBe full
+  }
+
+  test("concurrent ingest: two sessions racing the same state lose no batch") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_span_race")
+      .toFile.getAbsolutePath
+    IncrementalSpan.processBatch(spark,
+      Seq((1L, (0 until 25).map(i => s"a$i").mkString(" "))).toDF("doc_id", "text"),
+      base, Some(0L))
+    // two genuinely concurrent writers from the SAME committed state:
+    // both observe v0, both attempt the v1 CAS — exactly one wins it,
+    // the loser must rebase onto the winner (the old pointer-swap bug
+    // silently dropped one batch here)
+    val bBatch = Seq((2L, (0 until 25).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    val cBatch = Seq((3L, (0 until 25).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val tB = new Thread(() => IncrementalSpan.processBatch(spark, bBatch, base, None))
+    val tC = new Thread(() => IncrementalSpan.processBatch(spark, cBatch, base, None))
+    tB.start(); tC.start(); tB.join(); tC.join()
+    val got = IncrementalSpan.serveSpanSource(spark, base).collect()
+      .map(_.getLong(0)).toSet
+    got shouldBe Set(1L, 2L, 3L) // nobody's batch was lost or torn
+    IncrementalSpan.currentState(spark, base).version shouldBe 2L
+  }
+
+  test("superseded stats dirs are GC'd: at most two stats versions survive a long ingest") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_span_gc")
+      .toFile.getAbsolutePath
+    for (i <- 0 until 5)
+      IncrementalSpan.processBatch(spark,
+        Seq((i.toLong, (0 until 22).map(j => s"t${i}_$j").mkString(" ")))
+          .toDF("doc_id", "text"), base, Some(i.toLong))
+    val statsDirs = new java.io.File(s"$base/stats").listFiles()
+    statsDirs.length should be <= 2 // current + one superseded, never the full history
+    IncrementalSpan.serveSpanSource(spark, base).count() shouldBe 5L
+  }
+
   test("cross-batch copy directions attribute to the true earliest holder") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_span_crafted")
