@@ -1154,10 +1154,18 @@ final class GraftFrame(val df: DataFrame) {
   /** eps-DP Laplace-noised group counts of `by` — q_dq_dpnoise's core:
     * `(by..., noised_count, released)` with deterministic per-key noise
     * (concatenate a release nonce into a group column to re-randomize).
+    * NULL group values are encoded EXPLICITLY in the noise key (a
+    * reserved sentinel per component) — concat_ws silently skips NULLs,
+    * which would collide distinct groups like (NULL,'x') / ('x',NULL) /
+    * ('x') onto one key and hand them identical correlated Laplace
+    * draws, weakening the release for nullable group columns. A literal
+    * cell equal to the sentinel still collides with NULL — acceptable
+    * for the U+0000-prefixed sentinel, which no real category contains.
     */
   def noisedCounts(by: Seq[String], eps: Double = 1.0): DataFrame = {
     val g = df.groupBy(by.map(col): _*).agg(count(lit(1)).as("n"))
-    val key = concat_ws("|", by.map(c => col(c).cast("string")): _*)
+    val key = concat_ws("|",
+      by.map(c => coalesce(col(c).cast("string"), lit("\u0000NULL"))): _*)
     g.withColumn("noise", graft.operators.MoreQueries.laplaceNoise(key, eps))
       .select(by.map(col) ++ Seq(
         round(col("n") + col("noise"), 6).as("noised_count"),

@@ -69,15 +69,23 @@ object IncrementalIndex {
 
   /** One committed index state: the `log/v<version>` record. `segs` are
     * dir names under `postings/`; `statsDir` is relative to `base`.
+    * `ndocs` is the CUMULATIVE ingested document count (r11 advice: a
+    * NULL-text document lands zero postings, so a count reconstructed
+    * from postings under-reports n_docs/avgdl and breaks the documented
+    * bit-equality of [[serveHybrid]]/[[bm25]] with the registered
+    * queries, which count ALL corpus rows). Records written before this
+    * field parse with ndocs absent and the serve paths fall back to the
+    * postings-derived count.
     */
   private[graft] case class IndexState(version: Long, statsDir: Option[String],
-      segs: Seq[String], batch: Option[Long])
+      segs: Seq[String], batch: Option[Long], ndocs: Option[Long] = None)
 
   private val EmptyState = IndexState(-1L, None, Seq.empty, None)
 
   private def recordBody(st: IndexState): String =
     s"stats=${st.statsDir.getOrElse("")};segs=${st.segs.mkString(",")};" +
-      s"batch=${st.batch.fold("-")(_.toString)}"
+      s"batch=${st.batch.fold("-")(_.toString)};" +
+      s"ndocs=${st.ndocs.fold("-")(_.toString)}"
 
   private def parseRecord(version: Long, body: String): IndexState = {
     val kv = body.trim.split(";").map { f =>
@@ -87,7 +95,8 @@ object IncrementalIndex {
     IndexState(version,
       kv.get("stats").filter(_.nonEmpty),
       kv.get("segs").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty),
-      kv.get("batch").filter(_ != "-").map(_.toLong))
+      kv.get("batch").filter(_ != "-").map(_.toLong),
+      kv.get("ndocs").filter(_ != "-").map(_.toLong))
   }
 
   private def readRecord(s: SparkSession, base: String, v: Long): Option[IndexState] =
@@ -148,6 +157,22 @@ object IncrementalIndex {
     if (st.segs.isEmpty) emptyDf(s, postingsSchema)
     else s.read.schema(postingsSchema).parquet(st.segs.map(n => s"$base/postings/$n"): _*)
 
+  /** The (n_docs, avgdl) singleton for scoring: n_docs is the record's
+    * persisted ingest census when present (exact even when NULL-text
+    * documents landed zero postings — they count toward n_docs and
+    * dilute avgdl, exactly as the registered queries' all-rows
+    * derivation does), else the postings-derived count (pre-ndocs
+    * records; exact for corpora where every doc yields ≥ 1 posting).
+    */
+  private def globOf(st: IndexState, docs: DataFrame): DataFrame = st.ndocs match {
+    case Some(n) if n > 0 =>
+      docs.agg(lit(n).as("n_docs"),
+        (sum("dl").cast(DoubleType) / lit(n.toDouble)).as("avgdl"))
+    case _ =>
+      docs.agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+  }
+
   private def batchTf(batch: DataFrame): DataFrame =
     batch.select(col("doc_id"),
         explode(graft.functions.Tokenize.tokens(col("text"))).as("token"))
@@ -167,6 +192,10 @@ object IncrementalIndex {
     val tf = batchTf(batch).localCheckpoint()
     val partial = tf.groupBy("token")
       .agg(count(lit(1)).as("df2"), sum("tf").as("cf2"))
+    // cumulative doc count rides in the record (NULL-text docs land no
+    // postings but DO count toward n_docs/avgdl — the serveHybrid/bm25
+    // contract); pure batch data, so rebases reuse it
+    val batchDocs = batch.select("doc_id").distinct().count()
     var st = st0
     var attempts = 0
     var committed = false
@@ -202,8 +231,14 @@ object IncrementalIndex {
           statsOf = Some((n, st.statsDir.getOrElse("")))
           n
       }
+      // a pre-ndocs predecessor record (absent field) falls back to the
+      // postings-derived doc count once, here at ingest time
+      val baseDocs = st.ndocs.getOrElse {
+        if (st.segs.isEmpty) 0L
+        else readPostingsOf(s, base, st).select("doc_id").distinct().count()
+      }
       val next = IndexState(v, Some(statsName), st.segs :+ segName,
-        batchId.orElse(st.batch))
+        batchId.orElse(st.batch), Some(baseDocs + batchDocs))
       if (publish(s, base, next)) committed = true
       else {
         st = currentState(s, base)
@@ -244,8 +279,7 @@ object IncrementalIndex {
     val tf = readPostingsOf(s, base, st)
     val dfRel = readStatsOf(s, base, st).select(col("token"), col("df"))
     val docs = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val glob = docs.agg(count(lit(1)).as("n_docs"),
-      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val glob = globOf(st, docs)
     val qterms = queries.select(col(qid),
       explode(array_distinct(graft.functions.Tokenize.tokens(col(qtext)))).as("token"))
     val contrib = tf.join(broadcast(qterms), "token")
@@ -269,8 +303,9 @@ object IncrementalIndex {
     * side re-derives q_text_hybrid's corpus queries (doc_id < 8, top-3
     * tf-idf terms) and their full BM25 score relation ENTIRELY from the
     * state's postings + stats (tf from segments, df from the stats
-    * table, dl = Σtf per doc, n_docs/avgdl from one postings aggregate —
-    * exact for whitespace-token corpora, the [[bm25]] argument), then
+    * table, dl = Σtf per doc, n_docs from the record's persisted ingest
+    * census — exact even when NULL-text docs landed zero postings, r11
+    * advice — and avgdl = Σdl / n_docs), then
     * hands the scores to the REGISTERED query's own fusion tail
     * (SearchQueries.hybridFrom), so the rank/fuse/top-k plan is shared
     * code and the state-served result is bit-equal to q_text_hybrid once
@@ -285,8 +320,7 @@ object IncrementalIndex {
     val tf = readPostingsOf(s, base, st)
     val dfRel = readStatsOf(s, base, st).select(col("token"), col("df"))
     val docs = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val glob = docs.agg(count(lit(1)).as("n_docs"),
-      (sum("dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val glob = globOf(st, docs)
     // corpus-derived query terms — bm25ScoresStage's qterms with tf/df
     // read from state instead of re-tokenized text
     val scoredQ = tf.filter(col("doc_id") < 8).join(dfRel, "token")
@@ -377,7 +411,8 @@ object IncrementalIndex {
       // keep every segment committed since the observed state (an
       // interleaved append loses nothing); swap only the folded inputs
       val next = IndexState(st.version + 1, st.statsDir,
-        (cName +: st.segs.filterNot(folded.contains)).distinct, st.batch)
+        (cName +: st.segs.filterNot(folded.contains)).distinct, st.batch,
+        st.ndocs) // compaction rewrites segments, never the corpus census
       if (publish(s, base, next)) committed = true
       else st = currentState(s, base)
     }

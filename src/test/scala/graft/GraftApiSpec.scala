@@ -717,6 +717,22 @@ class GraftApiSpec extends SparkTestBase with Matchers {
       rows(graft.operators.EventQueries.eventsNextstep.query(spark, sfTiny))
   }
 
+  test("noisedCounts: NULL group values get distinct noise keys, not collided draws") {
+    import graft.api.implicits._
+    // (NULL,'x'), ('x',NULL), ('x','x'): concat_ws used to skip NULLs and
+    // collide all keys containing one 'x' — the r11 advice fix encodes
+    // NULLs explicitly, so each group must draw its own noise
+    import spark.implicits._
+    val rows = (Seq.fill(40)((Option.empty[String], Some("x")))
+      ++ Seq.fill(40)((Some("x"), Option.empty[String]))
+      ++ Seq.fill(40)((Some("x"), Some("x"))))
+      .toDF("a", "b")
+    val got = rows.graft.noisedCounts(Seq("a", "b"), eps = 1.0).collect()
+    got.length shouldBe 3
+    val noises = got.map(r => r.getDouble(2) - 40.0)
+    noises.distinct.length shouldBe 3 // three groups, three independent draws
+  }
+
   test("indexState handle: ingest + serve equals the registered retrieval queries") {
     import graft.api.implicits._
     import org.apache.spark.sql.functions._

@@ -119,6 +119,33 @@ class IncrementalIndexSpec extends SparkTestBase with Matchers {
     IncrementalIndex.searchHeads(spark, base).collect().map(_.toString).toSeq shouldBe heads
   }
 
+  test("NULL-text docs count toward n_docs/avgdl: state bm25 == facade bm25 (r11 advice)") {
+    import spark.implicits._
+    import graft.api.implicits._
+    val base = Files.createTempDirectory("graft_incidx_nulls").toFile.getAbsolutePath
+    // a NULL-text doc lands ZERO postings (empty string still yields one
+    // empty token) — the persisted ingest census must still count it, or
+    // every idf/avgdl term drifts from the all-rows registered derivation
+    val corpus = Tables.documents(spark, sfTiny).select("doc_id", "text")
+      .unionByName(Seq((100000L, Option.empty[String])).toDF("doc_id", "text"))
+      .localCheckpoint()
+    for (i <- 0 until 2)
+      IncrementalIndex.processBatch(spark, corpus.filter(col("doc_id") % 2 === i),
+        base, batchId = Some(i.toLong))
+    val queries = corpus.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+    val fromState = IncrementalIndex.bm25(spark, base, queries)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val fromScratch = corpus.graft.bm25(queries)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    fromState should not be empty
+    fromState shouldBe fromScratch
+    // compaction carries the census forward unchanged
+    IncrementalIndex.compactSegments(spark, base)
+    IncrementalIndex.bm25(spark, base, queries)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq shouldBe fromState
+  }
+
   test("CAS-guarded compaction: an interleaved append during compact loses nothing") {
     val base = Files.createTempDirectory("graft_incidx_cas").toFile.getAbsolutePath
     val docs = Tables.documents(spark, sfTiny)
