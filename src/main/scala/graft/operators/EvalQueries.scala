@@ -96,26 +96,61 @@ object EvalQueries {
     * driver-side recomputations re-rank fresh and re-prove it every
     * `sbt test`.
     */
-  private[graft] def hybridRunPersisted(s: SparkSession, dir: String): DataFrame =
-    synchronized {
-      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val base = graft.sources.GraftFs.qualify(s, s"target/graft-eval/$tag/hybrid_run")
-      if (!graft.sources.GraftFs.hasSuccess(s, base)) {
-        SearchQueries.textHybrid.query(s, dir)
-          .select("query_id", "rank", "doc_id")
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(base)
-      }
-      s.read.parquet(base)
+  private def runFilePersisted(s: SparkSession, dir: String, name: String)
+      (fresh: => DataFrame): DataFrame = synchronized {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = graft.sources.GraftFs.qualify(s, s"target/graft-eval/$tag/${name}_run")
+    if (!graft.sources.GraftFs.hasSuccess(s, base)) {
+      fresh.select("query_id", "rank", "doc_id")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(base)
     }
+    s.read.parquet(base)
+  }
 
-  /** recall@5 of the two registered ANN indexes against brute-force
-    * ground truth IN EACH INDEX'S OWN METRIC — q_ann_lsh (cosine) vs the
-    * q_sim_cosine_topk ranking, q_ann_ivfpq (L2) vs the exact L2 top-5
-    * (the KnnGraphSpec/RecallProbe convention): one row per (system,
-    * query), n_hits = |approx top-5 ∩ exact top-5|, recall = n_hits/5.
-    * The approximate rankings are the REGISTERED queries' own plans
-    * (annLsh/annIvfPq vals reused verbatim), so this row prices the
-    * quality of exactly what the index rows serve.
+  private[graft] def hybridRunPersisted(s: SparkSession, dir: String): DataFrame =
+    runFilePersisted(s, dir, "hybrid")(SearchQueries.textHybrid.query(s, dir))
+
+  /** The two ablation run files — the same materialize-once contract for
+    * the hybrid's component systems: bm25-only is bm25ScoresStage's
+    * top-10, vec-only the cosine top-10 (hybridFrom's vector side cut at
+    * 10). Both oracles rebuild the rankings from raw text/embeddings.
+    */
+  private[graft] def bm25RunFresh(s: SparkSession, dir: String): DataFrame = {
+    val wl = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    SearchQueries.bm25ScoresStage(s, dir)
+      .withColumn("rank", row_number().over(wl)).filter(col("rank") <= 10)
+      .select("query_id", "rank", "doc_id")
+  }
+
+  private[graft] def vecRunFresh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("doc_id"), col("embedding").as("n_emb"))
+    val wv = Window.partitionBy("query_id").orderBy(desc("cos"), asc("doc_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("cos",
+        round(graft.functions.VectorOps.cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(wv)).filter(col("rank") <= 10)
+      .select("query_id", "rank", "doc_id")
+  }
+
+  private[graft] def bm25RunPersisted(s: SparkSession, dir: String): DataFrame =
+    runFilePersisted(s, dir, "bm25")(bm25RunFresh(s, dir))
+
+  private[graft] def vecRunPersisted(s: SparkSession, dir: String): DataFrame =
+    runFilePersisted(s, dir, "vec")(vecRunFresh(s, dir))
+
+  /** recall@5 of the three registered ANN indexes against brute-force
+    * ground truth IN EACH INDEX'S OWN METRIC — q_ann_lsh and q_ann_ivf
+    * (cosine) vs the q_sim_cosine_topk ranking, q_ann_ivfpq (L2) vs the
+    * exact L2 top-5 (the KnnGraphSpec/RecallProbe convention): one row
+    * per (system, query), n_hits = |approx top-5 ∩ exact top-5|, recall
+    * = n_hits/5. The approximate rankings are the REGISTERED queries'
+    * own plans (annLsh/annIvf/annIvfPq vals reused verbatim), so this
+    * row prices the quality of exactly what the index rows serve — and
+    * with both cosine systems in one matrix, LSH-vs-IVF quality
+    * differences attribute directly (r11 verdict ask 4).
     */
   val evalRecall = QueryDef(
     "q_eval_recall",
@@ -142,6 +177,7 @@ object EvalQueries {
             (coalesce(col("h"), lit(0L)).cast(DoubleType) / 5).as("recall_at_5"))
       }
       recallOf("ann_lsh", VectorQueries.annLsh.query(s, dir), truthCos)
+        .union(recallOf("ann_ivf", VectorQueries.annIvf.query(s, dir), truthCos))
         .union(recallOf("ann_ivfpq", VectorQueries.annIvfPq.query(s, dir), truthL2))
         .orderBy("system", "q_vec_id")
     },
@@ -150,6 +186,8 @@ object EvalQueries {
         ${VectorQueries.cosineTopk.oracle.get})),
       approx_lsh AS (SELECT q_vec_id, n_vec_id FROM (
         ${VectorQueries.annLsh.oracle.get})),
+      approx_ivf AS (SELECT q_vec_id, n_vec_id FROM (
+        ${VectorQueries.annIvf.oracle.get})),
       approx_pq AS (SELECT q_vec_id, n_vec_id FROM (
         ${VectorQueries.annIvfPq.oracle.get})),
       ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
@@ -169,13 +207,18 @@ object EvalQueries {
         FROM approx_lsh a LEFT JOIN truth_cos t
           ON t.q_vec_id = a.q_vec_id AND t.n_vec_id = a.n_vec_id
         UNION ALL
+        SELECT 'ann_ivf' AS system, a.q_vec_id,
+               CASE WHEN t.n_vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM approx_ivf a LEFT JOIN truth_cos t
+          ON t.q_vec_id = a.q_vec_id AND t.n_vec_id = a.n_vec_id
+        UNION ALL
         SELECT 'ann_ivfpq' AS system, a.q_vec_id,
                CASE WHEN t.n_vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
         FROM approx_pq a LEFT JOIN truth_l2 t
           ON t.q_vec_id = a.q_vec_id AND t.n_vec_id = a.n_vec_id),
       hits AS (SELECT system, q_vec_id, SUM(hit) AS h FROM pairs GROUP BY system, q_vec_id),
       grid AS (SELECT s.system, qv.q_vec_id
-               FROM qv CROSS JOIN (SELECT unnest(['ann_lsh', 'ann_ivfpq']) AS system) s)
+               FROM qv CROSS JOIN (SELECT unnest(['ann_lsh', 'ann_ivf', 'ann_ivfpq']) AS system) s)
       SELECT g.system, g.q_vec_id,
              CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
              CAST(COALESCE(h.h, 0) AS DOUBLE) / 5 AS recall_at_5
@@ -314,5 +357,91 @@ object EvalQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(evalRecall, evalNdcg, evalMrr)
+  /** nDCG@10 ABLATION of the hybrid — the fused ranking scored next to
+    * its own two components (bm25-only: bm25ScoresStage's top-10;
+    * vec-only: the cosine top-10, hybridFrom's vector side cut at 10) on
+    * the SAME qrels and discounts, one row per (system, query): nDCG
+    * differences now ATTRIBUTE — whether fusion beats each single
+    * retriever is a benched, oracle-checked fact per query instead of an
+    * aggregate claim (r11 verdict ask 4). idcg is ranking-independent,
+    * so all three systems share one ideal-ranking computation. All three
+    * rankings read persisted run files (the trec_eval artifact model,
+    * one run file per system per corpus snapshot); the oracle rebuilds
+    * every ranking and the grades from raw text/embeddings, so
+    * persisted ≡ fresh is hash-proven per driver run.
+    */
+  val evalNdcgAblation = QueryDef(
+    "q_eval_ndcg_ablation",
+    (s, dir) => {
+      val rel = gradeTablePersisted(s, dir)
+      val ranks = hybridRunPersisted(s, dir).withColumn("system", lit("hybrid"))
+        .unionByName(bm25RunPersisted(s, dir).withColumn("system", lit("bm25")))
+        .unionByName(vecRunPersisted(s, dir).withColumn("system", lit("vec")))
+      val discArr = array(Disc.map(lit): _*)
+      val dterm = ranks.join(rel, Seq("query_id", "doc_id"), "left")
+        .withColumn("g", gain(coalesce(col("rel"), lit(0L))))
+        .withColumn("t", round(col("g").cast(DoubleType)
+          * element_at(discArr, col("rank").cast("int")), 8).cast(DecimalType(18, 8)))
+      val dcg = dterm.groupBy("system", "query_id")
+        .agg(round(sum("t").cast(DoubleType), 6).as("dcg"))
+      val wI = Window.partitionBy("query_id").orderBy(desc("rel"), asc("doc_id"))
+      val iterm = rel.withColumn("irank", row_number().over(wI)).filter(col("irank") <= 10)
+        .withColumn("g", gain(col("rel")))
+        .withColumn("t", round(col("g").cast(DoubleType)
+          * element_at(discArr, col("irank").cast("int")), 8).cast(DecimalType(18, 8)))
+      val idcg = iterm.groupBy("query_id")
+        .agg(round(sum("t").cast(DoubleType), 6).as("idcg"))
+      dcg.join(idcg, "query_id")
+        .select(col("system"), col("query_id"), col("dcg"), col("idcg"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg"))
+        .orderBy("system", "query_id")
+    },
+    Some(s"""
+      WITH ${SearchQueries.Bm25ScoreCtes},
+      dt AS (SELECT DISTINCT doc_id, token FROM toks),
+      rel AS (SELECT q.query_id, dt.doc_id, COUNT(*) AS rel
+              FROM dt JOIN qterms q ON dt.token = q.token
+              GROUP BY q.query_id, dt.doc_id),
+      hyb AS (SELECT 'hybrid' AS system, query_id, rank, doc_id FROM (
+        ${SearchQueries.textHybrid.oracle.get})),
+      bm AS (SELECT 'bm25' AS system, query_id, rn AS rank, doc_id FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+        FROM scores) WHERE rn <= 10),
+      e2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      qv2 AS (SELECT vec_id AS query_id, emb AS q_emb FROM e2 WHERE vec_id < 8),
+      vsc2 AS (
+        SELECT qv2.query_id, c.vec_id AS doc_id,
+               ROUND(list_inner_product(q_emb, c.emb)
+                     / sqrt(list_inner_product(q_emb, q_emb) * list_inner_product(c.emb, c.emb)), 6) AS cos
+        FROM e2 c CROSS JOIN qv2),
+      vecs AS (SELECT 'vec' AS system, query_id, rn AS rank, doc_id FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rn
+        FROM vsc2) WHERE rn <= 10),
+      ranks AS (SELECT * FROM hyb UNION ALL SELECT * FROM bm UNION ALL SELECT * FROM vecs),
+      dterm AS (
+        SELECT ranks.system, ranks.query_id,
+               CAST(ROUND((CASE COALESCE(r.rel, 0) WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 7 ELSE 0 END)
+                 * ${discCaseSql("ranks.rank")}, 8) AS DECIMAL(18,8)) AS t
+        FROM ranks LEFT JOIN rel r ON r.query_id = ranks.query_id AND r.doc_id = ranks.doc_id),
+      dcg AS (SELECT system, query_id, ROUND(CAST(SUM(t) AS DOUBLE), 6) AS dcg
+              FROM dterm GROUP BY system, query_id),
+      ideal AS (SELECT query_id, rel,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS irank
+                FROM rel),
+      iterm AS (SELECT query_id,
+                       CAST(ROUND((CASE rel WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END)
+                         * ${discCaseSql("irank")}, 8) AS DECIMAL(18,8)) AS t
+                FROM ideal WHERE irank <= 10),
+      idcg AS (SELECT query_id, ROUND(CAST(SUM(t) AS DOUBLE), 6) AS idcg
+               FROM iterm GROUP BY query_id)
+      SELECT d.system, d.query_id, d.dcg, i.idcg,
+             ROUND(d.dcg / i.idcg, 6) AS ndcg
+      FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+      ORDER BY d.system, d.query_id
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(evalRecall, evalNdcg, evalMrr, evalNdcgAblation)
 }

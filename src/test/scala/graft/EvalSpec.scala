@@ -35,12 +35,15 @@ class EvalSpec extends SparkTestBase with Matchers {
       .select(col("q").as("q_vec_id"), col("vec_id").as("n_vec_id")))
 
     val lsh = topSets(VectorQueries.annLsh.query(spark, sfTiny))
+    val ivf = topSets(VectorQueries.annIvf.query(spark, sfTiny))
     val pq = topSets(VectorQueries.annIvfPq.query(spark, sfTiny))
 
-    got.size shouldBe 20
+    got.size shouldBe 30
     for (k <- 0L until 10L) {
       val hLsh = lsh.getOrElse(k, Set.empty).intersect(truthCos.getOrElse(k, Set.empty)).size
       got(("ann_lsh", k)) shouldBe ((hLsh.toLong, hLsh / 5.0))
+      val hIvf = ivf.getOrElse(k, Set.empty).intersect(truthCos.getOrElse(k, Set.empty)).size
+      got(("ann_ivf", k)) shouldBe ((hIvf.toLong, hIvf / 5.0))
       val hPq = pq.getOrElse(k, Set.empty).intersect(truthL2.getOrElse(k, Set.empty)).size
       got(("ann_ivfpq", k)) shouldBe ((hPq.toLong, hPq / 5.0))
     }
@@ -57,14 +60,17 @@ class EvalSpec extends SparkTestBase with Matchers {
     persisted shouldBe fresh
   }
 
-  test("run file: persisted hybrid ranking ≡ fresh retrieval") {
-    val fresh = SearchQueries.textHybrid.query(spark, sfTiny)
-      .select("query_id", "rank", "doc_id").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    val persisted = EvalQueries.hybridRunPersisted(spark, sfTiny).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    fresh should not be empty
-    persisted shouldBe fresh
+  test("run files: every persisted system ranking ≡ its fresh retrieval") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val freshHybrid = asSet(SearchQueries.textHybrid.query(spark, sfTiny))
+    freshHybrid should not be empty
+    asSet(EvalQueries.hybridRunPersisted(spark, sfTiny)) shouldBe freshHybrid
+    asSet(EvalQueries.bm25RunPersisted(spark, sfTiny)) shouldBe
+      asSet(EvalQueries.bm25RunFresh(spark, sfTiny))
+    asSet(EvalQueries.vecRunPersisted(spark, sfTiny)) shouldBe
+      asSet(EvalQueries.vecRunFresh(spark, sfTiny))
   }
 
   test("q_eval_ndcg equals a driver-side recomputation from the hybrid ranking and the grade rule") {
@@ -97,6 +103,30 @@ class EvalSpec extends SparkTestBase with Matchers {
       row.getDouble(3) shouldBe idcg +- 1e-9
       row.getDouble(4) shouldBe dround(dcg / idcg, 6) +- 1e-9
     }
+  }
+
+  test("q_eval_ndcg_ablation: hybrid rows equal q_eval_ndcg; components complete the matrix") {
+    val abl = EvalQueries.evalNdcgAblation.query(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    abl.keys.map(_._1).toSet shouldBe Set("hybrid", "bm25", "vec")
+    abl.size shouldBe 24 // 3 systems x 8 queries
+    // the hybrid ablation rows are the SAME metric q_eval_ndcg registers —
+    // one definition, not a parallel one
+    val ndcg = EvalQueries.evalNdcg.query(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    for ((qid, v) <- ndcg) abl(("hybrid", qid)) shouldBe v
+    // idcg is ranking-independent: identical across systems per query
+    for (qid <- ndcg.keys) {
+      abl(("bm25", qid))._2 shouldBe abl(("hybrid", qid))._2
+      abl(("vec", qid))._2 shouldBe abl(("hybrid", qid))._2
+    }
+    // the ablation must carry attribution signal: the component rankings
+    // are not all identical to the fused one on this fixture
+    val differs = ndcg.keys.exists(qid =>
+      abl(("bm25", qid))._3 != abl(("hybrid", qid))._3 ||
+        abl(("vec", qid))._3 != abl(("hybrid", qid))._3)
+    differs shouldBe true
   }
 
   test("q_eval_mrr equals a driver-side recomputation on the binary-cutoff grade rule") {
