@@ -109,6 +109,12 @@ final class SpanStateHandle(val spark: SparkSession, val base: String) {
     IncrementalSpan.serveNovelty(spark, base,
         df.select(col(id).as("doc_id"), col(text).as("text")))
       .withColumnRenamed("doc_id", id)
+
+  /** Fold the per-batch occ/docs segments into one dir each (content
+    * unchanged; r12 — the indexState compact discipline applied to span
+    * state). Safe to run concurrently with ingest.
+    */
+  def compact(): Unit = IncrementalSpan.compactSegments(spark, base)
 }
 
 /** Handle over one inverted-index state. `ingest` lands a micro-batch of

@@ -114,10 +114,13 @@ class IncrementalSpanSpec extends SparkTestBase with Matchers {
     got(1L).getLong(2) shouldBe 0L // the original copied nothing
     got(3L).getLong(2) shouldBe 6L // all 6 shared windows attributed
     got(3L).getLong(4) shouldBe 1L // to the batch-0 original
-    // facade handle serves the same rows
+    // facade handle serves the same rows, before and after facade compact
     import graft.api.implicits._
-    rows(spark.graft.spanState(base).provenance) shouldBe
-      rows(IncrementalSpan.serveSpanSource(spark, base))
+    val h = spark.graft.spanState(base)
+    val served = rows(h.provenance)
+    served shouldBe rows(IncrementalSpan.serveSpanSource(spark, base))
+    h.compact()
+    rows(h.provenance) shouldBe served
   }
 
   test("serveNovelty from state == the registered q_text_novelty over the same split") {
