@@ -943,12 +943,30 @@ object VectorQueries {
     * but this operator's output is linear and must never enumerate the
     * pair space.
     */
+  /** Embedding cluster labels persisted per scale dir — q_dedup_cluster's
+    * r12 amortization contract on the embedding side: semantic near-dup
+    * labels over a corpus snapshot are derived ONCE (the LSH star/sweep
+    * build below, first call per dir pays it) and read back as the
+    * skinny (vec_id, cluster_id) parquet. The oracle rebuilds the
+    * transitive closure from raw embeddings, so persisted ≡ fresh stays
+    * hash-proven every driver run; VecClusterSpec pins fresh ≡
+    * exhaustive-edge CC and persisted ≡ fresh every `sbt test`.
+    */
+  private[graft] def vecClusterLabelsPersisted(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val base = graft.sources.GraftFs.qualify(s, s"target/graft-ivf/$tag/vec_cluster_labels")
+      if (!graft.sources.GraftFs.hasSuccess(s, base)) {
+        vecClusterFromEmbeddings(
+            Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(base)
+      }
+      s.read.parquet(base)
+    }
+
   val vecCluster = QueryDef(
     "q_vec_cluster",
-    (s, dir) =>
-      vecClusterFromEmbeddings(
-        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
-        .orderBy("vec_id"),
+    (s, dir) => vecClusterLabelsPersisted(s, dir).orderBy("vec_id"),
     Some("""
       WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
       pairs AS (

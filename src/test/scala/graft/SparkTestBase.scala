@@ -23,6 +23,11 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // register graft functions/rules up front: specs whose fixtures never
+    // touch Tables (which registers lazily) must not depend on running
+    // after a suite that does — testOnly of a single such suite in a
+    // fresh JVM exposed the ordering fragility in r12
+    graft.functions.GraftFunctions.ensureRegistered(s)
     s
   }
 }

@@ -77,6 +77,14 @@ class VecClusterSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("registered row: persisted labels ≡ fresh LSH star/sweep derivation") {
+    val fresh = labelsOf(VectorQueries.vecClusterFromEmbeddings(
+      Tables.embeddings(spark, sfTiny).select(col("vec_id"), col("embedding"))))
+    val persisted = labelsOf(VectorQueries.vecCluster.query(spark, sfTiny))
+    fresh should not be empty
+    persisted shouldBe fresh
+  }
+
   test("registered q_vec_cluster pipeline is cartesian-free end to end") {
     val plans = collection.mutable.ArrayBuffer.empty[String]
     val listener = new QueryExecutionListener {
@@ -86,7 +94,12 @@ class VecClusterSpec extends SparkTestBase with Matchers {
     }
     spark.listenerManager.register(listener)
     try {
-      VectorQueries.vecCluster.query(spark, sfTiny).collect()
+      // exercise the FRESH build (the registered row reads persisted
+      // labels since r12 — the build plan is what must stay
+      // cartesian-free)
+      VectorQueries.vecClusterFromEmbeddings(
+        Tables.embeddings(spark, sfTiny).select(col("vec_id"), col("embedding")))
+        .collect()
       var last = -1
       var stable = 0
       while (stable < 3) {
