@@ -19,7 +19,8 @@ object SparkEntry {
       MoreQueries.defs ++ CurationPipeline.defs ++ AnalyticsQueries.defs ++ TpchQueries.defs ++
       EventQueries.defs ++ CurationQueries.defs ++ SourceQueries.defs ++
       TimeSeriesQueries.defs ++ CdcQueries.defs ++ SearchQueries.defs ++ GraphQueries.defs ++
-      MiningQueries.defs ++ LayoutQueries.defs ++ StatQueries.defs ++ EvalQueries.defs
+      MiningQueries.defs ++ LayoutQueries.defs ++ StatQueries.defs ++ EvalQueries.defs ++
+      ServeQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

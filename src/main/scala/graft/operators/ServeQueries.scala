@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.streaming.{IncrementalIndex, IncrementalSpan}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The incremental maintainers' SERVE paths as registered, oracle-checked
+  * rows (r12) — until now the build→serve loop (IncrementalIndex /
+  * IncrementalSpan: micro-batch ingest into a CAS-logged segment state,
+  * then answering from state alone) was proven only by specs. These rows
+  * put the maintained-state surfaces through the driver's DuckDB hash
+  * gate every round: each serves from a state built ONCE per scale dir
+  * by a deterministic two-batch ingest (doc_id parity split — the
+  * IncrementalIndexSpec/IncrementalSpanSpec replay shape), and each
+  * must be BIT-EQUAL to its one-shot registered twin, so the oracle is
+  * the twin's oracle verbatim. A hash mismatch here means the ingest
+  * merge, the state protocol, or the serve derivation drifted from the
+  * one-shot semantics — exactly the regression a streaming deployment
+  * fears and cannot see in one-shot tests.
+  *
+  * The state build is the same persisted-artifact contract as the index
+  * builds (cluster labels, prefix relation, run files): first call per
+  * dir pays the ingest, later calls serve from the committed log. The
+  * build is crash-safe to re-run — processBatch skips batch ids at or
+  * below the committed tag, so a partially-built state (batch 0
+  * committed, crash before batch 1) is completed, never double-landed.
+  */
+object ServeQueries {
+
+  private def stateBase(s: SparkSession, dir: String, family: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.GraftFs.qualify(s, s"target/graft-state/$tag/$family")
+  }
+
+  private[graft] def indexStateBuilt(s: SparkSession, dir: String): String =
+    synchronized {
+      val base = stateBase(s, dir, "index")
+      if (!IncrementalIndex.currentState(s, base).batch.contains(1L)) {
+        val docs = Tables.documents(s, dir)
+        for (i <- 0 until 2)
+          IncrementalIndex.processBatch(s,
+            docs.filter(col("doc_id") % 2 === i), base, Some(i.toLong))
+      }
+      base
+    }
+
+  private[graft] def spanStateBuilt(s: SparkSession, dir: String): String =
+    synchronized {
+      val base = stateBase(s, dir, "span")
+      if (!IncrementalSpan.currentState(s, base).batch.contains(1L)) {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        for (i <- 0 until 2)
+          IncrementalSpan.processBatch(s,
+            docs.filter(col("doc_id") % 2 === i), base, Some(i.toLong))
+      }
+      base
+    }
+
+  /** RRF hybrid retrieval served ENTIRELY from the maintained inverted-
+    * index state (tf from posting segments, df from the stats table,
+    * n_docs from the persisted ingest census, fused by the registered
+    * query's own hybridFrom tail) — must hash-match q_text_hybrid's
+    * oracle because serveHybrid is bit-equal to the one-shot by
+    * construction (IncrementalIndexSpec pins it across a 3-batch split,
+    * crash replay, and compaction).
+    */
+  val serveHybridState = QueryDef(
+    "q_serve_hybrid_state",
+    (s, dir) =>
+      IncrementalIndex.serveHybrid(s, indexStateBuilt(s, dir), Tables.embeddings(s, dir)),
+    SearchQueries.textHybrid.oracle,
+  )
+
+  /** The who-copied-whom provenance audit served from the maintained span
+    * state (append-only window-occurrence segments + the associative
+    * (cnt, min-holder) stats merge, attributed by the registered query's
+    * own spanSourceFromTables tail) — must hash-match q_text_span_source's
+    * oracle because state-served ≡ one-shot by construction
+    * (IncrementalSpanSpec pins it across batch splits, the concurrent-
+    * ingest CAS race, compaction, and replay).
+    */
+  val serveSpanSourceState = QueryDef(
+    "q_serve_spansource_state",
+    (s, dir) => IncrementalSpan.serveSpanSource(s, spanStateBuilt(s, dir)),
+    TextQueries.textSpanSource.oracle,
+  )
+
+  /** Span state holding ONLY the standing slice (doc_id % 5 ≠ 0 — the
+    * registered q_text_novelty split), for the admission-question serve.
+    */
+  private[graft] def noveltyStateBuilt(s: SparkSession, dir: String): String =
+    synchronized {
+      val base = stateBase(s, dir, "novelty")
+      if (!IncrementalSpan.currentState(s, base).batch.contains(1L)) {
+        val standing = Tables.documents(s, dir).select("doc_id", "text")
+          .filter(col("doc_id") % 5 =!= 0)
+        for (i <- 0 until 2)
+          IncrementalSpan.processBatch(s,
+            standing.filter(col("doc_id") % 2 === i), base, Some(i.toLong))
+      }
+      base
+    }
+
+  /** The admission question served from state — q_text_novelty's "how
+    * much new information would this incoming slice add" answered from
+    * the maintained standing-window stats WITHOUT re-tokenizing the
+    * standing corpus and WITHOUT ingesting the candidate slice (the
+    * operator's documented 100 TB path, now driver-gated): must
+    * hash-match q_text_novelty's oracle because serveNovelty ≡ the
+    * registered split by construction (IncrementalSpanSpec pins it).
+    */
+  val serveNoveltyState = QueryDef(
+    "q_serve_novelty_state",
+    (s, dir) =>
+      IncrementalSpan.serveNovelty(s, noveltyStateBuilt(s, dir),
+        Tables.documents(s, dir).select("doc_id", "text")
+          .filter(col("doc_id") % 5 === 0)),
+    CurationQueries.textNovelty.oracle,
+  )
+
+  def defs: Seq[QueryDef] = Seq(serveHybridState, serveSpanSourceState, serveNoveltyState)
+}
