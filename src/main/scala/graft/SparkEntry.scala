@@ -20,7 +20,7 @@ object SparkEntry {
       EventQueries.defs ++ CurationQueries.defs ++ SourceQueries.defs ++
       TimeSeriesQueries.defs ++ CdcQueries.defs ++ SearchQueries.defs ++ GraphQueries.defs ++
       MiningQueries.defs ++ LayoutQueries.defs ++ StatQueries.defs ++ EvalQueries.defs ++
-      ServeQueries.defs
+      ServeQueries.defs ++ ResampleQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
