@@ -361,9 +361,22 @@ object DedupQueries {
     * verified pairs hash-match — plus ApproxOpsSpec keeps the
     * precision-1.0 / recall ≥ 0.95 property belt against the exact join.
     */
+  /** The registered q_dedup_near plan minus its output sort — shared with
+    * q_eval_dedup, which audits this detector's recall and must price
+    * exactly what the registered row serves.
+    */
+  private[graft] def nearDupPairsStage(s: SparkSession, dir: String): DataFrame = {
+    val candidates = minhashBandCandidatesSkewSafe(docTokens(s, dir), blocks = 8)
+    verifyJaccard(candidates, docTokensHashed(s, dir), 1, 2)
+  }
+
+  /** Exact J ≥ 0.5 pair join, shared as q_eval_dedup's ground-truth side. */
+  private[graft] def exactJaccardPairsStage(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, dir)
+
   val dedupNear = QueryDef(
     "q_dedup_near",
-    (s, dir) => {
+    (s, dir) =>
       // PRIMARY PLAN = the skew-safe triangle grid since round 9 (the r8
       // verdict's bench-budget item): same candidate pair set as the plain
       // (lang, band, sig) self-join — HotBandSkewSpec pins set equality —
@@ -371,10 +384,7 @@ object DedupQueries {
       // 880k comparisons in one task unsalted) spreads over the grid
       // cells. Measured ~3x faster at sf0.1; the unsalted join survives
       // as the spec baseline, not a registration.
-      val candidates = minhashBandCandidatesSkewSafe(docTokens(s, dir), blocks = 8)
-      verifyJaccard(candidates, docTokensHashed(s, dir), 1, 2)
-        .orderBy("doc_id1", "doc_id2")
-    },
+      nearDupPairsStage(s, dir).orderBy("doc_id1", "doc_id2"),
     Some(s"""
       WITH $tokenThSql,
       ${bandsSql(32)},

@@ -443,5 +443,75 @@ object EvalQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(evalRecall, evalNdcg, evalMrr, evalNdcgAblation)
+  /** Recall audit of the MinHash-LSH near-dup detector — the dedup
+    * family's q_eval_recall: per true-Jaccard band (floor(10·J): 5..10),
+    * how many of the EXACT J ≥ 0.5 pairs (q_sim_jaccard's join, the
+    * ground truth) the banded detector surfaced. Precision needs no row:
+    * candidates are exact-verified, so found ⊆ truth by construction
+    * (the spec asserts it). Beside the measured recall sits the banding
+    * theory's per-pair detection probability 1 − (1 − J²)^16 (32 hashes,
+    * 16 bands of 2) averaged over the band — computed as an explicit
+    * square-and-multiply chain (IEEE multiplies only, no libm pow) with
+    * the house decimal-sum, so the expectation column is engine-exact
+    * too. The registered detector rows (q_dedup_near_salted/_bucketed)
+    * produce the identical pair set (HotBandSkewSpec pins it), so this
+    * row prices the quality of exactly what they serve.
+    *
+    * Scale shape: the ground-truth side is the exact size-banded join —
+    * linear-thin at the 0.5 threshold but the expensive side, run once
+    * per eval batch over a SAMPLED corpus slice in a deployment (the
+    * same sampled-ground-truth contract as the ANN recall row); the
+    * metric join is over the skinny pair lists.
+    */
+  val evalDedup = QueryDef(
+    "q_eval_dedup",
+    (s, dir) => {
+      val truth = DedupQueries.exactJaccardPairsStage(s, dir)
+      val found = DedupQueries.nearDupPairsStage(s, dir)
+        .select(col("doc_id1"), col("doc_id2"), lit(1L).as("fnd"))
+      val m2 = {
+        val s2 = col("jaccard") * col("jaccard")
+        val m1 = lit(1.0) - s2
+        val m4 = m1 * m1 * (m1 * m1)
+        val m16 = (m4 * m4) * (m4 * m4)
+        lit(1.0) - m16
+      }
+      truth.join(found, Seq("doc_id1", "doc_id2"), "left")
+        .withColumn("p", round(m2, 8).cast(DecimalType(18, 8)))
+        .withColumn("j_band", floor(col("jaccard") * 10).cast(IntegerType))
+        .groupBy("j_band")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("fnd"), lit(0L))).as("n_found"),
+          round(sum(coalesce(col("fnd"), lit(0L))).cast(DoubleType)
+            / count(lit(1)).cast(DoubleType), 6).as("recall"),
+          round(sum("p").cast(DoubleType) / count(lit(1)).cast(DoubleType), 6)
+            .as("expected_recall"))
+        .orderBy("j_band")
+    },
+    Some(s"""
+      WITH truth AS (SELECT doc_id1, doc_id2, jaccard FROM (
+        ${DedupQueries.simJaccard.oracle.get})),
+      found AS (SELECT doc_id1, doc_id2 FROM (
+        ${DedupQueries.dedupNear.oracle.get})),
+      marked AS (
+        SELECT t.jaccard,
+               CASE WHEN f.doc_id1 IS NOT NULL THEN 1 ELSE 0 END AS fnd
+        FROM truth t LEFT JOIN found f
+          ON f.doc_id1 = t.doc_id1 AND f.doc_id2 = t.doc_id2),
+      prob AS (
+        SELECT jaccard, fnd,
+               CAST(ROUND(1.0 - ((m4 * m4) * (m4 * m4)), 8) AS DECIMAL(18,8)) AS p
+        FROM (SELECT jaccard, fnd, m1 * m1 * (m1 * m1) AS m4
+              FROM (SELECT jaccard, fnd, 1.0 - jaccard * jaccard AS m1 FROM marked)))
+      SELECT CAST(FLOOR(jaccard * 10) AS INTEGER) AS j_band,
+             COUNT(*) AS n_true,
+             CAST(SUM(fnd) AS BIGINT) AS n_found,
+             ROUND(CAST(SUM(fnd) AS DOUBLE) / COUNT(*), 6) AS recall,
+             ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS expected_recall
+      FROM prob
+      GROUP BY 1 ORDER BY j_band
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(evalRecall, evalNdcg, evalMrr, evalNdcgAblation, evalDedup)
 }

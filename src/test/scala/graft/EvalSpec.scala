@@ -153,4 +153,24 @@ class EvalSpec extends SparkTestBase with Matchers {
     // the fixture's signal lives in precision@5 — it must actually vary
     rows.map(_.getDouble(4)).distinct.length should be > 1
   }
+
+  test("q_eval_dedup: detector ⊆ truth, recall saturates, and tracks banding theory") {
+    val rows = EvalQueries.evalDedup.query(spark, sfTiny).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (band, nTrue, nFound) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      val (recall, expected) = (r.getDouble(3), r.getDouble(4))
+      // the detector exact-verifies candidates: no false positives exist,
+      // so per-band found can never exceed truth
+      assert(nFound <= nTrue, s"band $band: found $nFound > true $nTrue")
+      // 16 bands of 2 hashes: detection prob at J ≥ 0.8 is 1-(1-0.64)^16
+      // ≈ 1 - 8e-8 — any miss there means the signature pipeline broke
+      if (band >= 8) assert(recall == 1.0, s"band $band recall $recall < 1")
+      // measured recall tracks the theory's per-band average within noise
+      assert(math.abs(recall - expected) < 0.05,
+        s"band $band: recall $recall vs expected $expected")
+    }
+    // bands must cover the J ≥ 0.5 range the truth join emits
+    rows.map(_.getInt(0)).min shouldBe 5
+  }
 }
