@@ -119,5 +119,74 @@ object ServeQueries {
     CurationQueries.textNovelty.oracle,
   )
 
-  def defs: Seq[QueryDef] = Seq(serveHybridState, serveSpanSourceState, serveNoveltyState)
+  private[graft] def aggStateBuilt(s: SparkSession, dir: String): String =
+    synchronized {
+      val base = stateBase(s, dir, "agg")
+      if (!graft.streaming.IncrementalAgg.committedBatch(s, base).contains(1L)) {
+        val events = Tables.events(s, dir)
+        for (i <- 0 until 2)
+          graft.streaming.IncrementalAgg.processBatch(s,
+            events.filter(col("event_id") % 2 === i), base, Some(i.toLong))
+      }
+      base
+    }
+
+  /** The matview maintainer's SERVE path as a registered row: the
+    * per-event-type count/decimal-sum aggregate read from IncrementalAgg's
+    * versioned state (built once per dir by a two-batch ingest) — must
+    * hash-match the one-shot aggregate over the whole events table because
+    * count and decimal-sum partials are associative+commutative
+    * (IncrementalAggSpec pins the identity through the foreachBatch
+    * wiring). A mismatch means the full-outer merge or the
+    * write-new-then-swap pointer discipline double-counted or lost a
+    * batch — THE failure mode of materialized-view upkeep.
+    */
+  val serveAggState = QueryDef(
+    "q_serve_agg_state",
+    (s, dir) =>
+      graft.streaming.IncrementalAgg.readState(s, aggStateBuilt(s, dir))
+        .select(col("event_type"), col("n"),
+          col("sum_value").cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type
+    """.trim),
+  )
+
+  private[graft] def statsStateBuilt(s: SparkSession, dir: String): String =
+    synchronized {
+      val base = stateBase(s, dir, "stats")
+      if (!graft.streaming.IncrementalStats.committedBatch(s, base).contains(1L)) {
+        val frame = Tables.orders(s, dir)
+          .filter(col("o_orderstatus").isin("O", "F"))
+          .select(col("o_orderkey"), col("o_orderstatus").as("grp"),
+            (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+              .cast(org.apache.spark.sql.types.LongType).as("v"))
+        for (i <- 0 until 2)
+          graft.streaming.IncrementalStats.processBatch(s,
+            frame.filter(col("o_orderkey") % 2 === i).select("grp", "v"),
+            base, Some(i.toLong))
+      }
+      base
+    }
+
+  /** The stats-histogram maintainer's SERVE path as a registered row:
+    * Mann-Whitney U answered from the maintained value-distinct histogram
+    * (q_stat_mannwhitney's exact fixture frame ingested in two batches) —
+    * must hash-match the one-shot test's oracle because everything
+    * downstream of the histogram is exact integer/decimal arithmetic, so
+    * serve-from-state ≡ one-shot is an identity, not a tolerance
+    * (IncrementalStatsSpec pins all six served statistics).
+    */
+  val serveMwState = QueryDef(
+    "q_serve_mw_state",
+    (s, dir) =>
+      graft.streaming.IncrementalStats.serveMannWhitney(s, statsStateBuilt(s, dir), "O"),
+    StatQueries.statMannWhitney.oracle,
+  )
+
+  def defs: Seq[QueryDef] = Seq(serveHybridState, serveSpanSourceState,
+    serveNoveltyState, serveAggState, serveMwState)
 }

@@ -30,13 +30,29 @@ object IncrementalAgg {
     StructField("n", LongType),
     StructField("sum_value", DecimalType(38, 2))))
 
-  private def currentVersion(s: SparkSession, base: String): Option[String] =
-    graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT").map(_.trim)
+  /** _CURRENT carries `v<N>[:batch=<id>]` — the same replay-protection
+    * pointer format as IncrementalStats (the tag was ported here when the
+    * serve row landed: a once-per-dir state build must be crash-safe to
+    * re-run, which needs committed-batch skips).
+    */
+  private def currentPointer(s: SparkSession, base: String): Option[(String, Option[Long])] =
+    graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT").map { c =>
+      c.trim.split(":batch=") match {
+        case Array(v, b) => (v, Some(b.toLong))
+        case Array(v) => (v, None)
+      }
+    }
+
+  /** The committed micro-batch id, if the writer threads one — the
+    * build-completeness probe the serve row uses.
+    */
+  def committedBatch(s: SparkSession, base: String): Option[Long] =
+    currentPointer(s, base).flatMap(_._2)
 
   /** Read the current state (empty frame before the first batch). */
   def readState(s: SparkSession, base: String): DataFrame =
-    currentVersion(s, base) match {
-      case Some(v) => s.read.schema(stateSchema).parquet(s"$base/$v")
+    currentPointer(s, base) match {
+      case Some((v, _)) => s.read.schema(stateSchema).parquet(s"$base/$v")
       case None => s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
     }
@@ -49,8 +65,15 @@ object IncrementalAgg {
   /** Merge one micro-batch of events into the state and swap versions.
     * Returns the new state. The full-outer merge touches only |keys|
     * rows; the batch side is the only thing aggregated from raw rows.
+    * A batch whose id is ≤ the committed `:batch=` tag is a crash replay
+    * and is skipped — re-merging the same partials would double-count
+    * (exactly-once is what makes state ≡ one-shot an identity).
     */
-  def processBatch(s: SparkSession, batch: DataFrame, base: String): DataFrame = {
+  def processBatch(s: SparkSession, batch: DataFrame, base: String,
+      batchId: Option[Long] = None): DataFrame = {
+    val ptr = currentPointer(s, base)
+    if (batchId.exists(id => ptr.flatMap(_._2).exists(_ >= id)))
+      return readState(s, base)
     val merged = readState(s, base).select(
         col("event_type"), col("n").as("n1"), col("sum_value").as("s1"))
       .join(partials(batch).select(
@@ -64,15 +87,19 @@ object IncrementalAgg {
           .cast(DecimalType(38, 2)).as("sum_value"))
       // materialize BEFORE touching the directory tree the plan reads from
       .localCheckpoint()
-    val next = s"v${currentVersion(s, base).map(_.drop(1).toLong + 1).getOrElse(0L)}"
+    val next = s"v${ptr.map(_._1.drop(1).toLong + 1).getOrElse(0L)}"
     merged.write.mode("overwrite").parquet(s"$base/$next")
-    graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", next)
+    val tag = batchId.orElse(ptr.flatMap(_._2)).fold("")(id => s":batch=$id")
+    graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"$next$tag")
     merged
   }
 
-  /** Attach the incremental aggregate to an events stream via foreachBatch. */
+  /** Attach the incremental aggregate to an events stream via foreachBatch;
+    * the batch id is threaded into the committed pointer for crash-replay
+    * idempotence.
+    */
   def attach(events: DataFrame, base: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      processBatch(batch.sparkSession, batch, base): Unit
+    events.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      processBatch(batch.sparkSession, batch, base, Some(bid)): Unit
     }
 }

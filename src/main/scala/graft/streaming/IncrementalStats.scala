@@ -47,6 +47,12 @@ object IncrementalStats {
       }
     }
 
+  /** The committed micro-batch id, if the writer threads one — the
+    * build-completeness probe the serve row uses.
+    */
+  def committedBatch(s: SparkSession, base: String): Option[Long] =
+    currentPointer(s, base).flatMap(_._2)
+
   /** Read the current histogram state (empty frame before batch 0). */
   def readState(s: SparkSession, base: String): DataFrame =
     currentPointer(s, base) match {

@@ -67,4 +67,22 @@ class IncrementalAggSpec extends SparkTestBase with Matchers {
         col("sum_value").cast(DoubleType).as("sum_value"))
       .collect()) shouldBe got
   }
+
+  test("crash replay of a committed batch id is skipped, not double-counted") {
+    val stateBase = Files.createTempDirectory("graft_incagg_replay").toFile.getAbsolutePath
+    val events = Tables.events(spark, sfTiny)
+    val b0 = events.filter(col("event_id") % 2 === 0)
+    val b1 = events.filter(col("event_id") % 2 === 1)
+    IncrementalAgg.processBatch(spark, b0, stateBase, Some(0L))
+    IncrementalAgg.processBatch(spark, b1, stateBase, Some(1L))
+    def snap() = IncrementalAgg.readState(spark, stateBase)
+      .collect().map(_.toString).sorted.toSeq
+    val committed = snap()
+    // a foreachBatch retry re-delivers batch 1 after the state committed:
+    // the <= tag guard must make it a no-op
+    IncrementalAgg.processBatch(spark, b1, stateBase, Some(1L))
+    snap() shouldBe committed
+    IncrementalAgg.processBatch(spark, b0, stateBase, Some(0L))
+    snap() shouldBe committed
+  }
 }

@@ -35,4 +35,26 @@ class ServeQueriesSpec extends SparkTestBase with Matchers {
     served shouldBe rows(
       graft.operators.CurationQueries.textNovelty.query(spark, sfTiny))
   }
+
+  test("q_serve_agg_state ≡ the one-shot events aggregate row for row") {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val served = rows(ServeQueries.serveAggState.query(spark, sfTiny))
+    served should not be empty
+    served shouldBe rows(Tables.events(spark, sfTiny)
+      .groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("value").cast(DecimalType(9, 2))).cast(DecimalType(38, 2))
+          .cast(DoubleType).as("sum_value"))
+      .orderBy("event_type"))
+    // idempotent: a second call serves the committed state unchanged
+    rows(ServeQueries.serveAggState.query(spark, sfTiny)) shouldBe served
+  }
+
+  test("q_serve_mw_state ≡ q_stat_mannwhitney row for row") {
+    val served = rows(ServeQueries.serveMwState.query(spark, sfTiny))
+    served should not be empty
+    served shouldBe rows(
+      graft.operators.StatQueries.statMannWhitney.query(spark, sfTiny))
+  }
 }
