@@ -953,6 +953,16 @@ final class GraftFrame(val df: DataFrame) {
   def zorderKey(x: String, y: String): DataFrame =
     graft.operators.LayoutQueries.withZKey(df, x, y)
 
+  /** Attach the Hilbert-curve key of two non-negative integral columns as
+    * an `h` column — q_layout_hilbert's core, the tighter-locality
+    * alternative to [[zorderKey]] (consecutive key values are ADJACENT
+    * grid cells, so equal-count key ranges cut smaller bounding boxes).
+    * Same write-side contract: `repartitionByRange($"h")` +
+    * sortWithinPartitions before a write.
+    */
+  def hilbertKey(x: String, y: String): DataFrame =
+    graft.operators.LayoutQueries.withHKey(df, x, y)
+
   /** Two-sided CUSUM changepoint alarms per series — q_ts_changepoint's
     * closed-form core: `(<key>, <rid>, cusum, drift)`. `slack` (κ) and
     * `h` are in value units; `value` is exact-decimal quantized at 2dp.

@@ -542,6 +542,16 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     val zReg = graft.operators.LayoutQueries.layoutZorder.query(spark, sfTiny)
       .collect().map(_.toString).toSeq
     zVerb shouldBe zReg
+    // hilbertKey: grouping the verb's h column reproduces q_layout_hilbert
+    val hVerb = li.select("l_partkey", "l_suppkey").graft.hilbertKey("l_partkey", "l_suppkey")
+      .groupBy(shiftright(col("h"), 16).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+        min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+      .orderBy("bucket").collect().map(_.toString).toSeq
+    val hReg = graft.operators.LayoutQueries.layoutHilbert.query(spark, sfTiny)
+      .collect().map(_.toString).toSeq
+    hVerb shouldBe hReg
     val cusumVerb = Tables.events(spark, sfTiny).graft.cusum()
       .collect().map(_.toString).toSeq
     val cusumReg = graft.operators.TimeSeriesQueries.tsChangepoint.query(spark, sfTiny)

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.TextQueries
+import org.apache.spark.sql.functions.{col, size => asize}
+import org.scalatest.matchers.should.Matchers
+
+/** Winnowing (q_text_winnow). The DuckDB oracle owns value equality; this
+  * pins the algorithm's three published properties (Schleimer et al.
+  * 2003): full window coverage, the 2/(w+1) expected density, and the
+  * detection-threshold guarantee — a shared run of ≥ w+k−1 tokens always
+  * yields a common fingerprint.
+  */
+class WinnowSpec extends SparkTestBase with Matchers {
+
+  private val (k, w) = (3, 4)
+
+  test("every w-gram window of every doc contains a selected fingerprint") {
+    val sel = TextQueries.winnowOn(
+        Tables.documents(spark, sfTiny).select("doc_id", "text"), k, w)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), asize(graft.functions.Tokenize.tokens(col("text"))).as("nt"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    var (nGrams, nSel) = (0L, 0L)
+    docs.foreach { case (id, nt) =>
+      val ng = nt - k + 1
+      if (nt >= k + w - 1) {
+        nGrams += ng
+        val pos = sel.collect { case (d, p) if d == id => p }
+        nSel += pos.size
+        (0 to ng - w).foreach { wi =>
+          assert(pos.exists(p => p >= wi && p <= wi + w - 1),
+            s"doc $id window $wi has no fingerprint")
+        }
+      }
+    }
+    // expected density 2/(w+1) = 0.4; real text has ties/structure
+    val density = nSel.toDouble / nGrams
+    assert(density > 0.25 && density < 0.6, s"density $density off 2/(w+1)")
+    info(s"density $density over $nGrams grams")
+  }
+
+  test("a shared run of w+k-1 tokens always yields a common fingerprint") {
+    import spark.implicits._
+    // doc 1 embeds tokens 40..45 of doc 0 (= w+k-1 = 6 tokens) in
+    // otherwise-disjoint vocabulary; doc 2 shares nothing with doc 0
+    val a = (0 until 80).map(i => s"a$i")
+    val b = (0 until 40).map(i => s"b$i") ++ a.slice(40, 46) ++ (40 until 80).map(i => s"b$i")
+    val c = (0 until 80).map(i => s"c$i")
+    val docs = Seq((0L, a.mkString(" ")), (1L, b.mkString(" ")), (2L, c.mkString(" ")))
+      .toDF("doc_id", "text")
+    val fp = TextQueries.winnowOn(docs, k, w).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(2)).toSet }
+    assert((fp(0L) intersect fp(1L)).nonEmpty,
+      "shared 6-token run produced no common fingerprint")
+    assert((fp(0L) intersect fp(2L)).isEmpty,
+      "disjoint docs share a fingerprint (hash collision or selection bug)")
+  }
+}
