@@ -105,6 +105,7 @@ object GraftFunctions {
   val ShinglesName = "graft_shingles"
   val SortedLongIntersectAtLeastName = "graft_sorted_intersect_at_least"
   val PortableTokenHashName = "graft_portable_token_hash"
+  val HilbertIndexName = "graft_hilbert_index"
 
   private def binaryBuilder(name: String, mk: (Expression, Expression) => Expression):
       Seq[Expression] => Expression = {
@@ -139,6 +140,13 @@ object GraftFunctions {
         case Seq(t) => PortableTokenHash(t)
         case other => throw new IllegalArgumentException(
           s"$PortableTokenHashName expects 1 argument, got ${other.size}")
+      }),
+    (FunctionIdentifier(HilbertIndexName),
+      new ExpressionInfo(classOf[HilbertIndex].getName, HilbertIndexName),
+      {
+        case Seq(x, y, b) => HilbertIndex(x, y, b)
+        case other => throw new IllegalArgumentException(
+          s"$HilbertIndexName expects 3 arguments, got ${other.size}")
       }),
   )
 

@@ -135,6 +135,36 @@ object EvalQueries {
       .select("query_id", "rank", "doc_id")
   }
 
+  /** Generic per-scale-dir persisted relation — the same materialize-once
+    * contract as the run files, for eval artifacts whose schema isn't the
+    * (query_id, rank, doc_id) run shape.
+    */
+  private def relPersisted(s: SparkSession, dir: String, name: String)
+      (fresh: => DataFrame): DataFrame = synchronized {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = graft.sources.GraftFs.qualify(s, s"target/graft-eval/$tag/$name")
+    if (!graft.sources.GraftFs.hasSuccess(s, base)) {
+      fresh.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(base)
+    }
+    s.read.parquet(base)
+  }
+
+  /** The dedup-eval ground truth (exact J ≥ 0.5 pairs) persisted per
+    * corpus snapshot — the dedup family's qrels: a deployment derives the
+    * exact-join truth once per eval batch (over a sampled slice at scale)
+    * and every audit reads it. The oracle rebuilds it from raw text.
+    */
+  private[graft] def dedupTruthPersisted(s: SparkSession, dir: String): DataFrame =
+    relPersisted(s, dir, "dedup_truth")(DedupQueries.exactJaccardPairsStage(s, dir))
+
+  /** The detector's output pairs persisted per corpus snapshot — the
+    * dedup family's run file (q_dedup_near_salted stays the priced
+    * inline build; this is the eval-side artifact of the SAME pair set).
+    */
+  private[graft] def dedupFoundPersisted(s: SparkSession, dir: String): DataFrame =
+    relPersisted(s, dir, "dedup_found")(
+      DedupQueries.nearDupPairsStage(s, dir).select("doc_id1", "doc_id2"))
+
   private[graft] def bm25RunPersisted(s: SparkSession, dir: String): DataFrame =
     runFilePersisted(s, dir, "bm25")(bm25RunFresh(s, dir))
 
@@ -466,8 +496,11 @@ object EvalQueries {
   val evalDedup = QueryDef(
     "q_eval_dedup",
     (s, dir) => {
-      val truth = DedupQueries.exactJaccardPairsStage(s, dir)
-      val found = DedupQueries.nearDupPairsStage(s, dir)
+      // both sides read persisted eval artifacts (truth = the dedup qrels,
+      // found = the detector's run file) — the metric is a skinny parquet
+      // join; the oracle rebuilds both sides from raw text every run
+      val truth = dedupTruthPersisted(s, dir)
+      val found = dedupFoundPersisted(s, dir)
         .select(col("doc_id1"), col("doc_id2"), lit(1L).as("fnd"))
       val m2 = {
         val s2 = col("jaccard") * col("jaccard")

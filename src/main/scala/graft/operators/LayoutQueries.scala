@@ -165,7 +165,11 @@ object LayoutQueries {
     df.crossJoin(broadcast(dom))
       .withColumn("__xn", norm(xCol, "__maxx"))
       .withColumn("__yn", norm(yCol, "__maxy"))
-      .withColumn("h", expr(hilbertSparkSql("__xn", "__yn", DimBits)))
+      // the native codegen'd xy2d loop (graft.functions.HilbertIndex) —
+      // the interpreted `aggregate`-fold twin ([[hilbertSparkSql]], spec-
+      // pinned equal) measured 6.5 s/census at sf0.1 vs ~0.1 s native
+      .withColumn("h", call_function(graft.functions.GraftFunctions.HilbertIndexName,
+        col("__xn"), col("__yn"), lit(DimBits)))
       .drop("__maxx", "__maxy", "__xn", "__yn")
   }
 

@@ -172,5 +172,13 @@ class EvalSpec extends SparkTestBase with Matchers {
     }
     // bands must cover the J ≥ 0.5 range the truth join emits
     rows.map(_.getInt(0)).min shouldBe 5
+    // the persisted truth/run artifacts equal their fresh derivations
+    def strs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    strs(EvalQueries.dedupTruthPersisted(spark, sfTiny)) shouldBe
+      strs(graft.operators.DedupQueries.exactJaccardPairsStage(spark, sfTiny))
+    strs(EvalQueries.dedupFoundPersisted(spark, sfTiny)) shouldBe
+      strs(graft.operators.DedupQueries.nearDupPairsStage(spark, sfTiny)
+        .select("doc_id1", "doc_id2"))
   }
 }

@@ -42,6 +42,13 @@ class LayoutSpec extends SparkTestBase with Matchers {
     val rows = grid
       .withColumn("d", expr(LayoutQueries.hilbertSparkSql("x", "y", bits)))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the registered row runs the native codegen'd loop — pin it to the
+    // portable HOF fold over the full grid before checking the curve
+    val native = grid
+      .withColumn("d", call_function(
+        graft.functions.GraftFunctions.HilbertIndexName, col("x"), col("y"), lit(bits)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    native.sortBy(t => (t._1, t._2)) shouldBe rows.sortBy(t => (t._1, t._2))
     // a space-filling curve visits every cell exactly once
     rows.map(_._3).sorted shouldBe (0L until (n.toLong * n)).toArray
     // Hilbert's defining property (what Morton order does NOT have):
