@@ -62,8 +62,9 @@ class ResampleSpec extends SparkTestBase with Matchers {
     // a 20-unit mean shift between groups: no hash-coin replicate can
     // reproduce it, so p collapses to the add-one floor exactly
     val shifted = (0 until 2000).map { i =>
-      if (i % 2 == 0) ("A", 10.0 + (i % 7), i.toLong) else ("R", 30.0 + (i % 7), i.toLong)
-    }.toDF("l_returnflag", "qty", "k")
+      if (i % 2 == 0) ("A", (10 + i % 7) * 100L, i.toLong)
+      else ("R", (30 + i % 7) * 100L, i.toLong)
+    }.toDF("l_returnflag", "qc", "k")
     val ps = ResampleQueries.permutationFrom(shifted).collect().head
       .getAs[Double]("p_value")
     assert(math.abs(ps - 1.0 / 41) < 1e-6, s"shifted p-value $ps != 1/41")
