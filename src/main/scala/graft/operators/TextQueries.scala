@@ -959,6 +959,70 @@ object TextQueries {
     """.trim),
   )
 
+  /** The MOSS MATCH step over winnowed fingerprints: doc pairs sharing
+    * ≥ minShared selected fingerprints, scored by n_shared / min(n1, n2)
+    * (containment-style — a short doc fully copied into a long one scores
+    * ~1 regardless of the length gap). Fingerprints occurring in more
+    * than dfCap distinct docs are dropped first — MOSS's noise threshold,
+    * and the SKEW GUARD that makes the hash self-join scale: per-key
+    * fan-out is bounded by C(dfCap, 2) pairs at ANY corpus size (the
+    * ubiquitous function-prologue / "the of and" grams that would
+    * otherwise quadratically dominate are exactly the ones with no
+    * copy-detection signal). The fingerprint frame is bounded (≈ 2/(w+1)
+    * of gram positions) and localCheckpointed once — its three consumers
+    * (df census, both join sides) never re-derive the winnow.
+    */
+  private[graft] def winnowPairsOn(docs: DataFrame, k: Int = 3, w: Int = 4,
+      dfCap: Int = 16, minShared: Int = 2): DataFrame = {
+    val fp = winnowOn(docs, k, w).select("doc_id", "fp_hash").distinct()
+    val kept = fp.join(
+        fp.groupBy("fp_hash").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap).select("fp_hash"),
+        "fp_hash")
+      .localCheckpoint()
+    val counts = kept.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    val pairs = kept.select(col("fp_hash"), col("doc_id").as("doc_id1"))
+      .join(kept.select(col("fp_hash").as("fph2"), col("doc_id").as("doc_id2")),
+        col("fp_hash") === col("fph2") && col("doc_id1") < col("doc_id2"))
+      .groupBy("doc_id1", "doc_id2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(counts.select(col("doc_id").as("doc_id1"), col("nfp").as("n1")), "doc_id1")
+      .join(counts.select(col("doc_id").as("doc_id2"), col("nfp").as("n2")), "doc_id2")
+      .select(col("doc_id1"), col("doc_id2"), col("n_shared"),
+        round(col("n_shared").cast(DoubleType)
+          / least(col("n1"), col("n2")).cast(DoubleType), 6).as("overlap"))
+  }
+
+  /** Winnow match pairs over the corpus — the who-shares-passages-with-
+    * whom report (plagiarism/copy audit): beside q_text_span_source's
+    * window-grain who-copied-whom attribution, this is the INDEX-grain
+    * detector a deployment runs continuously (fingerprints are 2/(w+1)
+    * of gram volume, and the match join touches only fingerprint rows).
+    */
+  val textWinnowPairs = QueryDef(
+    "q_text_winnow_pairs",
+    (s, dir) =>
+      winnowPairsOn(Tables.documents(s, dir).select("doc_id", "text"))
+        .orderBy("doc_id1", "doc_id2"),
+    Some(s"""
+      WITH wfps AS (SELECT DISTINCT doc_id, fp_hash FROM (${winnowSql("documents")})),
+      wfreq AS (SELECT fp_hash FROM wfps GROUP BY fp_hash HAVING COUNT(*) <= 16),
+      wkept AS (SELECT f.doc_id, f.fp_hash FROM wfps f JOIN wfreq USING (fp_hash)),
+      wcnts AS (SELECT doc_id, COUNT(*) AS nfp FROM wkept GROUP BY doc_id),
+      wpairs AS (
+        SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, COUNT(*) AS n_shared
+        FROM wkept a JOIN wkept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT p.doc_id1, p.doc_id2, p.n_shared,
+             ROUND(CAST(p.n_shared AS DOUBLE) / least(c1.nfp, c2.nfp), 6) AS overlap
+      FROM wpairs p
+      JOIN wcnts c1 ON c1.doc_id = p.doc_id1
+      JOIN wcnts c2 ON c2.doc_id = p.doc_id2
+      ORDER BY doc_id1, doc_id2
+    """.trim),
+  )
+
   /** Stride-1 20-token window occurrences of a (doc_id, text) frame as
     * 8-byte hash rows — the shared grain of substring dedup and span
     * provenance (one explode per token position, linear).
@@ -1275,5 +1339,5 @@ object TextQueries {
     wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint, textPmi,
     textNormalize, textEntropy, textChunkify, textLmScore, textRepetition, bpePairs,
     bpeEncode, substringDedup, textSpanSource, qualityModel, textrank, textDrift,
-    textVocab, textZipf, textWinnow)
+    textVocab, textZipf, textWinnow, textWinnowPairs)
 }

@@ -56,4 +56,30 @@ class WinnowSpec extends SparkTestBase with Matchers {
     assert((fp(0L) intersect fp(2L)).isEmpty,
       "disjoint docs share a fingerprint (hash collision or selection bug)")
   }
+
+  test("match step: copied passage detected, boilerplate df-capped away") {
+    import spark.implicits._
+    // docs 0 and 1 share a 30-token passage (a strong match); docs 10..29
+    // ALL share one 10-token boilerplate run — its fingerprints exceed
+    // dfCap=16 docs and must produce NO pairs among them
+    val passage = (0 until 30).map(i => s"p$i")
+    val boiler = (0 until 10).map(i => s"bp$i")
+    val docs = (
+      Seq(
+        (0L, ((0 until 30).map(i => s"a$i") ++ passage).mkString(" ")),
+        (1L, (passage ++ (0 until 30).map(i => s"b$i")).mkString(" "))) ++
+      (10 until 30).map(d =>
+        (d.toLong, (boiler ++ (0 until 20).map(i => s"u${d}_$i")).mkString(" ")))
+    ).toDF("doc_id", "text")
+    val pairs = TextQueries.winnowPairsOn(docs, k, w).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // the copied passage must surface with many shared fingerprints
+    val (nShared, overlap) = pairs.getOrElse((0L, 1L),
+      fail("copied 30-token passage produced no match pair"))
+    assert(nShared >= 5, s"only $nShared shared fingerprints for a 30-token copy")
+    assert(overlap > 0.2 && overlap <= 1.0, s"overlap $overlap implausible")
+    // the 20-doc boilerplate run is df-capped: no pair among docs 10..29
+    val boilerPairs = pairs.keys.filter { case (a, b) => a >= 10L && b >= 10L }
+    assert(boilerPairs.isEmpty, s"df-cap failed: boilerplate pairs $boilerPairs")
+  }
 }
