@@ -187,6 +187,36 @@ object ServeQueries {
     StatQueries.statMannWhitney.oracle,
   )
 
+  private[graft] def neardupStateBuilt(s: SparkSession, dir: String): String =
+    synchronized {
+      val base = stateBase(s, dir, "neardup")
+      if (!graft.streaming.IncrementalDedup.committedBatch(s, base).contains(1L)) {
+        val docs = Tables.documents(s, dir)
+        for (i <- 0 until 2)
+          graft.streaming.IncrementalDedup.processBatch(s,
+            docs.filter(col("doc_id") % 2 === i), base, Some(i.toLong))
+      }
+      base
+    }
+
+  /** The near-dedup maintainer's SERVE path as a registered row: the
+    * accumulated verified pair set read from IncrementalDedup's
+    * CAS-logged segments (two-batch build once per dir) — must
+    * hash-match q_dedup_near's oracle because signatures depend only on
+    * document content, so the union of per-batch emissions over any
+    * split equals the one-shot pair set exactly (IncrementalDedupSpec
+    * pins it across splits, crash replays, and a concurrent CAS race).
+    * A mismatch means a batch was double-landed, lost, or the candidate
+    * rebase diverged — the nightly-ingest failure modes.
+    */
+  val serveNeardupState = QueryDef(
+    "q_serve_neardup_state",
+    (s, dir) =>
+      graft.streaming.IncrementalDedup.readPairs(s, neardupStateBuilt(s, dir))
+        .orderBy("doc_id1", "doc_id2"),
+    DedupQueries.dedupNear.oracle,
+  )
+
   def defs: Seq[QueryDef] = Seq(serveHybridState, serveSpanSourceState,
-    serveNoveltyState, serveAggState, serveMwState)
+    serveNoveltyState, serveAggState, serveMwState, serveNeardupState)
 }

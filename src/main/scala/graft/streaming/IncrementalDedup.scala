@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Incremental / streaming MinHash near-dedup (round-3 §7.6 #1): the state
-  * a nightly 100 TB ingest pipeline keeps is exactly the two tables this
+  * a nightly 100 TB ingest pipeline keeps is exactly the tables this
   * maintains — banded LSH signatures and hashed token sets of every
-  * document seen so far. Each arriving micro-batch:
+  * document seen so far, plus the verified near-dup pairs emitted along
+  * the way. Each arriving micro-batch:
   *
   *   1. computes its own signatures (per-row HOFs, shuffle-free);
   *   2. candidate-joins the BATCH signatures against state ∪ batch — only
@@ -17,19 +18,27 @@ import org.apache.spark.sql.types._
   *      the batch, not the corpus;
   *   3. verifies candidates exactly (same `verifyJaccard` gate as the
   *      batch operators — precision 1.0 by construction);
-  *   4. appends the batch's signatures/hashes to state and the verified
-  *      pairs to the output sink.
+  *   4. commits the batch's signature/hash/pair segments atomically.
   *
   * Because signatures depend only on document content, the union of
   * per-batch emissions over any batch split equals the one-shot batch
   * q_dedup_near pair set exactly — IncrementalDedupSpec asserts set
-  * equality including the jaccard scores. Driven by foreachBatch
-  * (`attach`), the upsert hook Structured Streaming provides for exactly
-  * this maintain-a-table pattern.
+  * equality including the jaccard scores, and q_serve_neardup_state puts
+  * the build→serve loop through the driver's oracle gate every round.
+  *
+  * State protocol (r12): the IncrementalIndex/IncrementalSpan log-record
+  * CAS discipline replaced the original bare `mode("append")` writes,
+  * which had no replay protection — a crashed-and-retried foreachBatch
+  * would double-land signatures AND re-emit pairs. Now every committed
+  * state is ONE exclusive-create record `log/v<N>` naming the live
+  * segment set (each segment = writer-unique dirs `banded/<seg>`,
+  * `hashed/<seg>`, `pairs/<seg>`) and the committed batch id; a batch at
+  * or below the committed id is a crash replay and is skipped; a lost
+  * publish race rebases — the pure-batch signature/hash segments are
+  * reused, the state-dependent pair emission recomputes against the
+  * winner's state.
   */
 object IncrementalDedup {
-
-  final case class StatePaths(banded: String, hashed: String, pairs: String)
 
   private val bandedSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("lang", StringType),
@@ -38,48 +47,143 @@ object IncrementalDedup {
   private val hashedSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("toksh", ArrayType(LongType, containsNull = false), nullable = false)))
+  private val pairsSchema = StructType(Seq(
+    StructField("doc_id1", LongType), StructField("doc_id2", LongType),
+    StructField("jaccard", DoubleType)))
 
-  private def readState(s: SparkSession, path: String, schema: StructType): DataFrame =
-    if (graft.sources.GraftFs.exists(s, path)) s.read.schema(schema).parquet(path)
-    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  /** One committed dedup state: segment names (shared by the banded/
+    * hashed/pairs dirs — the three are always committed together) and
+    * the highest landed batch id.
+    */
+  private[graft] case class DedupState(version: Long, segs: Seq[String], batch: Option[Long])
+
+  private val EmptyState = DedupState(-1L, Seq.empty, None)
+
+  private def recordBody(st: DedupState): String =
+    s"segs=${st.segs.mkString(",")};batch=${st.batch.fold("-")(_.toString)}"
+
+  private def parseRecord(version: Long, body: String): DedupState = {
+    val kv = body.trim.split(";").map { f =>
+      val i = f.indexOf('=')
+      f.take(i) -> f.drop(i + 1)
+    }.toMap
+    DedupState(version,
+      kv.get("segs").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty),
+      kv.get("batch").filter(_ != "-").map(_.toLong))
+  }
+
+  private def readRecord(s: SparkSession, base: String, v: Long): Option[DedupState] =
+    graft.sources.GraftFs.readSmallFile(s, s"$base/log/v$v").map(parseRecord(v, _))
+
+  /** Latest committed state: `_CURRENT` hint (or log listing) then walk
+    * forward — the IncrementalIndex discipline; a stale hint is harmless.
+    */
+  private[graft] def currentState(s: SparkSession, base: String): DedupState = {
+    val hinted = graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT")
+      .map(_.trim.drop(1).toLong).filter(v => readRecord(s, base, v).isDefined)
+    val start = hinted.orElse {
+      val (fs, q) = graft.sources.GraftFs.resolve(s, s"$base/log")
+      if (!fs.exists(q)) None
+      else fs.listStatus(q).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v")).map(_.drop(1).toLong).maxOption
+    }
+    start match {
+      case None => EmptyState
+      case Some(v0) =>
+        var st = readRecord(s, base, v0).getOrElse(EmptyState)
+        var next = readRecord(s, base, st.version + 1)
+        while (next.isDefined) { st = next.get; next = readRecord(s, base, st.version + 1) }
+        st
+    }
+  }
+
+  /** The committed micro-batch id — the serve row's build-completeness
+    * probe.
+    */
+  def committedBatch(s: SparkSession, base: String): Option[Long] =
+    currentState(s, base).batch
+
+  private def publish(s: SparkSession, base: String, st: DedupState): Boolean = {
+    val ok = graft.sources.GraftFs.writeSmallFileExclusive(
+      s, s"$base/log/v${st.version}", recordBody(st))
+    if (ok) graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"v${st.version}")
+    ok
+  }
+
+  private def emptyDf(s: SparkSession, schema: StructType): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def readSegs(s: SparkSession, base: String, sub: String,
+      schema: StructType, segs: Seq[String]): DataFrame =
+    if (segs.isEmpty) emptyDf(s, schema)
+    else s.read.schema(schema).parquet(segs.map(n => s"$base/$sub/$n"): _*)
+
+  /** All pairs emitted so far, from ONE committed record (a concurrent
+    * commit cannot tear the segment set).
+    */
+  def readPairs(s: SparkSession, base: String): DataFrame = {
+    val st = currentState(s, base)
+    readSegs(s, base, "pairs", pairsSchema, st.segs)
+  }
 
   /** Process one batch of documents (doc_id, text, lang, ...): emit the
     * verified near-dup pairs involving at least one batch document, then
-    * fold the batch into state. Returns the emitted pairs (doc_id1 <
-    * doc_id2, jaccard).
+    * commit the batch's segments. Returns the emitted pairs (doc_id1 <
+    * doc_id2, jaccard); a replayed batch id returns empty and lands
+    * nothing.
     */
-  def processBatch(s: SparkSession, batch: DataFrame, state: StatePaths): DataFrame = {
+  def processBatch(s: SparkSession, batch: DataFrame, base: String,
+      batchId: Option[Long] = None): DataFrame = {
+    val st0 = currentState(s, base)
+    if (batchId.exists(id => st0.batch.exists(_ >= id)))
+      return emptyDf(s, pairsSchema)
     val sets = batch.select(col("doc_id"), col("lang"),
       Tokenize.tokenSet(col("text")).as("toks"))
-    // localCheckpoint: materialize the batch derivations BEFORE appending
-    // to the state dirs they will be unioned with next batch
+    // batch derivations are pure batch data — materialize once, reuse
+    // across publish-race rebases; writer-unique segment names make
+    // concurrent writers collision-free (record-defined liveness)
     val bBanded = DedupQueries.bandedSignatures(sets, bands = 16).localCheckpoint()
     val bHashed = batch.select(col("doc_id"),
       Tokenize.hashedTokenSet(col("text")).as("toksh")).localCheckpoint()
-    val allBanded = readState(s, state.banded, bandedSchema).unionByName(bBanded)
-    val allHashed = readState(s, state.hashed, hashedSchema).unionByName(bHashed)
-    // candidates: batch side × (state ∪ batch) side — normalized so a
-    // within-batch pair appears once; pairs between two OLD docs were
-    // emitted by an earlier batch and never re-enumerate
-    val l = bBanded.select(col("lang"), col("band"), col("sig"), col("doc_id").as("did1"))
-    val r = allBanded.select(col("lang").as("lang2"), col("band").as("band2"),
-      col("sig").as("sig2"), col("doc_id").as("did2"))
-    val cands = l.join(r,
-        col("lang") === col("lang2") && col("band") === col("band2")
-          && col("sig") === col("sig2") && col("did1") =!= col("did2"))
-      .select(least(col("did1"), col("did2")).as("doc_id1"),
-        greatest(col("did1"), col("did2")).as("doc_id2"))
-      .distinct()
-    val newPairs = DedupQueries.verifyJaccard(cands, allHashed, 1, 2).localCheckpoint()
-    bBanded.write.mode("append").parquet(state.banded)
-    bHashed.write.mode("append").parquet(state.hashed)
-    newPairs.write.mode("append").parquet(state.pairs)
-    newPairs
+    val uid = java.util.UUID.randomUUID.toString.take(8)
+    val segName = s"b${st0.version + 1}-$uid"
+    bBanded.write.mode("overwrite").parquet(s"$base/banded/$segName")
+    bHashed.write.mode("overwrite").parquet(s"$base/hashed/$segName")
+    var st = st0
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 8, s"processBatch: lost the publish race $attempts times at $base")
+      // the pair emission depends on the OBSERVED state (candidates =
+      // batch × state ∪ batch) — recompute on every rebase
+      val allBanded = readSegs(s, base, "banded", bandedSchema, st.segs).unionByName(bBanded)
+      val allHashed = readSegs(s, base, "hashed", hashedSchema, st.segs).unionByName(bHashed)
+      val l = bBanded.select(col("lang"), col("band"), col("sig"), col("doc_id").as("did1"))
+      val r = allBanded.select(col("lang").as("lang2"), col("band").as("band2"),
+        col("sig").as("sig2"), col("doc_id").as("did2"))
+      val cands = l.join(r,
+          col("lang") === col("lang2") && col("band") === col("band2")
+            && col("sig") === col("sig2") && col("did1") =!= col("did2"))
+        .select(least(col("did1"), col("did2")).as("doc_id1"),
+          greatest(col("did1"), col("did2")).as("doc_id2"))
+        .distinct()
+      val newPairs = DedupQueries.verifyJaccard(cands, allHashed, 1, 2).localCheckpoint()
+      newPairs.write.mode("overwrite").parquet(s"$base/pairs/$segName")
+      val next = DedupState(st.version + 1, st.segs :+ segName, batchId.orElse(st.batch))
+      if (publish(s, base, next)) return newPairs
+      st = currentState(s, base)
+      if (batchId.exists(id => st.batch.exists(_ >= id)))
+        return emptyDf(s, pairsSchema)
+    }
+    emptyDf(s, pairsSchema) // unreachable
   }
 
-  /** Attach the incremental dedup to a documents stream via foreachBatch. */
-  def attach(docs: DataFrame, state: StatePaths): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      processBatch(batch.sparkSession, batch, state): Unit
+  /** Attach the incremental dedup to a documents stream via foreachBatch;
+    * the batch id is threaded into the committed record for crash-replay
+    * idempotence.
+    */
+  def attach(docs: DataFrame, base: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      processBatch(batch.sparkSession, batch, base, Some(bid)): Unit
     }
 }

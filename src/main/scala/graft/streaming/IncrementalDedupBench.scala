@@ -24,17 +24,15 @@ object IncrementalDedupBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = java.nio.file.Files.createTempDirectory("graft_incdedup_bench").toFile.getAbsolutePath
-    val state = IncrementalDedup.StatePaths(
-      s"$base/banded", s"$base/hashed", s"$base/pairs")
     val docs = graft.Tables.documents(spark, dir).cache()
     val total = docs.count()
-    def stateBytes: Long = Seq(state.banded, state.hashed, state.pairs)
+    def stateBytes: Long = Seq(s"$base/banded", s"$base/hashed", s"$base/pairs")
       .flatMap(p => graft.sources.GraftFs.listFiles(spark, p)).map(_.getLen).sum
     var cumPairs = 0L
     for (i <- 0 until nBatches) {
       val batch = docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)
       val t0 = System.nanoTime()
-      val emitted = IncrementalDedup.processBatch(spark, batch, state).count()
+      val emitted = IncrementalDedup.processBatch(spark, batch, base, Some(i.toLong)).count()
       val secs = (System.nanoTime() - t0) / 1e9
       cumPairs += emitted
       println(f"INCDEDUP batch=$i docs=${batch.count()} emitted=$emitted " +
@@ -44,7 +42,7 @@ object IncrementalDedupBench {
     // EXACTLY the one-shot q_dedup_near pair set (same pairs, same
     // jaccard) — the correctness contract that makes incremental
     // maintenance a drop-in for the batch operator.
-    val incremental = spark.read.parquet(state.pairs)
+    val incremental = IncrementalDedup.readPairs(spark, base)
       .select("doc_id1", "doc_id2", "jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val oneShot = graft.operators.DedupQueries.dedupNear.query(spark, dir)

@@ -12,9 +12,15 @@ import org.scalatest.matchers.should.Matchers
 /** Incremental near-dedup invariant: because MinHash signatures depend only
   * on document content, the union of per-batch pair emissions over ANY
   * batch split must equal the one-shot batch q_dedup_near pair set —
-  * including the verified jaccard scores.
+  * including the verified jaccard scores. Since r12 the state runs the
+  * log-record CAS protocol, so crash replays land nothing and concurrent
+  * writers lose nothing.
   */
 class IncrementalDedupSpec extends SparkTestBase with Matchers {
+
+  private def pairSet(df: DataFrame) =
+    df.select("doc_id1", "doc_id2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
   test("foreachBatch incremental MinHash dedup over 2 micro-batches == one-shot q_dedup_near") {
     val srcDir = Files.createTempDirectory("graft_incdedup_src").toFile.getAbsolutePath
@@ -37,21 +43,53 @@ class IncrementalDedupSpec extends SparkTestBase with Matchers {
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
       .parquet(srcDir)
-    val state = IncrementalDedup.StatePaths(
-      s"$stateBase/banded", s"$stateBase/hashed", s"$stateBase/pairs")
-    val q = IncrementalDedup.attach(stream, state)
+    val q = IncrementalDedup.attach(stream, stateBase)
       .option("checkpointLocation", cpDir)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
 
-    val got = spark.read.parquet(state.pairs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val want = DedupQueries.dedupNear.query(spark, sfTiny).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = pairSet(IncrementalDedup.readPairs(spark, stateBase))
+    val want = pairSet(DedupQueries.dedupNear.query(spark, sfTiny))
     want should not be empty
     got shouldBe want
     // each pair emitted exactly once across batches (no re-emission of
     // old-old pairs in later batches)
-    spark.read.parquet(state.pairs).count() shouldBe want.size.toLong
+    IncrementalDedup.readPairs(spark, stateBase).count() shouldBe want.size.toLong
+  }
+
+  test("crash replay of a committed batch id lands nothing") {
+    val stateBase = Files.createTempDirectory("graft_incdedup_replay").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfTiny)
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    IncrementalDedup.processBatch(spark, b0, stateBase, Some(0L))
+    IncrementalDedup.processBatch(spark, b1, stateBase, Some(1L))
+    val committed = pairSet(IncrementalDedup.readPairs(spark, stateBase))
+    val committedCount = IncrementalDedup.readPairs(spark, stateBase).count()
+    // a foreachBatch retry re-delivers batch 1 after the commit: the
+    // <= tag guard must land nothing (the old append-mode state would
+    // have double-landed signatures AND re-emitted every pair)
+    IncrementalDedup.processBatch(spark, b1, stateBase, Some(1L)).count() shouldBe 0L
+    pairSet(IncrementalDedup.readPairs(spark, stateBase)) shouldBe committed
+    IncrementalDedup.readPairs(spark, stateBase).count() shouldBe committedCount
+    committed shouldBe pairSet(DedupQueries.dedupNear.query(spark, sfTiny))
+  }
+
+  test("concurrent ingest: two writers racing the same state lose no batch") {
+    val stateBase = Files.createTempDirectory("graft_incdedup_race").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfTiny)
+    IncrementalDedup.processBatch(spark, docs.filter(col("doc_id") % 3 === 0),
+      stateBase, Some(0L))
+    // two genuinely concurrent writers from the SAME committed state:
+    // one wins the v2 CAS, the loser must rebase onto the winner and
+    // recompute its pair emission against the winner's segments
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    val t1 = new Thread(() => { IncrementalDedup.processBatch(spark, b1, stateBase, None); () })
+    val t2 = new Thread(() => { IncrementalDedup.processBatch(spark, b2, stateBase, None); () })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    IncrementalDedup.currentState(spark, stateBase).version shouldBe 2L
+    pairSet(IncrementalDedup.readPairs(spark, stateBase)) shouldBe
+      pairSet(DedupQueries.dedupNear.query(spark, sfTiny))
   }
 }

@@ -51,6 +51,13 @@ class ServeQueriesSpec extends SparkTestBase with Matchers {
     rows(ServeQueries.serveAggState.query(spark, sfTiny)) shouldBe served
   }
 
+  test("q_serve_neardup_state ≡ q_dedup_near row for row") {
+    val served = rows(ServeQueries.serveNeardupState.query(spark, sfTiny))
+    served should not be empty
+    served shouldBe rows(
+      graft.operators.DedupQueries.dedupNear.query(spark, sfTiny))
+  }
+
   test("q_serve_mw_state ≡ q_stat_mannwhitney row for row") {
     val served = rows(ServeQueries.serveMwState.query(spark, sfTiny))
     served should not be empty
