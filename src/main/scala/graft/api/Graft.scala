@@ -978,6 +978,57 @@ final class GraftFrame(val df: DataFrame) {
         slack, h)
       .withColumnsRenamed(Map("k" -> key, "rid" -> rid))
 
+  /** Poisson-bootstrap 95% CI for the mean of `value` per `group` —
+    * q_stat_bootstrap's core: one row per group
+    * `(<group>, n, mean_qty, boot_lo, boot_hi)`. All 40 replicates
+    * reduce in one scan (deterministic per-(row, replicate) Poisson(1)
+    * weights keyed on `key`, which must be a unique integral row id);
+    * values are cents-quantized at 2dp, so replicate sums are exact
+    * longs and the CI order statistics engine-exact.
+    */
+  def bootstrapCI(group: String, value: String, key: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    graft.operators.ResampleQueries.bootstrapFrom(
+        df.select(col(group).as("l_returnflag"),
+          (col(value).cast(DecimalType(12, 2)) * 100).cast(LongType).as("qc"),
+          col(key).cast(LongType).as("k")))
+      .withColumnRenamed("l_returnflag", group)
+  }
+
+  /** Hash-randomization significance test for the mean difference of
+    * `value` between the `sampleA` and `sampleB` groups —
+    * q_stat_permutation's core: one row `(n_a, n_r, mean_a, mean_r,
+    * obs_diff, n_extreme, p_value)` with the add-one p estimate.
+    */
+  def permutationTest(group: String, value: String, key: String,
+      sampleA: String, sampleB: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    graft.operators.ResampleQueries.permutationFrom(
+      df.filter(col(group).isin(sampleA, sampleB))
+        .select(when(col(group) === sampleA, "A").otherwise("R").as("l_returnflag"),
+          (col(value).cast(DecimalType(12, 2)) * 100).cast(LongType).as("qc"),
+          col(key).cast(LongType).as("k")))
+  }
+
+  /** Winnowing fingerprints of a (id, text) frame — q_text_winnow's core:
+    * one row per selected `(<id>, fp_pos, fp_hash)` (Schleimer et al.
+    * 2003: any shared run of ≥ w+k−1 tokens yields a common fingerprint
+    * at ~2/(w+1) index density).
+    */
+  def winnow(id: String = "doc_id", text: String = "text"): DataFrame =
+    graft.operators.TextQueries.winnowOn(
+        df.select(col(id).as("doc_id"), col(text).as("text")))
+      .withColumnRenamed("doc_id", id)
+
+  /** The MOSS match step over winnowed fingerprints — q_text_winnow_pairs'
+    * core: doc pairs sharing ≥2 fingerprints, df-capped against
+    * ubiquitous grams, scored n_shared / min(n1, n2).
+    */
+  def winnowPairs(id: String = "doc_id", text: String = "text"): DataFrame =
+    graft.operators.TextQueries.winnowPairsOn(
+        df.select(col(id).as("doc_id"), col(text).as("text")))
+      .withColumnsRenamed(Map("doc_id1" -> s"${id}1", "doc_id2" -> s"${id}2"))
+
   /** Mann-Whitney U (Wilcoxon rank-sum) between two samples of a numeric
     * column — q_stat_mannwhitney's core: one row
     * `(n1, n2, u1, u2, z)`. `sample1` names the `group` value forming

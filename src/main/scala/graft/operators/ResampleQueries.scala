@@ -112,16 +112,24 @@ object ResampleQueries {
     */
   val statBootstrap = QueryDef(
     "q_stat_bootstrap",
-    (s, dir) => {
+    (s, dir) =>
       // cents-quantize ONCE per row (exact: the decimal cast happens n
       // times, not n·R) — the per-draw hot path is then pure long
       // arithmetic; the exact-rational means are unchanged (scaling
       // numerator and denominator by an exactly-representable 100 cannot
       // change the IEEE quotient), measured 8.4 → 1.9 s at sf0.1
-      val li = Tables.lineitem(s, dir)
+      bootstrapFrom(Tables.lineitem(s, dir)
         .select(col("l_returnflag"),
           (col("l_quantity").cast(DecimalType(12, 2)) * 100).cast(LongType).as("qc"),
-          rowKey.as("k"))
+          rowKey.as("k"))),
+    Some(statBootstrapOracle),
+  )
+
+  /** The Poisson-bootstrap plan over any (l_returnflag group, qc = exact
+    * value cents BIGINT, k unique BIGINT) frame — factored out for the
+    * facade's bootstrapCI verb on caller frames.
+    */
+  private[graft] def bootstrapFrom(li: DataFrame): DataFrame = {
       val draws = li
         .withColumn("r", explode(sequence(lit(0L), lit(R - 1L))))
         .withColumn("w", poissonWeight(uniform(col("k"), col("r"))))
@@ -142,8 +150,9 @@ object ResampleQueries {
       pt.join(ci, "l_returnflag")
         .select("l_returnflag", "n", "mean_qty", "boot_lo", "boot_hi")
         .orderBy("l_returnflag")
-    },
-    Some(s"""
+  }
+
+  private def statBootstrapOracle: String = s"""
       WITH reps AS (SELECT CAST(range AS BIGINT) AS r FROM range($R)),
       li AS (SELECT l_returnflag,
                     CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc,
@@ -173,8 +182,7 @@ object ResampleQueries {
       SELECT pt.l_returnflag, n, mean_qty, boot_lo, boot_hi
       FROM pt JOIN ci ON ci.l_returnflag = pt.l_returnflag
       ORDER BY pt.l_returnflag
-    """.trim),
-  )
+    """.trim
 
   /** q_stat_permutation — randomization test for the difference of mean
     * l_quantity between returnflag 'A' and 'R' rows: each replicate

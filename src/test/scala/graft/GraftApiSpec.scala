@@ -552,6 +552,24 @@ class GraftApiSpec extends SparkTestBase with Matchers {
     val hReg = graft.operators.LayoutQueries.layoutHilbert.query(spark, sfTiny)
       .collect().map(_.toString).toSeq
     hVerb shouldBe hReg
+    // bootstrapCI / permutationTest: caller-frame verbs reproduce the
+    // registered resample rows given the same derived row key
+    val liKeyed = li.withColumn("rk", col("l_orderkey") * 8 + col("l_linenumber"))
+    liKeyed.graft.bootstrapCI("l_returnflag", "l_quantity", "rk")
+      .collect().map(_.toString).sorted.toSeq shouldBe
+      graft.operators.ResampleQueries.statBootstrap.query(spark, sfTiny)
+        .collect().map(_.toString).sorted.toSeq
+    liKeyed.graft.permutationTest("l_returnflag", "l_quantity", "rk", "A", "R")
+      .collect().map(_.toString).toSeq shouldBe
+      graft.operators.ResampleQueries.statPermutation.query(spark, sfTiny)
+        .collect().map(_.toString).toSeq
+    // winnow / winnowPairs verbs equal the registered fingerprint rows
+    docs.graft.winnow().collect().map(_.toString).sorted.toSeq shouldBe
+      graft.operators.TextQueries.textWinnow.query(spark, sfTiny)
+        .collect().map(_.toString).sorted.toSeq
+    docs.graft.winnowPairs().collect().map(_.toString).sorted.toSeq shouldBe
+      graft.operators.TextQueries.textWinnowPairs.query(spark, sfTiny)
+        .collect().map(_.toString).sorted.toSeq
     val cusumVerb = Tables.events(spark, sfTiny).graft.cusum()
       .collect().map(_.toString).toSeq
     val cusumReg = graft.operators.TimeSeriesQueries.tsChangepoint.query(spark, sfTiny)
