@@ -50,18 +50,77 @@ import org.apache.spark.sql.types._
   * batch q_pipeline_curate result exactly — CurationIngestSpec asserts
   * row equality against the batch plan on the same corpus.
   *
-  * Scale shape: state is three append-only parquet dirs (narrow rows:
-  * 1 hash/survivor, 16 signature rows/survivor, 1 hashed set/survivor);
-  * per-close work is one shard-side window + one signature shuffle + the
+  * Scale shape: state is narrow append-only parquet segments (1 hash/
+  * survivor, 16 signature rows/survivor, 1 hashed set/survivor) under
+  * the log-record CAS protocol (see [[IngestLog]] — r12 replaced the
+  * bare append dirs, which had no crash-replay protection); per-close
+  * work is one shard-side window + one signature shuffle + the
   * candidate-verify join, all independent of total corpus size except
   * through the state scan (partition-prunable by lang/band at 100 TB).
   */
 object CurationIngest {
 
-  /** Append-only state dirs: seen text hashes, banded LSH signatures and
-    * hashed token sets of every exact-stage survivor curated so far.
+  /** One committed ingest state (r12: the log-record CAS protocol
+    * replaced three bare `mode("append")` dirs + an append-mode landing
+    * and curated sink, none replay-protected — a crashed-and-retried
+    * foreachBatch double-landed docs, double-appended dedup state, and
+    * re-curated closed shards). Every committed state is one
+    * exclusive-create record `log/v<N>` naming the live segment set and
+    * the committed batch id; segment `<seg>` implies whichever of
+    * `landing/<seg>`, `keep/<seg>`, `banded/<seg>`, `hashed/<seg>`,
+    * `curated/<seg>` dirs the batch actually wrote (readers
+    * existence-filter). A batch at or below the committed id is a crash
+    * replay and lands NOTHING.
     */
-  final case class IngestState(textKeep: String, banded: String, hashed: String)
+  private[graft] case class IngestLog(version: Long, segs: Seq[String], batch: Option[Long])
+
+  private val EmptyLog = IngestLog(-1L, Seq.empty, None)
+
+  private def recordBody(st: IngestLog): String =
+    s"segs=${st.segs.mkString(",")};batch=${st.batch.fold("-")(_.toString)}"
+
+  private def parseRecord(version: Long, body: String): IngestLog = {
+    val kv = body.trim.split(";").map { f =>
+      val i = f.indexOf('=')
+      f.take(i) -> f.drop(i + 1)
+    }.toMap
+    IngestLog(version,
+      kv.get("segs").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty),
+      kv.get("batch").filter(_ != "-").map(_.toLong))
+  }
+
+  private def readRecord(s: SparkSession, base: String, v: Long): Option[IngestLog] =
+    graft.sources.GraftFs.readSmallFile(s, s"$base/log/v$v").map(parseRecord(v, _))
+
+  private[graft] def currentState(s: SparkSession, base: String): IngestLog = {
+    val hinted = graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT")
+      .map(_.trim.drop(1).toLong).filter(v => readRecord(s, base, v).isDefined)
+    val start = hinted.orElse {
+      val (fs, q) = graft.sources.GraftFs.resolve(s, s"$base/log")
+      if (!fs.exists(q)) None
+      else fs.listStatus(q).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v")).map(_.drop(1).toLong).maxOption
+    }
+    start match {
+      case None => EmptyLog
+      case Some(v0) =>
+        var st = readRecord(s, base, v0).getOrElse(EmptyLog)
+        var next = readRecord(s, base, st.version + 1)
+        while (next.isDefined) { st = next.get; next = readRecord(s, base, st.version + 1) }
+        st
+    }
+  }
+
+  /** The committed micro-batch id — the replay guard's probe. */
+  def committedBatch(s: SparkSession, base: String): Option[Long] =
+    currentState(s, base).batch
+
+  private def publish(s: SparkSession, base: String, st: IngestLog): Boolean = {
+    val ok = graft.sources.GraftFs.writeSmallFileExclusive(
+      s, s"$base/log/v${st.version}", recordBody(st))
+    if (ok) graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"v${st.version}")
+    ok
+  }
 
   /** (shard_id, doc_id, text, lang) — the streaming input row. */
   private type DocIn = (Long, Long, String, String)
@@ -125,18 +184,45 @@ object CurationIngest {
   private val hashedSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("th", ArrayType(LongType, containsNull = false), nullable = false)))
+  private val landingSchema = StructType(Seq(
+    StructField("shard_id", LongType), StructField("doc_id", LongType),
+    StructField("text", StringType), StructField("lang", StringType)))
+  private val curatedSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("n_tokens", IntegerType), StructField("quality_score", DoubleType)))
 
-  private def readState(s: SparkSession, path: String, schema: StructType): DataFrame =
-    if (graft.sources.GraftFs.exists(s, path)) s.read.schema(schema).parquet(path)
-    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  /** Union of a segment family's existing dirs (a batch writes only the
+    * dirs it touched — e.g. a close-only batch lands no docs).
+    */
+  private def readSegDirs(s: SparkSession, base: String, sub: String,
+      schema: StructType, segs: Seq[String]): DataFrame = {
+    val dirs = segs.map(n => s"$base/$sub/$n")
+      .filter(p => graft.sources.GraftFs.exists(s, p))
+    if (dirs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else s.read.schema(schema).parquet(dirs: _*)
+  }
+
+  /** The landed corpus (audit/replay surface), from committed segments. */
+  def readLanding(s: SparkSession, base: String): DataFrame =
+    readSegDirs(s, base, "landing", landingSchema, currentState(s, base).segs)
+
+  /** All curated rows emitted so far, from committed segments. */
+  def readCurated(s: SparkSession, base: String): DataFrame =
+    readSegDirs(s, base, "curated", curatedSchema, currentState(s, base).segs)
 
   /** Curate ONE closed shard against everything curated before: quality
     * gate → exact dedup vs seen-text state → near-dedup vs signature
-    * state, then fold the shard's survivors into state. Returns the
-    * shard's curated rows (doc_id, lang, n_tokens, quality_score) — final
-    * immediately, because later shards only ever drop their own docs.
+    * state, then fold the shard's survivors into the BATCH's (as-yet
+    * uncommitted) segment dirs. `liveSegs` is the visible state — the
+    * committed segments plus the current batch's segment, so a second
+    * close in the same batch sees the first close's survivors. Returns
+    * the shard's curated rows (doc_id, lang, n_tokens, quality_score) —
+    * final immediately, because later shards only ever drop their own
+    * docs.
     */
-  def processClosedShard(s: SparkSession, shardDocs: DataFrame, st: IngestState): DataFrame = {
+  private def processClosedShard(s: SparkSession, shardDocs: DataFrame,
+      base: String, liveSegs: Seq[String], segName: String): DataFrame = {
     val quality = CurationPipeline.scoredDocs(shardDocs)
       .filter(col("quality_score") >= 0.5)
     // exact dedup: min doc_id per text within the shard, then drop any
@@ -144,7 +230,7 @@ object CurationIngest {
     val shardKeep = quality.withColumn("text_h", xxhash64(col("text")))
       .withColumn("keep_id", min("doc_id").over(Window.partitionBy("text_h")))
       .filter(col("doc_id") === col("keep_id"))
-    val seen = readState(s, st.textKeep, keepSchema)
+    val seen = readSegDirs(s, base, "keep", keepSchema, liveSegs)
     // localCheckpoint: materialize every batch-side derivation BEFORE the
     // appends below mutate the state dirs they were computed against
     val exact = shardKeep.join(seen, Seq("text_h"), "left_anti").localCheckpoint()
@@ -152,8 +238,8 @@ object CurationIngest {
       exact.select(col("doc_id"), col("lang"), col("toks")), bands = 16).localCheckpoint()
     val bHashed = exact.select(col("doc_id"),
       Tokenize.hashedSetOf(col("toks")).as("th")).localCheckpoint()
-    val allBanded = readState(s, st.banded, bandedSchema).unionByName(bBanded)
-    val allHashed = readState(s, st.hashed, hashedSchema).unionByName(bHashed)
+    val allBanded = readSegDirs(s, base, "banded", bandedSchema, liveSegs).unionByName(bBanded)
+    val allHashed = readSegDirs(s, base, "hashed", hashedSchema, liveSegs).unionByName(bHashed)
     // candidates: SHARD signatures × (state ∪ shard) — pairs between two
     // state docs were resolved when the earlier shard closed
     val l = bBanded.select(col("lang"), col("band"), col("sig"), col("doc_id").as("did1"))
@@ -179,43 +265,63 @@ object CurationIngest {
     val curated = exact.join(dropIds, col("doc_id") === col("drop_id"), "left_anti")
       .select("doc_id", "lang", "n_tokens", "quality_score")
       .localCheckpoint()
-    // fold the shard into state (ALL exact-stage survivors, including
-    // near-dropped ones — a dropped doc still drops later near-twins,
-    // exactly as in the batch pipeline's non-recursive rule)
-    exact.select(col("text_h")).write.mode("append").parquet(st.textKeep)
-    bBanded.write.mode("append").parquet(st.banded)
-    bHashed.write.mode("append").parquet(st.hashed)
+    // fold the shard into the batch's segment (ALL exact-stage survivors,
+    // including near-dropped ones — a dropped doc still drops later
+    // near-twins, exactly as in the batch pipeline's non-recursive rule);
+    // within-batch appends to the UNCOMMITTED segment are crash-safe:
+    // liveness is record-defined, an orphaned segment is never read
+    exact.select(col("text_h")).write.mode("append").parquet(s"$base/keep/$segName")
+    bBanded.write.mode("append").parquet(s"$base/banded/$segName")
+    bHashed.write.mode("append").parquet(s"$base/hashed/$segName")
+    curated.write.mode("append").parquet(s"$base/curated/$segName")
     curated
   }
 
-  /** foreachBatch handler: land this micro-batch's `doc` rows, then curate
-    * every shard whose `close` fired (in shard order — ties in one batch
-    * are sorted), appending curated rows to `curatedOut`.
+  /** foreachBatch handler: land this micro-batch's `doc` rows into the
+    * batch's writer-unique segment, curate every shard whose `close`
+    * fired (in shard order — ties in one batch are sorted), then commit
+    * the segment with ONE log record. A replayed batch id lands nothing;
+    * a lost publish race throws (the stream retries the batch, the retry
+    * writes a fresh segment against the winner's state, and the orphaned
+    * segment is never read — single-writer is the operating mode, the
+    * CAS is the safety net).
     */
-  def handleBatch(s: SparkSession, batch: DataFrame, landing: String,
-      st: IngestState, curatedOut: String): Unit = {
+  def handleBatch(s: SparkSession, batch: DataFrame, base: String,
+      batchId: Option[Long] = None): Unit = {
+    val st0 = currentState(s, base)
+    if (batchId.exists(id => st0.batch.exists(_ >= id))) return
     batch.persist()
     try {
+      val uid = java.util.UUID.randomUUID.toString.take(8)
+      val segName = s"b${st0.version + 1}-$uid"
+      val liveSegs = st0.segs :+ segName
       val docs = batch.filter(col("kind") === "doc")
         .select("shard_id", "doc_id", "text", "lang")
-      if (!docs.isEmpty) docs.write.mode("append").parquet(landing)
       val closes = batch.filter(col("kind") === "close")
         .select("shard_id", "n_docs").orderBy("shard_id").collect()
+      val hasDocs = !docs.isEmpty
+      if (!hasDocs && closes.isEmpty) return // empty tick: no record churn
+      if (hasDocs) docs.write.mode("overwrite").parquet(s"$base/landing/$segName")
       closes.foreach { row =>
         val sid = row.getLong(0)
-        val shardDocs = s.read.parquet(landing).filter(col("shard_id") === sid)
-        processClosedShard(s, shardDocs, st)
-          .write.mode("append").parquet(curatedOut)
+        val shardDocs = readSegDirs(s, base, "landing", landingSchema, liveSegs)
+          .filter(col("shard_id") === sid)
+        processClosedShard(s, shardDocs, base, liveSegs, segName): Unit
       }
+      val next = IngestLog(st0.version + 1, liveSegs, batchId.orElse(st0.batch))
+      require(publish(s, base, next),
+        s"handleBatch: lost the publish race at $base (concurrent writer); " +
+          "the stream retry will rebase onto the winner")
     } finally { batch.unpersist(); () }
   }
 
   /** Wire the whole pipeline onto a docs stream: tagged pass-through +
-    * quiet-close signals, landed and curated per close via foreachBatch.
+    * quiet-close signals, landed and curated per close via foreachBatch;
+    * the batch id rides the committed record for crash-replay idempotence.
     */
-  def attach(docs: DataFrame, quietMs: Long, landing: String, st: IngestState,
-      curatedOut: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+  def attach(docs: DataFrame, quietMs: Long,
+      base: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     sessionizedIngest(docs, quietMs).writeStream.foreachBatch {
-      (b: DataFrame, _: Long) => handleBatch(b.sparkSession, b, landing, st, curatedOut)
+      (b: DataFrame, bid: Long) => handleBatch(b.sparkSession, b, base, Some(bid))
     }
 }

@@ -30,13 +30,27 @@ object IncrementalCdc {
     StructField("o_custkey", LongType),
     StructField("o_totalprice", DoubleType)))
 
-  private def currentVersion(s: SparkSession, base: String): Option[String] =
-    graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT").map(_.trim)
+  /** _CURRENT carries `v<N>[:batch=<id>]` — the IncrementalAgg/Stats
+    * replay-protection pointer (r12: a crashed-and-retried foreachBatch
+    * must not re-apply a batch of changes — a replayed D/U merge against
+    * the post-merge state silently diverges from the one-shot apply).
+    */
+  private def currentPointer(s: SparkSession, base: String): Option[(String, Option[Long])] =
+    graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT").map { c =>
+      c.trim.split(":batch=") match {
+        case Array(v, b) => (v, Some(b.toLong))
+        case Array(v) => (v, None)
+      }
+    }
+
+  /** The committed micro-batch id, if the writer threads one. */
+  def committedBatch(s: SparkSession, base: String): Option[Long] =
+    currentPointer(s, base).flatMap(_._2)
 
   /** Read the current snapshot (empty before initialization). */
   def readState(s: SparkSession, base: String): DataFrame =
-    currentVersion(s, base) match {
-      case Some(v) => s.read.schema(stateSchema).parquet(s"$base/$v")
+    currentPointer(s, base) match {
+      case Some((v, _)) => s.read.schema(stateSchema).parquet(s"$base/$v")
       case None => s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
     }
@@ -47,7 +61,11 @@ object IncrementalCdc {
     * D and a U is dropped — q_cdc_upsert's precedence), then one
     * full-outer merge against the state.
     */
-  def processBatch(s: SparkSession, changes: DataFrame, base: String): DataFrame = {
+  def processBatch(s: SparkSession, changes: DataFrame, base: String,
+      batchId: Option[Long] = None): DataFrame = {
+    val ptr = currentPointer(s, base)
+    if (batchId.exists(id => ptr.flatMap(_._2).exists(_ >= id)))
+      return readState(s, base)
     val perKey = changes.groupBy("o_orderkey").agg(
       max(when(col("op") === "D", 1).otherwise(0)).as("has_d"),
       // at most one U per key per batch under the key-partitioned feed;
@@ -64,9 +82,10 @@ object IncrementalCdc {
         coalesce(col("u.new_price"), col("o_totalprice")).as("o_totalprice"))
       // materialize BEFORE touching the directory tree the plan reads from
       .localCheckpoint()
-    val next = s"v${currentVersion(s, base).map(_.drop(1).toLong + 1).getOrElse(0L)}"
+    val next = s"v${ptr.map(_._1.drop(1).toLong + 1).getOrElse(0L)}"
     merged.write.mode("overwrite").parquet(s"$base/$next")
-    graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", next)
+    val tag = batchId.orElse(ptr.flatMap(_._2)).fold("")(id => s":batch=$id")
+    graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"$next$tag")
     merged
   }
 
@@ -85,7 +104,7 @@ object IncrementalCdc {
     * (IncrementalCdcSpec's key-mod split is the conforming shape).
     */
   def attach(changes: DataFrame, base: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      processBatch(batch.sparkSession, batch, base): Unit
+    changes.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      processBatch(batch.sparkSession, batch, base, Some(bid)): Unit
     }
 }

@@ -27,8 +27,24 @@ object IncrementalShards {
     StructField("n_bytes", LongType), StructField("n_tokens", LongType),
     StructField("first_doc", LongType), StructField("last_doc", LongType)))
 
+  /** _CURRENT carries `v<N>[:batch=<id>]` — the IncrementalAgg/Stats
+    * replay-protection pointer (r12: a replayed batch would double-count
+    * its bytes/tokens into the manifest AND shift every later offset).
+    */
+  private def currentPointer(s: SparkSession, base: String): Option[(String, Option[Long])] =
+    graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT").map { c =>
+      c.trim.split(":batch=") match {
+        case Array(v, b) => (v, Some(b.toLong))
+        case Array(v) => (v, None)
+      }
+    }
+
   private def currentVersion(s: SparkSession, base: String): Option[String] =
-    graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT").map(_.trim)
+    currentPointer(s, base).map(_._1)
+
+  /** The committed micro-batch id, if the writer threads one. */
+  def committedBatch(s: SparkSession, base: String): Option[Long] =
+    currentPointer(s, base).flatMap(_._2)
 
   def readState(s: SparkSession, base: String): DataFrame =
     currentVersion(s, base) match {
@@ -37,8 +53,14 @@ object IncrementalShards {
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
     }
 
-  /** Absorb one doc batch (doc_id, n_chars, text) into the manifest. */
-  def processBatch(s: SparkSession, docs: DataFrame, base: String): DataFrame = {
+  /** Absorb one doc batch (doc_id, n_chars, text) into the manifest. A
+    * batch id at or below the committed tag is a crash replay and is
+    * skipped.
+    */
+  def processBatch(s: SparkSession, docs: DataFrame, base: String,
+      batchId: Option[Long] = None): DataFrame = {
+    if (batchId.exists(id => committedBatch(s, base).exists(_ >= id)))
+      return readState(s, base)
     val state = readState(s, base)
     val baseOffset = state.agg(coalesce(sum("n_bytes"), lit(0L))).collect()(0).getLong(0)
     val w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -66,16 +88,20 @@ object IncrementalShards {
         greatest(coalesce(col("l1"), col("l2")), coalesce(col("l2"), col("l1"))).as("last_doc"))
       // materialize BEFORE touching the directory tree the plan reads from
       .localCheckpoint()
-    val next = s"v${currentVersion(s, base).map(_.drop(1).toLong + 1).getOrElse(0L)}"
+    val ptr = currentPointer(s, base)
+    val next = s"v${ptr.map(_._1.drop(1).toLong + 1).getOrElse(0L)}"
     merged.write.mode("overwrite").parquet(s"$base/$next")
-    graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", next)
+    val tag = batchId.orElse(ptr.flatMap(_._2)).fold("")(id => s":batch=$id")
+    graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"$next$tag")
     merged
   }
 
-  /** Attach the manifest maintenance to a document stream via foreachBatch. */
+  /** Attach the manifest maintenance to a document stream via foreachBatch;
+    * the batch id rides the committed pointer for crash-replay idempotence.
+    */
   def attach(docs: DataFrame, base: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      processBatch(batch.sparkSession, batch, base): Unit
+    docs.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      processBatch(batch.sparkSession, batch, base, Some(bid)): Unit
     }
 
   /** Manifest REPAIR after late corrections — offset sharding means a
@@ -113,9 +139,13 @@ object IncrementalShards {
         sum("n_tokens").as("n_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
     val merged = kept.union(rebuilt).localCheckpoint()
-    val next = s"v${currentVersion(s, base).map(_.drop(1).toLong + 1).getOrElse(0L)}"
+    val ptr = currentPointer(s, base)
+    val next = s"v${ptr.map(_._1.drop(1).toLong + 1).getOrElse(0L)}"
     merged.write.mode("overwrite").parquet(s"$base/$next")
-    graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", next)
+    // a repair is not a stream batch: carry the committed batch tag
+    // forward unchanged so replay protection survives the repair swap
+    val tag = ptr.flatMap(_._2).fold("")(id => s":batch=$id")
+    graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"$next$tag")
     merged
   }
 }

@@ -24,11 +24,7 @@ class CurationIngestSpec extends SparkTestBase with Matchers {
   test("s_curate_ingest: per-close curation over a sharded stream == batch q_pipeline_curate") {
     val feed = Files.createTempDirectory("graft_ci_feed").toFile.getAbsolutePath
     val ckpt = Files.createTempDirectory("graft_ci_ck").toFile.getAbsolutePath
-    val landing = Files.createTempDirectory("graft_ci_land").toFile.getAbsolutePath + "/docs"
-    val curated = Files.createTempDirectory("graft_ci_cur").toFile.getAbsolutePath + "/out"
-    val stBase = Files.createTempDirectory("graft_ci_st").toFile.getAbsolutePath
-    val st = CurationIngest.IngestState(
-      s"$stBase/textkeep", s"$stBase/banded", s"$stBase/hashed")
+    val base = Files.createTempDirectory("graft_ci_st").toFile.getAbsolutePath
 
     val all = Tables.documents(spark, sfTiny)
       .withColumn("shard_id", floor(col("doc_id") / K))
@@ -57,7 +53,7 @@ class CurationIngestSpec extends SparkTestBase with Matchers {
     expected.size should be > 100 // the fixture must exercise real drops
 
     def curatedCount(): Long =
-      Try(spark.read.parquet(curated).count()).getOrElse(0L)
+      Try(CurationIngest.readCurated(spark, base).count()).getOrElse(0L)
 
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
@@ -68,7 +64,7 @@ class CurationIngestSpec extends SparkTestBase with Matchers {
     writeFeed("f1.parquet", all.filter(_._2 < 188))
     val q = CurationIngest.attach(
         spark.readStream.schema(feedSchema).parquet(feed),
-        quietMs = 8000L, landing, st, curated)
+        quietMs = 8000L, base)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
     try {
@@ -82,13 +78,13 @@ class CurationIngestSpec extends SparkTestBase with Matchers {
       while (curatedCount() < expected.size && System.currentTimeMillis() < deadline)
         Thread.sleep(500)
       Thread.sleep(2000) // grace: no shard may curate twice
-      val got = spark.read.parquet(curated).collect()
+      val got = CurationIngest.readCurated(spark, base).collect()
         .map(_.toSeq.toIndexedSeq: Seq[Any]).toSet
-      spark.read.parquet(curated).count() shouldBe expected.size.toLong
+      CurationIngest.readCurated(spark, base).count() shouldBe expected.size.toLong
       got shouldBe expected
       // the stream's per-shard state cleared on close; the landing zone
       // holds the full corpus for audit/replay
-      spark.read.parquet(landing).count() shouldBe all.length.toLong
+      CurationIngest.readLanding(spark, base).count() shouldBe all.length.toLong
     } finally {
       q.stop()
       prev match {
@@ -96,5 +92,38 @@ class CurationIngestSpec extends SparkTestBase with Matchers {
         case None    => spark.conf.unset(key)
       }
     }
+  }
+
+  test("crash replay of a committed ingest batch lands nothing (docs, state, curated)") {
+    val base = Files.createTempDirectory("graft_ci_replay").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfTiny)
+      .withColumn("shard_id", floor(col("doc_id") / K))
+      .filter(col("shard_id") === 0)
+      .select("shard_id", "doc_id", "text", "lang")
+    def tagged(docRows: org.apache.spark.sql.DataFrame, closeShard: Option[Long]) = {
+      val d = docRows.select(lit("doc").as("kind"), col("shard_id"), col("doc_id"),
+        col("text"), col("lang"), lit(0L).as("n_docs"))
+      closeShard match {
+        case Some(sid) => d.unionByName(
+          Seq(("close", sid, 0L, null: String, null: String, 0L))
+            .toDF("kind", "shard_id", "doc_id", "text", "lang", "n_docs"))
+        case None => d
+      }
+    }
+    // batch 0 lands shard 0's docs; batch 1 closes (and curates) it
+    CurationIngest.handleBatch(spark, tagged(docs, None), base, Some(0L))
+    CurationIngest.handleBatch(spark, tagged(docs.limit(0), Some(0L)), base, Some(1L))
+    val curated = CurationIngest.readCurated(spark, base)
+      .collect().map(_.toString).sorted.toSeq
+    curated should not be empty
+    val landed = CurationIngest.readLanding(spark, base).count()
+    // a foreachBatch retry re-delivers both batches: each must be a no-op
+    // (the old append-mode state would double-land docs AND re-curate)
+    CurationIngest.handleBatch(spark, tagged(docs, None), base, Some(0L))
+    CurationIngest.handleBatch(spark, tagged(docs.limit(0), Some(0L)), base, Some(1L))
+    CurationIngest.readCurated(spark, base)
+      .collect().map(_.toString).sorted.toSeq shouldBe curated
+    CurationIngest.readLanding(spark, base).count() shouldBe landed
+    CurationIngest.committedBatch(spark, base) shouldBe Some(1L)
   }
 }

@@ -71,4 +71,24 @@ class IncrementalCdcSpec extends SparkTestBase with Matchers {
     got.map(_._1) should not contain 5L
     got.map(_._1) should contain(6L)
   }
+
+  test("crash replay of a committed change batch is skipped, not re-applied") {
+    import org.apache.spark.sql.functions._
+    val stateBase = java.nio.file.Files
+      .createTempDirectory("graft_inccdc_replay").toFile.getAbsolutePath
+    val orders = Tables.orders(spark, sfTiny).limit(200)
+    val b0 = orders.select(col("o_orderkey"), lit("U").as("op"),
+      col("o_custkey").as("c_custkey"), col("o_totalprice").as("new_price"))
+    IncrementalCdc.processBatch(spark, b0, stateBase, Some(0L))
+    // batch 1 deletes every key; a replay of it must be a no-op
+    val b1 = orders.select(col("o_orderkey"), lit("D").as("op"),
+      lit(0L).as("c_custkey"), lit(0.0).as("new_price")).limit(50)
+    IncrementalCdc.processBatch(spark, b1, stateBase, Some(1L))
+    val committed = IncrementalCdc.readState(spark, stateBase)
+      .collect().map(_.toString).sorted.toSeq
+    IncrementalCdc.processBatch(spark, b1, stateBase, Some(1L))
+    IncrementalCdc.readState(spark, stateBase)
+      .collect().map(_.toString).sorted.toSeq shouldBe committed
+    IncrementalCdc.committedBatch(spark, stateBase) shouldBe Some(1L)
+  }
 }

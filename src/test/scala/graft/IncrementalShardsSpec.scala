@@ -86,4 +86,23 @@ class IncrementalShardsSpec extends SparkTestBase with Matchers {
     // untouched prefix shards carried over verbatim from the old state
     preRepair.intersect(repaired).size should be > 0
   }
+
+  test("crash replay of a committed doc batch is skipped (offsets never double-shift)") {
+    import org.apache.spark.sql.functions._
+    val stateBase = java.nio.file.Files
+      .createTempDirectory("graft_incshards_replay").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfTiny).select("doc_id", "n_chars", "text")
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    IncrementalShards.processBatch(spark, b0, stateBase, Some(0L))
+    IncrementalShards.processBatch(spark, b1, stateBase, Some(1L))
+    val committed = IncrementalShards.readState(spark, stateBase)
+      .collect().map(_.toString).sorted.toSeq
+    // a replayed batch would double-count bytes and shift every later
+    // offset — the <= tag guard must make it a no-op
+    IncrementalShards.processBatch(spark, b1, stateBase, Some(1L))
+    IncrementalShards.readState(spark, stateBase)
+      .collect().map(_.toString).sorted.toSeq shouldBe committed
+    IncrementalShards.committedBatch(spark, stateBase) shouldBe Some(1L)
+  }
 }
