@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -568,7 +568,89 @@ object MoreQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(dqProfile, dqBenford, dqKanon, dqDpnoise,
+  /** The PSI plan over any (k = slice key BIGINT, xc = exact value cents
+    * BIGINT) frame — factored out so the spec can calibrate on synthetic
+    * stable/shifted slices.
+    */
+  private[graft] def psiFrom(o: DataFrame): DataFrame = {
+    val dom = o.agg(min("xc").as("mn"), max("xc").as("mx"))
+    val binned = o.crossJoin(broadcast(dom))
+      .withColumn("bin", least(lit(9L), expr("((xc - mn) * 10) div (mx - mn + 1)")))
+      .withColumn("slice", (col("k") % 2).cast(IntegerType))
+    val counts = binned.groupBy("bin")
+      .agg(sum(when(col("slice") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("slice") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val tot = counts.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+    val grid = o.sparkSession.range(0, 10).select(col("id").as("bin"))
+    val rows = grid.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p_ref", (col("n_ref") + 1).cast(DoubleType) / (col("tr") + 10).cast(DoubleType))
+      .withColumn("p_cur", (col("n_cur") + 1).cast(DoubleType) / (col("tc") + 10).cast(DoubleType))
+      .withColumn("term",
+        round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 8)
+          .cast(DecimalType(18, 8)))
+      .localCheckpoint()
+    val psi = rows.agg(round(sum("term").cast(DoubleType), 6).as("psi"))
+    rows.crossJoin(broadcast(psi))
+      .select(col("bin").cast(IntegerType).as("bin"), col("n_ref"), col("n_cur"),
+        round(col("p_ref"), 6).as("p_ref"), round(col("p_cur"), 6).as("p_cur"),
+        col("term").cast(DoubleType).as("psi_term"), col("psi"))
+      .orderBy("bin")
+  }
+
+  /** Population stability index between the even- and odd-key halves of
+    * the order amounts — the standard feature-drift audit next to the
+    * text/embedding drift monitors (q_text_drift / q_vec_drift): 10
+    * equal-width bins over the GLOBAL value domain (all-integer cents
+    * binning — `div` on exact longs, no float edge can disagree between
+    * engines), add-one-smoothed bin probabilities (no zero-bin epsilon
+    * hacks), PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref). The one libm call
+    * (ln) rides the entropy recipe: 8dp-round each term to an exact
+    * decimal BEFORE the order-free sum, so last-ulp ln drift cannot
+    * surface. One row per bin with the shared psi total; the fixture's
+    * random split reads ≈ 0 (the calibrated "no drift" band is < 0.1;
+    * DqPsiSpec pins a shifted slice scoring far above it).
+    */
+  val dqPsi = QueryDef(
+    "q_dq_psi",
+    (s, dir) => psiFrom(Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("xc"))),
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc
+        FROM orders),
+      dom AS (SELECT MIN(xc) AS mn, MAX(xc) AS mx FROM o),
+      b AS (SELECT least(9, ((xc - mn) * 10) // (mx - mn + 1)) AS bin,
+                   k % 2 AS slice
+            FROM o, dom),
+      c AS (SELECT bin,
+                   CAST(SUM(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                   CAST(SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+            FROM b GROUP BY bin),
+      tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr, CAST(SUM(n_cur) AS BIGINT) AS tc FROM c),
+      grid AS (SELECT CAST(range AS BIGINT) AS bin FROM range(10)),
+      r AS (SELECT g.bin,
+                   COALESCE(c.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur,
+                   CAST(COALESCE(c.n_ref, 0) + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE) AS p_ref,
+                   CAST(COALESCE(c.n_cur, 0) + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE) AS p_cur
+            FROM grid g LEFT JOIN c ON c.bin = g.bin, tot),
+      t AS (SELECT *,
+                   CAST(ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 8) AS DECIMAL(18,8)) AS term
+            FROM r),
+      p AS (SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi FROM t)
+      SELECT CAST(t.bin AS INTEGER) AS bin, n_ref, n_cur,
+             ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+             CAST(term AS DOUBLE) AS psi_term, p.psi
+      FROM t, p ORDER BY bin
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(dqProfile, dqBenford, dqKanon, dqDpnoise, dqPsi,
     winFirstLast, joinLateral, setIntersectAll, setExceptAll, aggCollect, sketchBloom, sketchCms,
     sketchQuantile, dqAudit, sketchHllSetops)
 }
