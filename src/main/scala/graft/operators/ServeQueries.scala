@@ -217,6 +217,93 @@ object ServeQueries {
     DedupQueries.dedupNear.oracle,
   )
 
+  private[graft] def cdcStateBuilt(s: SparkSession, dir: String): String =
+    synchronized {
+      val base = stateBase(s, dir, "cdc")
+      if (!graft.streaming.IncrementalCdc.committedBatch(s, base).contains(1L)) {
+        val orders = Tables.orders(s, dir)
+        // batch 0 seeds the snapshot (every snapshot key as an upsert of
+        // its own row); batch 1 is q_cdc_upsert's exact derived change
+        // set — keys divisible by 5 delete, even keys upsert at +10.00
+        val seed = orders.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), lit("U").as("op"),
+            col("o_custkey").as("c_custkey"), col("o_totalprice").as("new_price"))
+        val changes = orders
+          .filter(col("o_orderkey") % 2 === 0 || col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 5 === 0, lit("D")).otherwise(lit("U")).as("op"),
+            col("o_custkey").as("c_custkey"),
+            (col("o_totalprice") + 10.0).as("new_price"))
+        graft.streaming.IncrementalCdc.processBatch(s, seed, base, Some(0L))
+        graft.streaming.IncrementalCdc.processBatch(s, changes, base, Some(1L))
+      }
+      base
+    }
+
+  /** The CDC maintainer's SERVE path as a registered row: the maintained
+    * snapshot after seeding + one change batch must hash-match
+    * q_cdc_upsert's merge result (minus its audit disposition column —
+    * state keeps rows, not change provenance): sequential full-outer
+    * merges compose to the one-shot MERGE when each key's changes ride
+    * one batch (the documented key-partitioned contract;
+    * IncrementalCdcSpec pins the equivalence and the replay no-op).
+    */
+  val serveCdcState = QueryDef(
+    "q_serve_cdc_state",
+    (s, dir) =>
+      graft.streaming.IncrementalCdc.readState(s, cdcStateBuilt(s, dir))
+        .orderBy("o_orderkey"),
+    Some("""
+      WITH snap AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+      changes AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+               o_custkey AS c_custkey,
+               o_totalprice + 10.0 AS new_price
+        FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 5 = 0)
+      SELECT COALESCE(s.o_orderkey, c.o_orderkey) AS o_orderkey,
+             COALESCE(c.c_custkey, s.o_custkey) AS o_custkey,
+             COALESCE(c.new_price, s.o_totalprice) AS o_totalprice
+      FROM snap s FULL OUTER JOIN changes c ON s.o_orderkey = c.o_orderkey
+      WHERE c.op IS NULL OR c.op = 'U'
+      ORDER BY o_orderkey
+    """.trim),
+  )
+
+  private[graft] def shardsStateBuilt(s: SparkSession, dir: String): String =
+    synchronized {
+      val base = stateBase(s, dir, "shards")
+      if (!graft.streaming.IncrementalShards.committedBatch(s, base).contains(1L)) {
+        val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "text")
+        // the manifest's feed contract: doc_id-ordered batches (offsets
+        // accumulate) — split at the id midpoint, lower half first
+        val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+        graft.streaming.IncrementalShards.processBatch(s,
+          docs.filter(col("doc_id") <= mid), base, Some(0L))
+        graft.streaming.IncrementalShards.processBatch(s,
+          docs.filter(col("doc_id") > mid), base, Some(1L))
+      }
+      base
+    }
+
+  /** The shard-manifest maintainer's SERVE path as a registered row: the
+    * maintained manifest after a two-batch doc_id-ordered ingest must
+    * hash-match q_pipeline_shards' one-shot manifest (same 16 KiB shard
+    * constant, same token counter) — byte offsets accumulate across
+    * batches, so a lost or double-counted batch shifts every later
+    * shard boundary and cannot hide (IncrementalShardsSpec pins the
+    * equivalence, the replay no-op, and the suffix-repair path).
+    */
+  val serveShardsState = QueryDef(
+    "q_serve_shards_state",
+    (s, dir) =>
+      graft.streaming.IncrementalShards.readState(s, shardsStateBuilt(s, dir))
+        .orderBy("shard_id"),
+    CurationQueries.pipelineShards.oracle,
+  )
+
   def defs: Seq[QueryDef] = Seq(serveHybridState, serveSpanSourceState,
-    serveNoveltyState, serveAggState, serveMwState, serveNeardupState)
+    serveNoveltyState, serveAggState, serveMwState, serveNeardupState,
+    serveCdcState, serveShardsState)
 }

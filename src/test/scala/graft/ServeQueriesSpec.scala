@@ -64,4 +64,20 @@ class ServeQueriesSpec extends SparkTestBase with Matchers {
     served shouldBe rows(
       graft.operators.StatQueries.statMannWhitney.query(spark, sfTiny))
   }
+
+  test("q_serve_cdc_state ≡ the one-shot merge (q_cdc_upsert minus disposition)") {
+    import org.apache.spark.sql.functions.col
+    val served = rows(ServeQueries.serveCdcState.query(spark, sfTiny))
+    served should not be empty
+    served shouldBe rows(
+      graft.operators.CdcQueries.cdcUpsert.query(spark, sfTiny)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+  }
+
+  test("q_serve_shards_state ≡ q_pipeline_shards row for row") {
+    val served = rows(ServeQueries.serveShardsState.query(spark, sfTiny))
+    served should not be empty
+    served shouldBe rows(
+      graft.operators.CurationQueries.pipelineShards.query(spark, sfTiny))
+  }
 }
