@@ -303,7 +303,92 @@ object ServeQueries {
     CurationQueries.pipelineShards.oracle,
   )
 
+  private[graft] def scd2StateBuilt(s: SparkSession, dir: String): String =
+    synchronized {
+      val base = stateBase(s, dir, "scd2")
+      if (!graft.streaming.IncrementalScd2.committedBatch(s, base).contains(2L)) {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+            expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+              .as("us"))
+        // time-ordered terciles (per-user order preserved) — the
+        // IncrementalScd2Spec feed shape; percentile_approx with fixed
+        // accuracy is deterministic on fixed data
+        val b = ev.selectExpr(
+          "percentile_approx(us, 0.3333, 10000)",
+          "percentile_approx(us, 0.6667, 10000)").head
+        val (t1, t2) = (b.getLong(0), b.getLong(1))
+        graft.streaming.IncrementalScd2.processBatch(s,
+          ev.filter(col("us") <= t1), base, Some(0L))
+        graft.streaming.IncrementalScd2.processBatch(s,
+          ev.filter(col("us") > t1 && col("us") <= t2), base, Some(1L))
+        graft.streaming.IncrementalScd2.processBatch(s,
+          ev.filter(col("us") > t2), base, Some(2L))
+      }
+      base
+    }
+
+  /** The SCD2 maintainer's SERVE path as a registered row: the full
+    * dimension (closed segments + current table) after a three-batch
+    * time-tercile ingest must hash-match q_cdc_scd2's one-shot derivation
+    * — including SEAM SUPPRESSION (a batch opening with a user's current
+    * value must not cut a new version; IncrementalScd2Spec pins it plus
+    * the replay no-op). The dimension build→serve loop is the classic
+    * warehouse upkeep a transactional MERGE performs; a mismatch means
+    * a version double-landed, a seam leaked, or close/current tore.
+    */
+  val serveScd2State = QueryDef(
+    "q_serve_scd2_state",
+    (s, dir) =>
+      graft.streaming.IncrementalScd2.readDimension(s, scd2StateBuilt(s, dir)),
+    CdcQueries.cdcScd2.oracle,
+  )
+
+  private[graft] def componentsStateBuilt(s: SparkSession, dir: String): String =
+    synchronized {
+      val base = stateBase(s, dir, "components")
+      if (!graft.streaming.IncrementalComponents.committedBatch(s, base).contains(2L)) {
+        val edges = GraphQueries.lshUndirectedEdges(s, dir).localCheckpoint()
+        val maxId = Tables.embeddings(s, dir).agg(max("vec_id")).head().getLong(0)
+        val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+        def batchOf(c: org.apache.spark.sql.Column) =
+          when(c <= cut1, 0L).when(c <= cut2, 1L).otherwise(2L)
+        val nodes = Tables.embeddings(s, dir)
+          .select(col("vec_id").as("node_id"), batchOf(col("vec_id")).as("bid"))
+        // an edge lands with its LATER endpoint (the maintainer's
+        // deliver-with-endpoints contract)
+        val edgesB = edges.withColumn("bid", batchOf(greatest(col("a"), col("b"))))
+        for (bid <- 0L to 2L)
+          graft.streaming.IncrementalComponents.processBatch(s,
+            nodes.filter(col("bid") === bid).select("node_id"),
+            edgesB.filter(col("bid") === bid).select("a", "b"),
+            base, Some(bid))
+      }
+      base
+    }
+
+  /** The connected-components maintainer's SERVE path as a registered
+    * row: the maintained label table after batched edge arrival, joined
+    * to component sizes in q_graph_components_lsh's exact output shape —
+    * must hash-match its recursive-CTE oracle because label contraction
+    * over any edge-arrival order converges to the same min-label fixpoint
+    * (IncrementalComponentsSpec pins monotone coarsening + the one-shot
+    * identity + replay no-op).
+    */
+  val serveComponentsState = QueryDef(
+    "q_serve_components_state",
+    (s, dir) => {
+      val labels = graft.streaming.IncrementalComponents
+        .readState(s, componentsStateBuilt(s, dir))
+      val sizes = labels.groupBy("component").agg(count(lit(1)).as("component_size"))
+      labels.join(broadcast(sizes), "component")
+        .select(col("node_id").as("vec_id"), col("component"), col("component_size"))
+        .orderBy("vec_id")
+    },
+    GraphQueries.graphComponentsLsh.oracle,
+  )
+
   def defs: Seq[QueryDef] = Seq(serveHybridState, serveSpanSourceState,
     serveNoveltyState, serveAggState, serveMwState, serveNeardupState,
-    serveCdcState, serveShardsState)
+    serveCdcState, serveShardsState, serveScd2State, serveComponentsState)
 }

@@ -58,6 +58,10 @@ object IncrementalComponents {
       }
     }
 
+  /** The committed micro-batch id, if the writer threads one. */
+  def committedBatch(s: SparkSession, base: String): Option[Long] =
+    currentPointer(s, base).flatMap(_._2)
+
   /** Read the current label table (empty before the first batch). */
   def readState(s: SparkSession, base: String): DataFrame =
     currentPointer(s, base) match {

@@ -47,6 +47,10 @@ object IncrementalScd2 {
     currentPointer(s, base).map(_._1)
 
   /** Open (current) versions, one row per user seen so far. */
+  /** The committed micro-batch id, if the writer threads one. */
+  def committedBatch(s: SparkSession, base: String): Option[Long] =
+    currentPointer(s, base).flatMap(_._2)
+
   def readCurrentTable(s: SparkSession, base: String): DataFrame =
     currentVersion(s, base) match {
       case Some(v) => s.read.schema(curSchema).parquet(s"$base/current/$v")

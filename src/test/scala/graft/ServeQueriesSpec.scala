@@ -80,4 +80,18 @@ class ServeQueriesSpec extends SparkTestBase with Matchers {
     served shouldBe rows(
       graft.operators.CurationQueries.pipelineShards.query(spark, sfTiny))
   }
+
+  test("q_serve_scd2_state ≡ q_cdc_scd2 row for row") {
+    val served = rows(ServeQueries.serveScd2State.query(spark, sfTiny))
+    served should not be empty
+    served shouldBe rows(
+      graft.operators.CdcQueries.cdcScd2.query(spark, sfTiny))
+  }
+
+  test("q_serve_components_state ≡ q_graph_components_lsh row for row") {
+    val served = rows(ServeQueries.serveComponentsState.query(spark, sfTiny))
+    served should not be empty
+    served shouldBe rows(
+      graft.operators.GraphQueries.graphComponentsLsh.query(spark, sfTiny))
+  }
 }
