@@ -388,7 +388,97 @@ object ServeQueries {
     GraphQueries.graphComponentsLsh.oracle,
   )
 
+  private[graft] def mineStateBuilt(s: SparkSession, dir: String): String =
+    synchronized {
+      val base = stateBase(s, dir, "mine")
+      if (!graft.streaming.IncrementalMine.committedBatch(s, base).contains(2L)) {
+        val bi = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        for (i <- 0 until 3)
+          graft.streaming.IncrementalMine.processBatch(s,
+            bi.filter(abs(hash(col("ok"))) % 3 === i), base, Some(i.toLong))
+      }
+      base
+    }
+
+  /** The mining maintainer's SERVE path as a registered row: association
+    * rules answered from the maintained (item supports, pair supports,
+    * basket census) state after a three-batch basket-hash split — must
+    * hash-match q_mine_rules' oracle because support counts are
+    * associative partials and the rule arithmetic is exact integer
+    * ratios (IncrementalMineSpec pins rules + recs including the
+    * below-threshold-in-every-batch accumulation case and replay).
+    */
+  val serveRulesState = QueryDef(
+    "q_serve_rules_state",
+    (s, dir) =>
+      graft.streaming.IncrementalMine.serveRules(s, mineStateBuilt(s, dir)),
+    MiningQueries.mineRules.oracle,
+  )
+
+  private[graft] def trendStateBuilt(s: SparkSession, dir: String): String =
+    synchronized {
+      val base = stateBase(s, dir, "trend")
+      if (!graft.streaming.IncrementalTrend.committedBatch(s, base).contains(2L)) {
+        val raw = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            col("event_type").as("g"),
+            expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"),
+            (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+              .cast(org.apache.spark.sql.types.LongType).as("x"),
+            expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+            (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+              .cast(org.apache.spark.sql.types.LongType).as("m"))
+        for (i <- 0 until 3)
+          graft.streaming.IncrementalTrend.processBatch(s,
+            raw.filter(abs(hash(col("event_id"))) % 3 === i), base, Some(i.toLong))
+      }
+      base
+    }
+
+  /** The trend maintainer's SERVE path as a registered row: Mann-Kendall/
+    * Sen trend answered from the maintained hourly moments after a
+    * three-batch event-hash split — must hash-match q_ts_trend's oracle
+    * because the hourly aggregation is associative and everything
+    * downstream is the one-shot's exact arithmetic (IncrementalTrendSpec
+    * pins trend + rfm + replay).
+    */
+  val serveTrendState = QueryDef(
+    "q_serve_trend_state",
+    (s, dir) =>
+      graft.streaming.IncrementalTrend.serveTrend(s, trendStateBuilt(s, dir)),
+    TimeSeriesQueries.tsTrend.oracle,
+  )
+
+  private[graft] def driftStateBuilt(s: SparkSession, dir: String): String =
+    synchronized {
+      val base = stateBase(s, dir, "drift")
+      if (!graft.streaming.IncrementalDrift.committedBatch(s, base).contains(2L)) {
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+        for (i <- 0 until 3)
+          graft.streaming.IncrementalDrift.processBatch(s,
+            docs.filter(col("doc_id") % 3 === i), base, Some(i.toLong))
+      }
+      base
+    }
+
+  /** The drift maintainer's SERVE path as a registered row: the top-30
+    * Dunning-G² source-drift tokens answered from the maintained
+    * (source, token, n) counts after a three-batch split — must
+    * hash-match q_text_drift's oracle because count partials merge
+    * associatively and the G² arithmetic is the one-shot's verbatim
+    * (IncrementalDriftSpec pins equality, replay, and the tag-preserving
+    * no-id call).
+    */
+  val serveDriftState = QueryDef(
+    "q_serve_drift_state",
+    (s, dir) =>
+      graft.streaming.IncrementalDrift.driftFromState(s, driftStateBuilt(s, dir)),
+    TextQueries.textDrift.oracle,
+  )
+
   def defs: Seq[QueryDef] = Seq(serveHybridState, serveSpanSourceState,
     serveNoveltyState, serveAggState, serveMwState, serveNeardupState,
-    serveCdcState, serveShardsState, serveScd2State, serveComponentsState)
+    serveCdcState, serveShardsState, serveScd2State, serveComponentsState,
+    serveRulesState, serveTrendState, serveDriftState)
 }

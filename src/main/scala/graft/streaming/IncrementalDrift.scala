@@ -42,6 +42,10 @@ object IncrementalDrift {
       }
     }
 
+  /** The committed micro-batch id, if the writer threads one. */
+  def committedBatch(s: SparkSession, base: String): Option[Long] =
+    currentPointer(s, base).flatMap(_._2)
+
   /** Current (source, token, n) counts; empty before the first batch. */
   def readCounts(s: SparkSession, base: String): DataFrame =
     currentPointer(s, base) match {

@@ -54,6 +54,10 @@ object IncrementalMine {
     else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Current (sup, pairs, nb) state; all empty before batch 0. */
+  /** The committed micro-batch id, if the writer threads one. */
+  def committedBatch(s: SparkSession, base: String): Option[Long] =
+    currentPointer(s, base).flatMap(_._2)
+
   def readState(s: SparkSession, base: String): (DataFrame, DataFrame, DataFrame) =
     currentPointer(s, base) match {
       case Some((v, _)) => (

@@ -88,6 +88,10 @@ object IncrementalTrend {
     graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"$next$tag")
   }
 
+  /** The committed micro-batch id, if the writer threads one. */
+  def committedBatch(s: SparkSession, base: String): Option[Long] =
+    currentPointer(s, base).flatMap(_._2)
+
   /** MK/Sen trend from state — ≡ q_ts_trend one-shot. */
   def serveTrend(s: SparkSession, base: String): DataFrame =
     graft.operators.TimeSeriesQueries.trendFromHourly(readHourly(s, base))

@@ -94,4 +94,25 @@ class ServeQueriesSpec extends SparkTestBase with Matchers {
     served shouldBe rows(
       graft.operators.GraphQueries.graphComponentsLsh.query(spark, sfTiny))
   }
+
+  test("q_serve_rules_state ≡ q_mine_rules row for row") {
+    val served = rows(ServeQueries.serveRulesState.query(spark, sfTiny))
+    served should not be empty
+    served shouldBe rows(
+      graft.operators.MiningQueries.mineRules.query(spark, sfTiny))
+  }
+
+  test("q_serve_trend_state ≡ q_ts_trend row for row") {
+    val served = rows(ServeQueries.serveTrendState.query(spark, sfTiny))
+    served should not be empty
+    served shouldBe rows(
+      graft.operators.TimeSeriesQueries.tsTrend.query(spark, sfTiny))
+  }
+
+  test("q_serve_drift_state ≡ q_text_drift row for row") {
+    val served = rows(ServeQueries.serveDriftState.query(spark, sfTiny))
+    served should not be empty
+    served shouldBe rows(
+      graft.operators.TextQueries.textDrift.query(spark, sfTiny))
+  }
 }
