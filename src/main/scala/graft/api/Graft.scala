@@ -1029,6 +1029,20 @@ final class GraftFrame(val df: DataFrame) {
         df.select(col(id).as("doc_id"), col(text).as("text")))
       .withColumnsRenamed(Map("doc_id1" -> s"${id}1", "doc_id2" -> s"${id}2"))
 
+  /** Population stability index between the even- and odd-`key` halves
+    * of a numeric column — q_dq_psi's core: one row per bin
+    * `(bin, n_ref, n_cur, p_ref, p_cur, psi_term, psi)` with the shared
+    * PSI total (≥ 0.25 = major drift by the standard rule of thumb).
+    * Values are cents-quantized at 2dp; bins are all-integer over the
+    * global domain; probabilities are add-one smoothed.
+    */
+  def psi(key: String, value: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    graft.operators.MoreQueries.psiFrom(
+      df.select(col(key).cast(LongType).as("k"),
+        (col(value).cast(DecimalType(12, 2)) * 100).cast(LongType).as("xc")))
+  }
+
   /** Mann-Whitney U (Wilcoxon rank-sum) between two samples of a numeric
     * column — q_stat_mannwhitney's core: one row
     * `(n1, n2, u1, u2, z)`. `sample1` names the `group` value forming

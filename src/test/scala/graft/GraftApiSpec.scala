@@ -563,6 +563,11 @@ class GraftApiSpec extends SparkTestBase with Matchers {
       .collect().map(_.toString).toSeq shouldBe
       graft.operators.ResampleQueries.statPermutation.query(spark, sfTiny)
         .collect().map(_.toString).toSeq
+    // psi verb equals the registered drift audit on the orders frame
+    Tables.orders(spark, sfTiny).graft.psi("o_orderkey", "o_totalprice")
+      .collect().map(_.toString).toSeq shouldBe
+      graft.operators.MoreQueries.dqPsi.query(spark, sfTiny)
+        .collect().map(_.toString).toSeq
     // winnow / winnowPairs verbs equal the registered fingerprint rows
     docs.graft.winnow().collect().map(_.toString).sorted.toSeq shouldBe
       graft.operators.TextQueries.textWinnow.query(spark, sfTiny)
