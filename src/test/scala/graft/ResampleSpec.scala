@@ -27,6 +27,59 @@ class ResampleSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("median bootstrap (unregistered, de-priced) equals a driver-side recomputation") {
+    val rows = ResampleQueries.statBootstrapMedian.query(spark, sfTiny).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (flag, n) = (r.getString(0), r.getLong(1))
+      val (med, lo, hi) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lo <= med && med <= hi, s"$flag: CI [$lo,$hi] misses median $med")
+      // price ~ U-ish over a wide range: median se ≈ 1.25·σ/√n; just pin
+      // the order of magnitude — nonzero and well under 10% of the value
+      val hw = (hi - lo) / 2.0
+      assert(hw > 0 && hw < 0.1 * med, s"$flag: half-width $hw implausible (median $med, n=$n)")
+    }
+    // the de-priced row keeps an every-run equivalence proof: recompute
+    // the whole statistic driver-side from raw rows with the same draw
+    // formula and the same lower-median rule
+    import org.apache.spark.sql.functions.{col, expr}
+    val base = Tables.lineitem(spark, sfTiny)
+      .select(col("l_returnflag"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) div 1000").as("v"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val p = graft.functions.PortableHash
+    val cdf = {
+      val pmf = (0 to 6).scanLeft(math.exp(-1.0))((q, j) => q / (j + 1)).take(7)
+      pmf.scanLeft(0.0)(_ + _).drop(1)
+    }
+    def w(k: Long, r: Long): Long = {
+      val h2 = ((k % p.SeedMod) * (p.A + p.AStep * r) + p.BStep * r) % p.SeedMod
+      val h4 = ((h2 * p.Scramble1Mul + p.Scramble1Add) % p.SeedMod
+        * p.Scramble2Mul + p.Scramble2Add) % p.SeedMod
+      val u = (h4 + 1.0) / 2147483648.0
+      cdf.count(u > _).toLong
+    }
+    def lowerMedian(weighted: Seq[(Long, Long)]): Long = {
+      val sorted = weighted.sortBy(_._1)
+      val tot = sorted.map(_._2).sum
+      var cum = 0L
+      sorted.find { case (_, c) => cum += c; cum * 2 >= tot }.get._1
+    }
+    for (flag <- base.map(_._1).distinct) {
+      val fr = base.filter(_._1 == flag)
+      val meds = (0L until 40L).map { r =>
+        r -> lowerMedian(fr.groupBy(_._2).map { case (v, rs) =>
+          v -> rs.map(t => w(t._3, r)).sum }.toSeq)
+      }.sortBy { case (r, m) => (m, r) }.map(_._2)
+      val row = rows.find(_.getString(0) == flag).get
+      row.getLong(2) shouldBe lowerMedian(
+        fr.groupBy(_._2).map { case (v, rs) => v -> rs.size.toLong }.toSeq) * 10
+      row.getLong(3) shouldBe meds(1) * 10
+      row.getLong(4) shouldBe meds(38) * 10
+    }
+  }
+
   test("poisson weights have Poisson(1) frequencies and unit mean") {
     import spark.implicits._
     // re-derive the draw exactly as the operator does, over a large key
