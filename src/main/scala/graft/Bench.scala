@@ -161,14 +161,82 @@ object Bench {
           }
         }
       }
+    // --- per-query outlier self-heal (r12 verdict item 2) ----------------
+    // The window sensor is 3 probes + every-20 single shots; a SHORT
+    // contention burst can inflate a handful of queries while every probe
+    // reads in-band (BENCH_r12's final block: q_fn_struct 0.41 s vs 0.05
+    // in 10/11 other readings, q_dedup_near_salted 8.67 vs 3.8-4.8 —
+    // carried into the canonical map with no re-measure window open).
+    // History is the sensor the probes lack: any query whose median
+    // exceeds 3× its trailing median across the committed per-run bench
+    // files (same sf/reps/cpus) re-runs once after the suite; min-of-two
+    // is kept — a contention spike re-reads low (heal), a genuine plan
+    // regression re-reads high (kept, honestly). Floors bound the pass:
+    // ≥0.15 s absolute excess (sub-noise rows never requalify) and ≤20
+    // re-runs (a globally-slow run is the WINDOW machinery's job, and
+    // min-of-two can only under-report if this pass itself is contended —
+    // the outlier_post probe labels that case).
+    val histMedians: Map[String, Double] = try {
+      val dirp = java.nio.file.Paths.get("bench_history")
+      if (!java.nio.file.Files.isDirectory(dirp)) Map.empty
+      else {
+        val QueriesRe = """"queries":\{([^}]*)\}""".r
+        val SfRe = """"sf":"([^"]*)"""".r
+        val RepsRe = """"reps":([0-9]+)""".r
+        val CpusRe = """"cpus":"?([0-9*]+)"?""".r
+        val PairRe = """"([^"]+)":(-?[0-9.Ee+-]+)""".r
+        val runs = scala.jdk.CollectionConverters.IteratorHasAsScala(
+            java.nio.file.Files.list(dirp).iterator()).asScala
+          .filter(_.getFileName.toString.startsWith("run-")).toSeq
+          .sortBy(_.getFileName.toString).takeRight(12)
+          .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+          .filter(l => SfRe.findFirstMatchIn(l).exists(_.group(1) == sfDir)
+            && RepsRe.findFirstMatchIn(l).exists(_.group(1) == reps.toString)
+            && CpusRe.findFirstMatchIn(l).exists(_.group(1) == cpus))
+          .flatMap(l => QueriesRe.findFirstMatchIn(l).map(m =>
+            PairRe.findAllMatchIn(m.group(1))
+              .map(p => p.group(1) -> p.group(2).toDouble).filter(_._2 >= 0).toMap))
+        runs.flatten.groupBy(_._1).collect {
+          case (q, vs) if vs.size >= 3 =>
+            val xs = vs.map(_._2).toIndexedSeq.sorted
+            q -> xs(xs.length / 2)
+        }
+      }
+    } catch { case _: Throwable => Map.empty[String, Double] }
+    // SPARK_GRAFT_BENCH_OUTLIER_X overrides the 3x threshold so the
+    // outlier re-measure path is PROVABLE on a quiet box (set it below 1
+    // to force re-runs), the BAND_HI convention.
+    val OutlierX = sys.env.get("SPARK_GRAFT_BENCH_OUTLIER_X")
+      .map(_.toDouble).getOrElse(3.0)
+    val outliers = results.zipWithIndex.collect {
+      case ((name, v), qi) if v >= 0 && histMedians.get(name).exists(h =>
+        v > OutlierX * h && v - h >= 0.15) => (name, v, qi)
+    }.sortBy { case (name, v, _) => -(v / math.max(histMedians(name), 1e-9)) }
+      .take(20)
+    var outlierPost = -1.0
+    val healed =
+      if (outliers.isEmpty) results
+      else {
+        val reMeasured = outliers.map { case (_, v, qi) =>
+          val re = measure(sortedQueries(qi)._2)
+          // a failed re-run keeps the original reading — time-to-failure
+          // must never replace a real median
+          qi -> (if (re < 0) v else math.min(v, re))
+        }.toMap
+        outlierPost = calibrate(shots = 1)
+        results.zipWithIndex.map { case ((name, v), qi) =>
+          name -> reMeasured.getOrElse(qi, v)
+        }
+      }
     val loadEnd = loadAvg()
     val calib = s"""{"start":$calibStart,"mid":$calibMid,"end":$calibEnd,""" +
       s""""post":$calibPost,"requeried":$requeried,""" +
+      s""""outliers_requeried":${outliers.length},"outlier_post":$outlierPost,""" +
       s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = healed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedNames = healed.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = healed.collect { case (_, v) if v >= 0 => v }.sum
     // Calibration-normalized total (r11 verdict item 2): the same tree
     // read 155 s on a low-band box phase and 198 s on a mid-band one —
     // a ±27% swing INSIDE the committed in-band window (1.26–1.78 s),
@@ -191,7 +259,7 @@ object Bench {
     // first). Emit a SHORT total-metric line FIRST — always parseable —
     // then the full line with the per-query map for humans/BenchDiff.
     val totalLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""value_normalized":$totalNorm,"calib_ref_mid":$CalibRefMid,"n_queries":${results.length},""" +
+      s""""value_normalized":$totalNorm,"calib_ref_mid":$CalibRefMid,"n_queries":${healed.length},""" +
       s""""failed":${failedNames.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"cpus":"$cpus","calib":$calib}"""
     // append to the local history log (per-query regression tracking across
     // runs — read by BenchDiff). History failures must never fail the bench.

@@ -422,7 +422,7 @@ object ContainerOps {
     * of silently reusing stale objects.
     */
   def ensureMediaObjects(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     val base = graft.sources.GraftFs.qualify(s,
       s"target/graft-media-objects/$payloadFingerprint/$tag")
     synchronized {
@@ -479,7 +479,7 @@ object ContainerOps {
     * transcode job does with its quarantine lane.
     */
   def ensureEncodedObjects(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     val base = graft.sources.GraftFs.qualify(s,
       s"target/graft-media-encoded/$payloadFingerprint/$tag")
     synchronized {
@@ -681,7 +681,7 @@ object ContainerOps {
     * q_mm_encode: the layout is invisible to the round-trip.
     */
   def ensureEncodedPack(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     val base = graft.sources.GraftFs.qualify(s,
       s"target/graft-media-encoded-pack/$payloadFingerprint-p$NumPacks-s2/$tag")
     synchronized {
@@ -746,7 +746,7 @@ object ContainerOps {
     * pack_component_write class).
     */
   def ensurePackedObjects(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     val base = graft.sources.GraftFs.qualify(s,
       s"target/graft-media-packed/$payloadFingerprint-p$NumPacks-range/$tag")
     synchronized {

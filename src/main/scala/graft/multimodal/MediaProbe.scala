@@ -35,7 +35,7 @@ object MediaProbe {
     // has); the scan then packs files into partitions by
     // maxPartitionBytes + openCostInBytes, which is the behavior under
     // measurement.
-    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(spark, sfDir)
     val store = graft.sources.GraftFs.qualify(spark, s"target/graft-media/$tag/objects")
     if (!graft.sources.GraftFs.hasSuccess(spark, store))
       MultimodalOps.mediaTable(spark, sfDir).toDF()

@@ -1215,7 +1215,7 @@ object PackStore {
     * expired-snapshot typed failure) at spec scale.
     */
   def ensureLifecycleStore(s: SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     val base = graft.sources.GraftFs.qualify(s,
       s"target/graft-pack-store/${ContainerOps.payloadFingerprint}-p${ContainerOps.NumPacks}-snap2/$tag")
     synchronized {
@@ -1295,7 +1295,7 @@ ORDER BY media_id"""),
     * dir behind the fingerprint guard.
     */
   def ensureDeleteStore(s: SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     val base = graft.sources.GraftFs.qualify(s,
       s"target/graft-pack-deletes/${ContainerOps.payloadFingerprint}-p${ContainerOps.NumPacks}-s2/$tag")
     synchronized {
@@ -1339,7 +1339,7 @@ ${ContainerOps.containerOracleBaseForStore}
     * dir behind the fingerprint guard.
     */
   def ensureUpsertStore(s: SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     val base = graft.sources.GraftFs.qualify(s,
       s"target/graft-pack-upserts/${ContainerOps.payloadFingerprint}-p${ContainerOps.NumPacks}-s1/$tag")
     synchronized {
@@ -1386,7 +1386,7 @@ ORDER BY media_id"""),
     * dir behind the fingerprint guard.
     */
   def ensureMetaStore(s: SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     val base = graft.sources.GraftFs.qualify(s,
       s"target/graft-pack-meta/${ContainerOps.payloadFingerprint}-p${ContainerOps.NumPacks}-s2zm/$tag")
     def metaOf(objs: Dataset[(Long, Array[Byte])]): org.apache.spark.sql.DataFrame = {
@@ -1448,7 +1448,7 @@ ${ContainerOps.containerOracleBaseV2ForStore}
     * protection are PackBranchSpec's job at spec scale.
     */
   def ensureBranchStore(s: SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     val base = graft.sources.GraftFs.qualify(s,
       s"target/graft-pack-branch/${ContainerOps.payloadFingerprint}-p${ContainerOps.NumPacks}/$tag")
     synchronized {

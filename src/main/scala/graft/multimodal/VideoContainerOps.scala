@@ -240,7 +240,7 @@ object VideoContainerOps {
     * re-encode and are dropped).
     */
   def ensureEncodedVideoObjects(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     val base = graft.sources.GraftFs.qualify(s,
       s"target/graft-video-encoded/${ContainerOps.payloadFingerprint}/$tag")
     synchronized {
@@ -363,7 +363,7 @@ object VideoContainerOps {
     * the packed layout. Layout and modality are orthogonal axes.
     */
   def ensureVideoPack(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     val base = graft.sources.GraftFs.qualify(s,
       s"target/graft-video-pack/${ContainerOps.payloadFingerprint}-p${ContainerOps.NumPacks}-s2/$tag")
     synchronized {

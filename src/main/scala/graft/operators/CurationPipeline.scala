@@ -131,7 +131,7 @@ object CurationPipeline {
     * oracle-comparable against the original parquet.
     */
   private def documentsViaCsv(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     val path = graft.sources.GraftFs.qualify(s, s"target/graft-e2e/$tag/documents_csv")
     val src = Tables.documents(s, dir)
     synchronized {

@@ -1111,7 +1111,7 @@ object DedupQueries {
     */
   private[graft] def containmentPrefixPersisted(s: SparkSession, dir: String,
       num: Int = 4, den: Int = 5): DataFrame = synchronized {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     val base = graft.sources.GraftFs.qualify(s,
       s"target/graft-dedup/$tag/cprefix_${num}_$den")
     if (!graft.sources.GraftFs.hasSuccess(s, base)) {
@@ -1251,7 +1251,7 @@ object DedupQueries {
     */
   private[graft] def clusterLabelsPersisted(s: SparkSession, dir: String): DataFrame =
     synchronized {
-      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val tag = graft.sources.GraftFs.scaleTag(s, dir)
       val base = graft.sources.GraftFs.qualify(s, s"target/graft-dedup/$tag/cluster_labels")
       if (!graft.sources.GraftFs.hasSuccess(s, base)) {
         clusterLabelsFresh(s, dir)

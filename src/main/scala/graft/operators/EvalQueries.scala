@@ -76,7 +76,7 @@ object EvalQueries {
     */
   private[graft] def gradeTablePersisted(s: SparkSession, dir: String): DataFrame =
     synchronized {
-      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val tag = graft.sources.GraftFs.scaleTag(s, dir)
       val base = graft.sources.GraftFs.qualify(s, s"target/graft-eval/$tag/grades")
       if (!graft.sources.GraftFs.hasSuccess(s, base)) {
         gradeTableFresh(s, dir)
@@ -98,7 +98,7 @@ object EvalQueries {
     */
   private def runFilePersisted(s: SparkSession, dir: String, name: String)
       (fresh: => DataFrame): DataFrame = synchronized {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     val base = graft.sources.GraftFs.qualify(s, s"target/graft-eval/$tag/${name}_run")
     if (!graft.sources.GraftFs.hasSuccess(s, base)) {
       fresh.select("query_id", "rank", "doc_id")
@@ -141,7 +141,7 @@ object EvalQueries {
     */
   private def relPersisted(s: SparkSession, dir: String, name: String)
       (fresh: => DataFrame): DataFrame = synchronized {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     val base = graft.sources.GraftFs.qualify(s, s"target/graft-eval/$tag/$name")
     if (!graft.sources.GraftFs.hasSuccess(s, base)) {
       fresh.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(base)

@@ -399,7 +399,7 @@ object GraphQueries {
     */
   private[graft] def componentLabelsPersisted(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     synchronized {
-      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val tag = graft.sources.GraftFs.scaleTag(s, dir)
       val base = graft.sources.GraftFs.qualify(s,
         s"target/graft-ivf/$tag/components_cc1_p${VectorQueries.GraphLshTables}x${VectorQueries.GraphLshBits}r${VectorQueries.GraphLshRadius}")
       if (!graft.sources.GraftFs.hasSuccess(s, base)) {
@@ -745,7 +745,7 @@ object GraphQueries {
     */
   private[graft] def dbscanCoreLabelsPersisted(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     synchronized {
-      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val tag = graft.sources.GraftFs.scaleTag(s, dir)
       val base = graft.sources.GraftFs.qualify(s,
         s"target/graft-ivf/$tag/dbscan_db1_mp${DbscanMinPts}_p${VectorQueries.GraphLshTables}x${VectorQueries.GraphLshBits}r${VectorQueries.GraphLshRadius}")
       if (!graft.sources.GraftFs.hasSuccess(s, base)) {

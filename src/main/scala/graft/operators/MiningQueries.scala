@@ -159,7 +159,7 @@ object MiningQueries {
     */
   private[graft] def minePairsPersisted(s: org.apache.spark.sql.SparkSession, dir: String):
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = synchronized {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     val base = graft.sources.GraftFs.qualify(s,
       s"target/graft-mine/$tag/pairs_v2_i${MinItemSup}_p$MinPairSup")
     if (!graft.sources.GraftFs.hasSuccess(s, base)) {
@@ -194,7 +194,7 @@ object MiningQueries {
     */
   private[graft] def basketItemsPersisted(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     minePairsPersisted(s, dir)
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     val base = graft.sources.GraftFs.qualify(s,
       s"target/graft-mine/$tag/pairs_v2_i${MinItemSup}_p$MinPairSup")
     s.read.parquet(s"$base/bi")

@@ -576,7 +576,10 @@ object MoreQueries {
     val dom = o.agg(min("xc").as("mn"), max("xc").as("mx"))
     val binned = o.crossJoin(broadcast(dom))
       .withColumn("bin", least(lit(9L), expr("((xc - mn) * 10) div (mx - mn + 1)")))
-      .withColumn("slice", (col("k") % 2).cast(IntegerType))
+      // pmod, not %: truncated modulo maps negative odd keys to -1, which
+      // matches NEITHER slice — those rows would silently vanish from the
+      // PSI. The oracle's non-negative fixture keys make the twins agree.
+      .withColumn("slice", pmod(col("k"), lit(2)).cast(IntegerType))
     val counts = binned.groupBy("bin")
       .agg(sum(when(col("slice") === 0, 1L).otherwise(0L)).as("n_ref"),
         sum(when(col("slice") === 1, 1L).otherwise(0L)).as("n_cur"))

@@ -67,17 +67,26 @@ object ResampleQueries {
     */
   private def uniform(k: Column, r: Column): Column = {
     val ph = PortableHash
-    val h1 = k % lit(ph.SeedMod)
+    // pmod, not %: a NEGATIVE row key under truncated modulo gives h1 < 0,
+    // cascading every scramble negative and u ≤ 0 — every Poisson weight 0
+    // for that row in all replicates (and sum(w) = 0 ⇒ null replicate
+    // means for an all-negative-key table), silently
+    val h1 = pmod(k, lit(ph.SeedMod))
     val h2 = (h1 * (lit(ph.A) + lit(ph.AStep) * r) + lit(ph.BStep) * r) % lit(ph.SeedMod)
     val h3 = (h2 * lit(ph.Scramble1Mul) + lit(ph.Scramble1Add)) % lit(ph.SeedMod)
     val h4 = (h3 * lit(ph.Scramble2Mul) + lit(ph.Scramble2Add)) % lit(ph.SeedMod)
     (h4.cast(DoubleType) + lit(1.0)) / lit(2147483648.0)
   }
 
-  /** SQL twin of [[uniform]] over BIGINT expressions k (row key), r (rep). */
+  /** SQL twin of [[uniform]] over BIGINT expressions k (row key), r (rep).
+    * The leading `(k % M + M) % M` is DuckDB's pmod spelling (its `%` is
+    * truncated, like Spark's) — matches the Column side's pmod so negative
+    * row keys draw identically in both engines.
+    */
   private def uniformSql(k: String, r: String): String = {
     val ph = PortableHash
-    val h2 = s"((($k) % ${ph.SeedMod}) * (${ph.A} + ${ph.AStep} * ($r)) + ${ph.BStep} * ($r)) % ${ph.SeedMod}"
+    val h1 = s"((($k) % ${ph.SeedMod} + ${ph.SeedMod}) % ${ph.SeedMod})"
+    val h2 = s"(($h1) * (${ph.A} + ${ph.AStep} * ($r)) + ${ph.BStep} * ($r)) % ${ph.SeedMod}"
     val h4 = s"((($h2) * ${ph.Scramble1Mul} + ${ph.Scramble1Add}) % ${ph.SeedMod}" +
       s" * ${ph.Scramble2Mul} + ${ph.Scramble2Add}) % ${ph.SeedMod}"
     s"((($h4) + 1.0) / 2147483648.0)"

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object ServeQueries {
 
   private def stateBase(s: SparkSession, dir: String, family: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     graft.sources.GraftFs.qualify(s, s"target/graft-state/$tag/$family")
   }
 
@@ -418,7 +418,10 @@ object ServeQueries {
 
   private[graft] def trendStateBuilt(s: SparkSession, dir: String): String =
     synchronized {
-      val base = stateBase(s, dir, "trend")
+      // trend_v2: the r13 slope-histogram protocol added a `slopes` state
+      // table — a state built by the pre-r13 writer lacks it, so the
+      // family name is bumped rather than served mixed
+      val base = stateBase(s, dir, "trend_v2")
       if (!graft.streaming.IncrementalTrend.committedBatch(s, base).contains(2L)) {
         val raw = Tables.events(s, dir)
           .select(col("event_id"), col("user_id"),

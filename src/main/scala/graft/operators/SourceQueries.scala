@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object SourceQueries {
 
   private def scratch(s: SparkSession, dir: String, fmt: String): String =
-    GraftFs.qualify(s, s"target/graft-formats/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/$fmt")
+    GraftFs.qualify(s, s"target/graft-formats/${GraftFs.scaleTag(s, dir)}/$fmt")
 
   private def ensure(s: SparkSession, path: String)(write: => Unit): Unit = synchronized {
     if (!GraftFs.hasSuccess(s, path)) write

@@ -885,8 +885,11 @@ object TextQueries {
     * the window-min runs as explode(≤w window memberships) + ONE hash
     * aggregate on (doc, window) — linear, never a per-doc sort. The
     * rightmost-min tie rule is a single packed int64
-    * min(gh·2^20 + (2^20−1 − pos)) both engines compute identically
-    * (gh < 2^30, pos < 2^20 — no overflow).
+    * min(gh·2^32 + (2^32−1 − pos)) both engines compute identically:
+    * gh < 2^30 (PortableHash.BaseMod), so gh·2^32 < 2^62 and the
+    * position lane holds any doc under 2^31 grams — a ~1M-token doc
+    * (which overflowed the original 2^20 lane, silently corrupting the
+    * hash lane and inverting the tie rule) packs cleanly.
     */
   private[graft] def winnowOn(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     val m = graft.functions.PortableHash.BaseMod
@@ -904,10 +907,10 @@ object TextQueries {
       .withColumn("wi",
         explode(expr(s"sequence(greatest(0L, pos - ${w - 1}), least(CAST(pos AS BIGINT), ng - $w))")))
       .groupBy("doc_id", "wi")
-      .agg(min(col("gh") * lit(1048576L) + (lit(1048575L) - col("pos"))).as("key"))
+      .agg(min(col("gh") * lit(4294967296L) + (lit(4294967295L) - col("pos"))).as("key"))
       .select(col("doc_id"),
-        (lit(1048575L) - pmod(col("key"), lit(1048576L))).cast(IntegerType).as("fp_pos"),
-        expr("key div 1048576").as("fp_hash"))
+        (lit(4294967295L) - pmod(col("key"), lit(4294967296L))).cast(IntegerType).as("fp_pos"),
+        expr("key div 4294967296").as("fp_hash"))
       .distinct()
   }
 
@@ -926,17 +929,17 @@ object TextQueries {
              FROM wt),
       wg0 AS (SELECT doc_id, CAST(len(hs) - ${k - 1} AS BIGINT) AS ng,
                 unnest(list_transform(range(len(hs) - ${k - 1}),
-                  i -> ($gram) * 1048576 + CAST(i AS BIGINT))) AS pg
+                  i -> ($gram) * 4294967296 + CAST(i AS BIGINT))) AS pg
               FROM wh WHERE len(hs) >= ${k + w - 1}),
-      wg AS (SELECT doc_id, ng, pg // 1048576 AS gh, pg % 1048576 AS pos FROM wg0),
+      wg AS (SELECT doc_id, ng, pg // 4294967296 AS gh, pg % 4294967296 AS pos FROM wg0),
       ww AS (SELECT doc_id, gh, pos,
                unnest(range(greatest(0, pos - ${w - 1}), least(pos, ng - $w) + 1)) AS wi
              FROM wg),
-      wsel AS (SELECT doc_id, wi, MIN(gh * 1048576 + (1048575 - pos)) AS key
+      wsel AS (SELECT doc_id, wi, MIN(gh * 4294967296 + (4294967295 - pos)) AS key
                FROM ww GROUP BY doc_id, wi)
       SELECT DISTINCT doc_id,
-             CAST(1048575 - (key % 1048576) AS INTEGER) AS fp_pos,
-             key // 1048576 AS fp_hash
+             CAST(4294967295 - (key % 4294967296) AS INTEGER) AS fp_pos,
+             key // 4294967296 AS fp_hash
       FROM wsel
     """.trim
   }

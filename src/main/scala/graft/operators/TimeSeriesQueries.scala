@@ -430,24 +430,43 @@ object TimeSeriesQueries {
     * (the hourly grain is an associative per-(g, h) sum, so
     * state-served ≡ one-shot exactly).
     */
-  private[graft] def trendFromHourly(hourly0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val hourly = hourly0.localCheckpoint() // feeds pairs(a,b) + n + ties: 4 consumers
-      val b = hourly.select(col("g").as("g2"), col("h").as("hb"), col("x").as("xb"))
-      val pairs = hourly.join(b, col("g") === col("g2") && col("h") < col("hb"))
-        .select(col("g"), (col("xb") - col("x")).as("dx"), (col("hb") - col("h")).as("dh"))
-        .withColumn("sgn", when(col("dx") > 0, 1L).when(col("dx") < 0, -1L).otherwise(0L))
-        .withColumn("slope_q",
-          expr("cast(floor((cast(dx as double) / dh) * 1000000.0) as bigint)"))
-        .localCheckpoint() // feeds the S aggregate + the Sen median
-      val sAgg = pairs.groupBy("g").agg(
-        sum("sgn").cast(LongType).as("s"), count(lit(1)).cast(LongType).as("n_pairs"))
+  /** The pairwise Mann-Kendall/Sen SLOPE HISTOGRAM of an hourly grain:
+    * one row per (g, slope_q, sgn) with its pair multiplicity t. This is
+    * the artifact IncrementalTrend maintains incrementally — every MK/Sen
+    * output derives from it without re-enumerating the hours² pair grid:
+    * s = Σ sgn·t, n_pairs = Σ t, and the Sen median reads the (g,
+    * slope_q) marginal. sgn stays in the key because it is NOT derivable
+    * from slope_q (a small positive dx/dh floors to slope_q 0 while
+    * sgn = 1).
+    */
+  private[graft] def slopeHistFromHourly(hourly: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val b = hourly.select(col("g").as("g2"), col("h").as("hb"), col("x").as("xb"))
+    hourly.join(b, col("g") === col("g2") && col("h") < col("hb"))
+      .select(col("g"), (col("xb") - col("x")).as("dx"), (col("hb") - col("h")).as("dh"))
+      .withColumn("sgn", when(col("dx") > 0, 1L).when(col("dx") < 0, -1L).otherwise(0L))
+      .withColumn("slope_q",
+        expr("cast(floor((cast(dx as double) / dh) * 1000000.0) as bigint)"))
+      .groupBy("g", "slope_q", "sgn").agg(count(lit(1)).cast(LongType).as("t"))
+  }
+
+  /** MK/Sen tail over the hourly grain + its slope histogram — shared by
+    * the one-shot (which builds the histogram inline) and the maintained
+    * serve path (which reads it from state); all-integer inputs, so the
+    * two are bit-equal by construction.
+    */
+  private[graft] def trendFromParts(hourly: org.apache.spark.sql.DataFrame,
+      hist0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val hist = hist0.localCheckpoint() // feeds the S aggregate + the Sen median
+      val sAgg = hist.groupBy("g").agg(
+        sum(col("sgn") * col("t")).cast(LongType).as("s"),
+        sum("t").cast(LongType).as("n_pairs"))
       val nAgg = hourly.groupBy("g").agg(count(lit(1)).cast(LongType).as("n"))
       val ties = hourly.groupBy("g", "x").agg(count(lit(1)).as("t"))
         .groupBy("g").agg(
           sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).cast(LongType).as("tie"))
       val sen = StatQueries.median2On(
-          pairs.groupBy(col("g").as("grp"), col("slope_q").as("v"))
-            .agg(count(lit(1)).as("t")))
+          hist.groupBy(col("g").as("grp"), col("slope_q").as("v"))
+            .agg(sum("t").cast(LongType).as("t")))
         .select(col("grp").as("g"), col("med2"))
       sAgg.join(nAgg, "g").join(ties, "g").join(sen, "g")
         .withColumn("var18",
@@ -460,6 +479,14 @@ object TimeSeriesQueries {
         .select(col("g").as("event_type"), col("n"), col("n_pairs"), col("s"), col("z"),
           (col("med2").cast(DoubleType) / 2000000.0).as("sen_slope"))
         .orderBy("event_type")
+  }
+
+  /** One-shot MK/Sen trend from an hourly grain — builds the pair grid
+    * inline then runs the shared tail.
+    */
+  private[graft] def trendFromHourly(hourly0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hourly = hourly0.localCheckpoint() // feeds the pair grid + n + ties
+    trendFromParts(hourly, slopeHistFromHourly(hourly))
   }
 
   val tsTrend = QueryDef(

@@ -312,7 +312,7 @@ object VectorQueries {
     * tiny parquet (k rows) straight back.
     */
   private[operators] def ivfCodebook(s: SparkSession, dir: String): DataFrame = synchronized {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     val base = graft.sources.GraftFs.qualify(s, s"target/graft-ivf/$tag/codebook_of2") // of2 = order-free scaled-long means (r9)
     if (!graft.sources.GraftFs.hasSuccess(s, base)) {
       ivfCentroids(s, dir, iters = 2).coalesce(1)
@@ -596,7 +596,7 @@ object VectorQueries {
     */
   private[operators] def subCodebookPersisted(s: SparkSession, dir: String,
       k2: Int): DataFrame = synchronized {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     // of2: portable seed + order-free means (r9)
     val base = graft.sources.GraftFs.qualify(s, s"target/graft-ivf/$tag/subcodebook_of2_k$k2")
     if (!graft.sources.GraftFs.hasSuccess(s, base)) {
@@ -751,7 +751,7 @@ object VectorQueries {
     */
   private[graft] def lshKnnEdgesPersisted(s: SparkSession, dir: String,
       tables: Int = GraphLshTables, bits: Int = GraphLshBits): DataFrame = synchronized {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = graft.sources.GraftFs.scaleTag(s, dir)
     val base = graft.sources.GraftFs.qualify(s,
       s"target/graft-ivf/$tag/lshknn_p${tables}x${bits}r$GraphLshRadius")
     if (!graft.sources.GraftFs.hasSuccess(s, base)) {
@@ -954,7 +954,7 @@ object VectorQueries {
     */
   private[graft] def vecClusterLabelsPersisted(s: SparkSession, dir: String): DataFrame =
     synchronized {
-      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val tag = graft.sources.GraftFs.scaleTag(s, dir)
       val base = graft.sources.GraftFs.qualify(s, s"target/graft-ivf/$tag/vec_cluster_labels")
       if (!graft.sources.GraftFs.hasSuccess(s, base)) {
         vecClusterFromEmbeddings(
@@ -1217,7 +1217,7 @@ object VectorQueries {
       // a fiction — first call per scale dir builds and writes, every
       // later run reads the snapshot back (measured: 11.7 s recomputing
       // vs the true incremental cost after this change).
-      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val tag = graft.sources.GraftFs.scaleTag(s, dir)
       // construction parameters are part of the artifact PATH: changing
       // tables/bits/radius, k, or the slice rule must miss the snapshot
       // and rebuild, never silently reuse stale state (there is no
@@ -1371,7 +1371,7 @@ object VectorQueries {
     "q_ann_ivfpq_incr",
     (s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("label"), col("vec_id"), col("embedding"))
-      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val tag = graft.sources.GraftFs.scaleTag(s, dir)
       // one fingerprint directory for the whole frozen index family: any
       // construction-parameter change (Lloyd iters, PQ seed, assignment
       // fan-out, slice rule) relocates ALL artifacts and rebuilds them

@@ -55,7 +55,7 @@ object BucketedTables {
     // tables between sessions but their files survive, and a managed
     // saveAsTable refuses a pre-existing location
     def scratch(name: String) =
-      GraftFs.qualify(s, s"target/graft-bucketed/${tag(dir)}/$name")
+      GraftFs.qualify(s, s"target/graft-bucketed/${GraftFs.scaleTag(s, dir)}/$name")
     // repartition on the bucket key first → exactly one file per bucket;
     // Spark only honors within-bucket sortBy order at read time (eliding
     // the join-side Sorts) when a bucket is a single file. If the bucket
@@ -99,7 +99,7 @@ object BucketedTables {
     */
   def ensureOrdersPk(s: SparkSession, dir: String): Unit = synchronized {
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val path = GraftFs.qualify(s, s"target/graft-bucketed/${tag(dir)}/orders_pk")
+    val path = GraftFs.qualify(s, s"target/graft-bucketed/${GraftFs.scaleTag(s, dir)}/orders_pk")
     val table = ordersPkTable(dir)
     if (!s.catalog.tableExists(table)) {
       val src = Tables.orders(s, dir)
@@ -138,7 +138,7 @@ object BucketedTables {
   def ensureSignatures(s: SparkSession, dir: String,
       src: org.apache.spark.sql.DataFrame): Unit = synchronized {
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val path = GraftFs.qualify(s, s"target/graft-bucketed/${tag(dir)}/signatures_v2")
+    val path = GraftFs.qualify(s, s"target/graft-bucketed/${GraftFs.scaleTag(s, dir)}/signatures_v2")
     val table = signaturesTable(dir)
     if (!s.catalog.tableExists(table)) {
       if (GraftFs.hasSuccess(s, path) && bucketLayoutValid(s, path)) {
@@ -173,7 +173,7 @@ object BucketedTables {
     */
   def ensureEvents(s: SparkSession, dir: String): Unit = synchronized {
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val path = GraftFs.qualify(s, s"target/graft-bucketed/${tag(dir)}/events")
+    val path = GraftFs.qualify(s, s"target/graft-bucketed/${GraftFs.scaleTag(s, dir)}/events")
     val table = eventsTable(dir)
     if (!s.catalog.tableExists(table)) {
       val src = Tables.events(s, dir).select(
@@ -212,7 +212,7 @@ object BucketedTables {
   def ensureCurated(s: SparkSession, dir: String,
       src: org.apache.spark.sql.DataFrame): Unit = synchronized {
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val path = GraftFs.qualify(s, s"target/graft-bucketed/${tag(dir)}/curated")
+    val path = GraftFs.qualify(s, s"target/graft-bucketed/${GraftFs.scaleTag(s, dir)}/curated")
     val table = curatedTable(dir)
     if (!s.catalog.tableExists(table)) {
       if (GraftFs.hasSuccess(s, path) && bucketLayoutValid(s, path)) {
@@ -252,7 +252,7 @@ object BucketedTables {
   def ensureVecBuckets(s: SparkSession, dir: String, fp: String,
       src: org.apache.spark.sql.DataFrame): Unit = synchronized {
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val path = GraftFs.qualify(s, s"target/graft-bucketed/${tag(dir)}/vecbuckets_$fp")
+    val path = GraftFs.qualify(s, s"target/graft-bucketed/${GraftFs.scaleTag(s, dir)}/vecbuckets_$fp")
     val table = vecBucketsTable(dir, fp)
     if (!s.catalog.tableExists(table)) {
       if (GraftFs.hasSuccess(s, path) && bucketLayoutValid(s, path)) {
@@ -285,7 +285,7 @@ object BucketedTables {
     */
   def ensureDocuments(s: SparkSession, dir: String): Unit = synchronized {
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val path = GraftFs.qualify(s, s"target/graft-bucketed/${tag(dir)}/documents")
+    val path = GraftFs.qualify(s, s"target/graft-bucketed/${GraftFs.scaleTag(s, dir)}/documents")
     val table = documentsTable(dir)
     if (!s.catalog.tableExists(table)) {
       val src = Tables.documents(s, dir)

@@ -74,6 +74,36 @@ object GraftFs {
     finally deleteRecursively(s, probe)
   }
 
+  // scaleTag memo — the fingerprint stats every file under the scale dir
+  // once per (session, dir), not once per artifact lookup
+  private val scaleTags =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Cache tag for artifacts derived from the tables under scale dir
+    * `dir`: the sanitized path plus a fingerprint of every backing file's
+    * (name, length, mtime). Keying builder-scratch artifacts by the
+    * sanitized path ALONE serves stale results when the corpus under the
+    * dir is regenerated in place — the DuckDB oracle recomputes from the
+    * fresh raw tables while the engine reads the old derivation, a
+    * spurious hash mismatch with no error anywhere (and the sanitization
+    * can collide distinct dirs like /a/b vs /a_b). The fingerprint
+    * invalidates on any source-file change and disambiguates collisions;
+    * it deliberately folds the WHOLE dir so one tag covers every
+    * derivation regardless of which tables it reads.
+    */
+  def scaleTag(s: SparkSession, dir: String): String =
+    scaleTags.computeIfAbsent((s, dir), { _ =>
+      val (fs, q) = resolve(s, dir)
+      val h =
+        if (!fs.exists(q)) 1469598103934665603L
+        else fs.listStatus(q).sortBy(_.getPath.getName)
+          .foldLeft(1469598103934665603L) { (acc, st) =>
+            val n = st.getPath.getName.foldLeft(acc)((a, c) => (a * 1099511628211L) ^ c.toLong)
+            ((n * 1099511628211L) ^ st.getLen) * 1099511628211L ^ st.getModificationTime
+          }
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-fp" + java.lang.Long.toHexString(h)
+    })
+
   /** Rename `from` to `to` without overwrite; false if the source is
     * missing or the destination exists — the one-winner claim primitive
     * (exactly one of N concurrent renamers of the same source succeeds).

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object PartitionedEvents {
 
   private def baseFor(spark: SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tag = GraftFs.scaleTag(spark, dir)
     GraftFs.qualify(spark, s"target/graft-partitioned/$tag/events_by_date")
   }
 

@@ -85,9 +85,9 @@ class IncrementalDedupSpec extends SparkTestBase with Matchers {
     // recompute its pair emission against the winner's segments
     val b1 = docs.filter(col("doc_id") % 3 === 1)
     val b2 = docs.filter(col("doc_id") % 3 === 2)
-    val t1 = new Thread(() => { IncrementalDedup.processBatch(spark, b1, stateBase, None); () })
-    val t2 = new Thread(() => { IncrementalDedup.processBatch(spark, b2, stateBase, None); () })
-    t1.start(); t2.start(); t1.join(); t2.join()
+    raceAll(
+      () => { IncrementalDedup.processBatch(spark, b1, stateBase, None); () },
+      () => { IncrementalDedup.processBatch(spark, b2, stateBase, None); () })
     IncrementalDedup.currentState(spark, stateBase).version shouldBe 2L
     pairSet(IncrementalDedup.readPairs(spark, stateBase)) shouldBe
       pairSet(DedupQueries.dedupNear.query(spark, sfTiny))

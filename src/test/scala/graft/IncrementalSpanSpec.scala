@@ -73,9 +73,9 @@ class IncrementalSpanSpec extends SparkTestBase with Matchers {
     // silently dropped one batch here)
     val bBatch = Seq((2L, (0 until 25).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
     val cBatch = Seq((3L, (0 until 25).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
-    val tB = new Thread(() => IncrementalSpan.processBatch(spark, bBatch, base, None))
-    val tC = new Thread(() => IncrementalSpan.processBatch(spark, cBatch, base, None))
-    tB.start(); tC.start(); tB.join(); tC.join()
+    raceAll(
+      () => { IncrementalSpan.processBatch(spark, bBatch, base, None); () },
+      () => { IncrementalSpan.processBatch(spark, cBatch, base, None); () })
     val got = IncrementalSpan.serveSpanSource(spark, base).collect()
       .map(_.getLong(0)).toSet
     got shouldBe Set(1L, 2L, 3L) // nobody's batch was lost or torn

@@ -12,6 +12,24 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
   val sfTiny = "/root/testdata/sf0.001"
 
   override def afterAll(): Unit = () // session shared across suites
+
+  /** Run the thunks concurrently and JOIN-AND-RETHROW: a racer that throws
+    * must fail the test with its own exception, not leave the assertion to
+    * report a downstream symptom (the r12 judge run saw the two-writer CAS
+    * race spec fail "version 1 != 2" with the root cause swallowed by a
+    * bare Thread). First racer exception wins; the rest still join.
+    */
+  def raceAll(thunks: (() => Unit)*): Unit = {
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val threads = thunks.map { f =>
+      new Thread(() =>
+        try f() catch { case t: Throwable => failure.compareAndSet(null, t): Unit })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val t = failure.get()
+    if (t != null) throw t
+  }
 }
 
 object SparkTestBase {
