@@ -1026,6 +1026,99 @@ object TextQueries {
     """.trim),
   )
 
+  /** Winnow-gated passage attribution (r12 verdict ask 6) — the two copy
+    * detectors joined into one audit row: q_text_winnow_pairs' df-capped
+    * fingerprint matches NOMINATE the candidate doc pairs (index grain,
+    * 2/(w+1) of gram volume), and for exactly those pairs the
+    * q_text_span_source 20-token window grain MEASURES the passage mass
+    * actually shared (Σ min(k1,k2) over duplicated windows), with the
+    * docs' sources carried so cross-source contamination attributes
+    * directly. Scale shape: the quadratic window fan-out is gated by the
+    * winnow detector — occ restricts (semi-join) to matched docs BEFORE
+    * the window self-join, so the passage pass costs |matched docs| ×
+    * their windows, never corpus². A winnow pair whose shared run is
+    * shorter than a full window reports 0 shared windows (w+k−1 = 6
+    * tokens certify a fingerprint; 20 certify a window) and a NULL
+    * fraction when either side has no complete window. The oracle
+    * attributes on the window STRING (counts-per-hash ≡ counts-per-gram
+    * modulo ~1e-15 xxhash64 collisions — the q_text_substring_dedup
+    * precedent).
+    */
+  private[graft] def winnowSpansOn(docs: DataFrame, k: Int = 3, w: Int = 4,
+      dfCap: Int = 16, minShared: Int = 2): DataFrame = {
+      val fpPairs = winnowPairsOn(docs.select("doc_id", "text"), k, w, dfCap, minShared)
+        .localCheckpoint()
+      val fpDocs = fpPairs.select(col("doc_id1").as("doc_id"))
+        .unionByName(fpPairs.select(col("doc_id2").as("doc_id"))).distinct()
+      val occ = windowGrams(docs.select("doc_id", "text"))
+        .join(fpDocs, Seq("doc_id"), "left_semi")
+        .groupBy("gh", "doc_id").agg(count(lit(1)).as("k"))
+        .localCheckpoint() // feeds the pair join (twice) and the mass agg
+      val o2 = occ.select(col("gh").as("gh2"), col("doc_id").as("doc_id2"),
+        col("k").as("k2"))
+      val sharedW = occ.join(o2,
+          col("gh") === col("gh2") && col("doc_id") < col("doc_id2"))
+        .groupBy(col("doc_id").as("doc_id1"), col("doc_id2"))
+        .agg(sum(least(col("k"), col("k2"))).cast(org.apache.spark.sql.types.LongType)
+          .as("shared_windows"))
+      val nw = occ.groupBy("doc_id").agg(sum("k").cast(org.apache.spark.sql.types.LongType).as("nw"))
+      val srcs = docs.select(col("doc_id"), col("source"))
+      fpPairs
+        .join(sharedW, Seq("doc_id1", "doc_id2"), "left")
+        .join(nw.select(col("doc_id").as("doc_id1"), col("nw").as("nw1")), Seq("doc_id1"), "left")
+        .join(nw.select(col("doc_id").as("doc_id2"), col("nw").as("nw2")), Seq("doc_id2"), "left")
+        .join(srcs.select(col("doc_id").as("doc_id1"), col("source").as("source1")), "doc_id1")
+        .join(srcs.select(col("doc_id").as("doc_id2"), col("source").as("source2")), "doc_id2")
+        .select(col("doc_id1"), col("doc_id2"), col("source1"), col("source2"),
+          col("n_shared"),
+          coalesce(col("shared_windows"), lit(0L)).as("shared_windows"),
+          when(least(col("nw1"), col("nw2")) > 0,
+            round(coalesce(col("shared_windows"), lit(0L)).cast(DoubleType)
+              / least(col("nw1"), col("nw2")).cast(DoubleType), 6)).as("span_fraction"))
+        .orderBy("doc_id1", "doc_id2")
+  }
+
+  val textWinnowSpans = QueryDef(
+    "q_text_winnow_spans",
+    (s, dir) => winnowSpansOn(Tables.documents(s, dir)),
+    Some(s"""
+      WITH wfps AS (SELECT DISTINCT doc_id, fp_hash FROM (${winnowSql("documents")})),
+      wfreq AS (SELECT fp_hash FROM wfps GROUP BY fp_hash HAVING COUNT(*) <= 16),
+      wkept AS (SELECT f.doc_id, f.fp_hash FROM wfps f JOIN wfreq USING (fp_hash)),
+      wpairs AS (
+        SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, COUNT(*) AS n_shared
+        FROM wkept a JOIN wkept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      wdocs AS (SELECT DISTINCT doc_id1 AS doc_id FROM wpairs
+                UNION SELECT DISTINCT doc_id2 FROM wpairs),
+      st AS (SELECT d.doc_id, string_split(d.text, ' ') AS toks
+             FROM documents d JOIN wdocs USING (doc_id)),
+      sg AS (SELECT doc_id,
+               unnest(list_transform(range(greatest(len(toks) - 19, 0)),
+                 i -> list_aggregate(toks[i+1:i+20], 'string_agg', ' '))) AS g
+             FROM st),
+      soc AS (SELECT g, doc_id, COUNT(*) AS k FROM sg GROUP BY g, doc_id),
+      shw AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+                CAST(SUM(least(a.k, b.k)) AS BIGINT) AS shared_windows
+              FROM soc a JOIN soc b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      nwd AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS nw FROM soc GROUP BY doc_id)
+      SELECT p.doc_id1, p.doc_id2, d1.source AS source1, d2.source AS source2,
+             p.n_shared,
+             COALESCE(s.shared_windows, 0) AS shared_windows,
+             CASE WHEN least(n1.nw, n2.nw) > 0
+                  THEN ROUND(CAST(COALESCE(s.shared_windows, 0) AS DOUBLE)
+                             / least(n1.nw, n2.nw), 6) END AS span_fraction
+      FROM wpairs p
+      JOIN documents d1 ON d1.doc_id = p.doc_id1
+      JOIN documents d2 ON d2.doc_id = p.doc_id2
+      LEFT JOIN shw s ON s.doc_id1 = p.doc_id1 AND s.doc_id2 = p.doc_id2
+      LEFT JOIN nwd n1 ON n1.doc_id = p.doc_id1
+      LEFT JOIN nwd n2 ON n2.doc_id = p.doc_id2
+      ORDER BY p.doc_id1, p.doc_id2
+    """.trim),
+  )
+
   /** Stride-1 20-token window occurrences of a (doc_id, text) frame as
     * 8-byte hash rows — the shared grain of substring dedup and span
     * provenance (one explode per token position, linear).
@@ -1342,5 +1435,5 @@ object TextQueries {
     wordcount, tfidf, textStats, langId, quality, tokenCount, fingerprint, textPmi,
     textNormalize, textEntropy, textChunkify, textLmScore, textRepetition, bpePairs,
     bpeEncode, substringDedup, textSpanSource, qualityModel, textrank, textDrift,
-    textVocab, textZipf, textWinnow, textWinnowPairs)
+    textVocab, textZipf, textWinnow, textWinnowPairs, textWinnowSpans)
 }

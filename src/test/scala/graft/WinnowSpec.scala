@@ -82,4 +82,41 @@ class WinnowSpec extends SparkTestBase with Matchers {
     val boilerPairs = pairs.keys.filter { case (a, b) => a >= 10L && b >= 10L }
     assert(boilerPairs.isEmpty, s"df-cap failed: boilerplate pairs $boilerPairs")
   }
+
+  test("winnow-gated span attribution: window mass exact, sub-window matches 0, window-less docs null") {
+    import spark.implicits._
+    val passage = (0 until 30).map(i => s"p$i")
+    val run12 = (0 until 12).map(i => s"r$i")
+    val docs = Seq(
+      // docs 0/1: 30-token copied passage → 11 shared 20-token windows
+      (0L, ((0 until 10).map(i => s"a$i") ++ passage).mkString(" "), "srcA"),
+      (1L, (passage ++ (0 until 40).map(i => s"b$i")).mkString(" "), "srcB"),
+      // docs 2/3: 12-token shared run (winnow-detectable, sub-window) in
+      // otherwise-unique ≥20-token docs → matched, 0 shared windows
+      (2L, (run12 ++ (0 until 20).map(i => s"c$i")).mkString(" "), "srcA"),
+      (3L, ((0 until 20).map(i => s"d$i") ++ run12).mkString(" "), "srcB"),
+      // docs 4/5: 12-token shared run in 16-token docs — no complete
+      // window on either side → matched, fraction NULL
+      (4L, (run12 ++ (0 until 4).map(i => s"e$i")).mkString(" "), "srcA"),
+      (5L, ((0 until 4).map(i => s"f$i") ++ run12).mkString(" "), "srcB"),
+    ).toDF("doc_id", "text", "source")
+    val rows = TextQueries.winnowSpansOn(docs, k, w).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getString(2), r.getString(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    val (s1, s2, _, sw01, frac01) = rows.getOrElse((0L, 1L),
+      fail("copied-passage pair missing from winnow-span attribution"))
+    (s1, s2) shouldBe ("srcA", "srcB") // cross-source attribution carried
+    sw01 shouldBe 11L // 30-token run → 30-20+1 identical window strings
+    // doc0: 40 tokens → 21 windows (the smaller side)
+    frac01 shouldBe Some(math.rint(11.0 / 21.0 * 1e6) / 1e6)
+    val (_, _, _, sw23, frac23) = rows.getOrElse((2L, 3L),
+      fail("sub-window match pair missing"))
+    sw23 shouldBe 0L     // a 12-token run certifies fingerprints, not a window
+    frac23 shouldBe Some(0.0)
+    val (_, _, _, sw45, frac45) = rows.getOrElse((4L, 5L),
+      fail("window-less match pair missing"))
+    sw45 shouldBe 0L
+    frac45 shouldBe None // neither side has a complete window: no denominator
+  }
 }
