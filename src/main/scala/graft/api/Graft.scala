@@ -1029,6 +1029,19 @@ final class GraftFrame(val df: DataFrame) {
         df.select(col(id).as("doc_id"), col(text).as("text")))
       .withColumnsRenamed(Map("doc_id1" -> s"${id}1", "doc_id2" -> s"${id}2"))
 
+  /** Winnow-gated passage attribution — q_text_winnow_spans' core: for
+    * every winnow-matched pair, the exact shared 20-token window mass and
+    * its fraction of the smaller doc, with both docs' `source` labels
+    * carried (cross-source contamination attribution). The quadratic
+    * window pass is gated to matched docs.
+    */
+  def winnowSpans(id: String = "doc_id", text: String = "text",
+      source: String = "source"): DataFrame =
+    graft.operators.TextQueries.winnowSpansOn(
+        df.select(col(id).as("doc_id"), col(text).as("text"),
+          col(source).as("source")))
+      .withColumnsRenamed(Map("doc_id1" -> s"${id}1", "doc_id2" -> s"${id}2"))
+
   /** Population stability index between the even- and odd-`key` halves
     * of a numeric column — q_dq_psi's core: one row per bin
     * `(bin, n_ref, n_cur, p_ref, p_cur, psi_term, psi)` with the shared

@@ -546,5 +546,109 @@ object EvalQueries {
     """.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(evalRecall, evalNdcg, evalMrr, evalNdcgAblation, evalDedup)
+  /** The exact passage-grain truth for the winnow audit: EVERY doc pair
+    * sharing ≥1 duplicated 20-token window, with its shared window mass
+    * Σ min(k1,k2) — the ungated version of q_text_winnow_spans' measure
+    * stage, persisted per corpus snapshot (the eval-batch contract: a
+    * deployment derives the exact truth once, over a sampled slice at
+    * scale, and every audit reads it).
+    */
+  private[graft] def winnowTruthPersisted(s: SparkSession, dir: String): DataFrame =
+    relPersisted(s, dir, "winnow_truth") {
+      val occ = TextQueries.windowGrams(
+          graft.Tables.documents(s, dir).select("doc_id", "text"))
+        .groupBy("gh", "doc_id").agg(count(lit(1)).as("k"))
+        .localCheckpoint()
+      val o2 = occ.select(col("gh").as("gh2"), col("doc_id").as("doc_id2"),
+        col("k").as("k2"))
+      occ.join(o2, col("gh") === col("gh2") && col("doc_id") < col("doc_id2"))
+        .groupBy(col("doc_id").as("doc_id1"), col("doc_id2"))
+        .agg(sum(least(col("k"), col("k2")))
+          .cast(org.apache.spark.sql.types.LongType).as("shared_windows"))
+    }
+
+  /** The winnow detector's output pairs persisted per corpus snapshot —
+    * the winnow family's run file (q_text_winnow_pairs stays the priced
+    * inline build; this is the eval-side artifact of the SAME pair set).
+    */
+  private[graft] def winnowFoundPersisted(s: SparkSession, dir: String): DataFrame =
+    relPersisted(s, dir, "winnow_found")(
+      TextQueries.winnowPairsOn(
+          graft.Tables.documents(s, dir).select("doc_id", "text"))
+        .select("doc_id1", "doc_id2"))
+
+  /** Recall audit of the winnowing copy detector — q_eval_dedup's shape
+    * applied to the MOSS family: per shared-window-mass band, how many
+    * of the EXACT passage-sharing pairs (≥1 duplicated 20-token window,
+    * the q_text_span_source grain) the df-capped ≥2-fingerprint match
+    * step surfaced. The theory says detection is near-certain for any
+    * ≥ w+k−1-token shared run (each yields ≥1 common fingerprint, and a
+    * full 20-token window yields several), so the interesting readings
+    * are the 1–2-window band (the threshold edge, where ties and the
+    * ≥2-fingerprint gate bite) and any df-cap casualties among heavily
+    * boilerplated pairs. Sub-window detections (pairs winnow finds with
+    * ZERO shared windows) are index-grain true positives with no
+    * passage mass — q_text_winnow_spans reports them; a truth-side
+    * recall row correctly excludes them. Both sides are persisted eval
+    * artifacts; the oracle rebuilds both from raw text every run, so
+    * persisted ≡ fresh stays hash-proven.
+    */
+  val evalWinnow = QueryDef(
+    "q_eval_winnow",
+    (s, dir) => {
+      val truth = winnowTruthPersisted(s, dir)
+      val found = winnowFoundPersisted(s, dir)
+        .select(col("doc_id1"), col("doc_id2"), lit(1L).as("fnd"))
+      truth.join(found, Seq("doc_id1", "doc_id2"), "left")
+        .withColumn("w_band",
+          when(col("shared_windows") <= 2, 1)
+            .when(col("shared_windows") <= 5, 2)
+            .when(col("shared_windows") <= 10, 3)
+            .when(col("shared_windows") <= 20, 4)
+            .otherwise(5).cast(IntegerType))
+        .groupBy("w_band")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("fnd"), lit(0L))).as("n_found"),
+          round(sum(coalesce(col("fnd"), lit(0L))).cast(DoubleType)
+            / count(lit(1)).cast(DoubleType), 6).as("recall"))
+        .orderBy("w_band")
+    },
+    Some(s"""
+      WITH wfps AS (SELECT DISTINCT doc_id, fp_hash FROM (${TextQueries.winnowSql("documents")})),
+      wfreq AS (SELECT fp_hash FROM wfps GROUP BY fp_hash HAVING COUNT(*) <= 16),
+      wkept AS (SELECT f.doc_id, f.fp_hash FROM wfps f JOIN wfreq USING (fp_hash)),
+      found AS (
+        SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+        FROM wkept a JOIN wkept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      st AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sg AS (SELECT doc_id,
+               unnest(list_transform(range(greatest(len(toks) - 19, 0)),
+                 i -> list_aggregate(toks[i+1:i+20], 'string_agg', ' '))) AS g
+             FROM st),
+      soc AS (SELECT g, doc_id, COUNT(*) AS k FROM sg GROUP BY g, doc_id),
+      truth AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+                  CAST(SUM(least(a.k, b.k)) AS BIGINT) AS shared_windows
+                FROM soc a JOIN soc b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      marked AS (
+        SELECT t.shared_windows,
+               CASE WHEN f.doc_id1 IS NOT NULL THEN 1 ELSE 0 END AS fnd
+        FROM truth t LEFT JOIN found f
+          ON f.doc_id1 = t.doc_id1 AND f.doc_id2 = t.doc_id2)
+      SELECT CAST(CASE WHEN shared_windows <= 2 THEN 1
+                       WHEN shared_windows <= 5 THEN 2
+                       WHEN shared_windows <= 10 THEN 3
+                       WHEN shared_windows <= 20 THEN 4
+                       ELSE 5 END AS INTEGER) AS w_band,
+             COUNT(*) AS n_true,
+             CAST(SUM(fnd) AS BIGINT) AS n_found,
+             ROUND(CAST(SUM(fnd) AS DOUBLE) / COUNT(*), 6) AS recall
+      FROM marked
+      GROUP BY 1 ORDER BY w_band
+    """.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(evalRecall, evalNdcg, evalMrr, evalNdcgAblation,
+    evalDedup, evalWinnow)
 }

@@ -1044,15 +1044,25 @@ object TextQueries {
     * modulo ~1e-15 xxhash64 collisions — the q_text_substring_dedup
     * precedent).
     */
+  /** The winnow-GATED window-occurrence stage: the corpus window grain
+    * semi-joined down to the matched docs BEFORE any pairwise work — the
+    * restriction that keeps q_text_winnow_spans' passage pass at
+    * |matched docs| × their windows instead of corpus². Factored so
+    * PlanShapeSpec can assert the LeftSemi on this stage's own plan
+    * (the downstream localCheckpoint hides it from the final plan).
+    */
+  private[graft] def winnowSpanOcc(docs: DataFrame, fpDocs: DataFrame): DataFrame =
+    windowGrams(docs)
+      .join(fpDocs, Seq("doc_id"), "left_semi")
+      .groupBy("gh", "doc_id").agg(count(lit(1)).as("k"))
+
   private[graft] def winnowSpansOn(docs: DataFrame, k: Int = 3, w: Int = 4,
       dfCap: Int = 16, minShared: Int = 2): DataFrame = {
       val fpPairs = winnowPairsOn(docs.select("doc_id", "text"), k, w, dfCap, minShared)
         .localCheckpoint()
       val fpDocs = fpPairs.select(col("doc_id1").as("doc_id"))
         .unionByName(fpPairs.select(col("doc_id2").as("doc_id"))).distinct()
-      val occ = windowGrams(docs.select("doc_id", "text"))
-        .join(fpDocs, Seq("doc_id"), "left_semi")
-        .groupBy("gh", "doc_id").agg(count(lit(1)).as("k"))
+      val occ = winnowSpanOcc(docs.select("doc_id", "text"), fpDocs)
         .localCheckpoint() // feeds the pair join (twice) and the mass agg
       val o2 = occ.select(col("gh").as("gh2"), col("doc_id").as("doc_id2"),
         col("k").as("k2"))

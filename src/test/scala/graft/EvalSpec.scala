@@ -181,4 +181,37 @@ class EvalSpec extends SparkTestBase with Matchers {
       strs(graft.operators.DedupQueries.nearDupPairsStage(spark, sfTiny)
         .select("doc_id1", "doc_id2"))
   }
+
+  test("q_eval_winnow: per-band counts consistent, multi-window pairs detected, artifacts ≡ fresh") {
+    import org.apache.spark.sql.functions.{col, count => acount, least => aleast, lit, sum => asum}
+    val rows = EvalQueries.evalWinnow.query(spark, sfTiny).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (band, nTrue, nFound, recall) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nFound <= nTrue, s"band $band: found $nFound > true $nTrue")
+      recall shouldBe (nFound.toDouble / nTrue +- 1e-6)
+      // a ≥3-window pair shares a ≥22-token run → many common fingerprints;
+      // the ≥2-fp gate cannot miss it unless df-capping ate the passage,
+      // which the fixture's passages don't trigger
+      if (band >= 2) assert(recall == 1.0, s"band $band recall $recall < 1")
+    }
+    // the persisted truth/run artifacts equal their fresh derivations
+    def strs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val docs = Tables.documents(spark, sfTiny).select("doc_id", "text")
+    val occ = graft.operators.TextQueries.windowGrams(docs)
+      .groupBy("gh", "doc_id").agg(acount(lit(1)).as("k"))
+    val o2 = occ.select(col("gh").as("gh2"), col("doc_id").as("doc_id2"),
+      col("k").as("k2"))
+    val freshTruth = occ.join(o2,
+        col("gh") === col("gh2") && col("doc_id") < col("doc_id2"))
+      .groupBy(col("doc_id").as("doc_id1"), col("doc_id2"))
+      .agg(asum(aleast(col("k"), col("k2")))
+        .cast(org.apache.spark.sql.types.LongType).as("shared_windows"))
+    strs(EvalQueries.winnowTruthPersisted(spark, sfTiny)) shouldBe strs(freshTruth)
+    strs(EvalQueries.winnowFoundPersisted(spark, sfTiny)) shouldBe
+      strs(graft.operators.TextQueries.winnowPairsOn(docs)
+        .select("doc_id1", "doc_id2"))
+  }
 }

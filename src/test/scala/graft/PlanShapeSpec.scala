@@ -408,4 +408,39 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     plan.toLowerCase should include("graft-mine")
     plan.toLowerCase should not include "lineitem.parquet"
   }
+
+  test("q_text_winnow_spans gates the window self-join behind the winnow match (semi-join in the occ stage, no cartesian overall)") {
+    import spark.implicits._
+    // the gated occ stage's OWN plan must restrict via LeftSemi before any
+    // pairwise work — without it the passage pass is corpus-quadratic.
+    // (The registered query's final plan hides this behind a
+    // localCheckpoint, so the stage is asserted directly.)
+    val docs = Tables.documents(spark, sfTiny).select("doc_id", "text")
+    val fpDocs = Seq(1L, 2L).toDF("doc_id")
+    val occ = graft.operators.TextQueries.winnowSpanOcc(docs, fpDocs)
+    executedPlanString(occ) should include("LeftSemi")
+    // and the full registered query plans no cartesian anywhere
+    val full = graft.operators.TextQueries.textWinnowSpans.query(spark, sfTiny)
+    executedPlanString(full) should not include "CartesianProduct"
+  }
+
+  test("q_serve_trend_state is state-fed: the maintained slope histogram is load-bearing at serve") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_trend_plan")
+      .toFile.getAbsolutePath
+    val batch = Seq(("a", 0L, 5L, 1L, 0L, 5L), ("a", 1L, 9L, 1L, 1L, 9L),
+        ("a", 2L, 7L, 2L, 2L, 7L), ("b", 0L, 3L, 2L, 3L, 3L))
+      .toDF("g", "h", "x", "user_id", "ts_us", "m")
+    graft.streaming.IncrementalTrend.processBatch(spark, batch, base, Some(0L))
+    val served = graft.streaming.IncrementalTrend.serveTrend(spark, base).collect()
+    served should not be empty
+    // delete ONLY the slopes table: a serve that re-derived the pair grid
+    // from the hourly grain would still answer — the state-fed serve must
+    // fail instead, proving the histogram is what answers at serve time
+    val cur = graft.sources.GraftFs.readSmallFile(spark, s"$base/_CURRENT")
+      .get.trim.split(":batch=")(0)
+    graft.sources.GraftFs.deleteRecursively(spark, s"$base/$cur/slopes")
+    an[Exception] should be thrownBy
+      graft.streaming.IncrementalTrend.serveTrend(spark, base).collect()
+  }
 }
