@@ -453,6 +453,36 @@ object ServeQueries {
     TimeSeriesQueries.tsTrend.oracle,
   )
 
+  private[graft] def winnowStateBuilt(s: SparkSession, dir: String): String =
+    synchronized {
+      val base = stateBase(s, dir, "winnow")
+      if (!graft.streaming.IncrementalWinnow.committedBatch(s, base).contains(1L)) {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        for (i <- 0 until 2)
+          graft.streaming.IncrementalWinnow.processBatch(s,
+            docs.filter(col("doc_id") % 2 === i), base, Some(i.toLong))
+      }
+      base
+    }
+
+  /** The winnow maintainer's SERVE path as a registered row: the MOSS
+    * match step answered from the maintained fingerprint segments after
+    * a two-batch parity split — must hash-match q_text_winnow_pairs'
+    * oracle because fingerprints are content-only (extraction runs once
+    * per doc ever) and the df-cap/match tail is the registered query's
+    * verbatim over the same distinct fp relation
+    * (IncrementalWinnowSpec pins split-equality, replay no-ops, and the
+    * two-writer CAS race).
+    */
+  val serveWinnowState = QueryDef(
+    "q_serve_winnow_state",
+    (s, dir) =>
+      graft.streaming.IncrementalWinnow
+        .serveWinnowPairs(s, winnowStateBuilt(s, dir))
+        .orderBy("doc_id1", "doc_id2"),
+    TextQueries.textWinnowPairs.oracle,
+  )
+
   private[graft] def driftStateBuilt(s: SparkSession, dir: String): String =
     synchronized {
       val base = stateBase(s, dir, "drift")
@@ -483,5 +513,5 @@ object ServeQueries {
   def defs: Seq[QueryDef] = Seq(serveHybridState, serveSpanSourceState,
     serveNoveltyState, serveAggState, serveMwState, serveNeardupState,
     serveCdcState, serveShardsState, serveScd2State, serveComponentsState,
-    serveRulesState, serveTrendState, serveDriftState)
+    serveRulesState, serveTrendState, serveDriftState, serveWinnowState)
 }

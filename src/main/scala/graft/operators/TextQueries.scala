@@ -976,8 +976,22 @@ object TextQueries {
     * (df census, both join sides) never re-derive the winnow.
     */
   private[graft] def winnowPairsOn(docs: DataFrame, k: Int = 3, w: Int = 4,
+      dfCap: Int = 16, minShared: Int = 2): DataFrame =
+    winnowPairsFromFps(
+      winnowOn(docs, k, w).select("doc_id", "fp_hash").distinct(),
+      dfCap, minShared)
+
+  /** The MOSS match TAIL over an explicit distinct (doc_id, fp_hash)
+    * relation — shared by the one-shot [[winnowPairsOn]] (which extracts
+    * fingerprints inline) and the incremental maintainer's serve
+    * (graft.streaming.IncrementalWinnow, which reads them from state),
+    * so state-served ≡ one-shot is a claim about the fp relation alone.
+    * The df census and df-cap are global and evaluate HERE — a
+    * fingerprint that later becomes boilerplate drops out of matches
+    * retroactively, the one-shot semantics.
+    */
+  private[graft] def winnowPairsFromFps(fp: DataFrame,
       dfCap: Int = 16, minShared: Int = 2): DataFrame = {
-    val fp = winnowOn(docs, k, w).select("doc_id", "fp_hash").distinct()
     val kept = fp.join(
         fp.groupBy("fp_hash").agg(count(lit(1)).as("df"))
           .filter(col("df") <= dfCap).select("fp_hash"),

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import graft.operators.TextQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental maintenance of the winnowing fingerprint index
+  * (q_text_winnow's selection, serving q_text_winnow_pairs' match step):
+  * the copy-detection index a deployment keeps under continuous ingest.
+  * Fingerprints are CONTENT-ONLY (the rightmost-min selection depends on
+  * nothing outside the document), so the state is a pure append of
+  * per-batch distinct (doc_id, fp_hash) segments — the expensive per-doc
+  * linear work (tokenize → gram hash → window-min) runs ONCE per
+  * document ever; the match step at serve runs over the maintained
+  * skinny relation (≈ 2/(w+1) of gram volume). The df census and df-cap
+  * are GLOBAL properties and therefore evaluate at serve time over the
+  * whole maintained relation — a fingerprint that becomes boilerplate in
+  * batch 40 correctly drops out of matches retroactively, which is
+  * exactly the one-shot semantics ([[serveWinnowPairs]] ≡
+  * `winnowPairsOn` by construction: same distinct fp relation, same
+  * tail).
+  *
+  * State protocol: the IncrementalDedup log-record CAS — one
+  * exclusive-create record `log/v<N>` naming the live segment set and
+  * committed batch id; replays at or below the committed id land
+  * nothing; a lost publish race re-CASes with the SAME segment (batch
+  * derivations are batch-pure, so no rebase recompute exists here).
+  */
+object IncrementalWinnow {
+
+  private val fpSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("fp_hash", LongType)))
+
+  private[graft] case class WinnowState(version: Long, segs: Seq[String], batch: Option[Long])
+
+  private val EmptyState = WinnowState(-1L, Seq.empty, None)
+
+  private def recordBody(st: WinnowState): String =
+    s"segs=${st.segs.mkString(",")};batch=${st.batch.fold("-")(_.toString)}"
+
+  private def parseRecord(version: Long, body: String): WinnowState = {
+    val kv = body.trim.split(";").map { f =>
+      val i = f.indexOf('=')
+      f.take(i) -> f.drop(i + 1)
+    }.toMap
+    WinnowState(version,
+      kv.get("segs").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty),
+      kv.get("batch").filter(_ != "-").map(_.toLong))
+  }
+
+  private def readRecord(s: SparkSession, base: String, v: Long): Option[WinnowState] =
+    graft.sources.GraftFs.readSmallFile(s, s"$base/log/v$v").map(parseRecord(v, _))
+
+  private[graft] def currentState(s: SparkSession, base: String): WinnowState = {
+    val hinted = graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT")
+      .map(_.trim.drop(1).toLong).filter(v => readRecord(s, base, v).isDefined)
+    val start = hinted.orElse {
+      val (fs, q) = graft.sources.GraftFs.resolve(s, s"$base/log")
+      if (!fs.exists(q)) None
+      else fs.listStatus(q).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v")).map(_.drop(1).toLong).maxOption
+    }
+    start match {
+      case None => EmptyState
+      case Some(v0) =>
+        var st = readRecord(s, base, v0).getOrElse(EmptyState)
+        var next = readRecord(s, base, st.version + 1)
+        while (next.isDefined) { st = next.get; next = readRecord(s, base, st.version + 1) }
+        st
+    }
+  }
+
+  /** The committed micro-batch id — the serve row's build-completeness
+    * probe.
+    */
+  def committedBatch(s: SparkSession, base: String): Option[Long] =
+    currentState(s, base).batch
+
+  private def publish(s: SparkSession, base: String, st: WinnowState): Boolean = {
+    val ok = graft.sources.GraftFs.writeSmallFileExclusive(
+      s, s"$base/log/v${st.version}", recordBody(st))
+    if (ok) graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"v${st.version}")
+    ok
+  }
+
+  /** The maintained fingerprint relation (doc_id, fp_hash) from ONE
+    * committed record.
+    */
+  def readFingerprints(s: SparkSession, base: String): DataFrame = {
+    val st = currentState(s, base)
+    if (st.segs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], fpSchema)
+    else s.read.schema(fpSchema).parquet(st.segs.map(n => s"$base/fps/$n"): _*)
+  }
+
+  /** Ingest one batch of (doc_id, text) documents: extract winnow
+    * fingerprints once, land them as a writer-unique segment, CAS the
+    * record. A replayed batch id lands nothing.
+    */
+  def processBatch(s: SparkSession, batch: DataFrame, base: String,
+      batchId: Option[Long] = None, k: Int = 3, w: Int = 4): Unit = {
+    val st0 = currentState(s, base)
+    if (batchId.exists(id => st0.batch.exists(_ >= id))) return
+    val fps = TextQueries.winnowOn(batch.select("doc_id", "text"), k, w)
+      .select("doc_id", "fp_hash").distinct()
+    val uid = java.util.UUID.randomUUID.toString.take(8)
+    val segName = s"b${st0.version + 1}-$uid"
+    fps.write.mode("overwrite").parquet(s"$base/fps/$segName")
+    var st = st0
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 16, s"processBatch: lost the publish race $attempts times at $base")
+      val next = WinnowState(st.version + 1, st.segs :+ segName, batchId.orElse(st.batch))
+      if (publish(s, base, next)) return
+      st = currentState(s, base)
+      if (batchId.exists(id => st.batch.exists(_ >= id))) return
+    }
+  }
+
+  /** The MOSS match step served from the maintained fingerprint relation
+    * — ≡ q_text_winnow_pairs one-shot by construction (the fp relation
+    * is content-only and distinct per doc, and the df census / df-cap /
+    * pair join run the registered tail verbatim over it).
+    */
+  def serveWinnowPairs(s: SparkSession, base: String,
+      dfCap: Int = 16, minShared: Int = 2): DataFrame =
+    TextQueries.winnowPairsFromFps(readFingerprints(s, base), dfCap, minShared)
+
+  /** Attach to a documents stream via foreachBatch (replay-protected). */
+  def attach(docs: DataFrame, base: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      processBatch(batch.sparkSession, batch, base, Some(bid))
+    }
+}
