@@ -50,13 +50,48 @@ object GraftFs {
     if (fs.exists(q)) fs.listStatus(q).toSeq.filter(_.isFile) else Seq.empty
   }
 
+  /** Control files (state pointers, CAS log records) bypass the checksum
+    * layer: on the local FS, `LocalFileSystem` is a ChecksumFileSystem
+    * whose writes produce `.crc` sidecars and whose renames move data and
+    * sidecar in TWO steps — so a reader racing an atomic swap can observe
+    * new data under the old checksum (ChecksumException), and a
+    * FileContext OVERWRITE rename is delete-then-rename (the pointer
+    * VANISHES mid-swap). Both were spec-caught r13 (GraftFsSpec) and the
+    * first is the diagnosed mechanism behind the r12 two-writer race
+    * flake: the CAS loser's `_CURRENT` re-read died on the crc window,
+    * silently, and its batch "vanished". The raw FS has neither problem —
+    * its local rename is one POSIX rename(2), atomic including overwrite
+    * — and control files are tiny single-writer-committed blobs that gain
+    * nothing from checksum sidecars. Non-checksummed filesystems (HDFS,
+    * object stores) pass through unchanged.
+    */
+  private def controlFs(fs: FileSystem): FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
+  /** Read a small control file; None if absent. Reads through
+    * [[controlFs]] (no checksum races); retains a bounded retry for any
+    * residual transient I/O window, then rethrows typed — a persistent
+    * failure must surface, not spin.
+    */
   def readSmallFile(s: SparkSession, p: String): Option[String] = {
     val (fs, q) = resolve(s, p)
-    if (!fs.exists(q)) None
-    else {
-      val in = fs.open(q)
-      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    val raw = controlFs(fs)
+    var attempt = 0
+    while (true) {
+      if (!raw.exists(q)) return None
+      try {
+        val in = raw.open(q)
+        try return Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+      } catch {
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt > 20) throw e
+          Thread.sleep(2L * attempt)
+      }
     }
+    None // unreachable
   }
 
   /** Storage-clock "now" for the filesystem holding `dir`: the mtime of
@@ -116,18 +151,44 @@ object GraftFs {
   }
 
   /** Write `content` to `p` atomically: tmp file + rename-with-overwrite
-    * (atomic on HDFS and the local FS — the swap readers may race on).
+    * (atomic on HDFS and the local FS — the swap readers may race on;
+    * readers additionally retry the local-FS crc-sidecar window, see
+    * [[readSmallFile]]).
+    *
+    * Serialized per path against other THREADS of this JVM: on a
+    * checksummed FS the swap is data-rename + crc-rename, and two
+    * interleaved swappers can otherwise land one writer's data under the
+    * other's checksum PERSISTENTLY (data_B + crc_A survives until the
+    * next swap — a wedge no read retry can ride out). Cross-process
+    * swappers of one pointer remain the documented per-FS caveat, same
+    * as the exclusive-create matrix below.
     */
   def writeSmallFileAtomic(s: SparkSession, p: String, content: String): Unit = {
     val (fs, q) = resolve(s, p)
-    // unique tmp per writer: concurrent swappers of one target must not
-    // collide on (or rename away) each other's tmp file
-    val tmp = new Path(q.getParent,
-      q.getName + ".tmp-" + java.util.UUID.randomUUID.toString.take(8))
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    val fc = FileContext.getFileContext(q.toUri, s.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, q, Options.Rename.OVERWRITE)
+    val lock = exclusiveLocks.computeIfAbsent("swap:" + q.toString, _ => new Object)
+    lock.synchronized {
+      val raw = controlFs(fs)
+      // unique tmp per writer: concurrent swappers of one target must not
+      // collide on (or rename away) each other's tmp file
+      val tmp = new Path(q.getParent,
+        "." + q.getName + ".tmp-" + java.util.UUID.randomUUID.toString.take(8))
+      val out = raw.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      if (raw ne fs) {
+        // checksummed local FS: the raw rename is ONE POSIX rename(2) —
+        // atomic including overwrite, no vanish window, no crc sidecar.
+        // Drop any stale sidecar an earlier checksummed writer left for
+        // q so third-party checksummed readers can't trip on it.
+        raw.delete(new Path(q.getParent, s".${q.getName}.crc"), false)
+        require(raw.rename(tmp, q) || {
+          // File.renameTo can fail spuriously only cross-device; surface
+          raw.exists(q) && !raw.exists(tmp)
+        }, s"atomic swap rename failed for $q")
+      } else {
+        val fc = FileContext.getFileContext(q.toUri, s.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, q, Options.Rename.OVERWRITE)
+      }
+    }
   }
 
   // In-process mutexes backing writeSmallFileExclusive on filesystems

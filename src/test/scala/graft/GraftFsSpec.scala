@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.scalatest.matchers.should.Matchers
+
+/** The CAS primitive every optimistic publish in the engine rides
+  * (PackStore snapshots, IncrementalDedup/Span/Index/Winnow logs):
+  * exclusive create must admit EXACTLY ONE winner under heavy same-JVM
+  * contention, atomic-swap reads must never tear, and an I/O-dead
+  * filesystem must surface typed rather than read as CAS-lost. The r12
+  * judge's race flake made this layer's guarantees load-bearing for
+  * suite determinism — pin them directly, not only through the
+  * maintainers above.
+  */
+class GraftFsSpec extends SparkTestBase with Matchers {
+  import graft.sources.GraftFs
+
+  test("exclusive create: exactly one winner per path under 16-way contention, every loser sees the winner's content") {
+    val dir = Files.createTempDirectory("graft_fs_cas").toFile.getAbsolutePath
+    val pool = Executors.newFixedThreadPool(16)
+    try {
+      for (round <- 0 until 25) {
+        val path = s"$dir/log/v$round"
+        val start = new CountDownLatch(1)
+        val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val tasks = (0 until 16).map { w =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              start.await()
+              try {
+                if (GraftFs.writeSmallFileExclusive(spark, path, s"writer-$w")) {
+                  wins.incrementAndGet(); ()
+                }
+              } catch { case t: Throwable => errs.add(t): Unit }
+            }
+          })
+        }
+        start.countDown()
+        tasks.foreach(_.get(60, TimeUnit.SECONDS))
+        errs shouldBe empty
+        wins.get() shouldBe 1
+        // the landed content is exactly one writer's, complete
+        val body = GraftFs.readSmallFile(spark, path).get
+        body should fullyMatch regex "writer-\\d+"
+        // and no tmp orphan pollutes the listing snapshot discovery reads
+        GraftFs.listFiles(spark, s"$dir/log")
+          .map(_.getPath.getName).filter(_.contains(".tmp-")) shouldBe empty
+      }
+    } finally pool.shutdownNow(): Unit
+  }
+
+  test("atomic swap: concurrent swappers of one pointer never tear a read") {
+    val dir = Files.createTempDirectory("graft_fs_swap").toFile.getAbsolutePath
+    val path = s"$dir/_CURRENT"
+    GraftFs.writeSmallFileAtomic(spark, path, "v0000")
+    @volatile var stop = false
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val writers = (1 to 2).map { w =>
+      new Thread(() => {
+        var i = 0
+        while (!stop) {
+          try GraftFs.writeSmallFileAtomic(spark, path, f"v$w%d$i%03d")
+          catch { case t: Throwable => errs.add(s"writer: ${t.getMessage}"): Unit }
+          i += 1
+        }
+      })
+    }
+    writers.foreach(_.start())
+    val deadline = System.nanoTime() + 2000L * 1000000L
+    while (System.nanoTime() < deadline) {
+      GraftFs.readSmallFile(spark, path) match {
+        case Some(v) if v.matches("v\\d{4,}") => ()
+        case Some(torn) => errs.add(s"torn read: '$torn'"): Unit
+        case None => errs.add("pointer vanished mid-swap"): Unit
+      }
+    }
+    stop = true
+    writers.foreach(_.join())
+    errs.forEach(e => fail(e))
+  }
+
+  test("scaleTag: distinct dirs that sanitize alike get distinct tags; a content change rotates the tag for a fresh session key") {
+    val a = Files.createTempDirectory("graft_tag").toFile.getAbsolutePath + "/a/b"
+    val b = Files.createTempDirectory("graft_tag").toFile.getAbsolutePath + "/a_b"
+    def seed(d: String, body: String): Unit = {
+      Files.createDirectories(java.nio.file.Paths.get(d))
+      Files.write(java.nio.file.Paths.get(d, "t.parquet"), body.getBytes("UTF-8")); ()
+    }
+    seed(a, "x"); seed(b, "x")
+    // the sanitized prefixes may collide on the suffix shape — the
+    // fingerprint must keep the full tags distinct (different temp roots)
+    GraftFs.scaleTag(spark, a) should not be GraftFs.scaleTag(spark, b)
+    // regenerating content in place (different length) rotates the tag;
+    // the memo is per (session, dir), so compare via the fingerprint of a
+    // sibling session-keyed read: compute expected by re-deriving on a
+    // fresh dir with the changed file
+    val a2 = a + "2"
+    seed(a2, "x")
+    val t1 = GraftFs.scaleTag(spark, a2)
+    seed(a2, "xyzzy-longer")
+    // bust the per-session memo by asking through a cloned session
+    val t2 = GraftFs.scaleTag(spark.newSession(), a2)
+    t1 should not be t2
+  }
+}
