@@ -1029,6 +1029,20 @@ final class GraftFrame(val df: DataFrame) {
         df.select(col(id).as("doc_id"), col(text).as("text")))
       .withColumnsRenamed(Map("doc_id1" -> s"${id}1", "doc_id2" -> s"${id}2"))
 
+  /** Blocked fuzzy entity matching — q_sim_jarowinkler's core: within
+    * each `blockCols` equi-join block, id pairs whose `name` strings
+    * score ≥ `threshold` under the native codegen'd Jaro-Winkler
+    * comparator: `(<id>1, <id>2, name1, name2, jw)`. The comparator only
+    * runs inside blocks — choose block keys so the worst block stays
+    * bounded at your scale.
+    */
+  def fuzzyMatch(id: String, name: String, blockCols: Seq[String],
+      threshold: Double = 0.85): DataFrame =
+    graft.operators.MiningQueries.jaroWinklerPairsOn(
+        df.select(col(id).as("id") +: col(name).as("name") +: blockCols.map(col): _*),
+        blockCols, threshold)
+      .withColumnsRenamed(Map("id1" -> s"${id}1", "id2" -> s"${id}2"))
+
   /** Winnow-gated passage attribution — q_text_winnow_spans' core: for
     * every winnow-matched pair, the exact shared 20-token window mass and
     * its fraction of the smaller doc, with both docs' `source` labels

@@ -106,6 +106,7 @@ object GraftFunctions {
   val SortedLongIntersectAtLeastName = "graft_sorted_intersect_at_least"
   val PortableTokenHashName = "graft_portable_token_hash"
   val HilbertIndexName = "graft_hilbert_index"
+  val JaroWinklerName = "graft_jaro_winkler"
 
   private def binaryBuilder(name: String, mk: (Expression, Expression) => Expression):
       Seq[Expression] => Expression = {
@@ -148,6 +149,9 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"$HilbertIndexName expects 3 arguments, got ${other.size}")
       }),
+    (FunctionIdentifier(JaroWinklerName),
+      new ExpressionInfo(classOf[JaroWinkler].getName, JaroWinklerName),
+      binaryBuilder(JaroWinklerName, JaroWinkler)),
   )
 
   /** Idempotent per-session registration (done in Tables.load, so every

@@ -415,10 +415,62 @@ object MiningQueries {
     },
   )
 
+  /** Fuzzy entity matching core over a (id, name, blockCols...) frame:
+    * equi-join on the block key, Jaro-Winkler (the native codegen'd
+    * graft_jaro_winkler expression) ≥ threshold on the name — shared by
+    * q_sim_jarowinkler and the `fuzzyMatch` facade verb. Blocking is
+    * what makes this the 100 TB shape: the comparator only ever runs
+    * inside equi-join blocks (here brand × size), never corpus²; skewed
+    * blocks are a data-model choice the caller controls by key.
+    */
+  private[graft] def jaroWinklerPairsOn(rows: org.apache.spark.sql.DataFrame,
+      blockCols: Seq[String], threshold: Double): org.apache.spark.sql.DataFrame = {
+    val a = rows.select(col("id").as("id1") +: col("name").as("name1") +:
+      blockCols.map(col): _*)
+    val b = rows.select(col("id").as("id2") +: col("name").as("name2") +:
+      blockCols.map(c => col(c).as(s"${c}_b")): _*)
+    val cond = blockCols.map(c => col(c) === col(s"${c}_b"))
+      .reduce(_ && _) && col("id1") < col("id2")
+    a.join(b, cond)
+      .withColumn("jw", expr("graft_jaro_winkler(name1, name2)"))
+      .filter(col("jw") >= threshold)
+      .select(col("id1"), col("id2"), col("name1"), col("name2"),
+        round(col("jw"), 6).as("jw"))
+      .orderBy("id1", "id2")
+  }
+
+  /** Fuzzy part-name matching — the record-linkage/entity-resolution row:
+    * within each (brand, size) block, part pairs whose names read as
+    * near-identical strings under Jaro-Winkler ≥ 0.85 (Winkler 1990 — the
+    * standard name comparator; character-edit-sensitive where the
+    * token-set family q_sim_jaccard/containment is blind). The Spark side
+    * runs the native codegen'd expression; the oracle is DuckDB's OWN
+    * jaro_winkler_similarity — two independent implementations of the
+    * published algorithm hash-matched to the 6dp-rounded double.
+    */
+  val simJaroWinkler = QueryDef(
+    "q_sim_jarowinkler",
+    (s, dir) => jaroWinklerPairsOn(
+      Tables.part(s, dir).select(col("p_partkey").as("id"),
+        col("p_name").as("name"), col("p_brand"), col("p_size")),
+      Seq("p_brand", "p_size"), 0.85),
+    Some("""
+      SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+             a.p_name AS name1, b.p_name AS name2,
+             ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+      WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
+      ORDER BY id1, id2
+    """.trim),
+  )
+
   // mineItemsets (uncapped) is NOT registered: the capped variant is the
   // primary (r10 swap per the round-9 verdict) — the uncapped within-basket
   // C(n,2) fan-out is unbounded on a single mega-basket (salting cannot fix
   // a single-key blowup), while the cap is proven lossless on healthy data
   // by MiningSpec's plain-vs-capped equality every test run (:73-75).
-  def defs: Seq[QueryDef] = Seq(mineItemsetsCapped, mineRules, mineRecs, simEditdist)
+  def defs: Seq[QueryDef] = Seq(mineItemsetsCapped, mineRules, mineRecs, simEditdist,
+    simJaroWinkler)
 }
