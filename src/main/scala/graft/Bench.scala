@@ -1,5 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Session-state hygiene shared by every timing harness (Bench,
+  * PriceAudit, QBench callers): released state must mean the SAME thing
+  * in the auditor as in the bench it audits, or their numbers measure
+  * different pinned-state conditions.
+  */
+private[graft] object BenchUtil {
+  /** Release session-pinned executor-memory state between queries:
+    * localCheckpoint / persist blocks otherwise accumulate across the
+    * suite's ~1000 executions and the mounting GC pressure taxes every
+    * later query (~15-25% suite-wide, measured r8). Only MEMORY state
+    * drops — deliberate on-disk artifacts are unaffected.
+    */
+  def releasePinned(spark: SparkSession): Unit =
+    try {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    } catch { case _: Throwable => () }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,18 +83,10 @@ object Bench {
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
     val midIdx = sortedQueries.length / 2
 
-    // Release session-pinned state between queries: localCheckpoint /
-    // persist blocks otherwise accumulate across the ~900 executions
-    // of the suite and the mounting GC pressure taxes every later
-    // query (~15-25% suite-wide at 291 queries, measured). Each query
-    // is priced self-contained; only executor-MEMORY state is dropped
-    // — deliberate on-disk artifacts (pair store, media objects,
-    // persisted graphs) are unaffected.
-    def releasePinned(): Unit =
-      try {
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      } catch { case _: Throwable => () }
+    // Each query is priced self-contained (BenchUtil.releasePinned —
+    // shared with PriceAudit so the auditor measures under the SAME
+    // pinned-state conditions it audits).
+    def releasePinned(): Unit = BenchUtil.releasePinned(spark)
 
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       var failed = false
@@ -185,14 +197,19 @@ object Bench {
         val RepsRe = """"reps":([0-9]+)""".r
         val CpusRe = """"cpus":"?([0-9*]+)"?""".r
         val PairRe = """"([^"]+)":(-?[0-9.Ee+-]+)""".r
+        // filter to MATCHING-config runs FIRST, then take the trailing 12:
+        // a takeRight before the filter lets a burst of other-config runs
+        // (sf0.001 debug sweeps, reps=1 probes) shrink the window below
+        // the 3-sample minimum and silently disable the sensor
         val runs = scala.jdk.CollectionConverters.IteratorHasAsScala(
             java.nio.file.Files.list(dirp).iterator()).asScala
           .filter(_.getFileName.toString.startsWith("run-")).toSeq
-          .sortBy(_.getFileName.toString).takeRight(12)
+          .sortBy(_.getFileName.toString)
           .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
           .filter(l => SfRe.findFirstMatchIn(l).exists(_.group(1) == sfDir)
             && RepsRe.findFirstMatchIn(l).exists(_.group(1) == reps.toString)
             && CpusRe.findFirstMatchIn(l).exists(_.group(1) == cpus))
+          .takeRight(12)
           .flatMap(l => QueriesRe.findFirstMatchIn(l).map(m =>
             PairRe.findAllMatchIn(m.group(1))
               .map(p => p.group(1) -> p.group(2).toDouble).filter(_._2 >= 0).toMap))

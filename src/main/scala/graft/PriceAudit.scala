@@ -31,19 +31,17 @@ object PriceAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    def releasePinned(): Unit =
-      try {
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      } catch { case _: Throwable => () }
     def time(body: => Unit): Double = {
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         body
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      releasePinned()
-      ts(ts.length / 2) // upper median of 2 = steady-state-ish, like Bench's sort
+      BenchUtil.releasePinned(spark)
+      // upper-middle element: for reps=2 this is the max — deliberately
+      // conservative for an audit (Bench's k=3 true median differs; the
+      // count and mat sides here use the SAME estimator, so ratios hold)
+      ts(ts.length / 2)
     }
     val only = args.toSet
     val rows = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -554,18 +554,11 @@ object EvalQueries {
     * scale, and every audit reads it).
     */
   private[graft] def winnowTruthPersisted(s: SparkSession, dir: String): DataFrame =
-    relPersisted(s, dir, "winnow_truth") {
-      val occ = TextQueries.windowGrams(
-          graft.Tables.documents(s, dir).select("doc_id", "text"))
-        .groupBy("gh", "doc_id").agg(count(lit(1)).as("k"))
-        .localCheckpoint()
-      val o2 = occ.select(col("gh").as("gh2"), col("doc_id").as("doc_id2"),
-        col("k").as("k2"))
-      occ.join(o2, col("gh") === col("gh2") && col("doc_id") < col("doc_id2"))
-        .groupBy(col("doc_id").as("doc_id1"), col("doc_id2"))
-        .agg(sum(least(col("k"), col("k2")))
-          .cast(org.apache.spark.sql.types.LongType).as("shared_windows"))
-    }
+    relPersisted(s, dir, "winnow_truth")(
+      TextQueries.sharedWindowMass(
+        TextQueries.windowOcc(
+            graft.Tables.documents(s, dir).select("doc_id", "text"))
+          .localCheckpoint()))
 
   /** The winnow detector's output pairs persisted per corpus snapshot —
     * the winnow family's run file (q_text_winnow_pairs stays the priced

@@ -40,7 +40,7 @@ object ServeQueries {
         val docs = Tables.documents(s, dir)
         for (i <- 0 until 2)
           IncrementalIndex.processBatch(s,
-            docs.filter(col("doc_id") % 2 === i), base, Some(i.toLong))
+            docs.filter(pmod(col("doc_id"), lit(2)) === i), base, Some(i.toLong))
       }
       base
     }
@@ -52,7 +52,7 @@ object ServeQueries {
         val docs = Tables.documents(s, dir).select("doc_id", "text")
         for (i <- 0 until 2)
           IncrementalSpan.processBatch(s,
-            docs.filter(col("doc_id") % 2 === i), base, Some(i.toLong))
+            docs.filter(pmod(col("doc_id"), lit(2)) === i), base, Some(i.toLong))
       }
       base
     }
@@ -97,7 +97,7 @@ object ServeQueries {
           .filter(col("doc_id") % 5 =!= 0)
         for (i <- 0 until 2)
           IncrementalSpan.processBatch(s,
-            standing.filter(col("doc_id") % 2 === i), base, Some(i.toLong))
+            standing.filter(pmod(col("doc_id"), lit(2)) === i), base, Some(i.toLong))
       }
       base
     }
@@ -126,7 +126,7 @@ object ServeQueries {
         val events = Tables.events(s, dir)
         for (i <- 0 until 2)
           graft.streaming.IncrementalAgg.processBatch(s,
-            events.filter(col("event_id") % 2 === i), base, Some(i.toLong))
+            events.filter(pmod(col("event_id"), lit(2)) === i), base, Some(i.toLong))
       }
       base
     }
@@ -166,7 +166,7 @@ object ServeQueries {
               .cast(org.apache.spark.sql.types.LongType).as("v"))
         for (i <- 0 until 2)
           graft.streaming.IncrementalStats.processBatch(s,
-            frame.filter(col("o_orderkey") % 2 === i).select("grp", "v"),
+            frame.filter(pmod(col("o_orderkey"), lit(2)) === i).select("grp", "v"),
             base, Some(i.toLong))
       }
       base
@@ -194,7 +194,7 @@ object ServeQueries {
         val docs = Tables.documents(s, dir)
         for (i <- 0 until 2)
           graft.streaming.IncrementalDedup.processBatch(s,
-            docs.filter(col("doc_id") % 2 === i), base, Some(i.toLong))
+            docs.filter(pmod(col("doc_id"), lit(2)) === i), base, Some(i.toLong))
       }
       base
     }
@@ -396,7 +396,7 @@ object ServeQueries {
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         for (i <- 0 until 3)
           graft.streaming.IncrementalMine.processBatch(s,
-            bi.filter(abs(hash(col("ok"))) % 3 === i), base, Some(i.toLong))
+            bi.filter(pmod(hash(col("ok")), lit(3)) === i), base, Some(i.toLong))
       }
       base
     }
@@ -434,7 +434,7 @@ object ServeQueries {
               .cast(org.apache.spark.sql.types.LongType).as("m"))
         for (i <- 0 until 3)
           graft.streaming.IncrementalTrend.processBatch(s,
-            raw.filter(abs(hash(col("event_id"))) % 3 === i), base, Some(i.toLong))
+            raw.filter(pmod(hash(col("event_id")), lit(3)) === i), base, Some(i.toLong))
       }
       base
     }
@@ -460,7 +460,7 @@ object ServeQueries {
         val docs = Tables.documents(s, dir).select("doc_id", "text")
         for (i <- 0 until 2)
           graft.streaming.IncrementalWinnow.processBatch(s,
-            docs.filter(col("doc_id") % 2 === i), base, Some(i.toLong))
+            docs.filter(pmod(col("doc_id"), lit(2)) === i), base, Some(i.toLong))
       }
       base
     }
@@ -490,7 +490,7 @@ object ServeQueries {
         val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
         for (i <- 0 until 3)
           graft.streaming.IncrementalDrift.processBatch(s,
-            docs.filter(col("doc_id") % 3 === i), base, Some(i.toLong))
+            docs.filter(pmod(col("doc_id"), lit(3)) === i), base, Some(i.toLong))
       }
       base
     }

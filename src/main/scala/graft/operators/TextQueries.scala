@@ -1070,6 +1070,27 @@ object TextQueries {
       .join(fpDocs, Seq("doc_id"), "left_semi")
       .groupBy("gh", "doc_id").agg(count(lit(1)).as("k"))
 
+  /** UNGATED per-doc window-occurrence counts (gh, doc_id, k) — the raw
+    * grain q_eval_winnow's exact truth is computed over.
+    */
+  private[graft] def windowOcc(docs: DataFrame): DataFrame =
+    windowGrams(docs).groupBy("gh", "doc_id").agg(count(lit(1)).as("k"))
+
+  /** Pairwise shared window mass Σ min(k1, k2) over an occurrence frame —
+    * ONE definition shared by q_text_winnow_spans' gated measure stage
+    * and q_eval_winnow's ungated truth, so a window-grain change (grain
+    * size, tie rules) cannot silently diverge the eval truth from the
+    * attribution it grades.
+    */
+  private[graft] def sharedWindowMass(occ: DataFrame): DataFrame = {
+    val o2 = occ.select(col("gh").as("gh2"), col("doc_id").as("doc_id2"),
+      col("k").as("k2"))
+    occ.join(o2, col("gh") === col("gh2") && col("doc_id") < col("doc_id2"))
+      .groupBy(col("doc_id").as("doc_id1"), col("doc_id2"))
+      .agg(sum(least(col("k"), col("k2")))
+        .cast(org.apache.spark.sql.types.LongType).as("shared_windows"))
+  }
+
   private[graft] def winnowSpansOn(docs: DataFrame, k: Int = 3, w: Int = 4,
       dfCap: Int = 16, minShared: Int = 2): DataFrame = {
       val fpPairs = winnowPairsOn(docs.select("doc_id", "text"), k, w, dfCap, minShared)
@@ -1078,13 +1099,7 @@ object TextQueries {
         .unionByName(fpPairs.select(col("doc_id2").as("doc_id"))).distinct()
       val occ = winnowSpanOcc(docs.select("doc_id", "text"), fpDocs)
         .localCheckpoint() // feeds the pair join (twice) and the mass agg
-      val o2 = occ.select(col("gh").as("gh2"), col("doc_id").as("doc_id2"),
-        col("k").as("k2"))
-      val sharedW = occ.join(o2,
-          col("gh") === col("gh2") && col("doc_id") < col("doc_id2"))
-        .groupBy(col("doc_id").as("doc_id1"), col("doc_id2"))
-        .agg(sum(least(col("k"), col("k2"))).cast(org.apache.spark.sql.types.LongType)
-          .as("shared_windows"))
+      val sharedW = sharedWindowMass(occ)
       val nw = occ.groupBy("doc_id").agg(sum("k").cast(org.apache.spark.sql.types.LongType).as("nw"))
       val srcs = docs.select(col("doc_id"), col("source"))
       fpPairs
@@ -1096,7 +1111,13 @@ object TextQueries {
         .select(col("doc_id1"), col("doc_id2"), col("source1"), col("source2"),
           col("n_shared"),
           coalesce(col("shared_windows"), lit(0L)).as("shared_windows"),
-          when(least(col("nw1"), col("nw2")) > 0,
+          // EXPLICIT null gate: Spark's (and DuckDB's) least() SKIPS
+          // nulls, so a bare least(nw1, nw2) > 0 would hand a pair with
+          // exactly one window-less side the other side's denominator —
+          // fraction 0.0 where the contract says NULL (no denominator:
+          // the smaller doc has no complete window)
+          when(col("nw1").isNotNull && col("nw2").isNotNull
+              && least(col("nw1"), col("nw2")) > 0,
             round(coalesce(col("shared_windows"), lit(0L)).cast(DoubleType)
               / least(col("nw1"), col("nw2")).cast(DoubleType), 6)).as("span_fraction"))
         .orderBy("doc_id1", "doc_id2")
@@ -1130,7 +1151,8 @@ object TextQueries {
       SELECT p.doc_id1, p.doc_id2, d1.source AS source1, d2.source AS source2,
              p.n_shared,
              COALESCE(s.shared_windows, 0) AS shared_windows,
-             CASE WHEN least(n1.nw, n2.nw) > 0
+             CASE WHEN n1.nw IS NOT NULL AND n2.nw IS NOT NULL
+                       AND least(n1.nw, n2.nw) > 0
                   THEN ROUND(CAST(COALESCE(s.shared_windows, 0) AS DOUBLE)
                              / least(n1.nw, n2.nw), 6) END AS span_fraction
       FROM wpairs p

@@ -110,34 +110,54 @@ object GraftFs {
   }
 
   // scaleTag memo — the fingerprint stats every file under the scale dir
-  // once per (session, dir), not once per artifact lookup
+  // once per (session, dir), not once per artifact lookup. WEAK-keyed by
+  // the session: a static strong map retaining every SparkSession ever
+  // passed (memo-busting callers clone sessions) would leak SessionState
+  // for the JVM lifetime; a stopped/collected session's entries vanish
+  // with it.
   private val scaleTags =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, String]]()
 
   /** Cache tag for artifacts derived from the tables under scale dir
-    * `dir`: the sanitized path plus a fingerprint of every backing file's
-    * (name, length, mtime). Keying builder-scratch artifacts by the
-    * sanitized path ALONE serves stale results when the corpus under the
-    * dir is regenerated in place — the DuckDB oracle recomputes from the
-    * fresh raw tables while the engine reads the old derivation, a
-    * spurious hash mismatch with no error anywhere (and the sanitization
-    * can collide distinct dirs like /a/b vs /a_b). The fingerprint
-    * invalidates on any source-file change and disambiguates collisions;
-    * it deliberately folds the WHOLE dir so one tag covers every
-    * derivation regardless of which tables it reads.
+    * `dir`: the sanitized path plus a fingerprint of the FULLY-QUALIFIED
+    * path and every backing file's (name, length, mtime). Keying
+    * builder-scratch artifacts by the sanitized path ALONE serves stale
+    * results when the corpus under the dir is regenerated in place — the
+    * DuckDB oracle recomputes from the fresh raw tables while the engine
+    * reads the old derivation, a spurious hash mismatch with no error
+    * anywhere — and the sanitization can collide distinct dirs like
+    * /a/b vs /a_b. The mtime/length fold invalidates on source change;
+    * folding the qualified path makes distinct dirs' tags distinct BY
+    * CONSTRUCTION (not merely whenever their listings happen to differ).
+    * The whole dir is folded so one tag covers every derivation
+    * regardless of which tables it reads.
     */
-  def scaleTag(s: SparkSession, dir: String): String =
-    scaleTags.computeIfAbsent((s, dir), { _ =>
-      val (fs, q) = resolve(s, dir)
-      val h =
-        if (!fs.exists(q)) 1469598103934665603L
-        else fs.listStatus(q).sortBy(_.getPath.getName)
-          .foldLeft(1469598103934665603L) { (acc, st) =>
-            val n = st.getPath.getName.foldLeft(acc)((a, c) => (a * 1099511628211L) ^ c.toLong)
-            ((n * 1099511628211L) ^ st.getLen) * 1099511628211L ^ st.getModificationTime
-          }
-      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-fp" + java.lang.Long.toHexString(h)
-    })
+  def scaleTag(s: SparkSession, dir: String): String = {
+    val perSession = scaleTags.synchronized {
+      var m = scaleTags.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        scaleTags.put(s, m)
+      }
+      m
+    }
+    val hit = perSession.get(dir)
+    if (hit != null) return hit
+    // compute OUTSIDE the map's bin lock: the listing is filesystem I/O
+    // and must not block unrelated callers hashing to the same bin
+    val (fs, q) = resolve(s, dir)
+    val seed = q.toString.foldLeft(1469598103934665603L)((a, c) => (a * 1099511628211L) ^ c.toLong)
+    val h =
+      if (!fs.exists(q)) seed
+      else fs.listStatus(q).sortBy(_.getPath.getName)
+        .foldLeft(seed) { (acc, st) =>
+          val n = st.getPath.getName.foldLeft(acc)((a, c) => (a * 1099511628211L) ^ c.toLong)
+          ((n * 1099511628211L) ^ st.getLen) * 1099511628211L ^ st.getModificationTime
+        }
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-fp" + java.lang.Long.toHexString(h)
+    val prev = perSession.putIfAbsent(dir, tag)
+    if (prev != null) prev else tag
+  }
 
   /** Rename `from` to `to` without overwrite; false if the source is
     * missing or the destination exists — the one-winner claim primitive

@@ -85,13 +85,21 @@ object IncrementalWinnow {
   }
 
   /** The maintained fingerprint relation (doc_id, fp_hash) from ONE
-    * committed record.
+    * committed record, GLOBALLY distinct: each segment is distinct
+    * within its batch, but an at-least-once source may legitimately
+    * re-emit the same document under a NEW batch id (the replay guard
+    * only catches same-id redelivery) — without the cross-segment
+    * distinct those duplicate rows would double the df census and
+    * n_shared, silently diverging from the one-shot's global
+    * `.distinct()` (r13 review finding). The relation is skinny
+    * (2/(w+1) density), so the dedup costs one hash aggregate.
     */
   def readFingerprints(s: SparkSession, base: String): DataFrame = {
     val st = currentState(s, base)
     if (st.segs.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], fpSchema)
     else s.read.schema(fpSchema).parquet(st.segs.map(n => s"$base/fps/$n"): _*)
+      .distinct()
   }
 
   /** Ingest one batch of (doc_id, text) documents: extract winnow
@@ -107,15 +115,20 @@ object IncrementalWinnow {
     val uid = java.util.UUID.randomUUID.toString.take(8)
     val segName = s"b${st0.version + 1}-$uid"
     fps.write.mode("overwrite").parquet(s"$base/fps/$segName")
+    // an exit that never published must not leave the segment orphaned
+    def dropSeg(): Unit = graft.sources.GraftFs.deleteRecursively(s, s"$base/fps/$segName")
     var st = st0
     var attempts = 0
     while (true) {
       attempts += 1
-      require(attempts <= 16, s"processBatch: lost the publish race $attempts times at $base")
+      if (attempts > 16) {
+        dropSeg()
+        require(false, s"processBatch: lost the publish race $attempts times at $base")
+      }
       val next = WinnowState(st.version + 1, st.segs :+ segName, batchId.orElse(st.batch))
       if (publish(s, base, next)) return
       st = currentState(s, base)
-      if (batchId.exists(id => st.batch.exists(_ >= id))) return
+      if (batchId.exists(id => st.batch.exists(_ >= id))) { dropSeg(); return }
     }
   }
 

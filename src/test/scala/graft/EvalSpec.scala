@@ -200,15 +200,8 @@ class EvalSpec extends SparkTestBase with Matchers {
     def strs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toString).sorted.toSeq
     val docs = Tables.documents(spark, sfTiny).select("doc_id", "text")
-    val occ = graft.operators.TextQueries.windowGrams(docs)
-      .groupBy("gh", "doc_id").agg(acount(lit(1)).as("k"))
-    val o2 = occ.select(col("gh").as("gh2"), col("doc_id").as("doc_id2"),
-      col("k").as("k2"))
-    val freshTruth = occ.join(o2,
-        col("gh") === col("gh2") && col("doc_id") < col("doc_id2"))
-      .groupBy(col("doc_id").as("doc_id1"), col("doc_id2"))
-      .agg(asum(aleast(col("k"), col("k2")))
-        .cast(org.apache.spark.sql.types.LongType).as("shared_windows"))
+    val freshTruth = graft.operators.TextQueries.sharedWindowMass(
+      graft.operators.TextQueries.windowOcc(docs))
     strs(EvalQueries.winnowTruthPersisted(spark, sfTiny)) shouldBe strs(freshTruth)
     strs(EvalQueries.winnowFoundPersisted(spark, sfTiny)) shouldBe
       strs(graft.operators.TextQueries.winnowPairsOn(docs)

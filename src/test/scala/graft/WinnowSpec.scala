@@ -99,6 +99,11 @@ class WinnowSpec extends SparkTestBase with Matchers {
       // window on either side → matched, fraction NULL
       (4L, (run12 ++ (0 until 4).map(i => s"e$i")).mkString(" "), "srcA"),
       (5L, ((0 until 4).map(i => s"f$i") ++ run12).mkString(" "), "srcB"),
+      // docs 6/7: ONE-SIDED window-less pair (doc 6 has 16 tokens — no
+      // window; doc 7 has 32 — windows) → matched, fraction still NULL:
+      // least() skips nulls in both engines, so the gate must be explicit
+      (6L, (run12 ++ (0 until 4).map(i => s"g$i")).mkString(" "), "srcA"),
+      (7L, ((0 until 20).map(i => s"h$i") ++ run12).mkString(" "), "srcB"),
     ).toDF("doc_id", "text", "source")
     val rows = TextQueries.winnowSpansOn(docs, k, w).collect()
       .map(r => ((r.getLong(0), r.getLong(1)),
@@ -118,5 +123,9 @@ class WinnowSpec extends SparkTestBase with Matchers {
       fail("window-less match pair missing"))
     sw45 shouldBe 0L
     frac45 shouldBe None // neither side has a complete window: no denominator
+    val (_, _, _, sw67, frac67) = rows.getOrElse((6L, 7L),
+      fail("one-sided window-less match pair missing"))
+    sw67 shouldBe 0L
+    frac67 shouldBe None // the SMALLER doc has no window: still no denominator
   }
 }
