@@ -137,13 +137,22 @@ object IncrementalDedup {
     val st0 = currentState(s, base)
     if (batchId.exists(id => st0.batch.exists(_ >= id)))
       return emptyDf(s, pairsSchema)
-    val sets = batch.select(col("doc_id"), col("lang"),
+    // first-write-wins per doc_id: an at-least-once source re-emitting a
+    // document under a NEW batch id would otherwise land duplicate
+    // signature/hash rows AND re-emit every pair the doc already emitted
+    // (pair-set unchanged, but row-level duplicates in the pair store).
+    // The anti-join reads the per-doc hashed segments' key column —
+    // skinny; concurrent writers carry disjoint docs (foreachBatch).
+    val fresh = batch.join(
+      readSegs(s, base, "hashed", hashedSchema, st0.segs).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val sets = fresh.select(col("doc_id"), col("lang"),
       Tokenize.tokenSet(col("text")).as("toks"))
     // batch derivations are pure batch data — materialize once, reuse
     // across publish-race rebases; writer-unique segment names make
     // concurrent writers collision-free (record-defined liveness)
     val bBanded = DedupQueries.bandedSignatures(sets, bands = 16).localCheckpoint()
-    val bHashed = batch.select(col("doc_id"),
+    val bHashed = fresh.select(col("doc_id"),
       Tokenize.hashedTokenSet(col("text")).as("toksh")).localCheckpoint()
     val uid = java.util.UUID.randomUUID.toString.take(8)
     val segName = s"b${st0.version + 1}-$uid"

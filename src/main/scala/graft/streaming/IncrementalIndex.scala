@@ -184,6 +184,15 @@ object IncrementalIndex {
     * the committed tag) is skipped; a call WITHOUT a batch id carries the
     * previously committed tag forward, so mixing manual calls into an
     * attach()-driven stream's state cannot erase replay protection.
+    *
+    * INGEST CONTRACT: each document must arrive at most once across
+    * batch IDS (exactly-once per doc — what a checkpointed foreachBatch
+    * topology provides). A doc re-emitted under a NEW id would double
+    * its postings, df/cf census, and n_docs; unlike IncrementalSpan/
+    * IncrementalDedup (whose doc-grain state makes a first-write-wins
+    * anti-join skinny), guarding here would cost a postings-relation
+    * doc-id scan per batch — a violation of the O(batch) cost contract —
+    * so the contract is documented rather than silently paid.
     */
   def processBatch(s: SparkSession, batch: DataFrame, base: String,
       batchId: Option[Long] = None): Unit = {

@@ -168,11 +168,20 @@ object IncrementalSpan {
       batchId: Option[Long] = None): Unit = {
     val st0 = currentState(s, base)
     if (batchId.exists(id => st0.batch.exists(_ >= id))) return
+    // first-write-wins per doc_id: an at-least-once source re-emitting a
+    // document under a NEW batch id (the replay tag only guards same-id
+    // redelivery) would otherwise double its window counts in BOTH the
+    // occurrence segments and the merged stats — silent corruption no
+    // serve-side dedup can undo. The anti-join reads the committed
+    // doc-grain segments (skinny); concurrent writers are expected to
+    // carry disjoint doc sets (the foreachBatch topology guarantees it).
+    val fresh = batch.join(readDocsOf(s, base, st0).select("doc_id"),
+      Seq("doc_id"), "left_anti")
     val occP = graft.operators.TextQueries.windowGrams(
-        batch.select(col("doc_id"), col("text")))
+        fresh.select(col("doc_id"), col("text")))
       .groupBy("gh", "doc_id").agg(count(lit(1)).as("k"))
       .localCheckpoint() // feeds the segment write, the stats partial, and the doc masses
-    val docsP = batch.select("doc_id").distinct()
+    val docsP = fresh.select("doc_id").distinct()
       .join(occP.groupBy("doc_id").agg(sum("k").as("n2")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n2"), lit(0L)).as("n_windows"))
     val statsP = occP.groupBy(col("gh").as("g2"))

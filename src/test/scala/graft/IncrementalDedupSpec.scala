@@ -75,6 +75,25 @@ class IncrementalDedupSpec extends SparkTestBase with Matchers {
     committed shouldBe pairSet(DedupQueries.dedupNear.query(spark, sfTiny))
   }
 
+  test("a document re-emitted under a NEW batch id lands nothing (first-write-wins)") {
+    val stateBase = Files.createTempDirectory("graft_incdedup_reemit").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfTiny)
+    IncrementalDedup.processBatch(spark, docs.filter(col("doc_id") % 2 === 0),
+      stateBase, Some(0L))
+    IncrementalDedup.processBatch(spark, docs.filter(col("doc_id") % 2 === 1),
+      stateBase, Some(1L))
+    val want = pairSet(IncrementalDedup.readPairs(spark, stateBase))
+    val wantCount = IncrementalDedup.readPairs(spark, stateBase).count()
+    // an at-least-once source re-delivers the odd half in a LATER batch:
+    // the replay tag does not fire (new id), so the per-doc anti-join
+    // must — without it every pair touching those docs re-emits (row
+    // duplicates in the pair store) and signatures double
+    IncrementalDedup.processBatch(spark, docs.filter(col("doc_id") % 2 === 1),
+      stateBase, Some(2L)).count() shouldBe 0L
+    pairSet(IncrementalDedup.readPairs(spark, stateBase)) shouldBe want
+    IncrementalDedup.readPairs(spark, stateBase).count() shouldBe wantCount
+  }
+
   test("concurrent ingest: two writers racing the same state lose no batch") {
     val stateBase = Files.createTempDirectory("graft_incdedup_race").toFile.getAbsolutePath
     val docs = Tables.documents(spark, sfTiny)

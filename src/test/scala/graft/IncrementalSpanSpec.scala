@@ -82,6 +82,23 @@ class IncrementalSpanSpec extends SparkTestBase with Matchers {
     IncrementalSpan.currentState(spark, base).version shouldBe 2L
   }
 
+  test("a document re-emitted under a NEW batch id lands nothing (first-write-wins)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_span_reemit")
+      .toFile.getAbsolutePath
+    val doc = Seq((1L, (0 until 25).map(i => s"a$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    IncrementalSpan.processBatch(spark, doc, base, Some(0L))
+    val before = IncrementalSpan.serveSpanSource(spark, base).collect()
+      .map(_.toString).sorted.toSeq
+    // an at-least-once source re-delivers doc 1 in a LATER batch: the
+    // replay tag does not fire (new id), so the doc-grain anti-join must
+    // — without it the window counts double in occ AND the merged stats
+    IncrementalSpan.processBatch(spark, doc, base, Some(1L))
+    IncrementalSpan.serveSpanSource(spark, base).collect()
+      .map(_.toString).sorted.toSeq shouldBe before
+  }
+
   test("superseded stats dirs are GC'd: at most two stats versions survive a long ingest") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_span_gc")
