@@ -642,6 +642,63 @@ object EvalQueries {
     """.trim),
   )
 
+  /** The simhash detector's output pairs persisted per corpus snapshot —
+    * the registered q_dedup_simhash stage verbatim (hamming ≤ 3 over the
+    * 62-bit fingerprints), as the eval-side run file.
+    */
+  private[graft] def simhashFoundPersisted(s: SparkSession, dir: String): DataFrame =
+    relPersisted(s, dir, "simhash_found")(
+      DedupQueries.dedupSimhash.query(s, dir).select("doc_id1", "doc_id2"))
+
+  /** Recall audit of the SIMHASH near-dup detector against the exact
+    * Jaccard truth — the q_eval_dedup shape for the dedup family's OTHER
+    * detector. Unlike banded MinHash (whose candidates are exact-verified
+    * — found ⊆ truth, and 1−(1−J²)^16 predicts recall), simhash is LOSSY
+    * TWICE over: the 62-bit fingerprint approximates angular similarity,
+    * not Jaccard, and the 4-chunk pigeonhole only covers hamming ≤ 3 —
+    * so per-J-band recall quantifies both the detector's miss rate and
+    * the metric mismatch a deployment implicitly accepts when it picks
+    * simhash for cheapness. No expectation column: there is no clean
+    * closed form for J-band simhash recall (the MinHash row carries the
+    * theory comparison). Both sides are persisted eval artifacts; the
+    * oracle rebuilds both from raw text (the truth join nests
+    * q_sim_jaccard's oracle; the found side nests q_dedup_simhash's), so
+    * persisted ≡ fresh stays hash-proven every run.
+    */
+  val evalSimhash = QueryDef(
+    "q_eval_simhash",
+    (s, dir) => {
+      val truth = dedupTruthPersisted(s, dir)
+      val found = simhashFoundPersisted(s, dir)
+        .select(col("doc_id1"), col("doc_id2"), lit(1L).as("fnd"))
+      truth.join(found, Seq("doc_id1", "doc_id2"), "left")
+        .withColumn("j_band", floor(col("jaccard") * 10).cast(IntegerType))
+        .groupBy("j_band")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("fnd"), lit(0L))).as("n_found"),
+          round(sum(coalesce(col("fnd"), lit(0L))).cast(DoubleType)
+            / count(lit(1)).cast(DoubleType), 6).as("recall"))
+        .orderBy("j_band")
+    },
+    Some(s"""
+      WITH truth AS (SELECT doc_id1, doc_id2, jaccard FROM (
+        ${DedupQueries.simJaccard.oracle.get})),
+      found AS (SELECT doc_id1, doc_id2 FROM (
+        ${DedupQueries.dedupSimhash.oracle.get})),
+      marked AS (
+        SELECT t.jaccard,
+               CASE WHEN f.doc_id1 IS NOT NULL THEN 1 ELSE 0 END AS fnd
+        FROM truth t LEFT JOIN found f
+          ON f.doc_id1 = t.doc_id1 AND f.doc_id2 = t.doc_id2)
+      SELECT CAST(FLOOR(jaccard * 10) AS INTEGER) AS j_band,
+             COUNT(*) AS n_true,
+             CAST(SUM(fnd) AS BIGINT) AS n_found,
+             ROUND(CAST(SUM(fnd) AS DOUBLE) / COUNT(*), 6) AS recall
+      FROM marked
+      GROUP BY 1 ORDER BY j_band
+    """.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(evalRecall, evalNdcg, evalMrr, evalNdcgAblation,
-    evalDedup, evalWinnow)
+    evalDedup, evalWinnow, evalSimhash)
 }

@@ -182,6 +182,28 @@ class EvalSpec extends SparkTestBase with Matchers {
         .select("doc_id1", "doc_id2"))
   }
 
+  test("q_eval_simhash: exact duplicates always detected, counts consistent, artifacts ≡ fresh") {
+    val rows = EvalQueries.evalSimhash.query(spark, sfTiny).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (band, nTrue, nFound, recall) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nFound <= nTrue, s"band $band: found $nFound > true $nTrue")
+      recall shouldBe (nFound.toDouble / nTrue +- 1e-6)
+    }
+    // identical texts have identical fingerprints (hamming 0): the J=1.0
+    // band can never be missed — a miss there means the fingerprint
+    // pipeline broke, not the detector's documented lossiness
+    val band10 = rows.find(_.getInt(0) == 10)
+    band10.foreach(r => r.getDouble(3) shouldBe 1.0)
+    // the persisted found artifact equals the registered detector's output
+    def strs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    strs(EvalQueries.simhashFoundPersisted(spark, sfTiny)) shouldBe
+      strs(graft.operators.DedupQueries.dedupSimhash.query(spark, sfTiny)
+        .select("doc_id1", "doc_id2"))
+  }
+
   test("q_eval_winnow: per-band counts consistent, multi-window pairs detected, artifacts ≡ fresh") {
     import org.apache.spark.sql.functions.{col, count => acount, least => aleast, lit, sum => asum}
     val rows = EvalQueries.evalWinnow.query(spark, sfTiny).collect()
