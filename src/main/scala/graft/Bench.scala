@@ -220,14 +220,24 @@ object Bench {
         }
       }
     } catch { case _: Throwable => Map.empty[String, Double] }
-    // SPARK_GRAFT_BENCH_OUTLIER_X overrides the 3x threshold so the
-    // outlier re-measure path is PROVABLE on a quiet box (set it below 1
-    // to force re-runs), the BAND_HI convention.
-    val OutlierX = sys.env.get("SPARK_GRAFT_BENCH_OUTLIER_X")
-      .map(_.toDouble).getOrElse(3.0)
+    // Trigger is TIERED by row weight (r13 verdict item 2): heavy rows
+    // (trailing median ≥ 1 s) re-measure at 2× — BENCH_r13's final run
+    // kept q_pipeline_curate at 7.48 s (2.1× its 17-run band) because the
+    // flat 3× trigger never fired, and on a multi-second row a 2× spike
+    // moves the suite total by seconds. Light rows keep 3× + the 0.15 s
+    // absolute-excess floor: their noise band is wide in RELATIVE terms
+    // (0.05 s rows routinely read 2× on scheduler jitter) and a spurious
+    // re-run there costs more than the spike it would heal.
+    // SPARK_GRAFT_BENCH_OUTLIER_X overrides BOTH tiers so the re-measure
+    // path is PROVABLE on a quiet box (set it below 1 to force re-runs),
+    // the BAND_HI convention.
+    val outlierOverride = sys.env.get("SPARK_GRAFT_BENCH_OUTLIER_X")
+      .map(_.toDouble)
+    def outlierX(histMedian: Double): Double =
+      outlierOverride.getOrElse(if (histMedian >= 1.0) 2.0 else 3.0)
     val outliers = results.zipWithIndex.collect {
       case ((name, v), qi) if v >= 0 && histMedians.get(name).exists(h =>
-        v > OutlierX * h && v - h >= 0.15) => (name, v, qi)
+        v > outlierX(h) * h && v - h >= 0.15) => (name, v, qi)
     }.sortBy { case (name, v, _) => -(v / math.max(histMedians(name), 1e-9)) }
       .take(20)
     var outlierPost = -1.0

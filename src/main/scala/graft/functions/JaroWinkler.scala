@@ -15,9 +15,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * including empty-vs-empty; equal strings = 1; window 0 for 2-char
   * strings), so the oracle is the NATIVE DuckDB function — the two
   * engines implement the algorithm independently and must agree to the
-  * printed double. Comparison is per Java char (UTF-16 code unit) —
-  * identical to byte-wise on the ASCII fixture; non-BMP text would need
-  * a code-point walk in both engines.
+  * printed double. Comparison is per Java char (UTF-16 code unit) while
+  * DuckDB walks UTF-8 BYTES — identical on the ASCII fixture, but ANY
+  * multi-byte character diverges (e.g. 'é' is one UTF-16 unit here vs
+  * two UTF-8 bytes there), not just non-BMP text; oracle-comparing
+  * non-ASCII input would need both engines normalized to a common unit
+  * (code points).
   *
   * This is the entity-resolution primitive a curation pipeline uses for
   * fuzzy key matching (names, titles, near-identical product strings)

@@ -246,6 +246,9 @@ object FunctionQueries {
           expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_digit"),
           expr("try_divide(o_totalprice, o_orderkey % 3)").as("div_mod3"), // % 3 = 0 → null
           expr("try_add(9223372036854775807L, o_orderkey)").as("add_ovf")) // overflow (key > 0) → null
+        // count-visible gate: output-only try_* probes (87× under count)
+        .transform(graft.QueryDef.countGate(_,
+          "prio_whole", "prio_digit", "div_mod3", "add_ovf"))
         .orderBy("o_orderkey"),
     Some("""
       SELECT o_orderkey,
@@ -431,6 +434,10 @@ object FunctionQueries {
         .select(col("event_id"), col("t_path"), col("u_path"),
           col("parsed.t").as("t_struct"), col("parsed.u").as("u_struct"),
           col("broken.t").isNull.as("broken_failed"))
+        // count-visible gate: the row's entire work is output-only XML
+        // extraction (priced 190× under count() before r14, PERF §r13.4)
+        .transform(graft.QueryDef.countGate(_,
+          "t_path", "u_path", "t_struct", "u_struct", "broken_failed"))
         .orderBy("event_id"),
     Some("""
       SELECT event_id,

@@ -431,11 +431,16 @@ object MiningQueries {
       blockCols.map(c => col(c).as(s"${c}_b")): _*)
     val cond = blockCols.map(c => col(c) === col(s"${c}_b"))
       .reduce(_ && _) && col("id1") < col("id2")
+    // threshold on the 6dp-ROUNDED score, not the raw double: the filter
+    // is hash-compared against an independent implementation (DuckDB's
+    // jaro_winkler_similarity), and a pair landing within an ulp of the
+    // threshold could otherwise be included by one engine and excluded by
+    // the other — engine agreement is only required at the precision the
+    // output already commits to
     a.join(b, cond)
-      .withColumn("jw", expr("graft_jaro_winkler(name1, name2)"))
+      .withColumn("jw", round(expr("graft_jaro_winkler(name1, name2)"), 6))
       .filter(col("jw") >= threshold)
-      .select(col("id1"), col("id2"), col("name1"), col("name2"),
-        round(col("jw"), 6).as("jw"))
+      .select(col("id1"), col("id2"), col("name1"), col("name2"), col("jw"))
       .orderBy("id1", "id2")
   }
 
@@ -461,7 +466,7 @@ object MiningQueries {
       FROM part a JOIN part b
         ON a.p_brand = b.p_brand AND a.p_size = b.p_size
        AND a.p_partkey < b.p_partkey
-      WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
+      WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.85
       ORDER BY id1, id2
     """.trim),
   )

@@ -236,6 +236,10 @@ object MoreQueries {
           col("qs").getItem(0).as("p50_est"),
           col("qs").getItem(1).as("p95_est"),
           col("qs").getItem(2).as("p99_est"))
+        // count-visible gate: count() needs only group cardinality, so
+        // column pruning would drop the digest UDAF itself (34× under
+        // count, PERF §r13.4)
+        .transform(graft.QueryDef.countGate(_, "p50_est", "p95_est", "p99_est"))
         .orderBy("event_type")
     },
     None,

@@ -593,6 +593,11 @@ object TextQueries {
             .as("dup_3gram_frac"),
           round(col("g2_top").cast(DoubleType) / col("g2_total"), 6).as("top_2gram_frac"))
         .withColumn("is_repetitive", coalesce(col("dup_2gram_frac") > 0.05, lit(false)))
+        // count-visible gate: count() would otherwise eliminate both
+        // unique-key left joins and with them the gram aggregates (44×
+        // under count, PERF §r13.4)
+        .transform(graft.QueryDef.countGate(_,
+          "dup_2gram_frac", "dup_3gram_frac", "top_2gram_frac"))
         .orderBy("doc_id")
     },
     Some("""

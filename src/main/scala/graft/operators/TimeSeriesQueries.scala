@@ -457,6 +457,17 @@ object TimeSeriesQueries {
   private[graft] def trendFromParts(hourly: org.apache.spark.sql.DataFrame,
       hist0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val hist = hist0.localCheckpoint() // feeds the S aggregate + the Sen median
+      trendTail(momentsFromParts(hourly, hist), hist)
+  }
+
+  /** The per-series MK moments (g, s, n_pairs, n, tie) from an hourly
+    * grain and its slope histogram — the associative quintuple
+    * IncrementalTrend maintains as state so serve never re-aggregates
+    * the full hourly grain (r13 verdict item 4). Integer-exact, so the
+    * maintained fold and this one-shot aggregation are bit-equal.
+    */
+  private[graft] def momentsFromParts(hourly: org.apache.spark.sql.DataFrame,
+      hist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val sAgg = hist.groupBy("g").agg(
         sum(col("sgn") * col("t")).cast(LongType).as("s"),
         sum("t").cast(LongType).as("n_pairs"))
@@ -464,11 +475,25 @@ object TimeSeriesQueries {
       val ties = hourly.groupBy("g", "x").agg(count(lit(1)).as("t"))
         .groupBy("g").agg(
           sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).cast(LongType).as("tie"))
+      sAgg.join(nAgg, "g").join(ties, "g")
+  }
+
+  /** MK/Sen output from precomputed moments + the slope histogram — the
+    * maintained serve path's entry: a constant-size moments read plus
+    * the Sen order statistic over the histogram (the one declared
+    * serve-time pass; an order statistic has no associative form).
+    */
+  private[graft] def trendFromMoments(moments: org.apache.spark.sql.DataFrame,
+      hist0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      trendTail(moments, hist0.localCheckpoint())
+
+  private def trendTail(moments: org.apache.spark.sql.DataFrame,
+      hist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val sen = StatQueries.median2On(
           hist.groupBy(col("g").as("grp"), col("slope_q").as("v"))
             .agg(sum("t").cast(LongType).as("t")))
         .select(col("grp").as("g"), col("med2"))
-      sAgg.join(nAgg, "g").join(ties, "g").join(sen, "g")
+      moments.join(sen, "g")
         .withColumn("var18",
           (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("tie"))
             .cast(DoubleType) / 18.0)

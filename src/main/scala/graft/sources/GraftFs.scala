@@ -115,8 +115,10 @@ object GraftFs {
   // passed (memo-busting callers clone sessions) would leak SessionState
   // for the JVM lifetime; a stopped/collected session's entries vanish
   // with it.
+  // value = (dir mtime at fold time, tag): the mtime is the cheap
+  // staleness probe that revalidates the memo on every lookup
   private val scaleTags =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, String]]()
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, (Long, String)]]()
 
   /** Cache tag for artifacts derived from the tables under scale dir
     * `dir`: the sanitized path plus a fingerprint of the FULLY-QUALIFIED
@@ -131,32 +133,44 @@ object GraftFs {
     * CONSTRUCTION (not merely whenever their listings happen to differ).
     * The whole dir is folded so one tag covers every derivation
     * regardless of which tables it reads.
+    *
+    * The memo is revalidated on EVERY lookup by a one-RPC probe of the
+    * dir's own mtime (a parquet regeneration creates/deletes child
+    * entries, which bumps the parent mtime on local FS and HDFS) so a
+    * corpus regenerated in place MID-SESSION gets a fresh fold instead
+    * of the stale tag for the session's lifetime. The probe can only
+    * miss a rewrite that changes child file CONTENT without any
+    * create/delete/rename in the dir — no parquet writer does that.
     */
   def scaleTag(s: SparkSession, dir: String): String = {
     val perSession = scaleTags.synchronized {
       var m = scaleTags.get(s)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        m = new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
         scaleTags.put(s, m)
       }
       m
     }
-    val hit = perSession.get(dir)
-    if (hit != null) return hit
-    // compute OUTSIDE the map's bin lock: the listing is filesystem I/O
-    // and must not block unrelated callers hashing to the same bin
+    // probe + (on miss/stale) fold OUTSIDE the map's bin lock: the
+    // listing is filesystem I/O and must not block unrelated callers
+    // hashing to the same bin
     val (fs, q) = resolve(s, dir)
+    val dirMtime =
+      try { if (fs.exists(q)) fs.getFileStatus(q).getModificationTime else -1L }
+      catch { case _: java.io.IOException => -1L }
+    val hit = perSession.get(dir)
+    if (hit != null && hit._1 == dirMtime) return hit._2
     val seed = q.toString.foldLeft(1469598103934665603L)((a, c) => (a * 1099511628211L) ^ c.toLong)
     val h =
-      if (!fs.exists(q)) seed
+      if (dirMtime == -1L) seed
       else fs.listStatus(q).sortBy(_.getPath.getName)
         .foldLeft(seed) { (acc, st) =>
           val n = st.getPath.getName.foldLeft(acc)((a, c) => (a * 1099511628211L) ^ c.toLong)
           ((n * 1099511628211L) ^ st.getLen) * 1099511628211L ^ st.getModificationTime
         }
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-fp" + java.lang.Long.toHexString(h)
-    val prev = perSession.putIfAbsent(dir, tag)
-    if (prev != null) prev else tag
+    perSession.put(dir, (dirMtime, tag))
+    tag
   }
 
   /** Rename `from` to `to` without overwrite; false if the source is

@@ -68,6 +68,14 @@ object IncrementalAgg {
     * A batch whose id is ≤ the committed `:batch=` tag is a crash replay
     * and is skipped — re-merging the same partials would double-count
     * (exactly-once is what makes state ≡ one-shot an identity).
+    *
+    * INGEST CONTRACT: each event must arrive at most once across batch
+    * IDS (exactly-once per event — what a checkpointed foreachBatch
+    * topology provides). An event re-emitted under a NEW id would
+    * double-count into the additive (n, sum) grains; events carry no
+    * per-row identity in the state, so guarding would cost a seen-event
+    * relation scan per batch — documented rather than silently paid
+    * (same stance as IncrementalIndex.processBatch).
     */
   def processBatch(s: SparkSession, batch: DataFrame, base: String,
       batchId: Option[Long] = None): DataFrame = {

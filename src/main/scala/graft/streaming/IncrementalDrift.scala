@@ -56,6 +56,13 @@ object IncrementalDrift {
 
   /** Land one micro-batch of documents (source, text): merge its count
     * partials, swap the version. Batch cost is O(batch tokens).
+    *
+    * INGEST CONTRACT: each document must arrive at most once across
+    * batch IDS (exactly-once per doc — what a checkpointed foreachBatch
+    * topology provides). A doc re-emitted under a NEW id would inflate
+    * the additive token counts; guarding would cost a seen-doc relation
+    * scan per batch — documented rather than silently paid (same stance
+    * as IncrementalIndex.processBatch).
     */
   def processBatch(s: SparkSession, batch: DataFrame, base: String,
       batchId: Option[Long] = None): Unit = {

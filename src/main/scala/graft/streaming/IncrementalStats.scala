@@ -68,6 +68,14 @@ object IncrementalStats {
     * replay and is skipped — re-merging the same partials would silently
     * corrupt every state-served statistic (exactly-once, not at-least-
     * once, is what makes serve-from-state bit-equal to one-shot).
+    *
+    * INGEST CONTRACT: each observation must arrive at most once across
+    * batch IDS (exactly-once per row — what a checkpointed foreachBatch
+    * topology provides). A row re-emitted under a NEW id would inflate
+    * the histogram counts; observations carry no per-row identity in
+    * the state, so guarding would cost a seen-row relation scan per
+    * batch — documented rather than silently paid (same stance as
+    * IncrementalIndex.processBatch).
     */
   def processBatch(s: SparkSession, batch: DataFrame, base: String,
       batchId: Option[Long] = None): DataFrame = {

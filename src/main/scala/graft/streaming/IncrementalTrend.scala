@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * (q_ts_trend) AND the RFM segmentation surface (q_events_rfm) — two
   * more "one associative state serves the operator exactly" maintainers:
   *
-  *   - trend state = the (g, h, x) HOURLY grain: per-(g, h) sums are
-  *     associative, and the grain is TIME-bounded (720 rows/series per
-  *     month regardless of corpus rows), so each micro-batch pays one
-  *     tiny aggregate + a full-outer merge on the grain;
-  *     [[serveTrend]] runs the identical MK/Sen tail
-  *     (TimeSeriesQueries.trendFromHourly) — bit-equal to one-shot.
+  *   - trend state = the (g, h, x) HOURLY grain (per-(g, h) sums,
+  *     TIME-bounded: 720 rows/series per month regardless of corpus
+  *     rows) + the pairwise slope HISTOGRAM (delta-maintained, so the
+  *     hours² pair grid is never re-enumerated) + the per-(g, x) value
+  *     census and the per-series MK MOMENTS (s, n_pairs, n, tie) folded
+  *     from the same deltas (r14) — [[serveTrend]] reads the moments
+  *     and runs only the Sen order statistic over the histogram,
+  *     bit-equal to one-shot because every moment is an exact integer
+  *     fold of the identical grains.
   *   - rfm state = the per-user (last_us, f, m) triple: (max, sum, sum)
   *     merges; [[serveRfm]] runs the identical scoring tail
   *     (EventQueries.rfmFromUsers) — bit-equal to one-shot. The serve
@@ -32,6 +35,12 @@ object IncrementalTrend {
   private val rfmSchema = StructType(Seq(
     StructField("user_id", LongType), StructField("last_us", LongType),
     StructField("f", LongType), StructField("m", LongType)))
+  private val valsSchema = StructType(Seq(
+    StructField("g", StringType), StructField("x", LongType), StructField("c", LongType)))
+  private val momentsSchema = StructType(Seq(
+    StructField("g", StringType), StructField("s", LongType),
+    StructField("n_pairs", LongType), StructField("n", LongType),
+    StructField("tie", LongType)))
 
   private def currentPointer(s: SparkSession, base: String): Option[(String, Option[Long])] =
     graft.sources.GraftFs.readSmallFile(s, s"$base/_CURRENT").map { c =>
@@ -64,6 +73,19 @@ object IncrementalTrend {
   def readUsers(s: SparkSession, base: String): DataFrame =
     readOr(s, base, "users", rfmSchema)
 
+  /** Current per-(g, x) hourly-cell VALUE census — the grain the tie
+    * correction is a moment of (empty before batch 0).
+    */
+  def readVals(s: SparkSession, base: String): DataFrame =
+    readOr(s, base, "vals", valsSchema)
+
+  /** Current per-series MK moments (g, s, n_pairs, n, tie) — the
+    * constant-size read that keeps EVERY full-grain re-aggregation off
+    * the serve path (empty before batch 0).
+    */
+  def readMoments(s: SparkSession, base: String): DataFrame =
+    readOr(s, base, "moments", momentsSchema)
+
   /** Pair histogram deltas between the cells of `a` and `b` — `a` and
     * `b` are (g, h, x) frames over DISJOINT hour sets when `within` is
     * false (each unordered pair enumerates once via the ≠ join +
@@ -95,6 +117,18 @@ object IncrementalTrend {
     * ingest touches only the newest hours, so steady-state batches pay
     * |new hours| × |history| — linear in state, constant per batch at a
     * bounded retention window).
+    *
+    * INGEST CONTRACT: each event must arrive at most once across batch
+    * IDS (exactly-once per event — what a checkpointed foreachBatch
+    * topology provides). An event re-emitted under a NEW id would
+    * double-count into the hourly sums and, through them, the slope
+    * histogram; unlike IncrementalSpan/IncrementalDedup (whose doc-grain
+    * state makes a first-write-wins anti-join skinny), events carry no
+    * per-row identity in the additive grains, so a guard would need a
+    * seen-event relation scanned per batch — a violation of the
+    * O(batch + touched×history) cost contract — and the contract is
+    * documented rather than silently paid (same stance as
+    * IncrementalIndex.processBatch).
     */
   def processBatch(s: SparkSession, batch: DataFrame, base: String,
       batchId: Option[Long] = None): Unit = {
@@ -129,6 +163,52 @@ object IncrementalTrend {
       .groupBy("g", "slope_q", "sgn").agg(sum("t").cast(LongType).as("t"))
       .filter(col("t") =!= 0L)
       .localCheckpoint()
+    // moments maintenance (r14): S and n_pairs fold from the SAME four
+    // histogram delta frames; the cell-count and tie-correction deltas
+    // come from the touched cells' value moves against the maintained
+    // per-(g, x) value census — all touched-sized work, so serve reads a
+    // #series-row moments table instead of re-aggregating the full grain
+    val dHist = deltas.reduce(_ unionByName _)
+      .groupBy("g").agg(sum(col("sgn") * col("t")).cast(LongType).as("ds"),
+        sum("t").cast(LongType).as("dp"))
+    val dVals = tNew.select(col("g"), col("x"), lit(1L).as("dc"))
+      .unionByName(tOld.select(col("g"), col("x"), lit(-1L).as("dc")))
+      .groupBy("g", "x").agg(sum("dc").cast(LongType).as("dc"))
+      .filter(col("dc") =!= 0L)
+      .localCheckpoint()
+    val valsOld = readVals(s, base).localCheckpoint()
+    // tie delta per affected (g, x): f(c + dc) − f(c), f(c) = c(c−1)(2c+5)
+    def fTie(c: org.apache.spark.sql.Column) =
+      c * (c - lit(1L)) * (lit(2L) * c + lit(5L))
+    val affected = dVals.join(
+        valsOld.select(col("g").as("g3"), col("x").as("x3"), col("c")),
+        col("g") === col("g3") && col("x") === col("x3"), "left")
+      .select(col("g"), coalesce(col("c"), lit(0L)).as("c"), col("dc"))
+    val dMom = affected
+      .groupBy("g").agg(
+        sum(fTie(col("c") + col("dc")) - fTie(col("c"))).cast(LongType).as("dtie"),
+        sum("dc").cast(LongType).as("dn"))
+      .join(dHist.select(col("g").as("g4"), col("ds"), col("dp")),
+        col("g") === col("g4"), "full_outer")
+      .select(coalesce(col("g"), col("g4")).as("gd"),
+        coalesce(col("ds"), lit(0L)).as("ds"), coalesce(col("dp"), lit(0L)).as("dp"),
+        coalesce(col("dtie"), lit(0L)).as("dtie"), coalesce(col("dn"), lit(0L)).as("dn"))
+    val momentsM = readMoments(s, base)
+      .join(dMom, col("g") === col("gd"), "full_outer")
+      .select(coalesce(col("g"), col("gd")).as("g"),
+        (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"),
+        (coalesce(col("n_pairs"), lit(0L)) + coalesce(col("dp"), lit(0L))).as("n_pairs"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("tie"), lit(0L)) + coalesce(col("dtie"), lit(0L))).as("tie"))
+      .localCheckpoint()
+    val valsM = valsOld
+      .join(dVals.select(col("g").as("g5"), col("x").as("x5"), col("dc")),
+        col("g") === col("g5") && col("x") === col("x5"), "full_outer")
+      .select(coalesce(col("g"), col("g5")).as("g"),
+        coalesce(col("x"), col("x5")).as("x"),
+        (coalesce(col("c"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("c"))
+      .filter(col("c") =!= 0L)
+      .localCheckpoint()
     val uP = batch.groupBy(col("user_id").as("u2"))
       .agg(max("ts_us").as("l2"), count(lit(1)).as("f2"),
         sum("m").cast(LongType).as("m2"))
@@ -144,6 +224,8 @@ object IncrementalTrend {
     hM.write.mode("overwrite").parquet(s"$base/$next/hourly")
     slopesM.write.mode("overwrite").parquet(s"$base/$next/slopes")
     uM.write.mode("overwrite").parquet(s"$base/$next/users")
+    valsM.write.mode("overwrite").parquet(s"$base/$next/vals")
+    momentsM.write.mode("overwrite").parquet(s"$base/$next/moments")
     val tag = batchId.orElse(ptr.flatMap(_._2)).fold("")(id => s":batch=$id")
     graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"$next$tag")
   }
@@ -152,15 +234,16 @@ object IncrementalTrend {
   def committedBatch(s: SparkSession, base: String): Option[Long] =
     currentPointer(s, base).flatMap(_._2)
 
-  /** MK/Sen trend from state — ≡ q_ts_trend one-shot, but the hours²
-    * pair grid is never re-enumerated: the maintained slope histogram
-    * feeds the shared tail directly (s, n_pairs, and the Sen median all
-    * derive from it; n and ties from the hourly grain). Serve cost
-    * tracks the HISTOGRAM size, not pairs.
+  /** MK/Sen trend from state — ≡ q_ts_trend one-shot, but nothing is
+    * re-aggregated at serve: S, n_pairs, n, and the tie correction read
+    * from the maintained #series-row moments table, and the hours² pair
+    * grid is never re-enumerated. The only serve-time pass is the Sen
+    * order statistic over the maintained slope histogram — an order
+    * statistic has no associative form, the declared floor.
     */
   def serveTrend(s: SparkSession, base: String): DataFrame =
-    graft.operators.TimeSeriesQueries.trendFromParts(
-      readHourly(s, base).localCheckpoint(), readSlopes(s, base))
+    graft.operators.TimeSeriesQueries.trendFromMoments(
+      readMoments(s, base), readSlopes(s, base))
 
   /** RFM segmentation from state — ≡ q_events_rfm one-shot. */
   def serveRfm(s: SparkSession, base: String): DataFrame =

@@ -26,6 +26,9 @@ import org.apache.spark.sql.types._
   * committed batch id; replays at or below the committed id land
   * nothing; a lost publish race re-CASes with the SAME segment (batch
   * derivations are batch-pure, so no rebase recompute exists here).
+  * Segments auto-compact every [[AutoCompactSegs]] batches
+  * ([[compactSegments]]) so the record body and the serve read stay
+  * O(1) in batch count over a long-running ingest.
   */
 object IncrementalWinnow {
 
@@ -126,10 +129,82 @@ object IncrementalWinnow {
         require(false, s"processBatch: lost the publish race $attempts times at $base")
       }
       val next = WinnowState(st.version + 1, st.segs :+ segName, batchId.orElse(st.batch))
-      if (publish(s, base, next)) return
+      if (publish(s, base, next)) {
+        // bound state growth: without compaction the record body and the
+        // serve-time read (N tiny parquet dirs + a global distinct) grow
+        // linearly with batch count over a long-running ingest
+        if (next.segs.size >= AutoCompactSegs) compactFrom(s, base, next)
+        return
+      }
       st = currentState(s, base)
       if (batchId.exists(id => st.batch.exists(_ >= id))) { dropSeg(); return }
     }
+  }
+
+  /** Auto-compaction threshold: processBatch folds the live segments
+    * whenever a publish leaves this many — steady-state serve reads a
+    * handful of dirs, not one per batch ever ingested.
+    */
+  private val AutoCompactSegs = 16
+
+  /** Fold every live fingerprint segment into ONE globally-distinct
+    * segment and CAS-publish the swap — the IncrementalSpan/Index
+    * compactSegments discipline. Content is unchanged by construction:
+    * readFingerprints applies a global distinct anyway, so pre-folding
+    * it into the compacted segment is the same relation (and makes the
+    * at-least-once cross-segment duplicates disappear from disk, not
+    * just from the serve view). Concurrent ingest is safe: a batch that
+    * commits mid-compact wins the CAS and the rebase keeps its segment
+    * alongside the compacted dir. Input dirs are deleted only after the
+    * publish lands (a reader holding the prior record never has a
+    * segment deleted out from under it before the swap is visible).
+    */
+  def compactSegments(s: SparkSession, base: String): Unit =
+    compactFrom(s, base, currentState(s, base))
+
+  /** The compaction body against an explicitly observed state — split
+    * out so the spec can drive the lost-CAS rebase path
+    * deterministically.
+    */
+  private[graft] def compactFrom(s: SparkSession, base: String, observed: WinnowState): Unit = {
+    if (observed.segs.size <= 1) return
+    val folded = observed.segs.toSet
+    val uid = java.util.UUID.randomUUID.toString.take(8)
+    val cName = s"c${observed.version + 1}-$uid"
+    // duplicate-compactor fast path: another compaction of this same
+    // observed state already swapped (and possibly deleted) the inputs
+    val live = currentState(s, base)
+    if (!live.segs.exists(folded.contains)) return
+    try {
+      s.read.schema(fpSchema).parquet(observed.segs.map(n => s"$base/fps/$n"): _*)
+        .distinct()
+        .write.mode("overwrite").parquet(s"$base/fps/$cName")
+    } catch {
+      case e: Exception =>
+        graft.sources.GraftFs.deleteRecursively(s, s"$base/fps/$cName")
+        if (!currentState(s, base).segs.exists(folded.contains)) return
+        throw e
+    }
+    var st = observed
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      attempts += 1
+      require(attempts <= 8, s"compactSegments: lost the publish race $attempts times at $base")
+      if (!st.segs.exists(folded.contains)) {
+        // the race winner was another compaction of the same observed
+        // state — it owns the folded-dir cleanup; drop our duplicate
+        graft.sources.GraftFs.deleteRecursively(s, s"$base/fps/$cName")
+        return
+      }
+      // keep every segment committed since the observed state (an
+      // interleaved append loses nothing); swap only the folded inputs
+      val next = WinnowState(st.version + 1,
+        (cName +: st.segs.filterNot(folded.contains)).distinct, st.batch)
+      if (publish(s, base, next)) committed = true
+      else st = currentState(s, base)
+    }
+    folded.foreach(n => graft.sources.GraftFs.deleteRecursively(s, s"$base/fps/$n"))
   }
 
   /** The MOSS match step served from the maintained fingerprint relation

@@ -94,9 +94,8 @@ class GraftFsSpec extends SparkTestBase with Matchers {
     // fingerprint must keep the full tags distinct (different temp roots)
     GraftFs.scaleTag(spark, a) should not be GraftFs.scaleTag(spark, b)
     // regenerating content in place (different length) rotates the tag;
-    // the memo is per (session, dir), so compare via the fingerprint of a
-    // sibling session-keyed read: compute expected by re-deriving on a
-    // fresh dir with the changed file
+    // in-place file overwrite does not bump the parent dir's mtime, so
+    // the same-session memo probe cannot see it — a cloned session does
     val a2 = a + "2"
     seed(a2, "x")
     val t1 = GraftFs.scaleTag(spark, a2)
@@ -104,5 +103,16 @@ class GraftFsSpec extends SparkTestBase with Matchers {
     // bust the per-session memo by asking through a cloned session
     val t2 = GraftFs.scaleTag(spark.newSession(), a2)
     t1 should not be t2
+    // a REALISTIC regeneration (delete + create, what every parquet
+    // writer does) bumps the parent dir mtime, which the r14 per-lookup
+    // probe catches in the SAME session — no memo-busting clone needed
+    val a3 = a + "3"
+    seed(a3, "x")
+    val t3 = GraftFs.scaleTag(spark, a3)
+    Thread.sleep(15) // File.lastModified is ms-granular
+    Files.delete(java.nio.file.Paths.get(a3, "t.parquet"))
+    Files.write(java.nio.file.Paths.get(a3, "t2.parquet"), "regen".getBytes("UTF-8"))
+    val t4 = GraftFs.scaleTag(spark, a3)
+    t3 should not be t4
   }
 }

@@ -37,6 +37,15 @@ class IncrementalTrendSpec extends SparkTestBase with Matchers {
       rows(TimeSeriesQueries.tsTrend.query(spark, sfTiny))
     rows(IncrementalTrend.serveRfm(spark, base)) shouldBe
       rows(EventQueries.eventsRfm.query(spark, sfTiny))
+    // the maintained MK moments themselves ≡ the one-shot aggregation
+    // (r14: serve reads these instead of re-aggregating the grain) —
+    // diagnoses a moments-fold defect even where the served output would
+    // mask it (e.g. a tie error on a series the sen join drops)
+    val hourly = IncrementalTrend.readHourly(spark, base).localCheckpoint()
+    rows(IncrementalTrend.readMoments(spark, base)
+        .filter(col("n_pairs") > 0).orderBy("g")) shouldBe
+      rows(TimeSeriesQueries.momentsFromParts(hourly,
+        TimeSeriesQueries.slopeHistFromHourly(hourly)).orderBy("g"))
     // crash replay is a no-op on both surfaces
     val t = rows(IncrementalTrend.serveTrend(spark, base))
     IncrementalTrend.processBatch(spark,

@@ -63,6 +63,41 @@ class IncrementalWinnowSpec extends SparkTestBase with Matchers {
     after shouldBe oneShot(b0.unionByName(b1))
   }
 
+  test("compaction folds segments to one distinct relation, deletes inputs, and changes nothing served; lost-CAS rebase keeps an interloper segment") {
+    val base = Files.createTempDirectory("graft_incwin_cmp").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfTiny).select("doc_id", "text")
+    for (i <- 0 until 3)
+      IncrementalWinnow.processBatch(spark, docs.filter(col("doc_id") % 4 === i),
+        base, Some(i.toLong))
+    val st3 = IncrementalWinnow.currentState(spark, base)
+    st3.segs.size shouldBe 3
+    IncrementalWinnow.compactSegments(spark, base)
+    val stc = IncrementalWinnow.currentState(spark, base)
+    stc.segs.size shouldBe 1
+    stc.batch shouldBe Some(2L) // compaction must not move the replay tag
+    // inputs deleted after the publish landed
+    val fpsDir = new java.io.File(s"$base/fps")
+    fpsDir.listFiles().map(_.getName).toSet shouldBe stc.segs.toSet
+    // rebase: compacting a STALE observed state (captured before a new
+    // batch landed) keeps the interloper's segment alongside the
+    // compacted dir — nothing committed since the observation is lost
+    IncrementalWinnow.processBatch(spark, docs.filter(col("doc_id") % 4 === 3),
+      base, Some(3L))
+    val st4 = IncrementalWinnow.currentState(spark, base)
+    st4.segs.size shouldBe 2
+    IncrementalWinnow.processBatch(spark, docs.limit(0), base, Some(4L))
+    val st5 = IncrementalWinnow.currentState(spark, base)
+    st5.segs.size shouldBe 3
+    // fold ONLY the two segments st4 saw; batch 4's segment must survive
+    IncrementalWinnow.compactFrom(spark, base, st4)
+    val st6 = IncrementalWinnow.currentState(spark, base)
+    st6.batch shouldBe Some(4L)
+    st6.segs.size shouldBe 2
+    (st6.segs.toSet intersect (st5.segs.toSet -- st4.segs.toSet)) should not be empty
+    // served answer ≡ one-shot through every fold
+    pairSet(IncrementalWinnow.serveWinnowPairs(spark, base)) shouldBe oneShot(docs)
+  }
+
   test("concurrent ingest: two writers racing the same state lose no batch") {
     val base = Files.createTempDirectory("graft_incwin_race").toFile.getAbsolutePath
     val docs = Tables.documents(spark, sfTiny).select("doc_id", "text")
