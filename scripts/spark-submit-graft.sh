@@ -7,7 +7,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 MAIN="$1"; shift
-JAR=$(ls target/scala-2.13/impalarefresherspark_2.13-*.jar 2>/dev/null | head -1)
+# newest first, tests jar excluded — a stale jar from an older version
+# bump must never shadow the current build
+JAR=$(ls -t target/scala-2.13/impalarefresherspark_2.13-*.jar 2>/dev/null | grep -v tests | head -1)
 if [ -z "$JAR" ]; then
   echo "no jar under target/scala-2.13 — run: sbt package" >&2
   exit 1
