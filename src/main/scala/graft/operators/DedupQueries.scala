@@ -321,6 +321,17 @@ object DedupQueries {
     * threshold q_sim_jaccard's plan relies on: the storage layout replaces
     * the broadcast. (The merge hint forces the layout under test — at
     * fixture scale the planner would rather broadcast the small side.)
+    *
+    * DECLARED COMPLEXITY BOUND (measured at three decades in SCALE.json,
+    * r14): this is the EXACT baseline — pair enumeration is quadratic in
+    * the lang-block size (size-band pruned), and under the lang-bucketed
+    * layout its parallelism is one task per lang block. Measured slope
+    * 69× wall for 10× docs (sf0.1→sf1), consistent with the ~100× pair
+    * growth; the LINEAR-scale detectors for the same semantics are the
+    * banded-LSH family (q_dedup_near_salted 6.7×, q_dedup_near_bucketed
+    * 9.0×, same decade), whose recall against this baseline is gated by
+    * q_eval_dedup/ApproxOpsSpec. A deployment runs THIS row on a block
+    * sample or as the audit oracle, never corpus-wide.
     */
   val simJaccardBucketed = QueryDef(
     "q_sim_jaccard_bucketed",

