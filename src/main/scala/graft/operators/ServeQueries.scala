@@ -419,10 +419,11 @@ object ServeQueries {
   private[graft] def trendStateBuilt(s: SparkSession, dir: String): String =
     synchronized {
       // trend_v2: the r13 slope-histogram protocol added a `slopes` state
-      // table; trend_v3: the r14 moments protocol added `vals`/`moments`
-      // — a state built by an older writer lacks the new tables, so the
-      // family name is bumped rather than served mixed
-      val base = stateBase(s, dir, "trend_v3")
+      // table; trend_v3/v4: the r14 moments protocol added
+      // `vals`/`moments`/`slopes_cum` — a state built by an older writer
+      // lacks the new tables, so the family name is bumped rather than
+      // served mixed
+      val base = stateBase(s, dir, "trend_v4")
       if (!graft.streaming.IncrementalTrend.committedBatch(s, base).contains(2L)) {
         val raw = Tables.events(s, dir)
           .select(col("event_id"), col("user_id"),

@@ -487,12 +487,60 @@ object TimeSeriesQueries {
       hist0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       trendTail(moments, hist0.localCheckpoint())
 
+  /** The CUMULATIVE Sen marginal of a slope histogram: one row per
+    * (g, v = slope_q summed over sgn) with its pair count t and the
+    * cumulative count cb of strictly-smaller slopes — the artifact that
+    * turns the serve-time Sen median from a window sort into two rank
+    * probes. Maintained at INGEST by IncrementalTrend (the histogram is
+    * rewritten every batch anyway, so the window is paid where the grain
+    * work already lives, not at serve).
+    */
+  private[graft] def senCumFromSlopes(hist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    hist.groupBy(col("g"), col("slope_q").as("v")).agg(sum("t").cast(LongType).as("t"))
+      .withColumn("cb", coalesce(
+        sum("t").over(Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).cast(LongType))
+
+  /** MK/Sen output from moments + the PRE-CUMULATED Sen marginal: the
+    * median selection is the same integer rank probe median2On makes
+    * (cb ≤ m < cb + t for m = (n−1) div 2 and n div 2), but cb arrives
+    * precomputed, so serve pays one filter-aggregate scan of the
+    * marginal — no window, no sort. n_pairs comes from the maintained
+    * moments (spec-pinned ≡ Σt of the histogram), broadcast onto the
+    * probe scan.
+    */
+  private[graft] def trendFromMomentsCum(moments0: org.apache.spark.sql.DataFrame,
+      cum: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val moments = moments0.localCheckpoint() // feeds the probe join + the tail
+      val sen = cum
+        .join(broadcast(moments.select(col("g").as("gn"), col("n_pairs").as("np"))),
+          col("g") === col("gn"))
+        .withColumn("m1", expr("(np - 1) div 2"))
+        .withColumn("m2", expr("np div 2"))
+        .groupBy("g").agg(
+          (sum(when(col("cb") <= col("m1")
+              && col("m1") < col("cb") + col("t"), col("v")).otherwise(0L))
+            + sum(when(col("cb") <= col("m2")
+              && col("m2") < col("cb") + col("t"), col("v")).otherwise(0L)))
+            .cast(LongType).as("med2"))
+      trendJoin(moments, sen)
+  }
+
   private def trendTail(moments: org.apache.spark.sql.DataFrame,
       hist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val sen = StatQueries.median2On(
           hist.groupBy(col("g").as("grp"), col("slope_q").as("v"))
             .agg(sum("t").cast(LongType).as("t")))
         .select(col("grp").as("g"), col("med2"))
+      trendJoin(moments, sen)
+  }
+
+  /** The shared MK formula tail over (moments ⋈ sen med2) — both Sen
+    * selection paths (window median2On, precumulated rank probe) feed
+    * identical integer inputs here, so their outputs are bit-equal.
+    */
+  private def trendJoin(moments: org.apache.spark.sql.DataFrame,
+      sen: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       moments.join(sen, "g")
         .withColumn("var18",
           (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("tie"))

@@ -86,6 +86,15 @@ object IncrementalTrend {
   def readMoments(s: SparkSession, base: String): DataFrame =
     readOr(s, base, "moments", momentsSchema)
 
+  /** Current CUMULATIVE Sen marginal (g, v, t, cb) — precumulated at
+    * ingest so the serve-time Sen median is a rank probe, not a window
+    * sort (empty before batch 0).
+    */
+  def readSlopesCum(s: SparkSession, base: String): DataFrame =
+    readOr(s, base, "slopes_cum", StructType(Seq(
+      StructField("g", StringType), StructField("v", LongType),
+      StructField("t", LongType), StructField("cb", LongType))))
+
   /** Pair histogram deltas between the cells of `a` and `b` — `a` and
     * `b` are (g, h, x) frames over DISJOINT hour sets when `within` is
     * false (each unordered pair enumerates once via the ≠ join +
@@ -223,6 +232,11 @@ object IncrementalTrend {
     val next = s"v${ptr.map(_._1.drop(1).toLong + 1).getOrElse(0L)}"
     hM.write.mode("overwrite").parquet(s"$base/$next/hourly")
     slopesM.write.mode("overwrite").parquet(s"$base/$next/slopes")
+    // the cumulative Sen marginal is rewritten alongside the histogram
+    // it derives from — the window is paid HERE, with the grain work,
+    // so serve never sorts
+    graft.operators.TimeSeriesQueries.senCumFromSlopes(slopesM)
+      .write.mode("overwrite").parquet(s"$base/$next/slopes_cum")
     uM.write.mode("overwrite").parquet(s"$base/$next/users")
     valsM.write.mode("overwrite").parquet(s"$base/$next/vals")
     momentsM.write.mode("overwrite").parquet(s"$base/$next/moments")
@@ -235,15 +249,16 @@ object IncrementalTrend {
     currentPointer(s, base).flatMap(_._2)
 
   /** MK/Sen trend from state — ≡ q_ts_trend one-shot, but nothing is
-    * re-aggregated at serve: S, n_pairs, n, and the tie correction read
-    * from the maintained #series-row moments table, and the hours² pair
-    * grid is never re-enumerated. The only serve-time pass is the Sen
-    * order statistic over the maintained slope histogram — an order
-    * statistic has no associative form, the declared floor.
+    * re-aggregated or SORTED at serve: S, n_pairs, n, and the tie
+    * correction read from the maintained #series-row moments table, the
+    * hours² pair grid is never re-enumerated, and the Sen median is two
+    * rank probes against the precumulated marginal (one filter-aggregate
+    * scan — the declared floor: an order statistic has no associative
+    * form, but its selection needs no serve-time sort either).
     */
   def serveTrend(s: SparkSession, base: String): DataFrame =
-    graft.operators.TimeSeriesQueries.trendFromMoments(
-      readMoments(s, base), readSlopes(s, base))
+    graft.operators.TimeSeriesQueries.trendFromMomentsCum(
+      readMoments(s, base), readSlopesCum(s, base))
 
   /** RFM segmentation from state — ≡ q_events_rfm one-shot. */
   def serveRfm(s: SparkSession, base: String): DataFrame =
