@@ -62,6 +62,11 @@ object Refresh {
     require(spec.nonEmpty, "empty partition spec")
     val specSql = spec.map { case (k, v) => s"$k='$v'" }.mkString(", ")
     val wanted = spec.map { case (k, v) => s"$k=$v" }.toSet
+    // existence validation collects SHOW PARTITIONS — O(#partitions) of
+    // metadata strings on the driver (Impala parity: it errors on unknown
+    // partitions). Bounded and metadata-only, but at ~10^5+ partitions
+    // prefer a catalog listPartitions call filtered by the spec (one
+    // partition probe) over materializing the full listing.
     val known = spark.sql(s"SHOW PARTITIONS $table").collect()
       .map(_.getString(0).split("/").toSet)
     require(known.contains(wanted),

@@ -434,12 +434,15 @@ class PlanShapeSpec extends SparkTestBase with Matchers {
     graft.streaming.IncrementalTrend.processBatch(spark, batch, base, Some(0L))
     val served = graft.streaming.IncrementalTrend.serveTrend(spark, base).collect()
     served should not be empty
-    // delete ONLY the slopes table: a serve that re-derived the pair grid
-    // from the hourly grain would still answer — the state-fed serve must
-    // fail instead, proving the histogram is what answers at serve time
+    // delete ONLY the maintained serve artifacts (the precumulated Sen
+    // marginal, then the moments): a serve that re-derived the pair grid
+    // or re-aggregated the hourly grain would still answer — the
+    // state-fed serve must fail instead, proving the maintained
+    // artifacts are what answer at serve time (r14: serve reads
+    // slopes_cum + moments; the raw histogram feeds only ingest)
     val cur = graft.sources.GraftFs.readSmallFile(spark, s"$base/_CURRENT")
       .get.trim.split(":batch=")(0)
-    graft.sources.GraftFs.deleteRecursively(spark, s"$base/$cur/slopes")
+    graft.sources.GraftFs.deleteRecursively(spark, s"$base/$cur/slopes_cum")
     an[Exception] should be thrownBy
       graft.streaming.IncrementalTrend.serveTrend(spark, base).collect()
   }
