@@ -19,14 +19,17 @@ object ScaleBench {
 
   /** The 15 heaviest registered rows per the r13 canonical bench — the
     * verdict's plan-audit list plus its named additions, filled to 15
-    * from the sorted r13 map.
+    * from the sorted r13 map. Override with SPARK_GRAFT_SCALE_ROWS
+    * (comma-separated) to slope-measure a different tier.
     */
-  private val Rows = Seq(
-    "q_pipeline_curate", "q_vec_knn_graph_lsh", "q_sim_containment_prefix",
-    "q_ts_trend", "q_vec_pq", "q_dedup_near_salted", "q_sim_jaccard_bucketed",
-    "q_stat_mad", "q_text_boilerplate", "q_vec_knn_graph_incr_lsh",
-    "q_text_winnow_spans", "q_text_span_source", "q_stat_spearman",
-    "q_dedup_near_bucketed", "q_ann_ivfpq")
+  private val Rows = sys.env.get("SPARK_GRAFT_SCALE_ROWS")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    .getOrElse(Seq(
+      "q_pipeline_curate", "q_vec_knn_graph_lsh", "q_sim_containment_prefix",
+      "q_ts_trend", "q_vec_pq", "q_dedup_near_salted", "q_sim_jaccard_bucketed",
+      "q_stat_mad", "q_text_boilerplate", "q_vec_knn_graph_incr_lsh",
+      "q_text_winnow_spans", "q_text_span_source", "q_stat_spearman",
+      "q_dedup_near_bucketed", "q_ann_ivfpq"))
 
   def main(args: Array[String]): Unit = {
     val out = args.lift(0).getOrElse("SCALE.json")
