@@ -799,7 +799,7 @@ final class GraftFrame(val df: DataFrame) {
   def reservoirSample(k: Int = 20, id: String = "doc_id",
       strata: Seq[String] = Seq("lang")): DataFrame = {
     val ph = graft.functions.PortableHash
-    val pr = ((col(id) * ph.Scramble1Mul + ph.Scramble1Add) % ph.SeedMod
+    val pr = ((ph.idMod(col(id)) * ph.Scramble1Mul + ph.Scramble1Add) % ph.SeedMod
       * ph.Scramble2Mul + ph.Scramble2Add) % ph.SeedMod
     val w = Window.partitionBy(strata.map(col): _*).orderBy(asc("__pri"), asc(id))
     df.withColumn("__pri", pr)

@@ -106,6 +106,23 @@ object PortableHash {
   val Scramble2Add = 67867967L
   val SimhashBits = 62
 
+  /** Pre-reduction that makes the affine id scrambles overflow-safe for
+    * ARBITRARY long ids: `id * Scramble1Mul` overflows int64 once
+    * id ≥ 2^63/Scramble1Mul ≈ 3.5e9 — fine for the fixtures (ids < 2^31,
+    * where this is the identity and every oracle hash is unchanged) but
+    * a hard ANSI failure on a corpus with wide id strides (caught by the
+    * r14 sf1 scale run: q_graft_closeness_lsh threw ARITHMETIC_OVERFLOW
+    * on 2^40-strided vec_ids). Every id-seeded scramble routes through
+    * this; the SQL twins mirror [[idModSql]] so both engines compute the
+    * same priority at any scale.
+    */
+  def idMod(id: Column): Column = pmod(id, lit(SeedMod))
+
+  /** SQL twin of [[idMod]] (fixture ids are non-negative, so plain `%`
+    * matches pmod).
+    */
+  def idModSql(id: String): String = s"(($id) % $SeedMod)"
+
   def wideHash(h: Column): Column = {
     val s1 = (h * lit(Scramble1Mul) + lit(Scramble1Add)) % lit(SeedMod)
     val s2 = (h * lit(Scramble2Mul) + lit(Scramble2Add)) % lit(SeedMod)

@@ -224,7 +224,10 @@ object AnalyticsQueries {
     (s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"),
-          pmod(col("event_id") * lit(2654435761L), lit(256)).as("flags"))
+          // idMod first: event_id * 2654435761 overflows int64 (an ANSI
+          // failure) once ids exceed ~3.5e9 — identity on the fixture
+          pmod(graft.functions.PortableHash.idMod(col("event_id")) * lit(2654435761L),
+            lit(256)).as("flags"))
         .groupBy("event_type")
         .agg(expr("bit_and(flags)").as("and_flags"),
           expr("bit_or(flags)").as("or_flags"),
@@ -235,7 +238,7 @@ object AnalyticsQueries {
              bit_and(flags) AS and_flags,
              bit_or(flags) AS or_flags,
              bit_xor(flags) AS xor_flags
-      FROM (SELECT event_type, (event_id * 2654435761) % 256 AS flags FROM events)
+      FROM (SELECT event_type, ((event_id % 2147483647) * 2654435761) % 256 AS flags FROM events)
       GROUP BY event_type ORDER BY event_type
     """.trim),
   )
@@ -393,7 +396,8 @@ object AnalyticsQueries {
     "q_sample_reservoir",
     (s, dir) => {
       val P = graft.functions.PortableHash.SeedMod
-      val pr = ((col("doc_id") * graft.functions.PortableHash.Scramble1Mul
+      val pr = ((graft.functions.PortableHash.idMod(col("doc_id"))
+        * graft.functions.PortableHash.Scramble1Mul
         + graft.functions.PortableHash.Scramble1Add) % P
         * graft.functions.PortableHash.Scramble2Mul
         + graft.functions.PortableHash.Scramble2Add) % P
@@ -410,7 +414,7 @@ object AnalyticsQueries {
       s"""
       WITH pri AS (
         SELECT lang, doc_id,
-               ((doc_id * ${ph.Scramble1Mul} + ${ph.Scramble1Add}) % ${ph.SeedMod}
+               ((${ph.idModSql("doc_id")} * ${ph.Scramble1Mul} + ${ph.Scramble1Add}) % ${ph.SeedMod}
                  * ${ph.Scramble2Mul} + ${ph.Scramble2Add}) % ${ph.SeedMod} AS priority
         FROM documents)
       SELECT lang, rank, doc_id, priority FROM (

@@ -570,7 +570,7 @@ object GraphQueries {
     val sym = und.select(col("a").as("sv"), col("b").as("su"))
       .union(und.select(col("b").as("sv"), col("a").as("su")))
       .localCheckpoint()
-    val pr = ((col("vec_id") * ph.Scramble1Mul + ph.Scramble1Add) % ph.SeedMod
+    val pr = ((ph.idMod(col("vec_id")) * ph.Scramble1Mul + ph.Scramble1Add) % ph.SeedMod
       * ph.Scramble2Mul + ph.Scramble2Add) % ph.SeedMod
     val landmarks = nodes.select(col("vec_id").as("l"), pr.as("priority"))
       .orderBy(asc("priority"), asc("l")).limit(landmarkCount)
@@ -614,7 +614,7 @@ object GraphQueries {
       lm AS (
         SELECT vec_id AS l FROM (
           SELECT vec_id,
-                 ((vec_id * ${ph.Scramble1Mul} + ${ph.Scramble1Add}) % ${ph.SeedMod}
+                 ((${ph.idModSql("vec_id")} * ${ph.Scramble1Mul} + ${ph.Scramble1Add}) % ${ph.SeedMod}
                    * ${ph.Scramble2Mul} + ${ph.Scramble2Add}) % ${ph.SeedMod} AS priority
           FROM embeddings)
         ORDER BY priority ASC, vec_id ASC LIMIT $ClosenessLandmarks),

@@ -127,7 +127,9 @@ object MoreQueries {
     (s, dir) => {
       val seeds = explode(array((0 until 5).map(lit(_)): _*)).as("i")
       def pos(key: Column) =
-        ((key * (lit(2654435761L) + lit(40503L) * col("i")) + col("i") * lit(97L))
+        // idMod first: key * ~2^31 overflows int64 on wide-strided ids
+        ((graft.functions.PortableHash.idMod(key)
+          * (lit(2654435761L) + lit(40503L) * col("i")) + col("i") * lit(97L))
           % lit(2147483647L)) % lit(4096L)
       val bitmap = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("key"), seeds)
@@ -150,12 +152,12 @@ object MoreQueries {
       build AS (
         SELECT (p // 63) AS w,
                bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS bits
-        FROM (SELECT ((c_custkey * (2654435761 + 40503*i) + i*97) % 2147483647) % 4096 AS p
+        FROM (SELECT (((c_custkey % 2147483647) * (2654435761 + 40503*i) + i*97) % 2147483647) % 4096 AS p
               FROM customer CROSS JOIN seeds WHERE c_mktsegment = 'BUILDING')
         GROUP BY 1),
       probe AS (
         SELECT o_orderkey,
-               ((o_custkey * (2654435761 + 40503*i) + i*97) % 2147483647) % 4096 AS p
+               (((o_custkey % 2147483647) * (2654435761 + 40503*i) + i*97) % 2147483647) % 4096 AS p
         FROM orders CROSS JOIN seeds)
       SELECT o_orderkey,
              bool_and(b.bits IS NOT NULL
@@ -185,7 +187,8 @@ object MoreQueries {
     (s, dir) => {
       val seeds = explode(array((0 until 4).map(lit(_)): _*)).as("d")
       def pos(key: Column) =
-        ((key * (lit(2654435761L) + lit(40503L) * col("d")) + col("d") * lit(97L))
+        ((graft.functions.PortableHash.idMod(key)
+          * (lit(2654435761L) + lit(40503L) * col("d")) + col("d") * lit(97L))
           % lit(2147483647L)) % lit(512L)
       val ev = Tables.events(s, dir).select(col("user_id"))
       val sketch = ev.select(col("user_id"), seeds)
@@ -203,12 +206,12 @@ object MoreQueries {
     Some("""
       WITH ds AS (SELECT unnest(range(4)) AS d),
       r AS (SELECT user_id, d,
-              ((user_id * (2654435761 + 40503 * d) + d * 97) % 2147483647) % 512 AS b
+              (((user_id % 2147483647) * (2654435761 + 40503 * d) + d * 97) % 2147483647) % 512 AS b
             FROM events CROSS JOIN ds),
       sketch AS (SELECT d, b, COUNT(*) AS cnt FROM r GROUP BY d, b),
       truth AS (SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY user_id),
       probes AS (SELECT user_id, true_n, d,
-              ((user_id * (2654435761 + 40503 * d) + d * 97) % 2147483647) % 512 AS b
+              (((user_id % 2147483647) * (2654435761 + 40503 * d) + d * 97) % 2147483647) % 512 AS b
             FROM truth CROSS JOIN ds)
       SELECT p.user_id, p.true_n, MIN(s.cnt) AS est_n, MIN(s.cnt) - p.true_n AS overcount
       FROM probes p JOIN sketch s USING (d, b)

@@ -829,6 +829,16 @@ object VectorQueries {
     * with NO recall cliff, because cell boundaries are data-adaptive and
     * multi-assignment covers them. Full oracle since r9 (IvfOracle.graphSql
     * replays the portable-seeded training); KnnGraphSpec bounds recall.
+    *
+    * DECLARED COMPLEXITY BOUND (measured, SCALE_tier2.json r14): THIS
+    * registered row pins k2 = GraphIvfCells so the SQL oracle replays
+    * one fixed training — so its wall follows the fixed-k2 candidate
+    * bound Σ|class|²·assign²/k2 and measured 27× for 10× vectors
+    * (sf0.1→sf1), exactly the declared quadratic-over-k2 curve. The
+    * deployment dial is the √ sizing above (k2 64 instead of 16 at sf1
+    * cuts the candidate volume 4×); the shipped PRIMARY for the same
+    * semantics is the hash-bucketed q_vec_knn_graph_lsh (4.2× measured
+    * on the same decade, SCALE.json).
     */
   val vecKnnGraphIvf = QueryDef(
     "q_vec_knn_graph_ivf",
