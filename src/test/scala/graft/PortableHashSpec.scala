@@ -98,4 +98,28 @@ class PortableHashSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .head.getSeq[Long](0)
     row shouldBe Seq(856916412L, 97L, 0L)
   }
+
+  test("idMod makes the affine id scramble overflow-safe at 2^40-strided ids and is the identity below SeedMod") {
+    // the r14 sf1 scale run caught closeness throwing ARITHMETIC_OVERFLOW:
+    // raw_id * Scramble1Mul leaves int64 once id >= 2^63/Scramble1Mul.
+    // Every id-seeded scramble now pre-reduces via idMod — identity on
+    // fixture-range ids (oracles untouched), finite at any stride.
+    def pr(id: org.apache.spark.sql.Column) =
+      ((PortableHash.idMod(id) * PortableHash.Scramble1Mul + PortableHash.Scramble1Add)
+        % PortableHash.SeedMod
+        * PortableHash.Scramble2Mul + PortableHash.Scramble2Add) % PortableHash.SeedMod
+    val wide = (0L to 9L).map(r => r * (1L << 40) + 42L)
+    import spark.implicits._
+    // ANSI mode would throw on overflow — evaluating proves safety
+    val got = wide.toDF("id").select(pr(col("id")).as("p")).collect().map(_.getLong(0))
+    got.foreach { p => p should be >= 0L; p should be < PortableHash.SeedMod }
+    // identity below SeedMod: the scramble of id equals the scramble of
+    // idMod(id) by construction, and fixture ids are < SeedMod
+    val small = 12345L
+    val direct = ((small * PortableHash.Scramble1Mul + PortableHash.Scramble1Add)
+      % PortableHash.SeedMod
+      * PortableHash.Scramble2Mul + PortableHash.Scramble2Add) % PortableHash.SeedMod
+    Seq(small).toDF("id").select(pr(col("id")).as("p"))
+      .head.getLong(0) shouldBe direct
+  }
 }
