@@ -355,8 +355,9 @@ object AnalyticsQueries {
     "q_sample_split",
     (s, dir) => {
       import graft.functions.PortableHash
-      val bucket = pmod(col("doc_id") * lit(PortableHash.A) + lit(PortableHash.BStep),
-        lit(PortableHash.SeedMod)) % 100
+      // idMod first: doc_id * A overflows int64 on wide-strided ids
+      val bucket = pmod(PortableHash.idMod(col("doc_id")) * lit(PortableHash.A)
+        + lit(PortableHash.BStep), lit(PortableHash.SeedMod)) % 100
       val assigned = Tables.documents(s, dir).select(
         col("doc_id"), col("n_chars"),
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
@@ -371,7 +372,7 @@ object AnalyticsQueries {
         SELECT doc_id, n_chars,
                CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
         FROM (SELECT doc_id, n_chars,
-                ((doc_id * ${graft.functions.PortableHash.A} + ${graft.functions.PortableHash.BStep})
+                ((${graft.functions.PortableHash.idModSql("doc_id")} * ${graft.functions.PortableHash.A} + ${graft.functions.PortableHash.BStep})
                   % ${graft.functions.PortableHash.SeedMod}) % 100 AS b
               FROM documents))
       SELECT doc_id, split,
