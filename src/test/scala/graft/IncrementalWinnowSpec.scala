@@ -98,6 +98,27 @@ class IncrementalWinnowSpec extends SparkTestBase with Matchers {
     pairSet(IncrementalWinnow.serveWinnowPairs(spark, base)) shouldBe oneShot(docs)
   }
 
+  test("auto-compaction: a long-running ingest folds itself — segment count stays bounded and serve stays one-shot-equal") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_incwin_auto").toFile.getAbsolutePath
+    // 18 tiny batches: publish #16 leaves 16 segments, which trips the
+    // in-processBatch fold; later batches append onto the compacted dir
+    val docs = (0L until 18L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c shared0 shared1 shared2 shared3 shared4"))
+      .toDF("doc_id", "text")
+    for (i <- 0 until 18)
+      IncrementalWinnow.processBatch(spark, docs.filter(col("doc_id") === i),
+        base, Some(i.toLong))
+    val st = IncrementalWinnow.currentState(spark, base)
+    st.batch shouldBe Some(17L)
+    // without the auto-fold this would be 18; the 16-segment trigger
+    // folded once, so live segments = 1 compacted + the appends since
+    st.segs.size should be < 16
+    // on-disk segment dirs match the record exactly (inputs GC'd)
+    new java.io.File(s"$base/fps").listFiles().map(_.getName).toSet shouldBe st.segs.toSet
+    pairSet(IncrementalWinnow.serveWinnowPairs(spark, base)) shouldBe oneShot(docs)
+  }
+
   test("concurrent ingest: two writers racing the same state lose no batch") {
     val base = Files.createTempDirectory("graft_incwin_race").toFile.getAbsolutePath
     val docs = Tables.documents(spark, sfTiny).select("doc_id", "text")
