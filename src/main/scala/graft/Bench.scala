@@ -188,6 +188,22 @@ object Bench {
     // re-runs (a globally-slow run is the WINDOW machinery's job, and
     // min-of-two can only under-report if this pass itself is contended —
     // the outlier_post probe labels that case).
+    // Repricing epochs (r14 verdict item 1c): a row whose PRICE changed by
+    // design (countGate repricing, a plan cap) must not heal against its
+    // pre-change history — BENCH_r14 re-measured the four r14-repriced
+    // rows on EVERY run (~20 s of wasted wall + a min-of-two bias on
+    // exactly the rows whose honest price matters most) because the
+    // trailing-12 window still carried the stale ~0.1 s medians. History
+    // entries from run files stamped BEFORE a row's epoch are ignored for
+    // that row; until 3 post-epoch runs exist the row simply has no
+    // median and the sensor stays silent for it (correct: there is no
+    // band to heal against yet).
+    val RepriceEpoch: Map[String, String] = Map(
+      "q_fn_xml" -> "20260816-200000", // r15 hashed-slice xpath cap
+      "q_fn_trycast" -> "20260816-160000", // r14 countGate repricing
+      "q_sketch_quantile" -> "20260816-160000",
+      "q_text_repetition" -> "20260816-160000",
+    )
     val histMedians: Map[String, Double] = try {
       val dirp = java.nio.file.Paths.get("bench_history")
       if (!java.nio.file.Files.isDirectory(dirp)) Map.empty
@@ -197,6 +213,7 @@ object Bench {
         val RepsRe = """"reps":([0-9]+)""".r
         val CpusRe = """"cpus":"?([0-9*]+)"?""".r
         val PairRe = """"([^"]+)":(-?[0-9.Ee+-]+)""".r
+        val StampRe = """run-([0-9]{8}-[0-9]{6})""".r
         // filter to MATCHING-config runs FIRST, then take the trailing 12:
         // a takeRight before the filter lets a burst of other-config runs
         // (sf0.001 debug sweeps, reps=1 probes) shrink the window below
@@ -205,17 +222,28 @@ object Bench {
             java.nio.file.Files.list(dirp).iterator()).asScala
           .filter(_.getFileName.toString.startsWith("run-")).toSeq
           .sortBy(_.getFileName.toString)
-          .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-          .filter(l => SfRe.findFirstMatchIn(l).exists(_.group(1) == sfDir)
-            && RepsRe.findFirstMatchIn(l).exists(_.group(1) == reps.toString)
-            && CpusRe.findFirstMatchIn(l).exists(_.group(1) == cpus))
+          .map(p => (StampRe.findFirstMatchIn(p.getFileName.toString)
+              .map(_.group(1)).getOrElse(""),
+            new String(java.nio.file.Files.readAllBytes(p), "UTF-8")))
+          .filter { case (_, l) =>
+            SfRe.findFirstMatchIn(l).exists(_.group(1) == sfDir) &&
+            RepsRe.findFirstMatchIn(l).exists(_.group(1) == reps.toString) &&
+            CpusRe.findFirstMatchIn(l).exists(_.group(1) == cpus) }
           .takeRight(12)
-          .flatMap(l => QueriesRe.findFirstMatchIn(l).map(m =>
-            PairRe.findAllMatchIn(m.group(1))
-              .map(p => p.group(1) -> p.group(2).toDouble).filter(_._2 >= 0).toMap))
-        runs.flatten.groupBy(_._1).collect {
+          .flatMap { case (stamp, l) =>
+            QueriesRe.findFirstMatchIn(l).map(m =>
+              PairRe.findAllMatchIn(m.group(1))
+                .map(p => (p.group(1), stamp, p.group(2).toDouble))
+                .filter(_._3 >= 0).toSeq) }
+          .flatten
+        runs.groupBy(_._1).collect {
+          case (q, vs0) =>
+            // the stamp format sorts lexicographically == chronologically
+            val vs = vs0.filter(_._2 >= RepriceEpoch.getOrElse(q, ""))
+            (q, vs)
+        }.collect {
           case (q, vs) if vs.size >= 3 =>
-            val xs = vs.map(_._2).toIndexedSeq.sorted
+            val xs = vs.map(_._3).toIndexedSeq.sorted
             q -> xs(xs.length / 2)
         }
       }

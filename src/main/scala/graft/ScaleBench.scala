@@ -25,8 +25,12 @@ object ScaleBench {
   private val Rows = sys.env.get("SPARK_GRAFT_SCALE_ROWS")
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     .getOrElse(Seq(
+      // q_sim_jaccard_bucketed left the registered bench in r15 (its 69×
+      // slope is the r14-measured, scaladoc-declared quadratic bound);
+      // q_fn_xml takes its slot — the suite's biggest single line item
+      // after the r15 hashed-slice cap, and never decade-measured before
       "q_pipeline_curate", "q_vec_knn_graph_lsh", "q_sim_containment_prefix",
-      "q_ts_trend", "q_vec_pq", "q_dedup_near_salted", "q_sim_jaccard_bucketed",
+      "q_ts_trend", "q_vec_pq", "q_dedup_near_salted", "q_fn_xml",
       "q_stat_mad", "q_text_boilerplate", "q_vec_knn_graph_incr_lsh",
       "q_text_winnow_spans", "q_text_span_source", "q_stat_spearman",
       "q_dedup_near_bucketed", "q_ann_ivfpq"))

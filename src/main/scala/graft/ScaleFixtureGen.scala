@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
   *    copies would); n_chars is recomputed from the salted text;
   *  - embeddings get a per-replica ORTHOGONAL transform (dimension
   *    rotation by 7·i plus deterministic sign flips): intra-replica
-  *    dot products and hence kNN/IVF structure are bit-preservingly
-  *    isomorphic, cross-replica vectors decorrelate so LSH/IVF buckets
-  *    are not flooded with artificial near-copies;
+  *    dot products and hence kNN/IVF structure are isomorphic up to
+  *    float-summation reordering (exact in real arithmetic — the
+  *    rotation permutes the per-dimension products, so sums agree only
+  *    to rounding; ScaleFixtureGenSpec checks at 1e-3/1e-6, and no
+  *    bit-equality oracle may be built on the derived fixture),
+  *    cross-replica vectors decorrelate so LSH/IVF buckets are not
+  *    flooded with artificial near-copies;
   *  - events keep their timestamps (the hourly grain is TIME-bounded by
   *    design — 10× rows raise cell sums, not cell counts, exactly the
   *    documented q_ts_trend contract) with event/user ids shifted;

@@ -108,8 +108,10 @@ object PortableHash {
 
   /** Pre-reduction that makes the affine id scrambles overflow-safe for
     * ARBITRARY long ids: `id * Scramble1Mul` overflows int64 once
-    * id ≥ 2^63/Scramble1Mul ≈ 3.5e9 — fine for the fixtures (ids < 2^31,
-    * where this is the identity and every oracle hash is unchanged) but
+    * id ≥ 2^63/Scramble1Mul ≈ 3.5e9 — fine for the fixtures (ids <
+    * SeedMod = 2^31−1, where this is the identity and every oracle hash
+    * is unchanged; id = SeedMod itself maps to 0, the r14 ADVICE
+    * off-by-one) but
     * a hard ANSI failure on a corpus with wide id strides (caught by the
     * r14 sf1 scale run: q_graft_closeness_lsh threw ARITHMETIC_OVERFLOW
     * on 2^40-strided vec_ids). Every id-seeded scramble routes through

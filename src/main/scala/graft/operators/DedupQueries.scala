@@ -332,6 +332,13 @@ object DedupQueries {
     * 9.0×, same decade), whose recall against this baseline is gated by
     * q_eval_dedup/ApproxOpsSpec. A deployment runs THIS row on a block
     * sample or as the audit oracle, never corpus-wide.
+    *
+    * NOT REGISTERED as of r15 (r14 verdict item 1a — the r9/r10
+    * retirement pattern): a measured-69×-per-decade exact baseline has
+    * no business on the priced bench; the val, the shared full oracle,
+    * and the every-run PlanShapeSpec gate (co-located bucket join ≡
+    * the broadcast-shaped exact join, row for row) all stay, and the
+    * registered linear twins carry the family's price.
     */
   val simJaccardBucketed = QueryDef(
     "q_sim_jaccard_bucketed",
@@ -1454,8 +1461,16 @@ object DedupQueries {
   // prices nothing the primary does not. Its val, full DuckDB oracle,
   // and the every-run recall/precision spec against the exact n-gram
   // baseline (ApproxOpsSpec :53) are all retained.
+  // simJaccardBucketed is NOT registered as of r15 (r14 verdict item 1a):
+  // SCALE.json measured its declared quadratic bound at 69× wall per 10×
+  // docs (206.8 s at sf1) — compute AND parallelism (one merge task per
+  // lang block) both die at scale, so it joins the spec-proven tier:
+  // val + shared oracle retained, PlanShapeSpec (:57) proves the
+  // co-located-layout plan AND row equality with simJaccard every run,
+  // and the linear-slope twins (dedupNearSalted 6.7×, dedupNearBucketed
+  // 9.0×) stay registered.
   def defs: Seq[QueryDef] = Seq(
-    dedupExact, simJaccardBucketed, dedupSimhash,
+    dedupExact, dedupSimhash,
     dedupCluster, dedupIncremental, dedupNearBucketed,
     simJaccardCross, dedupNearCross, dedupNearSalted, simContainmentPrefix,
     dedupCanonical, simContainmentCross, dedupSemantic)

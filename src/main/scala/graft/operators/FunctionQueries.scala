@@ -416,6 +416,16 @@ object FunctionQueries {
     * same base columns (the q_fn_url independent-expected-value pattern);
     * a malformed-document probe pins the PERMISSIVE null-field behavior
     * (the try_* philosophy applied to parsing).
+    *
+    * Since r15 the xpath_* trio runs on a DETERMINISTIC 1/16 id slice
+    * (r14 verdict plan audit: the row paid THREE DOM parses per row —
+    * 10.3 s, 6.5% of the whole suite for one scalar family — where
+    * from_xml alone computes every structural output). from_xml keeps
+    * full grain, so structured XML parsing stays priced per-row; the
+    * xpath surface stays exercised and oracle-checked on the slice.
+    * The slice predicate is `event_id % 16 = 0` — portable to DuckDB
+    * verbatim, and replica-stable on 2^40-strided scale fixtures
+    * (2^40 ≡ 0 mod 16, so every replica contributes the same 1/16).
     */
   val fnXml = QueryDef(
     "q_fn_xml",
@@ -424,9 +434,10 @@ object FunctionQueries {
         .withColumn("xml", concat(
           lit("<e><t>"), col("event_type"), lit("</t><u>"), col("user_id"),
           lit("</u></e>")))
+        .withColumn("sliced", pmod(col("event_id"), lit(16)) === 0)
         .select(col("event_id"),
-          expr("xpath_string(xml, '/e/t')").as("t_path"),
-          expr("xpath_long(xml, '/e/u')").as("u_path"),
+          when(col("sliced"), expr("xpath_string(xml, '/e/t')")).as("t_path"),
+          when(col("sliced"), expr("xpath_long(xml, '/e/u')")).as("u_path"),
           from_xml(col("xml"), StructType(Seq(
             StructField("t", StringType), StructField("u", LongType)))).as("parsed"),
           // malformed-document probe on a LITERAL: the per-row variant
@@ -445,8 +456,8 @@ object FunctionQueries {
         .orderBy("event_id"),
     Some("""
       SELECT event_id,
-             event_type AS t_path,
-             user_id AS u_path,
+             CASE WHEN event_id % 16 = 0 THEN event_type END AS t_path,
+             CASE WHEN event_id % 16 = 0 THEN user_id END AS u_path,
              event_type AS t_struct,
              user_id AS u_struct,
              true AS broken_failed

@@ -830,21 +830,33 @@ object VectorQueries {
     * multi-assignment covers them. Full oracle since r9 (IvfOracle.graphSql
     * replays the portable-seeded training); KnnGraphSpec bounds recall.
     *
-    * DECLARED COMPLEXITY BOUND (measured, SCALE_tier2.json r14): THIS
-    * registered row pins k2 = GraphIvfCells so the SQL oracle replays
-    * one fixed training — so its wall follows the fixed-k2 candidate
-    * bound Σ|class|²·assign²/k2 and measured 27× for 10× vectors
-    * (sf0.1→sf1), exactly the declared quadratic-over-k2 curve. The
-    * deployment dial is the √ sizing above (k2 64 instead of 16 at sf1
-    * cuts the candidate volume 4×); the shipped PRIMARY for the same
-    * semantics is the hash-bucketed q_vec_knn_graph_lsh (4.2× measured
-    * on the same decade, SCALE.json).
+    * CENSUS-ADAPTIVE k2 since r15 (r14 verdict item 2 — the row now
+    * implements its own documented √|class| dial instead of declaring
+    * it): k2 derives from a one-aggregate census of the largest label
+    * class via [[ivfCellsRule]] — the next power of two ≥ √maxClass,
+    * floored at GraphIvfCells = 16 and capped at 256 — exactly the
+    * adaptiveBlocksFor discipline (DedupQueries:445, deterministic from
+    * data, priced as one tiny aggregate + a 1-row driver read). With
+    * k2 ~ √|class| the candidate volume Σ|class|²·assign²/k2 follows
+    * Σ|class|^1.5 (sub-quadratic, no recall cliff: cell boundaries stay
+    * data-adaptive and multi-assignment covers them); the r14 fixed-k2
+    * registration measured the 27×-per-decade quadratic-over-k2 curve
+    * this replaces (SCALE_tier2.json r14 → re-measured r15).
+    *
+    * ORACLE GATE UNCHANGED: on every driver fixture the census yields
+    * the floor (max class ≤ 256 vectors at sf0.001/0.01/0.1 ⇒ √ ≤ 16 ⇒
+    * k2 = 16 = the r9 constant), so IvfOracle.graphSql(bits = 4)
+    * replays the identical training — IvfAdaptiveSpec pins both the
+    * rule arithmetic and the fixture censuses so a fixture change
+    * breaks the pin loudly instead of the oracle silently. The shipped
+    * PRIMARY for the same semantics remains the hash-bucketed
+    * q_vec_knn_graph_lsh (4.2× measured on the same decade, SCALE.json).
     */
   val vecKnnGraphIvf = QueryDef(
     "q_vec_knn_graph_ivf",
     (s, dir) => {
       val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
-      val cb = subCodebookPersisted(s, dir, GraphIvfCells)
+      val cb = subCodebookPersisted(s, dir, adaptiveIvfCellsFor(e))
       knnGraphFromCandidates(e, ivfGraphCandidates(e, cb, GraphIvfAssign), 3)
     },
     // Full oracle since r9: the per-label sub-quantizer training replays
@@ -852,9 +864,37 @@ object VectorQueries {
     // Lloyd refinements unrolled), so the data-ADAPTIVE index path gets
     // the same engine-exact treatment as the hash-bucketed ones — and
     // the hash-compare proves the persisted sub-codebook equals a fresh
-    // training run every round.
+    // training run every round. bits = 4 is the census-derived k2 = 16
+    // at every oracle-checked fixture (IvfAdaptiveSpec pins this).
     Some(IvfOracle.graphSql(bits = 4, assign = GraphIvfAssign, SubCodebookPlaneFamily)),
   )
+
+  /** k2 sizing rule for the census-adaptive IVF kNN graph: the smallest
+    * power of two ≥ √maxClass, floored at [[GraphIvfCells]] (16 — the
+    * r9 operating point every oracle fixture lands on) and capped at
+    * 256 (a per-label codebook of ≤ 256 × 64 floats always broadcasts).
+    * Power-of-two because the portable-plane seed assigns cells from
+    * `bits = log2(k2)` sign bits — a non-power k2 would train fewer
+    * seed cells than requested and silently change the oracle replay
+    * shape. Deterministic from data, like DedupQueries.adaptiveBlocksFor.
+    */
+  private[graft] def ivfCellsRule(maxClass: Long): Int = {
+    val target = math.ceil(math.sqrt(math.max(0L, maxClass).toDouble))
+    var k = GraphIvfCells
+    while (k < target && k < 256) k <<= 1
+    k
+  }
+
+  /** One-aggregate census of the largest label class → [[ivfCellsRule]].
+    * The collect is a 1-row driver read of a scalar aggregate (the
+    * adaptiveBlocksFor / CC-convergence pattern), not a data pull.
+    */
+  private[graft] def adaptiveIvfCellsFor(e: DataFrame): Int = {
+    val maxClass = e.groupBy("label").agg(count(lit(1)).as("n"))
+      .agg(max("n")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.toString.toLong)).getOrElse(0L)
+    ivfCellsRule(maxClass)
+  }
 
   /** LSH-bucketed edge generation + connected components for the ≥0.95-
     * cosine cluster graph, generic over an (vec_id, embedding) relation —

@@ -109,17 +109,6 @@ object GraftFs {
     finally deleteRecursively(s, probe)
   }
 
-  // scaleTag memo — the fingerprint stats every file under the scale dir
-  // once per (session, dir), not once per artifact lookup. WEAK-keyed by
-  // the session: a static strong map retaining every SparkSession ever
-  // passed (memo-busting callers clone sessions) would leak SessionState
-  // for the JVM lifetime; a stopped/collected session's entries vanish
-  // with it.
-  // value = (dir mtime at fold time, tag): the mtime is the cheap
-  // staleness probe that revalidates the memo on every lookup
-  private val scaleTags =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, (Long, String)]]()
-
   /** Cache tag for artifacts derived from the tables under scale dir
     * `dir`: the sanitized path plus a fingerprint of the FULLY-QUALIFIED
     * path and every backing file's (name, length, mtime). Keying
@@ -134,43 +123,30 @@ object GraftFs {
     * The whole dir is folded so one tag covers every derivation
     * regardless of which tables it reads.
     *
-    * The memo is revalidated on EVERY lookup by a one-RPC probe of the
-    * dir's own mtime (a parquet regeneration creates/deletes child
-    * entries, which bumps the parent mtime on local FS and HDFS) so a
-    * corpus regenerated in place MID-SESSION gets a fresh fold instead
-    * of the stale tag for the session's lifetime. The probe can only
-    * miss a rewrite that changes child file CONTENT without any
-    * create/delete/rename in the dir — no parquet writer does that.
+    * The tag is re-derived from a ONE-RPC shallow listing on every
+    * lookup — no memo, no staleness window. r14 revalidated a
+    * per-session memo with a parent-dir-mtime probe, which was also one
+    * RPC but could serve a stale tag when a regeneration landed within
+    * the probe's mtime granularity tick (ms on ext4, 1 s on coarser
+    * filesystems — the r14 ADVICE window); folding the listing outright
+    * costs the same round trip and is exact. The only invisible change
+    * remains an in-place rewrite of a file's CONTENT two levels down
+    * with no create/delete/rename (the child table dir's own mtime and
+    * the top-level entry set are then unchanged) — no parquet writer
+    * does that.
     */
   def scaleTag(s: SparkSession, dir: String): String = {
-    val perSession = scaleTags.synchronized {
-      var m = scaleTags.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
-        scaleTags.put(s, m)
-      }
-      m
-    }
-    // probe + (on miss/stale) fold OUTSIDE the map's bin lock: the
-    // listing is filesystem I/O and must not block unrelated callers
-    // hashing to the same bin
     val (fs, q) = resolve(s, dir)
-    val dirMtime =
-      try { if (fs.exists(q)) fs.getFileStatus(q).getModificationTime else -1L }
-      catch { case _: java.io.IOException => -1L }
-    val hit = perSession.get(dir)
-    if (hit != null && hit._1 == dirMtime) return hit._2
     val seed = q.toString.foldLeft(1469598103934665603L)((a, c) => (a * 1099511628211L) ^ c.toLong)
-    val h =
-      if (dirMtime == -1L) seed
-      else fs.listStatus(q).sortBy(_.getPath.getName)
-        .foldLeft(seed) { (acc, st) =>
-          val n = st.getPath.getName.foldLeft(acc)((a, c) => (a * 1099511628211L) ^ c.toLong)
-          ((n * 1099511628211L) ^ st.getLen) * 1099511628211L ^ st.getModificationTime
-        }
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-fp" + java.lang.Long.toHexString(h)
-    perSession.put(dir, (dirMtime, tag))
-    tag
+    val listing =
+      try { if (fs.exists(q)) fs.listStatus(q) else Array.empty[org.apache.hadoop.fs.FileStatus] }
+      catch { case _: java.io.IOException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+    val h = listing.sortBy(_.getPath.getName)
+      .foldLeft(seed) { (acc, st) =>
+        val n = st.getPath.getName.foldLeft(acc)((a, c) => (a * 1099511628211L) ^ c.toLong)
+        ((n * 1099511628211L) ^ st.getLen) * 1099511628211L ^ st.getModificationTime
+      }
+    dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-fp" + java.lang.Long.toHexString(h)
   }
 
   /** Rename `from` to `to` without overwrite; false if the source is

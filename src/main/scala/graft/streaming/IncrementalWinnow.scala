@@ -35,12 +35,20 @@ object IncrementalWinnow {
   private val fpSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("fp_hash", LongType)))
 
-  private[graft] case class WinnowState(version: Long, segs: Seq[String], batch: Option[Long])
+  /** `tombs` — segment dirs folded by the LAST compaction, still on disk
+    * for readers that resolved the pre-swap record (deferred GC, r14
+    * ADVICE): they are deleted when the NEXT compaction publishes, so a
+    * serve that resolved any of the two most recent records never has a
+    * parquet dir removed between plan resolution and scan execution.
+    */
+  private[graft] case class WinnowState(version: Long, segs: Seq[String],
+      batch: Option[Long], tombs: Seq[String] = Seq.empty)
 
   private val EmptyState = WinnowState(-1L, Seq.empty, None)
 
   private def recordBody(st: WinnowState): String =
-    s"segs=${st.segs.mkString(",")};batch=${st.batch.fold("-")(_.toString)}"
+    s"segs=${st.segs.mkString(",")};batch=${st.batch.fold("-")(_.toString)}" +
+      s";tombs=${st.tombs.mkString(",")}"
 
   private def parseRecord(version: Long, body: String): WinnowState = {
     val kv = body.trim.split(";").map { f =>
@@ -49,7 +57,8 @@ object IncrementalWinnow {
     }.toMap
     WinnowState(version,
       kv.get("segs").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty),
-      kv.get("batch").filter(_ != "-").map(_.toLong))
+      kv.get("batch").filter(_ != "-").map(_.toLong),
+      kv.get("tombs").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty))
   }
 
   private def readRecord(s: SparkSession, base: String, v: Long): Option[WinnowState] =
@@ -128,12 +137,24 @@ object IncrementalWinnow {
         dropSeg()
         require(false, s"processBatch: lost the publish race $attempts times at $base")
       }
-      val next = WinnowState(st.version + 1, st.segs :+ segName, batchId.orElse(st.batch))
+      val next = WinnowState(st.version + 1, st.segs :+ segName,
+        batchId.orElse(st.batch), st.tombs)
       if (publish(s, base, next)) {
         // bound state growth: without compaction the record body and the
         // serve-time read (N tiny parquet dirs + a global distinct) grow
-        // linearly with batch count over a long-running ingest
-        if (next.segs.size >= AutoCompactSegs) compactFrom(s, base, next)
+        // linearly with batch count over a long-running ingest. The fold
+        // runs AFTER this batch's publish already landed, so a failure
+        // here (lost-CAS exhaustion, a concurrent compactor racing the
+        // same inputs) must not fail the committed batch — compaction is
+        // idempotent and re-triggers on the next publish at ≥
+        // AutoCompactSegs (r14 ADVICE: availability, not correctness)
+        if (next.segs.size >= AutoCompactSegs)
+          try compactFrom(s, base, next)
+          catch {
+            case e: Exception =>
+              System.err.println(s"[IncrementalWinnow] auto-compaction at $base " +
+                s"deferred to the next trigger: ${e.getMessage}")
+          }
         return
       }
       st = currentState(s, base)
@@ -155,9 +176,17 @@ object IncrementalWinnow {
     * at-least-once cross-segment duplicates disappear from disk, not
     * just from the serve view). Concurrent ingest is safe: a batch that
     * commits mid-compact wins the CAS and the rebase keeps its segment
-    * alongside the compacted dir. Input dirs are deleted only after the
-    * publish lands (a reader holding the prior record never has a
-    * segment deleted out from under it before the swap is visible).
+    * alongside the compacted dir.
+    *
+    * GC is DEFERRED one compaction generation (r14 ADVICE): the folded
+    * input dirs are recorded as the new state's `tombs` and deleted only
+    * when the NEXT compaction publishes. A reader that resolved the
+    * pre-swap record between currentState and scan execution therefore
+    * keeps its parquet files for a full auto-compaction window (16
+    * batches in steady state) instead of losing them the instant the
+    * swap lands. The cost is ≤ one generation of folded segments parked
+    * on disk; if no compaction ever runs again they stay — skinny,
+    * harmless, and reclaimed by the next fold.
     */
   def compactSegments(s: SparkSession, base: String): Unit =
     compactFrom(s, base, currentState(s, base))
@@ -182,7 +211,15 @@ object IncrementalWinnow {
     } catch {
       case e: Exception =>
         graft.sources.GraftFs.deleteRecursively(s, s"$base/fps/$cName")
-        if (!currentState(s, base).segs.exists(folded.contains)) return
+        // rethrow ONLY when every folded input is still live (a genuine
+        // I/O failure reading committed data). If ANY folded seg already
+        // left the live set, a concurrent compactor with an overlapping
+        // folded set swapped (and possibly reclaimed) a subset of our
+        // inputs mid-read — its compacted dir covers the content, our
+        // fold is superseded, and failing the caller would be pure
+        // failure amplification (r14 ADVICE).
+        val liveNow = currentState(s, base).segs.toSet
+        if (!folded.forall(liveNow.contains)) return
         throw e
     }
     var st = observed
@@ -198,13 +235,18 @@ object IncrementalWinnow {
         return
       }
       // keep every segment committed since the observed state (an
-      // interleaved append loses nothing); swap only the folded inputs
+      // interleaved append loses nothing); swap only the folded inputs,
+      // tombstone them (deferred GC — deleted by the NEXT compaction)
       val next = WinnowState(st.version + 1,
-        (cName +: st.segs.filterNot(folded.contains)).distinct, st.batch)
+        (cName +: st.segs.filterNot(folded.contains)).distinct, st.batch,
+        folded.toSeq.sorted)
       if (publish(s, base, next)) committed = true
       else st = currentState(s, base)
     }
-    folded.foreach(n => graft.sources.GraftFs.deleteRecursively(s, s"$base/fps/$n"))
+    // reclaim the PREVIOUS generation's tombstones: any reader still
+    // referencing them resolved a record at least two compactions old
+    st.tombs.filterNot(folded.contains)
+      .foreach(n => graft.sources.GraftFs.deleteRecursively(s, s"$base/fps/$n"))
   }
 
   /** The MOSS match step served from the maintained fingerprint relation

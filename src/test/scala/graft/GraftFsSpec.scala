@@ -93,23 +93,24 @@ class GraftFsSpec extends SparkTestBase with Matchers {
     // the sanitized prefixes may collide on the suffix shape — the
     // fingerprint must keep the full tags distinct (different temp roots)
     GraftFs.scaleTag(spark, a) should not be GraftFs.scaleTag(spark, b)
-    // regenerating content in place (different length) rotates the tag;
-    // in-place file overwrite does not bump the parent dir's mtime, so
-    // the same-session memo probe cannot see it — a cloned session does
+    // regenerating content in place (different length) rotates the tag
+    // in the SAME session — since r15 the tag folds the listing on every
+    // lookup (no memo, no mtime-tick staleness window, the r14 ADVICE
+    // fix), so the direct-child length change is seen immediately
     val a2 = a + "2"
     seed(a2, "x")
     val t1 = GraftFs.scaleTag(spark, a2)
     seed(a2, "xyzzy-longer")
-    // bust the per-session memo by asking through a cloned session
+    GraftFs.scaleTag(spark, a2) should not be t1
+    // and through a cloned session trivially too
     val t2 = GraftFs.scaleTag(spark.newSession(), a2)
     t1 should not be t2
     // a REALISTIC regeneration (delete + create, what every parquet
-    // writer does) bumps the parent dir mtime, which the r14 per-lookup
-    // probe catches in the SAME session — no memo-busting clone needed
+    // writer does) rotates as well — no sleep needed: the entry-name set
+    // itself changes, so the fold differs even within one mtime tick
     val a3 = a + "3"
     seed(a3, "x")
     val t3 = GraftFs.scaleTag(spark, a3)
-    Thread.sleep(15) // File.lastModified is ms-granular
     Files.delete(java.nio.file.Paths.get(a3, "t.parquet"))
     Files.write(java.nio.file.Paths.get(a3, "t2.parquet"), "regen".getBytes("UTF-8"))
     val t4 = GraftFs.scaleTag(spark, a3)

@@ -63,7 +63,7 @@ class IncrementalWinnowSpec extends SparkTestBase with Matchers {
     after shouldBe oneShot(b0.unionByName(b1))
   }
 
-  test("compaction folds segments to one distinct relation, deletes inputs, and changes nothing served; lost-CAS rebase keeps an interloper segment") {
+  test("compaction folds segments to one distinct relation, tombstones inputs (deferred GC), and changes nothing served; lost-CAS rebase keeps an interloper segment") {
     val base = Files.createTempDirectory("graft_incwin_cmp").toFile.getAbsolutePath
     val docs = Tables.documents(spark, sfTiny).select("doc_id", "text")
     for (i <- 0 until 3)
@@ -71,13 +71,20 @@ class IncrementalWinnowSpec extends SparkTestBase with Matchers {
         base, Some(i.toLong))
     val st3 = IncrementalWinnow.currentState(spark, base)
     st3.segs.size shouldBe 3
+    // a reader resolved BEFORE the compaction (the serve-while-ingest
+    // race, r14 ADVICE): its segment files must survive the swap
+    val preSwapReader = IncrementalWinnow.serveWinnowPairs(spark, base)
     IncrementalWinnow.compactSegments(spark, base)
     val stc = IncrementalWinnow.currentState(spark, base)
     stc.segs.size shouldBe 1
     stc.batch shouldBe Some(2L) // compaction must not move the replay tag
-    // inputs deleted after the publish landed
+    // deferred GC: the folded inputs are TOMBSTONED, not deleted — still
+    // on disk for pre-swap readers until the NEXT compaction publishes
+    stc.tombs.toSet shouldBe st3.segs.toSet
     val fpsDir = new java.io.File(s"$base/fps")
-    fpsDir.listFiles().map(_.getName).toSet shouldBe stc.segs.toSet
+    fpsDir.listFiles().map(_.getName).toSet shouldBe (stc.segs.toSet ++ stc.tombs)
+    // the pre-swap reader executes cleanly against the tombstoned dirs
+    pairSet(preSwapReader) shouldBe oneShot(docs.filter(col("doc_id") % 4 < 3))
     // rebase: compacting a STALE observed state (captured before a new
     // batch landed) keeps the interloper's segment alongside the
     // compacted dir — nothing committed since the observation is lost
@@ -94,6 +101,11 @@ class IncrementalWinnowSpec extends SparkTestBase with Matchers {
     st6.batch shouldBe Some(4L)
     st6.segs.size shouldBe 2
     (st6.segs.toSet intersect (st5.segs.toSet -- st4.segs.toSet)) should not be empty
+    // the SECOND compaction reclaimed the first generation's tombstones
+    // and tombstoned its own inputs
+    st6.tombs.toSet shouldBe st4.segs.toSet
+    (fpsDir.listFiles().map(_.getName).toSet intersect stc.tombs.toSet) shouldBe empty
+    fpsDir.listFiles().map(_.getName).toSet shouldBe (st6.segs.toSet ++ st6.tombs)
     // served answer ≡ one-shot through every fold
     pairSet(IncrementalWinnow.serveWinnowPairs(spark, base)) shouldBe oneShot(docs)
   }
@@ -114,8 +126,10 @@ class IncrementalWinnowSpec extends SparkTestBase with Matchers {
     // without the auto-fold this would be 18; the 16-segment trigger
     // folded once, so live segments = 1 compacted + the appends since
     st.segs.size should be < 16
-    // on-disk segment dirs match the record exactly (inputs GC'd)
-    new java.io.File(s"$base/fps").listFiles().map(_.getName).toSet shouldBe st.segs.toSet
+    // on-disk segment dirs = the record's live segs + its deferred-GC
+    // tombstones (the last fold's inputs, reclaimed by the next fold)
+    new java.io.File(s"$base/fps").listFiles().map(_.getName).toSet shouldBe
+      (st.segs.toSet ++ st.tombs)
     pairSet(IncrementalWinnow.serveWinnowPairs(spark, base)) shouldBe oneShot(docs)
   }
 

@@ -93,7 +93,9 @@ class ScaleFixtureGenSpec extends SparkTestBase with Matchers {
     byPair.foreach { case (_, m) =>
       m.values.foreach(d => math.abs(d - m(0L)) should be < 1e-3)
     }
-    // norms preserved exactly (permutation + sign flip reorders the sum)
+    // norms preserved up to float-summation reordering (the permutation
+    // + sign flip leave every |x_i| unchanged but reorder the sum, so
+    // equality holds in real arithmetic, 1e-6 in floats)
     val norms = emb.select(col("rep"), col("base"),
         expr("aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * x)").as("nrm"))
       .collect().groupBy(_.getLong(1))
