@@ -77,15 +77,24 @@ object IncrementalIndex {
     * field parse with ndocs absent and the serve paths fall back to the
     * postings-derived count.
     */
+  /** `tombs` — posting dirs folded by the LAST compaction, still on disk
+    * for readers that resolved the pre-swap record (deferred GC, the r15
+    * IncrementalWinnow discipline): deleted when the NEXT compaction
+    * publishes, so a serve that resolved either of the two most recent
+    * records never loses a parquet dir between plan resolution and scan
+    * execution. Pre-tombs records parse with the field absent.
+    */
   private[graft] case class IndexState(version: Long, statsDir: Option[String],
-      segs: Seq[String], batch: Option[Long], ndocs: Option[Long] = None)
+      segs: Seq[String], batch: Option[Long], ndocs: Option[Long] = None,
+      tombs: Seq[String] = Seq.empty)
 
   private val EmptyState = IndexState(-1L, None, Seq.empty, None)
 
   private def recordBody(st: IndexState): String =
     s"stats=${st.statsDir.getOrElse("")};segs=${st.segs.mkString(",")};" +
       s"batch=${st.batch.fold("-")(_.toString)};" +
-      s"ndocs=${st.ndocs.fold("-")(_.toString)}"
+      s"ndocs=${st.ndocs.fold("-")(_.toString)};" +
+      s"tombs=${st.tombs.mkString(",")}"
 
   private def parseRecord(version: Long, body: String): IndexState = {
     val kv = body.trim.split(";").map { f =>
@@ -96,7 +105,8 @@ object IncrementalIndex {
       kv.get("stats").filter(_.nonEmpty),
       kv.get("segs").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty),
       kv.get("batch").filter(_ != "-").map(_.toLong),
-      kv.get("ndocs").filter(_ != "-").map(_.toLong))
+      kv.get("ndocs").filter(_ != "-").map(_.toLong),
+      kv.get("tombs").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty))
   }
 
   private def readRecord(s: SparkSession, base: String, v: Long): Option[IndexState] =
@@ -247,7 +257,7 @@ object IncrementalIndex {
         else readPostingsOf(s, base, st).select("doc_id").distinct().count()
       }
       val next = IndexState(v, Some(statsName), st.segs :+ segName,
-        batchId.orElse(st.batch), Some(baseDocs + batchDocs))
+        batchId.orElse(st.batch), Some(baseDocs + batchDocs), st.tombs)
       if (publish(s, base, next)) committed = true
       else {
         st = currentState(s, base)
@@ -360,8 +370,12 @@ object IncrementalIndex {
     * disjoint (token, doc) facts, order-free) and CAS-publishes a record
     * swapping them for it. Concurrent ingest is SAFE: a batch that
     * commits mid-compact wins the CAS, and the rebase keeps its segments
-    * alongside the compacted dir. Input dirs are deleted only after the
-    * publish lands. Stats are untouched (they were never per-segment).
+    * alongside the compacted dir. GC is DEFERRED one compaction
+    * generation (the r15 IncrementalWinnow discipline): folded inputs
+    * are tombstoned in the new record and deleted only when the NEXT
+    * compaction publishes, so a reader that resolved the pre-swap
+    * record between currentState and scan execution keeps its files.
+    * Stats are untouched (they were never per-segment).
     */
   def compactSegments(s: SparkSession, base: String): Unit =
     compactFrom(s, base, currentState(s, base))
@@ -399,7 +413,13 @@ object IncrementalIndex {
     } catch {
       case e: Exception =>
         graft.sources.GraftFs.deleteRecursively(s, s"$base/postings/$cName")
-        if (!currentState(s, base).segs.exists(folded.contains)) return
+        // rethrow ONLY when every folded input is still live (a genuine
+        // I/O failure reading committed data); if ANY left the live set,
+        // a concurrent compactor with an overlapping folded set swapped
+        // a subset of our inputs mid-read — its compacted dir covers the
+        // content and our fold is superseded, not failed
+        val liveNow = currentState(s, base).segs.toSet
+        if (!folded.forall(liveNow.contains)) return
         throw e
     }
     var st = observed
@@ -418,14 +438,19 @@ object IncrementalIndex {
         return
       }
       // keep every segment committed since the observed state (an
-      // interleaved append loses nothing); swap only the folded inputs
+      // interleaved append loses nothing); swap only the folded inputs,
+      // tombstone them (deferred GC — deleted by the NEXT compaction)
       val next = IndexState(st.version + 1, st.statsDir,
         (cName +: st.segs.filterNot(folded.contains)).distinct, st.batch,
-        st.ndocs) // compaction rewrites segments, never the corpus census
+        st.ndocs, // compaction rewrites segments, never the corpus census
+        folded.toSeq.sorted)
       if (publish(s, base, next)) committed = true
       else st = currentState(s, base)
     }
-    folded.foreach(n => graft.sources.GraftFs.deleteRecursively(s, s"$base/postings/$n"))
+    // reclaim the PREVIOUS generation's tombstones: a reader still
+    // referencing them resolved a record at least two compactions old
+    st.tombs.filterNot(folded.contains)
+      .foreach(n => graft.sources.GraftFs.deleteRecursively(s, s"$base/postings/$n"))
   }
 
   /** Attach to a documents stream via foreachBatch (replay-protected). */

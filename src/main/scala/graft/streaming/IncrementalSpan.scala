@@ -70,14 +70,22 @@ object IncrementalSpan {
     * `docSegs` are dir names under `occ/` / `docs/`; `statsDir` is
     * relative to `base`.
     */
+  /** `occTombs`/`docTombs` — segment dirs folded by the LAST compaction,
+    * still on disk for readers that resolved the pre-swap record
+    * (deferred GC, the r15 IncrementalWinnow discipline): deleted when
+    * the NEXT compaction publishes. Pre-tombs records parse with the
+    * fields absent.
+    */
   private[graft] case class SpanState(version: Long, statsDir: Option[String],
-      occSegs: Seq[String], docSegs: Seq[String], batch: Option[Long])
+      occSegs: Seq[String], docSegs: Seq[String], batch: Option[Long],
+      occTombs: Seq[String] = Seq.empty, docTombs: Seq[String] = Seq.empty)
 
   private val EmptyState = SpanState(-1L, None, Seq.empty, Seq.empty, None)
 
   private def recordBody(st: SpanState): String =
     s"stats=${st.statsDir.getOrElse("")};occ=${st.occSegs.mkString(",")};" +
-      s"docs=${st.docSegs.mkString(",")};batch=${st.batch.fold("-")(_.toString)}"
+      s"docs=${st.docSegs.mkString(",")};batch=${st.batch.fold("-")(_.toString)};" +
+      s"tombocc=${st.occTombs.mkString(",")};tombdocs=${st.docTombs.mkString(",")}"
 
   private def parseRecord(version: Long, body: String): SpanState = {
     val kv = body.trim.split(";").map { f =>
@@ -88,7 +96,9 @@ object IncrementalSpan {
       kv.get("stats").filter(_.nonEmpty),
       kv.get("occ").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty),
       kv.get("docs").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty),
-      kv.get("batch").filter(_ != "-").map(_.toLong))
+      kv.get("batch").filter(_ != "-").map(_.toLong),
+      kv.get("tombocc").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty),
+      kv.get("tombdocs").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty))
   }
 
   private def readRecord(s: SparkSession, base: String, v: Long): Option[SpanState] =
@@ -225,7 +235,8 @@ object IncrementalSpan {
           n
       }
       val next = SpanState(v, Some(statsName), st.occSegs :+ occSeg,
-        st.docSegs :+ docsSeg, batchId.orElse(st.batch))
+        st.docSegs :+ docsSeg, batchId.orElse(st.batch),
+        st.occTombs, st.docTombs)
       if (publish(s, base, next)) { committed = true; gcStats(s, base, next) }
       else {
         st = currentState(s, base)
@@ -242,7 +253,11 @@ object IncrementalSpan {
     * (gh, doc_id) facts and docs rows disjoint doc_ids, both order-free.
     * Concurrent ingest is safe: a batch that commits mid-compact wins
     * the CAS and the rebase keeps its segments alongside the compacted
-    * dirs. Input dirs are deleted only after the publish lands.
+    * dirs. GC is DEFERRED one compaction generation (the r15
+    * IncrementalWinnow discipline): folded inputs are tombstoned in the
+    * new record and deleted only when the NEXT compaction publishes —
+    * a reader that resolved the pre-swap record between currentState
+    * and scan execution keeps its files.
     */
   def compactSegments(s: SparkSession, base: String): Unit =
     compactFrom(s, base, currentState(s, base))
@@ -271,7 +286,11 @@ object IncrementalSpan {
       case e: Exception =>
         graft.sources.GraftFs.deleteRecursively(s, s"$base/occ/$cName")
         graft.sources.GraftFs.deleteRecursively(s, s"$base/docs/$cName")
-        if (!currentState(s, base).occSegs.exists(foldedOcc.contains)) return
+        // rethrow ONLY when every folded input is still live (a genuine
+        // I/O failure reading committed data); a concurrent compactor
+        // that swapped any subset of our inputs supersedes this fold
+        val liveNow = currentState(s, base).occSegs.toSet
+        if (!foldedOcc.forall(liveNow.contains)) return
         throw e
     }
     var st = observed
@@ -288,16 +307,21 @@ object IncrementalSpan {
         return
       }
       // keep every segment committed since the observed state (an
-      // interleaved append loses nothing); swap only the folded inputs
+      // interleaved append loses nothing); swap only the folded inputs,
+      // tombstone them (deferred GC — deleted by the NEXT compaction)
       val next = SpanState(st.version + 1, st.statsDir,
         (cName +: st.occSegs.filterNot(foldedOcc.contains)).distinct,
         (cName +: st.docSegs.filterNot(foldedDocs.contains)).distinct,
-        st.batch)
+        st.batch,
+        foldedOcc.toSeq.sorted, foldedDocs.toSeq.sorted)
       if (publish(s, base, next)) committed = true
       else st = currentState(s, base)
     }
-    foldedOcc.foreach(n => graft.sources.GraftFs.deleteRecursively(s, s"$base/occ/$n"))
-    foldedDocs.foreach(n => graft.sources.GraftFs.deleteRecursively(s, s"$base/docs/$n"))
+    // reclaim the PREVIOUS generation's tombstones
+    st.occTombs.filterNot(foldedOcc.contains)
+      .foreach(n => graft.sources.GraftFs.deleteRecursively(s, s"$base/occ/$n"))
+    st.docTombs.filterNot(foldedDocs.contains)
+      .foreach(n => graft.sources.GraftFs.deleteRecursively(s, s"$base/docs/$n"))
   }
 
   /** The full provenance audit served from state — ≡ q_text_span_source

@@ -110,10 +110,15 @@ class IncrementalIndexSpec extends SparkTestBase with Matchers {
       batchId = Some(1L))
     IncrementalIndex.readPostings(spark, base).count() should be > once
 
-    // segment compaction: content unchanged, one dir remains, ingest continues
+    // segment compaction: content unchanged, ONE live dir remains (the
+    // folded inputs stay on disk as deferred-GC tombstones until the
+    // next compaction — r15), ingest continues
     val heads = IncrementalIndex.searchHeads(spark, base).collect().map(_.toString).toSeq
     IncrementalIndex.compactSegments(spark, base)
-    new java.io.File(s"$base/postings").listFiles().length shouldBe 1
+    val stc = IncrementalIndex.currentState(spark, base)
+    stc.segs.length shouldBe 1
+    new java.io.File(s"$base/postings").listFiles().map(_.getName).toSet shouldBe
+      (stc.segs.toSet ++ stc.tombs)
     IncrementalIndex.searchHeads(spark, base).collect().map(_.toString).toSeq shouldBe heads
     IncrementalIndex.processBatch(spark, docs.limit(0), base, batchId = Some(2L))
     IncrementalIndex.searchHeads(spark, base).collect().map(_.toString).toSeq shouldBe heads
@@ -165,10 +170,14 @@ class IncrementalIndexSpec extends SparkTestBase with Matchers {
     val got = IncrementalIndex.readPostings(spark, base)
       .collect().map(_.toString).toSeq.sorted
     got shouldBe want
-    // the folded inputs are gone; the live set is exactly {c-dir, interloper}
-    val segs = new java.io.File(s"$base/postings").listFiles().map(_.getName).toSet
-    segs.count(_.startsWith("c")) shouldBe 1
-    segs.count(_.startsWith("b")) shouldBe 1
+    // the LIVE set is exactly {c-dir, interloper}; the folded inputs are
+    // tombstoned on disk (deferred GC), not deleted
+    val stCas = IncrementalIndex.currentState(spark, base)
+    stCas.segs.count(_.startsWith("c")) shouldBe 1
+    stCas.segs.count(_.startsWith("b")) shouldBe 1
+    stCas.tombs should have size 2
+    new java.io.File(s"$base/postings").listFiles().map(_.getName).toSet shouldBe
+      (stCas.segs.toSet ++ stCas.tombs)
     // replay protection survived the compaction commit (tag carried in the
     // record): replaying batch 2 is still a no-op
     IncrementalIndex.processBatch(spark, docs.filter(col("doc_id") >= 100), base,
