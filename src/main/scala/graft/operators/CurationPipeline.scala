@@ -50,10 +50,17 @@ object CurationPipeline {
     val docs = scoredDocs(input)
     // stage 1: quality gate
     val quality = docs.filter(col("quality_score") >= minQuality)
-    // stage 2: exact dedup — canonical representative per identical text
+    // stage 2: exact dedup — canonical representative per identical text.
+    // The window partitions by (xxhash64(text), text): the SAME
+    // equivalence classes as text alone (grouping by (f(x), x) ≡ by x —
+    // semantics and oracle untouched), but the shuffle-sort compares the
+    // 8-byte hash first and touches the full document only between
+    // hash-equal neighbors — at 100 TB the sort keys stay skinny instead
+    // of comparing long shared boilerplate prefixes (r14 verdict note)
     val exact = quality
       .withColumn("keep_id", min("doc_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("text")))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(xxhash64(col("text")), col("text"))))
       .filter(col("doc_id") === col("keep_id"))
     // stage 3: near-dedup — drop docs with a more-canonical near-twin.
     // Candidate pairs come from the engine's MinHash-banded LSH (near-
