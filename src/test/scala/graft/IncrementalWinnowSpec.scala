@@ -133,6 +133,29 @@ class IncrementalWinnowSpec extends SparkTestBase with Matchers {
     pairSet(IncrementalWinnow.serveWinnowPairs(spark, base)) shouldBe oneShot(docs)
   }
 
+  test("serve-while-ingest: continuous reads race the auto-compacting ingest and never lose a file (deferred GC)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_incwin_serveingest").toFile.getAbsolutePath
+    // 20 batches trip the 16-segment auto-fold mid-race; the reader loop
+    // resolves a record and executes its scan while folds land — before
+    // the r15 deferred GC this threw FileNotFoundException in steady
+    // state (the r14 ADVICE medium), now the tombstoned dirs outlive the
+    // swap by a full generation
+    val docs = (0L until 20L).map(i =>
+      (i, s"r${i}a r${i}b r${i}c shr0 shr1 shr2 shr3 shr4"))
+      .toDF("doc_id", "text").localCheckpoint()
+    IncrementalWinnow.processBatch(spark, docs.filter(col("doc_id") === 0), base, Some(0L))
+    raceAll(
+      () => for (i <- 1 until 20)
+        IncrementalWinnow.processBatch(spark,
+          docs.filter(col("doc_id") === i), base, Some(i.toLong)),
+      () => for (_ <- 0 until 40) {
+        // every read must complete: the fp relation only ever GROWS here
+        IncrementalWinnow.readFingerprints(spark, base).count() should be >= 0L
+      })
+    pairSet(IncrementalWinnow.serveWinnowPairs(spark, base)) shouldBe oneShot(docs)
+  }
+
   test("concurrent ingest: two writers racing the same state lose no batch") {
     val base = Files.createTempDirectory("graft_incwin_race").toFile.getAbsolutePath
     val docs = Tables.documents(spark, sfTiny).select("doc_id", "text")
