@@ -93,8 +93,10 @@ object ServeScaleBench {
         .localCheckpoint()
       // time-ordered arrival: slice the hour axis into Batches contiguous
       // windows — the ingest pattern the touched×history contract assumes
-      val Array(hMin, hMax) = raw.agg(min("h"), max("h")).collect()
-        .map(r => Array(r.getLong(0), r.getLong(1))).head
+      val bounds = raw.agg(min("h"), max("h")).collect().head
+      require(!bounds.isNullAt(0),
+        s"trendIngest: events table under $dir is empty — nothing to certify")
+      val (hMin, hMax) = (bounds.getLong(0), bounds.getLong(1))
       val span = math.max(1L, hMax - hMin + 1)
       for (i <- 0 until Batches) {
         val lo = hMin + span * i / Batches

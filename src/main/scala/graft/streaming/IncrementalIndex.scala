@@ -372,9 +372,10 @@ object IncrementalIndex {
     * commits mid-compact wins the CAS, and the rebase keeps its segments
     * alongside the compacted dir. GC is DEFERRED one compaction
     * generation (the r15 IncrementalWinnow discipline): folded inputs
-    * are tombstoned in the new record and deleted only when the NEXT
-    * compaction publishes, so a reader that resolved the pre-swap
-    * record between currentState and scan execution keeps its files.
+    * are tombstoned in the new record and reclaimed at the NEXT
+    * compaction's entry (before its publish — so a crash there cannot
+    * orphan them), keeping a reader that resolved the pre-swap record
+    * between currentState and scan execution scanning live files.
     * Stats are untouched (they were never per-segment).
     */
   def compactSegments(s: SparkSession, base: String): Unit =
@@ -395,14 +396,23 @@ object IncrementalIndex {
     // unreferenced dir on abort.
     val cName = s"c${observed.version + 1}-" +
       java.util.UUID.randomUUID.toString.take(8)
-    // Fast-path duplicate guard: if another compaction of this same
-    // observed state already published, every folded input has been
-    // swapped out atomically (and possibly DELETED, so the read below
-    // would fail) — abort before the read/write. The same guard re-runs
-    // inside the CAS loop for races that land between here and the
-    // publish.
+    // Fast-path duplicate/overlap guard: proceed only while EVERY
+    // folded input is still live. All-or-nothing matters with deferred
+    // GC (r15): an overlapping concurrent fold leaves our inputs
+    // READABLE as tombstones, so an exists-guard would let us succeed
+    // and publish a state listing the shared postings TWICE (ours +
+    // the other compactor's output — an additive double-count). An
+    // APPEND never removes a segment, so the legitimate stale-observed
+    // rebase always passes. The same guard re-runs inside the CAS loop.
     val live = currentState(s, base)
-    if (!live.segs.exists(folded.contains)) return
+    if (!folded.forall(live.segs.contains)) return
+    // reclaim the PREVIOUS generation's tombstones at entry: a full
+    // generation old (no reader holding the current or prior record
+    // references them), and reclaiming BEFORE our own publish means a
+    // crash below cannot orphan them — they stay listed in the
+    // still-current record and the next compaction re-reclaims
+    live.tombs.filterNot(folded.contains)
+      .foreach(n => graft.sources.GraftFs.deleteRecursively(s, s"$base/postings/$n"))
     // TOCTOU window: a concurrent winner can publish AND delete the
     // folded dirs between the guard above and this read — treat a read/
     // write failure whose live state confirms the swap as a lost race,
@@ -428,12 +438,12 @@ object IncrementalIndex {
     while (!committed) {
       attempts += 1
       require(attempts <= 8, s"compactSegments: lost the publish race $attempts times at $base")
-      // Rebase guard: if the race winner was ANOTHER compaction of the
-      // same observed state, it swapped out every folded input
-      // (publishing our duplicate would double-count them all). Abort —
-      // the winner owns the folded-dir cleanup; we remove our
-      // never-published duplicate dir.
-      if (!st.segs.exists(folded.contains)) {
+      // Rebase guard: if the race winner was a compaction overlapping
+      // our folded set (same observed state or any sub/superset fold),
+      // its output covers the swapped content — publishing ours would
+      // double-count every shared posting. Abort; the winner owns the
+      // tombstone cleanup; we remove our never-published duplicate dir.
+      if (!folded.forall(st.segs.contains)) {
         graft.sources.GraftFs.deleteRecursively(s, s"$base/postings/$cName")
         return
       }
@@ -447,10 +457,8 @@ object IncrementalIndex {
       if (publish(s, base, next)) committed = true
       else st = currentState(s, base)
     }
-    // reclaim the PREVIOUS generation's tombstones: a reader still
-    // referencing them resolved a record at least two compactions old
-    st.tombs.filterNot(folded.contains)
-      .foreach(n => graft.sources.GraftFs.deleteRecursively(s, s"$base/postings/$n"))
+    // (prior-generation tombs were reclaimed at entry; appends cannot
+    // add tombs and an interleaved compaction takes the overlap exit)
   }
 
   /** Attach to a documents stream via foreachBatch (replay-protected). */

@@ -255,9 +255,10 @@ object IncrementalSpan {
     * the CAS and the rebase keeps its segments alongside the compacted
     * dirs. GC is DEFERRED one compaction generation (the r15
     * IncrementalWinnow discipline): folded inputs are tombstoned in the
-    * new record and deleted only when the NEXT compaction publishes —
-    * a reader that resolved the pre-swap record between currentState
-    * and scan execution keeps its files.
+    * new record and reclaimed at the NEXT compaction's entry (before
+    * its publish, so a crash there cannot orphan them) — a reader that
+    * resolved the pre-swap record between currentState and scan
+    * execution keeps its files.
     */
   def compactSegments(s: SparkSession, base: String): Unit =
     compactFrom(s, base, currentState(s, base))
@@ -272,11 +273,23 @@ object IncrementalSpan {
     val foldedDocs = observed.docSegs.toSet
     val uid = java.util.UUID.randomUUID.toString.take(8)
     val cName = s"c${observed.version + 1}-$uid"
-    // duplicate-compactor fast path: if another compaction of this same
-    // observed state already published, the folded inputs were swapped
-    // out (and possibly deleted) — abort before reading them
+    // duplicate/overlap fast path: proceed only while EVERY folded
+    // input is still live — with deferred GC (r15) an overlapping
+    // concurrent fold leaves our inputs readable as tombstones, and an
+    // exists-guard would let us publish a state listing shared window
+    // counts twice (an additive double-count). Appends never remove a
+    // segment, so the legitimate stale-observed rebase always passes.
     val live = currentState(s, base)
-    if (!live.occSegs.exists(foldedOcc.contains)) return
+    if (!foldedOcc.forall(live.occSegs.contains)
+      || !foldedDocs.forall(live.docSegs.contains)) return
+    // reclaim the PREVIOUS generation's tombstones at entry (a full
+    // generation old; reclaiming before our publish means a crash below
+    // cannot orphan them — the still-current record keeps them listed
+    // and the next compaction re-reclaims)
+    live.occTombs.filterNot(foldedOcc.contains)
+      .foreach(n => graft.sources.GraftFs.deleteRecursively(s, s"$base/occ/$n"))
+    live.docTombs.filterNot(foldedDocs.contains)
+      .foreach(n => graft.sources.GraftFs.deleteRecursively(s, s"$base/docs/$n"))
     try {
       readOccOf(s, base, observed).localCheckpoint()
         .write.mode("overwrite").parquet(s"$base/occ/$cName")
@@ -299,9 +312,11 @@ object IncrementalSpan {
     while (!committed) {
       attempts += 1
       require(attempts <= 8, s"compactSegments: lost the publish race $attempts times at $base")
-      if (!st.occSegs.exists(foldedOcc.contains)) {
-        // the race winner was another compaction of the same observed
-        // state — it owns the folded-dir cleanup; drop our duplicate
+      if (!foldedOcc.forall(st.occSegs.contains)
+        || !foldedDocs.forall(st.docSegs.contains)) {
+        // the race winner was a compaction overlapping our folded set —
+        // its output covers the swapped content; publishing ours would
+        // double-count shared windows. Abort; the winner owns cleanup.
         graft.sources.GraftFs.deleteRecursively(s, s"$base/occ/$cName")
         graft.sources.GraftFs.deleteRecursively(s, s"$base/docs/$cName")
         return
@@ -317,11 +332,8 @@ object IncrementalSpan {
       if (publish(s, base, next)) committed = true
       else st = currentState(s, base)
     }
-    // reclaim the PREVIOUS generation's tombstones
-    st.occTombs.filterNot(foldedOcc.contains)
-      .foreach(n => graft.sources.GraftFs.deleteRecursively(s, s"$base/occ/$n"))
-    st.docTombs.filterNot(foldedDocs.contains)
-      .foreach(n => graft.sources.GraftFs.deleteRecursively(s, s"$base/docs/$n"))
+    // (prior-generation tombs were reclaimed at entry; appends cannot
+    // add tombs and an interleaved compaction takes the overlap exit)
   }
 
   /** The full provenance audit served from state — ≡ q_text_span_source

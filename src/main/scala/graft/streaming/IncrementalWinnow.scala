@@ -179,14 +179,21 @@ object IncrementalWinnow {
     * alongside the compacted dir.
     *
     * GC is DEFERRED one compaction generation (r14 ADVICE): the folded
-    * input dirs are recorded as the new state's `tombs` and deleted only
-    * when the NEXT compaction publishes. A reader that resolved the
-    * pre-swap record between currentState and scan execution therefore
-    * keeps its parquet files for a full auto-compaction window (16
-    * batches in steady state) instead of losing them the instant the
-    * swap lands. The cost is ≤ one generation of folded segments parked
-    * on disk; if no compaction ever runs again they stay — skinny,
-    * harmless, and reclaimed by the next fold.
+    * input dirs are recorded as the new state's `tombs`; the NEXT
+    * compaction reclaims the live record's tombs at ENTRY (before its
+    * own fold — they are already a full generation old, so no reader
+    * that resolved either of the two most recent records references
+    * them, and reclaiming before our own publish means a crash anywhere
+    * in THIS compaction cannot orphan them: they stay listed in the
+    * still-current record and the next attempt re-reclaims). A reader
+    * that resolved the pre-swap record between currentState and scan
+    * execution therefore keeps its parquet files for a full
+    * auto-compaction window (16 batches in steady state). The cost is
+    * ≤ one generation of folded segments parked on disk; a crash
+    * between this compactor's own fold-write and publish can still
+    * orphan its UNREFERENCED `cName` output dir — the same pre-existing
+    * class as a crashed ingest's segment, invisible to every reader and
+    * bounded by crash count, not by runtime.
     */
   def compactSegments(s: SparkSession, base: String): Unit =
     compactFrom(s, base, currentState(s, base))
@@ -200,10 +207,26 @@ object IncrementalWinnow {
     val folded = observed.segs.toSet
     val uid = java.util.UUID.randomUUID.toString.take(8)
     val cName = s"c${observed.version + 1}-$uid"
-    // duplicate-compactor fast path: another compaction of this same
-    // observed state already swapped (and possibly deleted) the inputs
+    // duplicate/overlapping-compactor fast path: proceed only while
+    // EVERY folded input is still live. All-or-nothing matters with
+    // deferred GC (r15): an overlapping concurrent fold leaves our
+    // inputs READABLE as tombstones, so without this guard we would
+    // succeed and publish a state listing the shared content twice —
+    // once in our cName, once in the other compactor's (harmless for
+    // winnow's distinct relation, a double-count for the additive
+    // siblings; guarded identically in all three). An APPEND never
+    // removes a segment, so the legitimate stale-observed rebase
+    // (interleaved ingest) always passes this check.
     val live = currentState(s, base)
-    if (!live.segs.exists(folded.contains)) return
+    if (!folded.forall(live.segs.contains)) return
+    // reclaim the PREVIOUS generation's tombstones at entry: they are a
+    // full compaction generation old (no reader holding the current or
+    // prior record references them), and reclaiming BEFORE our own
+    // publish means a crash anywhere below cannot orphan them — they
+    // stay listed in the still-current record and the next compaction
+    // re-reclaims (deleteRecursively of a missing dir is a no-op)
+    live.tombs.filterNot(folded.contains)
+      .foreach(n => graft.sources.GraftFs.deleteRecursively(s, s"$base/fps/$n"))
     try {
       s.read.schema(fpSchema).parquet(observed.segs.map(n => s"$base/fps/$n"): _*)
         .distinct()
@@ -228,9 +251,11 @@ object IncrementalWinnow {
     while (!committed) {
       attempts += 1
       require(attempts <= 8, s"compactSegments: lost the publish race $attempts times at $base")
-      if (!st.segs.exists(folded.contains)) {
-        // the race winner was another compaction of the same observed
-        // state — it owns the folded-dir cleanup; drop our duplicate
+      if (!folded.forall(st.segs.contains)) {
+        // the race winner was another compaction overlapping our folded
+        // set (same observed state, or a superset/subset fold) — its
+        // output covers the swapped content; publishing ours would
+        // double-list it. Abort; the winner owns the tombstone cleanup.
         graft.sources.GraftFs.deleteRecursively(s, s"$base/fps/$cName")
         return
       }
@@ -243,10 +268,9 @@ object IncrementalWinnow {
       if (publish(s, base, next)) committed = true
       else st = currentState(s, base)
     }
-    // reclaim the PREVIOUS generation's tombstones: any reader still
-    // referencing them resolved a record at least two compactions old
-    st.tombs.filterNot(folded.contains)
-      .foreach(n => graft.sources.GraftFs.deleteRecursively(s, s"$base/fps/$n"))
+    // (prior-generation tombs were reclaimed at entry; an interleaved
+    // append cannot add tombs, and an interleaved compaction takes the
+    // superseded-fold exit above — nothing further to delete here)
   }
 
   /** The MOSS match step served from the maintained fingerprint relation

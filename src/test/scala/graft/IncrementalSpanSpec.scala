@@ -40,10 +40,19 @@ class IncrementalSpanSpec extends SparkTestBase with Matchers {
       IncrementalSpan.processBatch(spark, docs.filter(col("doc_id") % 4 === i),
         base, batchId = Some(i.toLong))
     val before = rows(IncrementalSpan.serveSpanSource(spark, base))
+    val st3 = IncrementalSpan.currentState(spark, base)
     IncrementalSpan.compactSegments(spark, base)
     val stC = IncrementalSpan.currentState(spark, base)
     stC.occSegs.length shouldBe 1 // three batch segments folded into one
     stC.docSegs.length shouldBe 1
+    // deferred GC (r15): the folded inputs are TOMBSTONED in both
+    // families, still on disk for pre-swap readers
+    stC.occTombs.toSet shouldBe st3.occSegs.toSet
+    stC.docTombs.toSet shouldBe st3.docSegs.toSet
+    new java.io.File(s"$base/occ").listFiles().map(_.getName).toSet shouldBe
+      (stC.occSegs.toSet ++ stC.occTombs)
+    new java.io.File(s"$base/docs").listFiles().map(_.getName).toSet shouldBe
+      (stC.docSegs.toSet ++ stC.docTombs)
     rows(IncrementalSpan.serveSpanSource(spark, base)) shouldBe before
     // lost-CAS rebase: a batch commits BETWEEN a compactor's read and its
     // publish — the compactor must keep the interloper's segments
@@ -57,6 +66,18 @@ class IncrementalSpanSpec extends SparkTestBase with Matchers {
     // replay after compaction is still a no-op
     IncrementalSpan.processBatch(spark, docs.filter(col("doc_id") % 4 === 3),
       base, batchId = Some(3L))
+    rows(IncrementalSpan.serveSpanSource(spark, base)) shouldBe full
+    // a SECOND real compaction (c-dir + the interloper's segment)
+    // reclaims generation-1's tombstones at entry and tombstones its
+    // own inputs — the r15 deferred-GC round trip for both families
+    IncrementalSpan.compactSegments(spark, base)
+    val st2 = IncrementalSpan.currentState(spark, base)
+    st2.occSegs.length shouldBe 1
+    (st2.occTombs.toSet intersect stC.occTombs.toSet) shouldBe empty
+    new java.io.File(s"$base/occ").listFiles().map(_.getName).toSet shouldBe
+      (st2.occSegs.toSet ++ st2.occTombs)
+    new java.io.File(s"$base/docs").listFiles().map(_.getName).toSet shouldBe
+      (st2.docSegs.toSet ++ st2.docTombs)
     rows(IncrementalSpan.serveSpanSource(spark, base)) shouldBe full
   }
 

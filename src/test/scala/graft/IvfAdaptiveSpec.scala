@@ -41,10 +41,14 @@ class IvfAdaptiveSpec extends SparkTestBase with Matchers {
   }
 
   test("oracle-gate guard: the fixture censuses keep k2 at the baked-in 16") {
-    VectorQueries.adaptiveIvfCellsFor(
-      Tables.embeddings(spark, sfTiny).select("vec_id", "label", "embedding")) shouldBe 16
-    VectorQueries.adaptiveIvfCellsFor(
-      Tables.embeddings(spark, "/root/testdata/sf0.01")
-        .select("vec_id", "label", "embedding")) shouldBe 16
+    // ALL THREE driver fixtures — sf0.1 especially, whose max class
+    // (218) sits closest to the 256 flip point: a regeneration pushing
+    // any label class past 256 must fail HERE, not as an opaque DuckDB
+    // hash mismatch in the driver's Verify run
+    for (dir <- Seq(sfTiny, "/root/testdata/sf0.01", "/root/testdata/sf0.1"))
+      withClue(dir) {
+        VectorQueries.adaptiveIvfCellsFor(
+          Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")) shouldBe 16
+      }
   }
 }
