@@ -216,6 +216,37 @@ class IncrementalIndexSpec extends SparkTestBase with Matchers {
       .count(_.startsWith("c")) shouldBe 1
   }
 
+  test("overlapping compactions cannot double-list shared postings (all-live fold guard, r15)") {
+    val base = Files.createTempDirectory("graft_incidx_overlap").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfTiny)
+    IncrementalIndex.processBatch(spark, docs.filter(col("doc_id") < 50), base,
+      batchId = Some(0L))
+    IncrementalIndex.processBatch(spark,
+      docs.filter(col("doc_id") >= 50 && col("doc_id") < 100), base, batchId = Some(1L))
+    // compactor A observes {b1, b2}; an ingest lands; compactor B
+    // observes the superset {b1, b2, b3}
+    val observedA = IncrementalIndex.currentState(spark, base)
+    IncrementalIndex.processBatch(spark, docs.filter(col("doc_id") >= 100), base,
+      batchId = Some(2L))
+    val observedB = IncrementalIndex.currentState(spark, base)
+    val want = IncrementalIndex.readPostings(spark, base).count()
+    // A folds its subset first: {cA, b3} live, {b1, b2} tombstoned
+    IncrementalIndex.compactFrom(spark, base, observedA)
+    IncrementalIndex.readPostings(spark, base).count() shouldBe want
+    // B's folded set {b1, b2, b3} OVERLAPS A's: b1/b2 left the live set
+    // but are still READABLE as tombstones — without the all-live guard
+    // B would fold all three and publish {cB, cA}, listing b1/b2's
+    // postings twice (once in cB, once in cA). B must abort.
+    IncrementalIndex.compactFrom(spark, base, observedB)
+    IncrementalIndex.readPostings(spark, base).count() shouldBe want
+    val st = IncrementalIndex.currentState(spark, base)
+    st.segs.count(_.startsWith("c")) shouldBe 1 // only A's output is live
+    // and a FRESH compaction (observing A's published state) still folds
+    IncrementalIndex.compactSegments(spark, base)
+    IncrementalIndex.readPostings(spark, base).count() shouldBe want
+    IncrementalIndex.currentState(spark, base).segs.length shouldBe 1
+  }
+
   test("crash between compacted write and segment delete cannot double-count") {
     val base = Files.createTempDirectory("graft_incidx_orphan").toFile.getAbsolutePath
     val docs = Tables.documents(spark, sfTiny)
