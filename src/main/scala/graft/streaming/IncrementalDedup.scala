@@ -37,6 +37,12 @@ import org.apache.spark.sql.types._
   * publish race rebases — the pure-batch signature/hash segments are
   * reused, the state-dependent pair emission recomputes against the
   * winner's state.
+  *
+  * Segments auto-compact every [[AutoCompactSegs]] batches (r15 —
+  * the Index/Span/Winnow discipline with deferred-GC tombstones and
+  * the all-live overlap guard), so the record body, the serve read,
+  * and each batch's state-side signature scan stay O(1) in batch
+  * count over a long-running ingest.
   */
 object IncrementalDedup {
 
@@ -53,14 +59,19 @@ object IncrementalDedup {
 
   /** One committed dedup state: segment names (shared by the banded/
     * hashed/pairs dirs — the three are always committed together) and
-    * the highest landed batch id.
+    * the highest landed batch id. `tombs` are the segment names folded
+    * by the LAST compaction (deferred GC, the r15 discipline): still on
+    * disk in all three families for readers that resolved the pre-swap
+    * record, reclaimed at the NEXT compaction's entry.
     */
-  private[graft] case class DedupState(version: Long, segs: Seq[String], batch: Option[Long])
+  private[graft] case class DedupState(version: Long, segs: Seq[String],
+      batch: Option[Long], tombs: Seq[String] = Seq.empty)
 
   private val EmptyState = DedupState(-1L, Seq.empty, None)
 
   private def recordBody(st: DedupState): String =
-    s"segs=${st.segs.mkString(",")};batch=${st.batch.fold("-")(_.toString)}"
+    s"segs=${st.segs.mkString(",")};batch=${st.batch.fold("-")(_.toString)}" +
+      s";tombs=${st.tombs.mkString(",")}"
 
   private def parseRecord(version: Long, body: String): DedupState = {
     val kv = body.trim.split(";").map { f =>
@@ -69,7 +80,8 @@ object IncrementalDedup {
     }.toMap
     DedupState(version,
       kv.get("segs").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty),
-      kv.get("batch").filter(_ != "-").map(_.toLong))
+      kv.get("batch").filter(_ != "-").map(_.toLong),
+      kv.get("tombs").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty))
   }
 
   private def readRecord(s: SparkSession, base: String, v: Long): Option[DedupState] =
@@ -158,6 +170,10 @@ object IncrementalDedup {
     val segName = s"b${st0.version + 1}-$uid"
     bBanded.write.mode("overwrite").parquet(s"$base/banded/$segName")
     bHashed.write.mode("overwrite").parquet(s"$base/hashed/$segName")
+    // an exit that never published must not leave the three family dirs
+    // orphaned (the Winnow dropSeg discipline)
+    def dropSeg(): Unit = Seq("banded", "hashed", "pairs")
+      .foreach(f => graft.sources.GraftFs.deleteRecursively(s, s"$base/$f/$segName"))
     var st = st0
     var attempts = 0
     while (true) {
@@ -178,13 +194,108 @@ object IncrementalDedup {
         .distinct()
       val newPairs = DedupQueries.verifyJaccard(cands, allHashed, 1, 2).localCheckpoint()
       newPairs.write.mode("overwrite").parquet(s"$base/pairs/$segName")
-      val next = DedupState(st.version + 1, st.segs :+ segName, batchId.orElse(st.batch))
-      if (publish(s, base, next)) return newPairs
+      val next = DedupState(st.version + 1, st.segs :+ segName,
+        batchId.orElse(st.batch), st.tombs)
+      if (publish(s, base, next)) {
+        // bound state growth (the Winnow discipline): without folding,
+        // every serve read and every batch's state-side scan opens one
+        // parquet dir per batch ever ingested. The fold runs AFTER the
+        // publish landed, so a failure here must not fail the committed
+        // batch — compaction is idempotent and re-triggers
+        if (next.segs.size >= AutoCompactSegs)
+          try compactFrom(s, base, next)
+          catch {
+            case e: Exception =>
+              System.err.println(s"[IncrementalDedup] auto-compaction at $base " +
+                s"deferred to the next trigger: ${e.getMessage}")
+          }
+        return newPairs
+      }
       st = currentState(s, base)
-      if (batchId.exists(id => st.batch.exists(_ >= id)))
-        return emptyDf(s, pairsSchema)
+      if (batchId.exists(id => st.batch.exists(_ >= id))) {
+        dropSeg(); return emptyDf(s, pairsSchema)
+      }
     }
     emptyDf(s, pairsSchema) // unreachable
+  }
+
+  /** Auto-compaction threshold: processBatch folds the live segments
+    * whenever a publish leaves this many — steady-state serve and the
+    * per-batch state-side scans read a handful of dirs, not one per
+    * batch ever ingested.
+    */
+  private val AutoCompactSegs = 16
+
+  /** Fold every live segment of all THREE families into ONE dir each
+    * and CAS-publish the swap — the Index/Span/Winnow r15 discipline.
+    * Content is unchanged verbatim: each family is rewritten as the
+    * plain union of its folded segments (no distinct — banded/hashed
+    * rows are disjoint across segments by the first-write-wins ingest
+    * guard, and pair rows keep their exact multiplicity). Concurrent
+    * ingest is safe: a batch that commits mid-compact wins the CAS and
+    * the rebase keeps its segment alongside the compacted dir. GC is
+    * DEFERRED one generation: folded inputs are tombstoned in the new
+    * record and reclaimed at the NEXT compaction's entry (before its
+    * publish, so a crash there cannot orphan them).
+    */
+  def compactSegments(s: SparkSession, base: String): Unit =
+    compactFrom(s, base, currentState(s, base))
+
+  private val Families = Seq(
+    ("banded", bandedSchema), ("hashed", hashedSchema), ("pairs", pairsSchema))
+
+  private[graft] def compactFrom(s: SparkSession, base: String, observed: DedupState): Unit = {
+    if (observed.segs.size <= 1) return
+    val folded = observed.segs.toSet
+    val uid = java.util.UUID.randomUUID.toString.take(8)
+    val cName = s"c${observed.version + 1}-$uid"
+    def dropC(): Unit = Families.foreach { case (f, _) =>
+      graft.sources.GraftFs.deleteRecursively(s, s"$base/$f/$cName") }
+    // duplicate/overlap fast path: proceed only while EVERY folded input
+    // is still live — with deferred GC an overlapping concurrent fold
+    // leaves our inputs readable as tombstones, and publishing ours
+    // would double-list shared content (duplicate pair rows and
+    // double-counted signatures in the per-batch state scans)
+    val live = currentState(s, base)
+    if (!folded.forall(live.segs.contains)) return
+    // reclaim the PREVIOUS generation's tombstones at entry (a full
+    // generation old; reclaiming before our publish means a crash below
+    // cannot orphan them — the still-current record keeps them listed)
+    for (t <- live.tombs.filterNot(folded.contains); (f, _) <- Families)
+      graft.sources.GraftFs.deleteRecursively(s, s"$base/$f/$t")
+    try {
+      for ((f, schema) <- Families)
+        readSegs(s, base, f, schema, observed.segs).localCheckpoint()
+          .write.mode("overwrite").parquet(s"$base/$f/$cName")
+    } catch {
+      case e: Exception =>
+        dropC()
+        // rethrow ONLY when every folded input is still live (a genuine
+        // I/O failure); a concurrent compactor that swapped any subset
+        // supersedes this fold
+        val liveNow = currentState(s, base).segs.toSet
+        if (!folded.forall(liveNow.contains)) return
+        throw e
+    }
+    var st = observed
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      attempts += 1
+      require(attempts <= 8, s"compactSegments: lost the publish race $attempts times at $base")
+      if (!folded.forall(st.segs.contains)) {
+        // the race winner overlapped our folded set — its output covers
+        // the swapped content; publishing ours would double-list it
+        dropC()
+        return
+      }
+      val next = DedupState(st.version + 1,
+        (cName +: st.segs.filterNot(folded.contains)).distinct, st.batch,
+        folded.toSeq.sorted)
+      if (publish(s, base, next)) committed = true
+      else st = currentState(s, base)
+    }
+    // (prior-generation tombs were reclaimed at entry)
   }
 
   /** Attach the incremental dedup to a documents stream via foreachBatch;

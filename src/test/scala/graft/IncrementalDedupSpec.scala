@@ -94,6 +94,83 @@ class IncrementalDedupSpec extends SparkTestBase with Matchers {
     IncrementalDedup.readPairs(spark, stateBase).count() shouldBe wantCount
   }
 
+  test("compaction folds the three families, tombstones inputs (deferred GC), and changes nothing served; further ingest continues") {
+    val stateBase = Files.createTempDirectory("graft_incdedup_cmp").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfTiny)
+    for (i <- 0 until 3)
+      IncrementalDedup.processBatch(spark, docs.filter(col("doc_id") % 4 === i),
+        stateBase, Some(i.toLong))
+    val st3 = IncrementalDedup.currentState(spark, stateBase)
+    st3.segs.size shouldBe 3
+    val before = pairSet(IncrementalDedup.readPairs(spark, stateBase))
+    val beforeCount = IncrementalDedup.readPairs(spark, stateBase).count()
+    // a reader resolved BEFORE the fold must survive the swap
+    val preSwapReader = IncrementalDedup.readPairs(spark, stateBase)
+    IncrementalDedup.compactSegments(spark, stateBase)
+    val stc = IncrementalDedup.currentState(spark, stateBase)
+    stc.segs.size shouldBe 1
+    stc.batch shouldBe Some(2L) // compaction must not move the replay tag
+    stc.tombs.toSet shouldBe st3.segs.toSet
+    // on-disk per family = live segs + tombstones; content verbatim
+    // (row count preserved — pairs keep exact multiplicity)
+    for (f <- Seq("banded", "hashed", "pairs"))
+      new java.io.File(s"$stateBase/$f").listFiles().map(_.getName).toSet shouldBe
+        (stc.segs.toSet ++ stc.tombs)
+    pairSet(IncrementalDedup.readPairs(spark, stateBase)) shouldBe before
+    IncrementalDedup.readPairs(spark, stateBase).count() shouldBe beforeCount
+    pairSet(preSwapReader) shouldBe before
+    // ingest continues onto the compacted state; first-write-wins still
+    // reads the folded hashed segment (batch 3 docs are genuinely new)
+    IncrementalDedup.processBatch(spark, docs.filter(col("doc_id") % 4 === 3),
+      stateBase, Some(3L))
+    pairSet(IncrementalDedup.readPairs(spark, stateBase)) shouldBe
+      pairSet(DedupQueries.dedupNear.query(spark, sfTiny))
+    // a SECOND compaction reclaims generation-1's tombstones
+    IncrementalDedup.compactSegments(spark, stateBase)
+    val st2 = IncrementalDedup.currentState(spark, stateBase)
+    (st2.tombs.toSet intersect stc.tombs.toSet) shouldBe empty
+    for (f <- Seq("banded", "hashed", "pairs"))
+      new java.io.File(s"$stateBase/$f").listFiles().map(_.getName).toSet shouldBe
+        (st2.segs.toSet ++ st2.tombs)
+    pairSet(IncrementalDedup.readPairs(spark, stateBase)) shouldBe
+      pairSet(DedupQueries.dedupNear.query(spark, sfTiny))
+  }
+
+  test("auto-compaction: a long-running ingest folds itself — segments bounded, pairs one-shot-equal") {
+    import spark.implicits._
+    val stateBase = Files.createTempDirectory("graft_incdedup_auto").toFile.getAbsolutePath
+    // 18 near-duplicate-rich tiny batches: publish #16 trips the fold
+    val base = (0 until 12).map(i => s"w$i").mkString(" ")
+    val docs = (0L until 18L).map(i =>
+      (i, "en", if (i % 2 == 0) base else s"$base extra$i"))
+      .toDF("doc_id", "lang", "text").localCheckpoint()
+    for (i <- 0 until 18)
+      IncrementalDedup.processBatch(spark, docs.filter(col("doc_id") === i),
+        stateBase, Some(i.toLong))
+    val st = IncrementalDedup.currentState(spark, stateBase)
+    st.batch shouldBe Some(17L)
+    st.segs.size should be < 16 // folded at least once
+    // served pairs equal the one-shot banded-LSH + verify over the full
+    // corpus (the IncrementalDedup invariant, restated on this fixture)
+    val want = pairSet(graft.operators.DedupQueries.verifyJaccard(
+      {
+        val sets = docs.select(col("doc_id"), col("lang"),
+          graft.functions.Tokenize.tokenSet(col("text")).as("toks"))
+        val banded = DedupQueries.bandedSignatures(sets, bands = 16)
+        val l = banded.select(col("lang"), col("band"), col("sig"), col("doc_id").as("did1"))
+        val r = banded.select(col("lang").as("lang2"), col("band").as("band2"),
+          col("sig").as("sig2"), col("doc_id").as("did2"))
+        l.join(r, col("lang") === col("lang2") && col("band") === col("band2")
+            && col("sig") === col("sig2") && col("did1") =!= col("did2"))
+          .select(least(col("did1"), col("did2")).as("doc_id1"),
+            greatest(col("did1"), col("did2")).as("doc_id2")).distinct()
+      },
+      docs.select(col("doc_id"),
+        graft.functions.Tokenize.hashedTokenSet(col("text")).as("toksh")), 1, 2))
+    want should not be empty
+    pairSet(IncrementalDedup.readPairs(spark, stateBase)) shouldBe want
+  }
+
   test("concurrent ingest: two writers racing the same state lose no batch") {
     val stateBase = Files.createTempDirectory("graft_incdedup_race").toFile.getAbsolutePath
     val docs = Tables.documents(spark, sfTiny)
