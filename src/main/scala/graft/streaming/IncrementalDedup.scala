@@ -116,8 +116,17 @@ object IncrementalDedup {
     currentState(s, base).batch
 
   private def publish(s: SparkSession, base: String, st: DedupState): Boolean = {
-    val ok = graft.sources.GraftFs.writeSmallFileExclusive(
-      s, s"$base/log/v${st.version}", recordBody(st))
+    val body = recordBody(st)
+    val ok0 = graft.sources.GraftFs.writeSmallFileExclusive(
+      s, s"$base/log/v${st.version}", body)
+    // ambiguous-CAS disambiguation (r15 review): an RPC failure AFTER
+    // the exclusive rename landed reports false with the target existing
+    // — our record body embeds writer-unique (uid-bearing) segment
+    // names, so a byte-identical readback means WE won. Without this the
+    // replay branch would dropSeg() LIVE family dirs and a compaction
+    // abort would dropC() the LIVE compacted dirs.
+    val ok = ok0 || graft.sources.GraftFs.readSmallFile(s, s"$base/log/v${st.version}")
+      .exists(_.trim == body.trim)
     if (ok) graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"v${st.version}")
     ok
   }
@@ -178,7 +187,10 @@ object IncrementalDedup {
     var attempts = 0
     while (true) {
       attempts += 1
-      require(attempts <= 8, s"processBatch: lost the publish race $attempts times at $base")
+      if (attempts > 8) {
+        dropSeg() // an exit that never published must not orphan the dirs
+        require(false, s"processBatch: lost the publish race $attempts times at $base")
+      }
       // the pair emission depends on the OBSERVED state (candidates =
       // batch × state ∪ batch) — recompute on every rebase
       val allBanded = readSegs(s, base, "banded", bandedSchema, st.segs).unionByName(bBanded)
@@ -213,7 +225,11 @@ object IncrementalDedup {
       }
       st = currentState(s, base)
       if (batchId.exists(id => st.batch.exists(_ >= id))) {
-        dropSeg(); return emptyDf(s, pairsSchema)
+        // genuine concurrent same-id landing: OUR dirs are orphans (the
+        // membership guard is defense-in-depth against any path that
+        // reaches here with our own segment committed)
+        if (!st.segs.contains(segName)) dropSeg()
+        return emptyDf(s, pairsSchema)
       }
     }
     emptyDf(s, pairsSchema) // unreachable
@@ -282,7 +298,10 @@ object IncrementalDedup {
     var committed = false
     while (!committed) {
       attempts += 1
-      require(attempts <= 8, s"compactSegments: lost the publish race $attempts times at $base")
+      if (attempts > 8) {
+        dropC() // exhaustion must not orphan three corpus-sized dirs
+        require(false, s"compactSegments: lost the publish race $attempts times at $base")
+      }
       if (!folded.forall(st.segs.contains)) {
         // the race winner overlapped our folded set — its output covers
         // the swapped content; publishing ours would double-list it

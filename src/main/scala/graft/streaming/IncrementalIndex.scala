@@ -137,8 +137,16 @@ object IncrementalIndex {
   }
 
   private def publish(s: SparkSession, base: String, st: IndexState): Boolean = {
-    val ok = graft.sources.GraftFs.writeSmallFileExclusive(
-      s, s"$base/log/v${st.version}", recordBody(st))
+    val body = recordBody(st)
+    val ok0 = graft.sources.GraftFs.writeSmallFileExclusive(
+      s, s"$base/log/v${st.version}", body)
+    // ambiguous-CAS disambiguation (r15 review): an RPC failure AFTER
+    // the exclusive rename landed reports false with the target existing
+    // — a byte-identical readback means WE won (compaction records carry
+    // a uid-bearing cName; batch records under the documented single-
+    // writer foreachBatch topology are ours at our version).
+    val ok = ok0 || graft.sources.GraftFs.readSmallFile(s, s"$base/log/v${st.version}")
+      .exists(_.trim == body.trim)
     if (ok) graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"v${st.version}")
     ok
   }
@@ -437,7 +445,11 @@ object IncrementalIndex {
     var committed = false
     while (!committed) {
       attempts += 1
-      require(attempts <= 8, s"compactSegments: lost the publish race $attempts times at $base")
+      if (attempts > 8) {
+        // exhaustion must not orphan the written compacted dir
+        graft.sources.GraftFs.deleteRecursively(s, s"$base/postings/$cName")
+        require(false, s"compactSegments: lost the publish race $attempts times at $base")
+      }
       // Rebase guard: if the race winner was a compaction overlapping
       // our folded set (same observed state or any sub/superset fold),
       // its output covers the swapped content — publishing ours would

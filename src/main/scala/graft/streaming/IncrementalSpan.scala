@@ -129,8 +129,15 @@ object IncrementalSpan {
   }
 
   private def publish(s: SparkSession, base: String, st: SpanState): Boolean = {
-    val ok = graft.sources.GraftFs.writeSmallFileExclusive(
-      s, s"$base/log/v${st.version}", recordBody(st))
+    val body = recordBody(st)
+    val ok0 = graft.sources.GraftFs.writeSmallFileExclusive(
+      s, s"$base/log/v${st.version}", body)
+    // ambiguous-CAS disambiguation (r15 review): an RPC failure AFTER
+    // the exclusive rename landed reports false with the target existing
+    // — our record body embeds writer-unique (uid-bearing) segment/stats
+    // names, so a byte-identical readback means WE won.
+    val ok = ok0 || graft.sources.GraftFs.readSmallFile(s, s"$base/log/v${st.version}")
+      .exists(_.trim == body.trim)
     if (ok) graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"v${st.version}")
     ok
   }
@@ -311,7 +318,12 @@ object IncrementalSpan {
     var committed = false
     while (!committed) {
       attempts += 1
-      require(attempts <= 8, s"compactSegments: lost the publish race $attempts times at $base")
+      if (attempts > 8) {
+        // exhaustion must not orphan the written compacted dirs
+        graft.sources.GraftFs.deleteRecursively(s, s"$base/occ/$cName")
+        graft.sources.GraftFs.deleteRecursively(s, s"$base/docs/$cName")
+        require(false, s"compactSegments: lost the publish race $attempts times at $base")
+      }
       if (!foldedOcc.forall(st.occSegs.contains)
         || !foldedDocs.forall(st.docSegs.contains)) {
         // the race winner was a compaction overlapping our folded set —

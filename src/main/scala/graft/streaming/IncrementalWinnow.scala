@@ -90,8 +90,18 @@ object IncrementalWinnow {
     currentState(s, base).batch
 
   private def publish(s: SparkSession, base: String, st: WinnowState): Boolean = {
-    val ok = graft.sources.GraftFs.writeSmallFileExclusive(
-      s, s"$base/log/v${st.version}", recordBody(st))
+    val body = recordBody(st)
+    val ok0 = graft.sources.GraftFs.writeSmallFileExclusive(
+      s, s"$base/log/v${st.version}", body)
+    // ambiguous-CAS disambiguation (r15 review): an RPC failure AFTER the
+    // exclusive rename landed reports false with the target existing. Our
+    // record body embeds writer-unique (uid-bearing) segment names, so a
+    // byte-identical readback means WE won — without this, the caller's
+    // rebase would misread its own commit as a rival's (the replay branch
+    // would then delete LIVE segment dirs; a compaction abort would
+    // delete the LIVE compacted dir).
+    val ok = ok0 || graft.sources.GraftFs.readSmallFile(s, s"$base/log/v${st.version}")
+      .exists(_.trim == body.trim)
     if (ok) graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"v${st.version}")
     ok
   }
@@ -158,7 +168,12 @@ object IncrementalWinnow {
         return
       }
       st = currentState(s, base)
-      if (batchId.exists(id => st.batch.exists(_ >= id))) { dropSeg(); return }
+      if (batchId.exists(id => st.batch.exists(_ >= id))) {
+        // defense-in-depth: never drop a segment the committed record
+        // references (a concurrent same-id landing leaves OURS orphaned)
+        if (!st.segs.contains(segName)) dropSeg()
+        return
+      }
     }
   }
 
@@ -185,15 +200,19 @@ object IncrementalWinnow {
     * that resolved either of the two most recent records references
     * them, and reclaiming before our own publish means a crash anywhere
     * in THIS compaction cannot orphan them: they stay listed in the
-    * still-current record and the next attempt re-reclaims). A reader
+    * still-current record and the next attempt re-reclaims). The
+    * guarantee is TWO RECORDS DEEP, not a wall-clock window: a reader
     * that resolved the pre-swap record between currentState and scan
-    * execution therefore keeps its parquet files for a full
-    * auto-compaction window (16 batches in steady state). The cost is
-    * ≤ one generation of folded segments parked on disk; a crash
-    * between this compactor's own fold-write and publish can still
-    * orphan its UNREFERENCED `cName` output dir — the same pre-existing
-    * class as a crashed ingest's segment, invisible to every reader and
-    * bounded by crash count, not by runtime.
+    * execution keeps its files until the following compaction — a full
+    * 16-batch auto-window in steady state, but an operator invoking
+    * compactSegments back-to-back shortens it to the gap between calls
+    * (a scan still holding a YET older record was never covered; pace
+    * explicit maintenance accordingly). The cost is ≤ one generation of
+    * folded segments parked on disk; a crash between this compactor's
+    * own fold-write and publish can still orphan its UNREFERENCED
+    * `cName` output dir — the same pre-existing class as a crashed
+    * ingest's segment, invisible to every reader and bounded by crash
+    * count, not by runtime.
     */
   def compactSegments(s: SparkSession, base: String): Unit =
     compactFrom(s, base, currentState(s, base))
@@ -250,7 +269,11 @@ object IncrementalWinnow {
     var committed = false
     while (!committed) {
       attempts += 1
-      require(attempts <= 8, s"compactSegments: lost the publish race $attempts times at $base")
+      if (attempts > 8) {
+        // exhaustion must not orphan the written compacted dir
+        graft.sources.GraftFs.deleteRecursively(s, s"$base/fps/$cName")
+        require(false, s"compactSegments: lost the publish race $attempts times at $base")
+      }
       if (!folded.forall(st.segs.contains)) {
         // the race winner was another compaction overlapping our folded
         // set (same observed state, or a superset/subset fold) — its

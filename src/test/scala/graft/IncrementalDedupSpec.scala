@@ -151,24 +151,52 @@ class IncrementalDedupSpec extends SparkTestBase with Matchers {
     st.batch shouldBe Some(17L)
     st.segs.size should be < 16 // folded at least once
     // served pairs equal the one-shot banded-LSH + verify over the full
-    // corpus (the IncrementalDedup invariant, restated on this fixture)
-    val want = pairSet(graft.operators.DedupQueries.verifyJaccard(
-      {
-        val sets = docs.select(col("doc_id"), col("lang"),
-          graft.functions.Tokenize.tokenSet(col("text")).as("toks"))
-        val banded = DedupQueries.bandedSignatures(sets, bands = 16)
-        val l = banded.select(col("lang"), col("band"), col("sig"), col("doc_id").as("did1"))
-        val r = banded.select(col("lang").as("lang2"), col("band").as("band2"),
-          col("sig").as("sig2"), col("doc_id").as("did2"))
-        l.join(r, col("lang") === col("lang2") && col("band") === col("band2")
-            && col("sig") === col("sig2") && col("did1") =!= col("did2"))
-          .select(least(col("did1"), col("did2")).as("doc_id1"),
-            greatest(col("did1"), col("did2")).as("doc_id2")).distinct()
-      },
+    // corpus — through the PRODUCTION candidate generator, so the test
+    // oracle cannot silently diverge from the operator's contract
+    val sets = docs.select(col("doc_id"), col("lang"),
+      graft.functions.Tokenize.tokenSet(col("text")).as("toks"))
+    val want = pairSet(DedupQueries.verifyJaccard(
+      DedupQueries.minhashBandCandidates(sets),
       docs.select(col("doc_id"),
         graft.functions.Tokenize.hashedTokenSet(col("text")).as("toksh")), 1, 2))
     want should not be empty
     pairSet(IncrementalDedup.readPairs(spark, stateBase)) shouldBe want
+  }
+
+  test("compactFrom: stale-observed rebase keeps an interloper batch; an overlapping fold aborts without double-listing") {
+    val stateBase = Files.createTempDirectory("graft_incdedup_rebase").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfTiny)
+    for (i <- 0 until 2)
+      IncrementalDedup.processBatch(spark, docs.filter(col("doc_id") % 3 === i),
+        stateBase, Some(i.toLong))
+    // compactor observes {b0, b1}; an ingest lands b2 BEFORE it publishes
+    val observed = IncrementalDedup.currentState(spark, stateBase)
+    IncrementalDedup.processBatch(spark, docs.filter(col("doc_id") % 3 === 2),
+      stateBase, Some(2L))
+    val want = pairSet(IncrementalDedup.readPairs(spark, stateBase))
+    val wantCount = IncrementalDedup.readPairs(spark, stateBase).count()
+    want shouldBe pairSet(DedupQueries.dedupNear.query(spark, sfTiny))
+    IncrementalDedup.compactFrom(spark, stateBase, observed)
+    val st = IncrementalDedup.currentState(spark, stateBase)
+    // the rebase kept the interloper's segment alongside the compacted dir
+    st.segs.count(_.startsWith("c")) shouldBe 1
+    st.segs.count(_.startsWith("b")) shouldBe 1
+    st.batch shouldBe Some(2L)
+    pairSet(IncrementalDedup.readPairs(spark, stateBase)) shouldBe want
+    IncrementalDedup.readPairs(spark, stateBase).count() shouldBe wantCount
+    // an OVERLAPPING fold (the pre-append observed state again): its
+    // inputs are now readable-but-tombstoned — the all-live guard must
+    // abort without double-listing the shared content
+    IncrementalDedup.compactFrom(spark, stateBase, observed)
+    pairSet(IncrementalDedup.readPairs(spark, stateBase)) shouldBe want
+    IncrementalDedup.readPairs(spark, stateBase).count() shouldBe wantCount
+    IncrementalDedup.currentState(spark, stateBase).segs
+      .count(_.startsWith("c")) shouldBe 1
+    // further ingest on the compacted state still pairs correctly
+    // (first-write-wins re-admits nothing; replaying batch 2 is a no-op)
+    IncrementalDedup.processBatch(spark, docs.filter(col("doc_id") % 3 === 2),
+      stateBase, Some(2L))
+    IncrementalDedup.readPairs(spark, stateBase).count() shouldBe wantCount
   }
 
   test("concurrent ingest: two writers racing the same state lose no batch") {
