@@ -107,6 +107,11 @@ object GraftFunctions {
   val PortableTokenHashName = "graft_portable_token_hash"
   val HilbertIndexName = "graft_hilbert_index"
   val JaroWinklerName = "graft_jaro_winkler"
+  val DotName = "graft_dot"
+  val L2SqName = "graft_l2sq"
+  val PlaneBucketName = "graft_plane_bucket"
+  val MinHashesName = "graft_minhashes"
+  val WindowHashesName = "graft_window_hashes"
 
   private def binaryBuilder(name: String, mk: (Expression, Expression) => Expression):
       Seq[Expression] => Expression = {
@@ -152,6 +157,21 @@ object GraftFunctions {
     (FunctionIdentifier(JaroWinklerName),
       new ExpressionInfo(classOf[JaroWinkler].getName, JaroWinklerName),
       binaryBuilder(JaroWinklerName, JaroWinkler)),
+    (FunctionIdentifier(DotName),
+      new ExpressionInfo(classOf[DotProduct].getName, DotName),
+      binaryBuilder(DotName, DotProduct)),
+    (FunctionIdentifier(L2SqName),
+      new ExpressionInfo(classOf[L2Squared].getName, L2SqName),
+      binaryBuilder(L2SqName, L2Squared)),
+    (FunctionIdentifier(PlaneBucketName),
+      new ExpressionInfo(classOf[PlaneBucket].getName, PlaneBucketName),
+      binaryBuilder(PlaneBucketName, PlaneBucket)),
+    (FunctionIdentifier(MinHashesName),
+      new ExpressionInfo(classOf[PortableMinHashes].getName, MinHashesName),
+      binaryBuilder(MinHashesName, PortableMinHashes)),
+    (FunctionIdentifier(WindowHashesName),
+      new ExpressionInfo(classOf[WindowHashes].getName, WindowHashesName),
+      binaryBuilder(WindowHashesName, WindowHashes)),
   )
 
   /** Idempotent per-session registration (done in Tables.load, so every

@@ -69,4 +69,18 @@ object Tokenize {
         .otherwise(array().cast("array<int>")),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
   }
+
+  /** xxhash64 of every adjacent n-token window, in document order — the
+    * native one-pass twin of `transform(ngramShingles(toks, n), g ->
+    * xxhash64(g))` (bit-identical per element, NativeFoldsSpec; the HOF
+    * chain is interpreted and builds every window string before hashing).
+    * The gram-count detectors (repetition / boilerplate / decontam) and
+    * the 20-token window grain aggregate on these hashes; a 64-bit
+    * collision folding two distinct grams is ~pairs/2⁶⁵ (the
+    * q_text_substring_dedup counts-per-hash precedent).
+    */
+  def windowHashes(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    call_function(GraftFunctions.WindowHashesName, toks, lit(n))
+  }
 }

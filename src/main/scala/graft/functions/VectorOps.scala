@@ -15,8 +15,16 @@ import org.apache.spark.sql.functions._
   * remain the correctness reference.
   */
 object VectorOps {
-  /** Sequential-order double dot product of two float arrays. */
+  /** Sequential-order double dot product of two float arrays — the native
+    * codegen expression since r16 (bit-identical to [[dotHof]], the HOF
+    * correctness reference NativeFoldsSpec pins it against; the HOFs are
+    * CodegenFallback and allocate per row).
+    */
   def dot(a: Column, b: Column): Column =
+    call_function(GraftFunctions.DotName, a, b)
+
+  /** The HOF reference formulation of [[dot]]. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -30,7 +38,10 @@ object VectorOps {
     * native expression.
     */
   def cosineHof(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(normSq(a) * normSq(b))
+    dotHof(a, b) / sqrt(normSqHof(a) * normSqHof(b))
+
+  /** HOF squared L2 norm (reference twin of normSq). */
+  def normSqHof(a: Column): Column = dotHof(a, a)
 
   /** Cosine similarity via the native codegen expression (bit-identical to
     * cosineHof; one fused loop per row). Requires

@@ -57,18 +57,28 @@ object CurationPipeline {
     // 8-byte hash first and touches the full document only between
     // hash-equal neighbors — at 100 TB the sort keys stay skinny instead
     // of comparing long shared boilerplate prefixes (r14 verdict note)
-    val exact = quality
+    val exact0 = quality
       .withColumn("keep_id", min("doc_id").over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(xxhash64(col("text")), col("text"))))
       .filter(col("doc_id") === col("keep_id"))
+    // materialize the exact-dedup survivors ONCE (r16): four downstream
+    // subtrees consume this frame (the LSH signature build, both verify
+    // sides, and the final anti-join LHS), and without a barrier each
+    // re-evaluates the tokenize + quality + full-text window-dedup chain
+    // from the scan — 4× the stage-0/1/2 work per run. At 100 TB this
+    // materialization is the gated-corpus snapshot every real pipeline
+    // writes between stages anyway. Output-identical: same rows, same
+    // columns, stages unchanged.
+    val exact = exact0
+      .withColumn("th", Tokenize.hashedSetOf(col("toks")))
+      .localCheckpoint()
     // stage 3: near-dedup — drop docs with a more-canonical near-twin.
     // Candidate pairs come from the engine's MinHash-banded LSH (near-
     // linear), then only candidates pay the exact sorted-merge Jaccard
     // verification with size-band + early-exit pruning (both lossless at
     // the num/den threshold).
-    val sets = exact.select(col("doc_id"), col("lang"), col("toks"),
-      Tokenize.hashedSetOf(col("toks")).as("th"))
+    val sets = exact.select(col("doc_id"), col("lang"), col("toks"), col("th"))
     // skew-safe grid generator: identical pair set (HotBandSkewSpec), hot
     // boilerplate buckets spread over block cells, and measurably faster
     // even unskewed (the single-key SMJ re-scans its buffered equal-key
@@ -86,7 +96,7 @@ object CurationPipeline {
         / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("j") >= num.toDouble / den)
       .select(col("doc_id2").as("drop_id")).distinct()
-    exact.join(dropIds, col("doc_id") === col("drop_id"), "left_anti")
+    exact.drop("th").join(dropIds, col("doc_id") === col("drop_id"), "left_anti")
   }
 
   val pipelineCurate = QueryDef(

@@ -35,10 +35,16 @@ object CurationQueries {
   val pipelineDecontam = QueryDef(
     "q_pipeline_decontam",
     (s, dir) => {
+      // grams travel as 8-byte xxhash64 longs (r16): the flag only needs
+      // gram EQUALITY, so both sides key on the native one-pass window
+      // hash — no 4-gram strings built, the broadcast dictionary shrinks
+      // ~4×. A cross-side collision marks a clean gram contaminated with
+      // probability ~|corpus grams|·|bench grams|/2⁶⁴ (~1e-8 at sf1) —
+      // the q_text_boilerplate precedent.
       val grams = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           explode(array_distinct(
-            Tokenize.ngramShingles(Tokenize.tokens(col("text")), 4))).as("gram"))
+            Tokenize.windowHashes(Tokenize.tokens(col("text")), 4))).as("gram"))
       val bench = grams.filter(col("source") === "src0").select("gram").distinct()
       grams.filter(col("source") =!= "src0")
         .join(broadcast(bench), "gram")
@@ -98,11 +104,15 @@ object CurationQueries {
     * the GramSkewSpec entry point for implanted hot-gram fixtures.
     */
   def boilerplateOn(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      // native one-pass window hashes since r16: the old chain built every
+      // trigram string in an interpreted HOF and immediately hashed it
+      // away (this query already keyed on xxhash64 longs — the precedent
+      // the other gram detectors now follow); distinct-on-hash ≡
+      // hash-of-distinct modulo the same ~pairs/2⁶⁵ collision class
       val pairs = docs
         .select(col("doc_id"),
           explode(array_distinct(
-            Tokenize.ngramShingles(Tokenize.tokens(col("text")), 3))).as("gram"))
-        .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+            Tokenize.windowHashes(Tokenize.tokens(col("text")), 3))).as("g"))
         .repartition(col("g"))
       // The `_keep IS NOT NULL` conjunct is a semantic no-op (doc_id is never
       // null) the optimizer can't fold, so column pruning keeps doc_id in
@@ -261,14 +271,16 @@ object CurationQueries {
           round(lit(0.3) * (col("n_distinct").cast(DoubleType) / col("n_tokens"))
             + lit(0.5) * (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tokens"))
             + lit(0.2) * least(lit(1.0), col("n_tokens").cast(DoubleType) / lit(100.0)), 6))
+      // gram hashes, not gram strings (r16) — the q_text_boilerplate
+      // precedent; equality-only use, ~pairs/2⁶⁵ collision class
       val g4 = base.select(col("doc_id"), col("source"),
-        explode(array_distinct(Tokenize.ngramShingles(col("toks"), 4))).as("gram"))
+        explode(array_distinct(Tokenize.windowHashes(col("toks"), 4))).as("gram"))
       val bench = g4.filter(col("source") === "src0").select("gram").distinct()
       val contam = g4.filter(col("source") =!= "src0")
         .join(broadcast(bench), "gram").select("doc_id").distinct()
         .withColumn("is_contam", lit(1L))
       val g3 = base.select(col("doc_id"),
-        explode(array_distinct(Tokenize.ngramShingles(col("toks"), 3))).as("gram"))
+        explode(array_distinct(Tokenize.windowHashes(col("toks"), 3))).as("gram"))
       // boiler is corpus-proportional (same reasoning as q_text_boilerplate):
       // shuffle join, never broadcast. bench above IS broadcastable — eval
       // suites are bounded by definition.

@@ -85,9 +85,15 @@ object DedupQueries {
       case ArrayType(LongType, _) => col("toks") // contract: portable base hashes in [0, BaseMod)
       case t => throw new IllegalArgumentException(s"toks must be array<string> or array<bigint>, got $t")
     }
-    val sigs = sets.withColumn("__hs", hs)
+    // ONE fused pass for all nHashes seeds (native graft_minhashes, r16):
+    // the per-seed array_min(transform(...)) HOFs were interpreted
+    // (CodegenFallback) and allocated nHashes fresh arrays per document —
+    // the dominant cost of this signature build. Values bit-identical
+    // (NativeFoldsSpec pins each element against PortableHash.minhash).
+    val sigs = sets.withColumn("__mh",
+        call_function(graft.functions.GraftFunctions.MinHashesName, hs, lit(nHashes)))
       .select(col("doc_id") +: col("lang") +: size(col("toks")).as("sz") +:
-        (0 until nHashes).map(i => PortableHash.minhash(col("__hs"), i).as(s"mh$i")): _*)
+        (0 until nHashes).map(i => col("__mh").getItem(i).as(s"mh$i")): _*)
     val bandCols = (0 until bands).map { b =>
       val sig = if (rows == 1) col(s"mh$b")
         else PortableHash.bandSig(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
@@ -199,21 +205,36 @@ object DedupQueries {
     * unconditional grid prices at ~the plain join).
     */
   private[graft] def minhashBandCandidatesSkewSafe(sets: DataFrame, bands: Int = 16,
-      nHashes: Int = 32, blocks: Int = 8): DataFrame = {
-    // materialize the skinny sig rows once: the two grid sides shuffle on
-    // DIFFERENT keys ((…,blk,bj) vs (…,bi,blk)), so unlike the plain
-    // self-join Catalyst cannot reuse one exchange for both — without
-    // this the signature computation runs twice (measured +4 s at
-    // sf0.1). At 100 TB this materialization is the persisted signature
-    // table (BucketedTables.ensureSignatures).
-    val banded = bandedSignatures(sets, bands, nHashes)
+      nHashes: Int = 32, blocks: Int = 8): DataFrame =
+    skewSafeGridCandidates(materializedSignatures(sets, bands, nHashes), blocks)
+
+  /** The skinny (doc_id, lang, band, sig) signature frame, materialized:
+    * the two grid sides shuffle on DIFFERENT keys ((…,blk,bj) vs
+    * (…,bi,blk)), so unlike the plain self-join Catalyst cannot reuse one
+    * exchange for both — without this the signature computation runs
+    * twice (measured +4 s at sf0.1). At 100 TB this materialization is
+    * the persisted signature table (BucketedTables.ensureSignatures).
+    * Exposed separately (r16) so q_dedup_near_salted's block census reads
+    * the SAME materialized frame instead of re-deriving the full MinHash
+    * pipeline a second time just to count the hottest bucket.
+    */
+  private[graft] def materializedSignatures(sets: DataFrame, bands: Int = 16,
+      nHashes: Int = 32): DataFrame =
+    bandedSignatures(sets, bands, nHashes)
       .select("doc_id", "lang", "band", "sig")
-      .withColumn("blk", pmod(col("doc_id"), lit(blocks)).cast("int"))
       // spread before materializing: the checkpoint pins its partitioning,
       // and the grid enumeration downstream runs AT that parallelism — a
       // single-file parquet scan would otherwise starve it to 1-4 tasks
       .repartition(col("doc_id"))
       .localCheckpoint()
+
+  /** The ordered block-pair grid join over a pre-materialized signature
+    * frame — the enumeration half of [[minhashBandCandidatesSkewSafe]].
+    * `blk` derives deterministically from doc_id, so computing it above
+    * or below the materialization point is output-identical.
+    */
+  private[graft] def skewSafeGridCandidates(banded0: DataFrame, blocks: Int): DataFrame = {
+    val banded = banded0.withColumn("blk", pmod(col("doc_id"), lit(blocks)).cast("int"))
     val grid = explode(array((0 until blocks).map(lit(_)): _*))
     val l = banded.withColumn("bj", grid)
       .select(col("lang"), col("band"), col("sig"),
@@ -429,9 +450,14 @@ object DedupQueries {
   val dedupNearSalted = QueryDef(
     "q_dedup_near_salted",
     (s, dir) => {
-      val sets = docTokens(s, dir)
-      val blocks = adaptiveBlocksFor(bandedSignatures(sets, 16), TargetCellPairs)
-      val candidates = minhashBandCandidatesSkewSafe(sets, blocks = blocks)
+      // one materialized signature frame feeds BOTH the hottest-bucket
+      // census and the grid enumeration (r16): the census previously
+      // re-derived the full 32-hash MinHash pipeline a second time per
+      // run just to count one bucket — pure duplicate work, same blocks
+      // value and same pair set either way
+      val banded = materializedSignatures(docTokens(s, dir), 16)
+      val blocks = adaptiveBlocksFor(banded, TargetCellPairs)
+      val candidates = skewSafeGridCandidates(banded, blocks)
       verifyJaccard(candidates, docTokensHashed(s, dir), 1, 2)
         .orderBy("doc_id1", "doc_id2")
     },
@@ -602,10 +628,14 @@ object DedupQueries {
     * re-tokenize per element (O(len²) per doc).
     */
   private def docGrams(s: SparkSession, dir: String): DataFrame =
+    // sorted distinct xxhash64 bigram hashes via the native one-pass
+    // window hash (r16): hash-then-distinct ≡ distinct-then-hash modulo
+    // the same ~pairs/2⁶⁵ collision class hashedShingleSet already
+    // documents; the interpreted bigram-string build drops out
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), Tokenize.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"),
-        Tokenize.hashedShingleSet(col("toks")).as("grams"))
+        sort_array(array_distinct(Tokenize.windowHashes(col("toks"), 2))).as("grams"))
 
   /** Distinct bigram shingles as PORTABLE base hashes (unordered — order
     * is irrelevant to min-hash): the signature input for the shingle-LSH
@@ -1349,10 +1379,10 @@ object DedupQueries {
     * sign test so a last-ulp fold difference cannot flip a bit).
     */
   private def semCellCol(t: Int): Column =
-    semPlaneWeights(t).zipWithIndex.map { case (w, h) =>
-      when(round(VectorOps.dot(col("embedding"), typedlit(w)), 6) > 0, lit(1 << h))
-        .otherwise(lit(0))
-    }.reduce(_ + _)
+    // native fused PlaneBucket since r16 — bit-identical to the chained
+    // when(round(dot HOF) > 0) columns (NativeFoldsSpec pins the fold)
+    call_function(graft.functions.GraftFunctions.PlaneBucketName, col("embedding"),
+      typedlit(semPlaneWeights(t).map(_.toSeq).toSeq))
 
   /** (vec_id, embedding, cell0, cell1): per-table semantic cells. */
   private[graft] def semCells(e: DataFrame): DataFrame =

@@ -362,7 +362,11 @@ object MiningQueries {
     * exactly PrefixLen chars (the caller truncates/filters) — shared by
     * q_sim_editdist and the `fuzzyPairs` facade verb.
     */
-  private[graft] def editDistancePairsOn(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def editDistancePairsOn(docs0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // materialize the skinny (doc_id, 40-char prefix) frame once (r16):
+    // four subtrees consume it (segment side, probe side, both verify
+    // joins) and each otherwise re-scans + re-substrings the documents
+    val docs = docs0.localCheckpoint()
     val segs = docs.select(col("doc_id").as("id_a"),
       explode(array((0 until NumSeg).map(i =>
         struct(lit(i).as("seg"), substring(col("p"), i * SegLen + 1, SegLen).as("g"))): _*)).as("sg"))

@@ -576,9 +576,15 @@ object TextQueries {
     "q_text_repetition",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
+      // grams aggregate as 8-byte xxhash64 longs (r16): only the COUNTS
+      // matter downstream, never the gram text, so the per-doc aggregate
+      // keys on the native one-pass window hash — no window strings
+      // built, ~3× narrower shuffle rows. Counts-per-hash ≡
+      // counts-per-gram modulo ~pairs/2⁶⁵ collisions (the
+      // q_text_substring_dedup / q_text_boilerplate precedent).
       def gramStats(n: Int, pre: String) = docs
         .select(col("doc_id"),
-          explode(Tokenize.ngramShingles(Tokenize.tokens(col("text")), n)).as("gram"))
+          explode(Tokenize.windowHashes(Tokenize.tokens(col("text")), n)).as("gram"))
         .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
         .groupBy("doc_id").agg(sum("n").as(s"${pre}_total"),
           count(lit(1)).as(s"${pre}_distinct"), max("n").as(s"${pre}_top"))
@@ -837,9 +843,10 @@ object TextQueries {
     (s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+      // native one-pass window hashes (r16) — gh bit-identical to the
+      // explode(ngramShingles) + xxhash64 chain this replaces
       val grams = toks.select(col("doc_id"),
-          explode(Tokenize.ngramShingles(col("toks"), 20)).as("g"))
-        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+          explode(Tokenize.windowHashes(col("toks"), 20)).as("gh"))
       val counts = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
       val perDoc = grams.join(counts, "gh").groupBy("doc_id")
         .agg(count(lit(1)).as("n_windows"),
@@ -1175,10 +1182,13 @@ object TextQueries {
     * provenance (one explode per token position, linear).
     */
   private[graft] def windowGrams(docs: DataFrame): DataFrame =
+    // native one-pass window hashes since r16 — gh values bit-identical to
+    // the explode(ngramShingles) + xxhash64 chain this replaces (the
+    // window strings were built per position by an interpreted HOF and
+    // immediately hashed away)
     docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(Tokenize.ngramShingles(col("toks"), 20)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+        explode(Tokenize.windowHashes(col("toks"), 20)).as("gh"))
 
   /** The span-provenance attribution tail over EXPLICIT sufficient
     * statistics — `docIds` (doc_id, n_windows) the per-doc window mass,

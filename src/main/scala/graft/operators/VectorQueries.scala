@@ -549,6 +549,25 @@ object VectorQueries {
       .select("label", "vec_id", "n_vec_id").distinct()
   }
 
+  /** UNDIRECTED twin of [[lshGraphCandidates]]: the collision criterion
+    * (buckets differing by ≤ radius bits in some table) is symmetric in
+    * the pair — XOR by the probe mask is involutive — so the directed
+    * candidate set is exactly the symmetrization of this one. Keeping
+    * only vec_id < n_vec_id halves the join output, the pair distinct,
+    * and (downstream) the exact-cosine verify volume; the scorer mirrors
+    * each scored pair back to both directions (r16, guide §2.3: shuffle
+    * and verify half the bytes for the same result).
+    */
+  private[graft] def lshGraphCandidatesUndirected(e: DataFrame, tables: Int, bits: Int,
+      probeRadius: Int): DataFrame = {
+    val home = homeBucketsOf(e, tables, bits)
+    val probe = probeBucketsOf(home, bits, probeRadius)
+    home.join(probe,
+        col("label") === col("n_label") && col("t") === col("nt")
+          && col("b") === col("nb") && col("vec_id") < col("n_vec_id"))
+      .select("label", "vec_id", "n_vec_id").distinct()
+  }
+
   /** Per-label IVF sub-quantizer codebook: up to `k2` sub-cells per label,
     * seeded from sign-bit LSH bucket means (table 0, log2(k2) bits) and
     * refined with `iters` Lloyd iterations — deterministic end to end (4dp
@@ -615,21 +634,47 @@ object VectorQueries {
     */
   private[graft] def ivfGraphCandidates(e: DataFrame, codebook: DataFrame,
       assign: Int): DataFrame = {
+    val assigned = ivfAssignments(e, codebook, assign)
+    val right = assigned.select(col("label").as("n_label"), col("cell").as("n_cell"),
+      col("vec_id").as("n_vec_id"))
+    assigned.join(right,
+        col("label") === col("n_label") && col("cell") === col("n_cell")
+          && col("vec_id") =!= col("n_vec_id"))
+      .select("label", "vec_id", "n_vec_id").distinct()
+  }
+
+  /** The (label, vec_id, cell) multi-assignment of every vector to its
+    * `assign` nearest sub-cells — one broadcast-argmax projection, shared
+    * by the directed and undirected candidate enumerations.
+    */
+  private[graft] def ivfAssignments(e: DataFrame, codebook: DataFrame,
+      assign: Int): DataFrame = {
     val cb = codebook.groupBy("label")
       .agg(collect_list(struct(col("cell"), col("c_emb"))).as("cells"))
       .agg(collect_list(struct(col("label").as("l"), col("cells"))).as("cb"))
-    val assigned = e.crossJoin(broadcast(cb))
+    e.crossJoin(broadcast(cb))
       .select(col("label"), col("vec_id"),
         explode(expr(
           s"""slice(array_sort(transform(filter(cb, x -> x.l = label)[0].cells,
              |  c -> struct(-${GraftCosineName}(embedding, c.c_emb) AS nsim, c.cell AS cell))),
              |  1, $assign)""".stripMargin)).as("a"))
       .select(col("label"), col("vec_id"), col("a.cell").as("cell"))
+  }
+
+  /** UNDIRECTED twin of [[ivfGraphCandidates]] — shared-inverted-list
+    * membership is symmetric in the pair, so joining with vec_id <
+    * n_vec_id IN the join condition halves the list enumeration output,
+    * the pair distinct, and the downstream cosine verify; the symmetric
+    * scorer mirrors each pair back (r16).
+    */
+  private[graft] def ivfGraphCandidatesUndirected(e: DataFrame, codebook: DataFrame,
+      assign: Int): DataFrame = {
+    val assigned = ivfAssignments(e, codebook, assign)
     val right = assigned.select(col("label").as("n_label"), col("cell").as("n_cell"),
       col("vec_id").as("n_vec_id"))
     assigned.join(right,
         col("label") === col("n_label") && col("cell") === col("n_cell")
-          && col("vec_id") =!= col("n_vec_id"))
+          && col("vec_id") < col("n_vec_id"))
       .select("label", "vec_id", "n_vec_id").distinct()
   }
 
@@ -641,6 +686,32 @@ object VectorQueries {
       .join(e.select(col("vec_id"), col("embedding")), "vec_id")
       .join(e.select(col("vec_id").as("n_vec_id"), col("embedding").as("n_emb")), "n_vec_id")
       .withColumn("cos", round(VectorOps.cosine(col("embedding"), col("n_emb")), 6))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("n_vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("rn"), col("n_vec_id"), col("cos"))
+      .orderBy("vec_id", "rn")
+  }
+
+  /** [[knnGraphFromCandidates]] over UNDIRECTED candidates: each pair is
+    * embedding-joined and cosine-scored ONCE, then mirrored to both
+    * directions before the per-vector top-k window. cosine(a,b) is
+    * bit-equal to cosine(b,a) (elementwise products commute and the two
+    * norms multiply commutatively), so the mirrored scored set is
+    * row-identical to scoring the directed candidate set — same window
+    * input, same graph. The skinny scored pairs are materialized once
+    * because both union branches consume them (without the barrier the
+    * whole candidate+score subtree would run twice, undoing the halving).
+    */
+  private[graft] def knnGraphFromCandidatesSym(e: DataFrame, candsU: DataFrame, k: Int): DataFrame = {
+    val scoredU = candsU
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(e.select(col("vec_id").as("n_vec_id"), col("embedding").as("n_emb")), "n_vec_id")
+      .select(col("vec_id"), col("n_vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("n_emb")), 6).as("cos"))
+      .localCheckpoint()
+    val scored = scoredU.unionByName(scoredU.select(
+      col("n_vec_id").as("vec_id"), col("vec_id").as("n_vec_id"), col("cos")))
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("n_vec_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -756,8 +827,8 @@ object VectorQueries {
       s"target/graft-ivf/$tag/lshknn_p${tables}x${bits}r$GraphLshRadius")
     if (!graft.sources.GraftFs.hasSuccess(s, base)) {
       val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
-      knnGraphFromCandidates(e,
-          lshGraphCandidates(e, tables, bits, GraphLshRadius), 3)
+      knnGraphFromCandidatesSym(e,
+          lshGraphCandidatesUndirected(e, tables, bits, GraphLshRadius), 3)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(base)
     }
     s.read.parquet(base)
@@ -780,8 +851,10 @@ object VectorQueries {
     "q_vec_knn_graph_lsh",
     (s, dir) => {
       val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
-      knnGraphFromCandidates(e,
-        lshGraphCandidates(e, GraphLshTables, GraphLshBits, GraphLshRadius), 3)
+      // undirected candidates + mirror-after-scoring (r16): half the pair
+      // distinct and half the exact-cosine verify for the identical graph
+      knnGraphFromCandidatesSym(e,
+        lshGraphCandidatesUndirected(e, GraphLshTables, GraphLshBits, GraphLshRadius), 3)
     },
     Some(s"""
       WITH $PortableLshEdgeSql
@@ -857,7 +930,9 @@ object VectorQueries {
     (s, dir) => {
       val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
       val cb = subCodebookPersisted(s, dir, adaptiveIvfCellsFor(e))
-      knnGraphFromCandidates(e, ivfGraphCandidates(e, cb, GraphIvfAssign), 3)
+      // undirected candidates + mirror-after-scoring (r16): half the pair
+      // distinct and half the exact-cosine verify for the identical graph
+      knnGraphFromCandidatesSym(e, ivfGraphCandidatesUndirected(e, cb, GraphIvfAssign), 3)
     },
     // Full oracle since r9: the per-label sub-quantizer training replays
     // in SQL (portable-plane seed cells + scaled-long exact means, both
@@ -1039,7 +1114,14 @@ object VectorQueries {
   // ---- Product quantization (PQ) -------------------------------------------
 
   /** Squared L2 distance between two double arrays (sequential HOF fold). */
+  /** Squared L2 — the native codegen expression since r16 (bit-identical
+    * to [[l2sqHof]], the HOF reference NativeFoldsSpec pins it against).
+    */
   private[operators] def l2sq(a: Column, b: Column): Column =
+    call_function(graft.functions.GraftFunctions.L2SqName, a, b)
+
+  /** The HOF reference formulation of [[l2sq]]. */
+  private[graft] def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double"))
       * (x.cast("double") - y.cast("double"))), lit(0.0), (acc, v) => acc + v)
 
@@ -1290,31 +1372,40 @@ object VectorQueries {
       val corpusBuckets = s.table(graft.sources.BucketedTables.vecBucketsTable(dir, bucketsFp))
       // only the slice hashes fresh; its probe fan-out meets corpus+slice homes
       val freshHome = homeBucketsOf(fresh, GraphLshTables, GraphLshBits)
-      val collisions = corpusBuckets.union(freshHome)
+      // UNDIRECTED collision pairs (r16): the old code symmetrized the
+      // collision set BEFORE scoring (union + swapped union + distinct)
+      // and embedding-joined every directed pair — twice the verify work
+      // for the same edge set, since cosine(a,b) is bit-equal to
+      // cosine(b,a). Canonicalize to (min, max), score once, mirror the
+      // skinny scored rows. The scored pairs are materialized because
+      // both union branches consume them.
+      val collisionsU = corpusBuckets.union(freshHome)
         .join(probeBucketsOf(freshHome, GraphLshBits, GraphLshRadius),
           col("label") === col("n_label") && col("t") === col("nt")
             && col("b") === col("nb") && col("vec_id") =!= col("n_vec_id"))
-        .select("vec_id", "n_vec_id").distinct()
-      // directed both ways: x→fresh from the collision set, fresh→x swapped
-      val pairs = collisions.union(
-          collisions.select(col("n_vec_id").as("vec_id"), col("vec_id").as("n_vec_id")))
+        .select(least(col("vec_id"), col("n_vec_id")).as("vec_id"),
+          greatest(col("vec_id"), col("n_vec_id")).as("n_vec_id"))
         .distinct()
-      val freshEdges = pairs
+      val scoredU = collisionsU
         .join(e.select(col("vec_id"), col("embedding")), "vec_id")
         .join(e.select(col("vec_id").as("n_vec_id"), col("embedding").as("n_emb")), "n_vec_id")
         .select(col("vec_id"), col("n_vec_id"),
           round(VectorOps.cosine(col("embedding"), col("n_emb")), 6).as("cos"))
+        .localCheckpoint()
+      val freshEdges = scoredU.unionByName(scoredU.select(
+        col("n_vec_id").as("vec_id"), col("vec_id").as("n_vec_id"), col("cos")))
       incrMergeTop3(oldGraph, freshEdges)
     },
     vecKnnGraphLsh.oracle, // incremental == full rebuild (see scaladoc)
   )
 
   /** SQL-expr form of squared L2 (for use inside `transform` lambdas where
-    * Column builders can't reach the lambda variable). */
+    * Column builders can't reach the lambda variable) — the registered
+    * native expression since r16 (bit-identical to the zip_with/aggregate
+    * fold it replaces; see NativeVectorFolds).
+    */
   private def l2sqSql(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b,
-       |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-       |  0D, (acc, v) -> acc + v)""".stripMargin
+    s"${graft.functions.GraftFunctions.L2SqName}($a, $b)"
 
   /** The k L2-nearest coarse cells per vector from a one-row broadcast
     * centroid array — one projection, no shuffle. Shared by index-side
