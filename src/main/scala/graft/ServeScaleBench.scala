@@ -37,7 +37,11 @@ object ServeScaleBench {
     val out = args.lift(0).getOrElse("SCALE_serve.json")
     val dirs: Seq[(String, String)] =
       if (args.length > 1) args.drop(1).toSeq.map { a =>
-        val Array(k, v) = a.split("=", 2); (k, v)
+        a.split("=", 2) match {
+          case Array(k, v) => (k, v)
+          case _ => sys.error(
+            s"ServeScaleBench: expected <label>=<dir>, got '$a' (usage: ServeScaleBench [out.json] [sf=dir ...])")
+        }
       }
       else Seq("0.01" -> "/root/testdata/sf0.01",
         "0.1" -> "/root/testdata/sf0.1", "1" -> "target/sf1")

@@ -98,6 +98,41 @@ object R16Slice {
       time("cont:full")(DedupQueries.simContainmentPrefix.query(spark, dir))
     }
 
+    if (which("cont2")) {
+      val prefix = DedupQueries.containmentPrefixPersisted(spark, dir)
+      time("cont2:prefix_read")(prefix)
+      time("cont2:join_raw") {
+        val t = DedupQueries.containmentSets(spark, dir).localCheckpoint()
+        val full = t.select(col("lang").as("lang2"), explode(col("toksh")).as("h2"),
+          col("doc_id").as("doc_id2"), col("sz").as("sz2"))
+        prefix.join(full, col("lang") === col("lang2") && col("h") === col("h2")
+            && (col("sz1") < col("sz2")
+              || (col("sz1") === col("sz2") && col("doc_id1") < col("doc_id2"))))
+          .select("doc_id1", "doc_id2")
+      }
+    }
+
+    if (which("trend")) {
+      val hourly = Tables.events(spark, dir)
+        .select(col("event_type").as("g"),
+          expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long").as("x"))
+        .groupBy("g", "h").agg(sum("x").cast("long").as("x"))
+      time("trend:hourly")(hourly)
+      time("trend:slopehist") {
+        TimeSeriesQueries.slopeHistFromHourly(hourly.localCheckpoint())
+      }
+      time("trend:full")(TimeSeriesQueries.tsTrend.query(spark, dir))
+    }
+
+    if (which("winnow")) {
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      time("winnow:fps")(TextQueries.winnowOn(docs))
+      time("winnow:pairs")(TextQueries.winnowPairsOn(docs))
+      time("winnow:spans_full")(TextQueries.textWinnowSpans.query(spark, dir))
+      time("winnow:span_source")(TextQueries.textSpanSource.query(spark, dir))
+    }
+
     if (which("mad")) {
       time("mad:hist")(Tables.orders(spark, dir)
         .select(col("o_orderpriority").as("grp"),

@@ -233,7 +233,15 @@ object IncrementalIndex {
       require(attempts <= 8, s"processBatch: lost the publish race $attempts times at $base")
       val v = st.version + 1
       val segName = seg.getOrElse {
-        val n = s"b$v"
+        // per-writer uid in the segment name (r15 ADVICE): two processes
+        // replaying the same batch concurrently would otherwise produce
+        // byte-identical record BODIES (`b$v` alone), and the
+        // ambiguous-CAS readback below would let BOTH conclude they won —
+        // the uid makes bodies writer-unique, so the readback proof holds
+        // without leaning on the single-writer topology (the discipline
+        // IncrementalDedup's segments already follow)
+        val uid = java.util.UUID.randomUUID.toString.take(8)
+        val n = s"b$v-$uid"
         tf.write.mode("overwrite").parquet(s"$base/postings/$n")
         seg = Some(n); n
       }

@@ -128,4 +128,18 @@ class WinnowSpec extends SparkTestBase with Matchers {
     sw67 shouldBe 0L
     frac67 shouldBe None // the SMALLER doc has no window: still no denominator
   }
+
+  test("persisted winnow pairs == fresh derivation, row for row (the r16 spans amortization)") {
+    def strs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val fresh = strs(TextQueries.winnowPairsOn(
+      Tables.documents(spark, sfTiny).select("doc_id", "text")))
+    val persisted = strs(TextQueries.winnowPairsPersisted(spark, sfTiny))
+    persisted shouldBe fresh
+    // and the registered spans row (which reads the persisted relation)
+    // equals the all-inline derivation
+    val inline = strs(TextQueries.winnowSpansOn(Tables.documents(spark, sfTiny)))
+    val registered = strs(TextQueries.textWinnowSpans.query(spark, sfTiny))
+    registered shouldBe inline
+  }
 }
