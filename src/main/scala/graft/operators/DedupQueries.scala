@@ -450,15 +450,24 @@ object DedupQueries {
   val dedupNearSalted = QueryDef(
     "q_dedup_near_salted",
     (s, dir) => {
+      // ONE tokenization pass feeds both hash families (r16): the string
+      // token sets (MinHash signatures hash via PortableHash) and the
+      // xxhash64 sets (exact-Jaccard verify) previously each re-scanned
+      // and re-tokenized the documents; hashedSetOf over the already-
+      // distinct tokenSet yields the identical sorted-hash sets.
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          Tokenize.tokenSet(col("text")).as("toks"))
+        .withColumn("toksh", Tokenize.hashedSetOf(col("toks")))
+        .localCheckpoint()
       // one materialized signature frame feeds BOTH the hottest-bucket
       // census and the grid enumeration (r16): the census previously
       // re-derived the full 32-hash MinHash pipeline a second time per
       // run just to count one bucket — pure duplicate work, same blocks
       // value and same pair set either way
-      val banded = materializedSignatures(docTokens(s, dir), 16)
+      val banded = materializedSignatures(base.select("doc_id", "lang", "toks"), 16)
       val blocks = adaptiveBlocksFor(banded, TargetCellPairs)
       val candidates = skewSafeGridCandidates(banded, blocks)
-      verifyJaccard(candidates, docTokensHashed(s, dir), 1, 2)
+      verifyJaccard(candidates, base.select("doc_id", "lang", "toksh"), 1, 2)
         .orderBy("doc_id1", "doc_id2")
     },
     dedupNear.oracle,
@@ -514,8 +523,11 @@ object DedupQueries {
   val dedupNearBucketed = QueryDef(
     "q_dedup_near_bucketed",
     (s, dir) =>
+      // the hashed token sets are materialized once (r16): verify joins
+      // them onto the candidate pairs from BOTH sides, and without the
+      // barrier each side re-scans and re-tokenizes the documents
       verifyJaccard(bucketedBandCandidatesStage(s, dir).distinct(),
-        docTokensHashed(s, dir), 1, 2)
+        docTokensHashed(s, dir).localCheckpoint(), 1, 2)
         .orderBy("doc_id1", "doc_id2"),
     dedupNear.oracle,
   )

@@ -89,8 +89,11 @@ object StatQueries {
     * min/max dim (group-keyed statistics always are).
     */
   private[operators] def withCumBeforeBy(vals0: DataFrame, part: Seq[String],
-      cols: Seq[String]): DataFrame = {
-    val vals = vals0.localCheckpoint()
+      cols: Seq[String], preMaterialized: Boolean = false): DataFrame = {
+    // preMaterialized (r16): a caller that already localCheckpoint'd the
+    // frame (madOnHist materializes the hist ONCE for its two consumers)
+    // must not pay a second, byte-identical materialization here
+    val vals = if (preMaterialized) vals0 else vals0.localCheckpoint()
     val mm = vals.groupBy(part.map(col): _*).agg(min("v").as("lo"), max("v").as("hi"))
     val b = vals.join(broadcast(mm), part)
       .withColumn("bkt", expr("((v - lo) * 1024) div (hi - lo + 1)"))
@@ -118,8 +121,9 @@ object StatQueries {
     * DOUBLED units so the even-count midpoint average stays an integer:
     * med2 = v@⌊(n−1)/2⌋ + v@⌊n/2⌋ (0-based positions over the cumulative).
     */
-  private[operators] def median2On(hist: DataFrame): DataFrame =
-    withCumBeforeBy(hist, Seq("grp"), Seq("t"))
+  private[operators] def median2On(hist: DataFrame,
+      preMaterialized: Boolean = false): DataFrame =
+    withCumBeforeBy(hist, Seq("grp"), Seq("t"), preMaterialized)
       .withColumn("n", sum("t").over(Window.partitionBy("grp")))
       .withColumn("m1", expr("(n - 1) div 2"))
       .withColumn("m2", expr("n div 2"))
@@ -145,16 +149,20 @@ object StatQueries {
     * every step is exact integer arithmetic, so state-served ≡ one-shot
     * bit-for-bit.
     */
-  private[graft] def madOnHist(hist: DataFrame): DataFrame = {
+  private[graft] def madOnHist(hist0: DataFrame): DataFrame = {
     // each small intermediate is consumed by 2-3 downstream subtrees —
     // materialize once or the med/dev/mad DAGs re-evaluate per consumer
-    // (measured 5.6 s -> ~2 s at sf0.1)
-    val med = median2On(hist).localCheckpoint()
+    // (measured 5.6 s -> ~2 s at sf0.1). r16: the hist itself is ALSO
+    // 2-consumer (median machinery + the deviation rebucket) — one
+    // checkpoint here, and the median2On calls skip their now-redundant
+    // internal re-materialization of the same bytes (preMaterialized)
+    val hist = hist0.localCheckpoint()
+    val med = median2On(hist, preMaterialized = true).localCheckpoint()
     val dev = hist.join(broadcast(med), "grp")
       .groupBy(col("grp"), abs(lit(2L) * col("v") - col("med2")).as("v"))
       .agg(sum("t").cast(LongType).as("t"))
       .localCheckpoint()
-    val mad = median2On(dev).select(col("grp"), col("med2").as("mad4"))
+    val mad = median2On(dev, preMaterialized = true).select(col("grp"), col("med2").as("mad4"))
       .localCheckpoint()
     val outliers = dev.join(broadcast(mad), "grp")
       .groupBy("grp").agg(

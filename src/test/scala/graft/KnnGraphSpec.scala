@@ -180,4 +180,19 @@ class KnnGraphSpec extends SparkTestBase with Matchers {
       }
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("persisted PQ index artifacts == fresh derivations, row for row (the r16 ivfpq amortization)") {
+    import graft.operators.VectorQueries
+    import org.apache.spark.sql.functions._
+    def strs(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    strs(VectorQueries.pqCodebook(spark, sfTiny)) shouldBe
+      strs(VectorQueries.pqCodebookFresh(spark, sfTiny))
+    val e = Tables.embeddings(spark, sfTiny).select("vec_id", "embedding")
+    strs(VectorQueries.pqCodesPersisted(spark, sfTiny)) shouldBe
+      strs(VectorQueries.pqCodes(e, VectorQueries.pqCodebook(spark, sfTiny)))
+    val centroidArr = VectorQueries.ivfCodebook(spark, sfTiny)
+      .agg(collect_list(struct(col("c_id"), col("c_emb"))).as("cents"))
+    strs(VectorQueries.coarseAssignPersisted(spark, sfTiny, 2)) shouldBe
+      strs(VectorQueries.nearestCells(e, "embedding", "vec_id", centroidArr, 2))
+  }
 }
