@@ -288,7 +288,12 @@ object Bench {
       s""""post":$calibPost,"requeried":$requeried,""" +
       s""""outliers_requeried":${outliers.length},"outlier_post":$outlierPost,""" +
       s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
-    val qs = healed.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4dp (0.1 ms) per-query values: the map is the long line's bulk and
+    // the driver's tail capture truncated r15's mid-map (parsed: null);
+    // trimming the 9-digit doubles cuts the line ~30% while staying two
+    // orders of magnitude under any query's noise floor. Failures stay
+    // exactly -1.0.
+    val qs = healed.map { case (k, v) => f""""$k":$v%.4f""" }
       .mkString("{", ",", "}")
     val failedNames = healed.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = healed.collect { case (_, v) if v >= 0 => v }.sum
@@ -306,15 +311,41 @@ object Bench {
     val probes = Seq(calibStart, calibMid, calibEnd).filter(_ > 0).sorted
     val calibMedian = if (probes.isEmpty) CalibRefMid else probes(probes.length / 2)
     val totalNorm = total * (CalibRefMid / calibMedian)
+    // --- history self-normalization (r16 verdict item 1) -----------------
+    // The 3-probe calib sensor has a documented blind spot: a LOW-band
+    // probe median multiplying a contended raw total normalizes the wrong
+    // way (the r16 driver artifact printed 188.2 s = 0.958x of the 2x
+    // ceiling on the fastest raw tree ever committed). The per-query
+    // history is an independent, 300+-sample phase sensor: the median
+    // over shared queries of (this_run / trailing_median) estimates the
+    // run's box-phase inflation directly, robust to a few dozen genuinely
+    // changed rows. value_normalized_hist = total / that median; the
+    // 2x-rule audit reads the MORE CONSERVATIVE (larger) of the two
+    // normalized fields (BASELINE.md r17 adjudication). hist_ratio_median
+    // > ~1.1 self-labels a loaded run even when every probe reads in-band.
+    // Queries without 3 post-epoch matching-config history runs don't
+    // vote; -1.0 means no history (fresh checkout) — audit falls back to
+    // the probe-normalized field alone.
+    val histRatios = healed.collect {
+      case (name, v) if v >= 0 && histMedians.get(name).exists(_ > 1e-9) =>
+        v / histMedians(name)
+    }.sorted
+    val histRatioMedian =
+      if (histRatios.isEmpty) -1.0 else histRatios(histRatios.length / 2)
+    val totalNormHist = if (histRatioMedian > 0) total / histRatioMedian else -1.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""value_normalized":$totalNorm,"calib_ref_mid":$CalibRefMid,"queries":$qs,""" +
+      s""""value_normalized":$totalNorm,"calib_ref_mid":$CalibRefMid,""" +
+      s""""value_normalized_hist":$totalNormHist,"hist_ratio_median":$histRatioMedian,""" +
+      s""""n_hist_shared":${histRatios.length},"queries":$qs,""" +
       s""""failed":${failedNames.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"cpus":"$cpus","calib":$calib}"""
     // The driver's capture truncates very long lines (BENCH_r06 lost its
     // total to `parsed: null` because the 200+-entry queries map came
     // first). Emit a SHORT total-metric line FIRST — always parseable —
     // then the full line with the per-query map for humans/BenchDiff.
     val totalLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""value_normalized":$totalNorm,"calib_ref_mid":$CalibRefMid,"n_queries":${healed.length},""" +
+      s""""value_normalized":$totalNorm,"calib_ref_mid":$CalibRefMid,""" +
+      s""""value_normalized_hist":$totalNormHist,"hist_ratio_median":$histRatioMedian,""" +
+      s""""n_hist_shared":${histRatios.length},"n_queries":${healed.length},""" +
       s""""failed":${failedNames.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"cpus":"$cpus","calib":$calib}"""
     // append to the local history log (per-query regression tracking across
     // runs — read by BenchDiff). History failures must never fail the bench.

@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Bench-faithful per-query A/B probe (r16 optimization round): times the
+/** Bench-faithful per-query A/B probe (r16/r17 optimization rounds): times the
   * named queries with EXACTLY Bench.measure's discipline — `reps` count()
   * reps, median, BenchUtil.releasePinned after each query — and repeats
   * the whole block `rounds` times so a reading is a band, not a point.
@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * superlinearly (near_salted read 59 s on rep 4 there vs ~4.5 s under
   * the release discipline).
   */
-object R16Probe {
+object R17Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -40,7 +40,7 @@ object R16Probe {
     val names = args.toSeq
     for (r <- 1 to rounds; name <- names; fn <- SparkEntry.queries.get(name)) {
       val m = measure(fn)
-      println(f"R16PROBE round=$r $name median=$m%.2f")
+      println(f"R17PROBE round=$r $name median=$m%.2f")
     }
     spark.stop()
   }

@@ -199,7 +199,13 @@ case class PlaneBucket(emb: Expression, weightsExpr: Expression) extends BinaryE
   }
 
   override def dataType: DataType = IntegerType
-  override def nullable: Boolean = true // null emb → null
+  // a NULL embedding yields bucket 0 exactly like the HOF twin (every
+  // dot is null, and the when(round(dot) > 0, bit).otherwise(0) chain
+  // folds null tests to the otherwise branch) — r16 ADVICE: the native
+  // expression previously returned NULL here, silently dropping
+  // null-embedding rows from LSH bucket equi-joins instead of colliding
+  // them in bucket 0. Strict HOF equivalence restored (NativeFoldsSpec).
+  override def nullable: Boolean = false
   override def prettyName: String = "graft_plane_bucket"
 
   @transient private lazy val weights: Array[Array[Double]] = {
@@ -235,12 +241,25 @@ case class PlaneBucket(emb: Expression, weightsExpr: Expression) extends BinaryE
     bucket
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    bucketOf(a.asInstanceOf[ArrayData])
+  /** Null-tolerant entry shared by eval and codegen. */
+  def bucketOfNullable(aOrNull: AnyRef): Int =
+    if (aOrNull == null) 0 else bucketOf(aOrNull.asInstanceOf[ArrayData])
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    bucketOfNullable(emb.eval(input).asInstanceOf[AnyRef])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
     val self = ctx.addReferenceObj("planeBucket", this, classOf[PlaneBucket].getName)
-    nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $self.bucketOf($a);")
+    val embGen = emb.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${embGen.code}
+        int ${ev.value} =
+          $self.bucketOfNullable(${embGen.isNull} ? null : ${embGen.value});
+      """,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

@@ -46,8 +46,17 @@ class TDigestSketch(compression: Int, quantiles: Seq[Double])
   override def reduce(b: (Array[Double], Array[Double], Int, Int),
       x: Double): (Array[Double], Array[Double], Int, Int) = {
     var (means, weights, len, base) = b
-    if (means.length <= len) { // zero / post-compress / post-deserialize: grow once
-      val cap = math.max(len + maxPending + 1, len + 1)
+    if (means.length <= len) { // zero / post-compress / post-deserialize / increment boundary: grow
+      // quarter-staging growth increments (r16 ADVICE): the buffer
+      // encoder serializes the FULL capacity arrays — garbage slots past
+      // `len` included — so a group shuffled mid-staging shipped up to
+      // 4·δ garbage doubles per array (~6.4 KB at δ=100) under full-
+      // staging growth. δ-sized increments cap the dead region at ~δ
+      // slots for three extra amortized array copies per 4·δ-append
+      // staging cycle (noise next to the appends themselves). Capacity
+      // never changes WHICH compress calls fire, so estimates are
+      // bit-identical either way.
+      val cap = math.max(len + maxPending / 4 + 1, len + 1)
       means = java.util.Arrays.copyOf(means, cap)
       weights = java.util.Arrays.copyOf(weights, cap)
     }

@@ -43,7 +43,7 @@ class NativeFoldsSpec extends SparkTestBase with Matchers {
     }
   }
 
-  test("graft_plane_bucket degenerate inputs: wrong dim or null element buckets to 0, null emb to null") {
+  test("graft_plane_bucket degenerate inputs: wrong dim, null element, AND null emb all bucket to 0 like the HOF") {
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
     val df = Seq(
@@ -57,7 +57,12 @@ class NativeFoldsSpec extends SparkTestBase with Matchers {
       .orderBy("id").collect()
     df(0).getInt(1) shouldBe df(0).getInt(2)
     df(0).getInt(1) shouldBe 0
-    df(1).isNullAt(1) shouldBe true // native: null emb → null
+    // r17 (r16 ADVICE): null emb now buckets to 0 EXACTLY like the HOF
+    // chain — previously the native expression returned NULL here, which
+    // silently dropped null-embedding rows from bucket equi-joins
+    df(1).isNullAt(1) shouldBe false
+    df(1).getInt(1) shouldBe df(1).getInt(2)
+    df(1).getInt(1) shouldBe 0
     df(2).getInt(1) shouldBe df(2).getInt(2)
     df(2).getInt(1) shouldBe 0
   }
