@@ -51,12 +51,16 @@ object StatQueries {
     * over the ≤1024-row bucket-total frame, broadcast back. This is how a
     * distributed engine computes a global ECDF without a single-task sort.
     */
-  private[operators] def withCumBefore(vals0: DataFrame, cols: Seq[String]): DataFrame = {
+  private[operators] def withCumBefore(vals0: DataFrame, cols: Seq[String],
+      preMaterialized: Boolean = false): DataFrame = {
     // The value-distinct frame is the design's bounded-size object
     // (cardinality of v, never rows) — materialize it ONCE so the
     // min/max probe, the bucket pass, and the bucket totals don't each
-    // re-scan and re-aggregate the fact underneath.
-    val vals = vals0.localCheckpoint()
+    // re-scan and re-aggregate the fact underneath. preMaterialized
+    // (r17): a caller that already holds the frame behind a barrier
+    // (kruskal/KS share the SAME vals with their moment aggregates)
+    // skips the redundant second materialization.
+    val vals = if (preMaterialized) vals0 else vals0.localCheckpoint()
     val mm = vals.agg(min("v").as("lo"), max("v").as("hi"))
     val b = vals.crossJoin(broadcast(mm))
       .withColumn("bkt", expr("((v - lo) * 1024) div (hi - lo + 1)"))
@@ -150,25 +154,35 @@ object StatQueries {
     * bit-for-bit.
     */
   private[graft] def madOnHist(hist0: DataFrame): DataFrame = {
-    // each small intermediate is consumed by 2-3 downstream subtrees —
-    // materialize once or the med/dev/mad DAGs re-evaluate per consumer
-    // (measured 5.6 s -> ~2 s at sf0.1). r16: the hist itself is ALSO
-    // 2-consumer (median machinery + the deviation rebucket) — one
-    // checkpoint here, and the median2On calls skip their now-redundant
-    // internal re-materialization of the same bytes (preMaterialized)
+    // TWO materialization barriers, not four (r17 — the verdict's
+    // fixed-floor item: this row ran ~10 driver-sequenced tiny jobs and
+    // 5 materializations per rep, pure scheduling wall-clock at any
+    // scale). The med→dev→mad dependency chain is inherently sequential,
+    // but the med and mad frames themselves need no barriers: dev
+    // CARRIES med's (n, med2) through its group keys (constant per grp,
+    // so the grouping — and every downstream number — is unchanged),
+    // making med single-consumer, and the mad median broadcast-joins the
+    // final aggregate directly, making mad single-consumer. Only the
+    // frames with ≥2 consumers stay materialized: the hist (median
+    // machinery + deviation rebucket) and dev (mad median + outlier
+    // aggregate). Values bit-identical: same histograms, same exact
+    // integer medians, same outlier predicate.
     val hist = hist0.localCheckpoint()
-    val med = median2On(hist, preMaterialized = true).localCheckpoint()
+    val med = median2On(hist, preMaterialized = true)
     val dev = hist.join(broadcast(med), "grp")
-      .groupBy(col("grp"), abs(lit(2L) * col("v") - col("med2")).as("v"))
+      .groupBy(col("grp"), col("n"), col("med2"),
+        abs(lit(2L) * col("v") - col("med2")).as("v"))
       .agg(sum("t").cast(LongType).as("t"))
       .localCheckpoint()
-    val mad = median2On(dev, preMaterialized = true).select(col("grp"), col("med2").as("mad4"))
-      .localCheckpoint()
-    val outliers = dev.join(broadcast(mad), "grp")
+    val mad = median2On(dev.select("grp", "v", "t"), preMaterialized = true)
+      .select(col("grp"), col("med2").as("mad4"))
+    dev.join(broadcast(mad), "grp")
       .groupBy("grp").agg(
+        max("n").as("n"),
+        max("med2").as("med2"),
+        max("mad4").as("mad4"),
         sum(when(lit(2L) * col("v") > lit(3L) * col("mad4"), col("t")).otherwise(0L))
           .cast(LongType).as("n_outliers"))
-    med.join(mad, "grp").join(outliers, "grp")
       .select(col("grp"), col("n"),
         (col("med2").cast(DoubleType) / 2.0).as("median"),
         (col("mad4").cast(DoubleType) / 4.0).as("mad"),
@@ -232,9 +246,13 @@ object StatQueries {
     * GraftFrame.equiDepthHistogram verb: bucket(v) = floor(cb·k/N) over
     * the exclusive cumulative, all exact integers.
     */
-  private[graft] def eqdepthOn(vals: DataFrame, k: Int): DataFrame = {
+  private[graft] def eqdepthOn(vals0: DataFrame, k: Int): DataFrame = {
+    // materialize the value-distinct frame ONCE (r17): the N probe and
+    // the cumulative machinery both consume it, and previously each
+    // re-ran the fact aggregation underneath
+    val vals = vals0.localCheckpoint()
     val n = vals.agg(sum("t").cast(LongType).as("n"))
-    withCumBefore(vals, Seq("t"))
+    withCumBefore(vals, Seq("t"), preMaterialized = true)
       .crossJoin(broadcast(n))
       .withColumn("bucket", expr(s"(cb_t * $k) div n"))
       .groupBy("bucket").agg(
@@ -291,11 +309,15 @@ object StatQueries {
   /** KS over the value-distinct grain (v, t, t1) — serve-from-state
     * entry point, see mannWhitneyOnVals.
     */
-  private[graft] def ksOnVals(vals: DataFrame): DataFrame = {
-    val ranked = withCumBefore(vals, Seq("t", "t1"))
+  private[graft] def ksOnVals(vals0: DataFrame): DataFrame = {
+    // the sample totals are moments of VALS, not of the ranked frame —
+    // aggregating the materialized vals directly (r17) stops the tot
+    // probe from re-running the whole bucketed-cumulative machinery
+    val vals = vals0.localCheckpoint()
+    val ranked = withCumBefore(vals, Seq("t", "t1"), preMaterialized = true)
       .withColumn("c1", col("cb_t1") + col("t1"))
       .withColumn("c2", col("cb_t") + col("t") - col("cb_t1") - col("t1"))
-    val tot = ranked.agg(sum("t1").cast(LongType).as("n1"),
+    val tot = vals.agg(sum("t1").cast(LongType).as("n1"),
       sum(col("t") - col("t1")).cast(LongType).as("n2"))
     ranked.crossJoin(broadcast(tot))
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
@@ -319,16 +341,25 @@ object StatQueries {
     * serve-from-state entry point (IncrementalStats). Exact: Σtg per v
     * reproduces the row counts bit-for-bit.
     */
-  private[graft] def kruskalOnHist(hist: DataFrame): DataFrame = {
+  private[graft] def kruskalOnHist(hist0: DataFrame): DataFrame = {
+    // materialize the (grp, v, tg) hist ONCE (r17): the pooled value
+    // hist and the per-group rank join both consume it, and previously
+    // each re-ran the full fact aggregation underneath. Same for the
+    // pooled vals (rank machinery + the N/tie moments — the moments are
+    // sums over VALS, so they no longer re-run the whole cumulative),
+    // and for the 5-row perGrp frame (term build + final assembly).
+    val hist = hist0.localCheckpoint()
     val vals = hist.groupBy("v").agg(sum("tg").cast(LongType).as("t"))
-    val ranked = withCumBefore(vals, Seq("t"))
+      .localCheckpoint()
+    val ranked = withCumBefore(vals, Seq("t"), preMaterialized = true)
       .withColumn("rank2", lit(2L) * col("cb_t") + col("t") + 1)
     val perGrp = hist
       .join(ranked.select("v", "rank2"), "v")
       .groupBy("grp")
       .agg(sum("tg").cast(LongType).as("n_g"),
         sum(col("tg") * col("rank2")).cast(LongType).as("rg2"))
-    val tot = ranked.agg(sum("t").cast(LongType).as("n"),
+      .localCheckpoint()
+    val tot = vals.agg(sum("t").cast(LongType).as("n"),
       sum(col("t") * col("t") * col("t") - col("t")).cast(LongType).as("tie"))
     val terms = perGrp.crossJoin(broadcast(tot))
       .withColumn("term",
@@ -349,7 +380,15 @@ object StatQueries {
       .orderBy("grp")
   }
 
-  /** Spearman core over an (x, y) long-column frame — see q_stat_spearman. */
+  /** Spearman core over an (x, y) long-column frame — see q_stat_spearman.
+    * Kept in its two-separate-rank-maps shape ON MEASURED EVIDENCE (r17):
+    * fusing the x/y cumulatives through a dim-tagged union was tried and
+    * REGRESSED ~1.5× (3.3 s vs 2.2 s at sf0.1/32) — the union doubles the
+    * hist shuffle and the fused rank frame needs its own materialization,
+    * which costs more than the second (cheap, 50-distinct-value x side)
+    * cumulative pass it saves. The scan side is already minimal: each
+    * rank hist is a two-column parquet scan + one aggregate.
+    */
   private[graft] def spearmanOn(rows: DataFrame): DataFrame = {
     val xr = withCumBefore(
       rows.groupBy(col("x").as("v")).agg(count(lit(1)).as("t")), Seq("t"))
