@@ -112,6 +112,7 @@ object GraftFunctions {
   val PlaneBucketName = "graft_plane_bucket"
   val MinHashesName = "graft_minhashes"
   val WindowHashesName = "graft_window_hashes"
+  val DHash56Name = "graft_dhash56"
 
   private def binaryBuilder(name: String, mk: (Expression, Expression) => Expression):
       Seq[Expression] => Expression = {
@@ -172,6 +173,9 @@ object GraftFunctions {
     (FunctionIdentifier(WindowHashesName),
       new ExpressionInfo(classOf[WindowHashes].getName, WindowHashesName),
       binaryBuilder(WindowHashesName, WindowHashes)),
+    (FunctionIdentifier(DHash56Name),
+      new ExpressionInfo(classOf[DHash56].getName, DHash56Name),
+      binaryBuilder(DHash56Name, DHash56)),
   )
 
   /** Idempotent per-session registration (done in Tables.load, so every

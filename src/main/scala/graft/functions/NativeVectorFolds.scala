@@ -471,3 +471,105 @@ case class PortableMinHashes(child: Expression, nExpr: Expression) extends Binar
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(child = newLeft, nExpr = newRight)
 }
+
+/** Fused 56-bit dHash of a text-byte "image" (q_mm_phash's hash stage) —
+  * bit-identical to the interpreted HOF chain it replaces:
+  *
+  *   codes = transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))
+  *   twin codes = transform(codes, (x, i) -> x + 10 + (i % 5 = 0 ? 1 : 0))   [when twin]
+  *   pix   = transform(sequence(0, 63), k -> element_at(codes, (k*len) div 64 + 1))
+  *   hash  = aggregate(sequence(0, 55), 0L, (acc, b) ->
+  *             acc + (pix[(b div 7)*8 + (b%7) + 2] > pix[(b div 7)*8 + (b%7) + 1]
+  *                    ? 1L << b : 0L))
+  *
+  * That chain is CodegenFallback end to end and allocates a length-sized
+  * codes array, a 64-slot pix array, and 56 boxed fold steps per row — the
+  * dominant cost of q_mm_phash (~5000 hashed media at sf0.1). Here the 64
+  * sampled code points read straight off the UTF8String (one code-point
+  * walk, no codes array) and the 56 gradient compares run in one primitive
+  * loop.
+  *
+  * Degenerate cases mirror the HOF exactly: an EMPTY text samples nothing
+  * (every element_at is null, every compare folds to the otherwise-0
+  * branch) → hash 0; a NULL text nulls codes/pix but the aggregate still
+  * folds 56 zero terms → hash 0 (so the expression is non-nullable).
+  * `twin` (foldable boolean) applies the +10 brightness / +1-per-5th-code
+  * re-encode BEFORE sampling, exactly like the HOF twin branch.
+  */
+case class DHash56(text: Expression, twinExpr: Expression) extends BinaryExpression {
+  override def left: Expression = text
+  override def right: Expression = twinExpr
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = text.dataType == StringType && twinExpr.dataType == BooleanType && twinExpr.foldable
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (STRING, foldable BOOLEAN), got " +
+        s"(${text.dataType.simpleString}, ${twinExpr.dataType.simpleString})")
+  }
+
+  @transient private lazy val twin: Boolean = twinExpr.eval(null).asInstanceOf[Boolean]
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false // null/empty text → hash 0, like the HOF fold
+  override def prettyName: String = "graft_dhash56"
+
+  def dhashOf(sOrNull: AnyRef): Long = {
+    if (sOrNull == null) return 0L
+    // code points in character order — ascii(substring(text, i, 1)) is the
+    // first code point of the i-th character, and UTF8String characters
+    // are code points
+    val str = sOrNull.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    var cpCount = 0
+    var ci = 0
+    while (ci < str.length) { cpCount += 1; ci += Character.charCount(str.codePointAt(ci)) }
+    if (cpCount == 0) return 0L
+    val len = cpCount.toLong
+    // the 64 sampled positions are non-decreasing in k, so one forward
+    // code-point walk serves all of them
+    val pix = new Array[Long](64)
+    var k = 0
+    var cpIdx = 0 // code-point index of the char at string offset ci
+    ci = 0
+    var cur = str.codePointAt(0)
+    while (k < 64) {
+      val want = ((k * len) / 64L).toInt // floor: k*len ≥ 0
+      while (cpIdx < want) {
+        ci += Character.charCount(cur)
+        cur = str.codePointAt(ci)
+        cpIdx += 1
+      }
+      var c = cur.toLong
+      if (twin) c += 10L + (if (want % 5 == 0) 1L else 0L)
+      pix(k) = c
+      k += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 56) {
+      val base = (b / 7) * 8 + (b % 7)
+      if (pix(base + 1) > pix(base)) hash |= (1L << b)
+      b += 1
+    }
+    hash
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    dhashOf(text.eval(input).asInstanceOf[AnyRef])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val self = ctx.addReferenceObj("dhash", this, classOf[DHash56].getName)
+    val tGen = text.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${tGen.code}
+        long ${ev.value} = $self.dhashOf(${tGen.isNull} ? null : ${tGen.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(text = newLeft, twinExpr = newRight)
+}

@@ -1323,14 +1323,18 @@ object VectorQueries {
     * stored edge set (every fresh edge touches the new slice, stored
     * edges never do).
     */
-  private def incrMergeTop3(oldGraph: DataFrame, freshEdges0: DataFrame): DataFrame = {
+  private def incrMergeTop3(oldGraph: DataFrame, freshEdges0: DataFrame,
+      preMaterialized: Boolean = false): DataFrame = {
     // the fresh-edge subtree feeds THREE consumers (affected-set build,
     // semi-joined re-rank input, and the union itself) — without a
     // lineage cut Catalyst re-executes the whole collision+scoring
     // pipeline per consumer, and the stage-count overhead dominates at
     // any scale (measured: 5.7 s fixed at sf0.001). localCheckpoint
     // materializes the slice-proportional edge list once.
-    val freshEdges = freshEdges0.localCheckpoint()
+    // preMaterialized (r17): callers that already checkpointed the
+    // CANONICAL scored pairs pass the cheap mirror-union through — the
+    // second materialization of the same (doubled) rows was pure cost.
+    val freshEdges = if (preMaterialized) freshEdges0 else freshEdges0.localCheckpoint()
     val affected = freshEdges.select("vec_id").distinct()
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("n_vec_id"))
     val reranked = oldGraph.join(affected, Seq("vec_id"), "left_semi")
@@ -1353,18 +1357,38 @@ object VectorQueries {
         val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("n_vec_id"))
         edges.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
       }
-      def labelPairs(l: DataFrame, r: DataFrame): DataFrame =
+      // UNDIRECTED pair scoring (r17 — the r16 rewrite of the _lsh
+      // sibling, ported to the exact variant): the old code enumerated
+      // every unordered pair in BOTH directions through the label
+      // self-joins and scored each twice — cosine(a,b) is bit-commutative,
+      // so half that work buys the identical edge set. Canonical pairs
+      // join with vec_id < n_vec_id, score once, and the skinny scored
+      // rows mirror into the directed set the merge algebra consumes.
+      def labelPairsU(l: DataFrame, r: DataFrame): DataFrame =
         l.join(r.select(col("label").as("label2"), col("vec_id").as("n_vec_id"),
             col("embedding").as("n_emb")),
-            col("label") === col("label2") && col("vec_id") =!= col("n_vec_id"))
+            col("label") === col("label2") && col("vec_id") < col("n_vec_id"))
           .select(col("vec_id"), col("n_vec_id"),
             round(VectorOps.cosine(col("embedding"), col("n_emb")), 6).as("cos"))
-      // the persisted snapshot graph (stored rows carry their rank)
-      val oldGraph = top3(labelPairs(old, old))
+      def mirrored(u: DataFrame): DataFrame =
+        u.unionByName(u.select(col("n_vec_id").as("vec_id"),
+          col("vec_id").as("n_vec_id"), col("cos")))
+      // the persisted snapshot graph (stored rows carry their rank).
+      // Checkpointed (r17): the merge consumes it twice (semi + anti
+      // join) and the 12k-row top-3 frame is far cheaper to pin than to
+      // rely on exchange reuse deduplicating the scoring pipeline.
+      val oldGraph = top3(mirrored(labelPairsU(old, old)))
         .select("vec_id", "rn", "n_vec_id", "cos")
-      // only slice-touching pairs are generated this run
-      val freshEdges = labelPairs(e, fresh).union(labelPairs(fresh, old))
-      incrMergeTop3(oldGraph, freshEdges)
+        .localCheckpoint()
+      // only slice-touching pairs are generated this run: unordered pairs
+      // {a, b} with b in the slice (a anywhere) ∪ {f, o} with the fresh
+      // member smaller — together exactly one canonical row per unordered
+      // pair touching the slice, scored once; the mirror reproduces the
+      // directed union the old labelPairs(e, fresh) ∪ labelPairs(fresh,
+      // old) formulation scored twice.
+      val freshU = labelPairsU(e, fresh).unionByName(labelPairsU(fresh, old))
+        .localCheckpoint()
+      incrMergeTop3(oldGraph, mirrored(freshU), preMaterialized = true)
     },
     vecKnnGraph.oracle,
   )
@@ -1451,7 +1475,10 @@ object VectorQueries {
         .localCheckpoint()
       val freshEdges = scoredU.unionByName(scoredU.select(
         col("n_vec_id").as("vec_id"), col("vec_id").as("n_vec_id"), col("cos")))
-      incrMergeTop3(oldGraph, freshEdges)
+      // scoredU is already materialized — the mirror-union is a cheap
+      // narrow op per consumer, so the merge skips its own (second)
+      // materialization of the same doubled rows (r17)
+      incrMergeTop3(oldGraph, freshEdges, preMaterialized = true)
     },
     vecKnnGraphLsh.oracle, // incremental == full rebuild (see scaladoc)
   )
