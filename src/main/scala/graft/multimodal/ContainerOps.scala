@@ -800,11 +800,21 @@ object ContainerOps {
     * concurrent same-pack access safe; each task still reads its ranges
     * in ascending offset order.
     */
+  /** The packed manifest's fixed schema — explicit so the scan skips the
+    * per-call driver-side schema inference (~0.1 s per relation, r17).
+    */
+  private val PackedManifestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("pack", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("offset", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.IntegerType)))
+
   def packedScan(s: org.apache.spark.sql.SparkSession, base: String,
       idRange: Option[(Long, Long)] = None,
       chunkBytes: Long = 128L << 20): Dataset[ContainerRow] = {
     import s.implicits._
-    val manifest = idRange.foldLeft(s.read.parquet(s"$base/manifest")) {
+    val manifest = idRange.foldLeft(
+        s.read.schema(PackedManifestSchema).parquet(s"$base/manifest")) {
       case (m, (lo, hi)) => m.filter(col("media_id").between(lo, hi))
     }
     val fsImpls: Seq[(String, String)] = {

@@ -846,8 +846,7 @@ object PackStore {
         else {
           // distributed subtraction: tombstone parquets anti-join the
           // scan — the id set never collects to the driver
-          val tombIds = tombs.map(c => s.read.parquet(c.dir).select("media_id"))
-            .reduce(_.unionByName(_)).distinct()
+          val tombIds = tombIdsOf(s, tombs).distinct()
           // rename back to tuple columns so downstream consumers
           // (compact → writeComponent repartitions on "_1") see the
           // same shape as the tombstone-free branch
@@ -874,15 +873,45 @@ object PackStore {
       .map { case (n, cs) => (cs.map(_._1), tombsAfter.takeRight(n).map(_._1)) }
   }
 
+  /** The fixed manifest schema ([[writeComponent]]'s output) — passed
+    * explicitly so manifest reads skip per-relation schema inference,
+    * and so N components read as ONE multi-path relation (r17: each
+    * `s.read.parquet(path)` call costs ~0.1 s of driver-side relation
+    * resolution; a live set of k components paid it k times per scan).
+    */
+  private val ManifestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("pack_path", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("offset", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.IntegerType)))
+
+  /** Tombstone component schema ([[deleteIds]]'s output). */
+  private val TombSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType)))
+
+  /** One multi-path relation over every tombstone component's id parquet —
+    * same rows as the per-component unionByName it replaces (order is
+    * irrelevant: every consumer distincts or anti-joins), one relation
+    * resolution instead of |tombs|.
+    */
+  private def tombIdsOf(s: SparkSession, tombs: Seq[Component]): org.apache.spark.sql.DataFrame =
+    s.read.schema(TombSchema).parquet(tombs.map(_.dir): _*).select("media_id")
+
   private def scanData(s: SparkSession, live: Seq[Component],
       idRange: Option[(Long, Long)],
       chunkBytes: Long,
       idFilter: Option[org.apache.spark.sql.DataFrame] = None): Dataset[(Long, Array[Byte])] = {
     import s.implicits._
-    val manifests = live.map(c => s.read.parquet(s"${c.dir}/manifest"))
-      .reduceOption(_.unionByName(_))
-      .getOrElse(s.emptyDataset[(Long, String, Long, Int)]
-        .toDF("media_id", "pack_path", "offset", "length"))
+    // ONE multi-path relation over every live manifest (r17): same rows
+    // as the unionByName-of-single-path-reads it replaces (downstream
+    // repartitions by (pack, chunk), so inter-file row order is
+    // irrelevant), but one driver-side relation resolution + listing
+    // instead of |live|, and zero schema inference.
+    val manifests =
+      if (live.isEmpty)
+        s.emptyDataset[(Long, String, Long, Int)]
+          .toDF("media_id", "pack_path", "offset", "length")
+      else s.read.schema(ManifestSchema).parquet(live.map(c => s"${c.dir}/manifest"): _*)
     val ranged = idRange.foldLeft(manifests) {
       case (m, (lo, hi)) => m.filter(col("media_id").between(lo, hi))
     }
@@ -966,11 +995,7 @@ object PackStore {
       }
       metas.reduceOption(_.unionByName(_, allowMissingColumns = true)).map { m =>
         if (tombs.isEmpty) m
-        else {
-          val tombIds = tombs.map(c => s.read.parquet(c.dir).select("media_id"))
-            .reduce(_.unionByName(_)).distinct()
-          m.join(tombIds, Seq("media_id"), "left_anti")
-        }
+        else m.join(tombIdsOf(s, tombs).distinct(), Seq("media_id"), "left_anti")
       }
     }
     withMeta.reduceOption(_.unionByName(_, allowMissingColumns = true))
