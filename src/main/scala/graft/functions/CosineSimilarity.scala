@@ -113,6 +113,7 @@ object GraftFunctions {
   val MinHashesName = "graft_minhashes"
   val WindowHashesName = "graft_window_hashes"
   val DHash56Name = "graft_dhash56"
+  val FirstEqName = "graft_first_eq"
 
   private def binaryBuilder(name: String, mk: (Expression, Expression) => Expression):
       Seq[Expression] => Expression = {
@@ -176,6 +177,9 @@ object GraftFunctions {
     (FunctionIdentifier(DHash56Name),
       new ExpressionInfo(classOf[DHash56].getName, DHash56Name),
       binaryBuilder(DHash56Name, DHash56)),
+    (FunctionIdentifier(FirstEqName),
+      new ExpressionInfo(classOf[FirstEqualIndex].getName, FirstEqName),
+      binaryBuilder(FirstEqName, FirstEqualIndex)),
   )
 
   /** Idempotent per-session registration (done in Tables.load, so every

@@ -573,3 +573,65 @@ case class DHash56(text: Expression, twinExpr: Expression) extends BinaryExpress
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(text = newLeft, twinExpr = newRight)
 }
+
+/** Index of the first position where two long arrays hold EQUAL non-null
+  * elements, or -1 (null arrays, no equal position, or positions past the
+  * shorter array). The LSH first-collision dedup primitive (r17): a
+  * banded candidate join that carries each doc's full band-signature
+  * vector can emit a colliding pair ONLY at its first matching band —
+  * making the join output distinct-by-construction and deleting the
+  * 21M-row pair distinct that dominated the near-dedup family (null band
+  * sigs never match, exactly like the join's sig = sig2 null semantics).
+  */
+case class FirstEqualIndex(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two ARRAY<BIGINT> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false // null input → -1, like "no collision"
+  override def prettyName: String = "graft_first_eq"
+
+  def firstEqOf(aOrNull: AnyRef, bOrNull: AnyRef): Int = {
+    if (aOrNull == null || bOrNull == null) return -1
+    val a = aOrNull.asInstanceOf[ArrayData]
+    val b = bOrNull.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    firstEqOf(left.eval(input).asInstanceOf[AnyRef], right.eval(input).asInstanceOf[AnyRef])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val self = ctx.addReferenceObj("firstEq", this, classOf[FirstEqualIndex].getName)
+    val aGen = left.genCode(ctx)
+    val bGen = right.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${aGen.code}
+        ${bGen.code}
+        int ${ev.value} = $self.firstEqOf(
+          ${aGen.isNull} ? null : ${aGen.value},
+          ${bGen.isNull} ? null : ${bGen.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -75,7 +75,7 @@ object DedupQueries {
     * its grams once and reuses them across the 64-seed sweep.
     */
   private[graft] def bandedSignatures(sets: DataFrame, bands: Int,
-      nHashes: Int = 32): DataFrame = {
+      nHashes: Int = 32, withSigVector: Boolean = false): DataFrame = {
     import graft.functions.PortableHash
     val rows = nHashes / bands
     require(rows == 1 || rows == 2,
@@ -94,13 +94,24 @@ object DedupQueries {
         call_function(graft.functions.GraftFunctions.MinHashesName, hs, lit(nHashes)))
       .select(col("doc_id") +: col("lang") +: size(col("toks")).as("sz") +:
         (0 until nHashes).map(i => col("__mh").getItem(i).as(s"mh$i")): _*)
-    val bandCols = (0 until bands).map { b =>
-      val sig = if (rows == 1) col(s"mh$b")
-        else PortableHash.bandSig(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
-      struct(lit(b).as("band"), sig.as("sig"))
+    val sigExprs = (0 until bands).map { b =>
+      if (rows == 1) col(s"mh$b")
+      else PortableHash.bandSig(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
     }
-    sigs.select(col("doc_id"), col("lang"), col("sz"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("lang"), col("sz"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    if (withSigVector) {
+      // carry the FULL per-doc band-sig vector on every band row (r17):
+      // the first-collision candidate join needs both docs' vectors to
+      // decide whether the current band is the pair's FIRST collision.
+      // posexplode(sigs) yields the identical (band, sig) rows as the
+      // struct-explode below — same values, same order.
+      sigs.select(col("doc_id"), col("lang"), col("sz"), array(sigExprs: _*).as("sigs"))
+        .select(col("doc_id"), col("lang"), col("sz"), col("sigs"),
+          posexplode(col("sigs")).as(Seq("band", "sig")))
+    } else {
+      val bandCols = (0 until bands).map(b => struct(lit(b).as("band"), sigExprs(b).as("sig")))
+      sigs.select(col("doc_id"), col("lang"), col("sz"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("doc_id"), col("lang"), col("sz"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    }
   }
 
   /** DuckDB CTE fragment — the SQL twin of bandedSignatures (2 rows/band)
@@ -206,7 +217,9 @@ object DedupQueries {
     */
   private[graft] def minhashBandCandidatesSkewSafe(sets: DataFrame, bands: Int = 16,
       nHashes: Int = 32, blocks: Int = 8): DataFrame =
-    skewSafeGridCandidates(materializedSignatures(sets, bands, nHashes), blocks)
+    skewSafeGridCandidates(
+      materializedSignatures(sets, bands, nHashes, withSigVector = true), blocks,
+      firstCollision = true)
 
   /** The skinny (doc_id, lang, band, sig) signature frame, materialized:
     * the two grid sides shuffle on DIFFERENT keys ((…,blk,bj) vs
@@ -219,37 +232,72 @@ object DedupQueries {
     * pipeline a second time just to count the hottest bucket.
     */
   private[graft] def materializedSignatures(sets: DataFrame, bands: Int = 16,
-      nHashes: Int = 32): DataFrame =
-    bandedSignatures(sets, bands, nHashes)
-      .select("doc_id", "lang", "band", "sig")
+      nHashes: Int = 32, withSigVector: Boolean = false): DataFrame = {
+    val cols = if (withSigVector) Seq("doc_id", "lang", "band", "sig", "sigs")
+      else Seq("doc_id", "lang", "band", "sig")
+    bandedSignatures(sets, bands, nHashes, withSigVector)
+      .select(cols.map(col): _*)
       // spread before materializing: the checkpoint pins its partitioning,
       // and the grid enumeration downstream runs AT that parallelism — a
       // single-file parquet scan would otherwise starve it to 1-4 tasks
       .repartition(col("doc_id"))
       .localCheckpoint()
+  }
 
   /** The ordered block-pair grid join over a pre-materialized signature
     * frame — the enumeration half of [[minhashBandCandidatesSkewSafe]].
     * `blk` derives deterministically from doc_id, so computing it above
     * or below the materialization point is output-identical.
     */
-  private[graft] def skewSafeGridCandidates(banded0: DataFrame, blocks: Int): DataFrame = {
+  private[graft] def skewSafeGridCandidates(banded0: DataFrame, blocks: Int,
+      firstCollision: Boolean = false): DataFrame = {
     val banded = banded0.withColumn("blk", pmod(col("doc_id"), lit(blocks)).cast("int"))
     val grid = explode(array((0 until blocks).map(lit(_)): _*))
-    val l = banded.withColumn("bj", grid)
-      .select(col("lang"), col("band"), col("sig"),
-        col("blk").as("bi"), col("bj"), col("doc_id").as("doc_id1"))
-    val r = banded.withColumn("bi", grid)
-      .select(col("lang").as("lang2"), col("band").as("band2"), col("sig").as("sig2"),
-        col("bi").as("bi2"), col("blk").as("bj2"), col("doc_id").as("doc_id2"))
-    // merge hint: same rationale as minhashBandCandidates — the sorted-run
-    // enumeration is 3-7× the broadcast plan on this fanout, and SMJ is
-    // the only shape that exists at 100 TB anyway
-    l.hint("merge").join(r,
-        col("lang") === col("lang2") && col("band") === col("band2")
-          && col("sig") === col("sig2") && col("bi") === col("bi2")
-          && col("bj") === col("bj2") && col("doc_id1") < col("doc_id2"))
-      .select("doc_id1", "doc_id2").distinct()
+    if (firstCollision) {
+      // FIRST-COLLISION dedup-at-generation (r17): `banded0` carries each
+      // doc's full band-sig vector (`sigs`), and a colliding pair is
+      // emitted ONLY at its first matching band (graft_first_eq(sigs,
+      // sigs2) = band — the join already proves equality AT band, so the
+      // first equal index is ≤ band, and the filter keeps exactly one
+      // row per pair: the grid puts a (pair, band) in exactly one cell,
+      // and a doc has ONE sig per band, so no other duplicates exist).
+      // This deletes the terminal pair DISTINCT outright — measured at
+      // sf0.1 the near-dedup candidate join enumerated 21.3M pair rows
+      // that the distinct hash-aggregated down to 3.03M (the family's
+      // dominant cost). The per-side price is the 16-long vector on each
+      // sig row (~bands×8 B), exactly the standard MinHash-LSH
+      // first-band-dedup trade. Null band sigs never match (first_eq
+      // skips nulls), identical to the sig = sig2 null semantics.
+      val l = banded.withColumn("bj", grid)
+        .select(col("lang"), col("band"), col("sig"), col("sigs"),
+          col("blk").as("bi"), col("bj"), col("doc_id").as("doc_id1"))
+      val r = banded.withColumn("bi", grid)
+        .select(col("lang").as("lang2"), col("band").as("band2"), col("sig").as("sig2"),
+          col("sigs").as("sigs2"), col("bi").as("bi2"), col("blk").as("bj2"),
+          col("doc_id").as("doc_id2"))
+      l.hint("merge").join(r,
+          col("lang") === col("lang2") && col("band") === col("band2")
+            && col("sig") === col("sig2") && col("bi") === col("bi2")
+            && col("bj") === col("bj2") && col("doc_id1") < col("doc_id2")
+            && call_function(graft.functions.GraftFunctions.FirstEqName,
+              col("sigs"), col("sigs2")) === col("band"))
+        .select("doc_id1", "doc_id2")
+    } else {
+      val l = banded.withColumn("bj", grid)
+        .select(col("lang"), col("band"), col("sig"),
+          col("blk").as("bi"), col("bj"), col("doc_id").as("doc_id1"))
+      val r = banded.withColumn("bi", grid)
+        .select(col("lang").as("lang2"), col("band").as("band2"), col("sig").as("sig2"),
+          col("bi").as("bi2"), col("blk").as("bj2"), col("doc_id").as("doc_id2"))
+      // merge hint: same rationale as minhashBandCandidates — the sorted-run
+      // enumeration is 3-7× the broadcast plan on this fanout, and SMJ is
+      // the only shape that exists at 100 TB anyway
+      l.hint("merge").join(r,
+          col("lang") === col("lang2") && col("band") === col("band2")
+            && col("sig") === col("sig2") && col("bi") === col("bi2")
+            && col("bj") === col("bj2") && col("doc_id1") < col("doc_id2"))
+        .select("doc_id1", "doc_id2").distinct()
+    }
   }
 
   /** Exact Jaccard ≥ num/den verification of candidate id pairs against
@@ -464,9 +512,10 @@ object DedupQueries {
       // re-derived the full 32-hash MinHash pipeline a second time per
       // run just to count one bucket — pure duplicate work, same blocks
       // value and same pair set either way
-      val banded = materializedSignatures(base.select("doc_id", "lang", "toks"), 16)
+      val banded = materializedSignatures(base.select("doc_id", "lang", "toks"), 16,
+        withSigVector = true)
       val blocks = adaptiveBlocksFor(banded, TargetCellPairs)
-      val candidates = skewSafeGridCandidates(banded, blocks)
+      val candidates = skewSafeGridCandidates(banded, blocks, firstCollision = true)
       verifyJaccard(candidates, base.select("doc_id", "lang", "toksh"), 1, 2)
         .orderBy("doc_id1", "doc_id2")
     },
@@ -500,14 +549,26 @@ object DedupQueries {
     */
   private[graft] def bucketedBandCandidatesStage(s: SparkSession, dir: String): DataFrame = {
     graft.sources.BucketedTables.ensureSignatures(s, dir,
-      bandedSignatures(docTokens(s, dir), bands = 16))
+      bandedSignatures(docTokens(s, dir), bands = 16, withSigVector = true))
     val t = s.table(graft.sources.BucketedTables.signaturesTable(dir))
-    val l = t.select(col("lang"), col("band"), col("sig"), col("doc_id").as("doc_id1"))
+    // FIRST-COLLISION dedup-at-generation over the persisted layout (r17,
+    // the skewSafeGridCandidates trick): the v3 table rows carry the full
+    // band-sig vector, so the co-located join emits each colliding pair
+    // exactly once (at its first matching band) and the caller needs no
+    // pair DISTINCT — at sf0.1 that distinct hash-aggregated 21.3M
+    // enumerated rows down to 3.03M, the row's dominant cost. The
+    // bands×8 B vector per stored row is the storage price; co-location
+    // is untouched (both sides still scan the same (lang, band,
+    // sig)-bucketed table; the first_eq test is a post-join filter).
+    val l = t.select(col("lang"), col("band"), col("sig"), col("sigs"),
+      col("doc_id").as("doc_id1"))
     val r = t.select(col("lang").as("lang2"), col("band").as("band2"), col("sig").as("sig2"),
-      col("doc_id").as("doc_id2"))
+      col("sigs").as("sigs2"), col("doc_id").as("doc_id2"))
     l.hint("merge").join(r,
         col("lang") === col("lang2") && col("band") === col("band2")
-          && col("sig") === col("sig2") && col("doc_id1") < col("doc_id2"))
+          && col("sig") === col("sig2") && col("doc_id1") < col("doc_id2")
+          && call_function(graft.functions.GraftFunctions.FirstEqName,
+            col("sigs"), col("sigs2")) === col("band"))
       .select("doc_id1", "doc_id2")
   }
 
@@ -525,8 +586,10 @@ object DedupQueries {
     (s, dir) =>
       // the hashed token sets are materialized once (r16): verify joins
       // them onto the candidate pairs from BOTH sides, and without the
-      // barrier each side re-scans and re-tokenizes the documents
-      verifyJaccard(bucketedBandCandidatesStage(s, dir).distinct(),
+      // barrier each side re-scans and re-tokenizes the documents.
+      // No pair distinct (r17): the first-collision candidate join emits
+      // each pair exactly once by construction.
+      verifyJaccard(bucketedBandCandidatesStage(s, dir),
         docTokensHashed(s, dir).localCheckpoint(), 1, 2)
         .orderBy("doc_id1", "doc_id2"),
     dedupNear.oracle,
@@ -996,22 +1059,27 @@ object DedupQueries {
       // corpus side: the PERSISTED bucketed signature table (written once
       // at ingest) — only src membership is joined on; nothing re-hashes
       graft.sources.BucketedTables.ensureSignatures(s, dir,
-        bandedSignatures(docTokens(s, dir), bands = 16))
+        bandedSignatures(docTokens(s, dir), bands = 16, withSigVector = true))
       val srcOf = Tables.documents(s, dir).select("doc_id", "source")
       val corpusSigs = s.table(graft.sources.BucketedTables.signaturesTable(dir))
         .join(srcOf, "doc_id").filter(col("source") =!= "src0")
         .select(col("lang").as("lang2"), col("band").as("band2"), col("sig").as("sig2"),
-          col("doc_id").as("doc_id2"))
+          col("sigs").as("sigs2"), col("doc_id").as("doc_id2"))
       // incoming side: only the src0 slice computes signatures fresh —
-      // at 100 TB this is the day's ingest, broadcast into the corpus scan
+      // at 100 TB this is the day's ingest, broadcast into the corpus scan.
+      // First-collision dedup (r17): both sides carry the band-sig vector,
+      // each (incoming, corpus) pair is emitted only at its first matching
+      // band — no pair distinct.
       val incomingDocs = Tables.documents(s, dir).filter(col("source") === "src0")
         .select(col("doc_id"), col("lang"), Tokenize.tokenSet(col("text")).as("toks"))
-      val l = bandedSignatures(incomingDocs, bands = 16)
-        .select(col("lang"), col("band"), col("sig"), col("doc_id").as("doc_id1"))
+      val l = bandedSignatures(incomingDocs, bands = 16, withSigVector = true)
+        .select(col("lang"), col("band"), col("sig"), col("sigs"), col("doc_id").as("doc_id1"))
       val cands = broadcast(l).join(corpusSigs,
           col("lang") === col("lang2") && col("band") === col("band2")
-            && col("sig") === col("sig2"))
-        .select("doc_id1", "doc_id2").distinct()
+            && col("sig") === col("sig2")
+            && call_function(graft.functions.GraftFunctions.FirstEqName,
+              col("sigs"), col("sigs2")) === col("band"))
+        .select("doc_id1", "doc_id2")
       verifyJaccard(cands, docTokensHashed(s, dir).select(col("doc_id"), col("toksh")), 1, 2)
         .orderBy("doc_id1", "doc_id2")
     },

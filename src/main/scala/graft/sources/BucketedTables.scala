@@ -123,7 +123,11 @@ object BucketedTables {
 
   // v2: round-8 portable hash family (PortableHash) — the version suffix
   // invalidates any signature table persisted under the murmur3 family
-  def signaturesTable(dir: String): String = s"graft_signatures_v2_bucketed_${tag(dir)}"
+  // v3 (r17): rows carry the full per-doc band-sig vector (`sigs`) so the
+  // co-located candidate join can emit first-collision-deduped pairs —
+  // the schema change bumps the layout version, so v2 stores rebuild
+  // rather than silently serving the narrower rows
+  def signaturesTable(dir: String): String = s"graft_signatures_v3_bucketed_${tag(dir)}"
 
   /** Banded MinHash signatures persisted bucketed+sorted on the LSH
     * candidate-join key (lang, band, sig) — §7.6 #2: the signature table
@@ -138,7 +142,7 @@ object BucketedTables {
   def ensureSignatures(s: SparkSession, dir: String,
       src: org.apache.spark.sql.DataFrame): Unit = synchronized {
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val path = GraftFs.qualify(s, s"target/graft-bucketed/${GraftFs.scaleTag(s, dir)}/signatures_v2")
+    val path = GraftFs.qualify(s, s"target/graft-bucketed/${GraftFs.scaleTag(s, dir)}/signatures_v3")
     val table = signaturesTable(dir)
     if (!s.catalog.tableExists(table)) {
       if (GraftFs.hasSuccess(s, path) && bucketLayoutValid(s, path)) {
