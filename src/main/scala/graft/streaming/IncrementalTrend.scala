@@ -118,6 +118,29 @@ object IncrementalTrend {
       .groupBy("g", "slope_q", "sgn").agg(count(lit(1)).cast(LongType).as("t"))
   }
 
+  /** The two touched×history delta terms of [[pairHist]] FUSED into one
+    * join (r17): `t` holds the touched cells as (g, h, x, tag) rows with
+    * tag +1 for post-merge values and −1 for pre-merge values, so
+    * sum(tag) per (g, slope_q, sgn) cell IS pairHist(tNew, hMinus) −
+    * pairHist(tOld, hMinus) — the add and remove passes were each a
+    * touched×history pair enumeration, the batch's dominant compute, and
+    * they differ only in the counted weight. Same dx/slope_q/sgn integer
+    * formulas, so the summed state is bit-identical (IncrementalTrendSpec
+    * pins state ≡ one-shot).
+    */
+  private def pairHistDelta(t: DataFrame, b: DataFrame): DataFrame = {
+    val bb = b.select(col("g").as("g2"), col("h").as("hb"), col("x").as("xb"))
+    t.join(bb, col("g") === col("g2") && col("h") =!= col("hb"))
+      .select(col("g"), col("tag"),
+        when(col("h") < col("hb"), col("xb") - col("x"))
+          .otherwise(col("x") - col("xb")).as("dx"),
+        abs(col("hb") - col("h")).as("dh"))
+      .withColumn("sgn", when(col("dx") > 0, 1L).when(col("dx") < 0, -1L).otherwise(0L))
+      .withColumn("slope_q",
+        expr("cast(floor((cast(dx as double) / dh) * 1000000.0) as bigint)"))
+      .groupBy("g", "slope_q", "sgn").agg(sum("tag").cast(LongType).as("t"))
+  }
+
   /** Merge one micro-batch of raw (g, h, x, user_id, ts_us, m) event
     * rows into the grains and swap versions; replays skipped by tag.
     * Batch cost: two tiny aggregates, two grain-sized full-outer merges,
@@ -143,9 +166,16 @@ object IncrementalTrend {
       batchId: Option[Long] = None): Unit = {
     val ptr = currentPointer(s, base)
     if (batchId.exists(id => ptr.flatMap(_._2).exists(_ >= id))) return
+    // Barrier budget (r17 — the maintainer's ~4.5 s/batch was almost
+    // entirely driver-sequenced tiny jobs): only frames that are BOTH
+    // multi-consumer AND non-trivial to recompute stay materialized (hP,
+    // hM, tOld, tNew, dVals, the merged outputs feeding two writes).
+    // hOld/valsOld are parquet reads — re-scanning per consumer is
+    // cheaper than a materialization job; hMinus is one broadcast
+    // anti-join over that scan, same story.
     val hP = batch.groupBy(col("g").as("g2"), col("h").as("h2"))
       .agg(sum("x").cast(LongType).as("x2")).localCheckpoint()
-    val hOld = readHourly(s, base).localCheckpoint()
+    val hOld = readHourly(s, base)
     val hM = hOld
       .join(hP, col("g") === col("g2") && col("h") === col("h2"), "full_outer")
       .select(coalesce(col("g"), col("g2")).as("g"),
@@ -154,21 +184,34 @@ object IncrementalTrend {
       .localCheckpoint()
     // slope-histogram maintenance: remove the pairs the touched cells'
     // OLD values contributed, add the pairs their NEW values contribute
-    // — against the untouched remainder (hMinus) and among themselves
+    // — against the untouched remainder (hMinus) and among themselves.
+    // The pre/post touched cells ride in ONE tagged frame (r17): one
+    // materialization instead of two, and the tag is the fused delta
+    // weight pairHistDelta aggregates.
     val touchedKeys = hP.select(col("g2"), col("h2"))
-    val tOld = hOld.join(touchedKeys,
-      col("g") === col("g2") && col("h") === col("h2"), "left_semi").localCheckpoint()
-    val tNew = hM.join(touchedKeys,
-      col("g") === col("g2") && col("h") === col("h2"), "left_semi").localCheckpoint()
+    val tBoth = hM.join(touchedKeys,
+        col("g") === col("g2") && col("h") === col("h2"), "left_semi")
+      .withColumn("tag", lit(1L))
+      .unionByName(hOld.join(touchedKeys,
+        col("g") === col("g2") && col("h") === col("h2"), "left_semi")
+        .withColumn("tag", lit(-1L)))
+      .localCheckpoint()
+    val tNew = tBoth.filter(col("tag") === 1L).drop("tag")
+    val tOld = tBoth.filter(col("tag") === -1L).drop("tag")
     val hMinus = hOld.join(touchedKeys,
-      col("g") === col("g2") && col("h") === col("h2"), "left_anti").localCheckpoint()
+      col("g") === col("g2") && col("h") === col("h2"), "left_anti")
     val negate = (d: DataFrame) => d.withColumn("t", -col("t"))
-    val deltas = Seq(
-      pairHist(tNew, hMinus, within = false),
-      pairHist(tNew, tNew, within = true),
-      negate(pairHist(tOld, hMinus, within = false)),
-      negate(pairHist(tOld, tOld, within = true)))
-    val slopesM = deltas.foldLeft(readSlopes(s, base))(_ unionByName _)
+    // the four pairHist delta joins are the batch's dominant compute
+    // (touched × history pair enumerations) and feed TWO consumers (the
+    // slope-histogram merge and the moments fold) — materialize their
+    // union ONCE (r17; previously each consumer re-ran all four joins)
+    val deltaAll = Seq(
+        pairHistDelta(tBoth, hMinus), // == pairHist(tNew, hMinus) − pairHist(tOld, hMinus)
+        pairHist(tNew, tNew, within = true),
+        negate(pairHist(tOld, tOld, within = true)))
+      .reduce(_ unionByName _)
+      .localCheckpoint()
+    val slopesM = readSlopes(s, base).unionByName(deltaAll)
       .groupBy("g", "slope_q", "sgn").agg(sum("t").cast(LongType).as("t"))
       .filter(col("t") =!= 0L)
       .localCheckpoint()
@@ -177,7 +220,7 @@ object IncrementalTrend {
     // come from the touched cells' value moves against the maintained
     // per-(g, x) value census — all touched-sized work, so serve reads a
     // #series-row moments table instead of re-aggregating the full grain
-    val dHist = deltas.reduce(_ unionByName _)
+    val dHist = deltaAll
       .groupBy("g").agg(sum(col("sgn") * col("t")).cast(LongType).as("ds"),
         sum("t").cast(LongType).as("dp"))
     val dVals = tNew.select(col("g"), col("x"), lit(1L).as("dc"))
@@ -185,7 +228,7 @@ object IncrementalTrend {
       .groupBy("g", "x").agg(sum("dc").cast(LongType).as("dc"))
       .filter(col("dc") =!= 0L)
       .localCheckpoint()
-    val valsOld = readVals(s, base).localCheckpoint()
+    val valsOld = readVals(s, base)
     // tie delta per affected (g, x): f(c + dc) − f(c), f(c) = c(c−1)(2c+5)
     def fTie(c: org.apache.spark.sql.Column) =
       c * (c - lit(1L)) * (lit(2L) * c + lit(5L))
@@ -209,7 +252,6 @@ object IncrementalTrend {
         (coalesce(col("n_pairs"), lit(0L)) + coalesce(col("dp"), lit(0L))).as("n_pairs"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
         (coalesce(col("tie"), lit(0L)) + coalesce(col("dtie"), lit(0L))).as("tie"))
-      .localCheckpoint()
     val valsM = valsOld
       .join(dVals.select(col("g").as("g5"), col("x").as("x5"), col("dc")),
         col("g") === col("g5") && col("x") === col("x5"), "full_outer")
@@ -217,7 +259,6 @@ object IncrementalTrend {
         coalesce(col("x"), col("x5")).as("x"),
         (coalesce(col("c"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("c"))
       .filter(col("c") =!= 0L)
-      .localCheckpoint()
     val uP = batch.groupBy(col("user_id").as("u2"))
       .agg(max("ts_us").as("l2"), count(lit(1)).as("f2"),
         sum("m").cast(LongType).as("m2"))
@@ -228,18 +269,30 @@ object IncrementalTrend {
           coalesce(col("l2"), lit(Long.MinValue))).as("last_us"),
         (coalesce(col("f"), lit(0L)) + coalesce(col("f2"), lit(0L))).as("f"),
         (coalesce(col("m"), lit(0L)) + coalesce(col("m2"), lit(0L))).as("m"))
-      .localCheckpoint()
     val next = s"v${ptr.map(_._1.drop(1).toLong + 1).getOrElse(0L)}"
-    hM.write.mode("overwrite").parquet(s"$base/$next/hourly")
-    slopesM.write.mode("overwrite").parquet(s"$base/$next/slopes")
-    // the cumulative Sen marginal is rewritten alongside the histogram
-    // it derives from — the window is paid HERE, with the grain work,
-    // so serve never sorts
-    graft.operators.TimeSeriesQueries.senCumFromSlopes(slopesM)
-      .write.mode("overwrite").parquet(s"$base/$next/slopes_cum")
-    uM.write.mode("overwrite").parquet(s"$base/$next/users")
-    valsM.write.mode("overwrite").parquet(s"$base/$next/vals")
-    momentsM.write.mode("overwrite").parquet(s"$base/$next/moments")
+    // the six grain writes are INDEPENDENT jobs (slopes_cum derives from
+    // the materialized slopesM, not from the slopes parquet) — overlap
+    // them from a small thread pool (guide §2.6) instead of paying six
+    // sequential driver-scheduled write barriers; the version pointer
+    // swaps only after every write has committed, so readers still see
+    // old-or-new, never a mix. A failure in any write propagates and the
+    // pointer never swaps (the half-written generation dir is garbage,
+    // same as the sequential failure mode).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = Seq(
+      () => hM.write.mode("overwrite").parquet(s"$base/$next/hourly"),
+      () => slopesM.write.mode("overwrite").parquet(s"$base/$next/slopes"),
+      // the cumulative Sen marginal is rewritten alongside the histogram
+      // it derives from — the window is paid HERE, with the grain work,
+      // so serve never sorts
+      () => graft.operators.TimeSeriesQueries.senCumFromSlopes(slopesM)
+        .write.mode("overwrite").parquet(s"$base/$next/slopes_cum"),
+      () => uM.write.mode("overwrite").parquet(s"$base/$next/users"),
+      () => valsM.write.mode("overwrite").parquet(s"$base/$next/vals"),
+      () => momentsM.write.mode("overwrite").parquet(s"$base/$next/moments"))
+    Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
     val tag = batchId.orElse(ptr.flatMap(_._2)).fold("")(id => s":batch=$id")
     graft.sources.GraftFs.writeSmallFileAtomic(s, s"$base/_CURRENT", s"$next$tag")
   }
