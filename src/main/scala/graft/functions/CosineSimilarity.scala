@@ -114,6 +114,7 @@ object GraftFunctions {
   val WindowHashesName = "graft_window_hashes"
   val DHash56Name = "graft_dhash56"
   val FirstEqName = "graft_first_eq"
+  val SimhashFpName = "graft_simhash_fp"
 
   private def binaryBuilder(name: String, mk: (Expression, Expression) => Expression):
       Seq[Expression] => Expression = {
@@ -180,6 +181,9 @@ object GraftFunctions {
     (FunctionIdentifier(FirstEqName),
       new ExpressionInfo(classOf[FirstEqualIndex].getName, FirstEqName),
       binaryBuilder(FirstEqName, FirstEqualIndex)),
+    (FunctionIdentifier(SimhashFpName),
+      new ExpressionInfo(classOf[SimhashFp].getName, SimhashFpName),
+      binaryBuilder(SimhashFpName, SimhashFp)),
   )
 
   /** Idempotent per-session registration (done in Tables.load, so every

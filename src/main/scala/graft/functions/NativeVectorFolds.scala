@@ -635,3 +635,77 @@ case class FirstEqualIndex(left: Expression, right: Expression) extends BinaryEx
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Fused SimHash fingerprint over a doc's PORTABLE token hashes —
+  * bit-identical to the explode → wideHash → 62-conditional-sum groupBy
+  * formulation it replaces (q_dedup_simhash): for bit i, tokens vote
+  * +1/−1 by bit i of wideHash(h) and the fingerprint sets bit i when the
+  * vote sum is positive. One primitive loop per row, NO explode and NO
+  * shuffle (the old shape shuffled every (doc, token) row into a 62-sum
+  * hash aggregate). Null ELEMENTS vote −1 on every bit, exactly like the
+  * when(bit = 1, 1).otherwise(−1) chain (a null bit test folds to the
+  * otherwise branch); a NULL array is null (the caller filters empty/null
+  * token sets first, mirroring explode's emit-nothing). wideHash is
+  * PortableHash's two affine scrambles verbatim — exact long arithmetic,
+  * so the DuckDB hash-match oracle is untouched.
+  */
+case class SimhashFp(hsExpr: Expression, nBitsExpr: Expression) extends BinaryExpression {
+  override def left: Expression = hsExpr
+  override def right: Expression = nBitsExpr
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (hsExpr.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }) && nBitsExpr.dataType == IntegerType && nBitsExpr.foldable
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (ARRAY<BIGINT>, foldable INT), got " +
+        s"(${hsExpr.dataType.simpleString}, ${nBitsExpr.dataType.simpleString})")
+  }
+
+  @transient private lazy val nBits: Int = nBitsExpr.eval(null).asInstanceOf[Int]
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash_fp"
+
+  def fpOf(hs: ArrayData): Long = {
+    import PortableHash.{Scramble1Add, Scramble1Mul, Scramble2Add, Scramble2Mul, SeedMod}
+    val n = hs.numElements()
+    val counts = new Array[Int](nBits)
+    var j = 0
+    while (j < n) {
+      if (hs.isNullAt(j)) {
+        // null token hash: every bit test is null → the otherwise(−1) branch
+        var i = 0
+        while (i < nBits) { counts(i) -= 1; i += 1 }
+      } else {
+        val h = hs.getLong(j)
+        val w = ((h * Scramble1Mul + Scramble1Add) % SeedMod) * 2147483648L +
+          ((h * Scramble2Mul + Scramble2Add) % SeedMod)
+        var i = 0
+        while (i < nBits) {
+          if (((w >> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < nBits) { if (counts(i) > 0) fp |= (1L << i); i += 1 }
+    fp
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    fpOf(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhashFp", this, classOf[SimhashFp].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $self.fpOf($a);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(hsExpr = newLeft, nBitsExpr = newRight)
+}

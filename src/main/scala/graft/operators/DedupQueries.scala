@@ -609,16 +609,17 @@ object DedupQueries {
       import graft.functions.PortableHash
       val nb = PortableHash.SimhashBits
       val toks = docTokens(s, dir)
-      val exploded = toks.select(col("doc_id"), col("lang"), explode(col("toks")).as("token"))
-        .withColumn("h", PortableHash.wideHash(PortableHash.tokenHash(col("token"))))
-      val bitSums = (0 until nb).map { i =>
-        sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
-      }
-      val summed = exploded.groupBy("doc_id", "lang").agg(bitSums.head, bitSums.tail: _*)
-      val fp = (0 until nb).map { i =>
-        when(col(s"b$i") > 0, expr(s"CAST(1 AS BIGINT) << $i")).otherwise(lit(0L))
-      }.reduce(_ + _)
-      val fps = summed.select(col("doc_id"), col("lang"), fp.as("fp"))
+      // fingerprints per ROW via the native fused fold (r17): the old
+      // shape exploded every (doc, token) pair into a 62-conditional-sum
+      // hash aggregate — a full shuffle plus 62 interpreted when() evals
+      // per token row. graft_simhash_fp is bit-identical (NativeFoldsSpec
+      // pins it against the explode+groupBy reference) and needs no
+      // shuffle at all. The size filter mirrors explode's emit-nothing on
+      // empty/null token sets: such docs were absent from the grouped fps.
+      val fps = toks.filter(size(col("toks")) >= 1)
+        .select(col("doc_id"), col("lang"),
+          call_function(graft.functions.GraftFunctions.SimhashFpName,
+            PortableHash.tokenHashes(col("toks")), lit(nb)).as("fp"))
       val chunked = fps.select(col("doc_id"), col("lang"), col("fp"),
           explode(array((0 until 4).map(c =>
             struct(lit(c).as("chunk"), expr(s"(fp >> ${c * 16}) & 65535").as("ck"))): _*)).as("cc"))
@@ -627,10 +628,21 @@ object DedupQueries {
         col("doc_id").as("doc_id1"), col("fp").as("fp1"))
       val r = chunked.select(col("lang").as("lang2"), col("chunk").as("chunk2"), col("ck").as("ck2"),
         col("doc_id").as("doc_id2"), col("fp").as("fp2"))
+      // first-collision dedup (r17, the skewSafeGridCandidates trick):
+      // the pair's first matching chunk is computable straight from the
+      // two fingerprints, so each pair is emitted at exactly one chunk
+      // and the pair DISTINCT disappears. Codegen'd when-chain — the
+      // join already proves chunk equality AT `chunk`, so the first
+      // match is ≤ chunk and the filter keeps exactly one row per pair.
+      val firstChunk = (0 until 4).foldRight(lit(-1)) { (c, els) =>
+        when(expr(s"(fp1 >> ${c * 16}) & 65535") === expr(s"(fp2 >> ${c * 16}) & 65535"),
+          lit(c)).otherwise(els)
+      }
       l.join(r, col("lang") === col("lang2") && col("chunk") === col("chunk2")
           && col("ck") === col("ck2") && col("doc_id1") < col("doc_id2"))
+        .filter(firstChunk === col("chunk"))
         .select(col("doc_id1"), col("doc_id2"),
-          expr("CAST(bit_count(fp1 ^ fp2) AS BIGINT)").as("hamming")).distinct()
+          expr("CAST(bit_count(fp1 ^ fp2) AS BIGINT)").as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy("doc_id1", "doc_id2")
     },

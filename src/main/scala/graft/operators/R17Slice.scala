@@ -77,6 +77,49 @@ object R17Slice {
       }
     }
     if (groups("curate")) {
+      // per-stage slopes (r16 verdict item 6): each stage timed as a
+      // noop-sink prefix of the real pipeline (CurationPipeline's own
+      // code path, private[graft]-shared — no duplicated logic)
+      import graft.functions.Tokenize
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val docs = graft.Tables.documents(spark, sfDir)
+      time("curate s0+1: score+gate") {
+        noop(CurationPipeline.scoredDocs(docs).filter(col("quality_score") >= 0.5)
+          .select("doc_id", "lang", "n_tokens", "quality_score"))
+      }
+      def exactStage() = {
+        val quality = CurationPipeline.scoredDocs(docs).filter(col("quality_score") >= 0.5)
+        quality
+          .withColumn("keep_id", min("doc_id").over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(xxhash64(col("text")), col("text"))))
+          .filter(col("doc_id") === col("keep_id"))
+          .withColumn("th", Tokenize.hashedSetOf(col("toks")))
+          .localCheckpoint()
+      }
+      time("curate s2: exact-dedup ckpt") { exactStage() }
+      val exact = exactStage()
+      time("curate s3a: LSH candidates") {
+        DedupQueries.minhashBandCandidatesSkewSafe(
+          exact.select(col("doc_id"), col("lang"), col("toks"))).count()
+      }
+      time("curate s3b: verify+anti (from ckpt)") {
+        val sets = exact.select(col("doc_id"), col("lang"), col("toks"), col("th"))
+        val candidates = DedupQueries.minhashBandCandidatesSkewSafe(
+          sets.select(col("doc_id"), col("lang"), col("toks")))
+        val t1 = sets.select(col("doc_id").as("doc_id1"), col("th").as("th1"), size(col("th")).as("sz1"))
+        val t2 = sets.select(col("doc_id").as("doc_id2"), col("th").as("th2"), size(col("th")).as("sz2"))
+        val dropIds = candidates.join(t1, "doc_id1").join(t2, "doc_id2")
+          .filter(DedupQueries.sizeBand(col("sz1"), col("sz2"), 4, 5))
+          .withColumn("inter", DedupQueries.intersectAtLeast(col("th1"), col("th2"),
+            expr("CAST((4 * (sz1 + sz2) + 8) div 9 AS INT)")))
+          .withColumn("j", col("inter").cast(org.apache.spark.sql.types.DoubleType)
+            / (col("sz1") + col("sz2") - col("inter")))
+          .filter(col("j") >= 0.8)
+          .select(col("doc_id2").as("drop_id")).distinct()
+        exact.drop("th").join(dropIds, col("doc_id") === col("drop_id"), "left_anti").count()
+      }
       time("curate: full query") {
         graft.SparkEntry.queries("q_pipeline_curate")(spark, sfDir).count()
       }

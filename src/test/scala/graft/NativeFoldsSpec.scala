@@ -67,6 +67,34 @@ class NativeFoldsSpec extends SparkTestBase with Matchers {
     df(2).getInt(1) shouldBe 0
   }
 
+  test("graft_simhash_fp == the explode + 62-conditional-sum groupBy reference, bit for bit, on fixture docs") {
+    GraftFunctions.ensureRegistered(spark)
+    val nb = PortableHash.SimhashBits
+    val toks = Tables.documents(spark, sfTiny).select(col("doc_id"),
+      graft.functions.Tokenize.tokenSet(col("text")).as("toks"))
+    val native = toks.filter(org.apache.spark.sql.functions.size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        call_function(GraftFunctions.SimhashFpName,
+          PortableHash.tokenHashes(col("toks")), lit(nb)).as("fp"))
+    val bitSums = (0 until nb).map { i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val fpRef = (0 until nb).map { i =>
+      when(col(s"b$i") > 0, expr(s"CAST(1 AS BIGINT) << $i")).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val ref = toks.select(col("doc_id"), explode(col("toks")).as("token"))
+      .withColumn("h", PortableHash.wideHash(PortableHash.tokenHash(col("token"))))
+      .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fpRef.as("fp"))
+    val joined = native.alias("n").join(ref.alias("r"), Seq("doc_id"), "full_outer")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n.fp") =!= col("r.fp")
+          || col("n.fp").isNull =!= col("r.fp").isNull, 1L).otherwise(0L)).as("mm"))
+      .collect().head
+    joined.getLong(0) should be > 0L
+    joined.getLong(1) shouldBe 0L
+  }
+
   test("graft_minhashes elements == PortableHash.minhash per seed, bit for bit, on fixture docs") {
     val hs = Tables.documents(spark, sfTiny)
       .select(PortableHash.tokenHashes(graft.functions.Tokenize.tokenSet(col("text"))).as("hs"))
