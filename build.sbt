@@ -1,7 +1,7 @@
 ThisBuild / scalaVersion := "2.13.17"
 // Semantic version: minor tracks the build round (see CHANGELOG.md);
 // scripts/publish-local.sh proves the artifact publishes consumably.
-ThisBuild / version := "0.15.0"
+ThisBuild / version := "0.17.0"
 name := "impalarefresherspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

@@ -98,29 +98,18 @@ object R17Slice {
           .withColumn("th", Tokenize.hashedSetOf(col("toks")))
           .localCheckpoint()
       }
-      time("curate s2: exact-dedup ckpt") { exactStage() }
-      val exact = exactStage()
-      time("curate s3a: LSH candidates") {
+      // cumulative prefixes, each block self-contained (releasePinned
+      // between measurements unpersists checkpoints, so a shared `exact`
+      // frame would lose its blocks): stage deltas = successive
+      // differences. P2 = through exact-dedup, P3 = + LSH candidates,
+      // P4 = the full pipeline (+ verify + anti-join).
+      time("curate P2: exact-dedup ckpt") { exactStage() }
+      time("curate P3: + LSH candidates") {
+        val exact = exactStage()
         DedupQueries.minhashBandCandidatesSkewSafe(
           exact.select(col("doc_id"), col("lang"), col("toks"))).count()
       }
-      time("curate s3b: verify+anti (from ckpt)") {
-        val sets = exact.select(col("doc_id"), col("lang"), col("toks"), col("th"))
-        val candidates = DedupQueries.minhashBandCandidatesSkewSafe(
-          sets.select(col("doc_id"), col("lang"), col("toks")))
-        val t1 = sets.select(col("doc_id").as("doc_id1"), col("th").as("th1"), size(col("th")).as("sz1"))
-        val t2 = sets.select(col("doc_id").as("doc_id2"), col("th").as("th2"), size(col("th")).as("sz2"))
-        val dropIds = candidates.join(t1, "doc_id1").join(t2, "doc_id2")
-          .filter(DedupQueries.sizeBand(col("sz1"), col("sz2"), 4, 5))
-          .withColumn("inter", DedupQueries.intersectAtLeast(col("th1"), col("th2"),
-            expr("CAST((4 * (sz1 + sz2) + 8) div 9 AS INT)")))
-          .withColumn("j", col("inter").cast(org.apache.spark.sql.types.DoubleType)
-            / (col("sz1") + col("sz2") - col("inter")))
-          .filter(col("j") >= 0.8)
-          .select(col("doc_id2").as("drop_id")).distinct()
-        exact.drop("th").join(dropIds, col("doc_id") === col("drop_id"), "left_anti").count()
-      }
-      time("curate: full query") {
+      time("curate P4: full query") {
         graft.SparkEntry.queries("q_pipeline_curate")(spark, sfDir).count()
       }
     }
